@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Dense-vector scalar functions (SURVEY.md §2.8 F1-F5, F9).
+  *
+  * Rebuilds the reference's `cos_sim` (`skills_for_jobs.py:175-176`), pgvector
+  * cosine distance `<=>` (`skills_for_jobs.py:150`), and the Milvus L2 metric
+  * (`load_skill_vectors_milvus.py:56`) as codegen'd Catalyst higher-order
+  * functions — no UDF serialization, stays inside whole-stage codegen.
+  *
+  * All arithmetic is in `DoubleType` and folds the arrays left-to-right in
+  * element order, matching DuckDB's `list_cosine_similarity`/`list_distance`
+  * evaluation order so the oracle compare is bit-stable.
+  */
+object VectorFunctions {
+
+  /** F9 — float32 → float64 widen (`tolist()` at `load_skill_vectors_pinecone.py:34`). */
+  def asDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
+
+  /** Element-wise dot product: fold of zip_with, sequential in array order. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2NormSq(a: Column): Column = dotProduct(a, a)
+
+  def l2Norm(a: Column): Column = sqrt(l2NormSq(a))
+
+  /** F1 — cosine similarity, `dot(a,b)/(norm(a)*norm(b))`
+    * (`skills_for_jobs.py:175-176`). Zero-norm input yields NaN, as in the
+    * reference (numpy emits a divide warning and returns nan). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** F2 — cosine distance (pgvector `<=>`, `skills_for_jobs.py:150,363`). */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0d) - cosineSimilarity(a, b)
+
+  /** F3 — Euclidean distance (Milvus metric L2, `load_skill_vectors_milvus.py:56`). */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v))
+
+  /** Negative inner product ranking metric (higher dot = nearer). */
+  def negDotProduct(a: Column, b: Column): Column = -dotProduct(a, b)
+
+  /** F4 — vector → `'[f,f,…]'` text literal (`load_skill_vectors_pg.py:38`). */
+  def vecToText(v: Column): Column =
+    concat(lit("["), array_join(v, ","), lit("]"))
+
+  /** F5 — text literal → vector (`ast.literal_eval` at `skills_for_jobs.py:385`).
+    * Parse to the element type that produced the text: a float's shortest
+    * string repr re-parses exactly as float, but NOT as double. */
+  def textToVec(s: Column): Column = from_json(s, ArrayType(DoubleType))
+
+  def textToVecFloat(s: Column): Column =
+    from_json(s, ArrayType(org.apache.spark.sql.types.FloatType))
+
+  /** L2-normalize a vector to unit length (zero vector maps to nulls→NaN). */
+  def l2Normalize(v: Column): Column =
+    transform(v, x => x / l2Norm(v))
+
+  /** Distance metrics the engine supports, selected per SURVEY §2.3 X3. */
+  sealed trait Metric {
+    /** Distance column (smaller = nearer) for ranking. */
+    def dist(a: Column, b: Column): Column
+  }
+  case object Cosine extends Metric {
+    def dist(a: Column, b: Column): Column = cosineDistance(a, b)
+  }
+  case object L2 extends Metric {
+    def dist(a: Column, b: Column): Column = l2Distance(a, b)
+  }
+  case object InnerProduct extends Metric {
+    def dist(a: Column, b: Column): Column = negDotProduct(a, b)
+  }
+  object Metric {
+    def apply(name: String): Metric = name.toLowerCase match {
+      case "cosine" => Cosine
+      case "l2" | "euclidean" => L2
+      case "ip" | "dot" | "innerproduct" => InnerProduct
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, StructType, TimestampType, TimestampNTZType, DataType}
+import graft.schema.Schemas
+
+/** Typed readers for the engine's tables (SURVEY.md §2.1 S1-S4).
+  *
+  * Parquet is self-describing, so we read as-is and then *validate* against the
+  * declared schema instead of forcing a cast — fail-fast on drift, the failure
+  * mode the reference actually hit (SURVEY.md §1.1).
+  */
+object Tables {
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    Schemas.byName.get(name).foreach(validate(name, df.schema, _))
+    df
+  }
+
+  /** S4 — empty-input guard (`skills_for_jobs.py:396-398`). */
+  def readNonEmpty(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = read(spark, sfDir, name)
+    require(!df.isEmpty, s"input table '$name' in $sfDir is empty")
+    df
+  }
+
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
+  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "region")
+
+  private def validate(name: String, actual: StructType, expected: StructType): Unit = {
+    val a = actual.fields.map(f => f.name -> f.dataType).toMap
+    expected.fields.foreach { f =>
+      a.get(f.name) match {
+        case None => throw new IllegalArgumentException(
+          s"table '$name': missing column '${f.name}' (have: ${actual.fieldNames.mkString(",")})")
+        case Some(t) if !compatible(t, f.dataType) => throw new IllegalArgumentException(
+          s"table '$name': column '${f.name}' is $t, expected ${f.dataType}")
+        case _ =>
+      }
+    }
+  }
+
+  /** Timestamp flavors (ns vs ms physical, NTZ vs LTZ) are interchangeable for
+    * our purposes; everything else must match exactly. */
+  private def compatible(actual: DataType, expected: DataType): Boolean =
+    (actual, expected) match {
+      case (_: TimestampNTZType, _: TimestampType) => true
+      case (_: TimestampType, _: TimestampNTZType) => true
+      case (ArrayType(a, _), ArrayType(b, _)) => compatible(a, b)
+      case (a, b) => a == b
+    }
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.Metric
+
+/** Exact top-k nearest-neighbor join (SURVEY.md §2.5 J2/J3, §2.9 W1).
+  *
+  * Rebuilds the reference's per-job top-10 semantic search loop
+  * (`skills_for_jobs.py:416-433` fanning into the five `*_search` functions)
+  * as one distributed join. Two physical forms, same results:
+  *
+  *  - [[exactWindow]]: cross join → distance → `row_number()` window. Simple,
+  *    oracle-matched 1:1 against DuckDB SQL, but shuffles the full |Q|×|C|
+  *    product to rank it — fine for tests, wrong at 100 TB.
+  *
+  *  - [[exact]] (default): broadcast the small query side, compute distances
+  *    map-side, then reduce with a bounded-heap partial aggregate — each
+  *    executor keeps at most k candidates per query, so the shuffle is
+  *    |Q|×k×partitions instead of |Q|×|C|. This is the form that survives a
+  *    1000-executor corpus scan.
+  *
+  * Ties break deterministically on (dist, id) in both forms and in the DuckDB
+  * oracle, making rank order reproducible across engines.
+  *
+  * Output: (queryIdCol, idCol, rank long 1..k, dist double). Corpus metadata
+  * columns are intentionally not carried through the heap — join them back on
+  * idCol after the top-k (k rows per query) instead of shipping them through
+  * the aggregation.
+  */
+object KnnJoin {
+
+  case class Scored(dist: Double, id: Long)
+  case class TopKBuf(items: Seq[Scored])
+
+  /** Bounded-heap top-k accumulator: partial aggregation keeps ≤ k entries per
+    * (query, partition), which is what makes the reduce shuffle O(|Q|·k) —
+    * the batch analog of each vector store's `top_k=` parameter
+    * (`skills_for_jobs.py:76,101,130,150,165`). */
+  class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
+    private val ord: Ordering[Scored] = Ordering.by(s => (s.dist, s.id))
+    // Amortized trim: let the buffer grow to 4k, then cut back to k. Keeps
+    // reduce() O(1) amortized instead of sorting on every row.
+    private val slack = math.max(4 * k, 64)
+
+    def zero: TopKBuf = TopKBuf(Vector.empty)
+    def reduce(b: TopKBuf, a: Scored): TopKBuf = {
+      val items = b.items :+ a
+      if (items.size > slack) TopKBuf(items.sorted(ord).take(k)) else TopKBuf(items)
+    }
+    def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+      val items = b1.items ++ b2.items
+      if (items.size > k) TopKBuf(items.sorted(ord).take(k)) else TopKBuf(items)
+    }
+    def finish(r: TopKBuf): Seq[Scored] = r.items.sorted(ord).take(k)
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Scale-first exact k-NN: broadcast(queries) ⋈ corpus → map-side distance →
+    * bounded-heap aggregate per query id → posexplode to ranked rows. */
+  def exact(
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, metric: Metric): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol), col(queryVecCol).as("__qvec")))
+    val c = corpus.select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+    val topk = udaf(new TopKAgg(k))
+    q.join(c)
+      .select(col(queryIdCol),
+        metric.dist(col("__qvec"), col("__cvec")).as("dist"),
+        col("__cid"))
+      .groupBy(col(queryIdCol))
+      .agg(topk(col("dist"), col("__cid")).as("__topk"))
+      .select(col(queryIdCol), posexplode(col("__topk")).as(Seq("__pos", "__m")))
+      .select(col(queryIdCol),
+        col("__m.id").as(idCol),
+        (col("__pos") + 1L).as("rank"),
+        col("__m.dist").as("dist"))
+  }
+
+  /** Oracle-shaped exact k-NN: cross join + window rank. Semantically identical
+    * to [[exact]]; kept as the reference implementation for tests and as the
+    * direct counterpart of the DuckDB oracle SQL. */
+  def exactWindow(
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, metric: Metric): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(queryVecCol).as("__qvec"))
+    val c = corpus.select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col("__cid"))
+    q.crossJoin(c)
+      .withColumn("dist", metric.dist(col("__qvec"), col("__cvec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("__cid").as(idCol), col("rank"), col("dist"))
+  }
+
+  /** J3 — the reference's exact-NN oracle pattern: overfetch k×overfetchFactor,
+    * deduplicate by a metadata key first-wins in rank order, re-rank, keep k
+    * (`skills_for_jobs.py:356-387`: `LIMIT k*10` at `:363`, dedup loop `:372-379`). */
+  def exactDedupByKey(
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String, dedupKeyCol: String,
+      k: Int, metric: Metric, overfetchFactor: Int = 10): DataFrame = {
+    val over = exact(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
+      k * overfetchFactor, metric)
+    val withKey = over.join(
+      corpus.select(col(idCol).cast("long").as(idCol), col(dedupKeyCol)), Seq(idCol))
+    // D1: first-wins per (query, key) in rank order, then re-rank to k.
+    val wKey = Window.partitionBy(col(queryIdCol), col(dedupKeyCol)).orderBy(col("rank"))
+    val wRerank = Window.partitionBy(col(queryIdCol)).orderBy(col("rank"))
+    withKey
+      .withColumn("__first", row_number().over(wKey))
+      .filter(col("__first") === 1)
+      .withColumn("new_rank", row_number().over(wRerank).cast("long"))
+      .filter(col("new_rank") <= k)
+      .select(col(queryIdCol), col(idCol), col(dedupKeyCol),
+        col("new_rank").as("rank"), col("dist"))
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.io.Tables
+import graft.operators.KnnJoin
+
+/** Vector-engine queries over `embeddings.parquet` with DuckDB oracle parity.
+  *
+  * Fixture convention (FIXTURES.md §B): queries = `vec_id < 20`, corpus =
+  * `vec_id >= 20`; `vec_id` plays the reference's `abbreviation`, `label`
+  * plays `level`.
+  */
+object VectorQueries extends graft.QueryModule {
+  private val K = 10
+  private val NQ = 20 // fixed query-set size at every scale factor
+
+  private def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("job_id"), asDouble(col("embedding")).as("qvec"))
+    val c = emb.filter(col("vec_id") >= NQ)
+      .select(col("vec_id").as("skill_id"), asDouble(col("embedding")).as("svec"),
+        col("label").cast("long").as("label"))
+    (q, c)
+  }
+
+  private def rounded(df: DataFrame): DataFrame =
+    df.withColumn("dist", round(col("dist"), 6))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J2 — flagship: top-10 cosine k-NN per query (skills_for_jobs.py:416-433).
+    "knn_cosine_topk" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      rounded(KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine))
+    }),
+    // J2 variant — L2 metric (Milvus path, load_skill_vectors_milvus.py:56).
+    "knn_l2_topk" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      rounded(KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, L2))
+    }),
+    // J3 + D1 — overfetch ×10, first-wins dedup by label, re-rank to 10
+    // (skills_for_jobs.py:356-387).
+    "knn_dedup_label_topk" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      rounded(KnnJoin.exactDedupByKey(q, "job_id", "qvec", c, "skill_id", "svec",
+        "label", K, Cosine))
+    }),
+    // F1/F2/F3/F9 — scalar vector functions over adjacent-id pairs.
+    "vec_scalar_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("a_id"), asDouble(col("embedding")).as("va"))
+      val b = emb.select(col("vec_id").as("b_id"), asDouble(col("embedding")).as("vb"))
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(col("a_id"),
+          round(cosineSimilarity(col("va"), col("vb")), 6).as("cos_sim"),
+          round(cosineDistance(col("va"), col("vb")), 6).as("cos_dist"),
+          round(l2Distance(col("va"), col("vb")), 6).as("l2_dist"),
+          round(dotProduct(col("va"), col("vb")), 6).as("dot"),
+          round(l2Norm(col("va")), 6).as("norm_a"))
+    }),
+    // F4/F5 — serialize to '[f,f,…]' text and parse back (round-trip exactness:
+    // float → shortest-repr string → double equals float → double).
+    "vec_text_roundtrip" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      emb.select(col("vec_id"),
+        asDouble(textToVecFloat(vecToText(col("embedding")))).as("vec"))
+        .select(col("vec_id"), round(aggregate(col("vec"), lit(0.0d),
+          (acc, v) => acc + v), 6).as("vec_sum"),
+          size(col("vec")).cast("long").as("dim"))
+    }))
+
+  private val qCte =
+    s"q AS (SELECT vec_id AS job_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $NQ)"
+  private val cCte =
+    s"c AS (SELECT vec_id AS skill_id, embedding::DOUBLE[] AS svec, CAST(label AS BIGINT) AS label FROM embeddings WHERE vec_id >= $NQ)"
+
+  val oracles: Map[String, String] = Map(
+    "knn_cosine_topk" ->
+      s"""WITH $qCte, $cCte,
+         |d AS (SELECT job_id, skill_id,
+         |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "knn_l2_topk" ->
+      s"""WITH $qCte, $cCte,
+         |d AS (SELECT job_id, skill_id, list_distance(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "knn_dedup_label_topk" ->
+      s"""WITH $qCte, $cCte,
+         |d AS (SELECT job_id, skill_id, label,
+         |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |over_r AS (SELECT *, row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |      FROM d),
+         |capped AS (SELECT * FROM over_r WHERE rank <= ${K * 10}),
+         |firsts AS (SELECT *, row_number() OVER (PARTITION BY job_id, label ORDER BY rank) AS pick
+         |      FROM capped),
+         |rr AS (SELECT job_id, skill_id, label, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY rank) AS BIGINT) AS new_rank
+         |      FROM firsts WHERE pick = 1)
+         |SELECT job_id, skill_id, label, new_rank AS rank, round(dist, 6) AS dist
+         |FROM rr WHERE new_rank <= $K""".stripMargin,
+    "vec_scalar_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim,
+        |  round(1.0 - list_cosine_similarity(a.v, b.v), 6) AS cos_dist,
+        |  round(list_distance(a.v, b.v), 6) AS l2_dist,
+        |  round(list_dot_product(a.v, b.v), 6) AS dot,
+        |  round(sqrt(list_dot_product(a.v, a.v)), 6) AS norm_a
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""".stripMargin,
+    "vec_text_roundtrip" ->
+      """SELECT vec_id,
+        |  round(list_sum(embedding::DOUBLE[]), 6) AS vec_sum,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings""".stripMargin)
+}
