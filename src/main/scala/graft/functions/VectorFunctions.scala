@@ -30,9 +30,13 @@ object VectorFunctions {
 
   /** F1 — cosine similarity, `dot(a,b)/(norm(a)*norm(b))`
     * (`skills_for_jobs.py:175-176`). Zero-norm input yields NaN, as in the
-    * reference (numpy emits a divide warning and returns nan). */
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    * reference (numpy emits a divide warning and returns nan) — guarded
+    * explicitly because ANSI mode (Spark 4 default) throws on divide-by-zero
+    * instead of producing NaN. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0d, lit(Double.NaN)).otherwise(dotProduct(a, b) / denom)
+  }
 
   /** F2 — cosine distance (pgvector `<=>`, `skills_for_jobs.py:150,363`). */
   def cosineDistance(a: Column, b: Column): Column =
@@ -46,9 +50,12 @@ object VectorFunctions {
   /** Negative inner product ranking metric (higher dot = nearer). */
   def negDotProduct(a: Column, b: Column): Column = -dotProduct(a, b)
 
-  /** F4 — vector → `'[f,f,…]'` text literal (`load_skill_vectors_pg.py:38`). */
+  /** F4 — vector → `'[f,f,…]'` text literal (`load_skill_vectors_pg.py:38`).
+    * Null elements serialize as the JSON literal `null` (array_join would
+    * otherwise silently drop them, shrinking the vector on round-trip);
+    * [[textToVec]]/[[textToVecFloat]] parse it back to a null element. */
   def vecToText(v: Column): Column =
-    concat(lit("["), array_join(v, ","), lit("]"))
+    concat(lit("["), array_join(v, ",", "null"), lit("]"))
 
   /** F5 — text literal → vector (`ast.literal_eval` at `skills_for_jobs.py:385`).
     * Parse to the element type that produced the text: a float's shortest
@@ -58,9 +65,12 @@ object VectorFunctions {
   def textToVecFloat(s: Column): Column =
     from_json(s, ArrayType(org.apache.spark.sql.types.FloatType))
 
-  /** L2-normalize a vector to unit length (zero vector maps to nulls→NaN). */
+  /** L2-normalize a vector to unit length (zero vector maps to NaN elements).
+    * The norm is evaluated once via array_repeat — embedding `l2Norm(v)`
+    * inside the transform lambda would re-run the O(d) dot-product aggregate
+    * per element, i.e. O(d²) per row. */
   def l2Normalize(v: Column): Column =
-    transform(v, x => x / l2Norm(v))
+    zip_with(v, array_repeat(l2Norm(v), size(v)), (x, n) => x / n)
 
   /** Distance metrics the engine supports, selected per SURVEY §2.3 X3. */
   sealed trait Metric {

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.VectorFunctions.Metric
 
 /** Exact top-k nearest-neighbor join (SURVEY.md §2.5 J2/J3, §2.9 W1).
@@ -22,7 +23,17 @@ import graft.functions.VectorFunctions.Metric
   *    1000-executor corpus scan.
   *
   * Ties break deterministically on (dist, id) in both forms and in the DuckDB
-  * oracle, making rank order reproducible across engines.
+  * oracle, making rank order reproducible across engines. The id column keeps
+  * its own type end-to-end: integral ids order numerically, string ids (the
+  * reference's `abbreviation` key) order lexically — matching how the same
+  * ORDER BY behaves in the oracle engine. Unsupported id types fail fast.
+  *
+  * Ordering note: the reference's pg queries say `ORDER BY score DESC`
+  * (`skills_for_jobs.py:150,363`), which is farthest-first — a reference bug
+  * (at `:150` the alias even binds to the raw embedding column). We implement
+  * the *intended* nearest-first semantics (`orderBy(asc(dist))`), as every
+  * other backend in the reference does; parity audits should expect this
+  * deliberate divergence (SURVEY.md §2.9 W3).
   *
   * Output: (queryIdCol, idCol, rank long 1..k, dist double). Corpus metadata
   * columns are intentionally not carried through the heap — join them back on
@@ -31,33 +42,67 @@ import graft.functions.VectorFunctions.Metric
   */
 object KnnJoin {
 
-  case class Scored(dist: Double, id: Long)
-  case class TopKBuf(items: Seq[Scored])
+  case class ScoredL(dist: Double, id: Long)
+  case class ScoredS(dist: Double, id: String)
+  case class BufL(items: Seq[ScoredL])
+  case class BufS(items: Seq[ScoredS])
 
   /** Bounded-heap top-k accumulator: partial aggregation keeps ≤ k entries per
     * (query, partition), which is what makes the reduce shuffle O(|Q|·k) —
     * the batch analog of each vector store's `top_k=` parameter
-    * (`skills_for_jobs.py:76,101,130,150,165`). */
-  class TopKAgg(k: Int) extends Aggregator[Scored, TopKBuf, Seq[Scored]] {
-    private val ord: Ordering[Scored] = Ordering.by(s => (s.dist, s.id))
-    // Amortized trim: let the buffer grow to 4k, then cut back to k. Keeps
-    // reduce() O(1) amortized instead of sorting on every row.
+    * (`skills_for_jobs.py:76,101,130,150,165`). Amortized trim: the buffer
+    * grows to max(4k, 64) then is cut back to k, keeping reduce() O(1)
+    * amortized instead of sorting on every row. */
+  class TopKAggL(k: Int) extends Aggregator[ScoredL, BufL, Seq[ScoredL]] {
+    private val ord: Ordering[ScoredL] = Ordering.by(s => (s.dist, s.id))
     private val slack = math.max(4 * k, 64)
-
-    def zero: TopKBuf = TopKBuf(Vector.empty)
-    def reduce(b: TopKBuf, a: Scored): TopKBuf = {
+    def zero: BufL = BufL(Vector.empty)
+    def reduce(b: BufL, a: ScoredL): BufL = {
       val items = b.items :+ a
-      if (items.size > slack) TopKBuf(items.sorted(ord).take(k)) else TopKBuf(items)
+      if (items.size > slack) BufL(items.sorted(ord).take(k)) else BufL(items)
     }
-    def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+    def merge(b1: BufL, b2: BufL): BufL = {
       val items = b1.items ++ b2.items
-      if (items.size > k) TopKBuf(items.sorted(ord).take(k)) else TopKBuf(items)
+      if (items.size > k) BufL(items.sorted(ord).take(k)) else BufL(items)
     }
-    def finish(r: TopKBuf): Seq[Scored] = r.items.sorted(ord).take(k)
-    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
-    def outputEncoder: Encoder[Seq[Scored]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    def finish(r: BufL): Seq[ScoredL] = r.items.sorted(ord).take(k)
+    def bufferEncoder: Encoder[BufL] = Encoders.product[BufL]
+    def outputEncoder: Encoder[Seq[ScoredL]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredL]]()
   }
+
+  /** String-keyed twin of [[TopKAggL]] — ties order lexically, matching the
+    * oracle's ORDER BY on a VARCHAR id. */
+  class TopKAggS(k: Int) extends Aggregator[ScoredS, BufS, Seq[ScoredS]] {
+    private val ord: Ordering[ScoredS] = Ordering.by(s => (s.dist, s.id))
+    private val slack = math.max(4 * k, 64)
+    def zero: BufS = BufS(Vector.empty)
+    def reduce(b: BufS, a: ScoredS): BufS = {
+      val items = b.items :+ a
+      if (items.size > slack) BufS(items.sorted(ord).take(k)) else BufS(items)
+    }
+    def merge(b1: BufS, b2: BufS): BufS = {
+      val items = b1.items ++ b2.items
+      if (items.size > k) BufS(items.sorted(ord).take(k)) else BufS(items)
+    }
+    def finish(r: BufS): Seq[ScoredS] = r.items.sorted(ord).take(k)
+    def bufferEncoder: Encoder[BufS] = Encoders.product[BufS]
+    def outputEncoder: Encoder[Seq[ScoredS]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredS]]()
+  }
+
+  /** Normalize the corpus id to a heap-supported key column. Integral types
+    * widen to long; strings pass through; anything else is a hard error
+    * (never a silent NULL-producing cast). */
+  private def keyColumn(corpus: DataFrame, idCol: String): (Column, Boolean) =
+    corpus.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(idCol).cast(LongType).as("__cid"), false)
+      case StringType => (col(idCol).as("__cid"), true)
+      case other => throw new IllegalArgumentException(
+        s"KnnJoin: id column '$idCol' has unsupported type $other " +
+          "(supported: integral types, string)")
+    }
 
   /** Scale-first exact k-NN: broadcast(queries) ⋈ corpus → map-side distance →
     * bounded-heap aggregate per query id → posexplode to ranked rows. */
@@ -66,8 +111,9 @@ object KnnJoin {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, metric: Metric): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol), col(queryVecCol).as("__qvec")))
-    val c = corpus.select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
-    val topk = udaf(new TopKAgg(k))
+    val (keyCol, isString) = keyColumn(corpus, idCol)
+    val c = corpus.select(keyCol, col(vecCol).as("__cvec"))
+    val topk = if (isString) udaf(new TopKAggS(k)) else udaf(new TopKAggL(k))
     q.join(c)
       .select(col(queryIdCol),
         metric.dist(col("__qvec"), col("__cvec")).as("dist"),
@@ -89,7 +135,8 @@ object KnnJoin {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, metric: Metric): DataFrame = {
     val q = queries.select(col(queryIdCol), col(queryVecCol).as("__qvec"))
-    val c = corpus.select(col(idCol).cast("long").as("__cid"), col(vecCol).as("__cvec"))
+    val (keyCol, _) = keyColumn(corpus, idCol)
+    val c = corpus.select(keyCol, col(vecCol).as("__cvec"))
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col("__cid"))
     q.crossJoin(c)
       .withColumn("dist", metric.dist(col("__qvec"), col("__cvec")))
@@ -99,16 +146,19 @@ object KnnJoin {
   }
 
   /** J3 — the reference's exact-NN oracle pattern: overfetch k×overfetchFactor,
-    * deduplicate by a metadata key first-wins in rank order, re-rank, keep k
-    * (`skills_for_jobs.py:356-387`: `LIMIT k*10` at `:363`, dedup loop `:372-379`). */
+    * deduplicate by a metadata key first-wins in rank order, re-rank, keep k.
+    * Pattern site: `skills_for_jobs.py:356-387` (`LIMIT k*10` at `:363`, dedup
+    * loop `:372-379`) — minus its `ORDER BY … DESC` direction bug; we rank
+    * ascending nearest-first on purpose (see object Scaladoc). */
   def exactDedupByKey(
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String, dedupKeyCol: String,
       k: Int, metric: Metric, overfetchFactor: Int = 10): DataFrame = {
     val over = exact(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
       k * overfetchFactor, metric)
+    val (keyCol, _) = keyColumn(corpus, idCol)
     val withKey = over.join(
-      corpus.select(col(idCol).cast("long").as(idCol), col(dedupKeyCol)), Seq(idCol))
+      corpus.select(keyCol.as(idCol), col(dedupKeyCol)), Seq(idCol))
     // D1: first-wins per (query, key) in rank order, then re-rank to k.
     val wKey = Window.partitionBy(col(queryIdCol), col(dedupKeyCol)).orderBy(col("rank"))
     val wRerank = Window.partitionBy(col(queryIdCol)).orderBy(col("rank"))

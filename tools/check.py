@@ -17,10 +17,21 @@ def load_spark(outdir, name):
         return None
     return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
+def _sort_cell(v):
+    # Canonical cell repr for ROW ORDERING only: floats rounded to the compare
+    # tolerance's magnitude so pandas vs DuckDB double formatting differences
+    # (0.123456 vs 0.12345600000000001) cannot reorder rows.
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return format(round(v, 7), ".7f")
+    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+        return "[" + ",".join(_sort_cell(x) for x in list(v)) + "]"
+    return str(v)
+
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # round-trippable canonical sort: stringify for ordering only
-    key = df.astype(str).apply(lambda r: "\x00".join(r), axis=1)
+    key = df.apply(lambda r: "\x00".join(_sort_cell(x) for x in r), axis=1)
     return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
 
 def eq(a, b):
