@@ -27,7 +27,22 @@ object Tables {
 
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "embeddings")
   def documents(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "documents")
-  def events(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "events")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects outright. Read nanos as long (legacy conf) and convert to a
+    * microsecond timestamp — sub-microsecond precision is dropped, matching
+    * what any TIMESTAMP_MICROS engine sees. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val df =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    Schemas.byName.get("events").foreach(validate("events", df.schema, _))
+    df
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = read(spark, sfDir, "customer")

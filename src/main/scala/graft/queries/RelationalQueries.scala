@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+
+/** Relational operator breadth over the TPC-H-ish testdata tables
+  * (SURVEY.md §7 step 9): equi-joins, aggregations, windows, sorts/limits,
+  * set ops, rollup, distinct aggregates, event-time bucketing. The reference
+  * itself needs only a slice of this (equi-join J1, two-level averages A2/A3,
+  * top-k W1), but each query here exercises a Spark primitive the engine
+  * leans on, with a DuckDB oracle keeping it honest.
+  *
+  * Cross-engine float discipline: anything aggregated is cast to DECIMAL
+  * first (exact, order-independent sums — safe under shuffle re-ordering at
+  * any scale), then cast back to double and rounded. Pass-through doubles
+  * (no arithmetic) stay raw — they are bit-identical to the parquet values
+  * in both engines. Timestamps are serialized to strings at the output
+  * boundary so engine-side timezone/naive representations can't diverge.
+  */
+object RelationalQueries extends graft.QueryModule {
+
+  /** Exact money aggregation: double → decimal(18,4) per row (deterministic
+    * nearest rounding), exact decimal sum, back to double, rounded. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double"), 2)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: filter → hash agg (partial+final).
+    "rel_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < to_timestamp(lit("2000-01-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"), // integer-valued doubles: exact
+          moneySum(col("l_extendedprice")).as("sum_base"),
+          moneySum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
+            .as("sum_disc_price"),
+          round(sum("l_quantity") / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+    // 4-way equi-join with broadcast dims: region ⋈ nation ⋈ customer ⋈ orders.
+    "rel_region_revenue" -> ((s, dir) => {
+      val nation = broadcast(Tables.nation(s, dir))
+      val region = broadcast(Tables.region(s, dir))
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("revenue"))
+    }),
+    // Window top-k per group: 3 priciest orders per customer.
+    "rel_top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    }),
+    // Global sort + limit (CollectLimit path).
+    "rel_top20_parts" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(20)
+        .select("p_partkey", "p_name", "p_retailprice")
+    }),
+    // Set op: customers with urgent orders but no low-priority ones (EXCEPT).
+    "rel_urgent_only_customers" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val low = o.filter(col("o_orderpriority") === "5-LOW")
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      urgent.except(low)
+        .join(Tables.customer(s, dir), "c_custkey")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+    // Set op: nations with both customers and suppliers (INTERSECT).
+    "rel_nations_both" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_nationkey").as("n_nationkey")).distinct()
+      val su = Tables.supplier(s, dir).select(col("s_nationkey").as("n_nationkey")).distinct()
+      c.intersect(su)
+        .join(broadcast(Tables.nation(s, dir)), "n_nationkey")
+        .select("n_nationkey", "n_name")
+    }),
+    // Distinct aggregate per group.
+    "rel_priority_stats" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            / count(lit(1)), 4).as("avg_price"))
+    }),
+    // Rollup (grouping-sets family): subtotals + grand total.
+    "rel_rollup_flags" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+    // Event-time bucketing: per-hour per-type counts over the events table
+    // (the batch face of the streaming tumbling-window aggregation).
+    "rel_events_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+    }))
+
+  private val money = "DECIMAL(18,4)"
+
+  val oracles: Map[String, String] = Map(
+    "rel_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  round(CAST(sum(CAST(l_extendedprice AS $money)) AS DOUBLE), 2) AS sum_base,
+         |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS $money)) AS DOUBLE), 2) AS sum_disc_price,
+         |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate < TIMESTAMP '2000-01-01'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_region_revenue" ->
+      s"""SELECT r_name, c_mktsegment, count(*) AS n_orders,
+         |  round(CAST(sum(CAST(o_totalprice AS $money)) AS DOUBLE), 2) AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, c_mktsegment""".stripMargin,
+    "rel_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3""".stripMargin,
+    "rel_top20_parts" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |ORDER BY p_retailprice DESC, p_partkey LIMIT 20""".stripMargin,
+    "rel_urgent_only_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""".stripMargin,
+    "rel_nations_both" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+        |  AND n_nationkey IN (SELECT s_nationkey FROM supplier)""".stripMargin,
+    "rel_priority_stats" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  count(DISTINCT o_custkey) AS n_cust,
+         |  round(CAST(sum(CAST(o_totalprice AS $money)) AS DOUBLE) / count(*), 4) AS avg_price
+         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "rel_rollup_flags" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "rel_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}
