@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** ANN-quality evaluation operators (SURVEY.md §2.5 J4/J5, §2.6 A1-A3).
+  *
+  * The reference evaluates each backend's top-k against a brute-force oracle
+  * with (a) a membership/recall check and (b) the mean cosine similarity of
+  * returned vectors vs the oracle's best vector
+  * (`skills_for_jobs.py:199-211` and per-backend clones). Its membership
+  * check is actually broken — `value in job_skills_best[key]` tests a string
+  * against a list of tuples and is always False (SURVEY.md §2.5 J4); we
+  * implement the *intended* recall@k overlap semantics.
+  */
+object Eval {
+
+  /** J4 + A3 — per-query overlap of `ann`'s ids with `oracle`'s ids.
+    * Output: (queryIdCol, n_matches long, recall double∈[0,1] rounded 6).
+    * Queries come from the oracle side; an ANN result with zero overlap
+    * still yields a row with n_matches = 0. */
+  def recallAtK(ann: DataFrame, oracle: DataFrame,
+      queryIdCol: String, idCol: String): DataFrame = {
+    val matches = ann.join(oracle, Seq(queryIdCol, idCol), "left_semi")
+      .groupBy(queryIdCol).agg(count(lit(1)).as("__n"))
+    val totals = oracle.groupBy(queryIdCol).agg(count(lit(1)).as("__total"))
+    totals.join(matches, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("__n"), lit(0L)).as("n_matches"),
+        round(coalesce(col("__n"), lit(0L)) / col("__total"), 6).as("recall"))
+  }
+
+  /** A1/A3 — collapse [[recallAtK]] output to the reference's headline
+    * numbers: avg matches per query and mean recall. */
+  def recallSummary(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      round(avg(col("n_matches")), 6).as("avg_matches"),
+      round(avg(col("recall")), 6).as("avg_recall"),
+      count(lit(1)).as("n_queries"))
+
+  /** J5 + A2 — mean cosine similarity of each hit's vector against the
+    * oracle's rank-1 ("best") vector for that query
+    * (`skills_for_jobs.py:204,211`; best vector from `:385-386`).
+    * `hits` must carry (queryIdCol, vecCol); `oracleBest` one row per query
+    * with (queryIdCol, vecCol). Output: (queryIdCol, avg_sim rounded 6). */
+  def bestVectorSimilarity(hits: DataFrame, oracleBest: DataFrame,
+      queryIdCol: String, vecCol: String): DataFrame = {
+    val best = broadcast(oracleBest.select(col(queryIdCol), col(vecCol).as("__bvec")))
+    hits.select(col(queryIdCol), col(vecCol).as("__hvec"))
+      .join(best, Seq(queryIdCol))
+      .groupBy(queryIdCol)
+      .agg(round(avg(cosineSimilarity(col("__hvec"), col("__bvec"))), 6).as("avg_sim"))
+  }
+
+  /** A2 second level — average of the per-query averages. */
+  def similaritySummary(perQuery: DataFrame): DataFrame =
+    perQuery.agg(round(avg(col("avg_sim")), 6).as("avg_avg_sim"),
+      count(lit(1)).as("n_queries"))
+}

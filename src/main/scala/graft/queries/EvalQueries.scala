@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.Cosine
+import graft.operators.{Eval, KnnJoin, Report}
+import Fixtures.{K, qCte, cCte}
+
+/** ANN-quality evaluation + reporting queries (SURVEY.md §2.5 J4/J5,
+  * §2.6 A1-A3, §2.11 R1). The reference's eval compares each ANN backend's
+  * top-k against the exact-NN oracle; here the deterministic stand-in for
+  * "an ANN backend" is cosine retrieval over the first 32 of 64 dimensions —
+  * a real dimensionality-truncation approximation (recall@10 ≈ 0.38 on the
+  * fixture) whose disagreement with the full-dimension oracle the DuckDB
+  * oracle can replay exactly.
+  */
+object EvalQueries extends graft.QueryModule {
+
+  private val HalfDim = 32 // ANN stand-in: rank over the leading half of the 64 dims
+
+  private def tops(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (q, c) = Fixtures.split(s, dir)
+    val cosTop = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine)
+    val qh = q.select(col("job_id"), slice(col("qvec"), 1, HalfDim).as("qvec"))
+    val ch = c.select(col("skill_id"), slice(col("svec"), 1, HalfDim).as("svec"))
+    val annTop = KnnJoin.exact(qh, "job_id", "qvec", ch, "skill_id", "svec", K, Cosine)
+    (cosTop, annTop, c)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J4 + A3 — per-query recall of the truncated-dim ANN retrieval vs the exact oracle.
+    "eval_ann_recall" -> ((s, dir) => {
+      val (cosTop, annTop, _) = tops(s, dir)
+      Eval.recallAtK(annTop, cosTop, "job_id", "skill_id")
+    }),
+    // A1 — headline averages over the per-query recalls.
+    "eval_recall_summary" -> ((s, dir) => {
+      val (cosTop, annTop, _) = tops(s, dir)
+      Eval.recallSummary(Eval.recallAtK(annTop, cosTop, "job_id", "skill_id"))
+    }),
+    // J5 + A2 — per-query mean cosine similarity of hits vs the oracle's
+    // best (rank-1) vector.
+    "eval_best_sim" -> ((s, dir) => {
+      val (cosTop, annTop, c) = tops(s, dir)
+      val vecs = c.select(col("skill_id"), col("svec"))
+      val hits = annTop.join(vecs, "skill_id")
+      val best = cosTop.filter(col("rank") === 1).join(vecs, "skill_id")
+        .select(col("job_id"), col("svec"))
+      Eval.bestVectorSimilarity(hits, best, "job_id", "svec")
+    }),
+    // A2 second level — average of the per-query averages.
+    "eval_best_sim_summary" -> ((s, dir) => {
+      val (cosTop, annTop, c) = tops(s, dir)
+      val vecs = c.select(col("skill_id"), col("svec"))
+      val hits = annTop.join(vecs, "skill_id")
+      val best = cosTop.filter(col("rank") === 1).join(vecs, "skill_id")
+        .select(col("job_id"), col("svec"))
+      Eval.similaritySummary(
+        Eval.bestVectorSimilarity(hits, best, "job_id", "svec"))
+    }),
+    // R1 — the reference's wide per-job report over the deduped top-k.
+    "report_job_skills_pivot" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val ranked = KnnJoin.exactDedupByKey(
+        q, "job_id", "qvec", c, "skill_id", "svec", "label", K, Cosine)
+      Report.pivotTopK(ranked, "job_id", "rank", K,
+        Seq("skill_id" -> "skill", "label" -> "level"))
+    }))
+
+  // Shared oracle CTE chain: both metric rankings over the fixture split.
+  private val ranksCte =
+    s"""$qCte, $cCte,
+       |cosd AS (SELECT job_id, skill_id,
+       |    1.0 - list_cosine_similarity(qvec, svec) AS dist FROM q CROSS JOIN c),
+       |cosr AS (SELECT job_id, skill_id, rank FROM (
+       |    SELECT job_id, skill_id,
+       |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+       |    FROM cosd) WHERE rank <= $K),
+       |annd AS (SELECT job_id, skill_id,
+       |    1.0 - list_cosine_similarity(qvec[1:$HalfDim], svec[1:$HalfDim]) AS dist
+       |    FROM q CROSS JOIN c),
+       |annr AS (SELECT job_id, skill_id, rank FROM (
+       |    SELECT job_id, skill_id,
+       |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+       |    FROM annd) WHERE rank <= $K)""".stripMargin
+
+  private val recallCte =
+    s"""$ranksCte,
+       |m AS (SELECT a.job_id, count(*) AS n FROM annr a
+       |    JOIN cosr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+       |    GROUP BY a.job_id),
+       |perq AS (SELECT q2.job_id,
+       |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+       |    round(coalesce(m.n, 0) / 10.0, 6) AS recall
+       |  FROM (SELECT DISTINCT job_id FROM cosr) q2 LEFT JOIN m USING (job_id))""".stripMargin
+
+  private val bestSimCte =
+    s"""$ranksCte,
+       |hv AS (SELECT h.job_id, c.svec FROM annr h JOIN c USING (skill_id)),
+       |best AS (SELECT r.job_id, c.svec AS bvec
+       |    FROM (SELECT job_id, skill_id FROM cosr WHERE rank = 1) r
+       |    JOIN c USING (skill_id)),
+       |perq AS (SELECT hv.job_id,
+       |    round(avg(list_cosine_similarity(hv.svec, b.bvec)), 6) AS avg_sim
+       |  FROM hv JOIN best b ON hv.job_id = b.job_id GROUP BY hv.job_id)""".stripMargin
+
+  private val pivotCols = (0 until K).map { i =>
+    s"""  max(CASE WHEN rank = ${i + 1} THEN skill_id END) AS skill$i,
+       |  max(CASE WHEN rank = ${i + 1} THEN label END) AS level$i""".stripMargin
+  }.mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "eval_ann_recall" ->
+      s"WITH $recallCte\nSELECT job_id, n_matches, recall FROM perq",
+    "eval_recall_summary" ->
+      s"""WITH $recallCte
+         |SELECT round(avg(n_matches), 6) AS avg_matches,
+         |  round(avg(recall), 6) AS avg_recall,
+         |  count(*) AS n_queries FROM perq""".stripMargin,
+    "eval_best_sim" ->
+      s"WITH $bestSimCte\nSELECT job_id, avg_sim FROM perq",
+    "eval_best_sim_summary" ->
+      s"""WITH $bestSimCte
+         |SELECT round(avg(avg_sim), 6) AS avg_avg_sim,
+         |  count(*) AS n_queries FROM perq""".stripMargin,
+    "report_job_skills_pivot" ->
+      s"""WITH $qCte, $cCte,
+         |d AS (SELECT job_id, skill_id, label,
+         |    1.0 - list_cosine_similarity(qvec, svec) AS dist FROM q CROSS JOIN c),
+         |over_r AS (SELECT *, row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank0
+         |    FROM d),
+         |capped AS (SELECT * FROM over_r WHERE rank0 <= ${K * 10}),
+         |firsts AS (SELECT *, row_number() OVER (PARTITION BY job_id, label ORDER BY rank0) AS pick
+         |    FROM capped),
+         |rr AS (SELECT job_id, skill_id, label,
+         |    row_number() OVER (PARTITION BY job_id ORDER BY rank0) AS rank
+         |    FROM firsts WHERE pick = 1)
+         |SELECT job_id AS job,
+         |$pivotCols
+         |FROM rr WHERE rank <= $K GROUP BY job_id""".stripMargin)
+}

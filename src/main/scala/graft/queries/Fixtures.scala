@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.asDouble
+import graft.io.Tables
+
+/** Shared fixture convention for the vector-engine queries (FIXTURES.md §B):
+  * `embeddings.parquet` plays both sides of the reference's skills/jobs pair —
+  * queries = `vec_id < NQ`, corpus = `vec_id >= NQ`; `vec_id` stands in for
+  * `abbreviation`, `label` for `level`. The DuckDB CTE strings mirror the
+  * DataFrame split exactly so every oracle starts from identical inputs.
+  */
+private[queries] object Fixtures {
+  val K = 10
+  val NQ = 20 // fixed query-set size at every scale factor
+
+  def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("job_id"), asDouble(col("embedding")).as("qvec"))
+    val c = emb.filter(col("vec_id") >= NQ)
+      .select(col("vec_id").as("skill_id"), asDouble(col("embedding")).as("svec"),
+        col("label").cast("long").as("label"))
+    (q, c)
+  }
+
+  val qCte: String =
+    s"q AS (SELECT vec_id AS job_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $NQ)"
+  val cCte: String =
+    s"c AS (SELECT vec_id AS skill_id, embedding::DOUBLE[] AS svec, CAST(label AS BIGINT) AS label FROM embeddings WHERE vec_id >= $NQ)"
+}

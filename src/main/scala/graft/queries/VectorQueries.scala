@@ -13,18 +13,7 @@ import graft.operators.KnnJoin
   * plays `level`.
   */
 object VectorQueries extends graft.QueryModule {
-  private val K = 10
-  private val NQ = 20 // fixed query-set size at every scale factor
-
-  private def split(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("job_id"), asDouble(col("embedding")).as("qvec"))
-    val c = emb.filter(col("vec_id") >= NQ)
-      .select(col("vec_id").as("skill_id"), asDouble(col("embedding")).as("svec"),
-        col("label").cast("long").as("label"))
-    (q, c)
-  }
+  import Fixtures.{K, NQ, split}
 
   private def rounded(df: DataFrame): DataFrame =
     df.withColumn("dist", round(col("dist"), 6))
@@ -71,10 +60,8 @@ object VectorQueries extends graft.QueryModule {
           size(col("vec")).cast("long").as("dim"))
     }))
 
-  private val qCte =
-    s"q AS (SELECT vec_id AS job_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $NQ)"
-  private val cCte =
-    s"c AS (SELECT vec_id AS skill_id, embedding::DOUBLE[] AS svec, CAST(label AS BIGINT) AS label FROM embeddings WHERE vec_id >= $NQ)"
+  private val qCte = Fixtures.qCte
+  private val cCte = Fixtures.cCte
 
   val oracles: Map[String, String] = Map(
     "knn_cosine_topk" ->
