@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions.l2Normalize
+
+/** F10 — deterministic local embedder (SURVEY.md §2.8 F10, §3.1).
+  *
+  * The reference embeds text with one HTTP call per row to OpenAI/Gemini
+  * (`create_skill_embeddings.py:11-20,37-43`) — its scalability cliff. In a
+  * zero-egress batch engine the same interface is served by a hashing-TF
+  * embedder: tokens → portable 32-bit hash → bucket counts at the requested
+  * dimension (768/1536 mirror the reference's provider dims,
+  * `load_skill_vectors_pg.py:10-13`) → L2-normalized dense vector.
+  *
+  * Physical shape: explode → two-level hash aggregation (partial map-side
+  * combine) → sparse-to-dense transform. Both shuffles key on the document
+  * id, so the plan scales linearly with corpus size and never materializes
+  * a dim-wide row until the final projection. No UDFs — every step is a
+  * codegen'd Catalyst expression, and the md5 bucket hash reproduces exactly
+  * in the DuckDB oracle.
+  */
+object Embedder {
+
+  /** Embed `textCol` into a dense `dim`-dimensional unit vector per row.
+    * Rows whose text has no tokens are dropped (nothing to embed).
+    * Output: (idCol, outCol array<double>). */
+  def hashTfEmbed(df: DataFrame, idCol: String, textCol: String, dim: Int,
+      outCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"embedding dim must be positive, got $dim")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(TextFunctions.newlineStrip(col(textCol)))).as("__t"))
+    val buckets = toks
+      .select(col(idCol), pmod(TextFunctions.tokenHash(col("__t")), lit(dim.toLong)).cast("int").as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val sparse = buckets.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__cnt")))).as("__m"))
+    sparse.select(col(idCol),
+      l2Normalize(
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0d)))).as(outCol))
+  }
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.Cosine
+import graft.io.Tables
+import graft.operators.{Embedder, KnnJoin}
+
+/** Text-analysis + embedding-pipeline queries over `documents.parquet`
+  * (BASELINE.json north star; SURVEY.md §2.8 F6/F10, §3.1 entry point A).
+  * Every operator is a codegen'd column expression built on the portable
+  * md5 token hash, so the DuckDB oracle replays each one bit-exactly —
+  * including the full hashing-TF embedder and a document-to-document k-NN
+  * over its output (the reference's embed → search pipeline end to end).
+  */
+object TextQueries extends graft.QueryModule {
+
+  private val Dim = 64
+  private val EnWords = langWords.head._2
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token/char counts + ratio features (north-star "quality scoring" inputs).
+    "text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        round(avgTokenLen(col("text")), 6).as("avg_token_len"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(stopwordRatio(col("text"), EnWords), 6).as("stopword_ratio"))
+    }),
+    // Language-ID heuristic: per-language function-word hits + argmax call.
+    "text_lang_id" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val hitCols = langWords.map { case (lang, ws) =>
+        stopwordHits(toks, ws).cast("long").as(s"${lang}_hits")
+      }
+      Tables.documents(s, dir).select(
+        (col("doc_id") +: hitCols :+ langId(col("text")).as("lang_pred")): _*)
+    }),
+    // Composite quality score.
+    "text_quality" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(qualityScore(col("text")), 6).as("quality"))
+    }),
+    // Rolling-hash document fingerprint.
+    "text_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+    }),
+    // F10 — hashing-TF embedder, pinned by derived scalars (dim, unit norm,
+    // sum, max bucket weight and its position).
+    "embed_hash_tf" -> ((s, dir) => {
+      val emb = Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim)
+      emb.select(col("doc_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), _ + _)), 6).as("norm"),
+        round(aggregate(col("embedding"), lit(0.0d), _ + _), 6).as("vec_sum"),
+        round(array_max(col("embedding")), 6).as("max_val"),
+        array_position(col("embedding"), array_max(col("embedding"))).as("argmax"))
+    }),
+    // Entry point A end-to-end: embed documents, then doc→doc top-5 cosine
+    // k-NN (queries = doc_id < 10, corpus = the rest).
+    "embed_knn_docs" -> ((s, dir) => {
+      val emb = Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim)
+      val q = emb.filter(col("doc_id") < 10)
+      val c = emb.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("nbr_id"), col("embedding"))
+      KnnJoin.exact(q, "doc_id", "embedding", c, "nbr_id", "embedding", 5, Cosine)
+        .withColumn("dist", round(col("dist"), 6))
+    }))
+
+  // ---- DuckDB mirrors -----------------------------------------------------
+
+  private val enIn = EnWords.map(w => s"'$w'").mkString("(", ",", ")")
+  private def langIn(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private val toksCte =
+    """tokd AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** The embedder, replayed in SQL: token → md5 bucket → counts → dense →
+    * L2 normalize. Mirrors Embedder.hashTfEmbed exactly. */
+  private val embedCte =
+    s"""$toksCte,
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
+       |b AS (SELECT doc_id,
+       |    CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $Dim AS INT) AS bkt,
+       |    CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM tok GROUP BY 1, 2),
+       |m AS (SELECT doc_id, map(list(bkt), list(cnt)) AS mm FROM b GROUP BY 1),
+       |v AS (SELECT doc_id, list_transform(generate_series(0, ${Dim - 1}),
+       |    i -> coalesce(map_extract(mm, CAST(i AS INT))[1], 0.0)) AS vec FROM m),
+       |nv AS (SELECT doc_id,
+       |    list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) AS vec
+       |  FROM v)""".stripMargin
+
+  private val langHitCols = langWords.map { case (lang, ws) =>
+    s"CAST(len(list_filter(toks, t -> t IN ${langIn(ws)})) AS BIGINT) AS ${lang}_hits"
+  }.mkString(",\n  ")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END, 6) AS avg_token_len,
+         |  round(CASE WHEN len(text) = 0 THEN 0.0
+         |    ELSE CAST(len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END, 6) AS punct_ratio,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(toks, t -> t IN $enIn)) AS DOUBLE) / len(toks) END, 6) AS stopword_ratio
+         |FROM tokd""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id,
+         |  $langHitCols
+         |FROM tokd)
+         |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+         |  CASE
+         |    WHEN en_hits > 0 AND en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+         |    WHEN es_hits > 0 AND es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+         |    WHEN de_hits > 0 AND de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+         |    WHEN fr_hits > 0 AND fr_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'fr'
+         |    ELSE 'und' END AS lang_pred
+         |FROM h""".stripMargin,
+    "text_quality" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, round(
+         |  0.4 * least(1.0, len(toks) / 100.0) +
+         |  0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
+         |    ELSE CAST(len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END) +
+         |  0.3 * least(1.0, 4.0 * CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(toks, t -> t IN $enIn)) AS DOUBLE) / len(toks) END), 6) AS quality
+         |FROM tokd""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         |FROM tokd""".stripMargin,
+    "embed_hash_tf" ->
+      s"""WITH $embedCte
+         |SELECT doc_id,
+         |  CAST(len(vec) AS BIGINT) AS dim,
+         |  round(sqrt(list_dot_product(vec, vec)), 6) AS norm,
+         |  round(list_sum(vec), 6) AS vec_sum,
+         |  round(list_max(vec), 6) AS max_val,
+         |  CAST(list_position(vec, list_max(vec)) AS BIGINT) AS argmax
+         |FROM nv""".stripMargin,
+    "embed_knn_docs" ->
+      s"""WITH $embedCte,
+         |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),
+         |cv AS (SELECT doc_id AS nbr_id, vec FROM nv WHERE doc_id >= 10),
+         |d AS (SELECT qv.doc_id, cv.nbr_id,
+         |    1.0 - list_cosine_similarity(qv.vec, cv.vec) AS dist
+         |  FROM qv CROSS JOIN cv),
+         |r AS (SELECT doc_id, nbr_id, dist,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist, nbr_id) AS BIGINT) AS rank
+         |  FROM d)
+         |SELECT doc_id, nbr_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= 5""".stripMargin)
+}
