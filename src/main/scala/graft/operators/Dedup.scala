@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** Deduplication operators for the training-data pipeline (BASELINE.json
+  * north star: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+  * near-dup). The reference's only dedup is the first-wins-by-key ranked-list
+  * dedup (D1, `skills_for_jobs.py:372-379`, rebuilt in [[KnnJoin]]); these
+  * generalize to corpus-scale content dedup.
+  *
+  * Scale posture: nothing here compares all pairs blindly at scale —
+  * [[jaccardJoin]] joins through an inverted shingle index (pairs sharing no
+  * shingle are never materialized), [[minhashLshJoin]] cuts candidates to
+  * LSH-band collisions before verifying, and [[simhash]] reduces each doc to
+  * 32 bits bucketable by band. [[cosinePairs]] is the brute-force verifier;
+  * route candidates through LSH/IVF first when the corpus outgrows a
+  * broadcast. All hashes derive from the portable md5 token hash, so each
+  * operator replays exactly in the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: assigns every row its group representative
+    * (min id per md5(text)). Output: (idCol, content_hash, rep_id,
+    * is_dup boolean) — `filter(!is_dup)` is the keep-set, and the assignment
+    * shape stays non-trivial even on a dup-free corpus. */
+  def exactAssign(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("rep_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("rep_id"))
+  }
+
+  /** Distinct token n-gram shingles per row: (idCol, gram). Rows with fewer
+    * than n tokens produce none (guarded — Spark's sequence(1, 0) counts
+    * DOWN, which would index past the array). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = when(size(toks) >= n, array_distinct(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("gram"))
+  }
+
+  /** Per-row distinct shingle count, for Jaccard denominators. */
+  private def shingleCounts(sh: DataFrame, idCol: String): DataFrame =
+    sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+
+  /** Exact n-gram Jaccard similarity join through an inverted shingle index:
+    * only pairs sharing ≥1 shingle are generated, so the shuffle is bounded
+    * by the posting-list sizes, not |docs|². Output:
+    * (a_id, b_id, shared, jaccard) for pairs with jaccard ≥ minJaccard,
+    * a_id < b_id. */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minJaccard: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sizes = shingleCounts(sh, idCol)
+    val pairs = sh.select(col(idCol).as("a_id"), col("gram"))
+      .join(sh.select(col(idCol).as("b_id"), col("gram")), "gram")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    jaccardOf(pairs, sizes, idCol, minJaccard)
+  }
+
+  private def jaccardOf(pairs: DataFrame, sizes: DataFrame, idCol: String,
+      minJaccard: Double): DataFrame =
+    pairs
+      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
+      .withColumn("jaccard",
+        round(col("shared") / (col("__na") + col("__nb") - col("shared")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("shared"), col("jaccard"))
+
+  /** MinHash parameters: universal-hash family h_j(x) = (a_j·x + b_j) mod P
+    * over the 32-bit shingle hash. Multipliers stay < 2^20 so a_j·x fits a
+    * long. Fixed constants → fully deterministic, reproducible in SQL. */
+  val MinhashP = 4294967311L // prime > 2^32
+  val NumHashes = 16
+  val LshBands = 8 // × 2 rows per band: catches J ≥ ~0.35 candidates w.h.p.
+  val hashA: Seq[Long] = (1 to NumHashes).map(j => (1103515245L * j) % 1048573L + 1L)
+  val hashB: Seq[Long] = (1 to NumHashes).map(j => (12345L + 2654435761L * j) % MinhashP)
+
+  /** MinHash signature per row: (idCol, sig array<long>[NumHashes]).
+    * Rows with no shingles are dropped (no signature to compute). */
+  def minhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
+    val ghs = sh.groupBy(col(idCol))
+      .agg(collect_list(TextFunctions.tokenHash(col("gram"))).as("__ghs"))
+    val sigCols = (0 until NumHashes).map { j =>
+      array_min(transform(col("__ghs"),
+        x => (lit(hashA(j)) * x + lit(hashB(j))) % MinhashP))
+    }
+    ghs.select(col(idCol), array(sigCols: _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup join: signatures → band buckets → candidate pairs
+    * from band collisions → verified with true Jaccard ≥ minJaccard.
+    * Candidate generation is a hash-bucket equi-join (shuffle keyed on
+    * (band, bandhash)), never an all-pairs compare. */
+  def minhashLshJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minJaccard: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).cache()
+    val sigs = minhashSignatures(sh, idCol)
+    val rows = NumHashes / LshBands
+    // band k hash = fold of sig[k*rows .. k*rows+rows-1]
+    val bandCols = (0 until LshBands).map { k =>
+      val slice0 = (0 until rows).map(r => element_at(col("sig"), k * rows + r + 1))
+      struct(lit(k).as("band"),
+        slice0.reduce((acc, s) => (acc * 31L + s) % MinhashP).as("bh"))
+    }
+    val buckets = sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
+      .select(col(idCol), col("__b.band"), col("__b.bh"))
+    val cands = buckets.select(col(idCol).as("a_id"), col("band"), col("bh"))
+      .join(buckets.select(col(idCol).as("b_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sizes = shingleCounts(sh, idCol)
+    val shared = sh.select(col(idCol).as("a_id"), col("gram"))
+      .join(sh.select(col(idCol).as("b_id"), col("gram")), "gram")
+      .join(cands, Seq("a_id", "b_id"), "left_semi")
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    jaccardOf(shared, sizes, idCol, minJaccard)
+  }
+
+  /** 32-bit SimHash over the token stream (repeats weigh in): bit i of the
+    * fingerprint is set when the +1/-1 sums of token-hash bit i are positive.
+    * Token-less rows fingerprint to 0. Output: (idCol, simhash long). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val bitvec = (h: Column) => transform(sequence(lit(0), lit(31)),
+      i => when(floor(h / pow(lit(2.0d), i.cast("double"))).cast("long") % 2 === 1, lit(1L))
+        .otherwise(lit(-1L)))
+    val sums = aggregate(toks,
+      transform(sequence(lit(0), lit(31)), _ => lit(0L)),
+      (acc, t) => zip_with(acc, bitvec(TextFunctions.tokenHash(t)), (a, b) => a + b))
+    val fp = aggregate(
+      zip_with(sums, sequence(lit(0), lit(31)),
+        (s, i) => when(s > 0, floor(pow(lit(2.0d), i.cast("double"))).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (a, b) => a + b)
+    df.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxHamming, a_id < b_id.
+    * All-pairs here; at corpus scale, pre-bucket on simhash bands (any pair
+    * within hamming d shares an exact band when the fingerprint is cut into
+    * > d bands) and verify inside buckets. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val fps = simhash(df, idCol, textCol)
+    val a = fps.select(col(idCol).as("a_id"), col("simhash").as("__ha"))
+    val b = fps.select(col(idCol).as("b_id"), col("simhash").as("__hb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs: cos(a,b) ≥ minCos, a_id < b_id.
+    * Brute-force verifier; feed it LSH/IVF candidates at scale. */
+  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(cosineSimilarity(col("__va"), col("__vb")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select("a_id", "b_id", "cos_sim")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.queries
+
+/** Shared DuckDB CTE snippets over `documents` — single source of truth for
+  * the oracle-side mirrors of [[graft.functions.TextFunctions.tokens]],
+  * [[graft.operators.Dedup.shingles]] and
+  * [[graft.operators.Embedder.hashTfEmbed]], so text/dedup/embed oracles
+  * can't drift apart. */
+private[queries] object DocSql {
+
+  /** Mirror of TextFunctions.tokens over documents: (doc_id, text, toks). */
+  val toksCte: String =
+    """tokd AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** Mirror of TextFunctions.tokenHash. */
+  def tokenHashSql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
+
+  /** Mirror of Dedup.shingles: (doc_id, gram), distinct token n-grams.
+    * Requires [[toksCte]]. */
+  def shinglesCte(n: Int): String = {
+    val parts = (1 to n).map(o => if (o == 1) "toks[i]" else s"toks[i+${o - 1}]")
+      .mkString("||' '||")
+    s"""shd AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $parts))) AS gram
+       |  FROM tokd WHERE len(toks) >= $n)""".stripMargin
+  }
+
+  /** Mirror of Embedder.hashTfEmbed at the given dim: ends in
+    * nv(doc_id, vec) with unit-norm doubles. Requires [[toksCte]]. */
+  def embedCte(dim: Int): String =
+    s"""tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
+       |b AS (SELECT doc_id,
+       |    CAST(${tokenHashSql("t")} % $dim AS INT) AS bkt,
+       |    CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM tok GROUP BY 1, 2),
+       |m AS (SELECT doc_id, map(list(bkt), list(cnt)) AS mm FROM b GROUP BY 1),
+       |v AS (SELECT doc_id, list_transform(generate_series(0, ${dim - 1}),
+       |    i -> coalesce(map_extract(mm, CAST(i AS INT))[1], 0.0)) AS vec FROM m),
+       |nv AS (SELECT doc_id,
+       |    list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) AS vec
+       |  FROM v)""".stripMargin
+}

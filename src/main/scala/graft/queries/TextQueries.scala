@@ -75,26 +75,10 @@ object TextQueries extends graft.QueryModule {
   private val enIn = EnWords.map(w => s"'$w'").mkString("(", ",", ")")
   private def langIn(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
-  private val toksCte =
-    """tokd AS (SELECT doc_id, text,
-      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
-      |  FROM documents)""".stripMargin
+  private val toksCte = DocSql.toksCte
 
-  /** The embedder, replayed in SQL: token → md5 bucket → counts → dense →
-    * L2 normalize. Mirrors Embedder.hashTfEmbed exactly. */
-  private val embedCte =
-    s"""$toksCte,
-       |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
-       |b AS (SELECT doc_id,
-       |    CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % $Dim AS INT) AS bkt,
-       |    CAST(count(*) AS DOUBLE) AS cnt
-       |  FROM tok GROUP BY 1, 2),
-       |m AS (SELECT doc_id, map(list(bkt), list(cnt)) AS mm FROM b GROUP BY 1),
-       |v AS (SELECT doc_id, list_transform(generate_series(0, ${Dim - 1}),
-       |    i -> coalesce(map_extract(mm, CAST(i AS INT))[1], 0.0)) AS vec FROM m),
-       |nv AS (SELECT doc_id,
-       |    list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) AS vec
-       |  FROM v)""".stripMargin
+  /** The embedder, replayed in SQL (see [[DocSql.embedCte]]). */
+  private val embedCte = s"$toksCte,\n${DocSql.embedCte(Dim)}"
 
   private val langHitCols = langWords.map { case (lang, ws) =>
     s"CAST(len(list_filter(toks, t -> t IN ${langIn(ws)})) AS BIGINT) AS ${lang}_hits"

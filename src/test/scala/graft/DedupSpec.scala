@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Embedder}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+    (4L, "completely different words entirely here now today folks"),
+    (5L, "xy"), // single token, < n-gram width
+    (6L, "")).toDF("doc_id", "text")
+
+  test("exactAssign groups identical texts under min id") {
+    val r = Dedup.exactAssign(docs, "doc_id", "text")
+      .select($"doc_id", $"rep_id", $"is_dup").as[(Long, Long, Boolean)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == ((1L, false)))
+    assert(r(2L) == ((1L, true)))
+    assert(r(3L)._2 == false && r(4L)._2 == false)
+  }
+
+  test("shingles: distinct n-grams, none for short/empty docs") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(sh(1L) == 6) // 8 tokens → 6 trigrams, all distinct
+    assert(!sh.contains(5L) && !sh.contains(6L))
+  }
+
+  test("jaccardJoin: dup pair J=1, near pair 0<J<1, unrelated absent") {
+    val r = Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.1)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assertNear(r((1L, 2L)), 1.0)
+    assert(r((1L, 3L)) > 0.4 && r((1L, 3L)) < 1.0)
+    assert(!r.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhashLshJoin is a subset of jaccardJoin and catches the dup pair") {
+    val exact = Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.4)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashLshJoin(docs, "doc_id", "text", 3, 0.4)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.exists { case (a, b, j) => a == 1L && b == 2L && j == 1.0 })
+  }
+
+  test("simhash: identical texts identical fingerprints, near dups close, empty = 0") {
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(6L) == 0L)
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+
+  test("simhashPairs finds the exact-dup pair at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 0)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("cosinePairs over hashTF embeddings surfaces dup + near-dup pairs") {
+    val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", 64)
+    val pairs = Dedup.cosinePairs(emb, "doc_id", "embedding", 0.8)
+      .select($"a_id", $"b_id", $"cos_sim").as[(Long, Long, Double)].collect()
+    val m = pairs.map(t => (t._1, t._2) -> t._3).toMap
+    assertNear(m((1L, 2L)), 1.0, 1e-6)
+    assert(m.contains((1L, 3L)))
+    assert(!m.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}
