@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import graft.functions.VectorFunctions.Metric
+
+/** X1 — IVF coarse-quantizer index, the batch analog of pgvector's
+  * `ivfflat (lists=4)` build (`load_skill_vectors_pg.py:48-59`, NUM_LISTS
+  * `:15`) and of Milvus' index+probe search path.
+  *
+  * Build: pick/learn `lists` centroids, assign every corpus vector its
+  * nearest centroid's `list_id`, and [[write]] the table partitioned by
+  * `list_id` — the on-disk layout IS the inverted-list index, and partition
+  * pruning plays the role of `SET ivfflat.probes`.
+  *
+  * Search: rank centroids per query (a |Q|×lists cross — centroids are tiny
+  * and broadcast), keep `nProbe` lists, then join candidates through the
+  * pruned lists only: the shuffle moves |probed partitions| of data, not the
+  * whole corpus — the property that matters at 100 TB. `nProbe = lists`
+  * degrades to exact search (the reference forces exactness the same way,
+  * comment at `skills_for_jobs.py:360-362`).
+  *
+  * Two quantizers, one search path:
+  *  - [[fitSeeds]]: centroids = the `lists` lowest-id corpus vectors.
+  *    Deterministic arithmetic end to end → DuckDB-oracle-replayable.
+  *  - [[fitKMeans]]: MLlib KMeans (fixed seed) refines real centroids;
+  *    recall is asserted in tests rather than hash-compared.
+  */
+object IvfIndex {
+
+  /** Centroid table: (list_id int, centroid array<double>). */
+  case class Model(centroids: DataFrame)
+
+  /** Deterministic quantizer: list k's centroid is the k-th lowest-id
+    * corpus vector (no iteration — random-seed IVF without Lloyd). */
+  def fitSeeds(corpus: DataFrame, idCol: String, vecCol: String, lists: Int): Model = {
+    val w = Window.orderBy(col(idCol))
+    Model(corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lists)
+      .select((col("__rn") - 1).cast("int").as("list_id"), col(vecCol).as("centroid")))
+  }
+
+  /** KMeans-refined centroids (MLlib, fixed seed, k = lists). */
+  def fitKMeans(corpus: DataFrame, vecCol: String, lists: Int,
+      maxIter: Int = 20, seed: Long = 42L): Model = {
+    val feats = corpus.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(lists).setMaxIter(maxIter).setSeed(seed)
+    val model = km.fit(feats)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Model(model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toDF("list_id", "centroid"))
+  }
+
+  /** Assign every row its nearest centroid (ties → lowest list_id).
+    * Adds `list_id` to the input columns; rows are keyed by idCol. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String, model: Model,
+      metric: Metric): DataFrame = {
+    val cents = broadcast(model.centroids)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__cdist"), col("list_id"))
+    corpus
+      .join(cents)
+      .withColumn("__cdist", metric.dist(col(vecCol), col("centroid")))
+      .withColumn("__pick", row_number().over(w))
+      .filter(col("__pick") === 1)
+      .drop("__cdist", "__pick", "centroid")
+  }
+
+  /** K3-style index materialization: overwrite, partitioned by list_id —
+    * `spark.read.parquet(path)` + a `list_id` filter then prunes partitions
+    * exactly like ivfflat probes. */
+  def write(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** Probe-pruned ANN top-k. `indexed` must already carry `list_id`
+    * (from [[assign]] or a partitioned read). */
+  def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      indexed: DataFrame, idCol: String, vecCol: String,
+      model: Model, k: Int, nProbe: Int, metric: Metric): DataFrame = {
+    val cents = broadcast(model.centroids)
+    val wProbe = Window.partitionBy(col(queryIdCol)).orderBy(col("__cdist"), col("list_id"))
+    val probes = queries.select(col(queryIdCol), col(queryVecCol).as("__qvec"))
+      .join(cents)
+      .withColumn("__cdist", metric.dist(col("__qvec"), col("centroid")))
+      .withColumn("__pick", row_number().over(wProbe))
+      .filter(col("__pick") <= nProbe)
+      .select(col(queryIdCol), col("__qvec"), col("list_id"))
+    val (keyCol, isString) = KnnJoin.keyColumn(indexed, idCol)
+    val c = indexed.select(keyCol, col(vecCol).as("__cvec"), col("list_id"))
+    val cands = broadcast(probes).join(c, "list_id")
+      .select(col(queryIdCol),
+        metric.dist(col("__qvec"), col("__cvec")).as("dist"),
+        col("__cid"))
+    KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
+  }
+}

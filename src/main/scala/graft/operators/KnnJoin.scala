@@ -94,7 +94,7 @@ object KnnJoin {
   /** Normalize the corpus id to a heap-supported key column. Integral types
     * widen to long; strings pass through; anything else is a hard error
     * (never a silent NULL-producing cast). */
-  private def keyColumn(corpus: DataFrame, idCol: String): (Column, Boolean) =
+  private[operators] def keyColumn(corpus: DataFrame, idCol: String): (Column, Boolean) =
     corpus.schema(idCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         (col(idCol).cast(LongType).as("__cid"), false)
@@ -103,6 +103,23 @@ object KnnJoin {
         s"KnnJoin: id column '$idCol' has unsupported type $other " +
           "(supported: integral types, string)")
     }
+
+  /** Rank pre-scored candidates: bounded-heap aggregate per query id →
+    * posexplode to ranked rows (rank 1..k, dist ascending, ties by id).
+    * `cands` must carry (queryIdCol, "__cid" key from [[keyColumn]],
+    * "dist"). Shared tail of [[exact]] and IvfIndex.search. */
+  private[operators] def topkOfCandidates(cands: DataFrame, queryIdCol: String,
+      idCol: String, k: Int, isString: Boolean): DataFrame = {
+    val topk = if (isString) udaf(new TopKAggS(k)) else udaf(new TopKAggL(k))
+    cands
+      .groupBy(col(queryIdCol))
+      .agg(topk(col("dist"), col("__cid")).as("__topk"))
+      .select(col(queryIdCol), posexplode(col("__topk")).as(Seq("__pos", "__m")))
+      .select(col(queryIdCol),
+        col("__m.id").as(idCol),
+        (col("__pos") + 1L).as("rank"),
+        col("__m.dist").as("dist"))
+  }
 
   /** Scale-first exact k-NN: broadcast(queries) ⋈ corpus → map-side distance →
     * bounded-heap aggregate per query id → posexplode to ranked rows. */
@@ -113,18 +130,11 @@ object KnnJoin {
     val q = broadcast(queries.select(col(queryIdCol), col(queryVecCol).as("__qvec")))
     val (keyCol, isString) = keyColumn(corpus, idCol)
     val c = corpus.select(keyCol, col(vecCol).as("__cvec"))
-    val topk = if (isString) udaf(new TopKAggS(k)) else udaf(new TopKAggL(k))
-    q.join(c)
+    val cands = q.join(c)
       .select(col(queryIdCol),
         metric.dist(col("__qvec"), col("__cvec")).as("dist"),
         col("__cid"))
-      .groupBy(col(queryIdCol))
-      .agg(topk(col("dist"), col("__cid")).as("__topk"))
-      .select(col(queryIdCol), posexplode(col("__topk")).as(Seq("__pos", "__m")))
-      .select(col(queryIdCol),
-        col("__m.id").as(idCol),
-        (col("__pos") + 1L).as("rank"),
-        col("__m.dist").as("dist"))
+    topkOfCandidates(cands, queryIdCol, idCol, k, isString)
   }
 
   /** Oracle-shaped exact k-NN: cross join + window rank. Semantically identical

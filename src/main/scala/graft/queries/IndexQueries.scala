@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{Cosine, L2}
+import graft.operators.{IvfIndex, LshIndex}
+import Fixtures.{K, qCte, cCte}
+
+/** Index-build + ANN-search queries (SURVEY.md §2.3 X1/X2). The seed-vector
+  * IVF quantizer is deterministic arithmetic end to end, so the full
+  * build → assign → probe → search pipeline hash-matches the DuckDB oracle;
+  * probing all lists degrades to exact search and is checked against the
+  * exact-NN oracle (the reference forces exactness the same way, comment at
+  * `skills_for_jobs.py:360-362`). The LSH query has no SQL mirror (JVM-RNG
+  * projection planes) — the driver records a rows-only check, and recall is
+  * asserted in ScalaTest.
+  */
+object IndexQueries extends graft.QueryModule {
+
+  private val Lists = 4 // NUM_LISTS in the reference (load_skill_vectors_pg.py:15)
+  private val Probes = 2
+
+  private def ivfParts(s: SparkSession, dir: String) = {
+    val (q, c) = Fixtures.split(s, dir)
+    val model = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+    val indexed = IvfIndex.assign(c, "skill_id", "svec", model, Cosine)
+    (q, indexed, model)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // X1 — IVF build + probe-pruned ANN search (probes < lists: approximate).
+    "ivf_ann_topk" -> ((s, dir) => {
+      val (q, indexed, model) = ivfParts(s, dir)
+      IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id", "svec",
+        model, K, Probes, Cosine)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // X1 invariant — probing every list must reproduce exact search.
+    "ivf_probe_all_exact" -> ((s, dir) => {
+      val (q, indexed, model) = ivfParts(s, dir)
+      IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id", "svec",
+        model, K, Lists, Cosine)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // X2 — LSH bucket-join ANN (rows-only check; see object Scaladoc).
+    "lsh_ann_topk" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      LshIndex.annTopK(q, "job_id", "qvec", c, "skill_id", "svec", K,
+        bucketLength = 2.0, numHashTables = 3, seed = 42L)
+        .withColumn("dist", round(col("dist"), 6))
+    }))
+
+  /** Seed-quantizer IVF pipeline in SQL: centroids = `Lists` lowest-id corpus
+    * vectors → nearest-centroid assignment → top-`nProbe` lists per query →
+    * candidate ranking. Mirrors IvfIndex.{fitSeeds,assign,search}. */
+  private def ivfSql(nProbe: Int): String =
+    s"""WITH $qCte, $cCte,
+       |cent AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS list_id,
+       |    svec AS centroid
+       |  FROM (SELECT skill_id, svec FROM c ORDER BY skill_id LIMIT $Lists)),
+       |asg AS (SELECT skill_id, svec, list_id FROM (
+       |    SELECT c.skill_id, c.svec, cent.list_id,
+       |      row_number() OVER (PARTITION BY c.skill_id
+       |        ORDER BY 1.0 - list_cosine_similarity(c.svec, cent.centroid), cent.list_id) AS pick
+       |    FROM c CROSS JOIN cent) WHERE pick = 1),
+       |pr AS (SELECT job_id, qvec, list_id FROM (
+       |    SELECT q.job_id, q.qvec, cent.list_id,
+       |      row_number() OVER (PARTITION BY q.job_id
+       |        ORDER BY 1.0 - list_cosine_similarity(q.qvec, cent.centroid), cent.list_id) AS pick
+       |    FROM q CROSS JOIN cent) WHERE pick <= $nProbe),
+       |d AS (SELECT pr.job_id, a.skill_id,
+       |    1.0 - list_cosine_similarity(pr.qvec, a.svec) AS dist
+       |  FROM pr JOIN asg a USING (list_id)),
+       |r AS (SELECT job_id, skill_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+       |  FROM d)
+       |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+       |FROM r WHERE rank <= $K""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ivf_ann_topk" -> ivfSql(Probes),
+    "ivf_probe_all_exact" -> ivfSql(Lists))
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{Cosine, L2}
+import graft.operators.{Eval, IvfIndex, KnnJoin, LshIndex}
+
+class IvfLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val (queries, corpus) = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qvec"))
+    val c = emb.filter($"vec_id" >= 20)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cvec"))
+    (q.cache(), c.cache())
+  }
+
+  private lazy val exact =
+    KnnJoin.exact(queries, "qid", "qvec", corpus, "cid", "cvec", 10, Cosine).cache()
+
+  private def recallOf(ann: org.apache.spark.sql.DataFrame): Double =
+    Eval.recallSummary(Eval.recallAtK(ann, exact, "qid", "cid"))
+      .select("avg_recall").head().getDouble(0)
+
+  test("seed-IVF with nProbe = lists reproduces exact search") {
+    val model = IvfIndex.fitSeeds(corpus, "cid", "cvec", 4)
+    val indexed = IvfIndex.assign(corpus, "cid", "cvec", model, Cosine)
+    val ivf = IvfIndex.search(queries, "qid", "qvec", indexed, "cid", "cvec",
+      model, 10, 4, Cosine)
+    assertNear(recallOf(ivf), 1.0)
+  }
+
+  test("KMeans-IVF: full probe exact, partial probe trades recall, assignment total") {
+    val model = IvfIndex.fitKMeans(corpus, "cvec", 4, maxIter = 10, seed = 42L)
+    assert(model.centroids.count() == 4)
+    val indexed = IvfIndex.assign(corpus, "cid", "cvec", model, Cosine).cache()
+    assert(indexed.count() == corpus.count()) // every vector lands in one list
+    assert(indexed.select("list_id").distinct().count() <= 4)
+    val full = IvfIndex.search(queries, "qid", "qvec", indexed, "cid", "cvec",
+      model, 10, 4, Cosine)
+    assertNear(recallOf(full), 1.0)
+    val partial = IvfIndex.search(queries, "qid", "qvec", indexed, "cid", "cvec",
+      model, 10, 1, Cosine)
+    val r = recallOf(partial)
+    assert(r > 0.0 && r <= 1.0, s"probes=1 recall $r out of range")
+  }
+
+  test("IVF index round-trips through partitioned parquet with list pruning") {
+    val model = IvfIndex.fitSeeds(corpus, "cid", "cvec", 4)
+    val indexed = IvfIndex.assign(corpus, "cid", "cvec", model, Cosine)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    IvfIndex.write(indexed, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == corpus.count())
+    // partition pruning: a list_id filter reads only that partition's rows
+    val one = back.filter($"list_id" === 0)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(back.select("list_id").distinct().count() <= 4)
+    val viaIndex = IvfIndex.search(queries, "qid", "qvec",
+      back.withColumn("cvec", $"cvec".cast("array<double>")),
+      "cid", "cvec", model, 10, 4, Cosine)
+    assertNear(recallOf(viaIndex), 1.0)
+  }
+
+  test("LSH ANN is deterministic for a fixed seed and finds real neighbors") {
+    val a = LshIndex.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec", 10,
+      bucketLength = 2.0, numHashTables = 3, seed = 42L)
+    val b = LshIndex.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec", 10,
+      bucketLength = 2.0, numHashTables = 3, seed = 42L)
+    val ra = a.collect().map(_.toSeq).toSet
+    assert(ra == b.collect().map(_.toSeq).toSet)
+    // L2-exact reference for recall (LSH buckets on euclidean distance)
+    val l2exact = KnnJoin.exact(queries, "qid", "qvec", corpus, "cid", "cvec", 10, L2)
+    val rec = Eval.recallSummary(Eval.recallAtK(a, l2exact, "qid", "cid"))
+      .select("avg_recall").head().getDouble(0)
+    assert(rec > 0.0, s"LSH recall $rec should be positive")
+  }
+}
