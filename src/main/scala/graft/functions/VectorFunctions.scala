@@ -72,19 +72,30 @@ object VectorFunctions {
   def l2Normalize(v: Column): Column =
     zip_with(v, array_repeat(l2Norm(v), size(v)), (x, n) => x / n)
 
-  /** Distance metrics the engine supports, selected per SURVEY §2.3 X3. */
+  /** Wrap the fused codegen distance expression (bit-identical to the HOF
+    * formulations above — see [[graft.functions.expr.VectorDistance]]). */
+  def fusedDistance(kind: String)(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.expr.VectorDistance(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b),
+        kind))
+
+  /** Distance metrics the engine supports, selected per SURVEY §2.3 X3.
+    * `dist` is the fused single-pass codegen expression (the k-NN hot path);
+    * the HOF equivalents above remain as the readable reference forms. */
   sealed trait Metric {
     /** Distance column (smaller = nearer) for ranking. */
     def dist(a: Column, b: Column): Column
   }
   case object Cosine extends Metric {
-    def dist(a: Column, b: Column): Column = cosineDistance(a, b)
+    def dist(a: Column, b: Column): Column = fusedDistance("cosine")(a, b)
   }
   case object L2 extends Metric {
-    def dist(a: Column, b: Column): Column = l2Distance(a, b)
+    def dist(a: Column, b: Column): Column = fusedDistance("l2")(a, b)
   }
   case object InnerProduct extends Metric {
-    def dist(a: Column, b: Column): Column = negDotProduct(a, b)
+    def dist(a: Column, b: Column): Column = fusedDistance("negdot")(a, b)
   }
   object Metric {
     def apply(name: String): Metric = name.toLowerCase match {

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import graft.functions.VectorFunctions.{L2, Metric}
+
+/** Batch similarity search over any embedding column — one logical operation
+  * (top-k nearest per query), three physical strategies, mirroring how the
+  * reference exposes one search call per backend with different index types
+  * behind it (`skills_for_jobs.py:73-173`).
+  *
+  *  - [[BruteForce]]: exact bounded-heap scan ([[KnnJoin.exact]]) — the
+  *    baseline and the verifier for the approximate paths.
+  *  - [[Ivf]]: KMeans coarse quantizer + probe-pruned search
+  *    ([[IvfIndex]]) — the 100 TB path: candidates come from nProbe/lists
+  *    of the corpus, and the index persists as a partitioned table.
+  *  - [[Lsh]]: random-projection bucket join ([[LshIndex]]), L2 only.
+  *
+  * All strategies return the same shape: (queryIdCol, idCol, rank 1..k,
+  * dist), ties broken on (dist, id).
+  */
+object SimilaritySearch {
+
+  sealed trait Strategy
+  case object BruteForce extends Strategy
+  /** nProbe = lists degrades to exact search. */
+  case class Ivf(lists: Int, nProbe: Int, kmeansIter: Int = 20, seed: Long = 42L)
+    extends Strategy
+  case class Lsh(bucketLength: Double, numHashTables: Int = 3, seed: Long = 42L)
+    extends Strategy
+
+  def topK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, metric: Metric, strategy: Strategy = BruteForce): DataFrame =
+    strategy match {
+      case BruteForce =>
+        KnnJoin.exact(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol, k, metric)
+      case Ivf(lists, nProbe, iter, seed) =>
+        require(nProbe >= 1 && nProbe <= lists, s"nProbe $nProbe outside [1, $lists]")
+        val model = IvfIndex.fitKMeans(corpus, vecCol, lists, iter, seed)
+        val indexed = IvfIndex.assign(corpus, idCol, vecCol, model, metric)
+        IvfIndex.search(queries, queryIdCol, queryVecCol, indexed, idCol, vecCol,
+          model, k, nProbe, metric)
+      case Lsh(bucketLength, tables, seed) =>
+        require(metric == L2, "LSH strategy supports the L2 metric only")
+        LshIndex.annTopK(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
+          k, bucketLength, tables, seed)
+    }
+}

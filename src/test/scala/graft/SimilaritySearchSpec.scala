@@ -1,0 +1,42 @@
+package graft
+
+import graft.functions.VectorFunctions.{Cosine, L2}
+import graft.operators.SimilaritySearch
+import graft.operators.SimilaritySearch.{BruteForce, Ivf, Lsh}
+
+class SimilaritySearchSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val q = emb.filter($"vec_id" < 10)
+    .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("v")).cache()
+  private lazy val c = emb.filter($"vec_id" >= 10)
+    .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("v")).cache()
+
+  private def run(strategy: SimilaritySearch.Strategy,
+      metric: graft.functions.VectorFunctions.Metric = Cosine) =
+    SimilaritySearch.topK(q, "qid", "v", c, "cid", "v", 5, metric, strategy)
+
+  test("every strategy returns k ranked rows per query in one shape") {
+    for (s <- Seq[SimilaritySearch.Strategy](
+        BruteForce, Ivf(lists = 4, nProbe = 2), Lsh(bucketLength = 2.0))) {
+      val metric = if (s.isInstanceOf[Lsh]) L2 else Cosine
+      val df = run(s, metric)
+      assert(df.columns.toSeq == Seq("qid", "cid", "rank", "dist"))
+      val perQ = df.groupBy("qid").count().as[(Long, Long)].collect().toMap
+      assert(perQ.size == 10 && perQ.values.forall(_ == 5), s"strategy $s")
+    }
+  }
+
+  test("IVF with full probing equals brute force") {
+    val bf = run(BruteForce).orderBy("qid", "rank").collect().map(_.toSeq)
+    val ivf = run(Ivf(lists = 4, nProbe = 4)).orderBy("qid", "rank").collect().map(_.toSeq)
+    assert(bf.toSeq == ivf.toSeq)
+  }
+
+  test("invalid configurations fail fast") {
+    intercept[IllegalArgumentException](run(Ivf(lists = 4, nProbe = 5)))
+    intercept[IllegalArgumentException](run(Lsh(bucketLength = 2.0), Cosine))
+  }
+}
