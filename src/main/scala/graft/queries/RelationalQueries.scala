@@ -102,14 +102,23 @@ object RelationalQueries extends graft.QueryModule {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
     }),
-    // Event-time bucketing: per-hour per-type counts over the events table
-    // (the batch face of the streaming tumbling-window aggregation).
-    "rel_events_hourly" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+    // Event-time bucketing: per-hour per-type counts over the events table —
+    // the exact transform the streaming face applies behind a watermark
+    // (graft.streaming.EventStreams.hourlyTypeCounts).
+    "rel_events_hourly" -> ((s, dir) =>
+      graft.streaming.EventStreams.hourlyTypeCounts(Tables.events(s, dir))),
+    // Gap-based sessionization (30-min inactivity): batch face of the
+    // flatMapGroupsWithState streaming sessionizer.
+    "events_sessionized" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, dir))),
+    // Per-session rollup over the sessionization output.
+    "events_session_stats" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStreams.sessionizeBatch(ev)
+        .join(ev.select(col("event_id"), col("ts")), "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
     }))
 
   private val money = "DECIMAL(18,4)"
@@ -163,5 +172,28 @@ object RelationalQueries extends graft.QueryModule {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessionized" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(sum(CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM o""".stripMargin,
+    "events_session_stats" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |  CAST(sum(CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM o)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |FROM s GROUP BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time processing over the events table — batch and streaming faces
+  * of the same transformations (SURVEY.md §2.10: the reference has no
+  * streaming; this is the north-star streaming surface, built the Spark way:
+  * one declarative transform applied to either a batch frame or a
+  * `readStream` frame with a watermark).
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class SessionAssign(user_id: Long, event_id: Long, session_id: Long)
+
+  /** Session gap: events further apart than this start a new session. */
+  val SessionGapUs: Long = 1800L * 1000000L // 30 min in microseconds
+
+  /** Tumbling hourly counts per event type. Works unchanged on a batch frame
+    * or a watermarked streaming frame (append mode emits finalized windows). */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming face: parquet file source → 1h watermark → hourly counts. */
+  def hourlyTypeCountsStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = graft.schema.Schemas.events
+    hourlyTypeCounts(
+      spark.readStream.schema(schema).parquet(path).withWatermark("ts", "1 hour"))
+  }
+
+  /** Batch sessionization: a new session starts when the gap to the user's
+    * previous event exceeds [[SessionGapUs]]. Pure window functions —
+    * deterministic (ties ordered by event_id) and oracle-replayable.
+    * Output: (user_id, event_id, session_id 1..n per user). */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(unix_micros(col("ts")), 1).over(w)
+    val isNew = when(prevTs.isNull ||
+      unix_micros(col("ts")) - prevTs > SessionGapUs, 1L).otherwise(0L)
+    events
+      .withColumn("session_id",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("session_id"))
+  }
+
+  /** Streaming sessionization: per-user state (last event time, session
+    * counter) via flatMapGroupsWithState. Within a micro-batch the group's
+    * events are sorted by event time before folding, so replaying a batch
+    * through the stream matches [[sessionizeBatch]] when arrivals respect
+    * the watermark. */
+  def sessionizeStream(events: Dataset[Event]): Dataset[SessionAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), SessionAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          var (lastUs, sid) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            // epoch µs: getTime carries ms (incl. the nanos' ms part); add sub-ms µs
+            val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            if (lastUs == Long.MinValue || us - lastUs > SessionGapUs) sid += 1
+            lastUs = us
+            SessionAssign(userId, e.event_id, sid)
+          }
+          state.update((lastUs, sid))
+          out.iterator
+      }
+  }
+}
