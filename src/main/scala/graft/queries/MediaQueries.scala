@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.Multimodal
+
+/** Multimodal plumbing queries (BASELINE.json north star). The binary
+  * payloads are documents' UTF-8 bytes standing in for image/video blobs —
+  * the schema/partitioning/batched-decode shape is what these check, and
+  * because the stub codec is modular arithmetic over payload bytes, even the
+  * "decode" replays exactly in the DuckDB oracle (ASCII text ⇒ byte stream
+  * == character-code stream).
+  */
+object MediaQueries extends graft.QueryModule {
+
+  private val FrameSize = 256
+  private val EveryNth = 4
+  private val MaxBytes = 4096
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Multimodal.asMediaTable(
+      Tables.documents(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload", "image", "png")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Typed metadata contract beside every payload.
+    "media_meta" -> ((s, dir) =>
+      media(s, dir).select(col("doc_id"),
+        col("meta.media_type").as("media_type"),
+        col("meta.format").as("format"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.checksum").as("checksum"))),
+    // Partition-batched stub decode + feature extraction.
+    "media_image_features" -> ((s, dir) =>
+      Multimodal.extractImageFeatures(media(s, dir), "doc_id")
+        .withColumn("mean_luma", round(col("mean_luma"), 6))),
+    // Frame-sampling contract: one row per sampled frame offset.
+    "media_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(media(s, dir), "doc_id", EveryNth, FrameSize)),
+    // Resize/thumbnail contract: capped payload + applied scale.
+    "media_resize" -> ((s, dir) =>
+      Multimodal.resizePayloads(media(s, dir), "doc_id", MaxBytes)
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("new_bytes"),
+          round(col("scale"), 6).as("scale"))))
+
+  private val stubHashCte =
+    """h AS (SELECT doc_id, list_reduce(
+      |    list_prepend(CAST(17 AS BIGINT),
+      |      list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      |    (a, b) -> (a*31 + b) % 1000000007) AS h
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "media_meta" ->
+      """SELECT doc_id, 'image' AS media_type, 'png' AS format,
+        |  CAST(len(text) AS BIGINT) AS n_bytes, md5(text) AS checksum
+        |FROM documents""".stripMargin,
+    "media_image_features" ->
+      s"""WITH $stubHashCte
+         |SELECT doc_id,
+         |  CAST(64 + h % 960 AS INT) AS width,
+         |  CAST(64 + (h // 1024) % 960 AS INT) AS height,
+         |  CAST(1 + (h // 1048576) % 3 AS INT) AS n_channels,
+         |  round(((h // 4194304) % 256) / 255.0, 6) AS mean_luma
+         |FROM h""".stripMargin,
+    "media_frame_sample" ->
+      s"""SELECT doc_id, frame_offset,
+         |  frame_offset // ${FrameSize * EveryNth} AS frame_idx
+         |FROM (SELECT doc_id, unnest(generate_series(0,
+         |    CAST(len(text) AS BIGINT) - 1, ${FrameSize * EveryNth})) AS frame_offset
+         |  FROM documents)""".stripMargin,
+    "media_resize" ->
+      s"""SELECT doc_id,
+         |  CAST(least(len(text), $MaxBytes) AS BIGINT) AS new_bytes,
+         |  round(least(1.0, $MaxBytes / CAST(len(text) AS DOUBLE)), 6) AS scale
+         |FROM documents""".stripMargin)
+}
