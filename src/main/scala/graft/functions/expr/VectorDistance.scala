@@ -19,6 +19,7 @@ import org.apache.spark.sql.types._
   * accumulation in element order, same IEEE ops), so swapping it into a
   * query changes no oracle result:
   *  - kinds: "cosine" → 1 − dot/(‖a‖·‖b‖) (zero norm → NaN),
+  *    "cossim" → dot/(‖a‖·‖b‖) (the similarity itself, zero norm → NaN),
   *    "l2" → √Σ(aᵢ−bᵢ)², "negdot" → −Σaᵢbᵢ.
   *  - null array, length mismatch, or any null element → null
   *    (exactly what zip_with/aggregate produce).
@@ -61,7 +62,7 @@ case class VectorDistance(left: Expression, right: Expression, kind: String)
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       kind match {
-        case "cosine" => dot += xv * yv; na += xv * xv; nb += yv * yv
+        case "cosine" | "cossim" => dot += xv * yv; na += xv * xv; nb += yv * yv
         case "l2" => val d = xv - yv; dot += d * d
         case "negdot" => dot += xv * yv
       }
@@ -71,6 +72,9 @@ case class VectorDistance(left: Expression, right: Expression, kind: String)
       case "cosine" =>
         val denom = math.sqrt(na) * math.sqrt(nb)
         if (denom == 0.0) Double.NaN else 1.0 - dot / denom
+      case "cossim" =>
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) Double.NaN else dot / denom
       case "l2" => math.sqrt(dot)
       case "negdot" => -dot
     }
@@ -91,7 +95,7 @@ case class VectorDistance(left: Expression, right: Expression, kind: String)
       val getY = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
         else s"$b.getDouble($i)"
       val accumulate = kind match {
-        case "cosine" => s"$dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;"
+        case "cosine" | "cossim" => s"$dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;"
         case "l2" => s"double ${xv}d = $xv - $yv; $dot += ${xv}d * ${xv}d;"
         case "negdot" => s"$dot += $xv * $yv;"
       }
@@ -99,6 +103,9 @@ case class VectorDistance(left: Expression, right: Expression, kind: String)
         case "cosine" =>
           s"""double ${na}denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
              |${ev.value} = (${na}denom == 0.0d) ? Double.NaN : 1.0d - $dot / ${na}denom;""".stripMargin
+        case "cossim" =>
+          s"""double ${na}denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+             |${ev.value} = (${na}denom == 0.0d) ? Double.NaN : $dot / ${na}denom;""".stripMargin
         case "l2" => s"${ev.value} = java.lang.Math.sqrt($dot);"
         case "negdot" => s"${ev.value} = -$dot;"
       }
@@ -130,5 +137,5 @@ case class VectorDistance(left: Expression, right: Expression, kind: String)
 }
 
 object VectorDistance {
-  val Kinds: Set[String] = Set("cosine", "l2", "negdot")
+  val Kinds: Set[String] = Set("cosine", "cossim", "l2", "negdot")
 }

@@ -18,6 +18,16 @@ object Tables {
     df
   }
 
+  /** S1 — skills CSV in the reference's code-ground-truth shape
+    * (`load_skill_vectors_pg.py:16-19`; SURVEY.md §1.1 documents the
+    * README↔code drift we deliberately ignore). */
+  def skillsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.skills).option("header", "true").csv(path)
+
+  /** S2 — jobs CSV (`skills_for_jobs.py:394-395`, `create_job_embeddings.py:29,36`). */
+  def jobsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.jobs).option("header", "true").csv(path)
+
   /** S4 — empty-input guard (`skills_for_jobs.py:396-398`). */
   def readNonEmpty(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = read(spark, sfDir, name)

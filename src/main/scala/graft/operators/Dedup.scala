@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.functions.VectorFunctions.cosineSimilarity
 
 /** Deduplication operators for the training-data pipeline (BASELINE.json
   * north star: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
@@ -147,17 +146,41 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming, a_id < b_id.
-    * All-pairs here; at corpus scale, pre-bucket on simhash bands (any pair
-    * within hamming d shares an exact band when the fingerprint is cut into
-    * > d bands) and verify inside buckets. */
+    *
+    * Pigeonhole banding makes this an equi-join, not an all-pairs scan: cut
+    * the 32-bit fingerprint into maxHamming+1 disjoint bands — any pair
+    * within the hamming budget differs in ≤ maxHamming bits, so at least one
+    * band matches EXACTLY. Candidates = hash-bucket self-join on
+    * (band, band bits); survivors are verified with the true hamming
+    * distance. Output is identical to the brute-force form, but the shuffle
+    * is keyed and bounded by bucket sizes — the shape that survives scale. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val fps = simhash(df, idCol, textCol)
-    val a = fps.select(col(idCol).as("a_id"), col("simhash").as("__ha"))
-    val b = fps.select(col(idCol).as("b_id"), col("simhash").as("__hb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("hamming", bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming outside [0, 31]")
+    // cache(): joins below would otherwise inline the 32-bit-sums expression
+    // into every side and re-evaluate it per candidate.
+    val fps = simhash(df, idCol, textCol).cache()
+    val bands = maxHamming + 1
+    // distribute 32 bits across bands (first `32 % bands` bands get an extra bit)
+    val widths = Array.tabulate(bands)(k => 32 / bands + (if (k < 32 % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until bands).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(col("simhash"), offsets(k)).bitwiseAND(lit((1L << widths(k)) - 1L))
+          .as("bits"))
+    }
+    val buckets = fps.select(col(idCol), col("simhash"),
+      explode(array(bandCols: _*)).as("__b"))
+      .select(col(idCol), col("simhash"), col("__b.band"), col("__b.bits"))
+    val cands = buckets.select(col(idCol).as("a_id"), col("simhash").as("__ha"),
+        col("band"), col("bits"))
+      .join(buckets.select(col(idCol).as("b_id"), col("simhash").as("__hb"),
+        col("band"), col("bits")), Seq("band", "bits"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
+      .distinct()
+    cands.filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
 
@@ -165,10 +188,17 @@ object Dedup {
     * Brute-force verifier; feed it LSH/IVF candidates at scale. */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
-    val b = vecs.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    // cache(): embedding pipelines upstream would re-run on both join sides
+    // otherwise; see simhashPairs for the repartition rationale. The inner
+    // loop uses the fused single-pass cosine expression, not the HOF form.
+    val v = vecs.select(col(idCol), col(vecCol)).cache()
+    val par = vecs.sparkSession.sparkContext.defaultParallelism
+    val a = v.repartition(par).select(col(idCol).as("a_id"), col(vecCol).as("__va"))
+    val b = v.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(cosineSimilarity(col("__va"), col("__vb")), 6))
+      .withColumn("cos_sim",
+        round(graft.functions.VectorFunctions.fusedDistance("cossim")(
+          col("__va"), col("__vb")), 6))
       .filter(col("cos_sim") >= minCos)
       .select("a_id", "b_id", "cos_sim")
   }
