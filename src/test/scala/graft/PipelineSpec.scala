@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Pipeline.Config
+import graft.functions.VectorFunctions.Cosine
+
+/** End-to-end reference workload: embed → index → search → eval → report →
+  * CSV, on reference-shaped skills/jobs tables. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(3)
+  private val words = Seq("joins", "spark", "python", "sql", "etl", "cloud",
+    "batch", "stream", "model", "data", "query", "infra", "ml", "ops")
+  private def sentence(n: Int): String = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+
+  private lazy val skills = (1 to 40)
+    .map(i => (f"SK$i%02d", s"Skill $i", 1 + i % 5, sentence(12)))
+    .toDF("abbreviation", "title", "level", "level_description")
+  private lazy val jobs = (1 to 8)
+    .map(i => (f"J$i%02d", sentence(25)))
+    .toDF("job_code", "gpt_job_description")
+
+  test("runAll: build index, search, evaluate, write report") {
+    val base = java.nio.file.Files.createTempDirectory("pipeline").toString
+    val cfg = Config(dim = 64, k = 5, lists = 2, nProbe = 2)
+    val res = Pipeline.runAll(spark, skills, jobs, s"$base/idx", s"$base/report", cfg)
+
+    // ranked: ≤ k rows per job, contiguous ranks, deduped levels
+    val ranked = res.ranked.collect()
+    val byJob = ranked.groupBy(_.getString(0))
+    assert(byJob.size == 8)
+    byJob.values.foreach { g =>
+      assert(g.length <= 5)
+      val levels = g.map(_.getAs[Int]("level"))
+      assert(levels.distinct.length == levels.length)
+    }
+
+    // eval: nProbe = lists ⇒ the ANN path IS exact ⇒ recall 1.0
+    val rec = res.recall.head()
+    assertNear(rec.getAs[Double]("avg_recall"), 1.0)
+    assert(rec.getAs[Long]("n_queries") == 8L)
+    val sim = res.similarity.head()
+    assert(sim.getAs[Double]("avg_avg_sim") > 0.0)
+
+    // report: wide pivot with the reference's column layout
+    assert(res.report.columns.toSeq ==
+      "job" +: (0 until 5).flatMap(i => Seq(s"skill$i", s"level$i")))
+    assert(res.report.count() == 8)
+
+    // K2 CSV sink: one part file with header
+    val csvFiles = new java.io.File(s"$base/report").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(csvFiles.length == 1)
+    val lines = scala.io.Source.fromFile(csvFiles.head).getLines().toSeq
+    assert(lines.head.startsWith("job,skill0,level0,"))
+    assert(lines.size == 9) // header + 8 jobs
+  }
+
+  test("index persists partitioned by list_id and searches from disk") {
+    val base = java.nio.file.Files.createTempDirectory("pipeline2").toString
+    val cfg = Config(dim = 32, k = 3, lists = 2, nProbe = 1)
+    val model = Pipeline.buildIndex(skills, cfg, s"$base/idx")
+    assert(new java.io.File(s"$base/idx").listFiles()
+      .exists(_.getName.startsWith("list_id=")))
+    val res = Pipeline.skillsForJobs(spark, jobs, s"$base/idx", model, cfg)
+    // probe-pruned search still returns k rows per job (lists are balanced enough)
+    assert(res.ranked.groupBy("job_code").count().collect().forall(_.getLong(1) >= 1))
+    // partial probing may miss exact neighbors → recall ≤ 1 but defined
+    val r = res.recall.head().getAs[Double]("avg_recall")
+    assert(r >= 0.0 && r <= 1.0)
+  }
+}
