@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.AsofJoin
+
+/** Join-shape breadth beyond plain equi-joins (SURVEY.md §2.5 notes the
+  * reference needs none of these — they are engine-completeness operators):
+  * as-of join, key+range join, anti join, semi join, full outer join, and
+  * exact interpolated percentiles. Every query has a DuckDB oracle.
+  */
+object JoinQueries extends graft.QueryModule {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // As-of join: each purchase matched to the user's latest prior click.
+    "join_asof_purchase_click" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+      AsofJoin.latestPriorId(purchases, clicks, "user_id", "ts",
+        "event_id", "event_id", "click_id")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("click_id"))
+    }),
+    // Key + range join: same-customer orders within 30 days after an urgent order.
+    "join_range_followup_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("urgent_key"),
+          col("o_orderdate").as("udate"))
+      val later = o.select(col("o_custkey").as("l_custkey"),
+        col("o_orderkey").as("later_key"), col("o_orderdate").as("ldate"))
+      urgent.join(later,
+          col("custkey") === col("l_custkey") &&
+          col("urgent_key") =!= col("later_key") &&
+          col("ldate") >= col("udate") &&
+          col("ldate") <= col("udate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("custkey", "urgent_key")
+        .agg(count(lit(1)).as("n_followups"))
+    }),
+    // Anti join: parts not shipped during January 1995.
+    "join_anti_unshipped_parts" -> ((s, dir) => {
+      val liJan = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1995-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1995-02-01")))
+        .select(col("l_partkey").as("p_partkey"))
+      Tables.part(s, dir)
+        .join(liJan, Seq("p_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+    }),
+    // Semi join: customers with at least one urgent order.
+    "join_semi_urgent_customers" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, dir)
+        .join(urgent, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+    }),
+    // Full outer join: per-nation customer vs supplier counts, nulls → 0.
+    "join_outer_nation_counts" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+    // Exact interpolated percentiles per group (sort-based, deterministic).
+    "agg_price_quantiles" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.25)"), 4).as("p25"),
+          round(expr("percentile(c_acctbal, 0.5)"), 4).as("p50"),
+          round(expr("percentile(c_acctbal, 0.75)"), 4).as("p75"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "join_asof_purchase_click" ->
+      """SELECT p.user_id, p.event_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  (SELECT c.event_id FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+        |FROM events p WHERE p.event_type = 'purchase'""".stripMargin,
+    "join_range_followup_orders" ->
+      """SELECT u.o_custkey AS custkey, u.o_orderkey AS urgent_key,
+        |  count(*) AS n_followups
+        |FROM orders u JOIN orders l
+        |  ON u.o_custkey = l.o_custkey
+        | AND u.o_orderkey <> l.o_orderkey
+        | AND l.o_orderdate >= u.o_orderdate
+        | AND l.o_orderdate <= u.o_orderdate + INTERVAL 30 DAY
+        |WHERE u.o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2""".stripMargin,
+    "join_anti_unshipped_parts" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p.p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1995-02-01')""".stripMargin,
+    "join_semi_urgent_customers" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "join_outer_nation_counts" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s
+        |USING (nationkey)""".stripMargin,
+    "agg_price_quantiles" ->
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25), 4) AS p25,
+        |  round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 4) AS p50,
+        |  round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75), 4) AS p75
+        |FROM customer GROUP BY 1""".stripMargin)
+}
