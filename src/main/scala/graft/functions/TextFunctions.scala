@@ -32,6 +32,14 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-ish subword token count: runs of letters, runs of digits, and runs
+    * of other non-space symbols each count as one token — the word/number/
+    * punctuation split every byte-pair tokenizer starts from. The pattern is
+    * RE2-safe (no lookarounds) so the oracle engine counts identically. */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0))).cast("long")
+
   /** Mean token length, 0.0 for token-less text (ANSI-safe guard). */
   def avgTokenLen(text: Column): Column = {
     val toks = tokens(text)

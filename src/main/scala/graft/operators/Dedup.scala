@@ -45,9 +45,22 @@ object Dedup {
     df.select(col(idCol), explode(grams).as("gram"))
   }
 
-  /** Per-row distinct shingle count, for Jaccard denominators. */
-  private def shingleCounts(sh: DataFrame, idCol: String): DataFrame =
-    sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+  /** Shingles keyed by the portable 64-bit gram hash — the shared input of
+    * [[jaccardJoin]] and [[minhashLshJoin]]. Joining fixed-width longs beats
+    * sorting variable-length text, and caching ONE canonical plan here lets
+    * Spark's cache manager share the materialized index across queries. (A
+    * cross-hash collision merges two shingles identically on both sides —
+    * the oracle joins on the same hash.) */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingles(df, idCol, textCol, n)
+      .select(col(idCol), TextFunctions.tokenHash(col("gram")).as("__gh")).cache()
+
+  private def sharedCounts(sh: DataFrame, idCol: String): DataFrame =
+    sh.select(col(idCol).as("a_id"), col("__gh"))
+      .join(sh.select(col(idCol).as("b_id"), col("__gh")), "__gh")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
 
   /** Exact n-gram Jaccard similarity join through an inverted shingle index:
     * only pairs sharing ≥1 shingle are generated, so the shuffle is bounded
@@ -56,13 +69,9 @@ object Dedup {
     * a_id < b_id. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
-    val sizes = shingleCounts(sh, idCol)
-    val pairs = sh.select(col(idCol).as("a_id"), col("gram"))
-      .join(sh.select(col(idCol).as("b_id"), col("gram")), "gram")
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-    jaccardOf(pairs, sizes, idCol, minJaccard)
+    val sh = hashedShingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    jaccardOf(sharedCounts(sh, idCol), sizes, idCol, minJaccard)
   }
 
   private def jaccardOf(pairs: DataFrame, sizes: DataFrame, idCol: String,
@@ -85,10 +94,11 @@ object Dedup {
   val hashB: Seq[Long] = (1 to NumHashes).map(j => (12345L + 2654435761L * j) % MinhashP)
 
   /** MinHash signature per row: (idCol, sig array<long>[NumHashes]).
-    * Rows with no shingles are dropped (no signature to compute). */
+    * Input must carry the hashed shingle column "__gh"; rows with no
+    * shingles are dropped (no signature to compute). */
   def minhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
     val ghs = sh.groupBy(col(idCol))
-      .agg(collect_list(TextFunctions.tokenHash(col("gram"))).as("__ghs"))
+      .agg(collect_list(col("__gh")).as("__ghs"))
     val sigCols = (0 until NumHashes).map { j =>
       array_min(transform(col("__ghs"),
         x => (lit(hashA(j)) * x + lit(hashB(j))) % MinhashP))
@@ -102,7 +112,7 @@ object Dedup {
     * (band, bandhash)), never an all-pairs compare. */
   def minhashLshJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n).cache()
+    val sh = hashedShingles(df, idCol, textCol, n)
     val sigs = minhashSignatures(sh, idCol)
     val rows = NumHashes / LshBands
     // band k hash = fold of sig[k*rows .. k*rows+rows-1]
@@ -118,11 +128,9 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sizes = shingleCounts(sh, idCol)
-    val shared = sh.select(col(idCol).as("a_id"), col("gram"))
-      .join(sh.select(col(idCol).as("b_id"), col("gram")), "gram")
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val shared = sharedCounts(sh, idCol)
       .join(cands, Seq("a_id", "b_id"), "left_semi")
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
     jaccardOf(shared, sizes, idCol, minJaccard)
   }
 

@@ -74,8 +74,9 @@ object DedupQueries extends graft.QueryModule {
     "dedup_jaccard_pairs" ->
       s"""WITH $toksCte,
          |${DocSql.shinglesCte(N)},
+         |ghj AS (SELECT doc_id, ${tokenHashSql("gram")} AS ghv FROM shd),
          |shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-         |  FROM shd a JOIN shd b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  FROM ghj a JOIN ghj b ON a.ghv = b.ghv AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |$jaccardTail""".stripMargin,
     "dedup_minhash_lsh" ->

@@ -24,6 +24,7 @@ object TextQueries extends graft.QueryModule {
     "text_stats" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars"),
         round(avgTokenLen(col("text")), 6).as("avg_token_len"),
         round(punctRatio(col("text")), 6).as("punct_ratio"),
@@ -89,6 +90,7 @@ object TextQueries extends graft.QueryModule {
       s"""WITH $toksCte
          |SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(len(text) AS BIGINT) AS n_chars,
          |  round(CASE WHEN len(toks) = 0 THEN 0.0
          |    ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END, 6) AS avg_token_len,
