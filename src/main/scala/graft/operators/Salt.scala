@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by key salting. AQE's skew-join handling covers the join
+  * side at runtime; these cover the aggregation side and planned-ahead joins
+  * where one key dominates (a hot `job_code`, a viral document, a null-heavy
+  * foreign key) and a single reducer would absorb the whole key.
+  *
+  * Salting must stay deterministic to keep the engine's oracle discipline:
+  * the salt is a hash of stable row attributes (pmod(xxhash64(...), buckets)),
+  * never a random number — reruns produce identical partitioning, and
+  * results are invariant because the second phase re-combines exactly the
+  * rows the first phase split. */
+object Salt {
+
+  /** Two-phase skew-safe aggregation: groupBy (keys + salt) with partial
+    * `sum`/`count` style aggs, then re-combine per key. Callers pass the
+    * first-phase aggregate columns and the matching second-phase combiners,
+    * both keyed by output column name.
+    *
+    * Example — skew-safe sum + count:
+    * {{{
+    * saltedAgg(df, Seq("k"), saltFrom = Seq(col("id")), buckets = 16,
+    *   firstPhase = Seq(sum("v").as("s"), count(lit(1)).as("n")),
+    *   secondPhase = Seq(sum("s").as("s"), sum("n").as("n")))
+    * }}} */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltFrom: Seq[Column],
+      buckets: Int, firstPhase: Seq[Column], secondPhase: Seq[Column]): DataFrame = {
+    require(buckets > 0, s"salt buckets must be positive, got $buckets")
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltFrom: _*), lit(buckets.toLong)))
+    val phase1 = salted.groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(firstPhase.head, firstPhase.tail: _*)
+    phase1.groupBy(keys.map(col): _*)
+      .agg(secondPhase.head, secondPhase.tail: _*)
+  }
+
+  /** Skew-safe broadcast-free equi-join: replicate the (small) right side
+    * once per salt bucket and join on (key, salt), spreading each hot key
+    * over `buckets` reducers. Right side grows ×buckets — keep it small. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltFrom: Seq[Column], buckets: Int): DataFrame = {
+    require(buckets > 0, s"salt buckets must be positive, got $buckets")
+    val l = left.withColumn("__salt", pmod(xxhash64(saltFrom: _*), lit(buckets.toLong)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -29,6 +29,12 @@ object VectorQueries extends graft.QueryModule {
       val (q, c) = split(s, dir)
       rounded(KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, L2))
     }),
+    // J2 variant — inner-product ranking (higher dot = nearer; negdot kind).
+    "knn_ip_topk" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      rounded(KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K,
+        graft.functions.VectorFunctions.InnerProduct))
+    }),
     // J3 + D1 — overfetch ×10, first-wins dedup by label, re-rank to 10
     // (skills_for_jobs.py:356-387).
     "knn_dedup_label_topk" -> ((s, dir) => {
@@ -68,6 +74,15 @@ object VectorQueries extends graft.QueryModule {
       s"""WITH $qCte, $cCte,
          |d AS (SELECT job_id, skill_id,
          |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "knn_ip_topk" ->
+      s"""WITH $qCte, $cCte,
+         |d AS (SELECT job_id, skill_id, -list_dot_product(qvec, svec) AS dist
          |      FROM q CROSS JOIN c),
          |r AS (SELECT job_id, skill_id, dist,
          |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank

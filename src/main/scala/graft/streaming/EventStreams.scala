@@ -37,6 +37,13 @@ object EventStreams {
       spark.readStream.schema(schema).parquet(path).withWatermark("ts", "1 hour"))
   }
 
+  /** Streaming exact dedup: drop replayed event ids arriving within the
+    * watermark horizon — the streaming face of Dedup.exactAssign for
+    * at-least-once sources. State per id is dropped once the watermark
+    * passes, so state size tracks the horizon, not the stream. */
+  def dedupEventsStream(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
+
   /** Batch sessionization: a new session starts when the gap to the user's
     * previous event exceeds [[SessionGapUs]]. Pure window functions —
     * deterministic (ties ordered by event_id) and oracle-replayable.

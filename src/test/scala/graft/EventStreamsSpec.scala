@@ -59,6 +59,21 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops replayed event ids across batches") {
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupEventsStream(input.toDF())
+      .select("event_id")
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch1); query.processAllAvailable() // full replay
+      input.addData(batch2); query.processAllAvailable()
+      val ids = spark.table("dedup_t").as[Long].collect().toSeq
+      assert(ids.sorted == (1L to 6L).toSeq, s"got $ids")
+    } finally query.stop()
+  }
+
   test("file-source streaming hourly counts run against the events table") {
     // copy a slice of the real events table into a stream-source dir
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
