@@ -111,6 +111,30 @@ object RelationalQueries extends graft.QueryModule {
     // flatMapGroupsWithState streaming sessionizer.
     "events_sessionized" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, dir))),
+    // CUBE grouping-sets: every (flag, status) subtotal combination.
+    "rel_cube_flags" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+    // Semi-structured: JSON property extraction + aggregation over events.
+    "events_json_stats" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+    }),
+    // String similarity: edit distance between adjacent part names.
+    "rel_part_name_edits" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+      val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"))
+      a.join(b, col("b_key") === col("a_key") + 1)
+        .select(col("a_key"), levenshtein(col("a_name"), col("b_name")).as("edit_dist"),
+          length(col("a_name")).cast("long").as("a_len"))
+    }),
     // Per-session rollup over the sessionization output.
     "events_session_stats" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -173,6 +197,20 @@ object RelationalQueries extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "rel_cube_flags" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "events_json_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+    "rel_part_name_edits" ->
+      """SELECT a.p_partkey AS a_key,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+        |  CAST(len(a.p_name) AS BIGINT) AS a_len
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""".stripMargin,
     "events_sessionized" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
