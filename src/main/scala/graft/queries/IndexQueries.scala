@@ -42,6 +42,18 @@ object IndexQueries extends graft.QueryModule {
         model, K, Lists, Cosine)
         .withColumn("dist", round(col("dist"), 6))
     }),
+    // X1 quality loop — recall@k of the probes=2 IVF retrieval against exact
+    // search (the reference's §5 oracle-comparison methodology turned on our
+    // own index, headline numbers included).
+    "ivf_recall_summary" -> ((s, dir) => {
+      val (q, indexed, model) = ivfParts(s, dir)
+      val ann = IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id", "svec",
+        model, K, Probes, Cosine)
+      val exact = graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", indexed, "skill_id", "svec", K, Cosine)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+    }),
     // X2 — LSH bucket-join ANN (rows-only check; see object Scaladoc).
     "lsh_ann_topk" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
@@ -54,7 +66,12 @@ object IndexQueries extends graft.QueryModule {
     * vectors → nearest-centroid assignment → top-`nProbe` lists per query →
     * candidate ranking. Mirrors IvfIndex.{fitSeeds,assign,search}. */
   private def ivfSql(nProbe: Int): String =
-    s"""WITH $qCte, $cCte,
+    s"""WITH ${ivfCtes(nProbe)}
+       |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+       |FROM r WHERE rank <= $K""".stripMargin
+
+  private def ivfCtes(nProbe: Int): String =
+    s"""$qCte, $cCte,
        |cent AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS list_id,
        |    svec AS centroid
        |  FROM (SELECT skill_id, svec FROM c ORDER BY skill_id LIMIT $Lists)),
@@ -73,11 +90,28 @@ object IndexQueries extends graft.QueryModule {
        |  FROM pr JOIN asg a USING (list_id)),
        |r AS (SELECT job_id, skill_id, dist,
        |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
-       |  FROM d)
-       |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
-       |FROM r WHERE rank <= $K""".stripMargin
+       |  FROM d)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ivf_ann_topk" -> ivfSql(Probes),
-    "ivf_probe_all_exact" -> ivfSql(Lists))
+    "ivf_probe_all_exact" -> ivfSql(Lists),
+    "ivf_recall_summary" ->
+      s"""WITH ${ivfCtes(Probes)},
+         |exd AS (SELECT q.job_id, c.skill_id,
+         |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist FROM q CROSS JOIN c),
+         |exr AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM exd) WHERE rank <= $K),
+         |ann AS (SELECT job_id, skill_id FROM r WHERE rank <= $K),
+         |m AS (SELECT a.job_id, count(*) AS n FROM ann a
+         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |    GROUP BY 1),
+         |perq AS (SELECT q2.job_id,
+         |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+         |    round(coalesce(m.n, 0) / 10.0, 6) AS recall
+         |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
+         |SELECT round(avg(n_matches), 6) AS avg_matches,
+         |  round(avg(recall), 6) AS avg_recall,
+         |  count(*) AS n_queries FROM perq""".stripMargin)
 }
