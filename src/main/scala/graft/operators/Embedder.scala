@@ -37,9 +37,13 @@ object Embedder {
       .agg(count(lit(1)).cast("double").as("__cnt"))
     val sparse = buckets.groupBy(col(idCol))
       .agg(map_from_entries(collect_list(struct(col("__b"), col("__cnt")))).as("__m"))
-    sparse.select(col(idCol),
-      l2Normalize(
+    // Materialize the dense vector before normalizing: l2Normalize references
+    // its argument three times (values, norm, size), and each reference of a
+    // non-attribute expression re-runs the whole sparse→dense transform.
+    sparse
+      .select(col(idCol),
         transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("__m"), i), lit(0.0d)))).as(outCol))
+          i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__v"))
+      .select(col(idCol), l2Normalize(col("__v")).as(outCol))
   }
 }

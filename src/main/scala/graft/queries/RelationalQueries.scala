@@ -111,6 +111,16 @@ object RelationalQueries extends graft.QueryModule {
     // flatMapGroupsWithState streaming sessionizer.
     "events_sessionized" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, dir))),
+    // Running window frame: cumulative revenue per customer in order-date order.
+    "rel_running_revenue" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+            .cast("double"), 2).as("running_revenue"))
+    }),
     // CUBE grouping-sets: every (flag, status) subtotal combination.
     "rel_cube_flags" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -197,6 +207,12 @@ object RelationalQueries extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "rel_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_revenue
+        |FROM orders""".stripMargin,
     "rel_cube_flags" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
