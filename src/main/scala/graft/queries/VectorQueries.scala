@@ -42,6 +42,24 @@ object VectorQueries extends graft.QueryModule {
       rounded(KnnJoin.exactDedupByKey(q, "job_id", "qvec", c, "skill_id", "svec",
         "label", K, Cosine))
     }),
+    // The flagship expressed as pure SQL text through spark.sql — temp views
+    // plus the Graft-registered vector_distance function; same result set as
+    // knn_cosine_topk (SQL-surface parity check). k=5 to keep its own shape.
+    "sql_knn_topk" -> ((s, dir) => {
+      graft.Graft.register(s)
+      val (q, c) = split(s, dir)
+      q.createOrReplaceTempView("graft_q")
+      c.createOrReplaceTempView("graft_c")
+      s.sql(s"""
+        |SELECT job_id, skill_id, rank, round(dist, 6) AS dist FROM (
+        |  SELECT job_id, skill_id, dist,
+        |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT q.job_id, c.skill_id,
+        |      vector_distance(q.qvec, c.svec, 'cosine') AS dist
+        |    FROM graft_q q CROSS JOIN graft_c c))
+        |WHERE rank <= 5""".stripMargin)
+    }),
     // F1/F2/F3/F9 — scalar vector functions over adjacent-id pairs.
     "vec_scalar_pairs" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -80,6 +98,16 @@ object VectorQueries extends graft.QueryModule {
          |      FROM d)
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
          |FROM r WHERE rank <= $K""".stripMargin,
+    "sql_knn_topk" ->
+      s"""WITH $qCte, $cCte,
+         |d AS (SELECT job_id, skill_id,
+         |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= 5""".stripMargin,
     "knn_ip_topk" ->
       s"""WITH $qCte, $cCte,
          |d AS (SELECT job_id, skill_id, -list_dot_product(qvec, svec) AS dist
