@@ -40,9 +40,13 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0))).cast("long")
 
-  /** Mean token length, 0.0 for token-less text (ANSI-safe guard). */
-  def avgTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  /** Mean token length, 0.0 for token-less text (ANSI-safe guard).
+    * Prefer the FromTokens form over a materialized token column in
+    * multi-feature projections — every `tokens(text)` reference re-runs the
+    * regex tokenizer (no CSE around higher-order functions). */
+  def avgTokenLen(text: Column): Column = avgTokenLenFromTokens(tokens(text))
+
+  def avgTokenLenFromTokens(toks: Column): Column = {
     val n = size(toks)
     when(n === 0, lit(0.0d)).otherwise(
       aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _) / n)
@@ -56,8 +60,10 @@ object TextFunctions {
   }
 
   /** Share of tokens found in `words`. */
-  def stopwordRatio(text: Column, words: Seq[String]): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column, words: Seq[String]): Column =
+    stopwordRatioFromTokens(tokens(text), words)
+
+  def stopwordRatioFromTokens(toks: Column, words: Seq[String]): Column = {
     val n = size(toks)
     when(n === 0, lit(0.0d)).otherwise(
       stopwordHits(toks, words).cast("double") / n)
@@ -75,8 +81,9 @@ object TextFunctions {
 
   /** Language-ID: argmax of per-language function-word hits, ties broken in
     * [[langWords]] order, no hits at all → "und" (ISO 639-3 undetermined). */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  def langIdFromTokens(toks: Column): Column = {
     val hits = langWords.map { case (lang, ws) => lang -> stopwordHits(toks, ws) }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
@@ -87,9 +94,12 @@ object TextFunctions {
   /** Composite quality score in [0,1]: rewards enough tokens, low
     * punctuation noise, and natural-language function-word density. */
   def qualityScore(text: Column): Column =
-    lit(0.4d) * least(lit(1.0d), tokenCount(text) / lit(100.0d)) +
+    qualityScoreFromTokens(text, tokens(text))
+
+  def qualityScoreFromTokens(text: Column, toks: Column): Column =
+    lit(0.4d) * least(lit(1.0d), size(toks).cast("long") / lit(100.0d)) +
       lit(0.3d) * (lit(1.0d) - punctRatio(text)) +
-      lit(0.3d) * least(lit(1.0d), lit(4.0d) * stopwordRatio(text, langWords.head._2))
+      lit(0.3d) * least(lit(1.0d), lit(4.0d) * stopwordRatioFromTokens(toks, langWords.head._2))
 
   /** Order-sensitive rolling document fingerprint: polynomial fold of the
     * token-hash stream mod 1e9+7. Reordered or edited token streams produce

@@ -20,29 +20,36 @@ object TextQueries extends graft.QueryModule {
   private val EnWords = langWords.head._2
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Token/char counts + ratio features (north-star "quality scoring" inputs).
+    // Token/char counts + ratio features (north-star "quality scoring"
+    // inputs). Tokenize ONCE into a column — every tokens(text) reference
+    // re-runs the regex tokenizer (no CSE around higher-order functions).
     "text_stats" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        bpeTokenCount(col("text")).as("n_bpe_tokens"),
-        length(col("text")).cast("long").as("n_chars"),
-        round(avgTokenLen(col("text")), 6).as("avg_token_len"),
-        round(punctRatio(col("text")), 6).as("punct_ratio"),
-        round(stopwordRatio(col("text"), EnWords), 6).as("stopword_ratio"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(avgTokenLenFromTokens(col("__toks")), 6).as("avg_token_len"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(stopwordRatioFromTokens(col("__toks"), EnWords), 6).as("stopword_ratio"))
     }),
     // Language-ID heuristic: per-language function-word hits + argmax call.
     "text_lang_id" -> ((s, dir) => {
-      val toks = tokens(col("text"))
       val hitCols = langWords.map { case (lang, ws) =>
-        stopwordHits(toks, ws).cast("long").as(s"${lang}_hits")
+        stopwordHits(col("__toks"), ws).cast("long").as(s"${lang}_hits")
       }
-      Tables.documents(s, dir).select(
-        (col("doc_id") +: hitCols :+ langId(col("text")).as("lang_pred")): _*)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+        .select(
+          (col("doc_id") +: hitCols :+ langIdFromTokens(col("__toks")).as("lang_pred")): _*)
     }),
     // Composite quality score.
     "text_quality" -> ((s, dir) => {
-      Tables.documents(s, dir).select(col("doc_id"),
-        round(qualityScore(col("text")), 6).as("quality"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          round(qualityScoreFromTokens(col("text"), col("__toks")), 6).as("quality"))
     }),
     // Rolling-hash document fingerprint.
     "text_fingerprint" -> ((s, dir) => {

@@ -57,6 +57,22 @@ class PipelineSpec extends SparkSpec {
     assert(lines.size == 9) // header + 8 jobs
   }
 
+  test("reference-format CSV inputs flow through the whole pipeline") {
+    val base = java.nio.file.Files.createTempDirectory("pipecsv").toString
+    val skillRows = (1 to 20).map(i =>
+      s"S$i,Skill $i,${1 + i % 3},${sentence(10)}").mkString("\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/skills.csv"),
+      "abbreviation,title,level,level_description\n" + skillRows + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$base/jobs.csv"),
+      "job_code,gpt_job_description\nJA," + sentence(20) + "\nJB," + sentence(20) + "\n")
+    val skills = graft.io.Tables.skillsCsv(spark, s"$base/skills.csv")
+    val jobs = graft.io.Tables.jobsCsv(spark, s"$base/jobs.csv")
+    val cfg = Config(dim = 32, k = 3, lists = 2, nProbe = 2)
+    val res = Pipeline.runAll(spark, skills, jobs, s"$base/idx", s"$base/report", cfg)
+    assert(res.report.count() == 2)
+    assert(res.recall.head().getAs[Double]("avg_recall") == 1.0) // nProbe = lists
+  }
+
   test("index persists partitioned by list_id and searches from disk") {
     val base = java.nio.file.Files.createTempDirectory("pipeline2").toString
     val cfg = Config(dim = 32, k = 3, lists = 2, nProbe = 1)
