@@ -203,8 +203,40 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Embedding-cosine near-dup via LSH candidates: for UNIT vectors,
+    * cos ≥ t ⟺ ‖a−b‖ ≤ √(2−2t), so an L2 bucket join bounded by that radius
+    * generates the candidates and the fused cosine verifies them — the scale
+    * form of [[cosinePairs]] (approximate: recall follows the LSH params;
+    * precision is exact because every candidate is re-verified). */
+  def cosinePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, bucketLength: Double, numHashTables: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val radius = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
+    val v = vecs.select(col(idCol), col(vecCol)).cache()
+    val feats = v.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(feats)
+    val cands = model.approxSimilarityJoin(feats, feats, radius * 1.001, "l2")
+      .select(col(s"datasetA.$idCol").as("a_id"), col(s"datasetB.$idCol").as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    cands
+      .join(v.select(col(idCol).as("a_id"), col(vecCol).as("__va")), "a_id")
+      .join(v.select(col(idCol).as("b_id"), col(vecCol).as("__vb")), "b_id")
+      .withColumn("cos_sim",
+        round(graft.functions.VectorFunctions.fusedDistance("cossim")(
+          col("__va"), col("__vb")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
   /** Embedding-cosine near-dup pairs: cos(a,b) ≥ minCos, a_id < b_id.
-    * Brute-force verifier; feed it LSH/IVF candidates at scale. */
+    * Brute-force verifier; feed it LSH/IVF candidates at scale
+    * ([[cosinePairsLsh]]). */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
     // cache(): embedding pipelines upstream would re-run on both join sides

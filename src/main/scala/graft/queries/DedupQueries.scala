@@ -39,7 +39,14 @@ object DedupQueries extends graft.QueryModule {
     "dedup_embed_cos_pairs" -> ((s, dir) =>
       Dedup.cosinePairs(
         Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim),
-        "doc_id", "embedding", MinCos)))
+        "doc_id", "embedding", MinCos)),
+    // Scale path of the above: LSH candidates, exact re-verification.
+    // Rows-only driver check (JVM-RNG projection planes have no SQL mirror);
+    // subset-of-brute-force and recall are asserted in DedupSpec.
+    "dedup_embed_cos_lsh" -> ((s, dir) =>
+      Dedup.cosinePairsLsh(
+        Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim),
+        "doc_id", "embedding", MinCos, bucketLength = 1.0)))
 
   // ---- DuckDB mirrors -----------------------------------------------------
 

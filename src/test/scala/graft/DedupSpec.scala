@@ -64,6 +64,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("cosinePairsLsh is a subset of brute-force pairs and finds the dup pair") {
+    val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", 64)
+    val brute = Dedup.cosinePairs(emb, "doc_id", "embedding", 0.8)
+      .select($"a_id", $"b_id", $"cos_sim").as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.cosinePairsLsh(emb, "doc_id", "embedding", 0.8,
+      bucketLength = 1.0)
+      .select($"a_id", $"b_id", $"cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.999999 })
+  }
+
   test("cosinePairs over hashTF embeddings surfaces dup + near-dup pairs") {
     val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", 64)
     val pairs = Dedup.cosinePairs(emb, "doc_id", "embedding", 0.8)
