@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data pipelines.
+  *
+  * Everything keys off the portable content hash of a stable id — never an
+  * RNG — so samples are reproducible run-to-run, stable under repartitioning,
+  * consistent across engines (the DuckDB oracle replays them bit-exactly),
+  * and rows keep their assignment when the corpus grows (the property that
+  * matters when a 100 TB dataset is resampled incrementally: adding data
+  * never reshuffles existing rows between splits).
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Portable hash bucket of any key column: md5-derived, uniform over
+    * [0, buckets). */
+  def hashBucket(key: Column, buckets: Int = Buckets): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Deterministic ~`fraction` sample: keeps rows whose bucket falls below
+    * the cut. Same key ⇒ same verdict, forever. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    df.filter(hashBucket(col(keyCol)) < (fraction * Buckets).toLong)
+  }
+
+  /** Train/val/test-style split assignment: weights are (name, share) in
+    * order; shares must sum to ~1. Adds a `split` column. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got $weights")
+    val cuts = weights.scanLeft(0.0)(_ + _._2).map(w => (w * Buckets).toLong)
+    val b = hashBucket(col(keyCol))
+    val expr = weights.zipWithIndex.foldRight(lit(weights.last._1)) {
+      case (((name, _), i), elseCol) =>
+        when(b >= cuts(i) && b < cuts(i + 1), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic stratified sample: the `n` rows of each stratum with the
+    * smallest (hash, key) — reproducible "random" per-group quotas. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashBucket(col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.Sampling
+
+/** Deterministic sampling/splitting queries over documents (training-data
+  * pipeline north star). The md5-derived bucket replays exactly in DuckDB,
+  * so even the "random" samples are hash-checked. */
+object SampleQueries extends graft.QueryModule {
+
+  private val bucketSql =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ~10% reproducible sample.
+    "sample_docs_hash" -> ((s, dir) =>
+      Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.1)
+        .select("doc_id", "lang")),
+    // 80/10/10 train/val/test assignment for every row.
+    "sample_docs_split" -> ((s, dir) =>
+      Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
+    // 20 quota-sampled docs per language.
+    "sample_docs_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 20)
+        .select("doc_id", "lang")))
+
+  val oracles: Map[String, String] = Map(
+    "sample_docs_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $bucketSql < 1000""".stripMargin,
+    "sample_docs_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN $bucketSql < 8000 THEN 'train'
+         |       WHEN $bucketSql < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+    "sample_docs_stratified" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $bucketSql, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 20""".stripMargin)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 2000L).map(i => (i, s"row$i")).toDF("id", "payload")
+
+  test("hashSample: deterministic, near-nominal rate, repartition-stable") {
+    val a = Sampling.hashSample(rows, "id", 0.2).select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(rows.repartition(13), "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size / 2000.0 - 0.2) < 0.05, s"rate ${a.size / 2000.0}")
+  }
+
+  test("hashSplit: total, disjoint, near-nominal shares, stable under growth") {
+    val split = Sampling.hashSplit(rows, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(split.size == 2000)
+    val shares = split.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(shares("train") - 0.8) < 0.05)
+    assert(math.abs(shares("val") - 0.1) < 0.03)
+    // growth stability: assignments of old rows unchanged when corpus doubles
+    val grown = (1L to 4000L).map(i => (i, s"row$i")).toDF("id", "payload")
+    val splitGrown = Sampling.hashSplit(grown, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    split.foreach { case (id, s) => assert(splitGrown(id) == s) }
+  }
+
+  test("hashSplit rejects weights that do not sum to 1") {
+    intercept[IllegalArgumentException](
+      Sampling.hashSplit(rows, "id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+
+  test("stratifiedSample: exact quota per stratum (or all rows if fewer)") {
+    val strat = rows.withColumn("g", (col("id") % 4).cast("string"))
+    val out = Sampling.stratifiedSample(strat, "g", "id", 10)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(out.values.forall(_ == 10) && out.size == 4)
+    val tiny = strat.filter(col("id") <= 6) // stratum sizes 1-2
+    val outTiny = Sampling.stratifiedSample(tiny, "g", "id", 10).count()
+    assert(outTiny == 6)
+  }
+}
