@@ -67,6 +67,26 @@ object TextQueries extends graft.QueryModule {
         round(array_max(col("embedding")), 6).as("max_val"),
         array_position(col("embedding"), array_max(col("embedding"))).as("argmax"))
     }),
+    // Corpus statistics: 20 most frequent token 3-grams (ties by gram text).
+    "text_top_ngrams" -> ((s, dir) => {
+      graft.operators.Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)
+    }),
+    // Per-label centroid of the embedded documents via posexplode → per-dim
+    // mean → re-reduce (the shuffle pattern behind a KMeans update step).
+    "embed_label_centroids" -> ((s, dir) => {
+      val emb = Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim)
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      val perDim = emb
+        .select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("lang", "pos")
+        .agg(avg(col("v")).as("m"), count(lit(1)).as("n"))
+      perDim.groupBy("lang")
+        .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
+          max(col("n")).as("n_docs"))
+    }),
     // Entry point A end-to-end: embed documents, then doc→doc top-5 cosine
     // k-NN (queries = doc_id < 10, corpus = the rest).
     "embed_knn_docs" -> ((s, dir) => {
@@ -135,6 +155,21 @@ object TextQueries extends graft.QueryModule {
          |      list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
          |FROM tokd""".stripMargin,
+    "text_top_ngrams" ->
+      s"""WITH $toksCte,
+         |${DocSql.shinglesCte(3)}
+         |SELECT gram, count(*) AS n FROM shd
+         |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    "embed_label_centroids" ->
+      s"""WITH $embedCte,
+         |pd AS (SELECT d.lang, i.pos, nv.vec[i.pos] AS v
+         |  FROM nv JOIN documents d USING (doc_id)
+         |  CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) i),
+         |pm AS (SELECT lang, pos, avg(v) AS m, count(*) AS n
+         |  FROM pd GROUP BY 1, 2)
+         |SELECT lang, round(sqrt(sum(m * m)), 6) AS centroid_norm,
+         |  CAST(max(n) AS BIGINT) AS n_docs
+         |FROM pm GROUP BY lang""".stripMargin,
     "embed_hash_tf" ->
       s"""WITH $embedCte
          |SELECT doc_id,
