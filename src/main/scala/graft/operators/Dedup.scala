@@ -136,8 +136,18 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val shared = sharedCounts(sh, idCol)
+    // Candidate-FIRST verification: prune each shingle side to docs that
+    // appear in an LSH candidate pair before the inverted-index self-join,
+    // then semi-join the (much smaller) pair stream against the exact
+    // candidate set. The full-index pair aggregation never runs — at scale
+    // the posting lists shrink to the near-dup subset, not the corpus.
+    val shA = sh.join(cands.select(col("a_id").as(idCol)).distinct(), idCol, "left_semi")
+    val shB = sh.join(cands.select(col("b_id").as(idCol)).distinct(), idCol, "left_semi")
+    val shared = shA.select(col(idCol).as("a_id"), col("__gh"))
+      .join(shB.select(col(idCol).as("b_id"), col("__gh")), "__gh")
+      .filter(col("a_id") < col("b_id"))
       .join(cands, Seq("a_id", "b_id"), "left_semi")
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
     jaccardOf(shared, sizes, idCol, minJaccard)
   }
 
@@ -150,15 +160,17 @@ object Dedup {
     // After transform(), `h` below is a bound lambda variable — evaluated
     // once per token no matter how many bits read it.
     val toks = transform(TextFunctions.tokens(col(textCol)), TextFunctions.tokenHash(_))
+    // Integer bit ops only: tokenHash is 0..2^32-1, so shiftright == the
+    // floor-div-by-2^i form but without 32 double pow/floor per token.
     val bitvec = (h: Column) => transform(sequence(lit(0), lit(31)),
-      i => when(floor(h / pow(lit(2.0d), i.cast("double"))).cast("long") % 2 === 1, lit(1L))
+      i => when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
         .otherwise(lit(-1L)))
     val sums = aggregate(toks,
       transform(sequence(lit(0), lit(31)), _ => lit(0L)),
       (acc, h) => zip_with(acc, bitvec(h), (a, b) => a + b))
     val fp = aggregate(
       zip_with(sums, sequence(lit(0), lit(31)),
-        (s, i) => when(s > 0, floor(pow(lit(2.0d), i.cast("double"))).cast("long"))
+        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i))
           .otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
     df.select(col(idCol), fp.as("simhash"))
@@ -203,27 +215,25 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
-  /** Embedding-cosine near-dup via LSH candidates: for UNIT vectors,
-    * cos ≥ t ⟺ ‖a−b‖ ≤ √(2−2t), so an L2 bucket join bounded by that radius
-    * generates the candidates and the fused cosine verifies them — the scale
-    * form of [[cosinePairs]] (approximate: recall follows the LSH params;
-    * precision is exact because every candidate is re-verified). */
+  /** Embedding-cosine near-dup via LSH candidates: candidates come from a
+    * bucket-collision self-join over [[RpLsh]] projection planes (OR over
+    * `numTables` tables), and the fused cosine re-verifies every candidate —
+    * the scale form of [[cosinePairs]] (approximate recall per the LSH
+    * params; exact precision because nothing is emitted unverified). For
+    * UNIT vectors cos ≥ t ⟺ ‖a−b‖ ≤ √(2−2t), so near-dup pairs sit
+    * ≲ radius/√dim apart along each plane — pick `bucketLength` a few times
+    * that. Deterministic md5-derived planes → the whole query, candidate set
+    * included, replays in the DuckDB oracle. */
   def cosinePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
-      minCos: Double, bucketLength: Double, numHashTables: Int = 3,
-      seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.functions.array_to_vector
-    val radius = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
+      minCos: Double, dim: Int, bucketLength: Double,
+      numTables: Int = 3): DataFrame = {
     val v = vecs.select(col(idCol), col(vecCol)).cache()
-    val feats = v.select(col(idCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
-      .setInputCol("features").setOutputCol("hashes")
-      .fit(feats)
-    val cands = model.approxSimilarityJoin(feats, feats, radius * 1.001, "l2")
-      .select(col(s"datasetA.$idCol").as("a_id"), col(s"datasetB.$idCol").as("b_id"))
+    val b = RpLsh.bucketize(v, idCol, vecCol, dim, bucketLength, numTables)
+    val cands = b.select(col(idCol).as("a_id"), col("tbl"), col("bucket"))
+      .join(b.select(col(idCol).as("b_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
     cands
       .join(v.select(col(idCol).as("a_id"), col(vecCol).as("__va")), "a_id")
       .join(v.select(col(idCol).as("b_id"), col(vecCol).as("__vb")), "b_id")

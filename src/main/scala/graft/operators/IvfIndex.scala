@@ -34,14 +34,24 @@ object IvfIndex {
   case class Model(centroids: DataFrame)
 
   /** Deterministic quantizer: list k's centroid is the k-th lowest-id
-    * corpus vector (no iteration — random-seed IVF without Lloyd). */
+    * corpus vector (no iteration — random-seed IVF without Lloyd).
+    *
+    * `orderBy(id).limit(lists)` compiles to TakeOrderedAndProject: every
+    * partition keeps its own top-`lists`, the driver merges ≤ lists rows per
+    * partition — unlike a global `Window.orderBy`, which would funnel the
+    * ENTIRE corpus through one task. The ≤ lists seed vectors are collected
+    * (they're the model — tiny by definition) and re-emitted as the
+    * broadcastable centroid table. float→double widening is exact, so
+    * distances are bit-identical to ranking over the raw corpus column. */
   def fitSeeds(corpus: DataFrame, idCol: String, vecCol: String, lists: Int): Model = {
-    val w = Window.orderBy(col(idCol))
-    Model(corpus
-      .select(col(idCol), col(vecCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= lists)
-      .select((col("__rn") - 1).cast("int").as("list_id"), col(vecCol).as("centroid")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("centroid"))
+      .orderBy(col(idCol)).limit(lists)
+      .select("centroid").as[Seq[Double]].collect()
+    Model(seeds.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c) }.toDF("list_id", "centroid"))
   }
 
   /** KMeans-refined centroids (MLlib, fixed seed, k = lists). */

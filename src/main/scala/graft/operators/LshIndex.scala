@@ -1,45 +1,44 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.functions.array_to_vector
+import graft.functions.VectorFunctions.L2
 
-/** X2 — random-projection LSH, the batch analog of the reference's HNSW L2
-  * index build + search (`load_skill_vectors_milvus.py:53-68`,
-  * `milvus_search:117-143`). An online graph index is out of scope
-  * (BASELINE.json); MLlib's BucketedRandomProjectionLSH gives the same
-  * contract — approximate L2 neighbors with tunable recall — as a batch
-  * bucket join: only hash-colliding pairs are compared, never |Q|×|C|.
+/** X2 — random-projection LSH ANN search, the batch analog of the
+  * reference's HNSW L2 index build + search (`load_skill_vectors_milvus.py:
+  * 53-68`, `milvus_search:117-143`). An online graph index is out of scope
+  * (BASELINE.json); a bucketed projection join gives the same contract —
+  * approximate L2 neighbors with tunable recall — and only hash-colliding
+  * pairs are ever compared, never |Q|×|C|.
   *
-  * Deterministic for a fixed seed, but the gaussian projection planes come
-  * from the JVM RNG, so results are checked by recall tests rather than the
-  * DuckDB oracle (driver records a rows-only check for its query).
+  * Planes come from [[RpLsh]] (md5-derived, constants shared with the DuckDB
+  * oracle), so unlike the earlier MLlib BucketedRandomProjectionLSH build the
+  * whole search result is hash-checkable cross-engine — the reference's own
+  * methodology for every ANN backend (`skills_for_jobs.py:354-387`).
   */
 object LshIndex {
 
-  /** Approximate L2 top-k per query via hash-bucket join + window rank.
+  /** Approximate L2 top-k per query: bucket-collision candidates (OR over
+    * `numTables` hash tables) → exact L2 on candidates only → bounded-heap
+    * top-k (shuffle |Q|·k·partitions, same reduce shape as [[KnnJoin.exact]]).
+    * Queries that collide with nothing return no rows — the LSH contract.
     * Ties break on (dist, id). Output: (queryIdCol, idCol, rank, dist). */
   def annTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      bucketLength: Double, numHashTables: Int = 3, seed: Long = 42L): DataFrame = {
-    val qf = queries.select(col(queryIdCol),
-      array_to_vector(col(queryVecCol).cast("array<double>")).as("features"))
-    val cf = corpus.select(col(idCol),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
-      .setInputCol("features").setOutputCol("hashes")
-    val model = lsh.fit(cf)
-    val joined = model.approxSimilarityJoin(qf, cf, Double.MaxValue, "dist")
-    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
-    joined.select(
-        col(s"datasetA.$queryIdCol").as(queryIdCol),
-        col(s"datasetB.$idCol").as(idCol),
-        col("dist"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col(idCol), col("rank"), col("dist"))
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+      bucketLength: Double, numTables: Int = 3): DataFrame = {
+    val qb = RpLsh.bucketize(queries, queryIdCol, queryVecCol, dim, bucketLength, numTables)
+    val cb = RpLsh.bucketize(corpus, idCol, vecCol, dim, bucketLength, numTables)
+    val candIds = qb.join(cb, Seq("tbl", "bucket"))
+      .select(col(queryIdCol), col(idCol)).distinct()
+    val (keyCol, isString) = KnnJoin.keyColumn(corpus, idCol)
+    val qv = queries.select(col(queryIdCol), col(queryVecCol).as("__qvec"))
+    val cv = corpus.select(keyCol, col(vecCol).as("__cvec"))
+    val cands = candIds
+      .join(broadcast(qv), Seq(queryIdCol))
+      .join(cv, col(idCol) === col("__cid"))
+      .select(col(queryIdCol),
+        L2.dist(col("__qvec"), col("__cvec")).as("dist"),
+        col("__cid"))
+    KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
   }
 }

@@ -95,13 +95,21 @@ object Multimodal {
       least(lit(1.0d), lit(maxBytes.toDouble) / col("meta.n_bytes")).as("scale"))
 
   /** Frame sampling contract over "video" payloads: one row per sampled
-    * frame with its byte offset (explode of the stub sampler's offsets). */
+    * frame with its byte offset. Pure `sequence()` arithmetic — the sampled
+    * offsets 0, step, 2·step … < n_bytes are exactly
+    * `sequence(0, n_bytes-1, step)` with step = frameSize·everyNth, so the
+    * whole operator stays inside whole-stage codegen (no UDF, no
+    * serialization); [[StubCodec.sampleFrameOffsets]] remains the scalar
+    * spec the column form is cross-checked against in MultimodalSpec. */
   def sampleFrames(media: DataFrame, idCol: String, everyNth: Int,
       frameSize: Int): DataFrame = {
-    val offsets = udf((n: Long) =>
-      StubCodec.sampleFrameOffsets(n, everyNth, frameSize))
-    media.select(col(idCol), explode(offsets(col("meta.n_bytes"))).as("frame_offset"))
-      .withColumn("frame_idx",
-        (col("frame_offset") / lit(frameSize.toLong * everyNth)).cast("long"))
+    require(everyNth > 0 && frameSize > 0,
+      s"everyNth $everyNth / frameSize $frameSize must be positive")
+    val step = frameSize.toLong * everyNth
+    val offsets = when(col("meta.n_bytes") > 0,
+      sequence(lit(0L), col("meta.n_bytes") - 1, lit(step)))
+      .otherwise(array().cast("array<long>"))
+    media.select(col(idCol), explode(offsets).as("frame_offset"))
+      .withColumn("frame_idx", (col("frame_offset") / lit(step)).cast("long"))
   }
 }

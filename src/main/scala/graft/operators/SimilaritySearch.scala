@@ -25,7 +25,8 @@ object SimilaritySearch {
   /** nProbe = lists degrades to exact search. */
   case class Ivf(lists: Int, nProbe: Int, kmeansIter: Int = 20, seed: Long = 42L)
     extends Strategy
-  case class Lsh(bucketLength: Double, numHashTables: Int = 3, seed: Long = 42L)
+  /** `dim` = vector dimensionality (fixes the md5-derived plane literals). */
+  case class Lsh(dim: Int, bucketLength: Double, numTables: Int = 3)
     extends Strategy
 
   def topK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
@@ -40,9 +41,9 @@ object SimilaritySearch {
         val indexed = IvfIndex.assign(corpus, idCol, vecCol, model, metric)
         IvfIndex.search(queries, queryIdCol, queryVecCol, indexed, idCol, vecCol,
           model, k, nProbe, metric)
-      case Lsh(bucketLength, tables, seed) =>
+      case Lsh(dim, bucketLength, tables) =>
         require(metric == L2, "LSH strategy supports the L2 metric only")
         LshIndex.annTopK(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
-          k, bucketLength, tables, seed)
+          k, dim, bucketLength, tables)
     }
 }

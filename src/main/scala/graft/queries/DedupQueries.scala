@@ -24,6 +24,9 @@ object DedupQueries extends graft.QueryModule {
   private val MaxHamming = 1
   private val MinCos = 0.95
   private val Dim = 64
+  // near-dup pairs (cos ≥ 0.95 ⇒ ‖a−b‖ ≤ 0.316) sit ≈ 0.316/√64 ≈ 0.04
+  // apart per projection — bucketLength 5× that keeps per-table recall high
+  private val CosBucketLen = 0.2
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
@@ -39,13 +42,17 @@ object DedupQueries extends graft.QueryModule {
     "dedup_embed_cos_pairs" -> ((s, dir) =>
       Dedup.cosinePairs(
         Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim),
-        "doc_id", "embedding", MinCos)))
-  // Dedup.cosinePairsLsh (the LSH-candidate scale path) is deliberately NOT
-  // registered: on this corpus every doc pair is moderately similar in
-  // hashTF space, so projection buckets stay fat and the bucket join costs
-  // more than the brute-force scan it replaces (measured 10-19s vs 2.3s at
-  // sf0.1 across bucket lengths). It earns its keep on corpora whose
-  // similarity distribution has a long tail; DedupSpec covers it.
+        "doc_id", "embedding", MinCos)),
+    // The LSH-candidate scale path, oracle-gated next to the brute-force
+    // verifier above: RpLsh's md5-derived planes make the candidate set
+    // itself replayable in SQL. On THIS corpus (hashTF vectors are all
+    // moderately similar, buckets run fat) brute force can win locally, but
+    // the banded plan is the one that survives a 100× corpus — so the oracle
+    // gate protects it, not just the verifier.
+    "dedup_embed_cos_lsh" -> ((s, dir) =>
+      Dedup.cosinePairsLsh(
+        Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim),
+        "doc_id", "embedding", MinCos, Dim, CosBucketLen)))
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
@@ -64,11 +71,11 @@ object DedupQueries extends graft.QueryModule {
   private val simhashCte =
     s"""bs AS (SELECT doc_id, list_transform(generate_series(0, 31), i ->
        |    coalesce(list_sum(list_transform(toks, t ->
-       |      CASE WHEN (${tokenHashSql("t")} // CAST(pow(2, i) AS BIGINT)) % 2 = 1
+       |      CASE WHEN ((${tokenHashSql("t")} >> i) & 1) = 1
        |        THEN 1 ELSE -1 END)), 0)) AS sums
        |  FROM tokd),
        |sh AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(generate_series(0, 31),
-       |    i -> CASE WHEN sums[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS simhash
+       |    i -> CASE WHEN sums[i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0) AS BIGINT) AS simhash
        |  FROM bs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -120,5 +127,17 @@ object DedupQueries extends graft.QueryModule {
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
          |FROM nv a JOIN nv b ON a.doc_id < b.doc_id
-         |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= $MinCos""".stripMargin)
+         |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= $MinCos""".stripMargin,
+    "dedup_embed_cos_lsh" ->
+      s"""WITH $toksCte,
+         |${DocSql.embedCte(Dim)},
+         |bk AS (${graft.operators.RpLsh.bucketsSql("nv", "doc_id", "vec", Dim, CosBucketLen, 3)}),
+         |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bk a JOIN bk b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+         |SELECT c.a_id, c.b_id,
+         |  round(list_cosine_similarity(va.vec, vb.vec), 6) AS cos_sim
+         |FROM cands c JOIN nv va ON va.doc_id = c.a_id
+         |  JOIN nv vb ON vb.doc_id = c.b_id
+         |WHERE round(list_cosine_similarity(va.vec, vb.vec), 6) >= $MinCos""".stripMargin)
 }

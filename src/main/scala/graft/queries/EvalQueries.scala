@@ -20,10 +20,15 @@ object EvalQueries extends graft.QueryModule {
 
   private def tops(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (q, c) = Fixtures.split(s, dir)
-    val cosTop = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine)
+    // .cache() both top-k frames (≤ |Q|·K rows each): every eval query reads
+    // them twice (hits + best / matches + denominator), and the cache
+    // manager's plan-identity matching shares the materialization across all
+    // four eval_* queries in a session — the cross-corpus k-NN join runs
+    // once, not eight times.
+    val cosTop = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine).cache()
     val qh = q.select(col("job_id"), slice(col("qvec"), 1, HalfDim).as("qvec"))
     val ch = c.select(col("skill_id"), slice(col("svec"), 1, HalfDim).as("svec"))
-    val annTop = KnnJoin.exact(qh, "job_id", "qvec", ch, "skill_id", "svec", K, Cosine)
+    val annTop = KnnJoin.exact(qh, "job_id", "qvec", ch, "skill_id", "svec", K, Cosine).cache()
     (cosTop, annTop, c)
   }
 

@@ -11,14 +11,18 @@ import Fixtures.{K, qCte, cCte}
   * build → assign → probe → search pipeline hash-matches the DuckDB oracle;
   * probing all lists degrades to exact search and is checked against the
   * exact-NN oracle (the reference forces exactness the same way, comment at
-  * `skills_for_jobs.py:360-362`). The LSH query has no SQL mirror (JVM-RNG
-  * projection planes) — the driver records a rows-only check, and recall is
+  * `skills_for_jobs.py:360-362`). The LSH search runs on [[RpLsh]]'s
+  * md5-derived projection planes, so its candidate sets — not just its
+  * distances — replay in the DuckDB oracle too; recall is additionally
   * asserted in ScalaTest.
   */
 object IndexQueries extends graft.QueryModule {
 
   private val Lists = 4 // NUM_LISTS in the reference (load_skill_vectors_pg.py:15)
   private val Probes = 2
+  private val Dim = 64            // embeddings.parquet fixture dimension
+  private val LshBucketLen = 0.2  // projections of unit vectors ≈ N(0, 1/√64)
+  private val LshTables = 3
 
   private def ivfParts(s: SparkSession, dir: String) = {
     val (q, c) = Fixtures.split(s, dir)
@@ -54,11 +58,11 @@ object IndexQueries extends graft.QueryModule {
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
     }),
-    // X2 — LSH bucket-join ANN (rows-only check; see object Scaladoc).
+    // X2 — LSH bucket-join ANN on deterministic md5 planes (oracle-gated).
     "lsh_ann_topk" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
       LshIndex.annTopK(q, "job_id", "qvec", c, "skill_id", "svec", K,
-        bucketLength = 2.0, numHashTables = 3, seed = 42L)
+        Dim, LshBucketLen, LshTables)
         .withColumn("dist", round(col("dist"), 6))
     }))
 
@@ -95,6 +99,19 @@ object IndexQueries extends graft.QueryModule {
   val oracles: Map[String, String] = Map(
     "ivf_ann_topk" -> ivfSql(Probes),
     "ivf_probe_all_exact" -> ivfSql(Lists),
+    "lsh_ann_topk" ->
+      s"""WITH $qCte, $cCte,
+         |qb AS (${graft.operators.RpLsh.bucketsSql("q", "job_id", "qvec", Dim, LshBucketLen, LshTables)}),
+         |cb AS (${graft.operators.RpLsh.bucketsSql("c", "skill_id", "svec", Dim, LshBucketLen, LshTables)}),
+         |cand AS (SELECT DISTINCT qb.job_id, cb.skill_id
+         |  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket),
+         |d AS (SELECT cand.job_id, cand.skill_id, list_distance(q.qvec, c.svec) AS dist
+         |  FROM cand JOIN q USING (job_id) JOIN c USING (skill_id)),
+         |r AS (SELECT job_id, skill_id, dist,
+         |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |  FROM d)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
     "ivf_recall_summary" ->
       s"""WITH ${ivfCtes(Probes)},
          |exd AS (SELECT q.job_id, c.skill_id,

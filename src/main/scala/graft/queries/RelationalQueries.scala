@@ -218,7 +218,7 @@ object RelationalQueries extends graft.QueryModule {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "events_json_stats" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,

@@ -69,7 +69,7 @@ class DedupSpec extends SparkSpec {
     val brute = Dedup.cosinePairs(emb, "doc_id", "embedding", 0.8)
       .select($"a_id", $"b_id", $"cos_sim").as[(Long, Long, Double)].collect().toSet
     val lsh = Dedup.cosinePairsLsh(emb, "doc_id", "embedding", 0.8,
-      bucketLength = 1.0)
+      dim = 64, bucketLength = 1.0)
       .select($"a_id", $"b_id", $"cos_sim").as[(Long, Long, Double)].collect().toSet
     assert(lsh.subsetOf(brute))
     assert(lsh.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.999999 })

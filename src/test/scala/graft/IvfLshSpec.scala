@@ -65,17 +65,30 @@ class IvfLshSpec extends SparkSpec {
     assertNear(recallOf(viaIndex), 1.0)
   }
 
-  test("LSH ANN is deterministic for a fixed seed and finds real neighbors") {
+  test("LSH ANN is deterministic across runs and finds real neighbors") {
     val a = LshIndex.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec", 10,
-      bucketLength = 2.0, numHashTables = 3, seed = 42L)
+      dim = 64, bucketLength = 0.2, numTables = 3)
     val b = LshIndex.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec", 10,
-      bucketLength = 2.0, numHashTables = 3, seed = 42L)
+      dim = 64, bucketLength = 0.2, numTables = 3)
     val ra = a.collect().map(_.toSeq).toSet
     assert(ra == b.collect().map(_.toSeq).toSet)
+    assert(ra.nonEmpty, "LSH returned no candidates at all")
     // L2-exact reference for recall (LSH buckets on euclidean distance)
     val l2exact = KnnJoin.exact(queries, "qid", "qvec", corpus, "cid", "cvec", 10, L2)
     val rec = Eval.recallSummary(Eval.recallAtK(a, l2exact, "qid", "cid"))
       .select("avg_recall").head().getDouble(0)
     assert(rec > 0.0, s"LSH recall $rec should be positive")
+  }
+
+  test("RpLsh planes are md5-deterministic, unit-norm, and SQL literals round-trip") {
+    import graft.operators.RpLsh
+    assert(RpLsh.plane(0, 64) == RpLsh.plane(0, 64))
+    assert(RpLsh.plane(0, 64) != RpLsh.plane(1, 64))
+    val norm = math.sqrt(RpLsh.plane(2, 64).map(x => x * x).sum)
+    assertNear(norm, 1.0)
+    // Double.toString round-trips through the SQL literal text
+    val parsed = RpLsh.planeSql(1, 64).stripPrefix("[").stripSuffix("]")
+      .split(", ").map(_.toDouble).toSeq
+    assert(parsed == RpLsh.plane(1, 64))
   }
 }

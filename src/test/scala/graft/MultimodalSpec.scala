@@ -45,6 +45,10 @@ class MultimodalSpec extends SparkSpec {
     assert(idxByOffset(2048L) == 2L) // frame_idx
     assert(fr(2L).map(_._2).toSeq == Seq(0L))
     assert(fr(3L).map(_._2).sorted.toSeq == Seq(0L))
+    // the sequence() column form must match the scalar stub spec exactly
+    for ((id, n) <- Seq(1L -> 5000L, 2L -> 5L, 3L -> 1024L))
+      assert(fr(id).map(_._2).sorted.toSeq ==
+        StubCodec.sampleFrameOffsets(n, everyNth = 4, frameSize = 256))
   }
 
   test("resizePayloads caps bytes and reports the applied scale") {

@@ -20,7 +20,7 @@ class SimilaritySearchSpec extends SparkSpec {
 
   test("every strategy returns k ranked rows per query in one shape") {
     for (s <- Seq[SimilaritySearch.Strategy](
-        BruteForce, Ivf(lists = 4, nProbe = 2), Lsh(bucketLength = 2.0))) {
+        BruteForce, Ivf(lists = 4, nProbe = 2), Lsh(dim = 64, bucketLength = 0.2))) {
       val metric = if (s.isInstanceOf[Lsh]) L2 else Cosine
       val df = run(s, metric)
       assert(df.columns.toSeq == Seq("qid", "cid", "rank", "dist"))
@@ -37,6 +37,6 @@ class SimilaritySearchSpec extends SparkSpec {
 
   test("invalid configurations fail fast") {
     intercept[IllegalArgumentException](run(Ivf(lists = 4, nProbe = 5)))
-    intercept[IllegalArgumentException](run(Lsh(bucketLength = 2.0), Cosine))
+    intercept[IllegalArgumentException](run(Lsh(dim = 64, bucketLength = 0.2), Cosine))
   }
 }
