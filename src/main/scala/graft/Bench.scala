@@ -1,6 +1,10 @@
 package graft
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Locale-pinned formatting: f"%.3f" follows the default locale, and a
+  // comma decimal separator (de_DE etc.) would emit invalid JSON.
+  private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,12 +26,13 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    Caches.clear() // release operator-internal caches registered during the run
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Compact headline line FIRST (short enough to survive tail-capture
     // truncation in the round driver), then the per-query detail line.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
     spark.stop()
   }

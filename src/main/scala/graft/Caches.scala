@@ -1,0 +1,55 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Session-scoped cache registry: the engine's answer to "who unpersists the
+  * operator-internal caches?" (shared shingle indexes, simhash fingerprints,
+  * eval top-k frames).
+  *
+  * Two jobs:
+  *  1. '''Memoize by plan identity.''' Operators build a fresh DataFrame per
+  *     call; calling `.cache()` on a plan-equal twin makes the CacheManager
+  *     warn ("Asked to cache already cached data") and leaves N handles to
+  *     one materialization, none of which owns its lifecycle. [[cached]]
+  *     returns the FIRST DataFrame registered for a semantically-equal plan,
+  *     so the cache is entered exactly once and cross-query sharing (e.g.
+  *     jaccard + minhash reading one shingle index) is explicit.
+  *  2. '''Release on demand.''' [[clear]] unpersists everything registered —
+  *     Bench/Verify call it when a run ends, so a long-lived session (or a
+  *     loop over scale-factor dirs) doesn't leak executor storage memory.
+  *
+  * Entries key on the ANALYZED plan via `sameResult` (canonicalized
+  * comparison — alias ids and case differences don't defeat the lookup). The
+  * registry stays tiny (a handful of operator-internal frames), so the linear
+  * scan is free next to the job it guards.
+  */
+object Caches {
+
+  private val reg = ArrayBuffer.empty[(LogicalPlan, DataFrame)]
+
+  /** Cache `df`, or return the already-cached DataFrame computing the same
+    * result. Lazy like `.cache()` itself — nothing materializes until an
+    * action runs. */
+  def cached(df: DataFrame): DataFrame = synchronized {
+    val plan = df.queryExecution.analyzed
+    reg.find { case (p, _) => p.sameResult(plan) } match {
+      case Some((_, prior)) => prior
+      case None =>
+        df.cache()
+        reg += ((plan, df))
+        df
+    }
+  }
+
+  /** Unpersist and forget every registered frame (blocking = false: eviction
+    * proceeds in the background, callers don't wait on block cleanup). */
+  def clear(): Unit = synchronized {
+    reg.foreach { case (_, d) => d.unpersist(false) }
+    reg.clear()
+  }
+
+  /** Number of live registered caches (test/diagnostic surface). */
+  def size: Int = synchronized(reg.size)
+}

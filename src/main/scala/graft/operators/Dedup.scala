@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Caches
 import graft.functions.TextFunctions
 
 /** Deduplication operators for the training-data pipeline (BASELINE.json
@@ -12,15 +13,25 @@ import graft.functions.TextFunctions
   * generalize to corpus-scale content dedup.
   *
   * Scale posture: nothing here compares all pairs blindly at scale —
-  * [[jaccardJoin]] joins through an inverted shingle index (pairs sharing no
-  * shingle are never materialized), [[minhashLshJoin]] cuts candidates to
-  * LSH-band collisions before verifying, and [[simhash]] reduces each doc to
-  * 32 bits bucketable by band. [[cosinePairs]] is the brute-force verifier;
-  * route candidates through LSH/IVF first when the corpus outgrows a
-  * broadcast. All hashes derive from the portable md5 token hash, so each
-  * operator replays exactly in the DuckDB oracle.
+  * [[jaccardJoin]] prefix-filters the inverted shingle index (AllPairs/PPJoin:
+  * hot shingles never enter candidate generation), [[minhashLshJoin]] cuts
+  * candidates to LSH-band collisions before verifying, [[simhash]] reduces
+  * each doc to 32 bits bucketable by band, and every banded self-join routes
+  * through [[Salt.capBuckets]] so one skewed bucket can't go quadratic.
+  * [[cosinePairs]] is the brute-force verifier; [[cosinePairsLsh]] is the
+  * registered scale path. All hashes derive from the portable md5 token hash,
+  * so each operator replays exactly in the DuckDB oracle. Operator-internal
+  * caches register with [[graft.Caches]] — shared across queries in a run,
+  * released by `Caches.clear()`.
   */
 object Dedup {
+
+  /** Default fat-bucket cap for the banded joins: far above any healthy
+    * bucket at the tested scale factors (≤ 5k docs), small enough that a
+    * degenerate bucket (all-identical shards, constant vectors) is dropped
+    * before it absorbs a reducer. Capping sacrifices recall in the dropped
+    * bucket only — emitted pairs are always verified, so precision holds. */
+  val DefaultMaxBucket = 100000L
 
   /** Exact dedup by content hash: assigns every row its group representative
     * (min id per md5(text)). Output: (idCol, content_hash, rep_id,
@@ -54,31 +65,75 @@ object Dedup {
 
   /** Shingles keyed by the portable 64-bit gram hash — the shared input of
     * [[jaccardJoin]] and [[minhashLshJoin]]. Joining fixed-width longs beats
-    * sorting variable-length text, and caching ONE canonical plan here lets
-    * Spark's cache manager share the materialized index across queries. (A
+    * sorting variable-length text, and registering ONE canonical plan with
+    * [[Caches]] shares the materialized index across queries in a run. (A
     * cross-hash collision merges two shingles identically on both sides —
     * the oracle joins on the same hash.) */
   private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    shingles(df, idCol, textCol, n)
-      .select(col(idCol), TextFunctions.tokenHash(col("gram")).as("__gh")).cache()
+    Caches.cached(shingles(df, idCol, textCol, n)
+      .select(col(idCol), TextFunctions.tokenHash(col("gram")).as("__gh")))
 
-  private def sharedCounts(sh: DataFrame, idCol: String): DataFrame =
-    sh.select(col(idCol).as("a_id"), col("__gh"))
-      .join(sh.select(col(idCol).as("b_id"), col("__gh")), "__gh")
+  /** Exact shared-shingle counts restricted to a candidate pair set: each
+    * posting side is first semi-joined down to docs that appear in a
+    * candidate at all, then the (much smaller) pair stream is semi-joined
+    * against the exact candidate set before aggregating. The full inverted
+    * index never self-joins — at scale the posting lists shrink to the
+    * near-dup subset, not the corpus. `cands` is registered with [[Caches]]:
+    * it feeds three joins here and would otherwise recompute its whole
+    * band/prefix chain per use. */
+  private def verifiedSharedCounts(sh: DataFrame, cands0: DataFrame,
+      idCol: String): DataFrame = {
+    val cands = Caches.cached(cands0)
+    val shA = sh.join(cands.select(col("a_id").as(idCol)).distinct(), idCol, "left_semi")
+    val shB = sh.join(cands.select(col("b_id").as(idCol)).distinct(), idCol, "left_semi")
+    shA.select(col(idCol).as("a_id"), col("__gh"))
+      .join(shB.select(col(idCol).as("b_id"), col("__gh")), "__gh")
       .filter(col("a_id") < col("b_id"))
+      .join(cands, Seq("a_id", "b_id"), "left_semi")
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+  }
 
-  /** Exact n-gram Jaccard similarity join through an inverted shingle index:
-    * only pairs sharing ≥1 shingle are generated, so the shuffle is bounded
-    * by the posting-list sizes, not |docs|². Output:
-    * (a_id, b_id, shared, jaccard) for pairs with jaccard ≥ minJaccard,
-    * a_id < b_id. */
+  /** Exact n-gram Jaccard similarity join with prefix filtering
+    * (AllPairs/PPJoin, Bayardo WWW'07 / Xiao WWW'08): order each doc's
+    * shingles by GLOBAL document frequency (rarest first, ties on the hash),
+    * and index only the first `m − ⌈J·m⌉ + 1` of them. Any pair with
+    * Jaccard ≥ J shares ≥ ⌈J·m⌉ shingles from either side's perspective, so
+    * its globally-smallest common shingle provably lands in BOTH prefixes —
+    * candidate generation from the prefix-prefix join is lossless. The win:
+    * hot shingles (high df) sort to the END of every doc's order and never
+    * enter the index, so the df² posting-list blowup that makes a naive
+    * inverted-index join quadratic simply doesn't occur. A length filter
+    * prunes further: J ≤ min(m_a,m_b)/max(m_a,m_b), so pairs whose sizes
+    * differ by more than the threshold ratio can't qualify and are cut
+    * before the distinct. Survivors are verified with exact shared counts.
+    *
+    * The per-doc ordering is ONE aggregation (sort_array over ≤ m structs),
+    * not a row_number window — no per-doc sort exchange; the prefix is a
+    * `slice` of the sorted array. Output: (a_id, b_id, shared, jaccard) for
+    * pairs with jaccard ≥ minJaccard, a_id < b_id. */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, s"minJaccard $minJaccard outside (0, 1]")
     val sh = hashedShingles(df, idCol, textCol, n)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    jaccardOf(sharedCounts(sh, idCol), sizes, idCol, minJaccard)
+    val dfc = sh.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
+    val ordered = sh.join(dfc, "__gh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__o"))
+    val m = size(col("__o"))
+    val plen = (m - ceil(lit(minJaccard) * m) + 1).cast("int")
+    val prefix = ordered.select(col(idCol), m.as("__m"),
+      explode(transform(slice(col("__o"), lit(1), plen), s => s.getField("__gh")))
+        .as("__gh"))
+    val cands = prefix.select(col(idCol).as("a_id"), col("__m").as("__ma"), col("__gh"))
+      .join(prefix.select(col(idCol).as("b_id"), col("__m").as("__mb"), col("__gh")),
+        "__gh")
+      .filter(col("a_id") < col("b_id"))
+      .filter(least(col("__ma"), col("__mb")) >=
+        ceil(lit(minJaccard) * greatest(col("__ma"), col("__mb"))))
+      .select("a_id", "b_id").distinct()
+    jaccardOf(verifiedSharedCounts(sh, cands, idCol), sizes, idCol, minJaccard)
   }
 
   private def jaccardOf(pairs: DataFrame, sizes: DataFrame, idCol: String,
@@ -116,9 +171,10 @@ object Dedup {
   /** MinHash+LSH near-dup join: signatures → band buckets → candidate pairs
     * from band collisions → verified with true Jaccard ≥ minJaccard.
     * Candidate generation is a hash-bucket equi-join (shuffle keyed on
-    * (band, bandhash)), never an all-pairs compare. */
+    * (band, bandhash), fat buckets dropped past `maxBucket`), never an
+    * all-pairs compare. */
   def minhashLshJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol, n)
     val sigs = minhashSignatures(sh, idCol)
     val rows = NumHashes / LshBands
@@ -128,27 +184,17 @@ object Dedup {
       struct(lit(k).as("band"),
         slice0.reduce((acc, s) => (acc * 31L + s) % MinhashP).as("bh"))
     }
-    val buckets = sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
-      .select(col(idCol), col("__b.band"), col("__b.bh"))
+    val buckets = Salt.capBuckets(
+      sigs.select(col(idCol), explode(array(bandCols: _*)).as("__b"))
+        .select(col(idCol), col("__b.band"), col("__b.bh")),
+      Seq("band", "bh"), maxBucket)
     val cands = buckets.select(col(idCol).as("a_id"), col("band"), col("bh"))
       .join(buckets.select(col(idCol).as("b_id"), col("band"), col("bh")),
         Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    // Candidate-FIRST verification: prune each shingle side to docs that
-    // appear in an LSH candidate pair before the inverted-index self-join,
-    // then semi-join the (much smaller) pair stream against the exact
-    // candidate set. The full-index pair aggregation never runs — at scale
-    // the posting lists shrink to the near-dup subset, not the corpus.
-    val shA = sh.join(cands.select(col("a_id").as(idCol)).distinct(), idCol, "left_semi")
-    val shB = sh.join(cands.select(col("b_id").as(idCol)).distinct(), idCol, "left_semi")
-    val shared = shA.select(col(idCol).as("a_id"), col("__gh"))
-      .join(shB.select(col(idCol).as("b_id"), col("__gh")), "__gh")
-      .filter(col("a_id") < col("b_id"))
-      .join(cands, Seq("a_id", "b_id"), "left_semi")
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-    jaccardOf(shared, sizes, idCol, minJaccard)
+    jaccardOf(verifiedSharedCounts(sh, cands, idCol), sizes, idCol, minJaccard)
   }
 
   /** 32-bit SimHash over the token stream (repeats weigh in): bit i of the
@@ -176,33 +222,42 @@ object Dedup {
     df.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Pigeonhole band layout over the 32-bit fingerprint for a hamming budget:
+    * (band index, bit offset, bit width) — maxHamming+1 disjoint bands, the
+    * first `32 % bands` one bit wider. Shared with the SQL oracle generator
+    * so Spark and DuckDB cannot band differently. */
+  def simhashBandLayout(maxHamming: Int): Seq[(Int, Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming outside [0, 31]")
+    val bands = maxHamming + 1
+    val widths = Array.tabulate(bands)(k => 32 / bands + (if (k < 32 % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until bands).map(k => (k, offsets(k), widths(k)))
+  }
+
   /** SimHash near-dup pairs: hamming distance ≤ maxHamming, a_id < b_id.
     *
     * Pigeonhole banding makes this an equi-join, not an all-pairs scan: cut
     * the 32-bit fingerprint into maxHamming+1 disjoint bands — any pair
     * within the hamming budget differs in ≤ maxHamming bits, so at least one
     * band matches EXACTLY. Candidates = hash-bucket self-join on
-    * (band, band bits); survivors are verified with the true hamming
-    * distance. Output is identical to the brute-force form, but the shuffle
-    * is keyed and bounded by bucket sizes — the shape that survives scale. */
+    * (band, band bits), fat buckets dropped past `maxBucket`; survivors are
+    * verified with the true hamming distance. Output is identical to the
+    * brute-force form (while no bucket exceeds the cap), but the shuffle is
+    * keyed and bounded by bucket sizes — the shape that survives scale. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming $maxHamming outside [0, 31]")
-    // cache(): joins below would otherwise inline the 32-bit-sums expression
+      maxHamming: Int, maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    // Caches: joins below would otherwise inline the 32-bit-sums expression
     // into every side and re-evaluate it per candidate.
-    val fps = simhash(df, idCol, textCol).cache()
-    val bands = maxHamming + 1
-    // distribute 32 bits across bands (first `32 % bands` bands get an extra bit)
-    val widths = Array.tabulate(bands)(k => 32 / bands + (if (k < 32 % bands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val bandCols = (0 until bands).map { k =>
+    val fps = Caches.cached(simhash(df, idCol, textCol))
+    val bandCols = simhashBandLayout(maxHamming).map { case (k, off, width) =>
       struct(lit(k).as("band"),
-        shiftright(col("simhash"), offsets(k)).bitwiseAND(lit((1L << widths(k)) - 1L))
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << width) - 1L))
           .as("bits"))
     }
-    val buckets = fps.select(col(idCol), col("simhash"),
-      explode(array(bandCols: _*)).as("__b"))
-      .select(col(idCol), col("simhash"), col("__b.band"), col("__b.bits"))
+    val buckets = Salt.capBuckets(
+      fps.select(col(idCol), col("simhash"), explode(array(bandCols: _*)).as("__b"))
+        .select(col(idCol), col("simhash"), col("__b.band"), col("__b.bits")),
+      Seq("band", "bits"), maxBucket)
     val cands = buckets.select(col(idCol).as("a_id"), col("simhash").as("__ha"),
         col("band"), col("bits"))
       .join(buckets.select(col(idCol).as("b_id"), col("simhash").as("__hb"),
@@ -216,19 +271,26 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup via LSH candidates: candidates come from a
-    * bucket-collision self-join over [[RpLsh]] projection planes (OR over
-    * `numTables` tables), and the fused cosine re-verifies every candidate —
-    * the scale form of [[cosinePairs]] (approximate recall per the LSH
-    * params; exact precision because nothing is emitted unverified). For
-    * UNIT vectors cos ≥ t ⟺ ‖a−b‖ ≤ √(2−2t), so near-dup pairs sit
-    * ≲ radius/√dim apart along each plane — pick `bucketLength` a few times
-    * that. Deterministic md5-derived planes → the whole query, candidate set
-    * included, replays in the DuckDB oracle. */
+    * bucket-collision self-join over [[RpLsh]] AND-composed projection grids
+    * (`numPlanes` planes per table, OR over `numTables` tables, fat buckets
+    * dropped past `maxBucket`), and the fused cosine re-verifies every
+    * candidate — the scale form of [[cosinePairs]] (approximate recall per
+    * the LSH params; exact precision because nothing is emitted unverified).
+    * For UNIT vectors cos ≥ t ⟺ ‖a−b‖ ≤ √(2−2t), so near-dup pairs sit
+    * ≲ radius/√dim apart along each plane — pick `bucketLength` several times
+    * that and let the plane AND-composition, not a narrow slab, supply the
+    * selectivity. Deterministic md5-derived planes → the whole query,
+    * candidate set included, replays in the DuckDB oracle. */
   def cosinePairsLsh(vecs: DataFrame, idCol: String, vecCol: String,
       minCos: Double, dim: Int, bucketLength: Double,
-      numTables: Int = 3): DataFrame = {
-    val v = vecs.select(col(idCol), col(vecCol)).cache()
-    val b = RpLsh.bucketize(v, idCol, vecCol, dim, bucketLength, numTables)
+      numTables: Int = 4, numPlanes: Int = 4,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val v = Caches.cached(vecs.select(col(idCol), col(vecCol)))
+    // buckets feed both sides of the self-join: register the capped frame so
+    // the numTables×numPlanes projection pass runs once, not twice.
+    val b = Caches.cached(Salt.capBuckets(
+      RpLsh.bucketize(v, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
+      Seq("tbl", "bucket"), maxBucket))
     val cands = b.select(col(idCol).as("a_id"), col("tbl"), col("bucket"))
       .join(b.select(col(idCol).as("b_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
@@ -249,10 +311,10 @@ object Dedup {
     * ([[cosinePairsLsh]]). */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
-    // cache(): embedding pipelines upstream would re-run on both join sides
+    // Caches: embedding pipelines upstream would re-run on both join sides
     // otherwise; see simhashPairs for the repartition rationale. The inner
     // loop uses the fused single-pass cosine expression, not the HOF form.
-    val v = vecs.select(col(idCol), col(vecCol)).cache()
+    val v = Caches.cached(vecs.select(col(idCol), col(vecCol)))
     val par = vecs.sparkSession.sparkContext.defaultParallelism
     val a = v.repartition(par).select(col(idCol).as("a_id"), col(vecCol).as("__va"))
     val b = v.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))

@@ -68,17 +68,31 @@ object IvfIndex {
   }
 
   /** Assign every row its nearest centroid (ties → lowest list_id).
-    * Adds `list_id` to the input columns; rows are keyed by idCol. */
+    * Adds `list_id` to the input columns; rows are keyed by idCol.
+    *
+    * Zero-shuffle by construction: the model is already a collected local
+    * table (it IS the model — `lists` rows), so the centroids become a
+    * LITERAL array of (dist, list_id) structs and the argmin is
+    * `array_sort(...)[1].list_id` — a pure projection fused into the scan.
+    * The earlier broadcast-join + `Window.partitionBy(idCol)` form forced a
+    * hash exchange of |corpus|×lists rows just to keep one per row; at
+    * 100 TB that's a full extra shuffle of a lists×-amplified corpus.
+    * Struct ordering compares fields left-to-right, so ties on distance
+    * break toward the lowest list_id — the same (dist, list_id) order the
+    * window used and the SQL oracle's row_number mirrors. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String, model: Model,
       metric: Metric): DataFrame = {
-    val cents = broadcast(model.centroids)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__cdist"), col("list_id"))
-    corpus
-      .join(cents)
-      .withColumn("__cdist", metric.dist(col(vecCol), col("centroid")))
-      .withColumn("__pick", row_number().over(w))
-      .filter(col("__pick") === 1)
-      .drop("__cdist", "__pick", "centroid")
+    val cents = model.centroids
+      .select(col("list_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "IvfIndex.assign: model has no centroids")
+    val scored = cents.map { case (i, c) =>
+      struct(metric.dist(col(vecCol), lit(c.toArray)).as("d"), lit(i).as("list_id"))
+    }
+    corpus.withColumn("list_id",
+      element_at(array_sort(array(scored.toSeq: _*)), 1).getField("list_id"))
   }
 
   /** K3-style index materialization: overwrite, partitioned by list_id —

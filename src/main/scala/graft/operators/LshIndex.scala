@@ -18,16 +18,24 @@ import graft.functions.VectorFunctions.L2
   */
 object LshIndex {
 
-  /** Approximate L2 top-k per query: bucket-collision candidates (OR over
-    * `numTables` hash tables) → exact L2 on candidates only → bounded-heap
-    * top-k (shuffle |Q|·k·partitions, same reduce shape as [[KnnJoin.exact]]).
-    * Queries that collide with nothing return no rows — the LSH contract.
-    * Ties break on (dist, id). Output: (queryIdCol, idCol, rank, dist). */
+  /** Approximate L2 top-k per query: bucket-collision candidates (AND over
+    * `numPlanes` projections per table, OR over `numTables` hash tables) →
+    * exact L2 on candidates only → bounded-heap top-k (shuffle
+    * |Q|·k·partitions, same reduce shape as [[KnnJoin.exact]]). Corpus
+    * buckets larger than `maxBucket` are dropped before the join
+    * ([[Salt.capBuckets]]) — a constant-ish vector region otherwise feeds one
+    * reducer |bucket|×|colliding queries| rows. Queries that collide with
+    * nothing return no rows — the LSH contract. Ties break on (dist, id).
+    * Output: (queryIdCol, idCol, rank, dist). */
   def annTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
-      bucketLength: Double, numTables: Int = 3): DataFrame = {
-    val qb = RpLsh.bucketize(queries, queryIdCol, queryVecCol, dim, bucketLength, numTables)
-    val cb = RpLsh.bucketize(corpus, idCol, vecCol, dim, bucketLength, numTables)
+      bucketLength: Double, numTables: Int = 3, numPlanes: Int = 1,
+      maxBucket: Long = Dedup.DefaultMaxBucket): DataFrame = {
+    val qb = RpLsh.bucketize(queries, queryIdCol, queryVecCol, dim, bucketLength,
+      numTables, numPlanes)
+    val cb = Salt.capBuckets(
+      RpLsh.bucketize(corpus, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
+      Seq("tbl", "bucket"), maxBucket)
     val candIds = qb.join(cb, Seq("tbl", "bucket"))
       .select(col(queryIdCol), col(idCol)).distinct()
     val (keyCol, isString) = KnnJoin.keyColumn(corpus, idCol)

@@ -13,43 +13,68 @@ import graft.functions.VectorFunctions.dotProduct
   * RNG — deterministic per run but not replayable in SQL, which left the ANN
   * path rows-only in the correctness gate. Here each plane is a unit vector
   * with entries ±1/√dim whose SIGNS derive from the portable md5 hash
-  * ("rp_<table>_<dim>"), the same constants-interpolated-into-SQL methodology
-  * as [[Dedup.hashA]]/[[Dedup.hashB]]: both the Spark plan and the DuckDB
-  * oracle read the very same literals, so bucket ids — and therefore the
-  * exact candidate sets — reproduce bit-identically cross-engine. Sign
+  * ("rp_<table>_<plane>_<dim index>"), the same constants-interpolated-into-SQL
+  * methodology as [[Dedup.hashA]]/[[Dedup.hashB]]: both the Spark plan and the
+  * DuckDB oracle read the very same literals, so bucket ids — and therefore
+  * the exact candidate sets — reproduce bit-identically cross-engine. Sign
   * projections are a standard LSH family (Charikar, STOC'02); ±1/√d keeps
   * the plane unit-norm so `bucketLength` means the same thing it does for
   * MLlib's unit gaussian planes.
   *
-  * Bucket id = floor(round(⟨v, plane_t⟩ / bucketLength, 6)) — the round(…,6)
-  * quantizes away cross-engine ulp drift before the discontinuous floor, the
-  * same defense the oracle-compared distance columns use.
+  * AND/OR composition (the E2LSH construction): each of the `numTables` hash
+  * tables quantizes `numPlanes` INDEPENDENT projections and its bucket key is
+  * the tuple of all of them — a p-dimensional grid cell, not a 1-D slab.
+  * Collision probability per table falls exponentially in `numPlanes`
+  * (AND-amplification: only genuinely close pairs survive every coordinate),
+  * while the OR over tables buys recall back. A single plane per table
+  * (numPlanes = 1) degenerates to 1-D slabs that run fat on correlated
+  * corpora, turning the downstream bucket self-join quadratic — the exact
+  * failure mode ivfflat's `lists` parameter exists to avoid.
+  *
+  * Per-plane bucket id = floor(round(⟨v, plane_{t,p}⟩ / bucketLength, 6));
+  * the round(…,6) quantizes away cross-engine ulp drift before the
+  * discontinuous floor, the same defense the oracle-compared distance columns
+  * use. The composed key is the ':'-joined decimal string of the per-plane
+  * ids — string equality is engine-portable, and the join only ever tests
+  * equality, never order.
   */
 object RpLsh {
 
-  /** +1 or −1 for (hash table, dimension): parity of the first md5 byte. */
-  def sign(table: Int, j: Int): Int = {
+  /** +1 or −1 for (hash table, plane, dimension): parity of the first md5 byte. */
+  def sign(table: Int, planeIdx: Int, j: Int): Int = {
     val d = MessageDigest.getInstance("MD5")
-      .digest(s"rp_${table}_$j".getBytes(StandardCharsets.UTF_8))
+      .digest(s"rp_${table}_${planeIdx}_$j".getBytes(StandardCharsets.UTF_8))
     if ((d(0) & 1) == 0) 1 else -1
   }
 
-  /** Unit-norm projection plane for hash table `table`: entries ±1/√dim. */
-  def plane(table: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(j => sign(table, j) / math.sqrt(dim.toDouble))
+  /** Unit-norm projection plane (table, planeIdx): entries ±1/√dim. */
+  def plane(table: Int, planeIdx: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => sign(table, planeIdx, j) / math.sqrt(dim.toDouble))
 
-  /** One (id, tbl, bucket) row per input row per hash table. Pure codegen'd
-    * column arithmetic — the projection is a fold over a literal array, no
-    * UDF, no RNG, no fitted model to ship. */
+  /** One (id, tbl, bucket) row per input row per hash table, bucket = the
+    * AND-composed `numPlanes`-projection grid cell. Pure codegen'd column
+    * arithmetic — each projection is a fold over a literal array, no UDF, no
+    * RNG, no fitted model to ship.
+    *
+    * Fails fast (raise_error) on rows whose vector length ≠ `dim`: zip_with
+    * pads the shorter array with nulls, so a silent mismatch would null every
+    * projection and the downstream joins would return empty with no error —
+    * while the DuckDB mirror errors loudly, splitting Spark and oracle. */
   def bucketize(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      bucketLength: Double, numTables: Int): DataFrame = {
-    require(dim > 0 && bucketLength > 0 && numTables > 0,
-      s"dim $dim / bucketLength $bucketLength / numTables $numTables must be positive")
-    val vd = df.select(col(idCol), col(vecCol).cast("array<double>").as("__vd"))
+      bucketLength: Double, numTables: Int, numPlanes: Int = 1): DataFrame = {
+    require(dim > 0 && bucketLength > 0 && numTables > 0 && numPlanes > 0,
+      s"dim $dim / bucketLength $bucketLength / numTables $numTables / numPlanes $numPlanes must be positive")
+    val raw = col(vecCol).cast("array<double>")
+    val checked = when(size(raw) === dim, raw).otherwise(raise_error(concat(
+      lit(s"RpLsh.bucketize: expected vectors of dim $dim, got "),
+      size(raw).cast("string"))))
+    val vd = df.select(col(idCol), checked.as("__vd"))
     val tbls = (0 until numTables).map { t =>
-      val proj = dotProduct(col("__vd"), lit(plane(t, dim).toArray))
-      struct(lit(t).as("tbl"),
-        floor(round(proj / bucketLength, 6)).cast("long").as("bucket"))
+      val cells = (0 until numPlanes).map { p =>
+        val proj = dotProduct(col("__vd"), lit(plane(t, p, dim).toArray))
+        floor(round(proj / bucketLength, 6)).cast("long").cast("string")
+      }
+      struct(lit(t).as("tbl"), concat_ws(":", cells: _*).as("bucket"))
     }
     vd.select(col(idCol), explode(array(tbls: _*)).as("__h"))
       .select(col(idCol), col("__h.tbl").as("tbl"), col("__h.bucket").as("bucket"))
@@ -57,16 +82,19 @@ object RpLsh {
 
   /** DuckDB list literal for [[plane]] — Double.toString round-trips, so the
     * SQL parser reconstructs bit-identical doubles. */
-  def planeSql(table: Int, dim: Int): String =
-    plane(table, dim).mkString("[", ", ", "]")
+  def planeSql(table: Int, planeIdx: Int, dim: Int): String =
+    plane(table, planeIdx, dim).mkString("[", ", ", "]")
 
   /** DuckDB mirror of [[bucketize]] over relation `rel`: a UNION ALL of one
     * SELECT per hash table, columns (idSql, tbl, bucket). */
   def bucketsSql(rel: String, idSql: String, vecSql: String, dim: Int,
-      bucketLength: Double, numTables: Int): String =
+      bucketLength: Double, numTables: Int, numPlanes: Int = 1): String =
     (0 until numTables).map { t =>
+      val cells = (0 until numPlanes).map { p =>
+        s"CAST(floor(round(list_dot_product($vecSql, ${planeSql(t, p, dim)}) / $bucketLength, 6)) AS BIGINT)"
+      }
       s"""SELECT $idSql, $t AS tbl,
-         |    CAST(floor(round(list_dot_product($vecSql, ${planeSql(t, dim)}) / $bucketLength, 6)) AS BIGINT) AS bucket
+         |    concat_ws(':', ${cells.mkString(",\n      ")}) AS bucket
          |  FROM $rel""".stripMargin
     }.mkString("\n  UNION ALL ")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation by key salting. AQE's skew-join handling covers the join
@@ -47,4 +48,31 @@ object Salt {
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Fat-bucket guard for banded self-joins (LSH/SimHash/MinHash band joins):
+    * drop every bucket holding more than `cap` rows before the bucket
+    * equi-join. One skewed bucket — near-empty documents, a constant-ish
+    * vector region, a viral key — otherwise turns the self-join quadratic on
+    * a single reducer at scale (the reference's analogous guard is its
+    * MAX_JOBS row cap, `skills_for_jobs.py:22,417-418`). Dropping a bucket
+    * costs RECALL in that bucket only, never precision: every emitted pair is
+    * still verified downstream. The window's partitioning is the same key the
+    * join shuffles on, so the count piggybacks on the exchange the join needs
+    * anyway. Callers mirror the cap in their SQL oracle with a QUALIFY over
+    * the same keys wherever the oracle is structural. Audit what a cap would
+    * drop with [[oversizedBuckets]]. */
+  def capBuckets(buckets: DataFrame, keys: Seq[String], cap: Long): DataFrame = {
+    require(cap > 0, s"bucket cap must be positive, got $cap")
+    val w = Window.partitionBy(keys.map(col): _*)
+    buckets.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= cap)
+      .drop("__bsz")
+  }
+
+  /** The buckets [[capBuckets]] would drop at `cap`: (keys*, bucket_size),
+    * for logging/auditing what recall a cap sacrifices. */
+  def oversizedBuckets(buckets: DataFrame, keys: Seq[String], cap: Long): DataFrame =
+    buckets.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > cap)
 }

@@ -7,11 +7,12 @@ import graft.operators.{Dedup, Embedder}
 import DocSql.{toksCte, tokenHashSql}
 
 /** Deduplication queries over `documents.parquet` (BASELINE.json north star).
-  * Five distinct dedup families — exact content hash, inverted-index n-gram
+  * Five distinct dedup families — exact content hash, prefix-filtered n-gram
   * Jaccard, MinHash+LSH, SimHash, and embedding-cosine — each replayed
   * exactly by the DuckDB oracle, constants included (the MinHash hash-family
-  * parameters are interpolated from the same Scala values the operator
-  * uses, so Spark and SQL cannot drift).
+  * parameters, prefix-filter rule, band layouts, and bucket caps are
+  * interpolated from the same Scala values the operators use, so Spark and
+  * SQL cannot drift).
   *
   * Thresholds are tuned to the driver-planted near-dup structure: the sf0.01
   * corpus carries 25 pairs with 3-gram Jaccard ≥ 0.5 (max 0.989), which LSH
@@ -24,9 +25,15 @@ object DedupQueries extends graft.QueryModule {
   private val MaxHamming = 1
   private val MinCos = 0.95
   private val Dim = 64
-  // near-dup pairs (cos ≥ 0.95 ⇒ ‖a−b‖ ≤ 0.316) sit ≈ 0.316/√64 ≈ 0.04
-  // apart per projection — bucketLength 5× that keeps per-table recall high
-  private val CosBucketLen = 0.2
+  // AND-composed grid cells, not 1-D slabs. Measured on the hashTF corpus:
+  // projections spread ≈ N(−0.09, 0.07), so 0.12 buckets give each plane a
+  // handful of slabs; 5 planes AND-composed per table multiply that into
+  // thousands of grid cells (candidates collapse from ~11M slab pairs to
+  // ~10⁴-10⁵), and 12 OR-tables buy recall back (26/26 planted pairs at
+  // sf0.01, 479/485 at sf0.1 vs the brute-force verifier).
+  private val CosBucketLen = 0.12
+  private val CosTables = 12
+  private val CosPlanes = 5
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
@@ -45,20 +52,21 @@ object DedupQueries extends graft.QueryModule {
         "doc_id", "embedding", MinCos)),
     // The LSH-candidate scale path, oracle-gated next to the brute-force
     // verifier above: RpLsh's md5-derived planes make the candidate set
-    // itself replayable in SQL. On THIS corpus (hashTF vectors are all
-    // moderately similar, buckets run fat) brute force can win locally, but
-    // the banded plan is the one that survives a 100× corpus — so the oracle
-    // gate protects it, not just the verifier.
+    // itself replayable in SQL, and the AND-composed grid buckets keep
+    // candidate generation sub-quadratic even on this corpus's correlated
+    // hashTF vectors (1-D slabs ran fat here; grid cells don't).
     "dedup_embed_cos_lsh" -> ((s, dir) =>
       Dedup.cosinePairsLsh(
         Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim),
-        "doc_id", "embedding", MinCos, Dim, CosBucketLen)))
+        "doc_id", "embedding", MinCos, Dim, CosBucketLen, CosTables, CosPlanes)))
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
   private val sigExpr = "[" + (0 until Dedup.NumHashes).map { j =>
     s"list_min(list_transform(ghs, x -> (${Dedup.hashA(j)}*x + ${Dedup.hashB(j)}) % ${Dedup.MinhashP}))"
   }.mkString(", ") + "]"
+
+  private val Cap = Dedup.DefaultMaxBucket
 
   private val jaccardTail =
     s"""sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
@@ -78,18 +86,39 @@ object DedupQueries extends graft.QueryModule {
        |    i -> CASE WHEN sums[i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0) AS BIGINT) AS simhash
        |  FROM bs)""".stripMargin
 
+  /** Mirror of [[Dedup.simhashPairs]]'s pigeonhole banding: one SELECT per
+    * band from [[Dedup.simhashBandLayout]] — the very same (offset, width)
+    * values the Spark operator shifts by. */
+  private val simhashBandsSql = Dedup.simhashBandLayout(MaxHamming)
+    .map { case (k, off, w) =>
+      s"SELECT doc_id, simhash, $k AS band, (simhash >> $off) & ${(1L << w) - 1L} AS bits FROM sh"
+    }.mkString("\n  UNION ALL ")
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
+    // Prefix filtering mirrored 1:1: rank each doc's shingles by (global df,
+    // hash), keep rank ≤ m − ceil(J·m) + 1, candidates from the prefix join,
+    // exact shared counts restricted to candidates.
     "dedup_jaccard_pairs" ->
       s"""WITH $toksCte,
          |${DocSql.shinglesCte(N)},
          |ghj AS (SELECT doc_id, ${tokenHashSql("gram")} AS ghv FROM shd),
+         |dfc AS (SELECT ghv, count(*) AS df FROM ghj GROUP BY 1),
+         |pf AS (SELECT doc_id, ghv FROM (
+         |    SELECT g.doc_id, g.ghv,
+         |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
+         |      count(*) OVER (PARTITION BY g.doc_id) AS m
+         |    FROM ghj g JOIN dfc USING (ghv))
+         |  WHERE r <= m - ceil($MinJ * m) + 1),
+         |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
          |shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
          |  FROM ghj a JOIN ghj b ON a.ghv = b.ghv AND a.doc_id < b.doc_id
+         |  JOIN cands c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
          |  GROUP BY 1, 2),
          |$jaccardTail""".stripMargin,
     "dedup_minhash_lsh" ->
@@ -101,7 +130,8 @@ object DedupQueries extends graft.QueryModule {
          |bk AS (SELECT doc_id, unnest(list_transform(generate_series(0, ${Dedup.LshBands - 1}),
          |    k -> {'band': k, 'bh': (sig[k*2+1]*31 + sig[k*2+2]) % ${Dedup.MinhashP}})) AS u
          |  FROM sigs),
-         |buckets AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM bk),
+         |buckets AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM bk
+         |  QUALIFY count(*) OVER (PARTITION BY u.band, u.bh) <= $Cap),
          |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM buckets a JOIN buckets b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
@@ -114,12 +144,19 @@ object DedupQueries extends graft.QueryModule {
       s"""WITH $toksCte,
          |$simhashCte
          |SELECT doc_id, simhash FROM sh""".stripMargin,
+    // Structural mirror of the banded plan (not the brute-force form): the
+    // pigeonhole rewrite is lossless, so this equals all-pairs hamming while
+    // no bucket exceeds the cap — and if one ever does, both engines drop it.
     "dedup_simhash_pairs" ->
       s"""WITH $toksCte,
-         |$simhashCte
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |$simhashCte,
+         |bu AS ($simhashBandsSql),
+         |buc AS (SELECT * FROM bu
+         |  QUALIFY count(*) OVER (PARTITION BY band, bits) <= $Cap)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |FROM buc a JOIN buc b ON a.band = b.band AND a.bits = b.bits
+         |  AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin,
     "dedup_embed_cos_pairs" ->
       s"""WITH $toksCte,
@@ -131,9 +168,11 @@ object DedupQueries extends graft.QueryModule {
     "dedup_embed_cos_lsh" ->
       s"""WITH $toksCte,
          |${DocSql.embedCte(Dim)},
-         |bk AS (${graft.operators.RpLsh.bucketsSql("nv", "doc_id", "vec", Dim, CosBucketLen, 3)}),
+         |bk AS (${graft.operators.RpLsh.bucketsSql("nv", "doc_id", "vec", Dim, CosBucketLen, CosTables, CosPlanes)}),
+         |bkc AS (SELECT * FROM bk
+         |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $Cap),
          |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bk a JOIN bk b
+         |  FROM bkc a JOIN bkc b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
          |SELECT c.a_id, c.b_id,
          |  round(list_cosine_similarity(va.vec, vb.vec), 6) AS cos_sim

@@ -20,15 +20,18 @@ object EvalQueries extends graft.QueryModule {
 
   private def tops(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (q, c) = Fixtures.split(s, dir)
-    // .cache() both top-k frames (≤ |Q|·K rows each): every eval query reads
-    // them twice (hits + best / matches + denominator), and the cache
-    // manager's plan-identity matching shares the materialization across all
-    // four eval_* queries in a session — the cross-corpus k-NN join runs
-    // once, not eight times.
-    val cosTop = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine).cache()
+    // Register both top-k frames (≤ |Q|·K rows each) with graft.Caches:
+    // every eval query reads them twice (hits + best / matches +
+    // denominator), and the registry's plan-identity memoization shares the
+    // materialization across all four eval_* queries in a run — the
+    // cross-corpus k-NN join runs once, not eight times — while
+    // Caches.clear() releases them when the run ends.
+    val cosTop = graft.Caches.cached(
+      KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine))
     val qh = q.select(col("job_id"), slice(col("qvec"), 1, HalfDim).as("qvec"))
     val ch = c.select(col("skill_id"), slice(col("svec"), 1, HalfDim).as("svec"))
-    val annTop = KnnJoin.exact(qh, "job_id", "qvec", ch, "skill_id", "svec", K, Cosine).cache()
+    val annTop = graft.Caches.cached(
+      KnnJoin.exact(qh, "job_id", "qvec", ch, "skill_id", "svec", K, Cosine))
     (cosTop, annTop, c)
   }
 

@@ -21,8 +21,13 @@ object IndexQueries extends graft.QueryModule {
   private val Lists = 4 // NUM_LISTS in the reference (load_skill_vectors_pg.py:15)
   private val Probes = 2
   private val Dim = 64            // embeddings.parquet fixture dimension
-  private val LshBucketLen = 0.2  // projections of unit vectors ≈ N(0, 1/√64)
+  // projections of unit vectors ≈ N(0, 1/√64); AND-composing 2 planes per
+  // table multiplies bucket counts (grid cells, not 1-D slabs) so a wider
+  // 0.4 bucket keeps per-plane recall while candidates stay sub-quadratic.
+  private val LshBucketLen = 0.4
   private val LshTables = 3
+  private val LshPlanes = 2
+  private val Cap = graft.operators.Dedup.DefaultMaxBucket
 
   private def ivfParts(s: SparkSession, dir: String) = {
     val (q, c) = Fixtures.split(s, dir)
@@ -62,8 +67,24 @@ object IndexQueries extends graft.QueryModule {
     "lsh_ann_topk" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
       LshIndex.annTopK(q, "job_id", "qvec", c, "skill_id", "svec", K,
-        Dim, LshBucketLen, LshTables)
+        Dim, LshBucketLen, LshTables, LshPlanes)
         .withColumn("dist", round(col("dist"), 6))
+    }),
+    // X1 stretch — the Lloyd-refined quantizer the scale story recommends
+    // (IvfIndex.fitKMeans), driver-exercised: recall@k of probes=2 retrieval
+    // against exact search. KMeans centroids aren't SQL-expressible, so this
+    // is rows+schema-gated (no oracle entry); IvfLshSpec asserts its recall
+    // meets or beats the seed quantizer's.
+    "ivf_kmeans_recall" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val model = IvfIndex.fitKMeans(c, "svec", Lists)
+      val indexed = IvfIndex.assign(c, "skill_id", "svec", model, Cosine)
+      val ann = IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id", "svec",
+        model, K, Probes, Cosine)
+      val exact = graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", indexed, "skill_id", "svec", K, Cosine)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
     }))
 
   /** Seed-quantizer IVF pipeline in SQL: centroids = `Lists` lowest-id corpus
@@ -101,10 +122,12 @@ object IndexQueries extends graft.QueryModule {
     "ivf_probe_all_exact" -> ivfSql(Lists),
     "lsh_ann_topk" ->
       s"""WITH $qCte, $cCte,
-         |qb AS (${graft.operators.RpLsh.bucketsSql("q", "job_id", "qvec", Dim, LshBucketLen, LshTables)}),
-         |cb AS (${graft.operators.RpLsh.bucketsSql("c", "skill_id", "svec", Dim, LshBucketLen, LshTables)}),
-         |cand AS (SELECT DISTINCT qb.job_id, cb.skill_id
-         |  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket),
+         |qb AS (${graft.operators.RpLsh.bucketsSql("q", "job_id", "qvec", Dim, LshBucketLen, LshTables, LshPlanes)}),
+         |cb AS (${graft.operators.RpLsh.bucketsSql("c", "skill_id", "svec", Dim, LshBucketLen, LshTables, LshPlanes)}),
+         |cbc AS (SELECT * FROM cb
+         |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $Cap),
+         |cand AS (SELECT DISTINCT qb.job_id, cbc.skill_id
+         |  FROM qb JOIN cbc ON qb.tbl = cbc.tbl AND qb.bucket = cbc.bucket),
          |d AS (SELECT cand.job_id, cand.skill_id, list_distance(q.qvec, c.svec) AS dist
          |  FROM cand JOIN q USING (job_id) JOIN c USING (skill_id)),
          |r AS (SELECT job_id, skill_id, dist,

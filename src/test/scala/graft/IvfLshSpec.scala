@@ -82,13 +82,48 @@ class IvfLshSpec extends SparkSpec {
 
   test("RpLsh planes are md5-deterministic, unit-norm, and SQL literals round-trip") {
     import graft.operators.RpLsh
-    assert(RpLsh.plane(0, 64) == RpLsh.plane(0, 64))
-    assert(RpLsh.plane(0, 64) != RpLsh.plane(1, 64))
-    val norm = math.sqrt(RpLsh.plane(2, 64).map(x => x * x).sum)
+    assert(RpLsh.plane(0, 0, 64) == RpLsh.plane(0, 0, 64))
+    assert(RpLsh.plane(0, 0, 64) != RpLsh.plane(1, 0, 64))
+    assert(RpLsh.plane(0, 0, 64) != RpLsh.plane(0, 1, 64)) // planes within a table differ
+    val norm = math.sqrt(RpLsh.plane(2, 1, 64).map(x => x * x).sum)
     assertNear(norm, 1.0)
     // Double.toString round-trips through the SQL literal text
-    val parsed = RpLsh.planeSql(1, 64).stripPrefix("[").stripSuffix("]")
+    val parsed = RpLsh.planeSql(1, 0, 64).stripPrefix("[").stripSuffix("]")
       .split(", ").map(_.toDouble).toSeq
-    assert(parsed == RpLsh.plane(1, 64))
+    assert(parsed == RpLsh.plane(1, 0, 64))
+  }
+
+  test("RpLsh AND-composition sharpens buckets and fails fast on wrong dim") {
+    import graft.operators.RpLsh
+    val one = RpLsh.bucketize(corpus, "cid", "cvec", 64, 0.4, 1, 1)
+    val four = RpLsh.bucketize(corpus, "cid", "cvec", 64, 0.4, 1, 4)
+    val n1 = one.select("bucket").distinct().count()
+    val n4 = four.select("bucket").distinct().count()
+    assert(n4 > n1, s"4-plane grid ($n4 buckets) should out-partition 1 plane ($n1)")
+    // wrong dim raises instead of silently nulling every bucket
+    val ex = intercept[Exception] {
+      RpLsh.bucketize(corpus, "cid", "cvec", 32, 0.4, 1, 1).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("KMeans-IVF recall at probes=2 meets or beats the seed quantizer") {
+    val seedModel = IvfIndex.fitSeeds(corpus, "cid", "cvec", 4)
+    val seedIdx = IvfIndex.assign(corpus, "cid", "cvec", seedModel, Cosine)
+    val seedRec = recallOf(IvfIndex.search(queries, "qid", "qvec", seedIdx,
+      "cid", "cvec", seedModel, 10, 2, Cosine))
+    val kmModel = IvfIndex.fitKMeans(corpus, "cvec", 4)
+    val kmIdx = IvfIndex.assign(corpus, "cid", "cvec", kmModel, Cosine)
+    val kmRec = recallOf(IvfIndex.search(queries, "qid", "qvec", kmIdx,
+      "cid", "cvec", kmModel, 10, 2, Cosine))
+    assert(kmRec >= seedRec,
+      s"Lloyd-refined centroids recall $kmRec < seed quantizer $seedRec")
+  }
+
+  test("assign is a pure projection: no Exchange between scan and list_id") {
+    val model = IvfIndex.fitSeeds(corpus, "cid", "cvec", 4)
+    val indexed = IvfIndex.assign(corpus, "cid", "cvec", model, Cosine)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign plan shuffles:\n$plan")
   }
 }
