@@ -8,15 +8,16 @@ import org.apache.spark.sql.types._
   * as opaque `binary` payloads with a typed metadata struct, processed by
   * partition-batched decoders.
   *
-  * The Spark-side shape is the real deliverable — schema, partitioning,
-  * batched iteration, output contract. The decoders themselves are
-  * STUBS: this container has no image/audio codecs, so
-  * [[StubCodec.decodeImage]] derives deterministic fake dimensions/features
-  * from the payload bytes. Swapping in a real codec (JNI or a library on
-  * the executor classpath) changes only that one function — the
-  * `mapPartitions` plumbing, amortized per-partition setup, and schemas
-  * stay as they are. (In PySpark the same shape is `mapInPandas` with an
-  * arrow-batched UDF.)
+  * The Spark-side shape — schema, partitioning, batched iteration, output
+  * contract — is the core deliverable. [[StubCodec.decodeImage]] sniffs the
+  * payload's magic bytes: real PNG/JPEG payloads decode with `javax.imageio`
+  * (pure JDK, no native deps, headless-safe), everything else falls back to
+  * a deterministic fake derived from the payload bytes so text-derived
+  * fixtures and the audio/video modalities (no JDK codec) stay end-to-end
+  * runnable and oracle-replayable. Swapping in further codecs changes only
+  * that one function — the `mapPartitions` plumbing, amortized per-partition
+  * setup, and schemas stay as they are. (In PySpark the same shape is
+  * `mapInPandas` with an arrow-batched UDF.)
   */
 object Multimodal {
 
@@ -33,14 +34,61 @@ object Multimodal {
     StructField("n_channels", IntegerType),
     StructField("mean_luma", DoubleType)))
 
-  /** ======= STUB CODEC =======
-    * Deterministic fake decode: dimensions and "luma" derive from payload
-    * bytes, so tests are stable and the pipeline is end-to-end runnable.
-    * Replace with a real decoder to productionize; everything else stands. */
+  /** Image decode: real codec for real images, deterministic stub otherwise.
+    * PNG and JPEG payloads (recognized by magic bytes) decode through
+    * `javax.imageio.ImageIO`; any other payload — text-derived fixtures,
+    * formats the JDK has no codec for — takes the stable fake path, so the
+    * pipeline is end-to-end runnable on every input and the fixture oracle
+    * replays the fake formula exactly. */
   object StubCodec {
-    def decodeImage(payload: Array[Byte]): (Int, Int, Int, Double) = {
-      // ??? real codec goes here — fake it deterministically (modular fold,
-      // so h stays < 2^30 and the formula replays in any BIGINT engine):
+    private val PngMagic =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length >= PngMagic.length && PngMagic.indices.forall(i => p(i) == PngMagic(i))
+
+    private def isJpeg(p: Array[Byte]): Boolean =
+      p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+        (p(2) & 0xff) == 0xff
+
+    def decodeImage(payload: Array[Byte]): (Int, Int, Int, Double) =
+      if (isPng(payload) || isJpeg(payload)) {
+        // ImageIO signals a corrupt/truncated stream either by returning
+        // null or by throwing IIOException — both fall back to the stub
+        // rather than poisoning the whole batch for one bad payload.
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) fakeDecode(payload) else realFeatures(img)
+      } else fakeDecode(payload)
+
+    /** (width, height, raster bands, mean Rec.601 luma in [0,1]). getRGB
+      * converts every color model to sRGB, so gray/indexed/alpha images all
+      * measure on the same scale; channels still report the raw band count. */
+    private def realFeatures(img: java.awt.image.BufferedImage): (Int, Int, Int, Double) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val channels = img.getRaster.getNumBands
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, channels, sum / (w.toLong * h))
+    }
+
+    /** Deterministic fake decode for non-image payloads (modular fold, so h
+      * stays < 2^30 and the formula replays in any BIGINT engine). */
+    private def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Double) = {
       val h = payload.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
       val width = 64 + (h % 960).toInt
       val height = 64 + ((h >> 10) % 960).toInt

@@ -27,6 +27,49 @@ class MultimodalSpec extends SparkSpec {
     assert(c >= 1 && c <= 3 && l >= 0.0 && l <= 1.0)
   }
 
+  private def pngBytes(rgbByXY: Map[(Int, Int), Int], w: Int, h: Int,
+      format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgbByXY.foreach { case ((x, y), rgb) => img.setRGB(x, y, rgb) }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  test("real PNG payloads decode through ImageIO to exact dims/channels/luma") {
+    // white, black, pure red, pure green → Rec.601 lumas 1, 0, .299, .587
+    val png = pngBytes(Map((0, 0) -> 0xffffff, (1, 0) -> 0x000000,
+      (0, 1) -> 0xff0000, (1, 1) -> 0x00ff00), w = 2, h = 2)
+    val (w, h, c, luma) = StubCodec.decodeImage(png)
+    assert((w, h, c) == (2, 2, 3))
+    assertNear(luma, (1.0 + 0.0 + 0.299 + 0.587) / 4)
+  }
+
+  test("real JPEG payloads decode through ImageIO; corrupt images fall back") {
+    // a solid-gray JPEG survives lossy compression near-exactly
+    val jpg = pngBytes(Map((0, 0) -> 0x808080, (1, 0) -> 0x808080,
+      (0, 1) -> 0x808080, (1, 1) -> 0x808080), w = 2, h = 2, format = "jpg")
+    val (w, h, c, luma) = StubCodec.decodeImage(jpg)
+    assert((w, h, c) == (2, 2, 3))
+    assert(math.abs(luma - 128.0 / 255.0) < 0.02, s"gray luma off: $luma")
+    // PNG magic followed by garbage: ImageIO returns null → stub path
+    val corrupt = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      1, 2, 3)
+    assert(StubCodec.decodeImage(corrupt) ==
+      StubCodec.decodeImage(corrupt)) // deterministic, no throw
+  }
+
+  test("extractImageFeatures decodes real PNG payloads in the Spark path") {
+    val png = pngBytes(Map((0, 0) -> 0xffffff, (1, 0) -> 0x000000,
+      (0, 1) -> 0xff0000, (1, 1) -> 0x00ff00), w = 2, h = 2)
+    val pngMedia = Multimodal.asMediaTable(
+      Seq((7L, png)).toDF("doc_id", "payload"), "doc_id", "payload", "image", "png")
+    val row = Multimodal.extractImageFeatures(pngMedia, "doc_id").head()
+    assert((row.getLong(0), row.getInt(1), row.getInt(2), row.getInt(3)) == ((7L, 2, 2, 3)))
+    assertNear(row.getDouble(4), (1.0 + 0.0 + 0.299 + 0.587) / 4)
+  }
+
   test("extractImageFeatures maps every payload through the batched decoder") {
     val f = Multimodal.extractImageFeatures(media, "doc_id")
     assert(f.columns.toSeq == Seq("doc_id", "width", "height", "n_channels", "mean_luma"))
