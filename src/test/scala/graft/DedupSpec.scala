@@ -84,4 +84,69 @@ class DedupSpec extends SparkSpec {
     assert(m.contains((1L, 3L)))
     assert(!m.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  /** Randomized corpus with planted near-dups: base docs, mutated copies
+    * (token substitutions/drops), and unrelated noise. Fixed seed —
+    * deterministic across runs. */
+  private def randomCorpus(seed: Int, nBase: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi")
+    def doc(): Seq[String] = Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+    val bases = Seq.fill(nBase)(doc())
+    val mutated = bases.map { b =>
+      if (rnd.nextBoolean() && b.size > 3) b.drop(1)
+      else b.updated(rnd.nextInt(b.size), vocab(rnd.nextInt(vocab.size)))
+    }
+    val noise = Seq.fill(nBase)(doc())
+    (bases ++ mutated ++ noise).zipWithIndex.map { case (ts, i) =>
+      ((i + 1).toLong, ts.mkString(" ")) }
+  }
+
+  /** Independent Scala-side model of exact n-gram Jaccard (gram STRINGS,
+    * not hashes): the losslessness witness for the prefix-filtered join. */
+  private def bruteJaccard(corpus: Seq[(Long, String)], n: Int, minJ: Double)
+      : Set[(Long, Long, Long, Double)] = {
+    val sets = corpus.map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      id -> toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, ga) <- sets; (b, gb) <- sets if a < b
+      shared = (ga & gb).size.toLong
+      j = BigDecimal(shared.toDouble / (ga.size + gb.size - shared))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= minJ
+    } yield (a, b, shared, j)).toSet
+  }
+
+  test("prefix-filtered jaccardJoin is LOSSLESS: equals brute force on random corpora") {
+    for (seed <- Seq(7, 42)) {
+      val corpus = randomCorpus(seed, nBase = 25)
+      val got = Dedup.jaccardJoin(corpus.toDF("doc_id", "text"), "doc_id", "text", 3, 0.5)
+        .select($"a_id", $"b_id", $"shared", $"jaccard")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val want = bruteJaccard(corpus, 3, 0.5)
+      assert(got == want,
+        s"seed $seed: prefix-filtered join diverged from brute force\n" +
+          s"missing=${want -- got}\nextra=${got -- want}")
+    }
+  }
+
+  test("pigeonhole-banded simhashPairs is LOSSLESS: equals brute hamming on random corpora") {
+    for (seed <- Seq(11, 99); maxHamming <- Seq(1, 3)) {
+      val corpus = randomCorpus(seed, nBase = 25)
+      val df = corpus.toDF("doc_id", "text")
+      val fps = Dedup.simhash(df, "doc_id", "text")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val want = (for {
+        (a, ha) <- fps; (b, hb) <- fps if a < b
+        d = java.lang.Long.bitCount(ha ^ hb).toLong if d <= maxHamming
+      } yield (a, b, d)).toSet
+      val got = Dedup.simhashPairs(df, "doc_id", "text", maxHamming)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == want, s"seed $seed maxHamming $maxHamming: banded != brute\n" +
+        s"missing=${want -- got}\nextra=${got -- want}")
+    }
+  }
 }
