@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table layout for co-located joins (K4-adjacent; SURVEY.md §6
+  * "partitioning & shuffle" posture). The reference re-shuffles on every
+  * query because its stores index row-at-a-time; a batch engine instead
+  * pre-shuffles ONCE at write time: `bucketBy(n, key)` hashes rows into a
+  * fixed number of files per partition, and Spark's bucketed scan exposes
+  * that layout as `HashPartitioning(key, n)` — equi-joins and aggregations
+  * on `key` between tables bucketed the same way then plan with ZERO
+  * Exchange. At 100 TB this converts the recurring O(|fact|) join shuffle
+  * into a one-time write cost amortized over every downstream query, the
+  * same trade as a clustered index build.
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed, bucket-sorted external parquet table at
+    * `path`. Re-registers `tableName` (overwrite semantics — K3's
+    * truncate-then-load applied to a layout). Sorting within buckets lets
+    * sort-merge joins skip the Sort as well when each bucket lands in one
+    * file. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      key: String, numBuckets: Int): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(tableName)
+  }
+
+  /** Equi-join two tables bucketed on `key` with the same bucket count:
+    * both scans report the same HashPartitioning, so the join (and any
+    * following aggregation on `key`) plans exchange-free. */
+  def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, Bucketed}
 
 /** Join-shape breadth beyond plain equi-joins (SURVEY.md §2.5 notes the
   * reference needs none of these — they are engine-completeness operators):
@@ -70,6 +70,31 @@ object JoinQueries extends graft.QueryModule {
           coalesce(col("n_cust"), lit(0L)).as("n_cust"),
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
     }),
+    // Co-located join over bucketed tables: orders and lineitem are laid out
+    // bucketBy(orderkey) at write time, so the join AND the per-order
+    // aggregation both reuse the stored HashPartitioning — zero Exchange in
+    // the plan (asserted in BucketedSpec). The write is the one-time cost a
+    // 100 TB deployment amortizes over every downstream orderkey query; the
+    // oracle checks the RESULT equals a plain join, which layout must never
+    // change.
+    "join_bucketed_colocated" -> ((s, dir) => {
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+          .getMostSignificantBits)
+      val base = s"/tmp/graft_bucketed/$tag"
+      Bucketed.writeBucketed(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority"),
+        s"graft_orders_b_$tag", s"$base/orders", "o_orderkey", 8)
+      Bucketed.writeBucketed(Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
+        s"graft_lineitem_b_$tag", s"$base/lineitem", "o_orderkey", 8)
+      Bucketed.coLocatedJoin(s, s"graft_orders_b_$tag", s"graft_lineitem_b_$tag",
+          "o_orderkey")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
+            .as("revenue"))
+    }),
     // Exact interpolated percentiles per group (sort-based, deterministic).
     "agg_price_quantiles" -> ((s, dir) => {
       Tables.customer(s, dir)
@@ -116,6 +141,11 @@ object JoinQueries extends graft.QueryModule {
         |FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
         |      FROM supplier GROUP BY 1) s
         |USING (nationkey)""".stripMargin,
+    "join_bucketed_colocated" ->
+      """SELECT o.o_orderkey, o.o_orderpriority, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1, 2""".stripMargin,
     "agg_price_quantiles" ->
       """SELECT c_mktsegment,
         |  round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25), 4) AS p25,
