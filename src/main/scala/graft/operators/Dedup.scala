@@ -78,7 +78,7 @@ object Dedup {
     * registering ONE canonical plan with [[Caches]] shares the materialized
     * index across queries in a run. (A hash collision merges two shingles
     * identically on both sides — the oracle computes the same fold.) */
-  private def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     // Token hashes materialize as a column FIRST (HOF lambdas don't CSE —
     // see shingles); each gram hash is then n element_at's + integer ops.
@@ -148,7 +148,7 @@ object Dedup {
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard $minJaccard outside (0, 1]")
-    val sh = hashedShingles(df, idCol, textCol, n)
+    val sh = shingleHashes(df, idCol, textCol, n)
     val dfc = sh.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
     // One aggregation builds the df-rank-ordered per-doc hash array; the
     // prefix is a slice of it, the set size its length, and the verification
@@ -206,7 +206,7 @@ object Dedup {
     * all-pairs compare. */
   def minhashLshJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, n)
+    val sh = shingleHashes(df, idCol, textCol, n)
     val sets = Caches.cached(gramSets(sh, idCol))
     val sigs = signaturesOfSets(sets, idCol)
     val rows = NumHashes / LshBands

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators.Dedup
+import graft.functions.{CleanFunctions, TextFunctions}
+import CleanFunctions.{EmailPattern, PhonePattern, UrlPattern}
+import DocSql.toksCte
+
+/** Corpus-cleaning queries (BASELINE.json north star: the filters every
+  * LLM training-data pipeline runs before training): PII detection and
+  * redaction, Gopher-style intra-document repetition scoring, and benchmark
+  * decontamination by n-gram collision. Each replays exactly in the DuckDB
+  * oracle — the regexes are RE2-safe and the gram hashes are the same
+  * rolling md5 folds the dedup family uses.
+  */
+object CleanQueries extends graft.QueryModule {
+
+  private val RepN = 3        // repetition gram width
+  private val ContamN = 8     // decontamination gram width (long spans only)
+  private val BenchMaxId = 100L // stand-in held-out benchmark: doc_id ≤ 100
+
+  /** The corpus text carries no PII, so the query plants one deterministic
+    * email/URL/phone per row (derived from doc_id) — the redaction output
+    * then depends on BOTH the planted spans and the surrounding text, which
+    * the md5 over the redacted string pins cross-engine. */
+  private def withPii(idCol: String, textCol: String) =
+    concat(col(textCol),
+      lit(" contact user"), col(idCol).cast("string"),
+      lit("@example.com via https://ex.org/p/"), col(idCol).cast("string"),
+      lit(" or 555-123-4567"))
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "clean_pii_redact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), withPii("doc_id", "text").as("__t"))
+        .select(col("doc_id"),
+          CleanFunctions.emailCount(col("__t")).as("n_emails"),
+          CleanFunctions.urlCount(col("__t")).as("n_urls"),
+          CleanFunctions.phoneCount(col("__t")).as("n_phones"),
+          md5(CleanFunctions.redactPii(col("__t"))).as("redacted_hash"))
+    }),
+    "clean_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val totals = docs
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          when(size(col("__toks")) >= RepN, size(col("__toks")) - (RepN - 1))
+            .otherwise(0).cast("long").as("n_grams"))
+      val distincts = Dedup.shingleHashes(docs, "doc_id", "text", RepN)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+      totals.join(distincts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+          CleanFunctions.repetitionRatio(col("n_grams"),
+            coalesce(col("n_distinct"), lit(0L))).as("rep_ratio"))
+    }),
+    // Benchmark decontamination: flag corpus docs sharing any ContamN-gram
+    // with the held-out set; n_shared_grams = how many of the doc's distinct
+    // long grams are contaminated. The join keys on the 64-bit gram hash —
+    // at 100 TB the benchmark side is a broadcast set, the corpus side a
+    // map-side semi-join, no corpus self-join anywhere.
+    "clean_contamination" -> ((s, dir) => {
+      val sh = Dedup.shingleHashes(Tables.documents(s, dir), "doc_id", "text", ContamN)
+      val bench = sh.filter(col("doc_id") <= BenchMaxId)
+        .select(col("__gh")).distinct()
+      sh.filter(col("doc_id") > BenchMaxId)
+        .join(bench, "__gh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "clean_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com via https://ex.org/p/' || CAST(doc_id AS VARCHAR)
+         |      || ' or 555-123-4567' AS tt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(tt, '$EmailPattern')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(tt, '$UrlPattern')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(tt, '$PhonePattern')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(tt,
+         |    '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$UrlPattern', '<URL>', 'g'),
+         |    '$PhonePattern', '<PHONE>', 'g')) AS redacted_hash
+         |FROM t""".stripMargin,
+    "clean_repetition" ->
+      s"""WITH $toksCte,
+         |${DocSql.shingleHashCte(RepN)},
+         |tot AS (SELECT doc_id,
+         |    CAST(CASE WHEN len(toks) >= $RepN THEN len(toks) - ${RepN - 1}
+         |      ELSE 0 END AS BIGINT) AS n_grams
+         |  FROM tokd),
+         |dis AS (SELECT doc_id, count(*) AS n_distinct FROM shd GROUP BY 1)
+         |SELECT t.doc_id, t.n_grams,
+         |  CAST(coalesce(d.n_distinct, 0) AS BIGINT) AS n_distinct,
+         |  CASE WHEN t.n_grams = 0 THEN 0.0
+         |    ELSE round(1.0 - coalesce(d.n_distinct, 0) * 1.0 / t.n_grams, 6)
+         |  END AS rep_ratio
+         |FROM tot t LEFT JOIN dis d USING (doc_id)""".stripMargin,
+    "clean_contamination" ->
+      s"""WITH $toksCte,
+         |${DocSql.shingleHashCte(ContamN)},
+         |bench AS (SELECT DISTINCT ghv FROM shd WHERE doc_id <= $BenchMaxId)
+         |SELECT doc_id, count(*) AS n_shared_grams
+         |FROM shd JOIN bench USING (ghv)
+         |WHERE doc_id > $BenchMaxId
+         |GROUP BY 1""".stripMargin)
+}

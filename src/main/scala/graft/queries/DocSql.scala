@@ -26,7 +26,7 @@ private[queries] object DocSql {
        |  FROM tokd WHERE len(toks) >= $n)""".stripMargin
   }
 
-  /** Mirror of Dedup.hashedShingles: (doc_id, ghv), distinct rolling n-gram
+  /** Mirror of Dedup.shingleHashes: (doc_id, ghv), distinct rolling n-gram
     * hashes — the fold of acc·31 + tokenHash mod Dedup.ShingleP, unrolled
     * with the very same constants the Spark operator uses. Requires
     * [[toksCte]]. */
