@@ -111,6 +111,11 @@ object RelationalQueries extends graft.QueryModule {
     // flatMapGroupsWithState streaming sessionizer.
     "events_sessionized" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionizeBatch(Tables.events(s, dir))),
+    // Stream-static dimension enrichment (batch face; the stream face
+    // broadcasts the same static side per micro-batch, stateless).
+    "events_enriched" -> ((s, dir) =>
+      graft.streaming.EventStreams.enrichWithUsers(
+        Tables.events(s, dir), Tables.customer(s, dir))),
     // Running window frame: cumulative revenue per customer in order-date order.
     "rel_running_revenue" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -227,6 +232,10 @@ object RelationalQueries extends graft.QueryModule {
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
         |  CAST(len(a.p_name) AS BIGINT) AS a_len
         |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1""".stripMargin,
+    "events_enriched" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  c.c_mktsegment, c.c_nationkey, e.value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
     "events_sessionized" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts

@@ -37,6 +37,21 @@ object EventStreams {
       spark.readStream.schema(schema).parquet(path).withWatermark("ts", "1 hour"))
   }
 
+  /** Stream-static dimension enrichment: each event joined to its user's
+    * static attributes (customer dims keyed by custkey). In Structured
+    * Streaming a stream-static equi-join is STATELESS — the static side is
+    * (re)broadcast per micro-batch, nothing is buffered in state — so this
+    * is the scale-safe way to attach dimensions to an event stream; the
+    * batch face is the identical transform. Left join: events from unknown
+    * users pass through with null dims. */
+  def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(
+        broadcast(users.select(col("c_custkey").as("user_id"),
+          col("c_mktsegment"), col("c_nationkey"))),
+        Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment"), col("c_nationkey"), col("value"))
+
   /** Streaming exact dedup: drop replayed event ids arriving within the
     * watermark horizon — the streaming face of Dedup.exactAssign for
     * at-least-once sources. State per id is dropped once the watermark

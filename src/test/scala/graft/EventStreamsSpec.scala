@@ -24,6 +24,29 @@ class EventStreamsSpec extends SparkSpec {
     Event(5L, ts(55), 200L, "view", 5.0),  // 45-min gap → new session for user 200
     Event(6L, ts(60), 100L, "purchase", 6.0))
 
+  test("stream-static enrichment matches the batch join and stays stateless") {
+    val users = Seq((100L, "BUILDING", 7L), (200L, "MACHINERY", 3L))
+      .toDF("c_custkey", "c_mktsegment", "c_nationkey")
+    val input = MemoryStream[Event]
+    val query = EventStreams.enrichWithUsers(input.toDF(), users)
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1); query.processAllAvailable()
+      input.addData(batch2 :+ Event(7L, ts(61), 999L, "click", 7.0)) // unknown user
+      query.processAllAvailable()
+      val streamed = spark.table("enrich_t").collect().map(_.toSeq).toSet
+      val batch = EventStreams.enrichWithUsers(
+        (batch1 ++ batch2 :+ Event(7L, ts(61), 999L, "click", 7.0)).toDF(), users)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.exists(r => r(1) == 999L && r(3) == null)) // left-join pass-through
+      // stateless: the progress report carries no stateOperators entries
+      assert(query.lastProgress == null ||
+        query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
+  }
+
   test("streaming hourly counts (complete mode) match the batch transform") {
     val input = MemoryStream[Event]
     val query = EventStreams.hourlyTypeCounts(input.toDF())
