@@ -81,13 +81,8 @@ object NpySource {
     (dims(0), dims(1).toInt, elemSize, dataOff)
   }
 
-  /** Writer for round-trip tests and K1-style matrix export: one local .npy
-    * (f4, C-order) from (vec_id, array<float>) rows ordered by id. */
-  def writeFloatMatrixLocal(df: DataFrame, idCol: String, vecCol: String,
-      file: String): Unit = {
-    val rows = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
-      .collect().map(_.getSeq[Float](1).toArray)
-    require(rows.nonEmpty, "empty matrix")
+  /** One .npy byte image (v1.0, f4, C-order) for a row-major matrix. */
+  private def npyBytes(rows: Array[Array[Float]]): Array[Byte] = {
     val dim = rows.head.length
     val headerDict =
       s"{'descr': '<f4', 'fortran_order': False, 'shape': (${rows.length}, $dim), }"
@@ -99,6 +94,59 @@ object NpySource {
     out.putShort(header.length.toShort)
     out.put(header.getBytes("ASCII"))
     rows.foreach(r => r.foreach(out.putFloat))
-    java.nio.file.Files.write(java.nio.file.Paths.get(file), out.array())
+    out.array()
+  }
+
+  /** Writer for round-trip tests and K1-style matrix export: one local .npy
+    * (f4, C-order) from (vec_id, array<float>) rows ordered by id.
+    * Driver-side collect — test-scoped; the scale path is
+    * [[writeFloatMatrixSharded]]. */
+  def writeFloatMatrixLocal(df: DataFrame, idCol: String, vecCol: String,
+      file: String): Unit = {
+    val rows = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(rows.nonEmpty, "empty matrix")
+    java.nio.file.Files.write(java.nio.file.Paths.get(file), npyBytes(rows))
+  }
+
+  /** Distributed matrix export: each partition writes ONE .npy shard
+    * (`shard_NNNNN.npy`) through the Hadoop FileSystem API (local fs, HDFS,
+    * or an object store — whatever `dir`'s scheme resolves to), so the
+    * matrix never passes through the driver. Rows are range-partitioned and
+    * sorted by id, so logical row order is (shard asc, row asc) — the
+    * contract sharded tensor formats (TFRecord shards, WebDataset) use. A
+    * driver-written `manifest.json` records per-shard (file, rows, min/max
+    * id) for readers that need the global shape without opening shards.
+    * Returns the shard summaries in shard order. */
+  def writeFloatMatrixSharded(df: DataFrame, idCol: String, vecCol: String,
+      dir: String, shards: Int): Seq[(Int, Long, Long, Long)] = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = df.select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<float>").as("__v"))
+      .repartitionByRange(shards, col("__id"))
+      .sortWithinPartitions("__id")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val shard = org.apache.spark.TaskContext.getPartitionId()
+          val path = new org.apache.hadoop.fs.Path(dir, f"shard_$shard%05d.npy")
+          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val out = fs.create(path, true)
+          try out.write(npyBytes(rows.map(_._2))) finally out.close()
+          Iterator.single((shard, rows.length.toLong, rows.head._1, rows.last._1))
+        }
+      }.collect().sortBy(_._1).toSeq
+    val manifest = parts.map { case (s, n, lo, hi) =>
+      f"""{"file": "shard_$s%05d.npy", "rows": $n, "min_id": $lo, "max_id": $hi}"""
+    }.mkString("[\n  ", ",\n  ", "\n]")
+    val mPath = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+    val fs = mPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val mOut = fs.create(mPath, true)
+    try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
+    parts
   }
 }

@@ -93,6 +93,23 @@ object TextQueries extends graft.QueryModule {
         .agg(round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm"),
           max(col("n")).as("n_docs"))
     }),
+    // Symmetric int8 quantization of the embedding (scale = max |v_i|,
+    // q_i = round(v_i·127/scale)) — the 4-8x storage cut every large vector
+    // store takes; pinned by the quantized checksum and the max
+    // reconstruction error. Pure HOF arithmetic, replayed in the oracle.
+    "embed_quantize_int8" -> ((s, dir) => {
+      Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim)
+        .select(col("doc_id"), col("embedding").as("__v"))
+        .withColumn("__scale", array_max(transform(col("__v"), abs(_))))
+        .withColumn("__q", transform(col("__v"),
+          x => round(x * 127.0d / col("__scale")).cast("int")))
+        .select(col("doc_id"),
+          round(col("__scale"), 6).as("scale"),
+          aggregate(col("__q"), lit(0L), (a, q) => a + q).as("q_sum"),
+          round(array_max(zip_with(col("__v"), col("__q"),
+            (v, q) => abs(v - q.cast("double") * col("__scale") / 127.0d))), 6)
+            .as("max_err"))
+    }),
     // Entry point A end-to-end: embed documents, then doc→doc top-5 cosine
     // k-NN (queries = doc_id < 10, corpus = the rest).
     "embed_knn_docs" -> ((s, dir) => {
@@ -185,6 +202,19 @@ object TextQueries extends graft.QueryModule {
          |  round(list_max(vec), 6) AS max_val,
          |  CAST(list_position(vec, list_max(vec)) AS BIGINT) AS argmax
          |FROM nv""".stripMargin,
+    "embed_quantize_int8" ->
+      s"""WITH $embedCte,
+         |sc AS (SELECT doc_id, vec,
+         |    list_max(list_transform(vec, x -> abs(x))) AS scale
+         |  FROM nv),
+         |q AS (SELECT doc_id, vec, scale,
+         |    list_transform(vec, x -> CAST(round(x * 127.0 / scale) AS INT)) AS qv
+         |  FROM sc)
+         |SELECT doc_id, round(scale, 6) AS scale,
+         |  CAST(coalesce(list_sum(qv), 0) AS BIGINT) AS q_sum,
+         |  round(list_max(list_transform(generate_series(1, $Dim),
+         |    i -> abs(vec[i] - qv[i] * scale / 127.0))), 6) AS max_err
+         |FROM q""".stripMargin,
     "embed_knn_docs" ->
       s"""WITH $embedCte,
          |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),

@@ -26,6 +26,31 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("sharded npy export: per-partition shards reassemble in id order") {
+    val dir = tmpDir
+    val data = (0L until 20L).map(i => (i, Array(i.toFloat, i * 2.0f)))
+    val parts = NpySource.writeFloatMatrixSharded(
+      data.toDF("vec_id", "embedding"), "vec_id", "embedding", dir, shards = 3)
+    assert(parts.nonEmpty && parts.map(_._2).sum == 20L)
+    // shards tile the id range in order, without overlap
+    parts.sliding(2).foreach {
+      case Seq((_, _, _, hi), (_, _, lo, _)) => assert(hi < lo)
+      case _ =>
+    }
+    // concatenating shards in shard order reproduces the full sorted matrix
+    val back = parts.flatMap { case (s, _, _, _) =>
+      NpySource.readFloatMatrix(spark, f"$dir/shard_$s%05d.npy")
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+        .collect().sortBy(_._1).map(_._2)
+    }
+    assert(back == data.map(_._2.toSeq))
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    parts.foreach { case (s, n, lo, hi) =>
+      assert(manifest.contains(f""""file": "shard_$s%05d.npy", "rows": $n, "min_id": $lo, "max_id": $hi"""))
+    }
+  }
+
   test("npy reader accepts f8 and widens through float narrowing") {
     // hand-build a 2x2 <f8 npy
     val dict = "{'descr': '<f8', 'fortran_order': False, 'shape': (2, 2), }"
