@@ -31,12 +31,19 @@ object Eval {
         round(coalesce(col("__n"), lit(0L)) / col("__total"), 6).as("recall"))
   }
 
+  /** Order-independent mean of a (bounded-magnitude) double column: exact
+    * decimal sum, ONE division, then round — a plain double `avg` sums in
+    * partition order, and a last-ulp difference survives round(…, 6) when
+    * the true value sits near a rounding boundary (bit us at sf0.001). */
+  private def exactAvg(c: Column): Column =
+    round(sum(c.cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+
   /** A1/A3 — collapse [[recallAtK]] output to the reference's headline
     * numbers: avg matches per query and mean recall. */
   def recallSummary(perQuery: DataFrame): DataFrame =
     perQuery.agg(
-      round(avg(col("n_matches")), 6).as("avg_matches"),
-      round(avg(col("recall")), 6).as("avg_recall"),
+      exactAvg(col("n_matches")).as("avg_matches"),
+      exactAvg(col("recall")).as("avg_recall"),
       count(lit(1)).as("n_queries"))
 
   /** J5 + A2 — mean cosine similarity of each hit's vector against the
@@ -55,6 +62,6 @@ object Eval {
 
   /** A2 second level — average of the per-query averages. */
   def similaritySummary(perQuery: DataFrame): DataFrame =
-    perQuery.agg(round(avg(col("avg_sim")), 6).as("avg_avg_sim"),
+    perQuery.agg(exactAvg(col("avg_sim")).as("avg_avg_sim"),
       count(lit(1)).as("n_queries"))
 }

@@ -122,14 +122,14 @@ object EvalQueries extends graft.QueryModule {
       s"WITH $recallCte\nSELECT job_id, n_matches, recall FROM perq",
     "eval_recall_summary" ->
       s"""WITH $recallCte
-         |SELECT round(avg(n_matches), 6) AS avg_matches,
-         |  round(avg(recall), 6) AS avg_recall,
+         |SELECT round(CAST(sum(CAST(n_matches AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_matches,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_recall,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "eval_best_sim" ->
       s"WITH $bestSimCte\nSELECT job_id, avg_sim FROM perq",
     "eval_best_sim_summary" ->
       s"""WITH $bestSimCte
-         |SELECT round(avg(avg_sim), 6) AS avg_avg_sim,
+         |SELECT round(CAST(sum(CAST(avg_sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_avg_sim,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "report_job_skills_pivot" ->
       s"""WITH $qCte, $cCte,

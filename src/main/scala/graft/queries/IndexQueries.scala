@@ -151,7 +151,7 @@ object IndexQueries extends graft.QueryModule {
          |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
          |    round(coalesce(m.n, 0) / 10.0, 6) AS recall
          |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
-         |SELECT round(avg(n_matches), 6) AS avg_matches,
-         |  round(avg(recall), 6) AS avg_recall,
+         |SELECT round(CAST(sum(CAST(n_matches AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_matches,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_recall,
          |  count(*) AS n_queries FROM perq""".stripMargin)
 }
