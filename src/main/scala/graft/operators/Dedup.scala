@@ -228,6 +228,40 @@ object Dedup {
     verifyByIntersect(sets, cands, minJaccard)
   }
 
+  /** Incremental n-gram Jaccard dedup: near-dups of a NEW ingest batch
+    * against the EXISTING corpus — the daily-ingest shape. Candidate
+    * generation joins the new batch's prefix shingles against the whole
+    * prefix index but keeps only (new, existing) pairs, so the work is
+    * O(|delta| × collision rate), never the all-pairs of the combined
+    * corpus; verification is the same intersect-verify as [[jaccardJoin]].
+    * `isNew` partitions the input (true = the batch being ingested).
+    * Output: (a_id=new doc, b_id=existing doc, shared, jaccard ≥ minJ). */
+  def jaccardJoinIncremental(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, isNew: Column): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1, s"minJaccard $minJaccard outside (0, 1]")
+    val sh = shingleHashes(df, idCol, textCol, n)
+    val flags = df.select(col(idCol), isNew.as("__new"))
+    val dfc = sh.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
+    val ordered = sh.join(dfc, "__gh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__o"))
+    val docSets = Caches.cached(ordered.select(col(idCol),
+      transform(col("__o"), s => s.getField("__gh")).as("__g"),
+      size(col("__o")).as("__m")))
+    val m = col("__m")
+    val plen = (m - ceil(lit(minJaccard) * m) + 1).cast("int")
+    val prefix = docSets.join(flags, Seq(idCol)).select(col(idCol), col("__new"), m,
+      explode(slice(col("__g"), lit(1), plen)).as("__gh"))
+    val cands = prefix.filter(col("__new"))
+      .select(col(idCol).as("a_id"), col("__m").as("__ma"), col("__gh"))
+      .join(prefix.filter(!col("__new"))
+        .select(col(idCol).as("b_id"), col("__m").as("__mb"), col("__gh")), "__gh")
+      .filter(least(col("__ma"), col("__mb")) >=
+        ceil(lit(minJaccard) * greatest(col("__ma"), col("__mb"))))
+      .select("a_id", "b_id") // dedup AFTER verify — see verifyByIntersect
+    verifyByIntersect(docSets, cands, minJaccard)
+  }
+
   /** 32-bit SimHash over the token stream (repeats weigh in): bit i of the
     * fingerprint is set when the +1/-1 sums of token-hash bit i are positive.
     * Token-less rows fingerprint to 0. Output: (idCol, simhash long). */

@@ -47,6 +47,12 @@ object DedupQueries extends graft.QueryModule {
       Dedup.jaccardJoin(Tables.documents(s, dir), "doc_id", "text", N, MinJ)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshJoin(Tables.documents(s, dir), "doc_id", "text", N, MinJ)),
+    // Daily-ingest shape: near-dups of a new batch (stand-in: every 10th
+    // doc) against the existing corpus — delta x collision-rate work, never
+    // all-pairs of the combined corpus.
+    "dedup_jaccard_incremental" -> ((s, dir) =>
+      Dedup.jaccardJoinIncremental(Tables.documents(s, dir), "doc_id", "text",
+        N, MinJ, col("doc_id") % 10 === 0)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -123,6 +129,24 @@ object DedupQueries extends graft.QueryModule {
          |  WHERE r <= m - ceil($MinJ * m) + 1),
          |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
+         |$intersectTail""".stripMargin,
+    // Same prefix index as dedup_jaccard_pairs; candidates keep only
+    // (new, existing) orientations. The length-ratio prune the Spark side
+    // applies is lossless (pruned pairs cannot reach MinJ), so the oracle
+    // may omit it — verification removes them identically.
+    "dedup_jaccard_incremental" ->
+      s"""WITH $toksCte,
+         |${DocSql.shingleHashCte(N)},
+         |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
+         |pf AS (SELECT doc_id, ghv FROM (
+         |    SELECT g.doc_id, g.ghv,
+         |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
+         |      count(*) OVER (PARTITION BY g.doc_id) AS m
+         |    FROM shd g JOIN dfc USING (ghv))
+         |  WHERE r <= m - ceil($MinJ * m) + 1),
+         |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pf a JOIN pf b ON a.ghv = b.ghv
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
          |$intersectTail""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $toksCte,

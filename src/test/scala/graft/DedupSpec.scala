@@ -133,6 +133,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental jaccard equals brute force restricted to (new, existing) pairs") {
+    val corpus = randomCorpus(seed = 13, nBase = 25)
+    val got = Dedup.jaccardJoinIncremental(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 0.5, col("doc_id") % 5 === 0)
+      .select($"a_id", $"b_id", $"shared", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val want = bruteJaccard(corpus, 3, 0.5).flatMap { case (a, b, sh, j) =>
+      (a % 5 == 0, b % 5 == 0) match {
+        case (true, false) => Some((a, b, sh, j))
+        case (false, true) => Some((b, a, sh, j))
+        case _ => None // both-new and both-existing pairs are out of scope
+      }
+    }
+    assert(got == want,
+      s"missing=${want -- got}\nextra=${got -- want}")
+  }
+
   test("pigeonhole-banded simhashPairs is LOSSLESS: equals brute hamming on random corpora") {
     for (seed <- Seq(11, 99); maxHamming <- Seq(1, 3)) {
       val corpus = randomCorpus(seed, nBase = 25)
