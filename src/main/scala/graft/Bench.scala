@@ -36,9 +36,12 @@ object Bench {
     // Producers-first ordering: queries that materialize a shared input run
     // before the queries that read it, so each measurement reflects its own
     // operator — embed_hash_tf (the embedder's query) builds the document-
-    // embedding cache the dedup_embed_* consumers look up, instead of the
-    // alphabetically-first consumer absorbing that build.
-    val producers = Seq("embed_hash_tf")
+    // embedding cache the dedup_embed_* consumers look up, and the two
+    // layout/index builders run their one-time DDL before the queries that
+    // read the stored layout, instead of the alphabetically-first consumer
+    // absorbing that build.
+    val producers = Seq("embed_hash_tf", "join_bucketed_build",
+      "dedup_jaccard_index_build")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val ordered = selected.filter(q => producers.contains(q._1)) ++

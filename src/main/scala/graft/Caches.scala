@@ -31,10 +31,16 @@ object Caches {
 
   /** Cache `df`, or return the already-cached DataFrame computing the same
     * result. Lazy like `.cache()` itself — nothing materializes until an
-    * action runs. */
+    * action runs. Entries additionally key on the owning SparkSession (by
+    * reference): the registry is JVM-global, and without the session check a
+    * run that aborted before [[clear]] — or a fresh session started in the
+    * same JVM — could be handed a DataFrame bound to a previous, possibly
+    * stopped, session. */
   def cached(df: DataFrame): DataFrame = synchronized {
     val plan = df.queryExecution.analyzed
-    reg.find { case (p, _) => p.sameResult(plan) } match {
+    reg.find { case (p, prior) =>
+      (prior.sparkSession eq df.sparkSession) && p.sameResult(plan)
+    } match {
       case Some((_, prior)) => prior
       case None =>
         df.cache()

@@ -123,6 +123,12 @@ object NpySource {
     require(shards > 0, s"shards must be positive, got $shards")
     val spark = df.sparkSession
     import spark.implicits._
+    // Ship the SESSION's Hadoop configuration to executors (a bare
+    // `new Configuration()` would lose spark.hadoop.* overrides and
+    // object-store credentials — ADVICE r4).
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     val parts = df.select(col(idCol).cast("long").as("__id"),
         col(vecCol).cast("array<float>").as("__v"))
       .repartitionByRange(shards, col("__id"))
@@ -132,11 +138,22 @@ object NpySource {
         val rows = it.toArray
         if (rows.isEmpty) Iterator.empty
         else {
-          val shard = org.apache.spark.TaskContext.getPartitionId()
-          val path = new org.apache.hadoop.fs.Path(dir, f"shard_$shard%05d.npy")
-          val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          val out = fs.create(path, true)
+          val tc = org.apache.spark.TaskContext.get()
+          val shard = tc.partitionId()
+          val dest = new org.apache.hadoop.fs.Path(dir, f"shard_$shard%05d.npy")
+          // Write-to-temp + rename commit: a task retry or speculative twin
+          // dies mid-write on its own attempt-unique temp file, never on the
+          // destination, so readers can't observe a torn shard. Rename is
+          // atomic on HDFS/local fs; losers of a duplicate-attempt race just
+          // overwrite with identical (deterministic) bytes.
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            f".shard_$shard%05d.npy.attempt${tc.taskAttemptId()}%d.tmp")
+          val fs = dest.getFileSystem(confBc.value.value)
+          val out = fs.create(tmp, true)
           try out.write(npyBytes(rows.map(_._2))) finally out.close()
+          if (fs.exists(dest)) fs.delete(dest, false)
+          if (!fs.rename(tmp, dest))
+            sys.error(s"writeFloatMatrixSharded: rename $tmp -> $dest failed")
           Iterator.single((shard, rows.length.toLong, rows.head._1, rows.last._1))
         }
       }.collect().sortBy(_._1).toSeq
@@ -144,7 +161,7 @@ object NpySource {
       f"""{"file": "shard_$s%05d.npy", "rows": $n, "min_id": $lo, "max_id": $hi}"""
     }.mkString("[\n  ", ",\n  ", "\n]")
     val mPath = new org.apache.hadoop.fs.Path(dir, "manifest.json")
-    val fs = mPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = mPath.getFileSystem(spark.sessionState.newHadoopConf())
     val mOut = fs.create(mPath, true)
     try mOut.write(manifest.getBytes("UTF-8")) finally mOut.close()
     parts

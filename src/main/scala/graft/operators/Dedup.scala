@@ -80,10 +80,7 @@ object Dedup {
     * identically on both sides — the oracle computes the same fold.) */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    // Token hashes materialize as a column FIRST (HOF lambdas don't CSE —
-    // see shingles); each gram hash is then n element_at's + integer ops.
-    val withHt = df.select(col(idCol),
-      transform(TextFunctions.tokens(col(textCol)), TextFunctions.tokenHash(_)).as("__ht"))
+    val withHt = tokenHashes(df, idCol, textCol)
     val ht = col("__ht")
     val ghs = when(size(ht) >= n, array_distinct(
       transform(sequence(lit(1), size(ht) - (n - 1)),
@@ -92,6 +89,16 @@ object Dedup {
       .otherwise(array().cast("array<long>"))
     Caches.cached(withHt.select(col(idCol), explode(ghs).as("__gh")))
   }
+
+  /** Per-token md5 hash array: (idCol, __ht array<long>) — the expensive half
+    * of every gram index (one md5 per token; the gram fold on top is integer
+    * arithmetic). Materialized as a column FIRST because HOF lambdas don't
+    * CSE (see [[shingles]]), and registered with [[Caches]] on its own: the
+    * plan doesn't depend on the gram width, so the n=3 dedup family and the
+    * n=8 decontamination index share ONE md5-per-token pass per corpus. */
+  def tokenHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Caches.cached(df.select(col(idCol),
+      transform(TextFunctions.tokens(col(textCol)), TextFunctions.tokenHash(_)).as("__ht")))
 
   /** Per-doc gram-hash set as ONE array row: (idCol, __g array<long>,
     * __m int). ≤ a few hundred longs per doc, so the whole frame is orders
@@ -102,17 +109,27 @@ object Dedup {
       .agg(collect_list(col("__gh")).as("__g"), count(lit(1)).as("__m"))
 
   /** Exact Jaccard verification of a candidate pair set by set intersection:
-    * join each side's per-doc hash array ([[gramSets]] — broadcast-sized)
-    * and count the overlap with one `array_intersect` per pair. The full
-    * inverted index never self-joins: verification cost is
-    * |candidates| × O(gram set), independent of posting-list skew. Output:
-    * (a_id, b_id, shared, jaccard) filtered to jaccard ≥ minJaccard. */
+    * join each side's per-doc hash array and count the overlap with one
+    * `array_intersect` per pair. The full inverted index never self-joins:
+    * verification cost is |candidates| × O(gram set), independent of
+    * posting-list skew. The per-doc set frame is O(corpus) rows — at the
+    * tested scale factors it broadcasts, while at 100 TB these joins
+    * (correctly) fall back to shuffled joins keyed on a_id/b_id, each side
+    * shuffling |candidates| + |corpus| rows once: the intended shape either
+    * way. Output: (a_id, b_id, shared, jaccard) filtered to
+    * jaccard ≥ minJaccard. */
   private def verifyByIntersect(sets: DataFrame, cands: DataFrame,
       minJaccard: Double): DataFrame =
+    verifyByIntersect2(sets, sets, cands, minJaccard)
+
+  /** [[verifyByIntersect]] with distinct a-side/b-side set frames (the
+    * incremental path verifies a delta against a stored corpus index). */
+  private[graft] def verifyByIntersect2(setsA: DataFrame, setsB: DataFrame,
+      cands: DataFrame, minJaccard: Double): DataFrame =
     cands
-      .join(sets.select(col(sets.columns.head).as("a_id"), col("__g").as("__ga"),
+      .join(setsA.select(col(setsA.columns.head).as("a_id"), col("__g").as("__ga"),
         col("__m").as("__ma")), "a_id")
-      .join(sets.select(col(sets.columns.head).as("b_id"), col("__g").as("__gb"),
+      .join(setsB.select(col(setsB.columns.head).as("b_id"), col("__g").as("__gb"),
         col("__m").as("__mb")), "b_id")
       .withColumn("shared", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("jaccard",
@@ -383,13 +400,20 @@ object Dedup {
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
     // Caches: embedding pipelines upstream would re-run on both join sides
-    // otherwise; see simhashPairs for the repartition rationale. The inner
-    // loop uses the fused single-pass cosine expression, not the HOF form.
+    // otherwise. The inner loop uses the fused single-pass cosine
+    // expression, not the HOF form.
     val v = Caches.cached(vecs.select(col(idCol), col(vecCol)))
     val par = vecs.sparkSession.sparkContext.defaultParallelism
     val a = v.repartition(par).select(col(idCol).as("a_id"), col(vecCol).as("__va"))
     val b = v.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
-    a.join(b, col("a_id") < col("b_id"))
+    // The plan is PINNED: broadcast b, stream the repartitioned a, so every
+    // core gets an equal slice of the O(n²) compare. Left to statistics,
+    // the nested-loop join is free to broadcast whichever side looks
+    // smaller — and once the shared cache is warm (accurate tiny stats) it
+    // happily broadcasts the REPARTITIONED side, collapsing the streamed
+    // side to the cache's few input partitions and the whole compare to a
+    // fraction of the cluster (the r4 2.7 → 4.1 s regression).
+    a.join(broadcast(b), col("a_id") < col("b_id"))
       .withColumn("cos_sim",
         round(graft.functions.VectorFunctions.fusedDistance("cossim")(
           col("__va"), col("__vb")), 6))

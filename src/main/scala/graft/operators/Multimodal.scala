@@ -53,12 +53,14 @@ object Multimodal {
 
     def decodeImage(payload: Array[Byte]): (Int, Int, Int, Double) =
       if (isPng(payload) || isJpeg(payload)) {
-        // ImageIO signals a corrupt/truncated stream either by returning
-        // null or by throwing IIOException — both fall back to the stub
-        // rather than poisoning the whole batch for one bad payload.
+        // ImageIO signals a corrupt/truncated stream by returning null, by
+        // throwing IIOException, or — for adversarial payloads — by any of
+        // the unchecked decode errors (CMMException, NegativeArraySize…);
+        // every non-fatal failure falls back to the stub rather than
+        // poisoning the whole partition for one bad payload.
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) fakeDecode(payload) else realFeatures(img)
       } else fakeDecode(payload)
 

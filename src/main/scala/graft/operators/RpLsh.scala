@@ -59,13 +59,20 @@ object RpLsh {
     * Fails fast (raise_error) on rows whose vector length ≠ `dim`: zip_with
     * pads the shorter array with nulls, so a silent mismatch would null every
     * projection and the downstream joins would return empty with no error —
-    * while the DuckDB mirror errors loudly, splitting Spark and oracle. */
+    * while the DuckDB mirror errors loudly, splitting Spark and oracle.
+    * NULL vectors pass through explicitly (size(null) is null, so without
+    * the isNull branch the otherwise-raise would fire on them): their
+    * projections are null in both engines, so they collapse into one
+    * concat_ws bucket per table whose pairs die at the null-distance verify
+    * — i.e. null-vector rows silently drop from join output, the pre-check
+    * behavior. */
   def bucketize(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       bucketLength: Double, numTables: Int, numPlanes: Int = 1): DataFrame = {
     require(dim > 0 && bucketLength > 0 && numTables > 0 && numPlanes > 0,
       s"dim $dim / bucketLength $bucketLength / numTables $numTables / numPlanes $numPlanes must be positive")
     val raw = col(vecCol).cast("array<double>")
-    val checked = when(size(raw) === dim, raw).otherwise(raise_error(concat(
+    val checked = when(raw.isNull, raw)
+      .when(size(raw) === dim, raw).otherwise(raise_error(concat(
       lit(s"RpLsh.bucketize: expected vectors of dim $dim, got "),
       size(raw).cast("string"))))
     val vd = df.select(col(idCol), checked.as("__vd"))

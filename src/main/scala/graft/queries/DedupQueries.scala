@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
-import graft.operators.{Dedup, Embedder}
+import graft.operators.{Dedup, Embedder, JaccardIndex}
 import DocSql.{toksCte, tokenHashSql}
 
 /** Deduplication queries over `documents.parquet` (BASELINE.json north star).
@@ -40,6 +40,33 @@ object DedupQueries extends graft.QueryModule {
   private val CosTables = 12
   private val CosPlanes = 5
 
+  /** The stand-in ingest split used by the incremental queries: every 10th
+    * doc is "the new batch", the rest "the existing corpus". */
+  private val deltaPred = col("doc_id") % 10 === 0
+
+  /** One persisted prefix index per (session, scale dir), memoized so the
+    * build — the engine's index-DDL cost — runs once per JVM:
+    * `dedup_jaccard_index_build` pays it as a Bench producer, and
+    * `dedup_jaccard_incremental_indexed` then probes the stored tables only.
+    * The pid in the tag keeps concurrent bench/verify JVMs off each other's
+    * files. */
+  private object JidxLayout {
+    private val pid = ProcessHandle.current().pid()
+    private val built =
+      scala.collection.mutable.Map.empty[(Int, String), JaccardIndex.IndexTables]
+
+    def ensure(s: SparkSession, dir: String): JaccardIndex.IndexTables =
+      synchronized {
+        built.getOrElseUpdate((System.identityHashCode(s), dir), {
+          val tag = java.lang.Long.toHexString(
+            java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+              .getMostSignificantBits) + s"_p$pid"
+          JaccardIndex.build(Tables.documents(s, dir).filter(!deltaPred),
+            "doc_id", "text", N, MinJ, tag, s"/tmp/graft_jidx/$tag", 8)
+        })
+      }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactAssign(Tables.documents(s, dir), "doc_id", "text")),
@@ -52,7 +79,24 @@ object DedupQueries extends graft.QueryModule {
     // all-pairs of the combined corpus.
     "dedup_jaccard_incremental" -> ((s, dir) =>
       Dedup.jaccardJoinIncremental(Tables.documents(s, dir), "doc_id", "text",
-        N, MinJ, col("doc_id") % 10 === 0)),
+        N, MinJ, deltaPred)),
+    // Index build as its own gated query: persists the corpus prefix index
+    // (bucketed df / prefix / per-doc gram-set tables) and reports its
+    // shape; the oracle recomputes both counts from scratch, so a build
+    // that misorders, drops, or duplicates prefix entries turns red here.
+    "dedup_jaccard_index_build" -> ((s, dir) => {
+      val t = JidxLayout.ensure(s, dir)
+      s.table(t.docsets).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(s.table(t.prefix).agg(count(lit(1)).as("n_prefix_entries")))
+    }),
+    // The O(delta) ingest path: same answer as dedup_jaccard_incremental
+    // (both candidate generators are lossless and verification is exact —
+    // the shared oracle pins that), but the corpus appears ONLY through
+    // probes of the persisted index: per-batch work is O(|delta| ×
+    // collision rate), with no full-corpus df recount or re-shingling.
+    "dedup_jaccard_incremental_indexed" -> ((s, dir) =>
+      JaccardIndex.incrementalJoin(s, JidxLayout.ensure(s, dir),
+        Tables.documents(s, dir).filter(deltaPred), "doc_id", "text", N, MinJ)),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -108,6 +152,23 @@ object DedupQueries extends graft.QueryModule {
       s"SELECT doc_id, simhash, $k AS band, (simhash >> $off) & ${(1L << w) - 1L} AS bits FROM sh"
     }.mkString("\n  UNION ALL ")
 
+  /** Shared by dedup_jaccard_incremental and its indexed twin — see the
+    * oracle map entries. */
+  private val incrementalSql =
+    s"""WITH $toksCte,
+       |${DocSql.shingleHashCte(N)},
+       |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
+       |pf AS (SELECT doc_id, ghv FROM (
+       |    SELECT g.doc_id, g.ghv,
+       |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
+       |      count(*) OVER (PARTITION BY g.doc_id) AS m
+       |    FROM shd g JOIN dfc USING (ghv))
+       |  WHERE r <= m - ceil($MinJ * m) + 1),
+       |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pf a JOIN pf b ON a.ghv = b.ghv
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+       |$intersectTail""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
@@ -134,20 +195,28 @@ object DedupQueries extends graft.QueryModule {
     // (new, existing) orientations. The length-ratio prune the Spark side
     // applies is lossless (pruned pairs cannot reach MinJ), so the oracle
     // may omit it — verification removes them identically.
-    "dedup_jaccard_incremental" ->
+    "dedup_jaccard_incremental" -> incrementalSql,
+    // The indexed path answers IDENTICALLY (lossless candidates under any
+    // consistent gram order + exact verification), so it shares the
+    // incremental oracle verbatim — the strongest possible pin that moving
+    // the index to storage changed nothing.
+    "dedup_jaccard_incremental_indexed" -> incrementalSql,
+    // From-scratch recount of the persisted index's shape: corpus-only df
+    // ranks, prefix rule r ≤ m − ceil(J·m) + 1 — the same constants the
+    // builder interpolates.
+    "dedup_jaccard_index_build" ->
       s"""WITH $toksCte,
          |${DocSql.shingleHashCte(N)},
-         |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
+         |co AS (SELECT doc_id, ghv FROM shd WHERE doc_id % 10 <> 0),
+         |dfc AS (SELECT ghv, count(*) AS df FROM co GROUP BY 1),
          |pf AS (SELECT doc_id, ghv FROM (
          |    SELECT g.doc_id, g.ghv,
          |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
          |      count(*) OVER (PARTITION BY g.doc_id) AS m
-         |    FROM shd g JOIN dfc USING (ghv))
-         |  WHERE r <= m - ceil($MinJ * m) + 1),
-         |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM pf a JOIN pf b ON a.ghv = b.ghv
-         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
-         |$intersectTail""".stripMargin,
+         |    FROM co g JOIN dfc USING (ghv))
+         |  WHERE r <= m - ceil($MinJ * m) + 1)
+         |SELECT count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_prefix_entries FROM pf""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $toksCte,
          |${DocSql.shingleHashCte(N)},

@@ -150,6 +150,25 @@ class DedupSpec extends SparkSpec {
       s"missing=${want -- got}\nextra=${got -- want}")
   }
 
+  test("persisted-index incrementalJoin equals the from-scratch incremental join") {
+    val corpus = randomCorpus(seed = 29, nBase = 25)
+    val df = corpus.toDF("doc_id", "text")
+    val want = Dedup.jaccardJoinIncremental(df, "doc_id", "text", 3, 0.5,
+        col("doc_id") % 5 === 0)
+      .select($"a_id", $"b_id", $"shared", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val tag = "spec_" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val t = graft.operators.JaccardIndex.build(df.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", 3, 0.5, tag, s"/tmp/graft_jidx_spec/$tag", 4)
+    val got = graft.operators.JaccardIndex.incrementalJoin(spark, t,
+        df.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3, 0.5)
+      .select($"a_id", $"b_id", $"shared", $"jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
+    Seq(t.docsets, t.prefix, t.dfc)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("pigeonhole-banded simhashPairs is LOSSLESS: equals brute hamming on random corpora") {
     for (seed <- Seq(11, 99); maxHamming <- Seq(1, 3)) {
       val corpus = randomCorpus(seed, nBase = 25)

@@ -48,6 +48,23 @@ class PlanSpec extends SparkSpec {
       s"scan→filter→partial-agg should fuse into one codegen stage:\n$plan")
   }
 
+  test("indexed incremental dedup probes the stored index; corpus never re-shingled") {
+    val plan = planOf("dedup_jaccard_incremental_indexed")
+    assert(plan.contains("graft_jidx_prefix_"),
+      s"candidate join should probe the persisted prefix table:\n$plan")
+    assert(plan.contains("graft_jidx_docsets_"),
+      s"verification should read the persisted per-doc gram sets:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"index probes should use the bucketed layout:\n$plan")
+    // O(delta) guarantee: every scan of the raw documents table is the DELTA
+    // (doc_id % 10 = 0) — a corpus-side df recount or re-shingling would
+    // show up as a documents scan without that filter.
+    val unfiltered = plan.linesIterator
+      .filter(_.contains("documents.parquet")).filterNot(_.contains("% 10"))
+    assert(unfiltered.isEmpty,
+      s"corpus-side documents scan leaked into the indexed plan:\n$plan")
+  }
+
   test("dimension joins broadcast the dimension side") {
     val plan = planOf("rel_region_revenue")
     assert(plan.contains("BroadcastHashJoin"),
