@@ -88,6 +88,74 @@ object Multimodal {
       (w, h, channels, sum / (w.toLong * h))
     }
 
+    private val WavRates = Array(8000, 16000, 22050, 44100)
+
+    private def isWav(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+    /** Audio decode: real WAV via `javax.sound.sampled` (pure JDK, the same
+      * no-native-deps argument as the `javax.imageio` image path),
+      * deterministic stub for everything else — the JDK ships no mp3/ogg
+      * codec, and the registered query's text-derived payloads take the
+      * stub path so the whole query replays in the DuckDB oracle. Returns
+      * (sample_rate, channels, duration_s, rms) with rms over normalized
+      * PCM16 samples (0.0 for non-16-bit encodings: headers still parse). */
+    def decodeAudio(payload: Array[Byte]): (Int, Int, Double, Double) =
+      if (isWav(payload)) {
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = ais.getFormat
+            val duration =
+              if (fmt.getFrameRate > 0) ais.getFrameLength / fmt.getFrameRate.toDouble
+              else 0.0
+            (fmt.getSampleRate.toInt, fmt.getChannels, duration, pcm16Rms(ais, fmt))
+          } finally ais.close()
+        } catch { case scala.util.control.NonFatal(_) => fakeAudio(payload) }
+      } else fakeAudio(payload)
+
+    /** RMS of normalized 16-bit PCM samples; 0.0 when the encoding isn't
+      * signed 16-bit (we never resample — the seam stays honest about what
+      * it measured). */
+    private def pcm16Rms(ais: javax.sound.sampled.AudioInputStream,
+        fmt: javax.sound.sampled.AudioFormat): Double = {
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) 0.0
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        if (n == 0) 0.0
+        else {
+          var sum = 0.0
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1) & 0xff
+            val s = (if (fmt.isBigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort
+            val x = s / 32768.0
+            sum += x * x
+            i += 1
+          }
+          math.sqrt(sum / n)
+        }
+      }
+    }
+
+    /** Deterministic fake audio decode for non-WAV payloads — same modular
+      * fold as [[fakeDecode]], replayable in any BIGINT engine. Duration is
+      * what a PCM16 stream of this byte length at the fake rate/channels
+      * would last. */
+    private def fakeAudio(payload: Array[Byte]): (Int, Int, Double, Double) = {
+      val h = payload.foldLeft(17L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      val rate = WavRates((h % 4).toInt)
+      val channels = 1 + ((h >> 8) % 2).toInt
+      val duration = payload.length / (rate * channels * 2.0)
+      val rms = ((h >> 16) % 1000).toDouble / 1000.0
+      (rate, channels, duration, rms)
+    }
+
     /** Deterministic fake decode for non-image payloads (modular fold, so h
       * stays < 2^30 and the formula replays in any BIGINT engine). */
     private def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Double) = {
@@ -135,6 +203,22 @@ object Multimodal {
         }
       }
       .toDF(idCol, "width", "height", "n_channels", "mean_luma")
+  }
+
+  /** Batched audio decode + feature extraction — the audio twin of
+    * [[extractImageFeatures]], same mapPartitions seam. */
+  def extractAudioFeatures(media: DataFrame, idCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rate, ch, dur, rms) = StubCodec.decodeAudio(payload)
+          (id, rate, ch, dur, rms)
+        }
+      }
+      .toDF(idCol, "sample_rate", "channels", "duration_s", "rms")
   }
 
   /** "Resize": emit a derived payload capped at maxBytes plus the scale

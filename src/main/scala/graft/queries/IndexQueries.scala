@@ -28,6 +28,7 @@ object IndexQueries extends graft.QueryModule {
   private val LshTables = 3
   private val LshPlanes = 2
   private val Cap = graft.operators.Dedup.DefaultMaxBucket
+  private val KmRecallFloor = 0.6
 
   private def ivfParts(s: SparkSession, dir: String) = {
     val (q, c) = Fixtures.split(s, dir)
@@ -72,9 +73,15 @@ object IndexQueries extends graft.QueryModule {
     }),
     // X1 stretch — the Lloyd-refined quantizer the scale story recommends
     // (IvfIndex.fitKMeans), driver-exercised: recall@k of probes=2 retrieval
-    // against exact search. KMeans centroids aren't SQL-expressible, so this
-    // is rows+schema-gated (no oracle entry); IvfLshSpec asserts its recall
-    // meets or beats the seed quantizer's.
+    // against exact search. KMeans centroids aren't SQL-expressible, so the
+    // RAW recall can't hash-match an oracle — instead the query emits only
+    // pinned columns and asserts the recall bound INSIDE the plan:
+    // recall_ok raise_errors below the floor, so a KMeans regression turns
+    // this row red in CORRECTNESS (error or hash mismatch), not just in
+    // ScalaTest. Floor 0.6: observed probes=2 recall is 0.665–0.705 across
+    // sf0.001–0.1, while blindly probing 2 of 4 balanced lists would sit
+    // near 0.5 — the floor separates a working quantizer from a broken one
+    // without riding the noise. IvfLshSpec still asserts kmeans ≥ seed.
     "ivf_kmeans_recall" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
       val model = IvfIndex.fitKMeans(c, "svec", Lists)
@@ -85,6 +92,12 @@ object IndexQueries extends graft.QueryModule {
         q, "job_id", "qvec", indexed, "skill_id", "svec", K, Cosine)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+        .select(col("n_queries"),
+          lit(KmRecallFloor).as("min_recall"),
+          when(col("avg_recall") >= KmRecallFloor, lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"ivf_kmeans_recall: avg_recall below $KmRecallFloor: "),
+              col("avg_recall").cast("string")))).as("recall_ok"))
     }))
 
   /** Seed-quantizer IVF pipeline in SQL: centroids = `Lists` lowest-id corpus
@@ -135,6 +148,15 @@ object IndexQueries extends graft.QueryModule {
          |  FROM d)
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
          |FROM r WHERE rank <= $K""".stripMargin,
+    // The pinned-output contract of the in-plan recall assertion above:
+    // n_queries counts the SAME fixture split the Spark side evaluates, and
+    // recall_ok can only hash-match if the raise_error branch didn't fire.
+    "ivf_kmeans_recall" ->
+      s"""WITH $qCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST($KmRecallFloor AS DOUBLE) AS min_recall,
+         |  TRUE AS recall_ok
+         |FROM q""".stripMargin,
     "ivf_recall_summary" ->
       s"""WITH ${ivfCtes(Probes)},
          |exd AS (SELECT q.job_id, c.skill_id,

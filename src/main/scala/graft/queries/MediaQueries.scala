@@ -35,6 +35,16 @@ object MediaQueries extends graft.QueryModule {
     "media_image_features" -> ((s, dir) =>
       Multimodal.extractImageFeatures(media(s, dir), "doc_id")
         .withColumn("mean_luma", round(col("mean_luma"), 6))),
+    // Batched audio decode: text payloads take the deterministic stub path
+    // (real WAV decode is exercised on planted fixtures in MultimodalSpec —
+    // the JDK ships no codec for the synthetic corpus's "audio").
+    "media_audio_features" -> ((s, dir) =>
+      Multimodal.extractAudioFeatures(
+        Multimodal.asMediaTable(
+          Tables.documents(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
+          "doc_id", "payload", "audio", "wav"), "doc_id")
+        .withColumn("duration_s", round(col("duration_s"), 6))
+        .withColumn("rms", round(col("rms"), 6))),
     // Frame-sampling contract: one row per sampled frame offset.
     "media_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(media(s, dir), "doc_id", EveryNth, FrameSize)),
@@ -65,6 +75,16 @@ object MediaQueries extends graft.QueryModule {
          |  CAST(1 + (h // 1048576) % 3 AS INT) AS n_channels,
          |  round(((h // 4194304) % 256) / 255.0, 6) AS mean_luma
          |FROM h""".stripMargin,
+    "media_audio_features" ->
+      s"""WITH $stubHashCte
+         |SELECT h.doc_id,
+         |  CAST(([8000, 16000, 22050, 44100])[CAST(h.h % 4 AS INT) + 1] AS INT) AS sample_rate,
+         |  CAST(1 + (h.h // 256) % 2 AS INT) AS channels,
+         |  round(CAST(len(d.text) AS BIGINT)
+         |    / (([8000, 16000, 22050, 44100])[CAST(h.h % 4 AS INT) + 1]
+         |       * (1 + (h.h // 256) % 2) * 2.0), 6) AS duration_s,
+         |  round(((h.h // 65536) % 1000) / 1000.0, 6) AS rms
+         |FROM h JOIN documents d ON h.doc_id = d.doc_id""".stripMargin,
     "media_frame_sample" ->
       s"""SELECT doc_id, frame_offset,
          |  frame_offset // ${FrameSize * EveryNth} AS frame_idx

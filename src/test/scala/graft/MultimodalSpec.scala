@@ -79,6 +79,44 @@ class MultimodalSpec extends SparkSpec {
     assert((row.getInt(1), row.getInt(2), row.getInt(3), row.getDouble(4)) == direct)
   }
 
+  /** One PCM16 mono WAV of a constant amplitude square-ish signal — RMS of a
+    * constant-magnitude signal equals that magnitude, so the assertion is
+    * exact up to 16-bit quantization. */
+  private def wavBytes(sampleRate: Int, nSamples: Int, amp: Short): Array[Byte] = {
+    val samples = Array.tabulate(nSamples)(i => if (i % 2 == 0) amp else (-amp).toShort)
+    val data = new Array[Byte](nSamples * 2)
+    java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV payloads decode through javax.sound.sampled") {
+    val wav = wavBytes(sampleRate = 16000, nSamples = 8000, amp = 16384)
+    val (rate, ch, dur, rms) = StubCodec.decodeAudio(wav)
+    assert((rate, ch) == ((16000, 1)))
+    assertNear(dur, 0.5) // 8000 frames at 16 kHz
+    assert(math.abs(rms - 0.5) < 1e-4, s"constant-|0.5| signal RMS off: $rms")
+    // truncated RIFF header falls back to the stub deterministically
+    val corrupt = "RIFFxxxxWAVEgarbage".getBytes
+    assert(StubCodec.decodeAudio(corrupt) == StubCodec.decodeAudio(corrupt))
+  }
+
+  test("extractAudioFeatures decodes real WAV payloads in the Spark path") {
+    val wav = wavBytes(sampleRate = 8000, nSamples = 4000, amp = 8192)
+    val audioMedia = Multimodal.asMediaTable(
+      Seq((9L, wav)).toDF("doc_id", "payload"), "doc_id", "payload", "audio", "wav")
+    val row = Multimodal.extractAudioFeatures(audioMedia, "doc_id").head()
+    assert((row.getLong(0), row.getInt(1), row.getInt(2)) == ((9L, 8000, 1)))
+    assertNear(row.getDouble(3), 0.5)
+    assert(math.abs(row.getDouble(4) - 0.25) < 1e-4)
+  }
+
   test("sampleFrames yields one row per sampled frame with correct offsets") {
     val fr = Multimodal.sampleFrames(media, "doc_id", everyNth = 4, frameSize = 256)
       .as[(Long, Long, Long)].collect().groupBy(_._1)
