@@ -55,9 +55,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Budget check (sf0.1 budgets — only meaningful at the driver's SF).
+    val breaches = results.collect {
+      case (n, t) if Budgets.perQuery.get(n).exists(t > _) => "\"" + n + "\""
+    }.mkString("[", ",", "]")
     // Compact headline line FIRST (short enough to survive tail-capture
     // truncation in the round driver), then the per-query detail line.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"budget_breaches":$breaches}""")
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
     spark.stop()
   }

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.{NpySource, Tables}
+
+/** Driver-gated exercise of the distributed matrix sink (SURVEY.md §2.2 K1;
+  * the reference's `.npy` export surface, `create_skill_embeddings.py:54-55`).
+  * The EXPORT is the scale path — per-partition Hadoop-FS shards, nothing
+  * through the driver (`NpySource.writeFloatMatrixSharded`); this query is
+  * its round-trip CHECK: write the embeddings table as 4 shards, read them
+  * back with the .npy scan, reconstruct global ids from the per-shard min-id
+  * manifest (range partitioning keeps the fixture's contiguous `vec_id` runs
+  * contiguous per shard), and count element-exact vector mismatches. The
+  * oracle pins n_rows to the source table and n_mismatch to zero — a torn
+  * shard, dropped row, or lossy value turns the row red.
+  */
+object IoQueries extends graft.QueryModule {
+
+  private val Shards = 4
+
+  private object Export {
+    private val pid = ProcessHandle.current().pid()
+    private val done =
+      scala.collection.mutable.Map.empty[(Int, String), (String, Seq[(Int, Long, Long, Long)])]
+
+    /** Export once per (session, sfDir); returns (outDir, shard summaries). */
+    def ensure(s: SparkSession, dir: String): (String, Seq[(Int, Long, Long, Long)]) =
+      synchronized {
+        done.getOrElseUpdate((System.identityHashCode(s), dir), {
+          val tag = java.lang.Long.toHexString(
+            java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
+              .getMostSignificantBits) + s"_p$pid"
+          val out = s"/tmp/graft_npy/$tag"
+          val parts = NpySource.writeFloatMatrixSharded(
+            Tables.embeddings(s, dir), "vec_id", "embedding", out, Shards)
+          (out, parts)
+        })
+      }
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_npy_shard_roundtrip" -> ((s, dir) => {
+      val (out, parts) = Export.ensure(s, dir)
+      import s.implicits._
+      val shardLo = parts.map { case (sh, _, lo, _) => (f"shard_$sh%05d.npy", lo) }
+        .toDF("fname", "lo")
+      val back = NpySource.readFloatMatrix(s, s"$out/*.npy")
+        .withColumn("fname", regexp_extract(col("file"), "([^/]+)$", 1))
+        .join(broadcast(shardLo), "fname")
+        .select((col("lo") + col("vec_id")).as("vec_id"),
+          col("fname"), col("embedding").as("back"))
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        .join(back, "vec_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("fname")).as("n_shards"),
+          sum(when(col("back") === col("embedding"), 0L).otherwise(1L))
+            .as("n_mismatch"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "io_npy_shard_roundtrip" ->
+      s"""SELECT count(*) AS n_rows, CAST($Shards AS BIGINT) AS n_shards,
+         |  CAST(0 AS BIGINT) AS n_mismatch
+         |FROM embeddings""".stripMargin)
+}
