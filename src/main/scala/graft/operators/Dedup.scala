@@ -279,6 +279,46 @@ object Dedup {
     verifyByIntersect(docSets, cands, minJaccard)
   }
 
+  /** Connected components over a near-dup pair list: every node's label
+    * converges to the smallest id reachable from it, which makes the label
+    * the CLUSTER id and `id == label` the canonical-representative predicate
+    * — the step a dedup pipeline runs after pair generation to decide which
+    * document of each near-dup cluster to keep.
+    *
+    * Shape: Pregel-style min-label propagation — per round, one shuffle join
+    * of the (symmetrized) edge list against the current labels and a
+    * per-node min; rounds = component diameter (near-dup clusters are
+    * shallow — a handful of rounds), each round's frame cached via [[Caches]]
+    * so lineage doesn't compound. Nothing is ever collected to the driver;
+    * the driver only checks the "any label changed?" flag per round. For
+    * graphs with adversarial diameters the same loop accepts the
+    * large-star/small-star rewiring (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14) — near-dup clustering doesn't need
+    * it. Output: (idCol, cluster_id). */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
+      maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    val sym = edges.select(col("a_id").as("__src"), col("b_id").as("__dst"))
+      .unionAll(edges.select(col("b_id").as("__src"), col("a_id").as("__dst")))
+    var labels = Caches.cached(
+      nodes.select(col(idCol).as("__id"), col(idCol).as("__label")))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("__src") === labels("__id"))
+        .groupBy(col("__dst").as("__id")).agg(min("__label").as("__nbr"))
+      val updated = Caches.cached(labels.join(nbrMin, Seq("__id"), "left")
+        .select(col("__id"),
+          least(col("__label"), coalesce(col("__nbr"), col("__label")))
+            .as("__label")))
+      converged = updated.join(labels.withColumnRenamed("__label", "__old"), "__id")
+        .filter(col("__label") < col("__old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
+  }
+
   /** 32-bit SimHash over the token stream (repeats weigh in): bit i of the
     * fingerprint is set when the +1/-1 sums of token-hash bit i are positive.
     * Token-less rows fingerprint to 0. Output: (idCol, simhash long). */

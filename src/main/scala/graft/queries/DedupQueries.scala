@@ -97,6 +97,23 @@ object DedupQueries extends graft.QueryModule {
     "dedup_jaccard_incremental_indexed" -> ((s, dir) =>
       JaccardIndex.incrementalJoin(s, JidxLayout.ensure(s, dir),
         Tables.documents(s, dir).filter(deltaPred), "doc_id", "text", N, MinJ)),
+    // Pairs → clusters: the keep/drop decision of the dedup pipeline. Every
+    // doc gets the min id reachable through the verified near-dup pairs as
+    // its cluster id; is_rep marks the one document of each cluster a
+    // pipeline keeps. Pregel-style min propagation (one keyed shuffle per
+    // round, rounds = cluster diameter), mirrored in SQL by a recursive CTE.
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardJoin(docs, "doc_id", "text", N, MinJ)
+        .select("a_id", "b_id")
+      val cc = Dedup.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
+      // sizes by aggregate-join, not a window: the window form would sort
+      // the full corpus inside one partition per cluster id at scale.
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_rep"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -123,15 +140,19 @@ object DedupQueries extends graft.QueryModule {
 
   private val Cap = Dedup.DefaultMaxBucket
 
-  /** Mirror of Dedup.verifyByIntersect: per-doc hash lists (gl) joined to
-    * the candidate set, overlap counted by list_intersect. Expects CTEs
-    * `shd` (doc_id, ghv) and `cands` (a_id, b_id). */
-  private val intersectTail =
+  /** Mirror of Dedup.verifyByIntersect as reusable CTEs: per-doc hash lists
+    * (gl) joined to the candidate set, overlap counted by list_intersect.
+    * Expects CTEs `shd` (doc_id, ghv) and `cands` (a_id, b_id); ends in `j`
+    * (a_id, b_id, shared, jaccard — unfiltered). */
+  private val verifyCtes =
     s"""gl AS (SELECT doc_id, list(ghv) AS g, count(*) AS m FROM shd GROUP BY 1),
        |j AS (SELECT c.a_id, c.b_id,
        |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS shared,
        |    round(len(list_intersect(a.g, b.g)) * 1.0 / (a.m + b.m - len(list_intersect(a.g, b.g))), 6) AS jaccard
-       |  FROM cands c JOIN gl a ON c.a_id = a.doc_id JOIN gl b ON c.b_id = b.doc_id)
+       |  FROM cands c JOIN gl a ON c.a_id = a.doc_id JOIN gl b ON c.b_id = b.doc_id)""".stripMargin
+
+  private val intersectTail =
+    s"""$verifyCtes
        |SELECT DISTINCT a_id, b_id, shared, jaccard FROM j WHERE jaccard >= $MinJ""".stripMargin
 
   private val simhashCte =
@@ -217,6 +238,33 @@ object DedupQueries extends graft.QueryModule {
          |  WHERE r <= m - ceil($MinJ * m) + 1)
          |SELECT count(DISTINCT doc_id) AS n_docs,
          |  count(*) AS n_prefix_entries FROM pf""".stripMargin,
+    // Min reachable id per node via recursive closure over the verified
+    // pair list — the fixpoint the Spark label propagation converges to.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $toksCte,
+         |${DocSql.shingleHashCte(N)},
+         |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
+         |pf AS (SELECT doc_id, ghv FROM (
+         |    SELECT g.doc_id, g.ghv,
+         |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
+         |      count(*) OVER (PARTITION BY g.doc_id) AS m
+         |    FROM shd g JOIN dfc USING (ghv))
+         |  WHERE r <= m - ceil($MinJ * m) + 1),
+         |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
+         |$verifyCtes,
+         |pairs AS (SELECT DISTINCT a_id, b_id FROM j WHERE jaccard >= $MinJ),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(id, x) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x),
+         |cl AS (SELECT id AS doc_id, min(x) AS cluster_id FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+         |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+         |  cl.doc_id = cl.cluster_id AS is_rep
+         |FROM cl JOIN sz USING (cluster_id)""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $toksCte,
          |${DocSql.shingleHashCte(N)},

@@ -150,6 +150,20 @@ class DedupSpec extends SparkSpec {
       s"missing=${want -- got}\nextra=${got -- want}")
   }
 
+  test("connectedComponents: chains collapse to min id, singletons self-label") {
+    // chain 1-2-3 (diameter 2, needs >1 round), pair 10-11, singletons 20,21
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val got = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 21L))
+    // no edges at all: every node is its own cluster
+    val lone = Dedup.connectedComponents(edges.limit(0), nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(lone == nodes.as[Long].collect().map(x => x -> x).toMap)
+  }
+
   test("persisted-index incrementalJoin equals the from-scratch incremental join") {
     val corpus = randomCorpus(seed = 29, nBase = 25)
     val df = corpus.toDF("doc_id", "text")
