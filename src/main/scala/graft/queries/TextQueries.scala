@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions.Cosine
 import graft.io.Tables
-import graft.operators.{Embedder, KnnJoin}
+import graft.operators.{Embedder, KnnJoin, Sequencer}
 
 /** Text-analysis + embedding-pipeline queries over `documents.parquet`
   * (BASELINE.json north star; SURVEY.md §2.8 F6/F10, §3.1 entry point A).
@@ -18,6 +18,10 @@ object TextQueries extends graft.QueryModule {
 
   private val Dim = 64
   private val EnWords = langWords.head._2
+  private val ChunkWindow = 128 // model-context tokens per chunk
+  private val ChunkStride = 96  // 32-token overlap between neighbors
+  private val PackGroups = 32   // parallel packing groups (id mod groups)
+  private val PackBudget = 4096L // tokens per training shard
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token/char counts + ratio features (north-star "quality scoring"
@@ -34,6 +38,18 @@ object TextQueries extends graft.QueryModule {
           round(punctRatio(col("text")), 6).as("punct_ratio"),
           round(stopwordRatioFromTokens(col("__toks"), EnWords), 6).as("stopword_ratio"))
     }),
+    // Model-context chunking: overlapping token windows per doc (the step
+    // before chunk-level embedding); hashes pin content, not just counts.
+    "text_chunk_windows" -> ((s, dir) =>
+      Sequencer.chunkWindows(Tables.documents(s, dir), "doc_id", "text",
+        ChunkWindow, ChunkStride)),
+    // Token-budget shard packing, group-parallel (id mod groups): each doc's
+    // shard index within its group = floor(tokens-before / budget).
+    "text_pack_shards" -> ((s, dir) =>
+      Sequencer.packTokenShards(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), Sequencer.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", PackGroups, PackBudget)),
     // Language-ID heuristic: per-language function-word hits + argmax call.
     "text_lang_id" -> ((s, dir) => {
       val hitCols = langWords.map { case (lang, ws) =>
@@ -149,6 +165,23 @@ object TextQueries extends graft.QueryModule {
          |  round(CASE WHEN len(toks) = 0 THEN 0.0
          |    ELSE CAST(len(list_filter(toks, t -> t IN $enIn)) AS DOUBLE) / len(toks) END, 6) AS stopword_ratio
          |FROM tokd""".stripMargin,
+    "text_chunk_windows" ->
+      s"""WITH $toksCte,
+         |st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), $ChunkStride)) AS s
+         |  FROM tokd WHERE len(toks) >= 1)
+         |SELECT doc_id,
+         |  CAST((s - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(len(list_slice(toks, s, s + ${ChunkWindow - 1})) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(toks, s, s + ${ChunkWindow - 1}), ' ')) AS chunk_hash
+         |FROM st""".stripMargin,
+    "text_pack_shards" ->
+      s"""WITH $toksCte,
+         |t AS (SELECT doc_id, doc_id % $PackGroups AS grp,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens FROM tokd)
+         |SELECT doc_id, grp, n_tokens,
+         |  CAST((sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id) - n_tokens)
+         |    // $PackBudget AS BIGINT) AS shard_idx
+         |FROM t""".stripMargin,
     "text_lang_id" ->
       s"""WITH $toksCte,
          |h AS (SELECT doc_id,
