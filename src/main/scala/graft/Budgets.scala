@@ -22,6 +22,7 @@ object Budgets {
     "clean_repetition" -> 1.5,
     "dedup_embed_cos_lsh" -> 5.4,
     "dedup_embed_cos_pairs" -> 4.0,
+    "dedup_clusters" -> 12.8, // runs first in the dedup family: absorbs the shared shingle-index build
     "dedup_exact" -> 1.5,
     "dedup_jaccard_incremental" -> 7.6,
     "dedup_jaccard_incremental_indexed" -> 3.9,
@@ -42,7 +43,7 @@ object Budgets {
     "events_json_stats" -> 1.5,
     "events_session_stats" -> 1.6,
     "events_sessionized" -> 1.5,
-    "io_npy_shard_roundtrip" -> 1.5,
+    "io_npy_shard_roundtrip" -> 1.9,
     "ivf_ann_topk" -> 2.3,
     "ivf_kmeans_recall" -> 5.7,
     "ivf_probe_all_exact" -> 2.1,
@@ -59,6 +60,7 @@ object Budgets {
     "knn_ip_topk" -> 1.5,
     "knn_l2_topk" -> 1.5,
     "lsh_ann_topk" -> 2.4,
+    "media_audio_features" -> 1.5,
     "media_audio_features" -> 1.5,
     "media_frame_sample" -> 1.5,
     "media_image_features" -> 1.5,
@@ -81,7 +83,9 @@ object Budgets {
     "sample_docs_split" -> 1.5,
     "sample_docs_stratified" -> 1.5,
     "sql_knn_topk" -> 1.5,
+    "text_chunk_windows" -> 1.5,
     "text_fingerprint" -> 1.5,
+    "text_pack_shards" -> 1.5,
     "text_lang_id" -> 1.5,
     "text_quality" -> 1.5,
     "text_stats" -> 1.5,

