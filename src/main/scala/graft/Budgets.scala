@@ -66,6 +66,7 @@ object Budgets {
     "media_image_features" -> 1.5,
     "media_meta" -> 1.5,
     "media_resize" -> 1.5,
+    "pipeline_training_data" -> 17.8, // full compose: quality+jaccard+CC+chunk+pack, mostly cold
     "rel_cube_flags" -> 1.5,
     "rel_events_hourly" -> 1.5,
     "rel_nations_both" -> 1.5,

@@ -96,4 +96,57 @@ object Pipeline {
     Report.writeCsvReport(result.report, reportPath)
     result
   }
+
+  // ---- Training-data preparation (BASELINE.json north star) ---------------
+
+  case class TrainingConfig(
+      minTokens: Long = 5,       // drop ultra-short docs
+      maxRepRatio: Double = 0.2, // Gopher-style intra-doc repetition cut
+      gramN: Int = 3,
+      minJaccard: Double = 0.5,  // near-dup threshold
+      window: Int = 128,         // model-context tokens per chunk
+      stride: Int = 96,
+      packGroups: Int = 32,
+      packBudget: Long = 4096L)  // tokens per training shard
+
+  case class TrainingData(
+      cleaned: DataFrame,  // (id, text, n_tokens) quality-surviving docs
+      clusters: DataFrame, // (id, cluster_id) over cleaned docs
+      kept: DataFrame,     // cleaned ∩ cluster representatives
+      chunks: DataFrame,   // (id, chunk_idx, n_chunk_tokens, chunk_hash)
+      shards: DataFrame)   // (id, grp, n_tokens, shard_idx)
+
+  /** The corpus → training-set pipeline in one call: quality filter (token
+    * floor + repetition ceiling) → n-gram Jaccard near-dup pairs →
+    * connected-components cluster dedup keeping one representative per
+    * cluster → model-context chunking → token-budget shard packing. Every
+    * stage is the operator already covered by the driver's correctness gate
+    * ([[graft.operators.Dedup]], [[graft.operators.Sequencer]]); this only
+    * composes them, and the `pipeline_training_data` query pins the
+    * composition itself against a single DuckDB oracle. */
+  def prepareTrainingData(docs: DataFrame, idCol: String, textCol: String,
+      cfg: TrainingConfig = TrainingConfig()): TrainingData = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val totals = docs.select(col(idCol), col(textCol),
+      size(toks).cast("long").as("__nt"),
+      when(size(toks) >= cfg.gramN, size(toks) - (cfg.gramN - 1))
+        .otherwise(0).cast("long").as("__ng"))
+    val dis = Dedup.shingleHashes(docs, idCol, textCol, cfg.gramN)
+      .groupBy(idCol).agg(count(lit(1)).as("__nd"))
+    val cleaned = Caches.cached(totals.join(dis, Seq(idCol), "left")
+      .filter(col("__nt") >= cfg.minTokens &&
+        graft.functions.CleanFunctions.repetitionRatio(
+          col("__ng"), coalesce(col("__nd"), lit(0L))) <= cfg.maxRepRatio)
+      .select(col(idCol), col(textCol), col("__nt").as("n_tokens")))
+    val pairs = Dedup.jaccardJoin(cleaned, idCol, textCol, cfg.gramN,
+      cfg.minJaccard).select("a_id", "b_id")
+    val clusters = Dedup.connectedComponents(pairs, cleaned.select(col(idCol)), idCol)
+    val kept = Caches.cached(cleaned.join(clusters, idCol)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol), col(textCol), col("n_tokens")))
+    val chunks = Sequencer.chunkWindows(kept, idCol, textCol, cfg.window, cfg.stride)
+    val shards = Sequencer.packTokenShards(kept.select(col(idCol), col("n_tokens")),
+      idCol, "n_tokens", cfg.packGroups, cfg.packBudget)
+    TrainingData(cleaned, clusters, kept, chunks, shards)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CleanQueries, DedupQueries, EvalQueries, IndexQueries, IoQueries, JoinQueries, MediaQueries, RelationalQueries, SampleQueries, TextQueries, VectorQueries}
+import graft.queries.{CleanQueries, DedupQueries, EvalQueries, IndexQueries, IoQueries, JoinQueries, MediaQueries, PipelineQueries, RelationalQueries, SampleQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     VectorQueries, RelationalQueries, EvalQueries, TextQueries, DedupQueries,
     IndexQueries, MediaQueries, JoinQueries, SampleQueries, CleanQueries,
-    IoQueries)
+    IoQueries, PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

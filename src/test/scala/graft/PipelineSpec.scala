@@ -73,6 +73,30 @@ class PipelineSpec extends SparkSpec {
     assert(res.recall.head().getAs[Double]("avg_recall") == 1.0) // nProbe = lists
   }
 
+  test("prepareTrainingData: junk filtered, dup clusters collapse, survivors chunk and pack") {
+    import org.apache.spark.sql.functions.col
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),                       // kept: cluster rep of {1,2,3}
+      (2L, base),                       // exact dup of 1 → dropped
+      (3L, base + " extra"),            // near dup of 1 → dropped
+      (4L, "one two three four five six seven"), // kept, unrelated
+      (5L, "tiny doc"),                 // < minTokens → cleaned out
+      (6L, "spam spam spam spam spam spam spam spam")) // repetitive → cleaned out
+      .toDF("doc_id", "text")
+    val td = Pipeline.prepareTrainingData(docs, "doc_id", "text",
+      Pipeline.TrainingConfig(window = 4, stride = 3, packGroups = 2, packBudget = 8))
+    assert(td.cleaned.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    assert(td.kept.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    val clusters = td.clusters.as[(Long, Long)].collect().toMap
+    assert(clusters(2L) == 1L && clusters(3L) == 1L && clusters(4L) == 4L)
+    // doc 1: 10 tokens, window 4 stride 3 → starts 1,4,7,10 → 4 chunks
+    assert(td.chunks.filter(col("doc_id") === 1L).count() == 4L)
+    assert(td.chunks.filter(col("doc_id") === 2L).count() == 0L) // dropped docs never chunk
+    // packing covers exactly the kept docs
+    assert(td.shards.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
   test("index persists partitioned by list_id and searches from disk") {
     val base = java.nio.file.Files.createTempDirectory("pipeline2").toString
     val cfg = Config(dim = 32, k = 3, lists = 2, nProbe = 1)
