@@ -65,6 +65,20 @@ class PlanSpec extends SparkSpec {
       s"corpus-side documents scan leaked into the indexed plan:\n$plan")
   }
 
+  test("chunking is one narrow stage; packing shuffles once, keyed on the group") {
+    val chunk = planOf("text_chunk_windows")
+    assert(!chunk.contains("Exchange") && !chunk.contains("Join"),
+      s"chunk windows must stay map-side (scan→project→generate):\n$chunk")
+    // AQE prints the pre-adaptive plan again under "== Initial Plan ==" —
+    // count Exchanges in the final section only.
+    val pack = planOf("text_pack_shards").split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(pack).size
+    assert(exchanges == 1,
+      s"shard packing should shuffle exactly once (on grp), found $exchanges:\n$pack")
+    assert(!pack.contains("SinglePartition"),
+      s"shard packing must never collapse to a global single-partition sort:\n$pack")
+  }
+
   test("dimension joins broadcast the dimension side") {
     val plan = planOf("rel_region_revenue")
     assert(plan.contains("BroadcastHashJoin"),
