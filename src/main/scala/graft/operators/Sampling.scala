@@ -45,6 +45,28 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic weighted sample without replacement (A-Res, Efraimidis &
+    * Spirakis, IPL 2006): each row draws u = (md5-hash(key)+1)/2^32 ∈ (0,1]
+    * and scores ln(u)/w — a monotone transform of the classic u^(1/w) key —
+    * and the sample is the global top-`n` by (score desc, key). Inclusion
+    * probability is proportional to weight; the md5 uniform makes it
+    * reproducible, repartition-stable, and engine-portable (the score
+    * rounds at 8 decimals before comparison so libm ulp drift can't reorder
+    * near-ties; remaining ties break on the key). Zero/negative weights are
+    * excluded (they'd score -∞). The top-n plans as TakeOrderedAndProject —
+    * per-partition heaps + one tiny merge, never a global sort. Output:
+    * input columns + `wkey`. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") + 1L) / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey", round(log(u) / col(weightCol), 8))
+      .orderBy(col("wkey").desc, col(keyCol))
+      .limit(n)
+  }
+
   /** Deterministic stratified sample: the `n` rows of each stratum with the
     * smallest (hash, key) — reproducible "random" per-group quotas. */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,

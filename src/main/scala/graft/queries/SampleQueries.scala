@@ -26,7 +26,15 @@ object SampleQueries extends graft.QueryModule {
     // 20 quota-sampled docs per language.
     "sample_docs_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 20)
-        .select("doc_id", "lang")))
+        .select("doc_id", "lang")),
+    // 50 docs weighted by token count (A-Res without replacement): longer
+    // docs proportionally likelier, md5-uniform draws — the "random" sample
+    // and its scores hash-match the oracle.
+    "sample_docs_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"),
+          graft.operators.Sequencer.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", 50)))
 
   val oracles: Map[String, String] = Map(
     "sample_docs_hash" ->
@@ -43,5 +51,15 @@ object SampleQueries extends graft.QueryModule {
          |  SELECT doc_id, lang,
          |    row_number() OVER (PARTITION BY lang ORDER BY $bucketSql, doc_id) AS rn
          |  FROM documents)
-         |WHERE rn <= 20""".stripMargin)
+         |WHERE rn <= 20""".stripMargin,
+    "sample_docs_weighted" ->
+      s"""WITH ${DocSql.toksCte},
+         |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tokd
+         |  WHERE len(toks) > 0),
+         |k AS (SELECT doc_id, n_tokens,
+         |    round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+         |      / 4294967296.0) / n_tokens, 8) AS wkey
+         |  FROM t)
+         |SELECT doc_id, n_tokens, wkey FROM k
+         |ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin)
 }

@@ -36,6 +36,21 @@ class SamplingSpec extends SparkSpec {
       Sampling.hashSplit(rows, "id", Seq("a" -> 0.5, "b" -> 0.4)))
   }
 
+  test("weightedSample: deterministic, repartition-stable, weight-sensitive, excludes w<=0") {
+    val weighted = rows.withColumn("w",
+      when(col("id") === 7L, lit(1000000L))  // overwhelming weight
+        .when(col("id") % 10 === 0, lit(0L)) // ineligible
+        .otherwise(lit(1L)))
+    val a = Sampling.weightedSample(weighted, "id", "w", 20)
+      .select("id").as[Long].collect().toSeq
+    val b = Sampling.weightedSample(weighted.repartition(7), "id", "w", 20)
+      .select("id").as[Long].collect().toSeq
+    assert(a.toSet == b.toSet, "sample must not depend on physical layout")
+    assert(a.size == 20)
+    assert(a.contains(7L), "a ~1e6x weight must dominate the top-20")
+    assert(!a.exists(_ % 10 == 0), "zero-weight rows can never be sampled")
+  }
+
   test("stratifiedSample: exact quota per stratum (or all rows if fewer)") {
     val strat = rows.withColumn("g", (col("id") % 4).cast("string"))
     val out = Sampling.stratifiedSample(strat, "g", "id", 10)
