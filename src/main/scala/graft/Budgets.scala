@@ -39,6 +39,7 @@ object Budgets {
     "eval_best_sim" -> 2.4,
     "eval_best_sim_summary" -> 1.9,
     "eval_recall_summary" -> 1.5,
+    "events_attribution" -> 1.5,
     "events_enriched" -> 1.5,
     "events_json_stats" -> 1.5,
     "events_session_stats" -> 1.6,

@@ -116,6 +116,15 @@ object RelationalQueries extends graft.QueryModule {
     "events_enriched" -> ((s, dir) =>
       graft.streaming.EventStreams.enrichWithUsers(
         Tables.events(s, dir), Tables.customer(s, dir))),
+    // Interval attribution (batch face of the watermarked stream-stream
+    // join, EventStreams.attributeStream): every purchase joined to the
+    // same user's clicks within the preceding hour.
+    "events_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStreams.attributePurchases(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+    }),
     // Running window frame: cumulative revenue per customer in order-date order.
     "rel_running_revenue" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -246,6 +255,16 @@ object RelationalQueries extends graft.QueryModule {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM o""".stripMargin,
+    "events_attribution" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_s,
+        |  c.event_id AS click_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_s
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND c.ts <= p.ts
+        | AND c.ts >= p.ts - INTERVAL 60 MINUTE
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
     "events_session_stats" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts

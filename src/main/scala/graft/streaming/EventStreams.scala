@@ -59,6 +59,39 @@ object EventStreams {
   def dedupEventsStream(events: DataFrame, horizon: String = "1 hour"): DataFrame =
     events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
 
+  /** Purchase→click attribution: every purchase joined to ALL of the same
+    * user's clicks in the preceding `horizonMinutes` — the interval-join
+    * shape ad attribution and conversion tracking run. One declarative
+    * transform, two faces:
+    *   - batch: an ordinary key + time-range join;
+    *   - streaming ([[attributeStream]]): a watermarked STREAM-STREAM join —
+    *     Structured Streaming buffers each side only within the watermark ±
+    *     the interval bound, so state tracks the horizon, not the stream.
+    * Output: (purchase_id, user_id, purchase_s, click_id, click_s). */
+  def attributePurchases(purchases: DataFrame, clicks: DataFrame,
+      horizonMinutes: Int = 60): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("__pts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("__cts"))
+    p.join(c, p("user_id") === c("user_id") &&
+        col("__cts") <= col("__pts") &&
+        col("__cts") >= col("__pts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("purchase_id"), p("user_id"),
+        date_format(col("__pts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_s"),
+        col("click_id"),
+        date_format(col("__cts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_s"))
+  }
+
+  /** The stream-stream face of [[attributePurchases]]: both sides
+    * watermarked, the join condition carrying the event-time bounds that
+    * let the engine expire buffered rows. */
+  def attributeStream(purchases: DataFrame, clicks: DataFrame,
+      horizonMinutes: Int = 60, watermark: String = "1 hour"): DataFrame =
+    attributePurchases(
+      purchases.withWatermark("ts", watermark),
+      clicks.withWatermark("ts", watermark), horizonMinutes)
+
   /** Batch sessionization: a new session starts when the gap to the user's
     * previous event exceeds [[SessionGapUs]]. Pure window functions —
     * deterministic (ties ordered by event_id) and oracle-replayable.

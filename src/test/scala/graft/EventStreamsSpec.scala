@@ -47,6 +47,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val pIn = MemoryStream[Event]
+    val cIn = MemoryStream[Event]
+    val query = EventStreams.attributeStream(pIn.toDF(), cIn.toDF(),
+        horizonMinutes = 60, watermark = "2 hours")
+      .writeStream.format("memory").queryName("attr_t")
+      .outputMode("append").start()
+    val clicks = batch1 ++ Seq(Event(4L, ts(50), 100L, "click", 4.0))
+    val purchases = Seq(
+      Event(6L, ts(60), 100L, "purchase", 6.0),  // clicks at 0,5,50 in window
+      Event(8L, ts(70), 200L, "purchase", 8.0))  // event 3 sits exactly on the -60min boundary
+    try {
+      cIn.addData(clicks); query.processAllAvailable()
+      pIn.addData(purchases); query.processAllAvailable()
+      val streamed = spark.table("attr_t").collect().map(_.toSeq).toSet
+      val batch = EventStreams.attributePurchases(
+        purchases.toDF(), clicks.toDF(), horizonMinutes = 60)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // purchase 6 attributes to events 1, 2, 4 (within 60 min); purchase 8
+      // to event 3, exactly on the inclusive -60min boundary
+      assert(streamed.map(r => (r(0), r(3))) ==
+        Set((6L, 1L), (6L, 2L), (6L, 4L), (8L, 3L)))
+      // stream-stream join is stateful — but bounded by the watermark
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming hourly counts (complete mode) match the batch transform") {
     val input = MemoryStream[Event]
     val query = EventStreams.hourlyTypeCounts(input.toDF())
