@@ -68,6 +68,7 @@ object Budgets {
     "media_meta" -> 1.5,
     "media_resize" -> 1.5,
     "pipeline_training_data" -> 17.8, // full compose: quality+jaccard+CC+chunk+pack, mostly cold
+    "profile_lineitem_numeric" -> 1.5,
     "rel_cube_flags" -> 1.5,
     "rel_events_hourly" -> 1.5,
     "rel_nations_both" -> 1.5,
@@ -81,6 +82,7 @@ object Budgets {
     "rel_top_orders_per_cust" -> 1.5,
     "rel_urgent_only_customers" -> 1.5,
     "report_job_skills_pivot" -> 1.9,
+    "report_source_quality" -> 1.5,
     "sample_docs_hash" -> 1.5,
     "sample_docs_split" -> 1.5,
     "sample_docs_stratified" -> 1.5,

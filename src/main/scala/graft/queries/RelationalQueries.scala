@@ -116,6 +116,13 @@ object RelationalQueries extends graft.QueryModule {
     "events_enriched" -> ((s, dir) =>
       graft.streaming.EventStreams.enrichWithUsers(
         Tables.events(s, dir), Tables.customer(s, dir))),
+    // Table profiling (ANALYZE-style): per-column stats over lineitem's
+    // numeric columns in ONE scan — the agg node computes every column's
+    // aggregates together and the rows come from exploding the 1-row
+    // result, not from N passes.
+    "profile_lineitem_numeric" -> ((s, dir) =>
+      graft.operators.Profile.numericProfile(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // Interval attribution (batch face of the watermarked stream-stream
     // join, EventStreams.attributeStream): every purchase joined to the
     // same user's clicks within the preceding hour.
@@ -255,6 +262,16 @@ object RelationalQueries extends graft.QueryModule {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM o""".stripMargin,
+    "profile_lineitem_numeric" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 6) AS min_v,
+           |  round(CAST(max($c) AS DOUBLE), 6) AS max_v,
+           |  round(CAST(sum(CAST($c AS DECIMAL(28,8))) AS DOUBLE) / count($c), 6) AS mean_v
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "events_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_s,

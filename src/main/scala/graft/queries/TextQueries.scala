@@ -67,6 +67,30 @@ object TextQueries extends graft.QueryModule {
         .select(col("doc_id"),
           round(qualityScoreFromTokens(col("text"), col("__toks")), 6).as("quality"))
     }),
+    // Per-source corpus scorecard: the keep/drop-by-source decision a
+    // training-data pipeline makes — volume, token mass, mean quality,
+    // exact-dup rate, language spread, per ingestion source. One shuffle
+    // keyed on source; averages go through decimal sums (order-independent)
+    // and the per-doc quality rounds at 6 BEFORE aggregation on both
+    // engines.
+    "report_source_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("text"),
+          tokens(col("text")).as("__toks"))
+        .select(col("source"), col("lang"),
+          md5(col("text")).as("__h"),
+          size(col("__toks")).cast("long").as("__nt"),
+          round(qualityScoreFromTokens(col("text"), col("__toks")), 6).as("__q"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          round(sum(col("__q").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("avg_quality"),
+          round(lit(1.0d) -
+            count_distinct(col("__h")).cast("double") / count(lit(1)), 6)
+            .as("exact_dup_rate"),
+          count_distinct(col("lang")).as("n_langs"))
+    }),
     // Rolling-hash document fingerprint.
     "text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -204,6 +228,22 @@ object TextQueries extends graft.QueryModule {
          |  0.3 * least(1.0, 4.0 * CASE WHEN len(toks) = 0 THEN 0.0
          |    ELSE CAST(len(list_filter(toks, t -> t IN $enIn)) AS DOUBLE) / len(toks) END), 6) AS quality
          |FROM tokd""".stripMargin,
+    "report_source_quality" ->
+      s"""WITH $toksCte,
+         |q AS (SELECT t.doc_id, d.source, d.lang, md5(t.text) AS h,
+         |    CAST(len(t.toks) AS BIGINT) AS nt,
+         |    round(
+         |      0.4 * least(1.0, len(t.toks) / 100.0) +
+         |      0.3 * (1.0 - CASE WHEN len(t.text) = 0 THEN 0.0
+         |        ELSE CAST(len(regexp_replace(lower(t.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t.text) END) +
+         |      0.3 * least(1.0, 4.0 * CASE WHEN len(t.toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END), 6) AS qs
+         |  FROM tokd t JOIN documents d USING (doc_id))
+         |SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+         |  round(CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+         |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS exact_dup_rate,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM q GROUP BY 1""".stripMargin,
     "text_fingerprint" ->
       s"""WITH $toksCte
          |SELECT doc_id, list_reduce(
