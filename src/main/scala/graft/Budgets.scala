@@ -33,6 +33,7 @@ object Budgets {
     "dedup_simhash_pairs" -> 4.8,
     "embed_hash_tf" -> 3.5,
     "embed_knn_docs" -> 2.1,
+    "embed_tfidf" -> 3.4,
     "embed_label_centroids" -> 1.5,
     "embed_quantize_int8" -> 1.5,
     "eval_ann_recall" -> 1.7,
@@ -92,6 +93,7 @@ object Budgets {
     "text_fingerprint" -> 1.5,
     "text_pack_shards" -> 1.5,
     "text_lang_id" -> 1.5,
+    "text_unigram_logprob" -> 2.4,
     "text_quality" -> 1.5,
     "text_stats" -> 1.5,
     "text_top_ngrams" -> 1.9,

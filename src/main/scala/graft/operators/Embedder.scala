@@ -46,4 +46,39 @@ object Embedder {
           i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__v"))
       .select(col(idCol), l2Normalize(col("__v")).as(outCol))
   }
+
+  /** TF-IDF embedder: [[hashTfEmbed]]'s bucket counts weighted by smoothed
+    * inverse document frequency before normalization —
+    * idf_b = ln((N+1)/(df_b+1)) + 1 (the standard smoothed form, as in
+    * scikit-learn's TfidfTransformer), df_b = number of docs hashing into
+    * bucket b, N = number of embeddable docs. Corpus statistics stay
+    * columnar: df_b is one keyed aggregation, N a 1-row aggregate, and the
+    * ≤ dim-row idf table joins back as a broadcast — no second corpus
+    * shuffle beyond hashTfEmbed's. idf rounds at 8 decimals before
+    * weighting so ln() libm drift can't split engines. */
+  def tfidfEmbed(df: DataFrame, idCol: String, textCol: String, dim: Int,
+      outCol: String = "embedding"): DataFrame = {
+    require(dim > 0, s"embedding dim must be positive, got $dim")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(TextFunctions.newlineStrip(col(textCol)))).as("__t"))
+    val buckets = toks
+      .select(col(idCol), pmod(TextFunctions.tokenHash(col("__t")), lit(dim.toLong)).cast("int").as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val dfb = buckets.groupBy(col("__b")).agg(count(lit(1)).as("__dfb"))
+    val nDocs = buckets.agg(count_distinct(col(idCol)).as("__n"))
+    val idf = dfb.crossJoin(broadcast(nDocs))
+      .select(col("__b"),
+        round(log((col("__n") + 1L).cast("double") / (col("__dfb") + 1L)) + 1.0d, 8)
+          .as("__idf"))
+    val sparse = buckets.join(broadcast(idf), "__b")
+      .select(col(idCol), col("__b"), (col("__cnt") * col("__idf")).as("__w"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__w")))).as("__m"))
+    sparse
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__v"))
+      .select(col(idCol), l2Normalize(col("__v")).as(outCol))
+  }
 }

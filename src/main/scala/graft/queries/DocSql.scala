@@ -41,6 +41,27 @@ private[queries] object DocSql {
        |  FROM tokd WHERE len(toks) >= $n)""".stripMargin
   }
 
+  /** Mirror of Embedder.tfidfEmbed at the given dim: ends in
+    * nv(doc_id, vec) with unit-norm doubles. Requires [[toksCte]]. */
+  def tfidfCte(dim: Int): String =
+    s"""tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
+       |bk AS (SELECT doc_id,
+       |    CAST(${tokenHashSql("t")} % $dim AS INT) AS bkt,
+       |    CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM tok GROUP BY 1, 2),
+       |dfb AS (SELECT bkt, count(*) AS dfb FROM bk GROUP BY 1),
+       |nn AS (SELECT count(DISTINCT doc_id) AS n FROM bk),
+       |idf AS (SELECT bkt, round(ln(CAST(nn.n + 1 AS DOUBLE) / (dfb.dfb + 1)) + 1.0, 8) AS idf
+       |  FROM dfb CROSS JOIN nn),
+       |wt AS (SELECT doc_id, bk.bkt AS bkt, bk.cnt * idf.idf AS w
+       |  FROM bk JOIN idf USING (bkt)),
+       |m AS (SELECT doc_id, map(list(bkt), list(w)) AS mm FROM wt GROUP BY 1),
+       |v AS (SELECT doc_id, list_transform(generate_series(0, ${dim - 1}),
+       |    i -> coalesce(map_extract(mm, CAST(i AS INT))[1], 0.0)) AS vec FROM m),
+       |nv AS (SELECT doc_id,
+       |    list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) AS vec
+       |  FROM v)""".stripMargin
+
   /** Mirror of Embedder.hashTfEmbed at the given dim: ends in
     * nv(doc_id, vec) with unit-norm doubles. Requires [[toksCte]]. */
   def embedCte(dim: Int): String =

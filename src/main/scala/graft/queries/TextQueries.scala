@@ -67,6 +67,26 @@ object TextQueries extends graft.QueryModule {
         .select(col("doc_id"),
           round(qualityScoreFromTokens(col("text"), col("__toks")), 6).as("quality"))
     }),
+    // Unigram LM scoring — the perplexity-filter signal (CCNet, Wenzek et
+    // al. LREC 2020, built there on a KenLM model; here the LM is the
+    // corpus's own unigram distribution, which keeps it SQL-replayable):
+    // avg ln p(token) per doc, low = gibberish/rare-token text. Corpus
+    // token counts are a keyed aggregation; the totals scalar broadcasts;
+    // per-token logprobs round at 8 before the decimal-exact per-doc
+    // average (transcendental-drift defense, like the weighted sampler).
+    "text_unigram_logprob" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val counts = tok.groupBy("t").agg(count(lit(1)).as("__c"))
+      val total = counts.agg(sum(col("__c")).as("__tot"))
+      tok.join(counts, "t").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(log(col("__c").cast("double") / col("__tot")), 8).as("__lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum(col("__lp").cast("decimal(28,8)")).cast("double")
+            / count(lit(1)), 6).as("avg_logprob"))
+    }),
     // Per-source corpus scorecard: the keep/drop-by-source decision a
     // training-data pipeline makes — volume, token mass, mean quality,
     // exact-dup rate, language spread, per ingestion source. One shuffle
@@ -112,6 +132,19 @@ object TextQueries extends graft.QueryModule {
         round(aggregate(col("embedding"), lit(0.0d), _ + _), 6).as("vec_sum"),
         round(array_max(col("embedding")), 6).as("max_val"),
         array_position(col("embedding"), array_max(col("embedding"))).as("argmax"))
+    }),
+    // TF-IDF variant of the embedder, same pinned-scalar contract: rare
+    // buckets weigh more, so vec_sum/max_val/argmax shift relative to
+    // embed_hash_tf while norm stays 1 — a wrong idf join shows up in all
+    // three.
+    "embed_tfidf" -> ((s, dir) => {
+      Embedder.tfidfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim)
+        .select(col("doc_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(sqrt(aggregate(transform(col("embedding"), x => x * x), lit(0.0d), _ + _)), 6).as("norm"),
+          round(aggregate(col("embedding"), lit(0.0d), _ + _), 6).as("vec_sum"),
+          round(array_max(col("embedding")), 6).as("max_val"),
+          array_position(col("embedding"), array_max(col("embedding"))).as("argmax"))
     }),
     // Corpus statistics: 20 most frequent token 3-grams (ties by gram text).
     "text_top_ngrams" -> ((s, dir) => {
@@ -228,6 +261,17 @@ object TextQueries extends graft.QueryModule {
          |  0.3 * least(1.0, 4.0 * CASE WHEN len(toks) = 0 THEN 0.0
          |    ELSE CAST(len(list_filter(toks, t -> t IN $enIn)) AS DOUBLE) / len(toks) END), 6) AS quality
          |FROM tokd""".stripMargin,
+    "text_unigram_logprob" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
+         |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(c) AS tot FROM cnt),
+         |lp AS (SELECT tok.doc_id,
+         |    round(ln(CAST(cnt.c AS DOUBLE) / tot.tot), 8) AS lp
+         |  FROM tok JOIN cnt USING (t) CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(CAST(sum(CAST(lp AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |FROM lp GROUP BY 1""".stripMargin,
     "report_source_quality" ->
       s"""WITH $toksCte,
          |q AS (SELECT t.doc_id, d.source, d.lang, md5(t.text) AS h,
@@ -268,6 +312,16 @@ object TextQueries extends graft.QueryModule {
          |FROM pm GROUP BY lang""".stripMargin,
     "embed_hash_tf" ->
       s"""WITH $embedCte
+         |SELECT doc_id,
+         |  CAST(len(vec) AS BIGINT) AS dim,
+         |  round(sqrt(list_dot_product(vec, vec)), 6) AS norm,
+         |  round(list_sum(vec), 6) AS vec_sum,
+         |  round(list_max(vec), 6) AS max_val,
+         |  CAST(list_position(vec, list_max(vec)) AS BIGINT) AS argmax
+         |FROM nv""".stripMargin,
+    "embed_tfidf" ->
+      s"""WITH $toksCte,
+         |${DocSql.tfidfCte(Dim)}
          |SELECT doc_id,
          |  CAST(len(vec) AS BIGINT) AS dim,
          |  round(sqrt(list_dot_product(vec, vec)), 6) AS norm,

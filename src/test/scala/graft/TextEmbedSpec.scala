@@ -68,4 +68,23 @@ class TextEmbedSpec extends SparkSpec {
   test("hashTfEmbed rejects non-positive dim") {
     intercept[IllegalArgumentException](Embedder.hashTfEmbed(docs, "doc_id", "text", 0))
   }
+
+  test("tfidfEmbed: unit norm, and rare tokens outweigh ubiquitous ones") {
+    // "alpha" appears in every doc (idf = ln(4/4)+1 = 1); each second token
+    // in exactly one (idf = ln(4/2)+1 ≈ 1.69) — so in hashTf both of a
+    // doc's buckets tie at 1/√2, while tfidf must tip toward the rare one.
+    val corpus = Seq((1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val tfidf = Embedder.tfidfEmbed(corpus, "doc_id", "text", 64)
+      .select($"doc_id", $"embedding").as[(Long, Seq[Double])].collect().toMap
+    tfidf.values.foreach { v =>
+      assertNear(math.sqrt(v.map(x => x * x).sum), 1.0, 1e-9)
+      val mx = v.max
+      assert(mx > 0.75 && mx < 0.95, // 1.69/√(1+1.69²) ≈ 0.86; 1/√2 if idf were flat
+        s"rare-token weight should dominate after idf, got max $mx")
+    }
+    val tf = Embedder.hashTfEmbed(corpus, "doc_id", "text", 64)
+      .select($"doc_id", $"embedding").as[(Long, Seq[Double])].collect().toMap
+    assertNear(tf(1L).max, 1.0 / math.sqrt(2.0), 1e-9) // flat weights tie
+  }
 }
