@@ -35,6 +35,7 @@ object Budgets {
     "embed_knn_docs" -> 2.1,
     "embed_tfidf" -> 3.4,
     "embed_label_centroids" -> 1.5,
+    "embed_project_jl" -> 1.5,
     "embed_quantize_int8" -> 1.5,
     "eval_ann_recall" -> 1.7,
     "eval_best_sim" -> 2.4,

@@ -87,6 +87,37 @@ object RpLsh {
       .select(col(idCol), col("__h.tbl").as("tbl"), col("__h.bucket").as("bucket"))
   }
 
+  /** Plane-family table id reserved for [[project]] so projection planes
+    * never coincide with any LSH table's. */
+  val ProjectionTable = 9999
+
+  /** Johnson-Lindenstrauss random projection to `dimOut` dimensions: each
+    * output component is ⟨v, plane_p⟩·√(dimIn/dimOut) over the same
+    * md5-derived ±1/√dimIn planes the LSH family uses (sign projections
+    * satisfy JL with the usual distortion bounds — Achlioptas, JCSS 2003),
+    * so pairwise distances are preserved in expectation and the whole
+    * transform replays in SQL. Pure per-row column arithmetic — no fitted
+    * model, no shuffle; components round at 6 like every oracle-compared
+    * distance. Output: (idCol, proj array<double>[dimOut]). */
+  def project(df: DataFrame, idCol: String, vecCol: String, dimIn: Int,
+      dimOut: Int): DataFrame = {
+    require(dimIn > 0 && dimOut > 0 && dimOut <= dimIn,
+      s"need 0 < dimOut $dimOut <= dimIn $dimIn")
+    val scale = math.sqrt(dimIn.toDouble / dimOut)
+    val vd = df.select(col(idCol), col(vecCol).cast("array<double>").as("__vd"))
+    val comps = (0 until dimOut).map { p =>
+      round(dotProduct(col("__vd"),
+        lit(plane(ProjectionTable, p, dimIn).toArray)) * scale, 6)
+    }
+    vd.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
+  /** DuckDB mirror of one [[project]] component (0-based `p`). */
+  def projectComponentSql(vecSql: String, dimIn: Int, dimOut: Int, p: Int): String = {
+    val scale = math.sqrt(dimIn.toDouble / dimOut)
+    s"round(list_dot_product($vecSql, ${planeSql(ProjectionTable, p, dimIn)}) * $scale, 6)"
+  }
+
   /** DuckDB list literal for [[plane]] — Double.toString round-trips, so the
     * SQL parser reconstructs bit-identical doubles. */
   def planeSql(table: Int, planeIdx: Int, dim: Int): String =

@@ -75,6 +75,20 @@ object VectorQueries extends graft.QueryModule {
     }),
     // F4/F5 — serialize to '[f,f,…]' text and parse back (round-trip exactness:
     // float → shortest-repr string → double equals float → double).
+    // Johnson-Lindenstrauss random projection 64 → 16 on the deterministic
+    // md5 plane family: the dimensionality-reduction step before an ANN
+    // index when the raw embedding dim is too wide. Pure per-row
+    // arithmetic; pinned by per-vector norm/sum/min/max of the projection.
+    "embed_project_jl" -> ((s, dir) =>
+      graft.operators.RpLsh.project(Tables.embeddings(s, dir),
+        "vec_id", "embedding", 64, 16)
+        .select(col("vec_id"),
+          size(col("proj")).cast("long").as("dim_out"),
+          round(sqrt(aggregate(transform(col("proj"), x => x * x),
+            lit(0.0d), _ + _)), 6).as("proj_norm"),
+          round(aggregate(col("proj"), lit(0.0d), _ + _), 6).as("proj_sum"),
+          round(array_min(col("proj")), 6).as("proj_min"),
+          round(array_max(col("proj")), 6).as("proj_max"))),
     "vec_text_roundtrip" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       emb.select(col("vec_id"),
@@ -87,7 +101,19 @@ object VectorQueries extends graft.QueryModule {
   private val qCte = Fixtures.qCte
   private val cCte = Fixtures.cCte
 
+  private val jlComps = (0 until 16).map(p =>
+    graft.operators.RpLsh.projectComponentSql("embedding::DOUBLE[]", 64, 16, p))
+
   val oracles: Map[String, String] = Map(
+    "embed_project_jl" ->
+      s"""WITH p AS (SELECT vec_id, [${jlComps.mkString(",\n    ")}] AS proj
+         |  FROM embeddings)
+         |SELECT vec_id, CAST(len(proj) AS BIGINT) AS dim_out,
+         |  round(sqrt(list_dot_product(proj, proj)), 6) AS proj_norm,
+         |  round(list_sum(proj), 6) AS proj_sum,
+         |  round(list_min(proj), 6) AS proj_min,
+         |  round(list_max(proj), 6) AS proj_max
+         |FROM p""".stripMargin,
     "knn_cosine_topk" ->
       s"""WITH $qCte, $cCte,
          |d AS (SELECT job_id, skill_id,

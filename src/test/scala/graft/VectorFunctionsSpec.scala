@@ -80,4 +80,28 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(Metric("ip") == InnerProduct)
     intercept[IllegalArgumentException](Metric("hamming"))
   }
+
+  test("JL projection roughly preserves pairwise distances (deterministic planes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 12L).map { i =>
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (i, v.map(x => (x / n).toFloat).toSeq)
+    }
+    val proj = graft.operators.RpLsh.project(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", 64, 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    def dist(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val orig = vecs.toMap.view.mapValues(_.map(_.toDouble)).toMap
+    val ratios = for {
+      i <- 0L until 12L; j <- (i + 1) until 12L
+    } yield dist(proj(i), proj(j)) / dist(orig(i), orig(j))
+    // 16 projected dims ⇒ per-pair distortion stddev ≈ 1/√16; loose bounds
+    assert(ratios.forall(r => r > 0.3 && r < 2.2),
+      s"distance ratio escaped JL bounds: ${ratios.min} .. ${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion off: $mean")
+  }
 }
