@@ -40,8 +40,11 @@ object Bench {
     // layout/index builders run their one-time DDL before the queries that
     // read the stored layout, instead of the alphabetically-first consumer
     // absorbing that build.
+    // dedup_jaccard_pairs is the jaccard family's index builder: it
+    // materializes the shared token-hash/shingle/docset caches that
+    // dedup_clusters (alphabetically first otherwise) would absorb.
     val producers = Seq("embed_hash_tf", "join_bucketed_build",
-      "dedup_jaccard_index_build")
+      "dedup_jaccard_index_build", "dedup_jaccard_pairs")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val ordered = selected.filter(q => producers.contains(q._1)) ++
