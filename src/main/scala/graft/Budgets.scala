@@ -22,12 +22,12 @@ object Budgets {
     "clean_repetition" -> 1.5,
     "dedup_embed_cos_lsh" -> 5.4,
     "dedup_embed_cos_pairs" -> 4.0,
-    "dedup_clusters" -> 12.8, // runs first in the dedup family: absorbs the shared shingle-index build
+    "dedup_clusters" -> 8.2, // pair pipeline + propagation rounds (shared build now lands on dedup_jaccard_pairs)
     "dedup_exact" -> 1.5,
     "dedup_jaccard_incremental" -> 7.6,
     "dedup_jaccard_incremental_indexed" -> 3.9,
     "dedup_jaccard_index_build" -> 9.6,
-    "dedup_jaccard_pairs" -> 2.9,
+    "dedup_jaccard_pairs" -> 4.4, // runs as the family's producer: absorbs the shared token-hash/shingle/docset build
     "dedup_minhash_lsh" -> 5.0,
     "dedup_simhash" -> 1.5,
     "dedup_simhash_pairs" -> 4.8,
@@ -63,7 +63,6 @@ object Budgets {
     "knn_ip_topk" -> 1.5,
     "knn_l2_topk" -> 1.5,
     "lsh_ann_topk" -> 2.4,
-    "media_audio_features" -> 1.5,
     "media_audio_features" -> 1.5,
     "media_frame_sample" -> 1.5,
     "media_image_features" -> 1.5,

@@ -144,16 +144,20 @@ object NpySource {
           // Write-to-temp + rename commit: a task retry or speculative twin
           // dies mid-write on its own attempt-unique temp file, never on the
           // destination, so readers can't observe a torn shard. Rename is
-          // atomic on HDFS/local fs; losers of a duplicate-attempt race just
-          // overwrite with identical (deterministic) bytes.
+          // atomic on HDFS/local fs, and we never delete an existing
+          // destination: a dest that exists was completed by a winning
+          // attempt with identical (deterministic) bytes, so the loser just
+          // discards its temp — a delete-then-rename here could race a
+          // speculation cancel and leave the shard missing entirely.
           val tmp = new org.apache.hadoop.fs.Path(dir,
             f".shard_$shard%05d.npy.attempt${tc.taskAttemptId()}%d.tmp")
           val fs = dest.getFileSystem(confBc.value.value)
           val out = fs.create(tmp, true)
           try out.write(npyBytes(rows.map(_._2))) finally out.close()
-          if (fs.exists(dest)) fs.delete(dest, false)
-          if (!fs.rename(tmp, dest))
-            sys.error(s"writeFloatMatrixSharded: rename $tmp -> $dest failed")
+          if (!fs.rename(tmp, dest)) {
+            if (fs.exists(dest)) fs.delete(tmp, false) // duplicate attempt lost the race: dest is complete
+            else sys.error(s"writeFloatMatrixSharded: rename $tmp -> $dest failed")
+          }
           Iterator.single((shard, rows.length.toLong, rows.head._1, rows.last._1))
         }
       }.collect().sortBy(_._1).toSeq

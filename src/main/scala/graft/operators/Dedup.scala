@@ -332,6 +332,12 @@ object Dedup {
       labels = updated
       i += 1
     }
+    // Fail loudly rather than return partially-propagated labels: a
+    // non-converged exit would split one component across several cluster
+    // ids and silently keep duplicate representatives downstream.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise maxIter or pre-contract the graph")
     nodes.select(col(idCol).as("__id"))
       .join(labels, Seq("__id"), "left")
       .select(col("__id").as(idCol),

@@ -23,28 +23,37 @@ import graft.functions.VectorFunctions.l2Normalize
   */
 object Embedder {
 
+  /** Tokenize, hash-bucket at `dim`, and count per (doc, bucket) — the
+    * shared front half of both embedders: (idCol, __b int, __cnt double). */
+  private def bucketCounts(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame =
+    df.select(col(idCol),
+        explode(TextFunctions.tokens(TextFunctions.newlineStrip(col(textCol)))).as("__t"))
+      .select(col(idCol), pmod(TextFunctions.tokenHash(col("__t")), lit(dim.toLong)).cast("int").as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).cast("double").as("__cnt"))
+
+  /** Sparse (idCol, __b, weight) rows → dense unit vector per doc — the
+    * shared back half. The dense vector materializes as a column before
+    * normalizing: l2Normalize references its argument three times, and each
+    * reference of a non-attribute expression re-runs the whole
+    * sparse→dense transform. */
+  private def densify(weighted: DataFrame, idCol: String, weightCol: String,
+      dim: Int, outCol: String): DataFrame =
+    weighted.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col(weightCol)))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__v"))
+      .select(col(idCol), l2Normalize(col("__v")).as(outCol))
+
   /** Embed `textCol` into a dense `dim`-dimensional unit vector per row.
     * Rows whose text has no tokens are dropped (nothing to embed).
     * Output: (idCol, outCol array<double>). */
   def hashTfEmbed(df: DataFrame, idCol: String, textCol: String, dim: Int,
       outCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"embedding dim must be positive, got $dim")
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(TextFunctions.newlineStrip(col(textCol)))).as("__t"))
-    val buckets = toks
-      .select(col(idCol), pmod(TextFunctions.tokenHash(col("__t")), lit(dim.toLong)).cast("int").as("__b"))
-      .groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).cast("double").as("__cnt"))
-    val sparse = buckets.groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("__b"), col("__cnt")))).as("__m"))
-    // Materialize the dense vector before normalizing: l2Normalize references
-    // its argument three times (values, norm, size), and each reference of a
-    // non-attribute expression re-runs the whole sparse→dense transform.
-    sparse
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__v"))
-      .select(col(idCol), l2Normalize(col("__v")).as(outCol))
+    densify(bucketCounts(df, idCol, textCol, dim), idCol, "__cnt", dim, outCol)
   }
 
   /** TF-IDF embedder: [[hashTfEmbed]]'s bucket counts weighted by smoothed
@@ -59,26 +68,15 @@ object Embedder {
   def tfidfEmbed(df: DataFrame, idCol: String, textCol: String, dim: Int,
       outCol: String = "embedding"): DataFrame = {
     require(dim > 0, s"embedding dim must be positive, got $dim")
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(TextFunctions.newlineStrip(col(textCol)))).as("__t"))
-    val buckets = toks
-      .select(col(idCol), pmod(TextFunctions.tokenHash(col("__t")), lit(dim.toLong)).cast("int").as("__b"))
-      .groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).cast("double").as("__cnt"))
+    val buckets = bucketCounts(df, idCol, textCol, dim)
     val dfb = buckets.groupBy(col("__b")).agg(count(lit(1)).as("__dfb"))
     val nDocs = buckets.agg(count_distinct(col(idCol)).as("__n"))
     val idf = dfb.crossJoin(broadcast(nDocs))
       .select(col("__b"),
         round(log((col("__n") + 1L).cast("double") / (col("__dfb") + 1L)) + 1.0d, 8)
           .as("__idf"))
-    val sparse = buckets.join(broadcast(idf), "__b")
+    val weighted = buckets.join(broadcast(idf), "__b")
       .select(col(idCol), col("__b"), (col("__cnt") * col("__idf")).as("__w"))
-      .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("__b"), col("__w")))).as("__m"))
-    sparse
-      .select(col(idCol),
-        transform(sequence(lit(0), lit(dim - 1)),
-          i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__v"))
-      .select(col(idCol), l2Normalize(col("__v")).as(outCol))
+    densify(weighted, idCol, "__w", dim, outCol)
   }
 }

@@ -104,7 +104,14 @@ object RpLsh {
     require(dimIn > 0 && dimOut > 0 && dimOut <= dimIn,
       s"need 0 < dimOut $dimOut <= dimIn $dimIn")
     val scale = math.sqrt(dimIn.toDouble / dimOut)
-    val vd = df.select(col(idCol), col(vecCol).cast("array<double>").as("__vd"))
+    // Same guard as bucketize: a length-mismatched vector must raise, not
+    // null every component while the DuckDB mirror errors loudly.
+    val raw = col(vecCol).cast("array<double>")
+    val checked = when(raw.isNull, raw)
+      .when(size(raw) === dimIn, raw).otherwise(raise_error(concat(
+        lit(s"RpLsh.project: expected vectors of dim $dimIn, got "),
+        size(raw).cast("string"))))
+    val vd = df.select(col(idCol), checked.as("__vd"))
     val comps = (0 until dimOut).map { p =>
       round(dotProduct(col("__vd"),
         lit(plane(ProjectionTable, p, dimIn).toArray)) * scale, 6)

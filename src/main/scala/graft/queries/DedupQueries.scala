@@ -44,26 +44,17 @@ object DedupQueries extends graft.QueryModule {
     * doc is "the new batch", the rest "the existing corpus". */
   private val deltaPred = col("doc_id") % 10 === 0
 
-  /** One persisted prefix index per (session, scale dir), memoized so the
-    * build — the engine's index-DDL cost — runs once per JVM:
-    * `dedup_jaccard_index_build` pays it as a Bench producer, and
-    * `dedup_jaccard_incremental_indexed` then probes the stored tables only.
-    * The pid in the tag keeps concurrent bench/verify JVMs off each other's
-    * files. */
+  /** One persisted prefix index per (session, scale dir), memoized via
+    * [[graft.Layouts]] so the build — the engine's index-DDL cost — runs
+    * once per JVM: `dedup_jaccard_index_build` pays it as a Bench producer,
+    * and `dedup_jaccard_incremental_indexed` then probes the stored tables
+    * only. */
   private object JidxLayout {
-    private val pid = ProcessHandle.current().pid()
-    private val built =
-      scala.collection.mutable.Map.empty[(Int, String), JaccardIndex.IndexTables]
-
     def ensure(s: SparkSession, dir: String): JaccardIndex.IndexTables =
-      synchronized {
-        built.getOrElseUpdate((System.identityHashCode(s), dir), {
-          val tag = java.lang.Long.toHexString(
-            java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
-              .getMostSignificantBits) + s"_p$pid"
-          JaccardIndex.build(Tables.documents(s, dir).filter(!deltaPred),
-            "doc_id", "text", N, MinJ, tag, s"/tmp/graft_jidx/$tag", 8)
-        })
+      graft.Layouts.once(s, s"jidx:$dir") {
+        val tag = graft.Layouts.tag(dir)
+        JaccardIndex.build(Tables.documents(s, dir).filter(!deltaPred),
+          "doc_id", "text", N, MinJ, tag, s"/tmp/graft_jidx/$tag", 8)
       }
   }
 

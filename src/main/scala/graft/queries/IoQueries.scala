@@ -20,22 +20,14 @@ object IoQueries extends graft.QueryModule {
   private val Shards = 4
 
   private object Export {
-    private val pid = ProcessHandle.current().pid()
-    private val done =
-      scala.collection.mutable.Map.empty[(Int, String), (String, Seq[(Int, Long, Long, Long)])]
-
-    /** Export once per (session, sfDir); returns (outDir, shard summaries). */
+    /** Export once per (session, sfDir) via [[graft.Layouts]]; returns
+      * (outDir, shard summaries). */
     def ensure(s: SparkSession, dir: String): (String, Seq[(Int, Long, Long, Long)]) =
-      synchronized {
-        done.getOrElseUpdate((System.identityHashCode(s), dir), {
-          val tag = java.lang.Long.toHexString(
-            java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
-              .getMostSignificantBits) + s"_p$pid"
-          val out = s"/tmp/graft_npy/$tag"
-          val parts = NpySource.writeFloatMatrixSharded(
-            Tables.embeddings(s, dir), "vec_id", "embedding", out, Shards)
-          (out, parts)
-        })
+      graft.Layouts.once(s, s"npy:$dir") {
+        val out = s"/tmp/graft_npy/${graft.Layouts.tag(dir)}"
+        val parts = NpySource.writeFloatMatrixSharded(
+          Tables.embeddings(s, dir), "vec_id", "embedding", out, Shards)
+        (out, parts)
       }
   }
 

@@ -12,21 +12,15 @@ import graft.operators.{AsofJoin, Bucketed}
   */
 object JoinQueries extends graft.QueryModule {
 
-  /** One-time orderkey-bucketed layout per (session, scale dir), memoized so
-    * the DDL-ish write happens once per JVM — `join_bucketed_build` runs it
-    * as a Bench "producer" so the measured `join_bucketed_colocated` window
-    * times the co-located join, not the layout build. The table tag carries
-    * the process id: two concurrent JVMs (bench + verify over one sfDir)
-    * write disjoint /tmp paths instead of racing on the same files. */
+  /** One-time orderkey-bucketed layout per (session, scale dir), memoized
+    * via [[graft.Layouts]] so the DDL-ish write happens once per JVM —
+    * `join_bucketed_build` runs it as a Bench "producer" so the measured
+    * `join_bucketed_colocated` window times the co-located join, not the
+    * layout build. */
   private object BucketedLayout {
-    private val pid = ProcessHandle.current().pid()
-    private val built = scala.collection.mutable.Map.empty[(Int, String), (String, String)]
-
-    def ensure(s: SparkSession, dir: String): (String, String) = synchronized {
-      built.getOrElseUpdate((System.identityHashCode(s), dir), {
-        val tag = java.lang.Long.toHexString(
-          java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))
-            .getMostSignificantBits) + s"_p$pid"
+    def ensure(s: SparkSession, dir: String): (String, String) =
+      graft.Layouts.once(s, s"bucketed:$dir") {
+        val tag = graft.Layouts.tag(dir)
         val base = s"/tmp/graft_bucketed/$tag"
         Bucketed.writeBucketed(Tables.orders(s, dir)
             .select("o_orderkey", "o_orderpriority"),
@@ -35,8 +29,7 @@ object JoinQueries extends graft.QueryModule {
             .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
           s"graft_lineitem_b_$tag", s"$base/lineitem", "o_orderkey", 8)
         (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
-      })
-    }
+      }
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

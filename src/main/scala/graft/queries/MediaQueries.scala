@@ -75,12 +75,15 @@ object MediaQueries extends graft.QueryModule {
          |  CAST(1 + (h // 1048576) % 3 AS INT) AS n_channels,
          |  round(((h // 4194304) % 256) / 255.0, 6) AS mean_luma
          |FROM h""".stripMargin,
+    // duration divides the PAYLOAD's byte length — octet_length(encode()),
+    // not len(): a non-ASCII character would make char count and UTF-8 byte
+    // count diverge and split the engines.
     "media_audio_features" ->
       s"""WITH $stubHashCte
          |SELECT h.doc_id,
          |  CAST(([8000, 16000, 22050, 44100])[CAST(h.h % 4 AS INT) + 1] AS INT) AS sample_rate,
          |  CAST(1 + (h.h // 256) % 2 AS INT) AS channels,
-         |  round(CAST(len(d.text) AS BIGINT)
+         |  round(CAST(octet_length(encode(d.text)) AS BIGINT)
          |    / (([8000, 16000, 22050, 44100])[CAST(h.h % 4 AS INT) + 1]
          |       * (1 + (h.h // 256) % 2) * 2.0), 6) AS duration_s,
          |  round(((h.h // 65536) % 1000) / 1000.0, 6) AS rms
