@@ -89,6 +89,7 @@ object Budgets {
     "sample_docs_stratified" -> 1.5,
     "sample_docs_weighted" -> 1.5,
     "sql_knn_topk" -> 1.5,
+    "sql_text_pipeline" -> 1.5,
     "text_chunk_windows" -> 1.5,
     "text_fingerprint" -> 1.5,
     "text_pack_shards" -> 1.5,

@@ -344,15 +344,16 @@ object Dedup {
         coalesce(col("__label"), col("__id")).as("cluster_id"))
   }
 
-  /** 32-bit SimHash over the token stream (repeats weigh in): bit i of the
-    * fingerprint is set when the +1/-1 sums of token-hash bit i are positive.
-    * Token-less rows fingerprint to 0. Output: (idCol, simhash long). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 32-bit SimHash of a text column as a pure Column expression (also on
+    * the SQL surface as `graft_simhash`): bit i of the fingerprint is set
+    * when the +1/-1 sums of token-hash bit i are positive. Token-less rows
+    * fingerprint to 0. */
+  def simhashOf(textCol: Column): Column = {
     // Hash tokens BEFORE the per-bit fold: `bitvec(tokenHash(t))` would
     // re-run md5 once per bit (32×/token) since HOF lambdas don't CSE.
     // After transform(), `h` below is a bound lambda variable — evaluated
     // once per token no matter how many bits read it.
-    val toks = transform(TextFunctions.tokens(col(textCol)), TextFunctions.tokenHash(_))
+    val toks = transform(TextFunctions.tokens(textCol), TextFunctions.tokenHash(_))
     // Integer bit ops only: tokenHash is 0..2^32-1, so shiftright == the
     // floor-div-by-2^i form but without 32 double pow/floor per token.
     val bitvec = (h: Column) => transform(sequence(lit(0), lit(31)),
@@ -361,13 +362,16 @@ object Dedup {
     val sums = aggregate(toks,
       transform(sequence(lit(0), lit(31)), _ => lit(0L)),
       (acc, h) => zip_with(acc, bitvec(h), (a, b) => a + b))
-    val fp = aggregate(
+    aggregate(
       zip_with(sums, sequence(lit(0), lit(31)),
         (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i))
           .otherwise(lit(0L))),
       lit(0L), (a, b) => a + b)
-    df.select(col(idCol), fp.as("simhash"))
   }
+
+  /** [[simhashOf]] per row: (idCol, simhash long). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhashOf(col(textCol)).as("simhash"))
 
   /** Pigeonhole band layout over the 32-bit fingerprint for a hamming budget:
     * (band index, bit offset, bit width) — maxHamming+1 disjoint bands, the

@@ -146,15 +146,7 @@ object DedupQueries extends graft.QueryModule {
     s"""$verifyCtes
        |SELECT DISTINCT a_id, b_id, shared, jaccard FROM j WHERE jaccard >= $MinJ""".stripMargin
 
-  private val simhashCte =
-    s"""bs AS (SELECT doc_id, list_transform(generate_series(0, 31), i ->
-       |    coalesce(list_sum(list_transform(toks, t ->
-       |      CASE WHEN ((${tokenHashSql("t")} >> i) & 1) = 1
-       |        THEN 1 ELSE -1 END)), 0)) AS sums
-       |  FROM tokd),
-       |sh AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(generate_series(0, 31),
-       |    i -> CASE WHEN sums[i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0) AS BIGINT) AS simhash
-       |  FROM bs)""".stripMargin
+  private val simhashCte = DocSql.simhashCte
 
   /** Mirror of [[Dedup.simhashPairs]]'s pigeonhole banding: one SELECT per
     * band from [[Dedup.simhashBandLayout]] — the very same (offset, width)

@@ -41,6 +41,18 @@ private[queries] object DocSql {
        |  FROM tokd WHERE len(toks) >= $n)""".stripMargin
   }
 
+  /** Mirror of Dedup.simhashOf: ends in sh(doc_id, simhash). Requires
+    * [[toksCte]]. */
+  val simhashCte: String =
+    s"""bs AS (SELECT doc_id, list_transform(generate_series(0, 31), i ->
+       |    coalesce(list_sum(list_transform(toks, t ->
+       |      CASE WHEN ((${tokenHashSql("t")} >> i) & 1) = 1
+       |        THEN 1 ELSE -1 END)), 0)) AS sums
+       |  FROM tokd),
+       |sh AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(generate_series(0, 31),
+       |    i -> CASE WHEN sums[i+1] > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0) AS BIGINT) AS simhash
+       |  FROM bs)""".stripMargin
+
   /** Mirror of Embedder.tfidfEmbed at the given dim: ends in
     * nv(doc_id, vec) with unit-norm doubles. Requires [[toksCte]]. */
   def tfidfCte(dim: Int): String =

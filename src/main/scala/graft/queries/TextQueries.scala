@@ -67,6 +67,22 @@ object TextQueries extends graft.QueryModule {
         .select(col("doc_id"),
           round(qualityScoreFromTokens(col("text"), col("__toks")), 6).as("quality"))
     }),
+    // The text surface from pure SQL: registered engine functions
+    // (fingerprint, simhash, quality, sampling bucket) driven through
+    // spark.sql — what a SQL-only user of the library writes. Every
+    // function is composed Catalyst expressions, so this query inherits the
+    // same cross-engine semantics its DataFrame twins pin.
+    "sql_text_pipeline" -> ((s, dir) => {
+      graft.Graft.register(s)
+      Tables.documents(s, dir).createOrReplaceTempView("graft_docs")
+      s.sql("""
+        |SELECT doc_id,
+        |  graft_fingerprint(text) AS fp,
+        |  graft_simhash(text) AS simhash,
+        |  round(graft_quality(text), 6) AS quality,
+        |  graft_hash_bucket(CAST(doc_id AS STRING), 10000) AS bucket
+        |FROM graft_docs""".stripMargin)
+    }),
     // Unigram LM scoring — the perplexity-filter signal (CCNet, Wenzek et
     // al. LREC 2020, built there on a KenLM model; here the LM is the
     // corpus's own unigram distribution, which keeps it SQL-replayable):
@@ -261,6 +277,23 @@ object TextQueries extends graft.QueryModule {
          |  0.3 * least(1.0, 4.0 * CASE WHEN len(toks) = 0 THEN 0.0
          |    ELSE CAST(len(list_filter(toks, t -> t IN $enIn)) AS DOUBLE) / len(toks) END), 6) AS quality
          |FROM tokd""".stripMargin,
+    "sql_text_pipeline" ->
+      s"""WITH $toksCte,
+         |${DocSql.simhashCte}
+         |SELECT t.doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(t.toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
+         |  sh.simhash AS simhash,
+         |  round(
+         |    0.4 * least(1.0, len(t.toks) / 100.0) +
+         |    0.3 * (1.0 - CASE WHEN len(t.text) = 0 THEN 0.0
+         |      ELSE CAST(len(regexp_replace(lower(t.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t.text) END) +
+         |    0.3 * least(1.0, 4.0 * CASE WHEN len(t.toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END), 6) AS quality,
+         |  ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
+         |FROM tokd t JOIN sh ON t.doc_id = sh.doc_id""".stripMargin,
     "text_unigram_logprob" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),

@@ -15,6 +15,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assertNear(r.getDouble(2), 0.0)          // similarity
   }
 
+  test("SQL text functions are bit-equal to their Column forms") {
+    Graft.register(spark)
+    import org.apache.spark.sql.functions.{col, round}
+    val docs = Seq((1L, "The quick brown fox and the lazy dog"),
+      (2L, "a of and to is the"), (3L, "!!! ### $$$"), (4L, ""),
+      (5L, "punctuation, mixed: 42 numbers & words")).toDF("doc_id", "t")
+    docs.createOrReplaceTempView("gx_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_token_hash(t) AS th, graft_fingerprint(t) AS fp,
+        |  graft_simhash(t) AS sh, round(graft_quality(t), 9) AS q,
+        |  graft_hash_bucket(CAST(doc_id AS STRING), 10000) AS b
+        |FROM gx_docs""".stripMargin).collect().map(_.toSeq).toSet
+    val viaCols = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenHash(col("t")).as("th"),
+        graft.functions.TextFunctions.fingerprint(col("t")).as("fp"),
+        graft.operators.Dedup.simhashOf(col("t")).as("sh"),
+        round(graft.functions.TextFunctions.qualityScore(col("t")), 9).as("q"),
+        graft.operators.Sampling.hashBucket(col("doc_id"), 10000).as("b"))
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == viaCols)
+  }
+
   test("bad kind and bad arity are rejected at analysis") {
     Graft.register(spark)
     Seq((Seq(1.0), Seq(1.0))).toDF("a", "b").createOrReplaceTempView("v2")
