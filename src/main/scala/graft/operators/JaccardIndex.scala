@@ -86,9 +86,14 @@ object JaccardIndex {
       .select(col(idCol), col("__gh"), coalesce(col("__df"), lit(0L)).as("__df"))
     val ordered = withDf.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__o"))
-    val docSetsD = graft.Caches.cached(ordered.select(col(idCol),
+    // localCheckpoint, not Caches: the delta's set frame feeds both the
+    // prefix join and the verify join, but each ingest batch has a fresh
+    // plan — a registry entry per micro-batch would grow without bound in
+    // the streaming face, while checkpoint blocks free when the batch's
+    // frames go out of scope.
+    val docSetsD = ordered.select(col(idCol),
       transform(col("__o"), s => s.getField("__gh")).as("__g"),
-      size(col("__o")).as("__m")))
+      size(col("__o")).as("__m")).localCheckpoint()
     val m = col("__m")
     val plen = (m - ceil(lit(minJaccard) * m) + 1).cast("int")
     val prefixD = docSetsD.select(col(idCol), m,
@@ -105,4 +110,25 @@ object JaccardIndex {
     Dedup.verifyByIntersect2(docSetsD, spark.table(tables.docsets), cands,
       minJaccard)
   }
+
+  /** Streaming face of [[incrementalJoin]] — the deployed shape of daily
+    * ingest: each micro-batch of arriving documents probes the persisted
+    * index through the identical batch transform (foreachBatch is the
+    * standard bridge for stream stages that need batch-only operators like
+    * bucketed-table joins), and `sink` receives that batch's verified
+    * near-dup pairs. Per-batch work stays O(|batch| × collision rate);
+    * nothing re-reads the corpus. Pairs are (new doc, indexed doc), so
+    * batches are independent and the union of per-batch outputs equals the
+    * one-shot batch join over the same documents (asserted in DedupSpec). */
+  def incrementalJoinStream(spark: SparkSession, tables: IndexTables,
+      deltaStream: DataFrame, idCol: String, textCol: String, n: Int,
+      minJaccard: Double)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(incrementalJoin(spark, tables, batch, idCol, textCol, n, minJaccard),
+          batchId)
+      }
+      .outputMode("append")
+      .start()
 }

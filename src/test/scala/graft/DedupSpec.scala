@@ -183,6 +183,35 @@ class DedupSpec extends SparkSpec {
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
+  test("streaming incremental dedup: per-batch index probes equal the one-shot batch join") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = randomCorpus(seed = 31, nBase = 25)
+    val df = corpus.toDF("doc_id", "text")
+    val tag = "specs_" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val t = graft.operators.JaccardIndex.build(df.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", 3, 0.5, tag, s"/tmp/graft_jidx_spec/$tag", 4)
+    val delta = corpus.filter(_._1 % 5 == 0)
+    val want = graft.operators.JaccardIndex.incrementalJoin(spark, t,
+        delta.toDF("doc_id", "text"), "doc_id", "text", 3, 0.5)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val query = graft.operators.JaccardIndex.incrementalJoinStream(spark, t,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, 0.5) { (pairs, _) =>
+      got ++= pairs.select($"a_id", $"b_id", $"jaccard")
+        .as[(Long, Long, Double)].collect()
+    }
+    try {
+      val (b1, b2) = delta.splitAt(delta.size / 2)
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+      assert(got.toSet == want, s"missing=${want -- got}\nextra=${got.toSet -- want}")
+    } finally query.stop()
+    Seq(t.docsets, t.prefix, t.dfc)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("pigeonhole-banded simhashPairs is LOSSLESS: equals brute hamming on random corpora") {
     for (seed <- Seq(11, 99); maxHamming <- Seq(1, 3)) {
       val corpus = randomCorpus(seed, nBase = 25)
