@@ -62,7 +62,9 @@ object Budgets {
     "knn_dedup_label_topk" -> 1.5,
     "knn_ip_topk" -> 1.5,
     "knn_l2_topk" -> 1.5,
+    "lsh_ann_stored_topk" -> 2.1,
     "lsh_ann_topk" -> 2.4,
+    "lsh_index_build" -> 2.2,
     "media_audio_features" -> 1.5,
     "media_frame_sample" -> 1.5,
     "media_image_features" -> 1.5,

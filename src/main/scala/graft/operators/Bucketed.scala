@@ -21,12 +21,20 @@ object Bucketed {
     * sort-merge joins skip the Sort as well when each bucket lands in one
     * file. */
   def writeBucketed(df: DataFrame, tableName: String, path: String,
-      key: String, numBuckets: Int): Unit = {
+      key: String, numBuckets: Int): Unit =
+    writeBucketedKeys(df, tableName, path, Seq(key), numBuckets)
+
+  /** Multi-column bucketing (e.g. an LSH index laid out on
+    * (tbl, bucket)). */
+  def writeBucketedKeys(df: DataFrame, tableName: String, path: String,
+      keys: Seq[String], numBuckets: Int): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    require(keys.nonEmpty, "need at least one bucketing key")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(numBuckets, key).sortBy(key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(tableName)
   }

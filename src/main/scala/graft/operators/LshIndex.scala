@@ -30,12 +30,47 @@ object LshIndex {
   def annTopK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
       bucketLength: Double, numTables: Int = 3, numPlanes: Int = 1,
-      maxBucket: Long = Dedup.DefaultMaxBucket): DataFrame = {
+      maxBucket: Long = Dedup.DefaultMaxBucket): DataFrame =
+    annTopKOfBuckets(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
+      Salt.capBuckets(
+        RpLsh.bucketize(corpus, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
+        Seq("tbl", "bucket"), maxBucket),
+      k, dim, bucketLength, numTables, numPlanes)
+
+  /** Persist the corpus's capped bucket table as the stored index: an
+    * external table bucketed AND sorted on (tbl, bucket) —
+    * [[annTopKStored]]'s probe join then reuses the stored HashPartitioning
+    * with no corpus-side exchange, the same write-once/probe-many trade as
+    * [[IvfIndex.write]]'s list-partitioned layout. */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bucketLength: Double, numTables: Int, numPlanes: Int,
+      tableName: String, path: String, numBuckets: Int,
+      maxBucket: Long = Dedup.DefaultMaxBucket): Unit =
+    Bucketed.writeBucketedKeys(
+      Salt.capBuckets(
+        RpLsh.bucketize(corpus, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
+        Seq("tbl", "bucket"), maxBucket),
+      tableName, path, Seq("tbl", "bucket"), numBuckets)
+
+  /** [[annTopK]] probing a stored [[writeIndex]] table instead of
+    * bucketizing the corpus per query. `corpus` still supplies the vectors
+    * (the index stores only the bucket entries). Identical output to
+    * [[annTopK]] with the same parameters — the stored query shares
+    * `lsh_ann_topk`'s oracle verbatim. */
+  def annTopKStored(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String, indexTable: String,
+      k: Int, dim: Int, bucketLength: Double, numTables: Int,
+      numPlanes: Int): DataFrame =
+    annTopKOfBuckets(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
+      queries.sparkSession.table(indexTable), k, dim, bucketLength,
+      numTables, numPlanes)
+
+  private def annTopKOfBuckets(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, corpus: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, k: Int, dim: Int, bucketLength: Double, numTables: Int,
+      numPlanes: Int): DataFrame = {
     val qb = RpLsh.bucketize(queries, queryIdCol, queryVecCol, dim, bucketLength,
       numTables, numPlanes)
-    val cb = Salt.capBuckets(
-      RpLsh.bucketize(corpus, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
-      Seq("tbl", "bucket"), maxBucket)
     val candIds = qb.join(cb, Seq("tbl", "bucket"))
       .select(col(queryIdCol), col(idCol)).distinct()
     val (keyCol, isString) = KnnJoin.keyColumn(corpus, idCol)

@@ -30,6 +30,20 @@ object IndexQueries extends graft.QueryModule {
   private val Cap = graft.operators.Dedup.DefaultMaxBucket
   private val KmRecallFloor = 0.6
 
+  /** Stored LSH index per (session, dir) via [[graft.Layouts]];
+    * `lsh_index_build` pays the write as a Bench producer. */
+  private object LshLayout {
+    def ensure(s: SparkSession, dir: String): String =
+      graft.Layouts.once(s, s"lshidx:$dir") {
+        val tag = graft.Layouts.tag(dir)
+        val name = s"graft_lshidx_$tag"
+        val (_, c) = Fixtures.split(s, dir)
+        LshIndex.writeIndex(c, "skill_id", "svec", Dim, LshBucketLen,
+          LshTables, LshPlanes, name, s"/tmp/graft_lshidx/$tag", 8)
+        name
+      }
+  }
+
   private def ivfParts(s: SparkSession, dir: String) = {
     val (q, c) = Fixtures.split(s, dir)
     val model = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
@@ -69,6 +83,25 @@ object IndexQueries extends graft.QueryModule {
       val (q, c) = Fixtures.split(s, dir)
       LshIndex.annTopK(q, "job_id", "qvec", c, "skill_id", "svec", K,
         Dim, LshBucketLen, LshTables, LshPlanes)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // X2 persisted: the capped bucket table stored bucketBy(tbl, bucket) —
+    // the index's on-disk form; the oracle recounts its entries and
+    // distinct cells from scratch.
+    "lsh_index_build" -> ((s, dir) => {
+      val t = LshLayout.ensure(s, dir)
+      s.table(t).agg(count(lit(1)).as("n_entries"))
+        .crossJoin(s.table(t).select("tbl", "bucket").distinct()
+          .agg(count(lit(1)).as("n_buckets")))
+    }),
+    // X2 persisted search: probes the stored index instead of bucketizing
+    // the corpus per query — must answer identically to lsh_ann_topk, so it
+    // shares that oracle verbatim.
+    "lsh_ann_stored_topk" -> ((s, dir) => {
+      val t = LshLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      LshIndex.annTopKStored(q, "job_id", "qvec", c, "skill_id", "svec", t,
+        K, Dim, LshBucketLen, LshTables, LshPlanes)
         .withColumn("dist", round(col("dist"), 6))
     }),
     // X1 stretch — the Lloyd-refined quantizer the scale story recommends
@@ -130,24 +163,37 @@ object IndexQueries extends graft.QueryModule {
        |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
        |  FROM d)""".stripMargin
 
+  /** Shared by lsh_ann_topk and its stored twin — the persisted index must
+    * answer identically to the on-the-fly bucketization. */
+  private val lshAnnSql =
+    s"""WITH $qCte, $cCte,
+       |qb AS (${graft.operators.RpLsh.bucketsSql("q", "job_id", "qvec", Dim, LshBucketLen, LshTables, LshPlanes)}),
+       |cb AS (${graft.operators.RpLsh.bucketsSql("c", "skill_id", "svec", Dim, LshBucketLen, LshTables, LshPlanes)}),
+       |cbc AS (SELECT * FROM cb
+       |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $Cap),
+       |cand AS (SELECT DISTINCT qb.job_id, cbc.skill_id
+       |  FROM qb JOIN cbc ON qb.tbl = cbc.tbl AND qb.bucket = cbc.bucket),
+       |d AS (SELECT cand.job_id, cand.skill_id, list_distance(q.qvec, c.svec) AS dist
+       |  FROM cand JOIN q USING (job_id) JOIN c USING (skill_id)),
+       |r AS (SELECT job_id, skill_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+       |  FROM d)
+       |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+       |FROM r WHERE rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ivf_ann_topk" -> ivfSql(Probes),
     "ivf_probe_all_exact" -> ivfSql(Lists),
-    "lsh_ann_topk" ->
-      s"""WITH $qCte, $cCte,
-         |qb AS (${graft.operators.RpLsh.bucketsSql("q", "job_id", "qvec", Dim, LshBucketLen, LshTables, LshPlanes)}),
+    "lsh_ann_topk" -> lshAnnSql,
+    "lsh_ann_stored_topk" -> lshAnnSql,
+    // From-scratch recount of the stored index's shape.
+    "lsh_index_build" ->
+      s"""WITH $cCte,
          |cb AS (${graft.operators.RpLsh.bucketsSql("c", "skill_id", "svec", Dim, LshBucketLen, LshTables, LshPlanes)}),
          |cbc AS (SELECT * FROM cb
-         |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $Cap),
-         |cand AS (SELECT DISTINCT qb.job_id, cbc.skill_id
-         |  FROM qb JOIN cbc ON qb.tbl = cbc.tbl AND qb.bucket = cbc.bucket),
-         |d AS (SELECT cand.job_id, cand.skill_id, list_distance(q.qvec, c.svec) AS dist
-         |  FROM cand JOIN q USING (job_id) JOIN c USING (skill_id)),
-         |r AS (SELECT job_id, skill_id, dist,
-         |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
-         |  FROM d)
-         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
-         |FROM r WHERE rank <= $K""".stripMargin,
+         |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $Cap)
+         |SELECT (SELECT count(*) FROM cbc) AS n_entries,
+         |  (SELECT count(*) FROM (SELECT DISTINCT tbl, bucket FROM cbc)) AS n_buckets""".stripMargin,
     // The pinned-output contract of the in-plan recall assertion above:
     // n_queries counts the SAME fixture split the Spark side evaluates, and
     // recall_ok can only hash-match if the raise_error branch didn't fire.
