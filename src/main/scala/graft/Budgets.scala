@@ -59,6 +59,8 @@ object Budgets {
     "join_range_followup_orders" -> 1.5,
     "join_semi_urgent_customers" -> 1.5,
     "knn_cosine_topk" -> 1.5,
+    "knn_filtered_topk" -> 1.5,
+    "knn_radius_cosine" -> 1.5,
     "knn_dedup_label_topk" -> 1.5,
     "knn_ip_topk" -> 1.5,
     "knn_l2_topk" -> 1.5,

@@ -137,6 +137,23 @@ object KnnJoin {
     topkOfCandidates(cands, queryIdCol, idCol, k, isString)
   }
 
+  /** Radius search: ALL corpus rows within `radius` of each query — the
+    * range-query face of the vector stores' search API (top-k's sibling:
+    * no heap, no rank; the cheapest possible shape, broadcast + map-side
+    * distance + filter, nothing shuffles at all). Output:
+    * (queryIdCol, idCol, dist), dist ≤ radius. */
+  def withinRadius(
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      radius: Double, metric: Metric): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol), col(queryVecCol).as("__qvec")))
+    val c = corpus.select(col(idCol), col(vecCol).as("__cvec"))
+    q.join(c)
+      .select(col(queryIdCol), col(idCol),
+        metric.dist(col("__qvec"), col("__cvec")).as("dist"))
+      .filter(col("dist") <= radius)
+  }
+
   /** Oracle-shaped exact k-NN: cross join + window rank. Semantically identical
     * to [[exact]]; kept as the reference implementation for tests and as the
     * direct counterpart of the DuckDB oracle SQL. */

@@ -75,6 +75,23 @@ object VectorQueries extends graft.QueryModule {
     }),
     // F4/F5 — serialize to '[f,f,…]' text and parse back (round-trip exactness:
     // float → shortest-repr string → double equals float → double).
+    // Range query: every corpus vector within cosine distance 0.6 of each
+    // query — top-k's sibling in every vector-store API. Broadcast +
+    // map-side distance + filter: nothing shuffles.
+    "knn_radius_cosine" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      rounded(KnnJoin.withinRadius(q, "job_id", "qvec", c, "skill_id", "svec",
+        0.6, Cosine))
+    }),
+    // Filtered vector search: a metadata predicate (label) composed with
+    // top-k — the filter applies BEFORE the distance work, so Catalyst
+    // pushes it into the corpus scan and the heap only sees matching rows
+    // (the "filtered ANN" API of the vector stores, done relationally).
+    "knn_filtered_topk" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      rounded(KnnJoin.exact(q, "job_id", "qvec",
+        c.filter(col("label") % 2 === 0), "skill_id", "svec", K, Cosine))
+    }),
     // Johnson-Lindenstrauss random projection 64 → 16 on the deterministic
     // md5 plane family: the dimensionality-reduction step before an ANN
     // index when the raw embedding dim is too wide. Pure per-row
@@ -114,6 +131,24 @@ object VectorQueries extends graft.QueryModule {
          |  round(list_min(proj), 6) AS proj_min,
          |  round(list_max(proj), 6) AS proj_max
          |FROM p""".stripMargin,
+    "knn_radius_cosine" ->
+      s"""WITH $qCte, $cCte
+         |SELECT job_id, skill_id, round(dist, 6) AS dist FROM (
+         |  SELECT job_id, skill_id,
+         |    1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |  FROM q CROSS JOIN c)
+         |WHERE dist <= 0.6""".stripMargin,
+    "knn_filtered_topk" ->
+      s"""WITH $qCte, $cCte,
+         |cf AS (SELECT * FROM c WHERE label % 2 = 0),
+         |d AS (SELECT job_id, skill_id,
+         |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |      FROM q CROSS JOIN cf),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
     "knn_cosine_topk" ->
       s"""WITH $qCte, $cCte,
          |d AS (SELECT job_id, skill_id,
