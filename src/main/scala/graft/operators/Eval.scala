@@ -64,4 +64,66 @@ object Eval {
   def similaritySummary(perQuery: DataFrame): DataFrame =
     perQuery.agg(exactAvg(col("avg_sim")).as("avg_avg_sim"),
       count(lit(1)).as("n_queries"))
+
+  // ---- Ranking metrics (MRR / nDCG@k) --------------------------------------
+
+  /** DCG position weights 1/log2(r+1) for ranks 1..k as exact 10-decimal
+    * strings. Both engines look up the SAME literals (Spark via a decimal
+    * array, DuckDB via a list literal), so the per-query DCG sum is exact
+    * and order-independent — summing the transcendental directly would tie
+    * oracle parity to last-ulp log2 agreement across libm builds. */
+  def dcgWeightStrings(k: Int): Seq[String] =
+    (1 to k).map(r => BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toString)
+
+  /** Reciprocal-rank weights 1/r for ranks 1..k, same 10-decimal contract. */
+  def rrWeightStrings(k: Int): Seq[String] =
+    (1 to k).map(r => (BigDecimal(1).setScale(12) / BigDecimal(r))
+      .setScale(10, BigDecimal.RoundingMode.HALF_UP).toString)
+
+  /** Ideal DCG for a query with k relevant results: the first-k weight sum
+    * (exact decimal string — the oracle embeds the same literal). */
+  def idcgString(k: Int): String =
+    dcgWeightStrings(k).map(BigDecimal(_)).sum.toString
+
+  /** Per-query ranking quality of `ann` against `oracle`'s top-k (binary
+    * relevance: a hit is relevant iff the oracle also returned it). `ann`
+    * must carry a 1-based `rank` column ≤ k. Output per oracle query:
+    * (queryIdCol, n_hits, first_rank [0 = no relevant hit], rr, ndcg) —
+    * MRR/nDCG@k are the standard retrieval-eval headline numbers
+    * (Järvelin & Kekäläinen, TOIS 2002) and the reference's recall check's
+    * natural rank-sensitive siblings. One semi-join + one agg join: at scale
+    * both sides are |Q|·k rows, shuffled on the query id only. */
+  def rankMetrics(ann: DataFrame, oracle: DataFrame,
+      queryIdCol: String, idCol: String, k: Int): DataFrame = {
+    val dcgArr = array(dcgWeightStrings(k).map(w => lit(BigDecimal(w))): _*)
+    // Weight lookup for the POST-join side: index with coalesce(fr,0)+1 into
+    // a 0-prepended table, never with the raw nullable column —
+    // element_at(arr, <null index from an outer join>) miscompiles to an
+    // end-relative read (observed: returns arr[-1], not NULL), while a plain
+    // coalesce on the same slot is fine.
+    val rrArr0 = array((BigDecimal(0).setScale(10).toString +: rrWeightStrings(k))
+      .map(w => lit(BigDecimal(w))): _*)
+    val hits = ann.join(oracle, Seq(queryIdCol, idCol), "left_semi")
+    val per = hits.groupBy(queryIdCol).agg(
+      count(lit(1)).as("__n"),
+      min(col("rank")).as("__fr"),
+      sum(element_at(dcgArr, col("rank").cast("int"))).as("__dcg"))
+    val fr0 = coalesce(col("__fr"), lit(0L)).cast("int")
+    oracle.select(col(queryIdCol)).distinct()
+      .join(per, Seq(queryIdCol), "left")
+      .select(col(queryIdCol),
+        coalesce(col("__n"), lit(0L)).as("n_hits"),
+        fr0.cast("long").as("first_rank"),
+        round(element_at(rrArr0, fr0 + lit(1)).cast("double"), 6).as("rr"),
+        round(coalesce(col("__dcg"), lit(0)).cast("double") /
+          lit(idcgString(k).toDouble), 6).as("ndcg"))
+  }
+
+  /** Headline MRR / mean nDCG over [[rankMetrics]] output. */
+  def rankSummary(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      exactAvg(col("rr")).as("mrr"),
+      exactAvg(col("ndcg")).as("avg_ndcg"),
+      count(lit(1)).as("n_queries"))
 }

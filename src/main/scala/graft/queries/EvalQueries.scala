@@ -66,6 +66,16 @@ object EvalQueries extends graft.QueryModule {
       Eval.similaritySummary(
         Eval.bestVectorSimilarity(hits, best, "job_id", "svec"))
     }),
+    // MRR / nDCG@k — the rank-sensitive siblings of the recall check, over
+    // the same truncated-dim ANN vs exact-oracle pairing.
+    "eval_rank_metrics" -> ((s, dir) => {
+      val (cosTop, annTop, _) = tops(s, dir)
+      Eval.rankMetrics(annTop, cosTop, "job_id", "skill_id", K)
+    }),
+    "eval_rank_summary" -> ((s, dir) => {
+      val (cosTop, annTop, _) = tops(s, dir)
+      Eval.rankSummary(Eval.rankMetrics(annTop, cosTop, "job_id", "skill_id", K))
+    }),
     // R1 — the reference's wide per-job report over the deduped top-k.
     "report_job_skills_pivot" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
@@ -112,6 +122,27 @@ object EvalQueries extends graft.QueryModule {
        |    round(avg(list_cosine_similarity(hv.svec, b.bvec)), 6) AS avg_sim
        |  FROM hv JOIN best b ON hv.job_id = b.job_id GROUP BY hv.job_id)""".stripMargin
 
+  // Rank-metric weight literals — the SAME 10-decimal strings the Spark side
+  // embeds (Eval.dcgWeightStrings/rrWeightStrings), so both engines sum
+  // identical decimals.
+  private val dcgList = Eval.dcgWeightStrings(K)
+    .map(w => s"CAST($w AS DECIMAL(12,10))").mkString("[", ", ", "]")
+  private val rrList = Eval.rrWeightStrings(K)
+    .map(w => s"CAST($w AS DECIMAL(12,10))").mkString("[", ", ", "]")
+
+  private val rankMetricsCte =
+    s"""$ranksCte,
+       |h AS (SELECT a.job_id, a.rank FROM annr a
+       |    JOIN cosr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id),
+       |m AS (SELECT job_id, count(*) AS n, min(rank) AS fr,
+       |    sum(($dcgList)[rank]) AS dcg FROM h GROUP BY job_id),
+       |perq AS (SELECT q2.job_id,
+       |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_hits,
+       |    CAST(coalesce(m.fr, 0) AS BIGINT) AS first_rank,
+       |    round(CAST(coalesce(($rrList)[m.fr], 0) AS DOUBLE), 6) AS rr,
+       |    round(CAST(coalesce(m.dcg, 0) AS DOUBLE) / ${Eval.idcgString(K)}, 6) AS ndcg
+       |  FROM (SELECT DISTINCT job_id FROM cosr) q2 LEFT JOIN m USING (job_id))""".stripMargin
+
   private val pivotCols = (0 until K).map { i =>
     s"""  max(CASE WHEN rank = ${i + 1} THEN skill_id END) AS skill$i,
        |  max(CASE WHEN rank = ${i + 1} THEN label END) AS level$i""".stripMargin
@@ -124,6 +155,13 @@ object EvalQueries extends graft.QueryModule {
       s"""WITH $recallCte
          |SELECT round(CAST(sum(CAST(n_matches AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_matches,
          |  round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_recall,
+         |  count(*) AS n_queries FROM perq""".stripMargin,
+    "eval_rank_metrics" ->
+      s"WITH $rankMetricsCte\nSELECT job_id, n_hits, first_rank, rr, ndcg FROM perq",
+    "eval_rank_summary" ->
+      s"""WITH $rankMetricsCte
+         |SELECT round(CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mrr,
+         |  round(CAST(sum(CAST(ndcg AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_ndcg,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "eval_best_sim" ->
       s"WITH $bestSimCte\nSELECT job_id, avg_sim FROM perq",
