@@ -92,6 +92,8 @@ object Budgets {
     "report_source_quality" -> 1.5,
     "sample_docs_hash" -> 1.5,
     "sample_docs_split" -> 1.5,
+    "layout_zorder" -> 1.5,
+    "profile_sketch_gate" -> 1.5,
     "sample_docs_stratified" -> 1.5,
     "sample_docs_weighted" -> 1.5,
     "sql_knn_topk" -> 1.5,

@@ -123,6 +123,52 @@ object RelationalQueries extends graft.QueryModule {
     "profile_lineitem_numeric" -> ((s, dir) =>
       graft.operators.Profile.numericProfile(Tables.lineitem(s, dir),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // Sketch profiling with an in-plan accuracy gate. At 100 TB the ANALYZE
+    // pass runs HLL++ distinct and a quantile sketch — single scan, O(1)
+    // mergeable state per group — instead of exact count(DISTINCT)/
+    // percentile (whose distinct expansion is a second shuffle of the whole
+    // table). This query runs BOTH at test scale and raise_errors if a
+    // sketch leaves its error budget (HLL rsd 0.05 gated at 15% rel;
+    // approx_percentile accuracy 10000 gated at 1% rel), so the oracle row
+    // only hash-matches while the sketches are healthy; output pins the
+    // exact values, which DuckDB replays.
+    "profile_sketch_gate" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_orderkey"), 0.05).as("__hll"),
+          round(expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)"), 4)
+            .as("p50_price"),
+          percentile_approx(col("l_extendedprice").cast("double"),
+            lit(0.5), lit(10000)).as("__ap50"))
+        .select(col("l_returnflag"), col("n_rows"), col("exact_distinct"),
+          col("p50_price"),
+          when(abs(col("__hll") - col("exact_distinct")).cast("double") /
+              col("exact_distinct") <= 0.15, lit(true))
+            .otherwise(raise_error(concat(
+              lit("profile_sketch_gate: HLL drift "), col("__hll").cast("string"),
+              lit(" vs "), col("exact_distinct").cast("string")))).as("hll_ok"),
+          when(abs(col("__ap50") - col("p50_price")) / col("p50_price") <= 0.01,
+              lit(true))
+            .otherwise(raise_error(concat(
+              lit("profile_sketch_gate: p50 drift "), col("__ap50").cast("string"),
+              lit(" vs "), col("p50_price").cast("string")))).as("p50_ok"))
+    }),
+    // Z-order layout math over events (user × minute-of-day): the bucket
+    // histogram of the interleaved key that ZOrder.writeZOrdered lays files
+    // out on (the write itself is exercised in ZOrderSpec, which asserts
+    // disjoint per-file z-ranges — the data-skipping witness; here the
+    // oracle replays the interleave bit-for-bit).
+    "layout_zorder" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val x = pmod(col("user_id"), lit(2048))
+      val y = hour(col("ts")) * 60 + minute(col("ts"))
+      ev.select(graft.operators.ZOrder.zValue(x, y, 11).as("zval"))
+        .groupBy(shiftright(col("zval"), 16).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("zval").as("zmin"), max("zval").as("zmax"))
+    }),
     // Interval attribution (batch face of the watermarked stream-stream
     // join, EventStreams.attributeStream): every purchase joined to the
     // same user's clicks within the preceding hour.
@@ -272,6 +318,22 @@ object RelationalQueries extends graft.QueryModule {
            |  round(CAST(sum(CAST($c AS DECIMAL(28,8))) AS DOUBLE) / count($c), 6) AS mean_v
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n"),
+    // The gate booleans can only be true (raise_error otherwise), so the
+    // oracle pins them as literals next to the exact values.
+    "profile_sketch_gate" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS exact_distinct,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50_price,
+        |  true AS hll_ok, true AS p50_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "layout_zorder" ->
+      """WITH z AS (SELECT CAST(list_sum(list_transform(generate_series(0, 10), i ->
+        |    ((((user_id % 2048) >> i) & 1) << (2*i))
+        |    + ((((extract(hour FROM ts)*60 + extract(minute FROM ts)) >> i) & 1) << (2*i+1))))
+        |  AS BIGINT) AS zval FROM events)
+        |SELECT zval >> 16 AS zbucket, count(*) AS n,
+        |  min(zval) AS zmin, max(zval) AS zmax
+        |FROM z GROUP BY 1""".stripMargin,
     "events_attribution" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_s,
