@@ -31,7 +31,7 @@ object Budgets {
     "dedup_minhash_lsh" -> 5.0,
     "dedup_simhash" -> 1.5,
     "dedup_simhash_pairs" -> 4.8,
-    "embed_hash_tf" -> 3.5,
+    "embed_hash_tf" -> 9.5, // the bench's first producer: absorbs the shared embedding build; samples 2.5/3.8 under load
     "embed_knn_docs" -> 2.1,
     "embed_tfidf" -> 3.4,
     "embed_label_centroids" -> 1.5,
