@@ -17,6 +17,7 @@ package graft
 object Budgets {
   val perQuery: Map[String, Double] = Map(
     "agg_price_quantiles" -> 1.5,
+    "agg_skew_salted" -> 1.5,
     "clean_contamination" -> 3.6,
     "clean_pii_redact" -> 1.5,
     "clean_repetition" -> 1.5,
@@ -29,6 +30,7 @@ object Budgets {
     "dedup_jaccard_index_build" -> 9.6,
     "dedup_jaccard_pairs" -> 4.4, // runs as the family's producer: absorbs the shared token-hash/shingle/docset build
     "dedup_minhash_lsh" -> 5.0,
+    "dedup_semantic" -> 3.5, // shares the embed producer's cache; within-cluster pairs dominate
     "dedup_simhash" -> 1.5,
     "dedup_simhash_pairs" -> 4.8,
     "embed_hash_tf" -> 9.5, // the bench's first producer: absorbs the shared embedding build; samples 2.5/3.8 under load

@@ -489,4 +489,46 @@ object Dedup {
       .filter(col("cos_sim") >= minCos)
       .select("a_id", "b_id", "cos_sim")
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * coarse-cluster the embeddings with the deterministic seed quantizer,
+    * then compare pairs ONLY within a cluster — the third embedding-dedup
+    * shape next to the brute verifier ([[cosinePairs]]) and the LSH grid
+    * ([[cosinePairsLsh]]). Candidates are bounded by cluster sizes instead
+    * of bucket collisions: assignment is a pure O(n·lists·dim) projection
+    * (no shuffle — see IvfIndex.assign), the self-join keys on `list_id`,
+    * and [[Salt.capBuckets]] drops a degenerate cluster before it goes
+    * quadratic. Unlike the LSH path, missing a cross-cluster near-dup is
+    * inherent to the method (SemDeDup accepts that by design — near-dups
+    * land in the same cluster when `lists` ≪ n); every emitted pair is
+    * exact-verified, so precision holds regardless.
+    *
+    * Output: (a_id, b_id, list_id, cos_sim), a_id < b_id, cos_sim ≥ minCos
+    * rounded at 6 decimals. Deterministic end to end (seed centroids =
+    * lowest-id vectors), so the full cluster → pair pipeline replays in the
+    * DuckDB oracle. */
+  def semanticPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, lists: Int,
+      maxCluster: Long = DefaultMaxBucket): DataFrame = {
+    val v = Caches.cached(
+      vecs.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol)))
+    val model = IvfIndex.fitSeeds(v, idCol, vecCol, lists)
+    // assigned feeds both sides of the self-join: register it so the
+    // lists×dim argmin projection runs once, not twice.
+    val assigned = Caches.cached(Salt.capBuckets(
+      IvfIndex.assign(v, idCol, vecCol, model,
+        graft.functions.VectorFunctions.Cosine),
+      Seq("list_id"), maxCluster))
+    val a = assigned.select(col("list_id"), col(idCol).as("a_id"),
+      col(vecCol).as("__va"))
+    val b = assigned.select(col("list_id"), col(idCol).as("b_id"),
+      col(vecCol).as("__vb"))
+    a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim",
+        round(graft.functions.VectorFunctions.fusedDistance("cossim")(
+          col("__va"), col("__vb")), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("a_id"), col("b_id"), col("list_id"), col("cos_sim"))
+  }
 }

@@ -39,6 +39,10 @@ object DedupQueries extends graft.QueryModule {
   private val CosBucketLen = 0.12
   private val CosTables = 12
   private val CosPlanes = 5
+  // SemDeDup coarse clusters: n/lists ≈ 60-600 docs per cluster across the
+  // tested SFs — small enough that within-cluster pairs stay far below the
+  // bucket cap, large enough that the planted near-dup pairs co-cluster.
+  private val SemLists = 8
 
   /** The stand-in ingest split used by the incremental queries: every 10th
     * doc is "the new batch", the rest "the existing corpus". */
@@ -121,7 +125,15 @@ object DedupQueries extends graft.QueryModule {
     "dedup_embed_cos_lsh" -> ((s, dir) =>
       Dedup.cosinePairsLsh(
         Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim),
-        "doc_id", "embedding", MinCos, Dim, CosBucketLen, CosTables, CosPlanes)))
+        "doc_id", "embedding", MinCos, Dim, CosBucketLen, CosTables, CosPlanes)),
+    // SemDeDup: cluster-bounded embedding dedup — the third embedding-dedup
+    // shape (cluster first, compare within clusters only). The whole
+    // pipeline — seed centroids, argmin assignment, within-cluster pairs —
+    // is deterministic arithmetic, so the oracle replays it end to end.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticPairs(
+        Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim),
+        "doc_id", "embedding", MinCos, SemLists)))
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
@@ -300,5 +312,25 @@ object DedupQueries extends graft.QueryModule {
          |  round(list_cosine_similarity(va.vec, vb.vec), 6) AS cos_sim
          |FROM cands c JOIN nv va ON va.doc_id = c.a_id
          |  JOIN nv vb ON vb.doc_id = c.b_id
-         |WHERE round(list_cosine_similarity(va.vec, vb.vec), 6) >= $MinCos""".stripMargin)
+         |WHERE round(list_cosine_similarity(va.vec, vb.vec), 6) >= $MinCos""".stripMargin,
+    // Seed centroids (lowest-id vectors) → argmin assignment (ties to the
+    // lowest list_id, the same struct order IvfIndex.assign sorts on) →
+    // within-cluster pairs, cluster cap mirrored by the QUALIFY.
+    "dedup_semantic" ->
+      s"""WITH $toksCte,
+         |${DocSql.embedCte(Dim)},
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY doc_id) AS INT) - 1 AS list_id,
+         |    vec AS centroid
+         |  FROM (SELECT doc_id, vec FROM nv ORDER BY doc_id LIMIT $SemLists)),
+         |asg AS (SELECT doc_id, vec, list_id FROM (
+         |    SELECT nv.doc_id, nv.vec, cent.list_id,
+         |      row_number() OVER (PARTITION BY nv.doc_id
+         |        ORDER BY 1.0 - list_cosine_similarity(nv.vec, cent.centroid), cent.list_id) AS pick
+         |    FROM nv CROSS JOIN cent) WHERE pick = 1),
+         |asgc AS (SELECT * FROM asg
+         |  QUALIFY count(*) OVER (PARTITION BY list_id) <= $Cap)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.list_id,
+         |  round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+         |FROM asgc a JOIN asgc b ON a.list_id = b.list_id AND a.doc_id < b.doc_id
+         |WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= $MinCos""".stripMargin)
 }

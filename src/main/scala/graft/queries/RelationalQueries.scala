@@ -52,6 +52,23 @@ object RelationalQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_orders"),
           moneySum(col("o_totalprice")).as("revenue"))
     }),
+    // Skew-safe two-phase aggregation, driver-gated: lineitem has only a
+    // handful of l_returnflag values, so a plain groupBy funnels the whole
+    // table through 3 reducers at scale. Salt.saltedAgg splits each key over
+    // 16 deterministic salt buckets (partial sums per (key, salt)), then
+    // re-combines per key — both phases exact decimal arithmetic, so the
+    // answer is identical to the one-shuffle form the oracle runs.
+    "agg_skew_salted" -> ((s, dir) => {
+      graft.operators.Salt.saltedAgg(Tables.lineitem(s, dir),
+        keys = Seq("l_returnflag"),
+        saltFrom = Seq(col("l_orderkey"), col("l_linenumber")), buckets = 16,
+        firstPhase = Seq(count(lit(1)).as("__n"),
+          sum(col("l_quantity")).as("__qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("__rev")),
+        secondPhase = Seq(sum(col("__n")).as("n"),
+          sum(col("__qty")).as("sum_qty"),
+          round(sum(col("__rev")).cast("double"), 2).as("revenue")))
+    }),
     // Window top-k per group: 3 priciest orders per customer.
     "rel_top_orders_per_cust" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -243,6 +260,12 @@ object RelationalQueries extends graft.QueryModule {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, c_mktsegment""".stripMargin,
+    // The salt is invisible to the answer (exact decimal partials re-combine
+    // associatively), so the oracle is the plain one-shuffle GROUP BY.
+    "agg_skew_salted" ->
+      s"""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+         |  round(CAST(sum(CAST(l_extendedprice AS $money)) AS DOUBLE), 2) AS revenue
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "rel_top_orders_per_cust" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -75,6 +75,21 @@ class DedupSpec extends SparkSpec {
     assert(lsh.exists { case (a, b, c) => a == 1L && b == 2L && c >= 0.999999 })
   }
 
+  test("semanticPairs: subset of brute force, finds co-clustered dups, carries list_id") {
+    val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", 64)
+    val brute = Dedup.cosinePairs(emb, "doc_id", "embedding", 0.8)
+      .select($"a_id", $"b_id", $"cos_sim").as[(Long, Long, Double)].collect().toSet
+    val sem = Dedup.semanticPairs(emb, "doc_id", "embedding", 0.8, lists = 2)
+      .select($"a_id", $"b_id", $"list_id", $"cos_sim")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(sem.map(t => (t._1, t._2, t._4)).toSet.subsetOf(brute))
+    // The exact dup of doc 1 must land in doc 1's cluster and be found.
+    assert(sem.exists { case (a, b, _, c) => a == 1L && b == 2L && c >= 0.999999 })
+    // A degenerate cluster cap drops everything (recall-only sacrifice).
+    assert(Dedup.semanticPairs(emb, "doc_id", "embedding", 0.8, lists = 1,
+      maxCluster = 2).count() == 0)
+  }
+
   test("cosinePairs over hashTF embeddings surfaces dup + near-dup pairs") {
     val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", 64)
     val pairs = Dedup.cosinePairs(emb, "doc_id", "embedding", 0.8)
