@@ -80,6 +80,9 @@ object Budgets {
     "media_meta" -> 1.5,
     "media_resize" -> 1.5,
     "pipeline_training_data" -> 17.8, // full compose: quality+jaccard+CC+chunk+pack, mostly cold
+    "pq_ann_topk" -> 1.8,
+    "pq_refine_topk" -> 2.1,
+    "eval_pq_recall" -> 3.0,
     "profile_lineitem_numeric" -> 1.5,
     "rel_cube_flags" -> 1.5,
     "rel_events_hourly" -> 1.5,

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.l2Distance
+
+/** Product quantization (Jégou et al., "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011) — the compression step past int8: split
+  * each vector into `m` subspaces, quantize every subvector against a
+  * per-subspace codebook of `k` codewords, and search with asymmetric
+  * distance (ADC): the query stays full-precision, per-subspace distance
+  * tables are computed once per query (m·k entries — broadcast-sized), and
+  * each corpus vector costs m table lookups instead of `dim` multiplies.
+  *
+  * At 100 TB this is the difference between a corpus that fits executor
+  * memory and one that doesn't: m=8, k=16 encodes a 64-dim float64 vector
+  * (512 B) into 8 codes (8 B) — 64× — and the scan side of the k-NN join
+  * reads codes only. The plan shape is unchanged from [[KnnJoin.exact]]:
+  * broadcast queries (now carrying their distance tables), map-side lookup
+  * distance, bounded-heap top-k reduce.
+  *
+  * Like [[IvfIndex.fitSeeds]], the codebook is deterministic — subspace
+  * codewords are the sub-vectors of the `k` lowest-id corpus rows — so
+  * encode, distance tables, and ADC ranking all replay exactly in the
+  * DuckDB oracle (a KMeans-refined codebook would slot in the same way
+  * KMeans centroids do for IVF: recall asserted in tests, not hash-gated).
+  *
+  * Float discipline: per-subspace distances use the same HOF l2 both
+  * engines compute bit-identically; the ADC sum of squared sub-distances
+  * runs in exact DECIMAL so neither engine's summation order can flip a
+  * near-tie (the same trick the eval summaries use).
+  */
+object PqIndex {
+
+  /** codebooks(m)(k) = codeword k of subspace m, length dim/m each. */
+  case class Model(dim: Int, subDim: Int, codebooks: Seq[Seq[Seq[Double]]])
+
+  /** Deterministic codebook: subspace m's codewords are the m-th sub-vectors
+    * of the `k` lowest-id corpus rows (the PQ analog of IvfIndex.fitSeeds —
+    * no iteration, oracle-replayable). */
+  def fitSeeds(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .orderBy(col(idCol)).limit(k)
+      .select("__v").as[Seq[Double]].collect()
+    require(seeds.nonEmpty, "PqIndex.fitSeeds: empty corpus")
+    val dim = seeds.head.size
+    require(dim % m == 0, s"PqIndex: dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    val books = (0 until m).map(s => seeds.toSeq.map(_.slice(s * sd, (s + 1) * sd)))
+    Model(dim, sd, books)
+  }
+
+  private def subspace(v: Column, model: Model, m: Int): Column =
+    slice(v, m * model.subDim + 1, model.subDim)
+
+  /** Encode every row: `codes` array<int> of length m, codes(m) = argmin_k
+    * l2(sub_m(vec), codebook(m)(k)), ties to the lowest k. Pure projection —
+    * fused into the scan, nothing shuffles (same shape as IvfIndex.assign). */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val codeCols = model.codebooks.indices.map { m =>
+      element_at(array_sort(transform(typedlit(model.codebooks(m)),
+        (cw, k) => struct(l2Distance(subspace(v, model, m), cw).as("d"),
+          k.as("k")))), 1).getField("k")
+    }
+    corpus.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** ADC top-k: per query, distance tables dt(m)(k) = l2(sub_m(q), cw) are
+    * computed once and broadcast with the query; each corpus row then costs
+    * m lookups: dist = √Σ_m dt(m)(codes(m))². The squared sub-distances sum
+    * in exact decimal — order-independent across engines. */
+  def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      encoded: DataFrame, idCol: String, model: Model, k: Int): DataFrame = {
+    val qv = col(queryVecCol).cast("array<double>")
+    val dtCols = model.codebooks.indices.map { m =>
+      transform(typedlit(model.codebooks(m)), cw => l2Distance(subspace(qv, model, m), cw))
+    }
+    val q = broadcast(queries.select(col(queryIdCol), array(dtCols: _*).as("__dt")))
+    val (keyCol, isString) = KnnJoin.keyColumn(encoded, idCol)
+    val c = encoded.select(keyCol, col("codes").as("__codes"))
+    // decimal(30,18): wide enough that the running sum never overflows its
+    // 12 integer digits, and the post-add cast back to scale 18 only trims
+    // integer headroom (Spark's Add widens precision) — the fractional part
+    // is never rounded, so the sum is exact and equals DuckDB's decimal sum.
+    val dist = sqrt(aggregate(
+      zip_with(col("__dt"), col("__codes"),
+        (dt, cc) => {
+          val d = element_at(dt, cc + 1)
+          (d * d).cast("decimal(30,18)")
+        }),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(30,18)"),
+      (acc, x) => (acc + x).cast("decimal(30,18)")).cast("double"))
+    val cands = q.join(c).select(col(queryIdCol), dist.as("dist"), col("__cid"))
+    KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
+  }
+
+  /** ADC + refine (the "IVFADC+R" production shape): [[search]] overfetches
+    * k·`overfetch` candidates from the code scan, then ONLY those rows'
+    * true vectors are read back and exact-ranked. The expensive full-width
+    * vector column is touched for |Q|·k·overfetch rows instead of the whole
+    * corpus — the read-amplification profile that makes PQ usable as a
+    * first pass at 100 TB, while the refine step restores most of the
+    * recall the 8-byte codes gave up. */
+  def searchRefined(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      encoded: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, k: Int, overfetch: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cands = search(queries, queryIdCol, queryVecCol, encoded, idCol,
+      model, k * overfetch).select(col(queryIdCol), col(idCol))
+    val withVec = cands.join(
+      corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cvec")),
+      idCol)
+    val q = broadcast(queries.select(col(queryIdCol),
+      col(queryVecCol).cast("array<double>").as("__qvec")))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col(idCol))
+    withVec.join(q, queryIdCol)
+      .withColumn("dist", graft.functions.VectorFunctions
+        .fusedDistance("l2")(col("__qvec"), col("__cvec")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rank"), col("dist"))
+  }
+}

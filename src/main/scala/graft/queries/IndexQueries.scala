@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.{Cosine, L2}
-import graft.operators.{IvfIndex, LshIndex}
+import graft.operators.{IvfIndex, LshIndex, PqIndex}
 import Fixtures.{K, qCte, cCte}
 
 /** Index-build + ANN-search queries (SURVEY.md §2.3 X1/X2). The seed-vector
@@ -29,6 +29,9 @@ object IndexQueries extends graft.QueryModule {
   private val LshPlanes = 2
   private val Cap = graft.operators.Dedup.DefaultMaxBucket
   private val KmRecallFloor = 0.6
+  private val PqM = 8  // subspaces: 64 dims → 8 codes of sub-dim 8
+  private val PqK = 16 // codewords per subspace (4-bit codes)
+  private val PqOverfetch = 10 // ADC candidates per final hit in the refine pass
 
   /** Stored LSH index per (session, dir) via [[graft.Layouts]];
     * `lsh_index_build` pays the write as a Bench producer. */
@@ -103,6 +106,52 @@ object IndexQueries extends graft.QueryModule {
       LshIndex.annTopKStored(q, "job_id", "qvec", c, "skill_id", "svec", t,
         K, Dim, LshBucketLen, LshTables, LshPlanes)
         .withColumn("dist", round(col("dist"), 6))
+    }),
+    // Product quantization + ADC search (Jégou et al. 2011): 64-dim float64
+    // vectors → 8 int codes (64x smaller scan side); the query carries its
+    // per-subspace distance tables and each corpus row costs 8 lookups.
+    // Seed codebooks keep the whole build→encode→search pipeline
+    // deterministic, so ADC ranking hash-matches the SQL replay.
+    "pq_ann_topk" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val model = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      val enc = PqIndex.encode(c, "skill_id", "svec", model)
+      PqIndex.search(q, "job_id", "qvec", enc, "skill_id", model, K)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // ADC + refine: overfetch k×10 from the code scan, read back ONLY those
+    // candidates' true vectors, exact-rank to k — the read-amplification
+    // shape that makes PQ a usable first pass (full vectors touched for
+    // |Q|·k·10 rows, not the corpus).
+    "pq_refine_topk" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val model = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      val enc = PqIndex.encode(c, "skill_id", "svec", model)
+      PqIndex.searchRefined(q, "job_id", "qvec", enc, c, "skill_id", "svec",
+        model, K, PqOverfetch)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // PQ retrieval quality, hash-gated: recall@k of raw ADC and of
+    // ADC+refine against exact L2 — the compression/recall trade a
+    // deployment actually reads (observed: ~0.15 raw → ~0.9 refined on the
+    // random-vector fixture; random vectors are PQ's worst case, which is
+    // precisely why the refine step is part of the operator).
+    "eval_pq_recall" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val model = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      val enc = PqIndex.encode(c, "skill_id", "svec", model)
+      val adc = PqIndex.search(q, "job_id", "qvec", enc, "skill_id", model, K)
+      val refined = PqIndex.searchRefined(q, "job_id", "qvec", enc, c,
+        "skill_id", "svec", model, K, PqOverfetch)
+      val exact = graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", c, "skill_id", "svec", K, L2)
+      val rAdc = graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(adc, exact, "job_id", "skill_id"))
+        .select(col("avg_recall").as("adc_recall"), col("n_queries"))
+      val rRef = graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(refined, exact, "job_id", "skill_id"))
+        .select(col("avg_recall").as("refined_recall"))
+      rAdc.crossJoin(rRef)
     }),
     // X1 stretch — the Lloyd-refined quantizer the scale story recommends
     // (IvfIndex.fitKMeans), driver-exercised: recall@k of probes=2 retrieval
@@ -181,7 +230,84 @@ object IndexQueries extends graft.QueryModule {
        |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
        |FROM r WHERE rank <= $K""".stripMargin
 
+  /** PQ pipeline in SQL: seed codebooks per subspace → argmin encode →
+    * per-query distance tables → ADC ranking. `$SubD`-wide 1-based list
+    * slices mirror PqIndex.subspace; the squared sub-distances sum in exact
+    * DECIMAL exactly as the Spark side does, so summation order can't flip
+    * a near-tie in either engine. Ends in pr(job_id, skill_id, dist, rank). */
+  private val SubD = 64 / PqM
+  private def pqSlice(v: String) = s"$v[mm.m*$SubD+1 : mm.m*$SubD+$SubD]"
+  private val pqCtes: String =
+    s"""$qCte, $cCte,
+       |mm AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |cb AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS k, svec
+       |  FROM (SELECT skill_id, svec FROM c ORDER BY skill_id LIMIT $PqK)),
+       |encd AS (SELECT c.skill_id, mm.m, cb.k,
+       |    list_distance(${pqSlice("c.svec")}, ${pqSlice("cb.svec")}) AS d
+       |  FROM c CROSS JOIN mm CROSS JOIN cb),
+       |enc AS (SELECT skill_id, m, k FROM (
+       |    SELECT skill_id, m, k,
+       |      row_number() OVER (PARTITION BY skill_id, m ORDER BY d, k) AS r
+       |    FROM encd) WHERE r = 1),
+       |qd AS (SELECT q.job_id, mm.m, cb.k,
+       |    list_distance(${pqSlice("q.qvec")}, ${pqSlice("cb.svec")}) AS d
+       |  FROM q CROSS JOIN mm CROSS JOIN cb),
+       |ad AS (SELECT qd.job_id, enc.skill_id,
+       |    sqrt(CAST(sum(CAST(qd.d * qd.d AS DECIMAL(30,18))) AS DOUBLE)) AS dist
+       |  FROM enc JOIN qd ON enc.m = qd.m AND enc.k = qd.k
+       |  GROUP BY 1, 2),
+       |pr AS (SELECT job_id, skill_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+       |  FROM ad)""".stripMargin
+
+  /** The refine pass in SQL: ADC top-(k·overfetch) candidates re-ranked by
+    * exact L2 on the true vectors. Requires [[pqCtes]]; ends in
+    * rfr(job_id, skill_id, dist, rank). */
+  private val pqRefineCtes: String =
+    s"""rf0 AS (SELECT job_id, skill_id FROM pr WHERE rank <= ${K * PqOverfetch}),
+       |rfd AS (SELECT rf0.job_id, rf0.skill_id,
+       |    list_distance(q.qvec, c.svec) AS dist
+       |  FROM rf0 JOIN q USING (job_id) JOIN c USING (skill_id)),
+       |rfr AS (SELECT job_id, skill_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+       |  FROM rfd)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "pq_ann_topk" ->
+      s"""WITH $pqCtes
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM pr WHERE rank <= $K""".stripMargin,
+    "pq_refine_topk" ->
+      s"""WITH $pqCtes,
+         |$pqRefineCtes
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM rfr WHERE rank <= $K""".stripMargin,
+    "eval_pq_recall" ->
+      s"""WITH $pqCtes,
+         |$pqRefineCtes,
+         |ar AS (SELECT job_id, skill_id FROM pr WHERE rank <= $K),
+         |rfk AS (SELECT job_id, skill_id FROM rfr WHERE rank <= $K),
+         |exd AS (SELECT job_id, skill_id, list_distance(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |exr AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM exd) WHERE rank <= $K),
+         |m1 AS (SELECT a.job_id, count(*) AS n FROM ar a
+         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |    GROUP BY 1),
+         |m2 AS (SELECT a.job_id, count(*) AS n FROM rfk a
+         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |    GROUP BY 1),
+         |perq AS (SELECT q2.job_id,
+         |    round(coalesce(m1.n, 0) * 1.0 / $K, 6) AS r_adc,
+         |    round(coalesce(m2.n, 0) * 1.0 / $K, 6) AS r_ref
+         |  FROM (SELECT DISTINCT job_id FROM exr) q2
+         |  LEFT JOIN m1 USING (job_id) LEFT JOIN m2 USING (job_id))
+         |SELECT round(CAST(sum(CAST(r_adc AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS adc_recall,
+         |  count(*) AS n_queries,
+         |  round(CAST(sum(CAST(r_ref AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS refined_recall
+         |FROM perq""".stripMargin,
     "ivf_ann_topk" -> ivfSql(Probes),
     "ivf_probe_all_exact" -> ivfSql(Lists),
     "lsh_ann_topk" -> lshAnnSql,

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{KnnJoin, PqIndex}
+import graft.functions.VectorFunctions.L2
+
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private def randVecs(seed: Int, n: Int, from: Int = 0): Seq[(Long, Seq[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    (from until from + n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+  }
+
+  private lazy val corpus = randVecs(7, 120).toDF("id", "vec")
+  private lazy val queries = randVecs(13, 5, from = 1000).toDF("qid", "qvec")
+
+  test("fitSeeds slices codebooks; encode emits m in-range codes per row") {
+    val model = PqIndex.fitSeeds(corpus, "id", "vec", m = 4, k = 8)
+    assert(model.subDim == 4 && model.codebooks.size == 4)
+    assert(model.codebooks.forall(_.size == 8))
+    val enc = PqIndex.encode(corpus, "id", "vec", model)
+      .select($"id", $"codes").as[(Long, Seq[Int])].collect()
+    assert(enc.length == 120)
+    assert(enc.forall(_._2.size == 4))
+    assert(enc.forall(_._2.forall(c => c >= 0 && c < 8)))
+    intercept[IllegalArgumentException] {
+      PqIndex.fitSeeds(corpus, "id", "vec", m = 5, k = 8) // 16 % 5 != 0
+    }
+  }
+
+  test("a codebook seed row ADC-matches itself at distance 0") {
+    val model = PqIndex.fitSeeds(corpus, "id", "vec", m = 4, k = 8)
+    val enc = PqIndex.encode(corpus, "id", "vec", model)
+    // Seed rows' subvectors ARE codewords, so their reconstruction error is
+    // 0 and ADC distance from themselves (as queries) is exactly 0.
+    val seedQ = corpus.filter($"id" < 8)
+      .select($"id".as("qid"), $"vec".as("qvec"))
+    val top1 = PqIndex.search(seedQ, "qid", "qvec", enc, "id", model, 1)
+      .select($"qid", $"id", $"dist").as[(Long, Long, Double)].collect()
+    top1.foreach { case (q, id, d) => assert(id == q && d == 0.0, s"($q,$id,$d)") }
+  }
+
+  test("refine never lowers recall and always returns k rows per query") {
+    val model = PqIndex.fitSeeds(corpus, "id", "vec", m = 4, k = 8)
+    val enc = PqIndex.encode(corpus, "id", "vec", model)
+    val k = 5
+    val exact = KnnJoin.exact(queries, "qid", "qvec", corpus, "id", "vec", k, L2)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val adc = PqIndex.search(queries, "qid", "qvec", enc, "id", model, k)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    val refined = PqIndex.searchRefined(queries, "qid", "qvec", enc, corpus,
+      "id", "vec", model, k, overfetch = 8)
+    val refSet = refined.select($"qid", $"id").as[(Long, Long)].collect().toSet
+    assert(refined.groupBy("qid").count().as[(Long, Long)].collect()
+      .forall(_._2 == k))
+    assert((refSet & exact).size >= (adc & exact).size,
+      s"refine recall ${(refSet & exact).size} < adc ${(adc & exact).size}")
+    // Refined candidates all came from the ADC overfetch pool.
+    val pool = PqIndex.search(queries, "qid", "qvec", enc, "id", model, k * 8)
+      .select($"qid", $"id").as[(Long, Long)].collect().toSet
+    assert(refSet.subsetOf(pool))
+  }
+}
