@@ -104,6 +104,7 @@ object Budgets {
     "profile_sketch_gate" -> 1.5,
     "sample_docs_stratified" -> 1.5,
     "sample_docs_weighted" -> 1.5,
+    "sample_mixture_temperature" -> 1.5,
     "sql_knn_topk" -> 1.5,
     "sql_text_pipeline" -> 1.5,
     "text_chunk_windows" -> 1.5,

@@ -67,6 +67,42 @@ object Sampling {
       .limit(n)
   }
 
+  /** Temperature-based mixture sampling (the data-mixing step of an LLM
+    * corpus: rebalance skewed groups toward q_g ∝ p_g^τ, as in the
+    * multilingual sampling of Conneau & Lample, NeurIPS 2019): per-group
+    * keep-rates are derived from the group shares, then rows keep/drop by
+    * the same portable hash bucket every other sampler here uses —
+    * deterministic, repartition-stable, and growth-stable per group.
+    *
+    * τ is FIXED at 0.5 (w_g = √p_g): sqrt is correctly rounded in IEEE
+    * (unlike pow), and with the weight rounded at 8 decimals before an
+    * exact decimal normalization, every arithmetic step is bit-reproducible
+    * in the DuckDB oracle. budgetFraction sizes the kept corpus (~fraction
+    * of input rows); a rare group's rate caps at 1 (never upsampled —
+    * repetition policy belongs to the sequencer, not the sampler).
+    *
+    * Scale shape: two tiny aggregates over the group column (broadcast
+    * back), then ONE narrow filter pass over the corpus — no shuffle of the
+    * data itself. Output: input columns + `rate`. */
+  def temperatureMixture(df: DataFrame, groupCol: String, keyCol: String,
+      budgetFraction: Double): DataFrame = {
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0,
+      s"budgetFraction $budgetFraction outside (0,1]")
+    val cnt = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val tot = cnt.agg(sum("__n").as("__nn")) // exact long
+    val w = cnt.crossJoin(broadcast(tot))
+      .withColumn("__w", round(sqrt(col("__n").cast("double") / col("__nn")), 8))
+    // Normalizer: exact decimal sum of the 8-decimal weights — group order
+    // cannot perturb it in either engine.
+    val sumw = w.agg(sum(col("__w").cast("decimal(18,8)")).cast("double").as("__sw"))
+    val rates = w.crossJoin(broadcast(sumw))
+      .withColumn("rate", round(least(lit(1.0d),
+        lit(budgetFraction) * col("__nn") * (col("__w") / col("__sw")) / col("__n")), 8))
+      .select(col(groupCol), col("rate"))
+    df.join(broadcast(rates), groupCol)
+      .filter(hashBucket(col(keyCol)) < col("rate") * Buckets)
+  }
+
   /** Deterministic stratified sample: the `n` rows of each stratum with the
     * smallest (hash, key) — reproducible "random" per-group quotas. */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,

@@ -34,7 +34,17 @@ object SampleQueries extends graft.QueryModule {
       Sampling.weightedSample(
         Tables.documents(s, dir).select(col("doc_id"),
           graft.operators.Sequencer.tokenCount(col("text")).as("n_tokens")),
-        "doc_id", "n_tokens", 50)))
+        "doc_id", "n_tokens", 50)),
+    // Temperature (τ=0.5) mixture over the skewed lang column at a ~50%
+    // budget: rare languages keep a higher rate than their raw share (en
+    // dominates the corpus; √-share flattens it). The per-group summary
+    // pins the rates AND the kept counts, so both the rate arithmetic and
+    // the per-row hash verdicts are oracle-gated.
+    "sample_mixture_temperature" -> ((s, dir) => {
+      Sampling.temperatureMixture(Tables.documents(s, dir), "lang", "doc_id", 0.5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), max(col("rate")).as("rate"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "sample_docs_hash" ->
@@ -52,6 +62,23 @@ object SampleQueries extends graft.QueryModule {
          |    row_number() OVER (PARTITION BY lang ORDER BY $bucketSql, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 20""".stripMargin,
+    // Mirrors temperatureMixture step for step: counts → √-share rounded at
+    // 8 decimals → exact decimal normalizer → capped rate → hash verdicts.
+    "sample_mixture_temperature" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(n) AS nn FROM cnt),
+         |w AS (SELECT lang, n, round(sqrt(CAST(n AS DOUBLE) / nn), 8) AS w
+         |  FROM cnt CROSS JOIN tot),
+         |sw AS (SELECT CAST(sum(CAST(w AS DECIMAL(18,8))) AS DOUBLE) AS sw FROM w),
+         |rates AS (SELECT lang, n,
+         |    round(least(1.0, 0.5 * (SELECT nn FROM tot) * (w / sw.sw) / n), 8) AS rate
+         |  FROM w CROSS JOIN sw),
+         |kept AS (SELECT d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+         |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+         |        < r.rate * 10000)
+         |SELECT k.lang, count(*) AS n_kept, max(r.rate) AS rate
+         |FROM kept k JOIN rates r ON k.lang = r.lang
+         |GROUP BY k.lang""".stripMargin,
     "sample_docs_weighted" ->
       s"""WITH ${DocSql.toksCte},
          |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tokd

@@ -51,6 +51,29 @@ class SamplingSpec extends SparkSpec {
     assert(!a.exists(_ % 10 == 0), "zero-weight rows can never be sampled")
   }
 
+  test("temperatureMixture: flattens skew, caps rare groups at 1, stays deterministic") {
+    // 1600 "en" vs 100 each of four rare langs.
+    val skewed = ((1L to 1600L).map(i => (i, "en")) ++
+      (1601L to 2000L).map(i => (i, s"rare${i % 4}"))).toDF("id", "grp")
+    val kept = Sampling.temperatureMixture(skewed, "grp", "id", 0.5)
+    val rates = kept.groupBy("grp").agg(max("rate").as("r"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // τ=0.5 flattens: rare groups keep a HIGHER rate than the dominant one.
+    assert(rates("rare1")._1 > rates("en")._1)
+    // Rare rates cap at 1 (kept in full) under this budget.
+    assert(rates("rare1")._1 == 1.0 && rates("rare1")._2 == 100L)
+    // Budget is approximately honored overall.
+    val total = kept.count()
+    assert(total > 700 && total < 1300, s"kept $total of 2000 at budget 0.5")
+    // Deterministic + repartition-stable verdicts.
+    val again = Sampling.temperatureMixture(skewed.repartition(7), "grp", "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(skewed, "grp", "id", 0.0)
+    }
+  }
+
   test("stratifiedSample: exact quota per stratum (or all rows if fewer)") {
     val strat = rows.withColumn("g", (col("id") % 4).cast("string"))
     val out = Sampling.stratifiedSample(strat, "g", "id", 10)
