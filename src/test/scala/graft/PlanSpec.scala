@@ -84,4 +84,60 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"nation/region dims should broadcast:\n$plan")
   }
+
+  test("bloom prune filters the fact scan BEFORE the join") {
+    val plan = planOf("join_bloom_pruned")
+    assert(plan.contains("bloom_might_contain"),
+      s"the bloom probe should appear in the plan:\n$plan")
+    // The probe must sit in the scan-side Filter, not above the join: in the
+    // executed plan string the Filter(bloom_might_contain...) line appears
+    // BELOW (after) the join operator line it feeds.
+    val lines = plan.linesIterator.toSeq
+    val probeAt = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain"))
+    val joinAt = lines.indexWhere(l => l.contains("Join") && l.contains("l_orderkey"))
+    assert(probeAt > joinAt && joinAt >= 0,
+      s"bloom probe should prune below the join (probe@$probeAt, join@$joinAt):\n$plan")
+  }
+
+  test("semantic dedup's cluster assignment is a pure projection (no shuffle, no window)") {
+    // Asserted on the assignment operator directly: inside dedup_semantic
+    // the frame sits behind a Caches stage, which hides its plan. The
+    // r3-era window-based assign cost a corpus-wide hash exchange; the
+    // literal-centroid argmin must stay a Project fused into the scan.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.operators.Embedder.hashTfEmbed(
+      graft.io.Tables.documents(spark, dir), "doc_id", "text", 16)
+    val model = graft.operators.IvfIndex.fitSeeds(emb, "doc_id", "embedding", 4)
+    val assigned = graft.operators.IvfIndex.assign(
+      emb.select(col("doc_id"), col("embedding")), "doc_id", "embedding",
+      model, graft.functions.VectorFunctions.Cosine)
+    assigned.collect()
+    // The embedder legitimately shuffles on doc_id to densify; assignment
+    // must add NOTHING on top: same exchange count as its input, no window.
+    val base = { emb.collect(); emb.queryExecution.executedPlan.toString }
+    val plan = assigned.queryExecution.executedPlan.toString
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).size
+    assert(exchanges(plan) == exchanges(base),
+      s"assignment added a shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not use a window:\n$plan")
+    assert(plan.contains("array_sort") || plan.contains("sort_array"),
+      s"argmin should be the literal-centroid sort projection:\n$plan")
+  }
+
+  test("PQ ADC search broadcasts the query side and scans codes only") {
+    val plan = planOf("pq_ann_topk")
+    assert(plan.contains("Broadcast"),
+      s"distance-table side should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ADC scan must not sort-merge the corpus:\n$plan")
+  }
+
+  test("temperature mixture is one broadcast-joined filter pass over the corpus") {
+    val plan = planOf("sample_mixture_temperature").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-group rates should broadcast back onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must never shuffle for its rate lookup:\n$plan")
+  }
 }
