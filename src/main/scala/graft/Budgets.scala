@@ -81,6 +81,8 @@ object Budgets {
     "media_resize" -> 1.5,
     "pipeline_training_data" -> 17.8, // full compose: quality+jaccard+CC+chunk+pack, mostly cold
     "pq_ann_topk" -> 1.8,
+    "pq_ann_stored_topk" -> 1.8,
+    "pq_index_build" -> 2.6, // producer: absorbs the one-time code write
     "pq_refine_topk" -> 2.1,
     "eval_pq_recall" -> 3.0,
     "profile_lineitem_numeric" -> 1.5,

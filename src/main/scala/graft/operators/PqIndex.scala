@@ -100,6 +100,19 @@ object PqIndex {
     KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
   }
 
+  /** Persist the encoded corpus as the stored index — codes at rest, the
+    * point of PQ: the table holds (id, codes) only, so a 100 TB vector
+    * corpus's ADC scan side shrinks to GBs of 8-byte codes (no bucketing —
+    * ADC is a full code scan by design; the query side broadcasts). K3
+    * truncate-then-load semantics like the other index builders. */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Model, tableName: String, path: String): Unit = {
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    encode(corpus, idCol, vecCol, model).write.mode("overwrite")
+      .format("parquet").option("path", path).saveAsTable(tableName)
+  }
+
   /** ADC + refine (the "IVFADC+R" production shape): [[search]] overfetches
     * k·`overfetch` candidates from the code scan, then ONLY those rows'
     * true vectors are read back and exact-ranked. The expensive full-width

@@ -47,6 +47,22 @@ object IndexQueries extends graft.QueryModule {
       }
   }
 
+  /** Stored PQ codes per (session, dir); `pq_index_build` pays the write as
+    * a Bench producer. The model itself is not stored — fitSeeds is
+    * deterministic and costs one tiny TakeOrderedAndProject. */
+  private object PqLayout {
+    def ensure(s: SparkSession, dir: String): String =
+      graft.Layouts.once(s, s"pqidx:$dir") {
+        val tag = graft.Layouts.tag(dir)
+        val name = s"graft_pqidx_$tag"
+        val (_, c) = Fixtures.split(s, dir)
+        val model = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+        PqIndex.writeIndex(c, "skill_id", "svec", model, name,
+          s"/tmp/graft_pqidx/$tag")
+        name
+      }
+  }
+
   private def ivfParts(s: SparkSession, dir: String) = {
     val (q, c) = Fixtures.split(s, dir)
     val model = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
@@ -117,6 +133,26 @@ object IndexQueries extends graft.QueryModule {
       val model = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
       val enc = PqIndex.encode(c, "skill_id", "svec", model)
       PqIndex.search(q, "job_id", "qvec", enc, "skill_id", model, K)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // PQ codes persisted (the index's on-disk form — (id, 8 codes) rows,
+    // nothing else): the oracle recounts rows AND a position-weighted code
+    // checksum from scratch, so a build that drops, duplicates, or reorders
+    // codes turns red here before any search reads the layout.
+    "pq_index_build" -> ((s, dir) => {
+      val t = PqLayout.ensure(s, dir)
+      s.table(t).agg(count(lit(1)).as("n_rows"),
+        sum(aggregate(zip_with(col("codes"),
+            sequence(lit(1), lit(PqM)), (c, i) => c.cast("long") * i),
+          lit(0L), (a, x) => a + x)).as("code_checksum"))
+    }),
+    // ADC search over the STORED codes — must answer identically to the
+    // on-the-fly pq_ann_topk, so it shares that oracle verbatim.
+    "pq_ann_stored_topk" -> ((s, dir) => {
+      val t = PqLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      val model = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      PqIndex.search(q, "job_id", "qvec", s.table(t), "skill_id", model, K)
         .withColumn("dist", round(col("dist"), 6))
     }),
     // ADC + refine: overfetch k×10 from the code scan, read back ONLY those
@@ -277,6 +313,17 @@ object IndexQueries extends graft.QueryModule {
       s"""WITH $pqCtes
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
          |FROM pr WHERE rank <= $K""".stripMargin,
+    "pq_ann_stored_topk" ->
+      s"""WITH $pqCtes
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM pr WHERE rank <= $K""".stripMargin,
+    // From-scratch recount of the stored codes: one row per (doc, subspace)
+    // in enc; the checksum weights each code by its 1-based position.
+    "pq_index_build" ->
+      s"""WITH $pqCtes
+         |SELECT count(DISTINCT skill_id) AS n_rows,
+         |  CAST(sum((m + 1) * k) AS BIGINT) AS code_checksum
+         |FROM enc""".stripMargin,
     "pq_refine_topk" ->
       s"""WITH $pqCtes,
          |$pqRefineCtes
