@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batched upsert as a row operator (SURVEY.md §2.2 K4 — the reference's
+  * stores upsert batches by id without reindexing, e.g.
+  * `load_skill_vectors_pinecone.py:36-49`; in a batch engine the same
+  * contract is a keyed merge producing the next table version).
+  *
+  * SCD-1 semantics: a delta row REPLACES the base row with its key; delta
+  * keys absent from the base are inserts; base rows without a delta twin
+  * pass through. One keyed shuffle (the window partitions on the merge
+  * key), no driver round-trip, no per-row lookups — at 100 TB the merge is
+  * a shuffle of base+delta once, and writing the result bucketed on the key
+  * ([[Bucketed.writeBucketed]]) makes the NEXT merge's shuffle one-sided.
+  */
+object Merge {
+
+  /** Upsert `delta` into `base` on `keyCol`. Duplicate keys WITHIN the
+    * delta resolve by `tieCol` ascending (first wins) — deterministic,
+    * mirrored by the SQL replay. Output: base schema + `__src`
+    * ('delta'/'base') marking which side won each key. */
+  def upsert(base: DataFrame, delta: DataFrame, keyCol: String,
+      tieCol: String): DataFrame = {
+    val cols = base.columns.toSeq
+    require(delta.columns.toSeq == cols,
+      s"upsert: delta schema ${delta.columns.toSeq} != base schema $cols")
+    val d = delta.select(cols.map(col): _*)
+      .withColumn("__src", lit("delta")).withColumn("__pri", lit(0))
+    val b = base.select(cols.map(col): _*)
+      .withColumn("__src", lit("base")).withColumn("__pri", lit(1))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__pri"), col(tieCol))
+    d.unionByName(b)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__pri")
+  }
+}

@@ -32,6 +32,24 @@ object IoQueries extends graft.QueryModule {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // K4 as a row operator: SCD-1 batched upsert — every 10th doc gets a
+    // revised text (update), every 17th spawns a new id (insert), the rest
+    // pass through; delta wins per key in ONE keyed shuffle. The oracle
+    // recomputes the merge relationally (delta ∪ base-without-delta-twin),
+    // pinning per-row winners by content hash.
+    "merge_upsert_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val updates = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev2]")))
+      val inserts = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val merged = graft.operators.Merge.upsert(
+        docs, updates.unionByName(inserts), "doc_id", "doc_id")
+      merged.select(col("doc_id"), md5(col("text")).as("content_hash"),
+        col("__src").as("src"))
+    }),
     "io_npy_shard_roundtrip" -> ((s, dir) => {
       val (out, parts) = Export.ensure(s, dir)
       import s.implicits._
@@ -51,6 +69,16 @@ object IoQueries extends graft.QueryModule {
     }))
 
   val oracles: Map[String, String] = Map(
+    "merge_upsert_docs" ->
+      """WITH delta AS (
+        |  SELECT doc_id, text || ' [rev2]' AS text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id, md5(text) AS content_hash, 'delta' AS src FROM delta
+        |UNION ALL
+        |SELECT d.doc_id, md5(d.text), 'base' FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM delta WHERE delta.doc_id = d.doc_id)""".stripMargin,
     "io_npy_shard_roundtrip" ->
       s"""SELECT count(*) AS n_rows, CAST($Shards AS BIGINT) AS n_shards,
          |  CAST(0 AS BIGINT) AS n_mismatch

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Merge
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, "one", 10), (2L, "two", 20), (3L, "three", 30)).toDF("id", "v", "n")
+
+  test("upsert: delta replaces, inserts append, untouched rows pass through") {
+    val delta = Seq((2L, "TWO", 99), (9L, "nine", 90)).toDF("id", "v", "n")
+    val out = Merge.upsert(base, delta, "id", "id")
+      .select($"id", $"v", $"__src").as[(Long, String, String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out.size == 4)
+    assert(out(2L) == (("TWO", "delta")))
+    assert(out(9L) == (("nine", "delta")))
+    assert(out(1L) == (("one", "base")) && out(3L) == (("three", "base")))
+  }
+
+  test("upsert: duplicate delta keys resolve deterministically by the tie column") {
+    val delta = Seq((2L, "first", 1), (2L, "second", 2)).toDF("id", "v", "n")
+    val out = Merge.upsert(base, delta, "id", "n")
+      .filter($"id" === 2L).select($"v").as[String].collect()
+    assert(out.toSeq == Seq("first"))
+  }
+
+  test("upsert rejects mismatched schemas") {
+    intercept[IllegalArgumentException] {
+      Merge.upsert(base, base.drop("n"), "id", "id")
+    }
+  }
+}
