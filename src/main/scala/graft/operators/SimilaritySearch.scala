@@ -46,4 +46,26 @@ object SimilaritySearch {
         LshIndex.annTopK(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
           k, dim, bucketLength, tables)
     }
+
+  /** Streaming face: a stream of query vectors searched against the static
+    * corpus per micro-batch — the serving half of the reference's
+    * request/response search loop expressed as Structured Streaming (the
+    * same batch-operator-behind-foreachBatch bridge as
+    * JaccardIndex.incrementalJoinStream, because top-k needs batch-only
+    * operators). Per batch the work is O(|batch| × corpus-scan-of-strategy)
+    * with the batch side broadcast — queries never shuffle the corpus, so
+    * micro-batch latency tracks batch size, not corpus size, under IVF/LSH.
+    * Results for each micro-batch equal the batch [[topK]] of the same rows
+    * (asserted in SimilaritySearchSpec). */
+  def topKStream(queryStream: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, metric: Metric, strategy: Strategy = BruteForce)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(topK(batch, queryIdCol, queryVecCol, corpus, idCol, vecCol,
+          k, metric, strategy), batchId)
+      }
+      .outputMode("append")
+      .start()
 }

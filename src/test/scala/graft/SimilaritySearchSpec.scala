@@ -39,4 +39,26 @@ class SimilaritySearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](run(Ivf(lists = 4, nProbe = 5)))
     intercept[IllegalArgumentException](run(Lsh(dim = 64, bucketLength = 0.2), Cosine))
   }
+
+  test("streaming top-k: micro-batch results equal the batch operator per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val qRows = q.select($"qid", $"v").as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = qRows.splitAt(4)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Map[Long, Array[(Long, Long, Long, Double)]]()
+    val query = SimilaritySearch.topKStream(
+      input.toDF().toDF("qid", "v"), "qid", "v", c, "cid", "v", 5, Cosine)(
+      (df, id) => got(id) = df.orderBy("qid", "rank")
+        .as[(Long, Long, Long, Double)].collect())
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    def batchOf(rows: Seq[(Long, Seq[Double])]) =
+      SimilaritySearch.topK(rows.toDF("qid", "v"), "qid", "v", c, "cid", "v",
+        5, Cosine).orderBy("qid", "rank").as[(Long, Long, Long, Double)].collect()
+    assert(got(0L).toSeq == batchOf(b1).toSeq)
+    assert(got(1L).toSeq == batchOf(b2).toSeq)
+  }
 }
