@@ -18,6 +18,7 @@ object Budgets {
   val perQuery: Map[String, Double] = Map(
     "agg_price_quantiles" -> 1.5,
     "agg_skew_salted" -> 1.5,
+    "clean_boilerplate" -> 2.0,
     "clean_contamination" -> 3.6,
     "clean_pii_redact" -> 1.5,
     "clean_repetition" -> 1.5,

@@ -20,6 +20,8 @@ object CleanQueries extends graft.QueryModule {
   private val RepN = 3        // repetition gram width
   private val ContamN = 8     // decontamination gram width (long spans only)
   private val BenchMaxId = 100L // stand-in held-out benchmark: doc_id ≤ 100
+  private val SpanW = 8       // boilerplate span width (tokens per block)
+  private val SpanMinDocs = 2L // blocks in ≥ this many docs are boilerplate
 
   /** The corpus text carries no PII, so the query plants one deterministic
     * email/URL/phone per row (derived from doc_id) — the redaction output
@@ -56,6 +58,14 @@ object CleanQueries extends graft.QueryModule {
           CleanFunctions.repetitionRatio(col("n_grams"),
             coalesce(col("n_distinct"), lit(0L))).as("rep_ratio"))
     }),
+    // Corpus-wide boilerplate removal (C4-style repeated-span filter):
+    // non-overlapping 8-token blocks seen in ≥2 distinct docs are cut, the
+    // remainder reassembled in order. The oracle recomputes the repeated
+    // set AND the md5 of every reassembled document, so both the removal
+    // decisions and the reconstruction replay exactly.
+    "clean_boilerplate" -> ((s, dir) =>
+      graft.operators.Boilerplate.removeRepeatedSpans(
+        Tables.documents(s, dir), "doc_id", "text", SpanW, SpanMinDocs)),
     // Benchmark decontamination: flag corpus docs sharing any ContamN-gram
     // with the held-out set; n_shared_grams = how many of the doc's distinct
     // long grams are contaminated. The join keys on the 64-bit gram hash —
@@ -100,6 +110,28 @@ object CleanQueries extends graft.QueryModule {
          |    ELSE round(1.0 - coalesce(d.n_distinct, 0) * 1.0 / t.n_grams, 6)
          |  END AS rep_ratio
          |FROM tot t LEFT JOIN dis d USING (doc_id)""".stripMargin,
+    "clean_boilerplate" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, toks, CAST(len(toks) // $SpanW AS INT) AS nw FROM tokd),
+         |wx AS (SELECT doc_id, toks, nw, unnest(generate_series(1, nw)) AS w FROM b),
+         |win AS (SELECT doc_id, w,
+         |    list_aggregate(toks[(w-1)*$SpanW+1 : w*$SpanW], 'string_agg', ' ') AS span
+         |  FROM wx),
+         |wh AS (SELECT doc_id, w, span,
+         |    ${DocSql.tokenHashSql("span")} AS sh FROM win),
+         |rep AS (SELECT sh FROM wh GROUP BY sh
+         |  HAVING count(DISTINCT doc_id) >= $SpanMinDocs),
+         |kept AS (SELECT doc_id, string_agg(span, ' ' ORDER BY w) AS spans
+         |  FROM wh WHERE sh NOT IN (SELECT sh FROM rep) GROUP BY 1),
+         |rem AS (SELECT doc_id, count(*) AS nrem
+         |  FROM wh WHERE sh IN (SELECT sh FROM rep) GROUP BY 1)
+         |SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_spans,
+         |  CAST(coalesce(rem.nrem, 0) AS BIGINT) AS n_removed,
+         |  md5(concat_ws(' ', k.spans,
+         |    CASE WHEN len(b.toks) > b.nw * $SpanW
+         |      THEN list_aggregate(b.toks[b.nw*$SpanW+1 : len(b.toks)], 'string_agg', ' ')
+         |    END)) AS cleaned_hash
+         |FROM b LEFT JOIN kept k USING (doc_id) LEFT JOIN rem USING (doc_id)""".stripMargin,
     "clean_contamination" ->
       s"""WITH $toksCte,
          |${DocSql.shingleHashCte(ContamN)},

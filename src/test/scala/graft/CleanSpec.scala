@@ -63,4 +63,27 @@ class CleanSpec extends SparkSpec {
     assert(hits.contains(200L) && hits(200L) >= 1L)
     assert(!hits.contains(300L))
   }
+
+  test("removeRepeatedSpans cuts the shared block, keeps unique text and tails") {
+    val shared = "one two three four" // window = 4 tokens
+    val df = Seq(
+      (1L, s"$shared alpha beta gamma delta tail1 tail2"),
+      (2L, s"$shared aaa bbb ccc ddd"),
+      (3L, "totally different words here entirely distinct content"),
+      (4L, "tiny doc")) // shorter than one window
+      .toDF("doc_id", "text")
+    val out = graft.operators.Boilerplate
+      .removeRepeatedSpans(df, "doc_id", "text", window = 4, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // Docs 1 and 2 share the first block → removed from both.
+    assert(out(1L)._3 == 1L && out(1L)._2 == 2L)
+    assert(out(1L)._4 == h("alpha beta gamma delta tail1 tail2"))
+    assert(out(2L)._3 == 1L)
+    assert(out(2L)._4 == h("aaa bbb ccc ddd"))
+    // Unique doc untouched; sub-window doc passes through whole.
+    assert(out(3L)._3 == 0L && out(3L)._4 == h("totally different words here entirely distinct content"))
+    assert(out(4L)._2 == 0L && out(4L)._4 == h("tiny doc"))
+  }
 }
