@@ -24,8 +24,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * exact join — same precision discipline as the dedup candidate
   * generators), never false negatives: rows it drops are guaranteed
   * non-members, so a verify-after-prune pipeline loses nothing.
+  *
+  * `filterBytes` is an ArraySeq, not a raw Array: case-class equality over
+  * an Array is reference-based, which would break Catalyst canonicalization
+  * (two probes of the SAME sketch reused across scans would never compare
+  * equal, defeating subexpression/exchange reuse).
   */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContain(child: Expression,
+    filterBytes: scala.collection.immutable.ArraySeq[Byte])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -39,7 +45,8 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   }
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes.unsafeArray
+      .asInstanceOf[Array[Byte]]))
 
   override protected def nullSafeEval(v: Any): Any =
     filter.mightContainLong(v.asInstanceOf[Number].longValue())

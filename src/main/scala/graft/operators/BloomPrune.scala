@@ -32,6 +32,16 @@ object BloomPrune {
     * one distributed aggregate — the same build shape Spark's runtime
     * filters use, ~100 KB–1 MB for typical n/fpp). */
   def buildFilterBytes(keys: DataFrame, keyCol: String, fpp: Double): Array[Byte] = {
+    // The probe side hashes with mightContainLong; a string keys column
+    // would be inserted via putBinary — a DISJOINT hash space, silently
+    // pruning every true match. Fail fast instead.
+    keys.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"BloomPrune: keys column '$keyCol' must be integral to match the " +
+          s"long-hash probe, got ${other.simpleString}")
+    }
     // stat.bloomFilter sizes the bit array from expectedNumItems: overshoot
     // (distinct ≤ count) only lowers the realized fpp, never recall.
     val n = math.max(1000L, keys.count())
@@ -43,7 +53,8 @@ object BloomPrune {
 
   /** The probe column for a pre-built filter: true ⟺ key might be a member. */
   def mightContain(key: Column, filterBytes: Array[Byte]): Column =
-    toColumn(BloomMightContain(toExpr(key), filterBytes))
+    toColumn(BloomMightContain(toExpr(key),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(filterBytes)))
 
   /** `fact` reduced to rows whose `factKeyCol` might appear in
     * `keys.keyCol`. Null keys never match a bloom of non-null keys and are

@@ -32,21 +32,25 @@ object Boilerplate {
       window: Int, minDocs: Long): DataFrame = {
     require(window > 0, s"window must be positive, got $window")
     require(minDocs > 1, s"minDocs must exceed 1, got $minDocs")
-    val base = df
+    // base feeds the window stream AND the final reassembly join; wins
+    // feeds both the repeated-set aggregate and the marking probe. Register
+    // both with Caches so the corpus-wide tokenize/explode runs once per
+    // plan instead of three times.
+    val base = graft.Caches.cached(df
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .withColumn("__nw", (size(col("__toks")) / window).cast("int"))
+      .withColumn("__nw", (size(col("__toks")) / window).cast("int")))
     // Filter BEFORE the explode: Spark's sequence(1, 0) is the DESCENDING
     // [1, 0] (step defaults to -1 when start > stop), which would hand
     // zero-window docs a phantom w=0 block whose (w-1)*window+1 = -3 start
     // slices from the END of the token array.
-    val wins = base
+    val wins = graft.Caches.cached(base
       .filter(col("__nw") >= 1)
       .select(col(idCol), col("__toks"),
         explode(sequence(lit(1), col("__nw"))).as("__w"))
       .select(col(idCol), col("__w"),
         array_join(slice(col("__toks"), (col("__w") - 1) * window + 1,
           lit(window)), " ").as("__span"))
-      .withColumn("__sh", TextFunctions.tokenHash(col("__span")))
+      .withColumn("__sh", TextFunctions.tokenHash(col("__span"))))
     // Distinct-doc counts per span hash; the repeated set is small and
     // broadcasts back onto the window stream.
     val rep = wins.groupBy("__sh")

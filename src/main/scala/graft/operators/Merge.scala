@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Upsert `delta` into `base` on `keyCol`. Duplicate keys WITHIN the
-    * delta resolve by `tieCol` ascending (first wins) — deterministic,
-    * mirrored by the SQL replay. Output: base schema + `__src`
-    * ('delta'/'base') marking which side won each key. */
+    * delta resolve by `tieCol` ascending (first wins) — deterministic ONLY
+    * while no two delta rows share (keyCol, tieCol); with a full duplicate
+    * pair the window's winner is partition-order luck, so callers must
+    * supply a genuinely distinguishing tie column (a batch sequence number,
+    * an ingest timestamp) or guarantee delta keys unique, as
+    * merge_upsert_docs does structurally (update and insert key spaces are
+    * sign-disjoint). Output: base schema + `__src` ('delta'/'base') marking
+    * which side won each key. */
   def upsert(base: DataFrame, delta: DataFrame, keyCol: String,
       tieCol: String): DataFrame = {
     val cols = base.columns.toSeq

@@ -98,9 +98,13 @@ object Sampling {
     val rates = w.crossJoin(broadcast(sumw))
       .withColumn("rate", round(least(lit(1.0d),
         lit(budgetFraction) * col("__nn") * (col("__w") / col("__sw")) / col("__n")), 8))
-      .select(col(groupCol), col("rate"))
-    df.join(broadcast(rates), groupCol)
+      .select(col(groupCol).as("__grp"), col("rate"))
+    // Null-safe group lookup: groupBy above keeps a NULL group and budgets
+    // for it, so the join back must match it too — a plain equi-join would
+    // silently drop every null-group row and quietly undershoot the budget.
+    df.join(broadcast(rates), col(groupCol) <=> col("__grp"))
       .filter(hashBucket(col(keyCol)) < col("rate") * Buckets)
+      .drop("__grp")
   }
 
   /** Deterministic stratified sample: the `n` rows of each stratum with the

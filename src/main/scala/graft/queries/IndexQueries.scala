@@ -169,7 +169,7 @@ object IndexQueries extends graft.QueryModule {
     }),
     // PQ retrieval quality, hash-gated: recall@k of raw ADC and of
     // ADC+refine against exact L2 — the compression/recall trade a
-    // deployment actually reads (observed: ~0.15 raw → ~0.9 refined on the
+    // deployment actually reads (observed: 0.15 raw → 0.67 refined on the
     // random-vector fixture; random vectors are PQ's worst case, which is
     // precisely why the refine step is part of the operator).
     "eval_pq_recall" -> ((s, dir) => {

@@ -36,13 +36,16 @@ object IoQueries extends graft.QueryModule {
     // revised text (update), every 17th spawns a new id (insert), the rest
     // pass through; delta wins per key in ONE keyed shuffle. The oracle
     // recomputes the merge relationally (delta ∪ base-without-delta-twin),
-    // pinning per-row winners by content hash.
+    // pinning per-row winners by content hash. Insert ids are NEGATIVE
+    // (-(doc_id+1)) so the two delta halves stay key-disjoint at any corpus
+    // size — an additive offset would collide with update keys once doc_ids
+    // cross it, making the window tie-break nondeterministic.
     "merge_upsert_docs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val updates = docs.filter(col("doc_id") % 10 === 0)
         .withColumn("text", concat(col("text"), lit(" [rev2]")))
       val inserts = docs.filter(col("doc_id") % 17 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-(col("doc_id") + 1L)).as("doc_id"),
           concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
           col("lang"), col("source"), col("n_chars"))
       val merged = graft.operators.Merge.upsert(
@@ -73,7 +76,7 @@ object IoQueries extends graft.QueryModule {
       """WITH delta AS (
         |  SELECT doc_id, text || ' [rev2]' AS text FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+        |  SELECT -(doc_id + 1), 'new doc ' || CAST(doc_id AS VARCHAR)
         |  FROM documents WHERE doc_id % 17 = 0)
         |SELECT doc_id, md5(text) AS content_hash, 'delta' AS src FROM delta
         |UNION ALL

@@ -18,6 +18,22 @@ object VectorQueries extends graft.QueryModule {
   private def rounded(df: DataFrame): DataFrame =
     df.withColumn("dist", round(col("dist"), 6))
 
+  /** The corpus dequantized through int8 codes (scale-max symmetric, the
+    * formula embed_quantize_int8 pins): one definition shared by both ADC
+    * queries so a precision tweak can't diverge them. */
+  private def deqInt8(c: DataFrame): DataFrame = c
+    .withColumn("__scale", array_max(transform(col("svec"), abs(_))))
+    .select(col("skill_id"), transform(col("svec"),
+      x => round(x * 127.0d / col("__scale")).cast("int").cast("double")
+        * col("__scale") / lit(127.0d)).as("svec"))
+
+  /** SQL mirror of [[deqInt8]]: ends in cd(skill_id, dvec). */
+  private val deqCte: String =
+    """cd AS (SELECT skill_id,
+      |    list_transform(svec, x -> CAST(round(x * 127.0 / scale) AS INT) * scale / 127.0) AS dvec
+      |  FROM (SELECT skill_id, svec,
+      |      list_max(list_transform(svec, x -> abs(x))) AS scale FROM c))""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J2 — flagship: top-10 cosine k-NN per query (skills_for_jobs.py:416-433).
     "knn_cosine_topk" -> ((s, dir) => {
@@ -103,12 +119,7 @@ object VectorQueries extends graft.QueryModule {
     // embed_quantize_int8 query pins).
     "knn_int8_adc" -> ((s, dir) => {
       val (q, c) = split(s, dir)
-      val deq = c
-        .withColumn("__scale", array_max(transform(col("svec"), abs(_))))
-        .select(col("skill_id"), transform(col("svec"),
-          x => round(x * 127.0d / col("__scale")).cast("int").cast("double")
-            * col("__scale") / lit(127.0d)).as("svec"))
-      rounded(KnnJoin.exact(q, "job_id", "qvec", deq, "skill_id", "svec", K, L2))
+      rounded(KnnJoin.exact(q, "job_id", "qvec", deqInt8(c), "skill_id", "svec", K, L2))
     }),
     // Retrieval quality of the int8 path: recall@k of ADC top-k against the
     // full-precision exact top-k — the number a deployment watches when it
@@ -117,12 +128,7 @@ object VectorQueries extends graft.QueryModule {
     // the point — int8 is essentially free here).
     "eval_int8_recall" -> ((s, dir) => {
       val (q, c) = split(s, dir)
-      val deq = c
-        .withColumn("__scale", array_max(transform(col("svec"), abs(_))))
-        .select(col("skill_id"), transform(col("svec"),
-          x => round(x * 127.0d / col("__scale")).cast("int").cast("double")
-            * col("__scale") / lit(127.0d)).as("svec"))
-      val adc = KnnJoin.exact(q, "job_id", "qvec", deq, "skill_id", "svec", K, L2)
+      val adc = KnnJoin.exact(q, "job_id", "qvec", deqInt8(c), "skill_id", "svec", K, L2)
       val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, L2)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(adc, exact, "job_id", "skill_id"))
@@ -206,10 +212,7 @@ object VectorQueries extends graft.QueryModule {
          |FROM r WHERE rank <= 5""".stripMargin,
     "knn_int8_adc" ->
       s"""WITH $qCte, $cCte,
-         |cd AS (SELECT skill_id,
-         |    list_transform(svec, x -> CAST(round(x * 127.0 / scale) AS INT) * scale / 127.0) AS dvec
-         |  FROM (SELECT skill_id, svec,
-         |      list_max(list_transform(svec, x -> abs(x))) AS scale FROM c)),
+         |$deqCte,
          |d AS (SELECT job_id, skill_id, list_distance(qvec, dvec) AS dist
          |      FROM q CROSS JOIN cd),
          |r AS (SELECT job_id, skill_id, dist,
@@ -219,10 +222,7 @@ object VectorQueries extends graft.QueryModule {
          |FROM r WHERE rank <= $K""".stripMargin,
     "eval_int8_recall" ->
       s"""WITH $qCte, $cCte,
-         |cd AS (SELECT skill_id,
-         |    list_transform(svec, x -> CAST(round(x * 127.0 / scale) AS INT) * scale / 127.0) AS dvec
-         |  FROM (SELECT skill_id, svec,
-         |      list_max(list_transform(svec, x -> abs(x))) AS scale FROM c)),
+         |$deqCte,
          |ad AS (SELECT job_id, skill_id, list_distance(qvec, dvec) AS dist
          |      FROM q CROSS JOIN cd),
          |ar AS (SELECT job_id, skill_id FROM (

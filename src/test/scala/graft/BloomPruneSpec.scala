@@ -37,6 +37,11 @@ class BloomPruneSpec extends SparkSpec {
     intercept[Exception] {
       BloomPrune.semiReduce(strings, "fk", keys, "k").collect()
     }
+    // The KEYS side must be integral too: a string build would insert via
+    // putBinary while the probe hashes longs — silent false negatives.
+    intercept[IllegalArgumentException] {
+      BloomPrune.semiReduce(fact, "fk", Seq("a", "b").toDF("k"), "k")
+    }
   }
 
   test("mightContain matches the driver-side filter bit-for-bit") {

@@ -72,6 +72,13 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.temperatureMixture(skewed, "grp", "id", 0.0)
     }
+    // Null groups are budgeted by the groupBy, so the rate join must keep
+    // them too (null-safe equality) instead of silently dropping the rows.
+    val withNulls = ((1L to 100L).map(i => (i, Option("g"))) ++
+      (101L to 200L).map(i => (i, Option.empty[String]))).toDF("id", "grp")
+    val keptNull = Sampling.temperatureMixture(withNulls, "grp", "id", 0.8)
+      .filter(col("grp").isNull).count()
+    assert(keptNull > 20, s"null group should be sampled, kept $keptNull")
   }
 
   test("stratifiedSample: exact quota per stratum (or all rows if fewer)") {
