@@ -54,6 +54,7 @@ object Budgets {
     "io_npy_shard_roundtrip" -> 1.9,
     "ivf_ann_topk" -> 2.3,
     "ivf_kmeans_recall" -> 5.7,
+    "ivfpq_ann_topk" -> 2.2,
     "ivf_probe_all_exact" -> 2.1,
     "ivf_recall_summary" -> 1.6,
     "join_anti_unshipped_parts" -> 1.5,

@@ -100,6 +100,52 @@ object PqIndex {
     KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
   }
 
+  /** IVF-PQ (FAISS's IVFADC, Jégou et al. §V): the coarse quantizer prunes
+    * WHICH rows are scanned (top-`nProbe` inverted lists per query), the
+    * product codes shrink WHAT a scanned row costs (m table lookups on
+    * 8-byte codes). `indexed` must carry `list_id` (IvfIndex.assign) and
+    * `codes` ([[encode]]) — at rest that's the list-partitioned codes
+    * table, so the scan does partition pruning AND reads no vectors. Both
+    * quantizers here are the deterministic seed variants, so the full
+    * composition — probe choice, code lookups, ranking — replays in the
+    * DuckDB oracle. */
+  def searchIvf(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      indexed: DataFrame, idCol: String, ivfModel: IvfIndex.Model,
+      pqModel: Model, k: Int, nProbe: Int,
+      metric: graft.functions.VectorFunctions.Metric): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = col(queryVecCol).cast("array<double>")
+    val dtCols = pqModel.codebooks.indices.map { m =>
+      transform(typedlit(pqModel.codebooks(m)),
+        cw => l2Distance(subspace(qv, pqModel, m), cw))
+    }
+    // Probe ranking exactly as IvfIndex.search: per query, the nProbe
+    // nearest centroids under the IVF metric, ties to the lowest list_id.
+    val cents = broadcast(ivfModel.centroids)
+    val wProbe = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__cdist"), col("list_id"))
+    val probes = queries
+      .select(col(queryIdCol), qv.as("__qv"), array(dtCols: _*).as("__dt"))
+      .join(cents)
+      .withColumn("__cdist", metric.dist(col("__qv"), col("centroid")))
+      .withColumn("__pick", row_number().over(wProbe))
+      .filter(col("__pick") <= nProbe)
+      .select(col(queryIdCol), col("__dt"), col("list_id"))
+    val (keyCol, isString) = KnnJoin.keyColumn(indexed, idCol)
+    val c = indexed.select(keyCol, col("codes").as("__codes"), col("list_id"))
+    val dist = sqrt(aggregate(
+      zip_with(col("__dt"), col("__codes"),
+        (dt, cc) => {
+          val d = element_at(dt, cc + 1)
+          (d * d).cast("decimal(30,18)")
+        }),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(30,18)"),
+      (acc, x) => (acc + x).cast("decimal(30,18)")).cast("double"))
+    val cands = broadcast(probes).join(c, "list_id")
+      .select(col(queryIdCol), dist.as("dist"), col("__cid"))
+    KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
+  }
+
   /** Persist the encoded corpus as the stored index — codes at rest, the
     * point of PQ: the table holds (id, codes) only, so a 100 TB vector
     * corpus's ADC scan side shrinks to GBs of 8-byte codes (no bucketing —

@@ -189,6 +189,22 @@ object IndexQueries extends graft.QueryModule {
         .select(col("avg_recall").as("refined_recall"))
       rAdc.crossJoin(rRef)
     }),
+    // IVF-PQ — the two quantizers composed (FAISS IVFADC): the coarse
+    // quantizer prunes WHICH rows are scanned (2 of 4 lists per query),
+    // the product codes shrink WHAT a scanned row costs (8 lookups, no
+    // vector read). Both quantizers are seed-deterministic, so probe
+    // choice, code lookups, and ranking all replay in the oracle.
+    "ivfpq_ann_topk" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val ivfModel = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+      val pqModel = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      val indexed = IvfIndex.assign(c, "skill_id", "svec", ivfModel, Cosine)
+        .select(col("skill_id"), col("list_id"))
+        .join(PqIndex.encode(c, "skill_id", "svec", pqModel), "skill_id")
+      PqIndex.searchIvf(q, "job_id", "qvec", indexed, "skill_id",
+        ivfModel, pqModel, K, Probes, Cosine)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
     // X1 stretch — the Lloyd-refined quantizer the scale story recommends
     // (IvfIndex.fitKMeans), driver-exercised: recall@k of probes=2 retrieval
     // against exact search. KMeans centroids aren't SQL-expressible, so the
@@ -309,6 +325,48 @@ object IndexQueries extends graft.QueryModule {
        |  FROM rfd)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // IVF-PQ composed: cosine probe ranking (ivf family) over seed
+    // centroids, L2 ADC over seed codebooks, candidates = probed lists
+    // only. Fresh CTE names — ivfCtes and pqCtes both define `pr`.
+    "ivfpq_ann_topk" ->
+      s"""WITH $qCte, $cCte,
+         |xcent AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS list_id,
+         |    svec AS centroid
+         |  FROM (SELECT skill_id, svec FROM c ORDER BY skill_id LIMIT $Lists)),
+         |xasg AS (SELECT skill_id, list_id FROM (
+         |    SELECT c.skill_id, xcent.list_id,
+         |      row_number() OVER (PARTITION BY c.skill_id
+         |        ORDER BY 1.0 - list_cosine_similarity(c.svec, xcent.centroid), xcent.list_id) AS pick
+         |    FROM c CROSS JOIN xcent) WHERE pick = 1),
+         |xprb AS (SELECT job_id, list_id FROM (
+         |    SELECT q.job_id, xcent.list_id,
+         |      row_number() OVER (PARTITION BY q.job_id
+         |        ORDER BY 1.0 - list_cosine_similarity(q.qvec, xcent.centroid), xcent.list_id) AS pick
+         |    FROM q CROSS JOIN xcent) WHERE pick <= $Probes),
+         |mm AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+         |cb AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS k, svec
+         |  FROM (SELECT skill_id, svec FROM c ORDER BY skill_id LIMIT $PqK)),
+         |encd AS (SELECT c.skill_id, mm.m, cb.k,
+         |    list_distance(${pqSlice("c.svec")}, ${pqSlice("cb.svec")}) AS d
+         |  FROM c CROSS JOIN mm CROSS JOIN cb),
+         |enc AS (SELECT skill_id, m, k FROM (
+         |    SELECT skill_id, m, k,
+         |      row_number() OVER (PARTITION BY skill_id, m ORDER BY d, k) AS r
+         |    FROM encd) WHERE r = 1),
+         |qd AS (SELECT q.job_id, mm.m, cb.k,
+         |    list_distance(${pqSlice("q.qvec")}, ${pqSlice("cb.svec")}) AS d
+         |  FROM q CROSS JOIN mm CROSS JOIN cb),
+         |xad AS (SELECT xprb.job_id, xasg.skill_id,
+         |    sqrt(CAST(sum(CAST(qd.d * qd.d AS DECIMAL(30,18))) AS DOUBLE)) AS dist
+         |  FROM xprb JOIN xasg USING (list_id)
+         |  JOIN enc ON enc.skill_id = xasg.skill_id
+         |  JOIN qd ON qd.job_id = xprb.job_id AND qd.m = enc.m AND qd.k = enc.k
+         |  GROUP BY 1, 2),
+         |xr AS (SELECT job_id, skill_id, dist,
+         |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |  FROM xad)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM xr WHERE rank <= $K""".stripMargin,
     "pq_ann_topk" ->
       s"""WITH $pqCtes
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
