@@ -51,6 +51,7 @@ object Budgets {
     "events_json_stats" -> 1.5,
     "events_session_stats" -> 1.6,
     "events_sessionized" -> 1.5,
+    "hybrid_rrf_topk" -> 2.2,
     "io_npy_shard_roundtrip" -> 1.9,
     "ivf_ann_topk" -> 2.3,
     "ivf_kmeans_recall" -> 5.7,

@@ -17,6 +17,7 @@ import graft.operators.{Embedder, KnnJoin, Sequencer}
 object TextQueries extends graft.QueryModule {
 
   private val Dim = 64
+  private val HybridInnerK = 20 // per-leg depth feeding the RRF fusion
   private val EnWords = langWords.head._2
   private val ChunkWindow = 128 // model-context tokens per chunk
   private val ChunkStride = 96  // 32-token overlap between neighbors
@@ -208,6 +209,26 @@ object TextQueries extends graft.QueryModule {
         .select(col("doc_id").as("nbr_id"), col("embedding"))
       KnnJoin.exact(q, "doc_id", "embedding", c, "nbr_id", "embedding", 5, Cosine)
         .withColumn("dist", round(col("dist"), 6))
+    }),
+    // Hybrid retrieval: dense top-20 (hashTF cosine) ⊕ lexical top-20
+    // (distinct-token overlap through the inverted-index join), fused by
+    // reciprocal ranks (RRF, k=60), re-ranked to 10 — the hybrid search
+    // call of every vector store, with BOTH legs and the fusion replayed
+    // exactly in the oracle.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", Dim)
+      val qe = emb.filter(col("doc_id") < 10)
+      val ce = emb.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("nbr_id"), col("embedding"))
+      val dense = KnnJoin.exact(qe, "doc_id", "embedding", ce, "nbr_id",
+        "embedding", HybridInnerK, Cosine)
+      val lexical = graft.operators.HybridSearch.lexicalTopK(
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id").as("nbr_id"), col("text")),
+        "nbr_id", "text", HybridInnerK)
+      graft.operators.HybridSearch.fuse(dense, lexical, "doc_id", "nbr_id", 10)
     }))
 
   // ---- DuckDB mirrors -----------------------------------------------------
@@ -386,5 +407,43 @@ object TextQueries extends graft.QueryModule {
          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist, nbr_id) AS BIGINT) AS rank
          |  FROM d)
          |SELECT doc_id, nbr_id, rank, round(dist, 6) AS dist
-         |FROM r WHERE rank <= 5""".stripMargin)
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // Both legs + the fusion replayed: dense ranks from the embedding CTE,
+    // lexical ranks from distinct-token-hash overlap, RRF with explicit
+    // DOUBLE casts (a bare 1.0 literal is DECIMAL in DuckDB — decimal
+    // division would diverge from Spark's double arithmetic).
+    "hybrid_rrf_topk" ->
+      s"""WITH $embedCte,
+         |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),
+         |cv AS (SELECT doc_id AS nbr_id, vec FROM nv WHERE doc_id >= 10),
+         |vd AS (SELECT qv.doc_id, cv.nbr_id,
+         |    1.0 - list_cosine_similarity(qv.vec, cv.vec) AS dist
+         |  FROM qv CROSS JOIN cv),
+         |vr AS (SELECT doc_id, nbr_id, rank FROM (
+         |    SELECT doc_id, nbr_id,
+         |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist, nbr_id) AS BIGINT) AS rank
+         |    FROM vd) WHERE rank <= 20),
+         |qtok AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
+         |  FROM tokd WHERE doc_id < 10)),
+         |ctok AS (SELECT DISTINCT nbr_id, h FROM (
+         |  SELECT doc_id AS nbr_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
+         |  FROM tokd WHERE doc_id >= 10)),
+         |ov AS (SELECT q.doc_id, c.nbr_id, count(*) AS overlap
+         |  FROM qtok q JOIN ctok c ON q.h = c.h GROUP BY 1, 2),
+         |lr AS (SELECT doc_id, nbr_id, rank FROM (
+         |    SELECT doc_id, nbr_id,
+         |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, nbr_id) AS BIGINT) AS rank
+         |    FROM ov) WHERE rank <= 20),
+         |f AS (SELECT coalesce(v.doc_id, l.doc_id) AS doc_id,
+         |    coalesce(v.nbr_id, l.nbr_id) AS nbr_id,
+         |    coalesce(CAST(1 AS DOUBLE) / (60 + v.rank), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / (60 + l.rank), 0) AS score
+         |  FROM vr v FULL OUTER JOIN lr l
+         |    ON v.doc_id = l.doc_id AND v.nbr_id = l.nbr_id),
+         |fr AS (SELECT doc_id, nbr_id, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
+         |  FROM f)
+         |SELECT doc_id, nbr_id, rank, round(score, 6) AS rrf_score
+         |FROM fr WHERE rank <= 10""".stripMargin)
 }
