@@ -133,6 +133,14 @@ class PlanSpec extends SparkSpec {
       s"ADC scan must not sort-merge the corpus:\n$plan")
   }
 
+  test("IVF-PQ broadcasts its probes onto the code scan; corpus never sort-merges") {
+    val plan = planOf("ivfpq_ann_topk")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probes should broadcast onto the list-pruned code scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle for the ADC join:\n$plan")
+  }
+
   test("temperature mixture is one broadcast-joined filter pass over the corpus") {
     val plan = planOf("sample_mixture_temperature").split("== Initial Plan ==").head
     assert(plan.contains("BroadcastHashJoin"),
