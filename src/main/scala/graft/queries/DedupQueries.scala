@@ -133,7 +133,27 @@ object DedupQueries extends graft.QueryModule {
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticPairs(
         Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim),
-        "doc_id", "embedding", MinCos, SemLists)))
+        "doc_id", "embedding", MinCos, SemLists)),
+    // Dedup-quality metrology, hash-gated: recall AND precision of the
+    // banded MinHash+LSH pairs against the exact prefix-filtered ground
+    // truth — the number that justifies trusting the approximate path at
+    // scale (banding params are chosen so both sit at 1.0 here; a band
+    // layout regression drops recall and turns this row red). Shares the
+    // cached shingle index with the two member queries.
+    "eval_dedup_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = Dedup.jaccardJoin(docs, "doc_id", "text", N, MinJ)
+        .select("a_id", "b_id")
+      val lsh = Dedup.minhashLshJoin(docs, "doc_id", "text", N, MinJ)
+        .select("a_id", "b_id")
+      val hit = lsh.join(exact, Seq("a_id", "b_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
+          round(col("n_hit").cast("double") / col("n_lsh"), 6).as("precision"))
+    }))
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
@@ -185,6 +205,37 @@ object DedupQueries extends graft.QueryModule {
        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
        |$intersectTail""".stripMargin
 
+  /** Single sources of truth for the two pair queries, reused verbatim as
+    * the member legs of the eval_dedup_lsh metrology oracle. */
+  private lazy val jaccardPairsSql: String =
+    s"""WITH $toksCte,
+       |${DocSql.shingleHashCte(N)},
+       |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
+       |pf AS (SELECT doc_id, ghv FROM (
+       |    SELECT g.doc_id, g.ghv,
+       |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
+       |      count(*) OVER (PARTITION BY g.doc_id) AS m
+       |    FROM shd g JOIN dfc USING (ghv))
+       |  WHERE r <= m - ceil($MinJ * m) + 1),
+       |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
+       |$intersectTail""".stripMargin
+
+  private lazy val minhashLshSql: String =
+    s"""WITH $toksCte,
+       |${DocSql.shingleHashCte(N)},
+       |sigs AS (SELECT doc_id, $sigExpr AS sig
+       |  FROM (SELECT doc_id, list(ghv) AS ghs FROM shd GROUP BY doc_id)),
+       |bk AS (SELECT doc_id, unnest(list_transform(generate_series(0, ${Dedup.LshBands - 1}),
+       |    k -> {'band': k, 'bh': (sig[k*2+1]*31 + sig[k*2+2]) % ${Dedup.MinhashP}})) AS u
+       |  FROM sigs),
+       |buckets AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM bk
+       |  QUALIFY count(*) OVER (PARTITION BY u.band, u.bh) <= $Cap),
+       |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |$intersectTail""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
@@ -194,19 +245,20 @@ object DedupQueries extends graft.QueryModule {
     // Prefix filtering mirrored 1:1: rank each doc's shingles by (global df,
     // hash), keep rank ≤ m − ceil(J·m) + 1, candidates from the prefix join,
     // exact shared counts restricted to candidates.
-    "dedup_jaccard_pairs" ->
-      s"""WITH $toksCte,
-         |${DocSql.shingleHashCte(N)},
-         |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
-         |pf AS (SELECT doc_id, ghv FROM (
-         |    SELECT g.doc_id, g.ghv,
-         |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
-         |      count(*) OVER (PARTITION BY g.doc_id) AS m
-         |    FROM shd g JOIN dfc USING (ghv))
-         |  WHERE r <= m - ceil($MinJ * m) + 1),
-         |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
-         |$intersectTail""".stripMargin,
+    "dedup_jaccard_pairs" -> jaccardPairsSql,
+    // LSH-vs-exact metrology: both member queries' full SQL as derived
+    // tables (each keeps its own WITH scope), then plain count arithmetic.
+    "eval_dedup_lsh" ->
+      s"""WITH ex AS (SELECT a_id, b_id FROM ($jaccardPairsSql)),
+         |ls AS (SELECT a_id, b_id FROM ($minhashLshSql)),
+         |ns AS (SELECT
+         |    CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |    CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_lsh,
+         |    CAST((SELECT count(*) FROM ls JOIN ex USING (a_id, b_id)) AS BIGINT) AS n_hit)
+         |SELECT n_exact, n_lsh, n_hit,
+         |  round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall,
+         |  round(CAST(n_hit AS DOUBLE) / n_lsh, 6) AS precision
+         |FROM ns""".stripMargin,
     // Same prefix index as dedup_jaccard_pairs; candidates keep only
     // (new, existing) orientations. The length-ratio prune the Spark side
     // applies is lossless (pruned pairs cannot reach MinJ), so the oracle
@@ -260,20 +312,7 @@ object DedupQueries extends graft.QueryModule {
          |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
          |  cl.doc_id = cl.cluster_id AS is_rep
          |FROM cl JOIN sz USING (cluster_id)""".stripMargin,
-    "dedup_minhash_lsh" ->
-      s"""WITH $toksCte,
-         |${DocSql.shingleHashCte(N)},
-         |sigs AS (SELECT doc_id, $sigExpr AS sig
-         |  FROM (SELECT doc_id, list(ghv) AS ghs FROM shd GROUP BY doc_id)),
-         |bk AS (SELECT doc_id, unnest(list_transform(generate_series(0, ${Dedup.LshBands - 1}),
-         |    k -> {'band': k, 'bh': (sig[k*2+1]*31 + sig[k*2+2]) % ${Dedup.MinhashP}})) AS u
-         |  FROM sigs),
-         |buckets AS (SELECT doc_id, u.band AS band, u.bh AS bh FROM bk
-         |  QUALIFY count(*) OVER (PARTITION BY u.band, u.bh) <= $Cap),
-         |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |$intersectTail""".stripMargin,
+    "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" ->
       s"""WITH $toksCte,
          |$simhashCte
