@@ -79,6 +79,7 @@ object Budgets {
     "lsh_ann_topk" -> 2.4,
     "lsh_index_build" -> 2.2,
     "media_audio_features" -> 1.5,
+    "merge_delete_docs" -> 1.5,
     "merge_upsert_docs" -> 1.5,
     "media_frame_sample" -> 1.5,
     "media_image_features" -> 1.5,

@@ -42,4 +42,14 @@ object Merge {
       .filter(col("__rn") === 1)
       .drop("__rn", "__pri")
   }
+
+  /** The delete leg of the table-maintenance trio (K3 truncate, [[upsert]],
+    * delete — the "right to be forgotten" pipeline at corpus scale): drop
+    * every base row whose key appears in `keys`. A plain left-anti join —
+    * Spark broadcasts a small key set by itself, and for a huge one the
+    * bloom shape applies first ([[BloomPrune.semiReduce]] on the NEGATION
+    * can't work — blooms have false positives — but pre-partitioning both
+    * sides on the key does). */
+  def delete(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
+    base.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
 }

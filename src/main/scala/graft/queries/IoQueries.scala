@@ -53,6 +53,15 @@ object IoQueries extends graft.QueryModule {
       merged.select(col("doc_id"), md5(col("text")).as("content_hash"),
         col("__src").as("src"))
     }),
+    // The delete leg (GDPR-style key removal): every 13th doc's key is
+    // "forgotten"; the oracle pins the surviving rows by content hash, so
+    // an under- or over-delete turns red row-by-row.
+    "merge_delete_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val forget = docs.filter(col("doc_id") % 13 === 0).select("doc_id")
+      graft.operators.Merge.delete(docs, forget, "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    }),
     "io_npy_shard_roundtrip" -> ((s, dir) => {
       val (out, parts) = Export.ensure(s, dir)
       import s.implicits._
@@ -72,6 +81,9 @@ object IoQueries extends graft.QueryModule {
     }))
 
   val oracles: Map[String, String] = Map(
+    "merge_delete_docs" ->
+      """SELECT doc_id, md5(text) AS content_hash FROM documents
+        |WHERE doc_id % 13 <> 0""".stripMargin,
     "merge_upsert_docs" ->
       """WITH delta AS (
         |  SELECT doc_id, text || ' [rev2]' AS text FROM documents WHERE doc_id % 10 = 0

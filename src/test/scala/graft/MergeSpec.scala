@@ -27,6 +27,12 @@ class MergeSpec extends SparkSpec {
     assert(out.toSeq == Seq("first"))
   }
 
+  test("delete drops exactly the listed keys, duplicates in the key set are harmless") {
+    val keys = Seq(2L, 2L, 9L).toDF("id") // 9 absent from base: no-op
+    val left = Merge.delete(base, keys, "id").select($"id").as[Long].collect().toSet
+    assert(left == Set(1L, 3L))
+  }
+
   test("upsert rejects mismatched schemas") {
     intercept[IllegalArgumentException] {
       Merge.upsert(base, base.drop("n"), "id", "id")
