@@ -41,7 +41,7 @@ object Budgets {
     "embed_project_jl" -> 1.5,
     "embed_quantize_int8" -> 1.5,
     "eval_ann_recall" -> 1.7,
-    "eval_dedup_lsh" -> 3.0,
+    "eval_dedup_lsh" -> 9.4, // 2.5x the first recorded sample (3.74 on a loaded box); re-runs both member legs' verify joins
     "eval_rank_metrics" -> 1.7,
     "eval_rank_summary" -> 1.7,
     "eval_best_sim" -> 2.4,
