@@ -51,5 +51,8 @@ object Merge {
     * can't work — blooms have false positives — but pre-partitioning both
     * sides on the key does). */
   def delete(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
-    base.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    // No distinct() on the key set: left-anti semantics ignore duplicate
+    // right-side keys, and the de-dup would cost a full extra shuffle of
+    // the keys on exactly the huge-key-set path this operator is for.
+    base.join(keys.select(col(keyCol)), Seq(keyCol), "left_anti")
 }

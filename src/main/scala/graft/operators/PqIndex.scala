@@ -57,6 +57,31 @@ object PqIndex {
   private def subspace(v: Column, model: Model, m: Int): Column =
     slice(v, m * model.subDim + 1, model.subDim)
 
+  /** Per-subspace distance tables for a query vector: dt(m)(k) =
+    * l2(sub_m(q), codebook(m)(k)) — shared by [[search]] and [[searchIvf]]. */
+  private def distTables(qv: Column, model: Model): Column =
+    array(model.codebooks.indices.map { m =>
+      transform(typedlit(model.codebooks(m)),
+        cw => l2Distance(subspace(qv, model, m), cw))
+    }: _*)
+
+  /** ADC distance from a distance-table column and a codes column:
+    * √Σ_m dt(m)(codes(m))², squared sub-distances summed in exact decimal.
+    * decimal(30,18): wide enough that the running sum never overflows its
+    * 12 integer digits, and the post-add cast back to scale 18 only trims
+    * integer headroom (Spark's Add widens precision) — the fractional part
+    * is never rounded, so the sum is exact and equals DuckDB's decimal
+    * sum. Shared by [[search]] and [[searchIvf]] so the two ADC paths
+    * cannot diverge. */
+  private def adcDist(dt: Column, codes: Column): Column =
+    sqrt(aggregate(
+      zip_with(dt, codes, (t, cc) => {
+        val d = element_at(t, cc + 1)
+        (d * d).cast("decimal(30,18)")
+      }),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(30,18)"),
+      (acc, x) => (acc + x).cast("decimal(30,18)")).cast("double"))
+
   /** Encode every row: `codes` array<int> of length m, codes(m) = argmin_k
     * l2(sub_m(vec), codebook(m)(k)), ties to the lowest k. Pure projection —
     * fused into the scan, nothing shuffles (same shape as IvfIndex.assign). */
@@ -78,25 +103,12 @@ object PqIndex {
   def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       encoded: DataFrame, idCol: String, model: Model, k: Int): DataFrame = {
     val qv = col(queryVecCol).cast("array<double>")
-    val dtCols = model.codebooks.indices.map { m =>
-      transform(typedlit(model.codebooks(m)), cw => l2Distance(subspace(qv, model, m), cw))
-    }
-    val q = broadcast(queries.select(col(queryIdCol), array(dtCols: _*).as("__dt")))
+    val q = broadcast(queries.select(col(queryIdCol),
+      distTables(qv, model).as("__dt")))
     val (keyCol, isString) = KnnJoin.keyColumn(encoded, idCol)
     val c = encoded.select(keyCol, col("codes").as("__codes"))
-    // decimal(30,18): wide enough that the running sum never overflows its
-    // 12 integer digits, and the post-add cast back to scale 18 only trims
-    // integer headroom (Spark's Add widens precision) — the fractional part
-    // is never rounded, so the sum is exact and equals DuckDB's decimal sum.
-    val dist = sqrt(aggregate(
-      zip_with(col("__dt"), col("__codes"),
-        (dt, cc) => {
-          val d = element_at(dt, cc + 1)
-          (d * d).cast("decimal(30,18)")
-        }),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(30,18)"),
-      (acc, x) => (acc + x).cast("decimal(30,18)")).cast("double"))
-    val cands = q.join(c).select(col(queryIdCol), dist.as("dist"), col("__cid"))
+    val cands = q.join(c).select(col(queryIdCol),
+      adcDist(col("__dt"), col("__codes")).as("dist"), col("__cid"))
     KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
   }
 
@@ -115,17 +127,13 @@ object PqIndex {
       metric: graft.functions.VectorFunctions.Metric): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qv = col(queryVecCol).cast("array<double>")
-    val dtCols = pqModel.codebooks.indices.map { m =>
-      transform(typedlit(pqModel.codebooks(m)),
-        cw => l2Distance(subspace(qv, pqModel, m), cw))
-    }
     // Probe ranking exactly as IvfIndex.search: per query, the nProbe
     // nearest centroids under the IVF metric, ties to the lowest list_id.
     val cents = broadcast(ivfModel.centroids)
     val wProbe = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__cdist"), col("list_id"))
     val probes = queries
-      .select(col(queryIdCol), qv.as("__qv"), array(dtCols: _*).as("__dt"))
+      .select(col(queryIdCol), qv.as("__qv"), distTables(qv, pqModel).as("__dt"))
       .join(cents)
       .withColumn("__cdist", metric.dist(col("__qv"), col("centroid")))
       .withColumn("__pick", row_number().over(wProbe))
@@ -133,16 +141,9 @@ object PqIndex {
       .select(col(queryIdCol), col("__dt"), col("list_id"))
     val (keyCol, isString) = KnnJoin.keyColumn(indexed, idCol)
     val c = indexed.select(keyCol, col("codes").as("__codes"), col("list_id"))
-    val dist = sqrt(aggregate(
-      zip_with(col("__dt"), col("__codes"),
-        (dt, cc) => {
-          val d = element_at(dt, cc + 1)
-          (d * d).cast("decimal(30,18)")
-        }),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(30,18)"),
-      (acc, x) => (acc + x).cast("decimal(30,18)")).cast("double"))
     val cands = broadcast(probes).join(c, "list_id")
-      .select(col(queryIdCol), dist.as("dist"), col("__cid"))
+      .select(col(queryIdCol),
+        adcDist(col("__dt"), col("__codes")).as("dist"), col("__cid"))
     KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
   }
 

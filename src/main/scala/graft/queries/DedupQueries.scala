@@ -134,12 +134,15 @@ object DedupQueries extends graft.QueryModule {
       Dedup.semanticPairs(
         Embedder.hashTfEmbed(Tables.documents(s, dir), "doc_id", "text", Dim),
         "doc_id", "embedding", MinCos, SemLists)),
-    // Dedup-quality metrology, hash-gated: recall AND precision of the
-    // banded MinHash+LSH pairs against the exact prefix-filtered ground
-    // truth — the number that justifies trusting the approximate path at
-    // scale (banding params are chosen so both sit at 1.0 here; a band
-    // layout regression drops recall and turns this row red). Shares the
-    // cached shingle index with the two member queries.
+    // Dedup-quality metrology, hash-gated: recall of the banded MinHash+LSH
+    // pairs against the exact prefix-filtered ground truth — the number
+    // that justifies trusting the approximate path at scale (a band-layout
+    // regression drops recall and turns this row red). Precision is pinned
+    // too but is 1.0 BY CONSTRUCTION (every banding candidate is
+    // exact-verified before emission, so lsh ⊆ exact) — the column is a
+    // structural invariant of verify-then-emit, not a live gate. Shares the
+    // cached shingle index with the two member queries. Zero-pair corpora
+    // report 0 ratios (guarded — the engines disagree on x/0).
     "eval_dedup_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val exact = Dedup.jaccardJoin(docs, "doc_id", "text", N, MinJ)
@@ -151,8 +154,12 @@ object DedupQueries extends graft.QueryModule {
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact"), col("n_lsh"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
-          round(col("n_hit").cast("double") / col("n_lsh"), 6).as("precision"))
+          when(col("n_exact") === 0, lit(0.0d))
+            .otherwise(round(col("n_hit").cast("double") / col("n_exact"), 6))
+            .as("recall"),
+          when(col("n_lsh") === 0, lit(0.0d))
+            .otherwise(round(col("n_hit").cast("double") / col("n_lsh"), 6))
+            .as("precision"))
     }))
 
   // ---- DuckDB mirrors -----------------------------------------------------
@@ -256,8 +263,10 @@ object DedupQueries extends graft.QueryModule {
          |    CAST((SELECT count(*) FROM ls) AS BIGINT) AS n_lsh,
          |    CAST((SELECT count(*) FROM ls JOIN ex USING (a_id, b_id)) AS BIGINT) AS n_hit)
          |SELECT n_exact, n_lsh, n_hit,
-         |  round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall,
-         |  round(CAST(n_hit AS DOUBLE) / n_lsh, 6) AS precision
+         |  CASE WHEN n_exact = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE round(CAST(n_hit AS DOUBLE) / n_exact, 6) END AS recall,
+         |  CASE WHEN n_lsh = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE round(CAST(n_hit AS DOUBLE) / n_lsh, 6) END AS precision
          |FROM ns""".stripMargin,
     // Same prefix index as dedup_jaccard_pairs; candidates keep only
     // (new, existing) orientations. The length-ratio prune the Spark side

@@ -327,9 +327,12 @@ object IndexQueries extends graft.QueryModule {
   val oracles: Map[String, String] = Map(
     // IVF-PQ composed: cosine probe ranking (ivf family) over seed
     // centroids, L2 ADC over seed codebooks, candidates = probed lists
-    // only. Fresh CTE names — ivfCtes and pqCtes both define `pr`.
+    // only. The PQ half (mm/cb/encd/enc/qd) comes from pqCtes verbatim —
+    // its trailing ad/pr CTEs are simply unreferenced here (DuckDB only
+    // plans referenced CTEs); the IVF half uses x-prefixed names because
+    // ivfCtes' probe CTE also answers to `pr`.
     "ivfpq_ann_topk" ->
-      s"""WITH $qCte, $cCte,
+      s"""WITH $pqCtes,
          |xcent AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS list_id,
          |    svec AS centroid
          |  FROM (SELECT skill_id, svec FROM c ORDER BY skill_id LIMIT $Lists)),
@@ -343,19 +346,6 @@ object IndexQueries extends graft.QueryModule {
          |      row_number() OVER (PARTITION BY q.job_id
          |        ORDER BY 1.0 - list_cosine_similarity(q.qvec, xcent.centroid), xcent.list_id) AS pick
          |    FROM q CROSS JOIN xcent) WHERE pick <= $Probes),
-         |mm AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
-         |cb AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS k, svec
-         |  FROM (SELECT skill_id, svec FROM c ORDER BY skill_id LIMIT $PqK)),
-         |encd AS (SELECT c.skill_id, mm.m, cb.k,
-         |    list_distance(${pqSlice("c.svec")}, ${pqSlice("cb.svec")}) AS d
-         |  FROM c CROSS JOIN mm CROSS JOIN cb),
-         |enc AS (SELECT skill_id, m, k FROM (
-         |    SELECT skill_id, m, k,
-         |      row_number() OVER (PARTITION BY skill_id, m ORDER BY d, k) AS r
-         |    FROM encd) WHERE r = 1),
-         |qd AS (SELECT q.job_id, mm.m, cb.k,
-         |    list_distance(${pqSlice("q.qvec")}, ${pqSlice("cb.svec")}) AS d
-         |  FROM q CROSS JOIN mm CROSS JOIN cb),
          |xad AS (SELECT xprb.job_id, xasg.skill_id,
          |    sqrt(CAST(sum(CAST(qd.d * qd.d AS DECIMAL(30,18))) AS DOUBLE)) AS dist
          |  FROM xprb JOIN xasg USING (list_id)

@@ -18,6 +18,8 @@ object TextQueries extends graft.QueryModule {
 
   private val Dim = 64
   private val HybridInnerK = 20 // per-leg depth feeding the RRF fusion
+  private val HybridK = 10      // fused list depth
+  private val RrfK = 60         // RRF smoothing constant (Cormack et al.)
   private val EnWords = langWords.head._2
   private val ChunkWindow = 128 // model-context tokens per chunk
   private val ChunkStride = 96  // 32-token overlap between neighbors
@@ -228,7 +230,8 @@ object TextQueries extends graft.QueryModule {
         docs.filter(col("doc_id") >= 10)
           .select(col("doc_id").as("nbr_id"), col("text")),
         "nbr_id", "text", HybridInnerK)
-      graft.operators.HybridSearch.fuse(dense, lexical, "doc_id", "nbr_id", 10)
+      graft.operators.HybridSearch.fuse(dense, lexical, "doc_id", "nbr_id",
+        HybridK, RrfK)
     }))
 
   // ---- DuckDB mirrors -----------------------------------------------------
@@ -422,7 +425,7 @@ object TextQueries extends graft.QueryModule {
          |vr AS (SELECT doc_id, nbr_id, rank FROM (
          |    SELECT doc_id, nbr_id,
          |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist, nbr_id) AS BIGINT) AS rank
-         |    FROM vd) WHERE rank <= 20),
+         |    FROM vd) WHERE rank <= $HybridInnerK),
          |qtok AS (SELECT DISTINCT doc_id, h FROM (
          |  SELECT doc_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
          |  FROM tokd WHERE doc_id < 10)),
@@ -434,16 +437,16 @@ object TextQueries extends graft.QueryModule {
          |lr AS (SELECT doc_id, nbr_id, rank FROM (
          |    SELECT doc_id, nbr_id,
          |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, nbr_id) AS BIGINT) AS rank
-         |    FROM ov) WHERE rank <= 20),
+         |    FROM ov) WHERE rank <= $HybridInnerK),
          |f AS (SELECT coalesce(v.doc_id, l.doc_id) AS doc_id,
          |    coalesce(v.nbr_id, l.nbr_id) AS nbr_id,
-         |    coalesce(CAST(1 AS DOUBLE) / (60 + v.rank), 0)
-         |      + coalesce(CAST(1 AS DOUBLE) / (60 + l.rank), 0) AS score
+         |    coalesce(CAST(1 AS DOUBLE) / ($RrfK + v.rank), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.rank), 0) AS score
          |  FROM vr v FULL OUTER JOIN lr l
          |    ON v.doc_id = l.doc_id AND v.nbr_id = l.nbr_id),
          |fr AS (SELECT doc_id, nbr_id, score,
          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
          |  FROM f)
          |SELECT doc_id, nbr_id, rank, round(score, 6) AS rrf_score
-         |FROM fr WHERE rank <= 10""".stripMargin)
+         |FROM fr WHERE rank <= $HybridK""".stripMargin)
 }
