@@ -57,6 +57,7 @@ object Budgets {
     "ivf_ann_topk" -> 2.3,
     "ivf_kmeans_recall" -> 5.7,
     "ivfpq_ann_topk" -> 2.2,
+    "ivfpq_stored_topk" -> 2.2,
     "ivf_probe_all_exact" -> 2.1,
     "ivf_recall_summary" -> 1.6,
     "join_anti_unshipped_parts" -> 1.5,

@@ -160,6 +160,25 @@ object PqIndex {
       .format("parquet").option("path", path).saveAsTable(tableName)
   }
 
+  /** The combined IVF-PQ layout at rest: (id, codes, list_id) partitioned
+    * by `list_id` — the on-disk form of [[searchIvf]]'s `indexed` input.
+    * Partitioning by the coarse list means a probe-pruned read touches only
+    * the probed lists' files (the ivfflat trade IvfIndex.write makes,
+    * applied to codes instead of vectors: pruning AND 64× smaller rows). */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      pqModel: Model, ivfModel: IvfIndex.Model,
+      metric: graft.functions.VectorFunctions.Metric,
+      tableName: String, path: String): Unit = {
+    val spark = corpus.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    IvfIndex.assign(corpus, idCol, vecCol, ivfModel, metric)
+      .select(col(idCol), col("list_id"))
+      .join(encode(corpus, idCol, vecCol, pqModel), idCol)
+      .write.mode("overwrite").format("parquet")
+      .partitionBy("list_id")
+      .option("path", path).saveAsTable(tableName)
+  }
+
   /** ADC + refine (the "IVFADC+R" production shape): [[search]] overfetches
     * k·`overfetch` candidates from the code scan, then ONLY those rows'
     * true vectors are read back and exact-ranked. The expensive full-width

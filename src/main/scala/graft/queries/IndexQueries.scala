@@ -47,18 +47,23 @@ object IndexQueries extends graft.QueryModule {
       }
   }
 
-  /** Stored PQ codes per (session, dir); `pq_index_build` pays the write as
-    * a Bench producer. The model itself is not stored — fitSeeds is
-    * deterministic and costs one tiny TakeOrderedAndProject. */
+  /** Stored IVF-PQ codes per (session, dir): (skill_id, codes) partitioned
+    * by the coarse list — one layout serves both the flat ADC scan
+    * (pq_ann_stored_topk reads id+codes across all partitions) and the
+    * probe-pruned IVFADC (ivfpq_stored_topk touches probed lists' files
+    * only). `pq_index_build` pays the write as a Bench producer. Models are
+    * not stored — both seed fits are deterministic and cost one tiny
+    * TakeOrderedAndProject each. */
   private object PqLayout {
     def ensure(s: SparkSession, dir: String): String =
       graft.Layouts.once(s, s"pqidx:$dir") {
         val tag = graft.Layouts.tag(dir)
         val name = s"graft_pqidx_$tag"
         val (_, c) = Fixtures.split(s, dir)
-        val model = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
-        PqIndex.writeIndex(c, "skill_id", "svec", model, name,
-          s"/tmp/graft_pqidx/$tag")
+        val pqModel = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+        val ivfModel = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+        PqIndex.writeIvfIndex(c, "skill_id", "svec", pqModel, ivfModel,
+          Cosine, name, s"/tmp/graft_pqidx/$tag")
         name
       }
   }
@@ -205,6 +210,19 @@ object IndexQueries extends graft.QueryModule {
         ivfModel, pqModel, K, Probes, Cosine)
         .withColumn("dist", round(col("dist"), 6))
     }),
+    // IVFADC over the STORED layout: probes prune which list_id partitions
+    // of the codes table are read (the on-disk face of ivfpq_ann_topk —
+    // shares its oracle verbatim; moving the index to storage must change
+    // nothing).
+    "ivfpq_stored_topk" -> ((s, dir) => {
+      val t = PqLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      val ivfModel = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+      val pqModel = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      PqIndex.searchIvf(q, "job_id", "qvec", s.table(t), "skill_id",
+        ivfModel, pqModel, K, Probes, Cosine)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
     // X1 stretch — the Lloyd-refined quantizer the scale story recommends
     // (IvfIndex.fitKMeans), driver-exercised: recall@k of probes=2 retrieval
     // against exact search. KMeans centroids aren't SQL-expressible, so the
@@ -324,14 +342,14 @@ object IndexQueries extends graft.QueryModule {
        |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
        |  FROM rfd)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    // IVF-PQ composed: cosine probe ranking (ivf family) over seed
-    // centroids, L2 ADC over seed codebooks, candidates = probed lists
-    // only. The PQ half (mm/cb/encd/enc/qd) comes from pqCtes verbatim —
-    // its trailing ad/pr CTEs are simply unreferenced here (DuckDB only
-    // plans referenced CTEs); the IVF half uses x-prefixed names because
-    // ivfCtes' probe CTE also answers to `pr`.
-    "ivfpq_ann_topk" ->
+  /** IVF-PQ composed: cosine probe ranking (ivf family) over seed
+    * centroids, L2 ADC over seed codebooks, candidates = probed lists
+    * only. The PQ half (mm/cb/encd/enc/qd) comes from pqCtes verbatim —
+    * its trailing ad/pr CTEs are simply unreferenced here (DuckDB only
+    * plans referenced CTEs); the IVF half uses x-prefixed names because
+    * ivfCtes' probe CTE also answers to `pr`. Shared verbatim by the
+    * stored-layout twin. */
+  private lazy val ivfpqSql: String =
       s"""WITH $pqCtes,
          |xcent AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS list_id,
          |    svec AS centroid
@@ -356,7 +374,11 @@ object IndexQueries extends graft.QueryModule {
          |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
          |  FROM xad)
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
-         |FROM xr WHERE rank <= $K""".stripMargin,
+         |FROM xr WHERE rank <= $K""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ivfpq_ann_topk" -> ivfpqSql,
+    "ivfpq_stored_topk" -> ivfpqSql,
     "pq_ann_topk" ->
       s"""WITH $pqCtes
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
