@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
 import graft.functions.VectorFunctions.cosineSimilarity
 
 /** ANN-quality evaluation operators (SURVEY.md §2.5 J4/J5, §2.6 A1-A3).
@@ -28,15 +29,17 @@ object Eval {
     totals.join(matches, Seq(queryIdCol), "left")
       .select(col(queryIdCol),
         coalesce(col("__n"), lit(0L)).as("n_matches"),
-        round(coalesce(col("__n"), lit(0L)) / col("__total"), 6).as("recall"))
+        ExactRound.ratioRound6(coalesce(col("__n"), lit(0L)), 0, col("__total"))
+          .as("recall"))
   }
 
   /** Order-independent mean of a (bounded-magnitude) double column: exact
-    * decimal sum, ONE division, then round — a plain double `avg` sums in
-    * partition order, and a last-ulp difference survives round(…, 6) when
-    * the true value sits near a rounding boundary (bit us at sf0.001). */
+    * decimal sum, then the integer-space rounded division of
+    * [[graft.functions.ExactRound]] — a plain double `avg` sums in partition
+    * order, and `round(<double quotient>, 6)` resolves near-tie means
+    * differently per engine (CORRECTNESS_r05: the mean-pin hash fails). */
   private def exactAvg(c: Column): Column =
-    round(sum(c.cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+    ExactRound.ratioRound6(sum(c.cast("decimal(18,6)")), 6, count(lit(1)))
 
   /** A1/A3 — collapse [[recallAtK]] output to the reference's headline
     * numbers: avg matches per query and mean recall. */
@@ -115,9 +118,12 @@ object Eval {
       .select(col(queryIdCol),
         coalesce(col("__n"), lit(0L)).as("n_hits"),
         fr0.cast("long").as("first_rank"),
-        round(element_at(rrArr0, fr0 + lit(1)).cast("double"), 6).as("rr"),
-        round(coalesce(col("__dcg"), lit(0)).cast("double") /
-          lit(idcgString(k).toDouble), 6).as("ndcg"))
+        // Both pins are rational (exact-decimal weight / exact-decimal idcg),
+        // so ties at digit 7 are live — round them in integer space.
+        ExactRound.decRound(element_at(rrArr0, fr0 + lit(1)), 10, 6).as("rr"),
+        ExactRound.ratioRound(
+          coalesce(col("__dcg"), lit(BigDecimal(0).setScale(10))), 10,
+          lit(BigDecimal(idcgString(k))), 10, 6).as("ndcg"))
   }
 
   /** Headline MRR / mean nDCG over [[rankMetrics]] output. */

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
 
 /** Table profiling — the `ANALYZE TABLE`/data-quality surface: per-column
   * counts, null counts, distinct cardinalities, and value ranges, computed
@@ -11,8 +12,9 @@ import org.apache.spark.sql.functions._
   * scan — paying it once for N columns instead of N times is the whole
   * design.
   *
-  * Doubles are decimal-summed (order-independent) and rounded at 6, so the
-  * profile hash-matches the DuckDB oracle like every other query.
+  * Doubles are decimal-summed (order-independent) and the mean is rounded
+  * in exact integer space (ExactRound) — `round(<double quotient>, 6)` is
+  * engine-sensitive on near-tie means and failed the r5 driver gate here.
   */
 object Profile {
 
@@ -26,8 +28,8 @@ object Profile {
       count_distinct(col(c)).as(s"__${c}_nd"),
       round(min(col(c)).cast("double"), 6).as(s"__${c}_min"),
       round(max(col(c)).cast("double"), 6).as(s"__${c}_max"),
-      round(sum(col(c).cast("decimal(28,8)")).cast("double") / count(col(c)), 6)
-        .as(s"__${c}_mean"))
+      ExactRound.ratioRound6(sum(col(c).cast("decimal(28,8)")), 8,
+        count(col(c))).as(s"__${c}_mean"))
     val all = cols.flatMap(aggsFor)
     val one = df.agg(all.head, all.tail: _*)
     val rows = cols.map { c =>

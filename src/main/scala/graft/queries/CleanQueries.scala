@@ -107,7 +107,8 @@ object CleanQueries extends graft.QueryModule {
          |SELECT t.doc_id, t.n_grams,
          |  CAST(coalesce(d.n_distinct, 0) AS BIGINT) AS n_distinct,
          |  CASE WHEN t.n_grams = 0 THEN 0.0
-         |    ELSE round(1.0 - coalesce(d.n_distinct, 0) * 1.0 / t.n_grams, 6)
+         |    ELSE ${graft.functions.ExactRound.ratioRound6Sql(
+                  "t.n_grams - coalesce(d.n_distinct, 0)", 0, "t.n_grams")}
          |  END AS rep_ratio
          |FROM tot t LEFT JOIN dis d USING (doc_id)""".stripMargin,
     "clean_boilerplate" ->

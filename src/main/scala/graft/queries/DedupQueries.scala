@@ -155,10 +155,12 @@ object DedupQueries extends graft.QueryModule {
         .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
         .select(col("n_exact"), col("n_lsh"), col("n_hit"),
           when(col("n_exact") === 0, lit(0.0d))
-            .otherwise(round(col("n_hit").cast("double") / col("n_exact"), 6))
+            .otherwise(graft.functions.ExactRound.ratioRound6(
+              col("n_hit"), 0, col("n_exact")))
             .as("recall"),
           when(col("n_lsh") === 0, lit(0.0d))
-            .otherwise(round(col("n_hit").cast("double") / col("n_lsh"), 6))
+            .otherwise(graft.functions.ExactRound.ratioRound6(
+              col("n_hit"), 0, col("n_lsh")))
             .as("precision"))
     }))
 
@@ -264,9 +266,9 @@ object DedupQueries extends graft.QueryModule {
          |    CAST((SELECT count(*) FROM ls JOIN ex USING (a_id, b_id)) AS BIGINT) AS n_hit)
          |SELECT n_exact, n_lsh, n_hit,
          |  CASE WHEN n_exact = 0 THEN CAST(0 AS DOUBLE)
-         |    ELSE round(CAST(n_hit AS DOUBLE) / n_exact, 6) END AS recall,
+         |    ELSE ${graft.functions.ExactRound.ratioRound6Sql("n_hit", 0, "n_exact")} END AS recall,
          |  CASE WHEN n_lsh = 0 THEN CAST(0 AS DOUBLE)
-         |    ELSE round(CAST(n_hit AS DOUBLE) / n_lsh, 6) END AS precision
+         |    ELSE ${graft.functions.ExactRound.ratioRound6Sql("n_hit", 0, "n_lsh")} END AS precision
          |FROM ns""".stripMargin,
     // Same prefix index as dedup_jaccard_pairs; candidates keep only
     // (new, existing) orientations. The length-ratio prune the Spark side

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
 import graft.functions.VectorFunctions.Cosine
 import graft.operators.{Eval, KnnJoin, Report}
 import Fixtures.{K, qCte, cCte}
@@ -109,7 +110,7 @@ object EvalQueries extends graft.QueryModule {
        |    GROUP BY a.job_id),
        |perq AS (SELECT q2.job_id,
        |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
-       |    round(coalesce(m.n, 0) / 10.0, 6) AS recall
+       |    ${ExactRound.ratioRound6Sql("coalesce(m.n, 0)", 0, s"$K")} AS recall
        |  FROM (SELECT DISTINCT job_id FROM cosr) q2 LEFT JOIN m USING (job_id))""".stripMargin
 
   private val bestSimCte =
@@ -139,8 +140,9 @@ object EvalQueries extends graft.QueryModule {
        |perq AS (SELECT q2.job_id,
        |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_hits,
        |    CAST(coalesce(m.fr, 0) AS BIGINT) AS first_rank,
-       |    round(CAST(coalesce(($rrList)[m.fr], 0) AS DOUBLE), 6) AS rr,
-       |    round(CAST(coalesce(m.dcg, 0) AS DOUBLE) / ${Eval.idcgString(K)}, 6) AS ndcg
+       |    ${ExactRound.decRoundSql(s"coalesce(($rrList)[m.fr], CAST(0 AS DECIMAL(12,10)))", 10, 6)} AS rr,
+       |    ${ExactRound.ratioRoundSql("coalesce(m.dcg, CAST(0 AS DECIMAL(12,10)))", 10,
+              s"CAST(${Eval.idcgString(K)} AS DECIMAL(20,10))", 10, 6)} AS ndcg
        |  FROM (SELECT DISTINCT job_id FROM cosr) q2 LEFT JOIN m USING (job_id))""".stripMargin
 
   private val pivotCols = (0 until K).map { i =>
@@ -153,21 +155,21 @@ object EvalQueries extends graft.QueryModule {
       s"WITH $recallCte\nSELECT job_id, n_matches, recall FROM perq",
     "eval_recall_summary" ->
       s"""WITH $recallCte
-         |SELECT round(CAST(sum(CAST(n_matches AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_matches,
-         |  round(CAST(sum(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_recall,
+         |SELECT ${ExactRound.ratioRound6Sql("sum(CAST(n_matches AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_matches,
+         |  ${ExactRound.ratioRound6Sql("sum(CAST(recall AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_recall,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "eval_rank_metrics" ->
       s"WITH $rankMetricsCte\nSELECT job_id, n_hits, first_rank, rr, ndcg FROM perq",
     "eval_rank_summary" ->
       s"""WITH $rankMetricsCte
-         |SELECT round(CAST(sum(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mrr,
-         |  round(CAST(sum(CAST(ndcg AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_ndcg,
+         |SELECT ${ExactRound.ratioRound6Sql("sum(CAST(rr AS DECIMAL(18,6)))", 6, "count(*)")} AS mrr,
+         |  ${ExactRound.ratioRound6Sql("sum(CAST(ndcg AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_ndcg,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "eval_best_sim" ->
       s"WITH $bestSimCte\nSELECT job_id, avg_sim FROM perq",
     "eval_best_sim_summary" ->
       s"""WITH $bestSimCte
-         |SELECT round(CAST(sum(CAST(avg_sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_avg_sim,
+         |SELECT ${ExactRound.ratioRound6Sql("sum(CAST(avg_sim AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_avg_sim,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "report_job_skills_pivot" ->
       s"""WITH $qCte, $cCte,

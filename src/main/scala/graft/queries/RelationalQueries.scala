@@ -338,7 +338,8 @@ object RelationalQueries extends graft.QueryModule {
            |  count(DISTINCT $c) AS n_distinct,
            |  round(CAST(min($c) AS DOUBLE), 6) AS min_v,
            |  round(CAST(max($c) AS DOUBLE), 6) AS max_v,
-           |  round(CAST(sum(CAST($c AS DECIMAL(28,8))) AS DOUBLE) / count($c), 6) AS mean_v
+           |  ${graft.functions.ExactRound.ratioRound6Sql(
+                 s"sum(CAST($c AS DECIMAL(28,8)))", 8, s"count($c)")} AS mean_v
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n"),
     // The gate booleans can only be true (raise_error otherwise), so the

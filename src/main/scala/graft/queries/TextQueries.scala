@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions.Cosine
 import graft.io.Tables
@@ -103,8 +104,8 @@ object TextQueries extends graft.QueryModule {
           round(log(col("__c").cast("double") / col("__tot")), 8).as("__lp"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
-          round(sum(col("__lp").cast("decimal(28,8)")).cast("double")
-            / count(lit(1)), 6).as("avg_logprob"))
+          ExactRound.ratioRound6(sum(col("__lp").cast("decimal(28,8)")), 8,
+            count(lit(1))).as("avg_logprob"))
     }),
     // Per-source corpus scorecard: the keep/drop-by-source decision a
     // training-data pipeline makes — volume, token mass, mean quality,
@@ -123,10 +124,12 @@ object TextQueries extends graft.QueryModule {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("__nt")).as("n_tokens"),
-          round(sum(col("__q").cast("decimal(18,6)")).cast("double")
-            / count(lit(1)), 6).as("avg_quality"),
-          round(lit(1.0d) -
-            count_distinct(col("__h")).cast("double") / count(lit(1)), 6)
+          ExactRound.ratioRound6(sum(col("__q").cast("decimal(18,6)")), 6,
+            count(lit(1))).as("avg_quality"),
+          // 1 - distinct/n as the exact ratio (n - distinct)/n, rounded in
+          // integer space — both are rational pins, live tie hazard.
+          ExactRound.ratioRound6(
+            count(lit(1)) - count_distinct(col("__h")), 0, count(lit(1)))
             .as("exact_dup_rate"),
           count_distinct(col("lang")).as("n_langs"))
     }),
@@ -327,7 +330,7 @@ object TextQueries extends graft.QueryModule {
          |    round(ln(CAST(cnt.c AS DOUBLE) / tot.tot), 8) AS lp
          |  FROM tok JOIN cnt USING (t) CROSS JOIN tot)
          |SELECT doc_id, count(*) AS n_tokens,
-         |  round(CAST(sum(CAST(lp AS DECIMAL(28,8))) AS DOUBLE) / count(*), 6) AS avg_logprob
+         |  ${ExactRound.ratioRound6Sql("sum(CAST(lp AS DECIMAL(28,8)))", 8, "count(*)")} AS avg_logprob
          |FROM lp GROUP BY 1""".stripMargin,
     "report_source_quality" ->
       s"""WITH $toksCte,
@@ -341,8 +344,8 @@ object TextQueries extends graft.QueryModule {
          |        ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END), 6) AS qs
          |  FROM tokd t JOIN documents d USING (doc_id))
          |SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
-         |  round(CAST(sum(CAST(qs AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
-         |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS exact_dup_rate,
+         |  ${ExactRound.ratioRound6Sql("sum(CAST(qs AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_quality,
+         |  ${ExactRound.ratioRound6Sql("count(*) - count(DISTINCT h)", 0, "count(*)")} AS exact_dup_rate,
          |  count(DISTINCT lang) AS n_langs
          |FROM q GROUP BY 1""".stripMargin,
     "text_fingerprint" ->

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
+
+/** [[graft.functions.ExactRound]] — the engine-proof quotient pin. The Spark
+  * side must agree with the BigDecimal HALF_UP (away-from-zero) reference on
+  * exact ties, the case legacy round(<double>, 6) gets wrong engine-to-engine
+  * (CORRECTNESS_r05: profile_lineitem_numeric / report_source_quality). The
+  * DuckDB twin is exercised by tools/check.py against the same queries. */
+class ExactRoundSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: round(num/den, d) half away from zero, in exact arithmetic. */
+  private def ref(num: BigDecimal, den: BigDecimal, d: Int): Double =
+    (num / den).setScale(d, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ratioRound matches exact HALF_UP on ties, signs, and scales") {
+    // (num, numScale, den, denScale, digits) — includes exact digit-7 ties
+    // (1/128 = 0.0078125, 3/800 = 0.00375 at digits=4, …), negatives, and
+    // the decimal-sum/count mean shape at each scale used by the queries.
+    val cases = Seq(
+      ("1.00000000", 8, "128", 0, 6),       // 0.0078125 → .007813 (tie up)
+      ("-1.00000000", 8, "128", 0, 6),      // → -0.007813 (away from zero)
+      ("3.000000", 6, "800", 0, 4),         // 0.00375 → 0.0038
+      ("7.00000000", 8, "2", 0, 6),         // 3.5 exact
+      ("1.000000", 6, "3", 0, 6),           // 0.333333… → truncating side
+      ("2.000000", 6, "3", 0, 6),           // 0.666666…7 → rounding-up side
+      ("123456.78901234", 8, "997", 0, 6),  // arbitrary mean
+      ("-0.00000050", 8, "1", 0, 6),        // -5e-7 → -0.000001 (tie, away)
+      ("0.00000049", 8, "1", 0, 6),         // → 0
+      ("2.3562512345", 10, "4.5437952374", 10, 6), // ndcg shape: dec/dec
+      ("999999.9999995", 7, "1", 0, 6),     // carry across the integer part
+      ("1234.5678", 4, "1", 0, 2)           // decRound shape: sum at 2
+    )
+    for ((n, ns, d, ds, dg) <- cases) {
+      val row = Seq((BigDecimal(n), BigDecimal(d))).toDF("num", "den")
+        .select(ExactRound.ratioRound(
+          col("num").cast(s"decimal(38,$ns)"), ns,
+          col("den").cast(s"decimal(38,$ds)"), ds, dg).as("r"))
+        .head()
+      val expected = ref(BigDecimal(n), BigDecimal(d), dg)
+      assert(row.getDouble(0) == expected,
+        s"ratioRound($n/$d, $dg) = ${row.getDouble(0)} != $expected")
+    }
+  }
+
+  test("null and zero-denominator guards") {
+    val df = Seq(
+      (Some(BigDecimal("1.000000")), Some(BigDecimal(0))),
+      (None: Option[BigDecimal], Some(BigDecimal(3))),
+      (Some(BigDecimal("1.000000")), None: Option[BigDecimal])
+    ).toDF("num", "den")
+      .select(ExactRound.ratioRound(col("num"), 6, col("den"), 0, 6).as("r"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+
+  test("agreement with legacy round away from ties (the common case)") {
+    // On non-tie quotients the pin must equal what round(double, 6) produced,
+    // so green queries keep their hashes when swapped over.
+    val vals = Seq("12.34567849", "0.99999999", "1077.00000001", "-3.14159265")
+    for (v <- vals; den <- Seq(1L, 7L, 997L)) {
+      val r = Seq((BigDecimal(v), den)).toDF("num", "den")
+        .select(ExactRound.ratioRound(col("num").cast("decimal(38,8)"), 8,
+          col("den"), 0, 6).as("r")).head().getDouble(0)
+      assert(r == ref(BigDecimal(v), BigDecimal(den), 6), s"$v/$den")
+    }
+  }
+}
