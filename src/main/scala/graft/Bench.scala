@@ -63,10 +63,13 @@ object Bench {
     val breaches = results.collect {
       case (n, t) if Budgets.perQuery.get(n).exists(t > _) => "\"" + n + "\""
     }.mkString("[", ",", "]")
-    // Compact headline line FIRST (short enough to survive tail-capture
-    // truncation in the round driver), then the per-query detail line.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"budget_breaches":$breaches}""")
+    // Per-query detail first, compact headline LAST: the round driver
+    // captures the TAIL of stdout, and in r5 the long per-query map pushed
+    // the headline (total + budget_breaches) out of the record
+    // (BENCH_r05.json parsed: null). The last line must always be the one
+    // the driver parses.
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"budget_breaches":$breaches}""")
     spark.stop()
   }
 }

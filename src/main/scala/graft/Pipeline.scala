@@ -39,11 +39,17 @@ object Pipeline {
 
   /** Entry point B: embed the skills table and persist the IVF index
     * (overwrite = the reference's truncate-then-load K3). Returns the
-    * centroid model needed at search time. */
-  def buildIndex(skills: DataFrame, cfg: Config, path: String): IvfIndex.Model = {
+    * centroid model needed at search time. `seeded = true` swaps the KMeans
+    * quantizer for the deterministic seed quantizer — same layout, same
+    * search path, but every arithmetic step replays in a SQL oracle, which
+    * is how `pipeline_skills_for_jobs` pins this whole composition. */
+  def buildIndex(skills: DataFrame, cfg: Config, path: String,
+      seeded: Boolean = false): IvfIndex.Model = {
     val vectors = embed(skills, "abbreviation", "level_description", cfg.dim)
       .join(skills.select(col("abbreviation"), col("level")), "abbreviation")
-    val model = IvfIndex.fitKMeans(vectors, "embedding", cfg.lists)
+    val model =
+      if (seeded) IvfIndex.fitSeeds(vectors, "abbreviation", "embedding", cfg.lists)
+      else IvfIndex.fitKMeans(vectors, "embedding", cfg.lists)
     IvfIndex.write(
       IvfIndex.assign(vectors, "abbreviation", "embedding", model, cfg.metric), path)
     model

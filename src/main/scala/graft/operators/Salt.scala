@@ -39,14 +39,20 @@ object Salt {
 
   /** Skew-safe broadcast-free equi-join: replicate the (small) right side
     * once per salt bucket and join on (key, salt), spreading each hot key
-    * over `buckets` reducers. Right side grows ×buckets — keep it small. */
+    * over `buckets` reducers. Right side grows ×buckets — keep it small.
+    *
+    * The right side carries a SHUFFLE_HASH hint: this operator exists
+    * precisely for dims too large to broadcast (else you'd broadcast and
+    * skew would be moot), and without the hint a small test fixture gets
+    * broadcast-planned, hiding the salted-shuffle shape the operator is
+    * for — the join must hash-partition BOTH sides on (key, salt). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFrom: Seq[Column], buckets: Int): DataFrame = {
     require(buckets > 0, s"salt buckets must be positive, got $buckets")
     val l = left.withColumn("__salt", pmod(xxhash64(saltFrom: _*), lit(buckets.toLong)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(buckets.toLong - 1))))
-    l.join(r, Seq(key, "__salt")).drop("__salt")
+    l.join(r.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** Fat-bucket guard for banded self-joins (LSH/SimHash/MinHash band joins):

@@ -29,6 +29,7 @@ object IndexQueries extends graft.QueryModule {
   private val LshPlanes = 2
   private val Cap = graft.operators.Dedup.DefaultMaxBucket
   private val KmRecallFloor = 0.6
+  private val PqKmMinGain = 0.05 // trained ADC recall must beat seed by this
   private val PqM = 8  // subspaces: 64 dims → 8 codes of sub-dim 8
   private val PqK = 16 // codewords per subspace (4-bit codes)
   private val PqOverfetch = 10 // ADC candidates per final hit in the refine pass
@@ -234,6 +235,38 @@ object IndexQueries extends graft.QueryModule {
     // sf0.001–0.1, while blindly probing 2 of 4 balanced lists would sit
     // near 0.5 — the floor separates a working quantizer from a broken one
     // without riding the noise. IvfLshSpec still asserts kmeans ≥ seed.
+    // PQ's trained quantizer, gated the same way as ivf_kmeans_recall: the
+    // Lloyd-refined codebooks aren't SQL-expressible, so the query emits
+    // pinned columns only and asserts the bound INSIDE the plan. The gate is
+    // RELATIVE — trained ADC recall must beat seed ADC recall by
+    // PqKmMinGain — because random vectors are PQ's worst case and the
+    // absolute recall shrinks with corpus size (observed seed→kmeans:
+    // 0.15→0.28 at sf0.001, 0.175→0.29 at sf0.01, 0.075→0.165 at sf0.1;
+    // gain ≥ +0.09 everywhere, floor at +0.05). A no-op fitKMeans ties the
+    // seeds and turns this row red. PqIndexSpec asserts the same ordering.
+    "pq_kmeans_recall" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val exact = graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", c, "skill_id", "svec", K, L2)
+      def recallOf(model: PqIndex.Model) = {
+        val enc = PqIndex.encode(c, "skill_id", "svec", model)
+        val adc = PqIndex.search(q, "job_id", "qvec", enc, "skill_id", model, K)
+        graft.operators.Eval.recallSummary(
+          graft.operators.Eval.recallAtK(adc, exact, "job_id", "skill_id"))
+      }
+      val seed = recallOf(PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK))
+        .select(col("n_queries"), col("avg_recall").as("__r_seed"))
+      val trained = recallOf(PqIndex.fitKMeans(c, "skill_id", "svec", PqM, PqK))
+        .select(col("avg_recall").as("__r_km"))
+      seed.crossJoin(trained)
+        .select(col("n_queries"),
+          lit(PqKmMinGain).as("min_gain"),
+          when(col("__r_km") >= col("__r_seed") + PqKmMinGain, lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"pq_kmeans_recall: trained gain below $PqKmMinGain: seed="),
+              col("__r_seed").cast("string"), lit(" kmeans="),
+              col("__r_km").cast("string")))).as("recall_ok"))
+    }),
     "ivf_kmeans_recall" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
       val model = IvfIndex.fitKMeans(c, "svec", Lists)
@@ -444,6 +477,12 @@ object IndexQueries extends graft.QueryModule {
       s"""WITH $qCte
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |  CAST($KmRecallFloor AS DOUBLE) AS min_recall,
+         |  TRUE AS recall_ok
+         |FROM q""".stripMargin,
+    "pq_kmeans_recall" ->
+      s"""WITH $qCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST($PqKmMinGain AS DOUBLE) AS min_gain,
          |  TRUE AS recall_ok
          |FROM q""".stripMargin,
     "ivf_recall_summary" ->

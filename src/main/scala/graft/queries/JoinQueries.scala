@@ -98,6 +98,27 @@ object JoinQueries extends graft.QueryModule {
           round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
             .as("revenue"))
     }),
+    // Join-side skew mitigation, driver-gated: o_orderpriority has 5 values,
+    // so a plain shuffle join lands the whole orders table on 5 reducers.
+    // Salt.saltedJoin replicates the 5-row per-priority aggregate dim ×16
+    // and joins on (priority, salt) — each hot key spreads over 16 buckets.
+    // The salt is invisible to the answer (every left row still meets its
+    // key's one dim row exactly once), so the oracle is the plain equi-join.
+    // The above-mean predicate compares in exact decimal (price·n > total —
+    // no division, no rounding), keeping the filter engine-exact.
+    "join_skew_salted" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,4)").as("__price"))
+      val dim = o.groupBy("o_orderpriority")
+        .agg(sum(col("__price")).as("__ptot"), count(lit(1)).as("__pn"))
+      graft.operators.Salt.saltedJoin(o, dim, "o_orderpriority",
+          saltFrom = Seq(col("o_orderkey")), buckets = 16)
+        .filter(col("__price") * col("__pn") > col("__ptot"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_above"),
+          round(sum(col("__price")).cast("double"), 2).as("revenue_above"))
+    }),
     // Full outer join: per-nation customer vs supplier counts, nulls → 0.
     "join_outer_nation_counts" -> ((s, dir) => {
       val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
@@ -182,6 +203,15 @@ object JoinQueries extends graft.QueryModule {
       """SELECT c_custkey, c_mktsegment FROM customer c
         |WHERE EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "join_skew_salted" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS ptot, count(*) AS pn
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, count(*) AS n_above,
+        |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue_above
+        |FROM orders o JOIN d USING (o_orderpriority)
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,4)) * d.pn > d.ptot
+        |GROUP BY 1""".stripMargin,
     "join_outer_nation_counts" ->
       """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
         |  coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp

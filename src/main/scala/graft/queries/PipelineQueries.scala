@@ -18,7 +18,55 @@ object PipelineQueries extends graft.QueryModule {
 
   private val C = Pipeline.TrainingConfig() // one source for both engines
 
+  // pipeline_skills_for_jobs fixture split over documents: jobs embed their
+  // text, skills carry lang as the dedup "level". Seed IVF quantizer +
+  // probes < lists keeps every stage oracle-replayable while the recall
+  // pins stay non-trivial (< 1).
+  private val SfjDim = 64
+  private val SfjK = 10
+  private val SfjLists = 4
+  private val SfjProbes = 2
+  private val SfjCfg = Pipeline.Config(dim = SfjDim, k = SfjK,
+    lists = SfjLists, nProbe = SfjProbes)
+
+  /** One index build per (session, dir): entry point B with the seeded
+    * quantizer; the memo carries (index path, centroid model). */
+  private object SfjLayout {
+    def ensure(s: SparkSession, dir: String): (String, graft.operators.IvfIndex.Model) =
+      graft.Layouts.once(s, s"sfj:$dir") {
+        val path = s"/tmp/graft_sfj/${graft.Layouts.tag(dir)}"
+        val skills = Tables.documents(s, dir).filter(col("doc_id") >= 10)
+          .select(col("doc_id").as("abbreviation"),
+            col("text").as("level_description"), col("lang").as("level"))
+        (path, Pipeline.buildIndex(skills, SfjCfg, path, seeded = true))
+      }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The reference's entry point C as ONE row: Pipeline.skillsForJobs
+    // (embed jobs → probe-pruned IVF search → recall + best-sim eval vs the
+    // exact oracle → first-wins dedup → wide pivot) composed end to end and
+    // pinned by a single oracle. The stages are individually green
+    // elsewhere; this row goes red if the COMPOSITION drifts — a stage
+    // reordered, an eval run against the wrong ranking, a pivot over the
+    // un-deduped top-k. Checksums fold the pivot body: rank-weighted skill
+    // ids and rank-weighted level hashes summed over all report cells.
+    "pipeline_skills_for_jobs" -> ((s, dir) => {
+      val (path, model) = SfjLayout.ensure(s, dir)
+      val jobs = Tables.documents(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id").as("job_code"), col("text").as("gpt_job_description"))
+      val res = Pipeline.skillsForJobs(s, jobs, path, model, SfjCfg)
+      val skillSum = (0 until SfjK).map(i =>
+        coalesce(col(s"skill$i"), lit(0L)) * lit((i + 1).toLong)).reduce(_ + _)
+      val levelSum = (0 until SfjK).map(i =>
+        coalesce(graft.functions.TextFunctions.tokenHash(col(s"level$i")), lit(0L))
+          * lit((i + 1).toLong)).reduce(_ + _)
+      res.report.agg(count(lit(1)).as("n_jobs"),
+          sum(skillSum).as("skills_checksum"),
+          sum(levelSum).as("levels_checksum"))
+        .crossJoin(res.recall.select(col("avg_matches"), col("avg_recall")))
+        .crossJoin(res.similarity.select(col("avg_avg_sim")))
+    }),
     "pipeline_training_data" -> ((s, dir) => {
       val td = Pipeline.prepareTrainingData(Tables.documents(s, dir), "doc_id", "text", C)
       Tables.documents(s, dir).agg(count(lit(1)).as("n_docs_in"))
@@ -30,7 +78,76 @@ object PipelineQueries extends graft.QueryModule {
           .agg(count(lit(1)).as("n_shards")))
     }))
 
+  private def ER = graft.functions.ExactRound
+
   val oracles: Map[String, String] = Map(
+    // Entry point C replayed whole: hashTF embed → seed centroids → assign →
+    // probe 2 of 4 → ANN ranking; exact ranking; recall + best-sim eval;
+    // K×10-overfetch first-wins dedup by level; rank-weighted pivot
+    // checksums. Assembled from the same CTE mirrors the stage queries pin.
+    "pipeline_skills_for_jobs" ->
+      s"""WITH ${DocSql.toksCte},
+         |${DocSql.embedCte(SfjDim)},
+         |qv AS (SELECT doc_id AS job_id, vec AS qvec FROM nv WHERE doc_id < 10),
+         |sk AS (SELECT n.doc_id AS skill_id, n.vec AS svec, d.lang AS level
+         |  FROM nv n JOIN documents d USING (doc_id) WHERE n.doc_id >= 10),
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS list_id,
+         |    svec AS centroid
+         |  FROM (SELECT skill_id, svec FROM sk ORDER BY skill_id LIMIT $SfjLists)),
+         |asg AS (SELECT skill_id, svec, level, list_id FROM (
+         |    SELECT s.skill_id, s.svec, s.level, cent.list_id,
+         |      row_number() OVER (PARTITION BY s.skill_id
+         |        ORDER BY 1.0 - list_cosine_similarity(s.svec, cent.centroid), cent.list_id) AS pick
+         |    FROM sk s CROSS JOIN cent) WHERE pick = 1),
+         |pr AS (SELECT job_id, qvec, list_id FROM (
+         |    SELECT q.job_id, q.qvec, cent.list_id,
+         |      row_number() OVER (PARTITION BY q.job_id
+         |        ORDER BY 1.0 - list_cosine_similarity(q.qvec, cent.centroid), cent.list_id) AS pick
+         |    FROM qv q CROSS JOIN cent) WHERE pick <= $SfjProbes),
+         |annr AS (SELECT job_id, skill_id FROM (
+         |    SELECT pr.job_id, a.skill_id,
+         |      row_number() OVER (PARTITION BY pr.job_id
+         |        ORDER BY 1.0 - list_cosine_similarity(pr.qvec, a.svec), a.skill_id) AS rank
+         |    FROM pr JOIN asg a USING (list_id)) WHERE rank <= $SfjK),
+         |exd AS (SELECT q.job_id, s.skill_id, s.level,
+         |    1.0 - list_cosine_similarity(q.qvec, s.svec) AS dist
+         |  FROM qv q CROSS JOIN sk s),
+         |exr AS (SELECT job_id, skill_id,
+         |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |  FROM exd QUALIFY rank <= $SfjK),
+         |mt AS (SELECT a.job_id, count(*) AS n FROM annr a
+         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |    GROUP BY 1),
+         |perq AS (SELECT q2.job_id,
+         |    CAST(coalesce(mt.n, 0) AS BIGINT) AS n_matches,
+         |    ${ER.ratioRound6Sql("coalesce(mt.n, 0)", 0, s"$SfjK")} AS recall
+         |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN mt USING (job_id)),
+         |hv AS (SELECT h.job_id, s.svec FROM annr h JOIN sk s USING (skill_id)),
+         |best AS (SELECT r.job_id, s.svec AS bvec
+         |    FROM (SELECT job_id, skill_id FROM exr WHERE rank = 1) r
+         |    JOIN sk s USING (skill_id)),
+         |perqs AS (SELECT hv.job_id,
+         |    round(avg(list_cosine_similarity(hv.svec, b.bvec)), 6) AS avg_sim
+         |  FROM hv JOIN best b ON hv.job_id = b.job_id GROUP BY hv.job_id),
+         |over_r AS (SELECT *, row_number() OVER (PARTITION BY job_id
+         |      ORDER BY dist, skill_id) AS rank0 FROM exd),
+         |capped AS (SELECT * FROM over_r WHERE rank0 <= ${SfjK * 10}),
+         |firsts AS (SELECT *, row_number() OVER (PARTITION BY job_id, level
+         |      ORDER BY rank0) AS pick FROM capped),
+         |rr AS (SELECT job_id, skill_id, level,
+         |    row_number() OVER (PARTITION BY job_id ORDER BY rank0) AS rank
+         |    FROM firsts WHERE pick = 1 QUALIFY rank <= $SfjK)
+         |SELECT
+         |  (SELECT count(DISTINCT job_id) FROM rr) AS n_jobs,
+         |  (SELECT CAST(sum(rank * skill_id) AS BIGINT) FROM rr) AS skills_checksum,
+         |  (SELECT CAST(sum(rank * coalesce(${DocSql.tokenHashSql("level")}, 0)) AS BIGINT)
+         |    FROM rr) AS levels_checksum,
+         |  (SELECT ${ER.ratioRound6Sql("sum(CAST(n_matches AS DECIMAL(18,6)))", 6, "count(*)")}
+         |    FROM perq) AS avg_matches,
+         |  (SELECT ${ER.ratioRound6Sql("sum(CAST(recall AS DECIMAL(18,6)))", 6, "count(*)")}
+         |    FROM perq) AS avg_recall,
+         |  (SELECT ${ER.ratioRound6Sql("sum(CAST(avg_sim AS DECIMAL(18,6)))", 6, "count(*)")}
+         |    FROM perqs) AS avg_avg_sim""".stripMargin,
     "pipeline_training_data" ->
       s"""WITH RECURSIVE $toksCte,
          |${DocSql.shingleHashCte(C.gramN)},
@@ -44,7 +161,8 @@ object PipelineQueries extends graft.QueryModule {
          |  FROM tot t LEFT JOIN dis d USING (doc_id)
          |  WHERE t.n_tokens >= ${C.minTokens}
          |    AND (CASE WHEN t.n_grams = 0 THEN 0.0
-         |      ELSE round(1.0 - coalesce(d.n_distinct, 0) * 1.0 / t.n_grams, 6)
+         |      ELSE ${graft.functions.ExactRound.ratioRound6Sql(
+                  "t.n_grams - coalesce(d.n_distinct, 0)", 0, "t.n_grams")}
          |      END) <= ${C.maxRepRatio}),
          |csh AS (SELECT shd.doc_id, shd.ghv FROM shd JOIN cleaned USING (doc_id)),
          |dfc AS (SELECT ghv, count(*) AS df FROM csh GROUP BY 1),

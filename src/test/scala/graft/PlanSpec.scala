@@ -148,4 +148,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus must never shuffle for its rate lookup:\n$plan")
   }
+
+  test("salted join replicates the dim ×buckets and joins on (key, salt)") {
+    val plan = planOf("join_skew_salted")
+    // The dim side must replicate through explode(sequence(0, buckets-1)) —
+    // a Generate node — not broadcast: the operator exists for dims too big
+    // to broadcast, and the salt only spreads skew if the join shuffles
+    // BOTH sides on (key, __salt).
+    assert(plan.contains("Generate explode"),
+      s"dim side should replicate via explode(sequence):\n$plan")
+    assert(plan.contains("__salt"),
+      s"join keys should include the salt column:\n$plan")
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("o_orderpriority"))
+    assert(joinLine.exists(l => l.contains("__salt") && !l.contains("Broadcast")),
+      s"the equi-join must key on (o_orderpriority, __salt) and not broadcast:\n$plan")
+  }
 }
