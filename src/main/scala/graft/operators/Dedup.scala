@@ -322,14 +322,20 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("__src") === labels("__id"))
         .groupBy(col("__dst").as("__id")).agg(min("__label").as("__nbr"))
+      // The changed flag rides IN the update frame, so the round runs ONE
+      // real job (the checkpoint materializing join+agg+join); the
+      // convergence probe below is a flag-only scan of the stored blocks,
+      // not the former second shuffle join of two label frames per round.
       val updated = labels.join(nbrMin, Seq("__id"), "left")
         .select(col("__id"),
           least(col("__label"), coalesce(col("__nbr"), col("__label")))
-            .as("__label"))
+            .as("__label"),
+          (coalesce(col("__nbr"), col("__label")) < col("__label"))
+            .as("__changed"))
         .localCheckpoint()
-      converged = updated.join(labels.withColumnRenamed("__label", "__old"), "__id")
-        .filter(col("__label") < col("__old")).count() == 0L
-      labels = updated
+      converged = !updated.agg(coalesce(max(col("__changed")), lit(false)))
+        .head().getBoolean(0)
+      labels = updated.drop("__changed")
       i += 1
     }
     // Fail loudly rather than return partially-propagated labels: a

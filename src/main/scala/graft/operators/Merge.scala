@@ -32,6 +32,10 @@ object Merge {
     val cols = base.columns.toSeq
     require(delta.columns.toSeq == cols,
       s"upsert: delta schema ${delta.columns.toSeq} != base schema $cols")
+    val reserved = Seq("__src", "__pri", "__rn").filter(cols.contains)
+    require(reserved.isEmpty,
+      s"upsert: base carries reserved internal column(s) $reserved — " +
+        "withColumn would silently overwrite them and corrupt the output")
     val d = delta.select(cols.map(col): _*)
       .withColumn("__src", lit("delta")).withColumn("__pri", lit(0))
     val b = base.select(cols.map(col): _*)

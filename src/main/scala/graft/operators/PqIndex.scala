@@ -124,7 +124,13 @@ object PqIndex {
     * integer headroom (Spark's Add widens precision) — the fractional part
     * is never rounded, so the sum is exact and equals DuckDB's decimal
     * sum. Shared by [[search]] and [[searchIvf]] so the two ADC paths
-    * cannot diverge. */
+    * cannot diverge.
+    *
+    * Magnitude precondition (API contract, not just a fixture fact): a
+    * squared sub-distance must fit 12 integer digits, i.e. per-subspace
+    * l2 < 10^6 — any embedding with |v_i| ≲ 10^4 is fine. Past that the
+    * decimal cast nulls (non-ANSI) or throws (ANSI) instead of silently
+    * wrapping; normalize or rescale vectors before encoding. */
   private def adcDist(dt: Column, codes: Column): Column =
     sqrt(aggregate(
       zip_with(dt, codes, (t, cc) => {
@@ -197,19 +203,6 @@ object PqIndex {
       .select(col(queryIdCol),
         adcDist(col("__dt"), col("__codes")).as("dist"), col("__cid"))
     KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
-  }
-
-  /** Persist the encoded corpus as the stored index — codes at rest, the
-    * point of PQ: the table holds (id, codes) only, so a 100 TB vector
-    * corpus's ADC scan side shrinks to GBs of 8-byte codes (no bucketing —
-    * ADC is a full code scan by design; the query side broadcasts). K3
-    * truncate-then-load semantics like the other index builders. */
-  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      model: Model, tableName: String, path: String): Unit = {
-    val spark = corpus.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    encode(corpus, idCol, vecCol, model).write.mode("overwrite")
-      .format("parquet").option("path", path).saveAsTable(tableName)
   }
 
   /** The combined IVF-PQ layout at rest: (id, codes, list_id) partitioned

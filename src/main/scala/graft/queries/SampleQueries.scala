@@ -73,11 +73,12 @@ object SampleQueries extends graft.QueryModule {
          |rates AS (SELECT lang, n,
          |    round(least(1.0, 0.5 * (SELECT nn FROM tot) * (w / sw.sw) / n), 8) AS rate
          |  FROM w CROSS JOIN sw),
-         |kept AS (SELECT d.lang FROM documents d JOIN rates r ON d.lang = r.lang
+         |kept AS (SELECT d.lang FROM documents d
+         |  JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
          |  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
          |        < r.rate * 10000)
          |SELECT k.lang, count(*) AS n_kept, max(r.rate) AS rate
-         |FROM kept k JOIN rates r ON k.lang = r.lang
+         |FROM kept k JOIN rates r ON k.lang IS NOT DISTINCT FROM r.lang
          |GROUP BY k.lang""".stripMargin,
     "sample_docs_weighted" ->
       s"""WITH ${DocSql.toksCte},

@@ -20,17 +20,22 @@ object VectorQueries extends graft.QueryModule {
 
   /** The corpus dequantized through int8 codes (scale-max symmetric, the
     * formula embed_quantize_int8 pins): one definition shared by both ADC
-    * queries so a precision tweak can't diverge them. */
+    * queries so a precision tweak can't diverge them. An all-zero vector
+    * has scale 0 — guarded to dequantize back to zeros, because x/0 is NaN
+    * whose int cast Spark zeroes and DuckDB errors on (divergent on a
+    * degenerate but representable input). */
   private def deqInt8(c: DataFrame): DataFrame = c
     .withColumn("__scale", array_max(transform(col("svec"), abs(_))))
     .select(col("skill_id"), transform(col("svec"),
-      x => round(x * 127.0d / col("__scale")).cast("int").cast("double")
-        * col("__scale") / lit(127.0d)).as("svec"))
+      x => when(col("__scale") === 0.0d, lit(0.0d))
+        .otherwise(round(x * 127.0d / col("__scale")).cast("int").cast("double")
+          * col("__scale") / lit(127.0d))).as("svec"))
 
   /** SQL mirror of [[deqInt8]]: ends in cd(skill_id, dvec). */
   private val deqCte: String =
     """cd AS (SELECT skill_id,
-      |    list_transform(svec, x -> CAST(round(x * 127.0 / scale) AS INT) * scale / 127.0) AS dvec
+      |    list_transform(svec, x -> CASE WHEN scale = 0 THEN 0.0
+      |      ELSE CAST(round(x * 127.0 / scale) AS INT) * scale / 127.0 END) AS dvec
       |  FROM (SELECT skill_id, svec,
       |      list_max(list_transform(svec, x -> abs(x))) AS scale FROM c))""".stripMargin
 

@@ -38,4 +38,13 @@ class MergeSpec extends SparkSpec {
       Merge.upsert(base, base.drop("n"), "id", "id")
     }
   }
+
+  test("upsert rejects bases that carry its reserved internal columns") {
+    // A base with __src/__pri/__rn would be silently overwritten by the
+    // internal withColumns and dropped from the output — fail loudly.
+    val tainted = base.withColumn("__src", lit("x"))
+    intercept[IllegalArgumentException] {
+      Merge.upsert(tainted, tainted, "id", "id")
+    }
+  }
 }
