@@ -53,7 +53,25 @@ object MediaQueries extends graft.QueryModule {
       Multimodal.resizePayloads(media(s, dir), "doc_id", MaxBytes)
         .select(col("doc_id"),
           length(col("payload")).cast("long").as("new_bytes"),
-          round(col("scale"), 6).as("scale"))))
+          round(col("scale"), 6).as("scale"))),
+    // REAL video metadata parsing (graft.functions.Mp4, ISO BMFF boxes):
+    // each doc gets a spec-shaped minimal MP4 whose brand/timescale/
+    // duration/track-dims derive from doc_id; the oracle pins what the
+    // parser must recover, so the build → box-walk → 16.16-decode round
+    // trip is hash-gated end to end. (Frame decode remains out of scope —
+    // no pure-JDK codec — but partition/filter-grade metadata is real.)
+    "media_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val vids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, graft.functions.Mp4.build("isom", 1000,
+            (id % 9000).toInt + 1000,
+            320 + (id % 8).toInt * 16, 240 + (id % 6).toInt * 16))
+        }).toDF("doc_id", "payload")
+      Multimodal.extractVideoMeta(
+        Multimodal.asMediaTable(vids, "doc_id", "payload", "video", "mp4"),
+        "doc_id")
+    }))
 
   private val stubHashCte =
     """h AS (SELECT doc_id, list_reduce(
@@ -98,5 +116,15 @@ object MediaQueries extends graft.QueryModule {
       s"""SELECT doc_id,
          |  CAST(least(len(text), $MaxBytes) AS BIGINT) AS new_bytes,
          |  round(least(1.0, $MaxBytes / CAST(len(text) AS DOUBLE)), 6) AS scale
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    // SQL can't walk MP4 boxes; pinning the GENERATING arithmetic instead
+    // makes the oracle a round-trip gate: the parser must recover exactly
+    // the fields the builder encoded for every doc.
+    "media_video_meta" ->
+      """SELECT doc_id, 'isom' AS brand, CAST(1000 AS BIGINT) AS timescale,
+        |  CAST(doc_id % 9000 + 1000 AS BIGINT) AS duration_ticks,
+        |  (doc_id % 9000 + 1000) / 1000.0 AS duration_s,
+        |  CAST(320 + (doc_id % 8) * 16 AS INT) AS width,
+        |  CAST(240 + (doc_id % 6) * 16 AS INT) AS height
+        |FROM documents""".stripMargin)
 }

@@ -139,4 +139,34 @@ class MultimodalSpec extends SparkSpec {
     assert(r(1L)._1 == 4096L); assertNear(r(1L)._2, 4096.0 / 5000.0)
     assert(r(2L)._1 == 5L); assertNear(r(2L)._2, 1.0)
   }
+
+  test("Mp4 round-trips box metadata and refuses non-BMFF payloads") {
+    import graft.functions.Mp4
+    val bytes = Mp4.build("isom", 90000, 270000, 1920, 1080)
+    val m = Mp4.parse(bytes).get
+    assert(m.brand == "isom" && m.timescale == 90000L && m.duration == 270000L)
+    assert(m.width == 1920 && m.height == 1080)
+    assertNear(m.durationSeconds, 3.0)
+    // Garbage, truncation mid-box, and empty input all parse to None — the
+    // NonFatal-equivalent contract extractVideoMeta nulls rows on.
+    assert(Mp4.parse("not a video at all".getBytes("UTF-8")).isEmpty)
+    assert(Mp4.parse(bytes.take(bytes.length - 20)).isEmpty)
+    assert(Mp4.parse(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractVideoMeta parses built payloads and nulls garbage ones") {
+    import graft.functions.Mp4
+    val rows = Seq(
+      (1L, Mp4.build("mp42", 600, 1800, 320, 240)),
+      (2L, "junk payload".getBytes("UTF-8")))
+    val media = Multimodal.asMediaTable(rows.toDF("id", "payload"),
+      "id", "payload", "video", "mp4")
+    val out = Multimodal.extractVideoMeta(media, "id")
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "mp42" && out(0).getLong(2) == 600L &&
+      out(0).getLong(3) == 1800L && out(0).getInt(5) == 320 &&
+      out(0).getInt(6) == 240)
+    assertNear(out(0).getDouble(4), 3.0)
+    assert(out(1).isNullAt(1) && out(1).getLong(2) == 0L)
+  }
 }
