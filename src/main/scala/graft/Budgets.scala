@@ -86,7 +86,11 @@ object Budgets {
     "media_image_features" -> 1.5,
     "media_meta" -> 1.5,
     "media_resize" -> 1.5,
+    "media_video_meta" -> 1.5,
     "pipeline_training_data" -> 17.8, // full compose: quality+jaccard+CC+chunk+pack, mostly cold
+    "pipeline_skills_for_jobs" -> 12.4, // entry point C composed: embed + 2 searches + eval + pivot (r6 samples 4.97/4.23)
+    "pq_kmeans_recall" -> 15.1, // 10 Lloyd rounds + seed and trained searches (r6 samples 6.03/5.41)
+    "join_skew_salted" -> 1.8,
     "pq_ann_topk" -> 1.8,
     "pq_ann_stored_topk" -> 1.8,
     "pq_index_build" -> 2.6, // producer: absorbs the one-time code write

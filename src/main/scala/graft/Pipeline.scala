@@ -64,13 +64,19 @@ object Pipeline {
   /** Entry point C over a previously built index. */
   def skillsForJobs(spark: SparkSession, jobs: DataFrame, indexPath: String,
       model: IvfIndex.Model, cfg: Config = Config()): Result = {
-    val indexed = spark.read.parquet(indexPath).cache()
-    val jobVecs = embed(jobs.limit(cfg.maxJobs), "job_code", "gpt_job_description", cfg.dim)
+    val indexed = Caches.cached(spark.read.parquet(indexPath))
+    // Register the embed and both top-k frames with Caches: recall reads
+    // ann+exact, best-sim reads ann+exact again, the report reads the dedup
+    // ranking — without the registry each consumer would re-run the
+    // embedding scan and the k-NN joins (the same sharing discipline the
+    // eval_* queries use).
+    val jobVecs = Caches.cached(
+      embed(jobs.limit(cfg.maxJobs), "job_code", "gpt_job_description", cfg.dim))
 
-    val ann = IvfIndex.search(jobVecs, "job_code", "embedding",
-      indexed, "abbreviation", "embedding", model, cfg.k, cfg.nProbe, cfg.metric)
-    val exact = KnnJoin.exact(jobVecs, "job_code", "embedding",
-      indexed, "abbreviation", "embedding", cfg.k, cfg.metric)
+    val ann = Caches.cached(IvfIndex.search(jobVecs, "job_code", "embedding",
+      indexed, "abbreviation", "embedding", model, cfg.k, cfg.nProbe, cfg.metric))
+    val exact = Caches.cached(KnnJoin.exact(jobVecs, "job_code", "embedding",
+      indexed, "abbreviation", "embedding", cfg.k, cfg.metric))
 
     // J3/D1: overfetch + first-wins dedup by level, re-ranked to k.
     val ranked = KnnJoin.exactDedupByKey(jobVecs, "job_code", "embedding",

@@ -185,8 +185,10 @@ object IndexQueries extends graft.QueryModule {
       val adc = PqIndex.search(q, "job_id", "qvec", enc, "skill_id", model, K)
       val refined = PqIndex.searchRefined(q, "job_id", "qvec", enc, c,
         "skill_id", "svec", model, K, PqOverfetch)
-      val exact = graft.operators.KnnJoin.exact(
-        q, "job_id", "qvec", c, "skill_id", "svec", K, L2)
+      // Registered with Caches: the exact-L2 oracle frame feeds both recall
+      // legs here AND pq_kmeans_recall's two legs — one materialization.
+      val exact = graft.Caches.cached(graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", c, "skill_id", "svec", K, L2))
       val rAdc = graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(adc, exact, "job_id", "skill_id"))
         .select(col("avg_recall").as("adc_recall"), col("n_queries"))
@@ -246,8 +248,8 @@ object IndexQueries extends graft.QueryModule {
     // seeds and turns this row red. PqIndexSpec asserts the same ordering.
     "pq_kmeans_recall" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
-      val exact = graft.operators.KnnJoin.exact(
-        q, "job_id", "qvec", c, "skill_id", "svec", K, L2)
+      val exact = graft.Caches.cached(graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", c, "skill_id", "svec", K, L2))
       def recallOf(model: PqIndex.Model) = {
         val enc = PqIndex.encode(c, "skill_id", "svec", model)
         val adc = PqIndex.search(q, "job_id", "qvec", enc, "skill_id", model, K)
