@@ -86,7 +86,8 @@ object PqIndex {
       .toDF("s", "sub")
       .cache()
     try {
-      for (_ <- 1 to maxIter) {
+      var converged = false
+      for (_ <- 1 to maxIter if !converged) {
         val books = typedlit(model.codebooks)
         val means = train
           .withColumn("code",
@@ -101,9 +102,15 @@ object PqIndex {
           .map { case (key, rows) =>
             key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
           }
-        model = Model(model.dim, model.subDim,
+        val next = Model(model.dim, model.subDim,
           (0 until m).map(s => (0 until k).map(kk =>
             means.getOrElse((s, kk), model.codebooks(s)(kk)))))
+        // Lloyd fixpoint: identical codebooks ⇒ identical assignments ⇒
+        // every later iteration is a no-op — stop paying for them. (A
+        // last-ulp wobble in the distributed means just misses the early
+        // exit and runs the full budget; correctness is unaffected.)
+        converged = next.codebooks == model.codebooks
+        model = next
       }
     } finally train.unpersist()
     model

@@ -179,6 +179,18 @@ class DedupSpec extends SparkSpec {
     assert(lone == nodes.as[Long].collect().map(x => x -> x).toMap)
   }
 
+  test("connectedComponents: a 400-deep chain converges within default maxIter") {
+    // Diameter 400 — plain min-label propagation needs 400 rounds and threw
+    // past maxIter 25; pointer doubling (L ← min(L, L∘L)) makes rounds
+    // O(log diameter), so the default budget covers it with room to spare.
+    val n = 400L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val nodes = (0L until n).toDF("doc_id")
+    val got = Dedup.connectedComponents(chain, nodes, "doc_id")
+      .as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 0L))
+  }
+
   test("persisted-index incrementalJoin equals the from-scratch incremental join") {
     val corpus = randomCorpus(seed = 29, nBase = 25)
     val df = corpus.toDF("doc_id", "text")
