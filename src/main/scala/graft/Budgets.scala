@@ -89,7 +89,9 @@ object Budgets {
     "media_video_meta" -> 1.5,
     "pipeline_training_data" -> 17.8, // full compose: quality+jaccard+CC+chunk+pack, mostly cold
     "pipeline_skills_for_jobs" -> 12.4, // entry point C composed: embed + 2 searches + eval + pivot (r6 samples 4.97/4.23)
-    "pq_kmeans_recall" -> 15.1, // 10 Lloyd rounds + seed and trained searches (r6 samples 6.03/5.41)
+    "pq_kmeans_recall" -> 15.1, // covers running first (absorbing the shared Lloyd fit) or after ivfpq_kmeans_recall (1.35 s)
+    "ivfpq_kmeans_recall" -> 22.8, // alphabetically first kmeans query: absorbs the shared PQ+IVF fits (r6 samples 8.12/9.10)
+    "hybrid_rrf_stopdrop" -> 6.9, // r6 samples 2.75/2.32
     "join_skew_salted" -> 1.8,
     "pq_ann_topk" -> 1.8,
     "pq_ann_stored_topk" -> 1.8,

@@ -14,24 +14,33 @@ import graft.functions.TextFunctions
   * is a full-outer join of two |Q|·k lists and a per-query window — costs
   * nothing next to the legs. The lexical leg is an inverted-index join
   * (token-hash equi-join, keyed shuffle); at corpus scale its production
-  * lever is dropping stopword-frequency tokens from the index, which only
-  * sharpens ranks — here the corpus is small enough to keep every token
-  * and stay bit-reproducible in the oracle.
+  * lever is `maxDf` — dropping stopword-frequency tokens from the index.
+  * A token in half the corpus contributes |Q|·|corpus|/2 join rows and no
+  * ranking signal; the cap bounds every posting list, and the count window
+  * rides the exchange the join needs anyway (same discipline as
+  * Salt.capBuckets).
   */
 object HybridSearch {
 
   /** Lexical top-k per query by DISTINCT-token overlap (ties → lowest id):
     * (queryIdCol, idCol, rank, overlap). Queries with zero shared tokens
-    * return no rows — the inverted-index contract. */
+    * return no rows — the inverted-index contract. `maxDf` drops corpus
+    * tokens with document frequency above it from the index (the stopword
+    * lever); the default keeps every token. */
   def lexicalTopK(queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      corpus: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+      corpus: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     def toks(df: DataFrame, id: String, text: String) =
       df.select(col(id),
         explode(transform(TextFunctions.tokens(col(text)),
           TextFunctions.tokenHash(_))).as("__h"))
         .distinct()
+    val postings = toks(corpus, idCol, textCol)
+    val index =
+      if (maxDf == Int.MaxValue) postings
+      else Salt.capBuckets(postings, Seq("__h"), maxDf.toLong)
     val overlap = toks(queries, queryIdCol, queryTextCol)
-      .join(toks(corpus, idCol, textCol), "__h")
+      .join(index, "__h")
       .groupBy(col(queryIdCol), col(idCol))
       .agg(count(lit(1)).as("overlap"))
     val w = Window.partitionBy(col(queryIdCol))

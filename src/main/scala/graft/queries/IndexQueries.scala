@@ -30,6 +30,24 @@ object IndexQueries extends graft.QueryModule {
   private val Cap = graft.operators.Dedup.DefaultMaxBucket
   private val KmRecallFloor = 0.6
   private val PqKmMinGain = 0.05 // trained ADC recall must beat seed by this
+  // Composed IVFADC trained-vs-seed gains observed: +0.115 / +0.08 / +0.10
+  // at sf0.001/0.01/0.1 — floor at 0.05 splits signal from noise.
+  private val IvfPqKmMinGain = 0.05
+
+  /** The expensive trained models, fit once per (session, dir) — shared by
+    * pq_kmeans_recall and ivfpq_kmeans_recall (the Lloyd fit dominates both
+    * queries' cost; the models are tiny driver-side values). */
+  private def trainedPqModel(s: SparkSession, dir: String): PqIndex.Model =
+    graft.Layouts.once(s, s"pqkm:$dir") {
+      val (_, c) = Fixtures.split(s, dir)
+      PqIndex.fitKMeans(c, "skill_id", "svec", PqM, PqK)
+    }
+
+  private def trainedIvfModel(s: SparkSession, dir: String): IvfIndex.Model =
+    graft.Layouts.once(s, s"ivfkm2:$dir") {
+      val (_, c) = Fixtures.split(s, dir)
+      IvfIndex.fitKMeans(c, "svec", Lists)
+    }
   private val PqM = 8  // subspaces: 64 dims → 8 codes of sub-dim 8
   private val PqK = 16 // codewords per subspace (4-bit codes)
   private val PqOverfetch = 10 // ADC candidates per final hit in the refine pass
@@ -258,7 +276,7 @@ object IndexQueries extends graft.QueryModule {
       }
       val seed = recallOf(PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK))
         .select(col("n_queries"), col("avg_recall").as("__r_seed"))
-      val trained = recallOf(PqIndex.fitKMeans(c, "skill_id", "svec", PqM, PqK))
+      val trained = recallOf(trainedPqModel(s, dir))
         .select(col("avg_recall").as("__r_km"))
       seed.crossJoin(trained)
         .select(col("n_queries"),
@@ -266,6 +284,39 @@ object IndexQueries extends graft.QueryModule {
           when(col("__r_km") >= col("__r_seed") + PqKmMinGain, lit(true))
             .otherwise(raise_error(concat(
               lit(s"pq_kmeans_recall: trained gain below $PqKmMinGain: seed="),
+              col("__r_seed").cast("string"), lit(" kmeans="),
+              col("__r_km").cast("string")))).as("recall_ok"))
+    }),
+    // The trained quantizers COMPOSED (what a production IVFADC deployment
+    // actually runs — FAISS trains both the coarse and product quantizers):
+    // KMeans IVF centroids steer the probes, Lloyd PQ codebooks shape the
+    // ADC ranking. Same relative in-plan gate as the single-quantizer
+    // queries: the trained composition must beat the all-seed composition,
+    // so either training pass silently degrading turns this row red.
+    "ivfpq_kmeans_recall" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val exact = graft.Caches.cached(graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine))
+      def recallOf(ivf: IvfIndex.Model, pq: PqIndex.Model) = {
+        val indexed = IvfIndex.assign(c, "skill_id", "svec", ivf, Cosine)
+          .select(col("skill_id"), col("list_id"))
+          .join(PqIndex.encode(c, "skill_id", "svec", pq), "skill_id")
+        val ann = PqIndex.searchIvf(q, "job_id", "qvec", indexed, "skill_id",
+          ivf, pq, K, Probes, Cosine)
+        graft.operators.Eval.recallSummary(
+          graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+      }
+      val seed = recallOf(IvfIndex.fitSeeds(c, "skill_id", "svec", Lists),
+          PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK))
+        .select(col("n_queries"), col("avg_recall").as("__r_seed"))
+      val trained = recallOf(trainedIvfModel(s, dir), trainedPqModel(s, dir))
+        .select(col("avg_recall").as("__r_km"))
+      seed.crossJoin(trained)
+        .select(col("n_queries"),
+          lit(IvfPqKmMinGain).as("min_gain"),
+          when(col("__r_km") >= col("__r_seed") + IvfPqKmMinGain, lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"ivfpq_kmeans_recall: trained gain below $IvfPqKmMinGain: seed="),
               col("__r_seed").cast("string"), lit(" kmeans="),
               col("__r_km").cast("string")))).as("recall_ok"))
     }),
@@ -485,6 +536,12 @@ object IndexQueries extends graft.QueryModule {
       s"""WITH $qCte
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |  CAST($PqKmMinGain AS DOUBLE) AS min_gain,
+         |  TRUE AS recall_ok
+         |FROM q""".stripMargin,
+    "ivfpq_kmeans_recall" ->
+      s"""WITH $qCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST($IvfPqKmMinGain AS DOUBLE) AS min_gain,
          |  TRUE AS recall_ok
          |FROM q""".stripMargin,
     "ivf_recall_summary" ->

@@ -21,6 +21,7 @@ object TextQueries extends graft.QueryModule {
   private val HybridInnerK = 20 // per-leg depth feeding the RRF fusion
   private val HybridK = 10      // fused list depth
   private val RrfK = 60         // RRF smoothing constant (Cormack et al.)
+  private val HybridMaxDf = 40  // stopdrop lever: corpus df cap on the inverted index
   private val EnWords = langWords.head._2
   private val ChunkWindow = 128 // model-context tokens per chunk
   private val ChunkStride = 96  // 32-token overlap between neighbors
@@ -220,22 +221,31 @@ object TextQueries extends graft.QueryModule {
     // reciprocal ranks (RRF, k=60), re-ranked to 10 — the hybrid search
     // call of every vector store, with BOTH legs and the fusion replayed
     // exactly in the oracle.
-    "hybrid_rrf_topk" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", Dim)
-      val qe = emb.filter(col("doc_id") < 10)
-      val ce = emb.filter(col("doc_id") >= 10)
-        .select(col("doc_id").as("nbr_id"), col("embedding"))
-      val dense = KnnJoin.exact(qe, "doc_id", "embedding", ce, "nbr_id",
-        "embedding", HybridInnerK, Cosine)
-      val lexical = graft.operators.HybridSearch.lexicalTopK(
-        docs.filter(col("doc_id") < 10), "doc_id", "text",
-        docs.filter(col("doc_id") >= 10)
-          .select(col("doc_id").as("nbr_id"), col("text")),
-        "nbr_id", "text", HybridInnerK)
-      graft.operators.HybridSearch.fuse(dense, lexical, "doc_id", "nbr_id",
-        HybridK, RrfK)
-    }))
+    "hybrid_rrf_topk" -> ((s, dir) => hybridRrf(s, dir, Int.MaxValue)),
+    // The same hybrid retrieval with the 100 TB lexical-leg lever engaged:
+    // corpus tokens in more than HybridMaxDf documents are dropped from the
+    // inverted index before the join (a token in half the corpus adds
+    // |Q|·|corpus|/2 join rows and zero ranking signal). The oracle applies
+    // the identical df cap, so the lever's effect on ranks is hash-gated,
+    // not just "still returns rows".
+    "hybrid_rrf_stopdrop" -> ((s, dir) => hybridRrf(s, dir, HybridMaxDf)))
+
+  private def hybridRrf(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", Dim)
+    val qe = emb.filter(col("doc_id") < 10)
+    val ce = emb.filter(col("doc_id") >= 10)
+      .select(col("doc_id").as("nbr_id"), col("embedding"))
+    val dense = KnnJoin.exact(qe, "doc_id", "embedding", ce, "nbr_id",
+      "embedding", HybridInnerK, Cosine)
+    val lexical = graft.operators.HybridSearch.lexicalTopK(
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("nbr_id"), col("text")),
+      "nbr_id", "text", HybridInnerK, maxDf)
+    graft.operators.HybridSearch.fuse(dense, lexical, "doc_id", "nbr_id",
+      HybridK, RrfK)
+  }
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
@@ -418,7 +428,13 @@ object TextQueries extends graft.QueryModule {
     // lexical ranks from distinct-token-hash overlap, RRF with explicit
     // DOUBLE casts (a bare 1.0 literal is DECIMAL in DuckDB — decimal
     // division would diverge from Spark's double arithmetic).
-    "hybrid_rrf_topk" ->
+    "hybrid_rrf_topk" -> hybridSql(None),
+    "hybrid_rrf_stopdrop" -> hybridSql(Some(HybridMaxDf)))
+
+  /** Both hybrid legs + the fusion in SQL; `maxDf` mirrors the stopdrop
+    * lever with a QUALIFY over the same distinct postings the Spark side
+    * caps. */
+  private def hybridSql(maxDf: Option[Int]): String =
       s"""WITH $embedCte,
          |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),
          |cv AS (SELECT doc_id AS nbr_id, vec FROM nv WHERE doc_id >= 10),
@@ -435,8 +451,10 @@ object TextQueries extends graft.QueryModule {
          |ctok AS (SELECT DISTINCT nbr_id, h FROM (
          |  SELECT doc_id AS nbr_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
          |  FROM tokd WHERE doc_id >= 10)),
+         |ctokc AS (SELECT * FROM ctok${maxDf.map(d =>
+             s" QUALIFY count(*) OVER (PARTITION BY h) <= $d").getOrElse("")}),
          |ov AS (SELECT q.doc_id, c.nbr_id, count(*) AS overlap
-         |  FROM qtok q JOIN ctok c ON q.h = c.h GROUP BY 1, 2),
+         |  FROM qtok q JOIN ctokc c ON q.h = c.h GROUP BY 1, 2),
          |lr AS (SELECT doc_id, nbr_id, rank FROM (
          |    SELECT doc_id, nbr_id,
          |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, nbr_id) AS BIGINT) AS rank
@@ -451,5 +469,5 @@ object TextQueries extends graft.QueryModule {
          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
          |  FROM f)
          |SELECT doc_id, nbr_id, rank, round(score, 6) AS rrf_score
-         |FROM fr WHERE rank <= $HybridK""".stripMargin)
+         |FROM fr WHERE rank <= $HybridK""".stripMargin
 }
