@@ -92,7 +92,9 @@ object Mp4 {
       private var at = from
       def hasNext: Boolean = at + 8 <= until && {
         val size = ByteBuffer.wrap(bytes, at, 4).getInt
-        size >= 8 && at + size <= until
+        // long compare: a hostile size near Int.MaxValue wraps `at + size`
+        // negative and would walk out of bounds (found by review, repro'd)
+        size >= 8 && at.toLong + size <= until
       }
       def next(): (String, Int, Int) = {
         val b = ByteBuffer.wrap(bytes, at, 8)

@@ -132,8 +132,11 @@ object Dedup {
       .join(setsB.select(col(setsB.columns.head).as("b_id"), col("__g").as("__gb"),
         col("__m").as("__mb")), "b_id")
       .withColumn("shared", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
-      .withColumn("jaccard",
-        round(col("shared") / (col("__ma") + col("__mb") - col("shared")), 6))
+      // Integer-ratio pin: round in exact integer space (shared/union ties
+      // like 1/128 = 0.0078125 break differently per engine under plain
+      // round — the CORRECTNESS_r05 failure class).
+      .withColumn("jaccard", graft.functions.ExactRound.ratioRound6(
+        col("shared"), 0, col("__ma") + col("__mb") - col("shared")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("a_id"), col("b_id"), col("shared"), col("jaccard"))
       // Candidates arrive UN-deduplicated (a pair can collide in several
@@ -354,12 +357,15 @@ object Dedup {
         // down chains exponentially, so the remaining rounds are
         // O(log diameter). A label is always a node id present in the
         // frame (it entered as someone's id), so the hop join hits.
-        val hop = stepped.select(col("__id").as("__lid"), col("__label").as("__ll"))
-        val doubled = least(stepped("__label"),
-          coalesce(col("__ll"), stepped("__label")))
-        stepped.join(hop, stepped("__label") === hop("__lid"), "left")
-          .select(stepped("__id"), doubled.as("__label"),
-            (doubled < stepped("__orig")).as("__changed"))
+        // Checkpoint the neighbor-min result FIRST: the self-join
+        // references it on both sides, and without materialization the
+        // round's label join would execute twice inside one job.
+        val st = stepped.localCheckpoint()
+        val hop = st.select(col("__id").as("__lid"), col("__label").as("__ll"))
+        val doubled = least(st("__label"), coalesce(col("__ll"), st("__label")))
+        st.join(hop, st("__label") === hop("__lid"), "left")
+          .select(st("__id"), doubled.as("__label"),
+            (doubled < st("__orig")).as("__changed"))
       }).localCheckpoint()
       converged = !updated.agg(coalesce(max(col("__changed")), lit(false)))
         .head().getBoolean(0)

@@ -243,7 +243,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          graft.functions.Mp4.parse(payload) match {
+          // NonFatal belt on top of parse's own guards: ANY malformed
+          // payload must become a null row, never a failed task.
+          val parsed = try graft.functions.Mp4.parse(payload)
+            catch { case scala.util.control.NonFatal(_) => None }
+          parsed match {
             case Some(m) => (id, m.brand, m.timescale, m.duration,
               m.durationSeconds, m.width, m.height)
             case None => (id, null: String, 0L, 0L, 0.0d, 0, 0)

@@ -180,7 +180,9 @@ object DedupQueries extends graft.QueryModule {
     s"""gl AS (SELECT doc_id, list(ghv) AS g, count(*) AS m FROM shd GROUP BY 1),
        |j AS (SELECT c.a_id, c.b_id,
        |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS shared,
-       |    round(len(list_intersect(a.g, b.g)) * 1.0 / (a.m + b.m - len(list_intersect(a.g, b.g))), 6) AS jaccard
+       |    ${graft.functions.ExactRound.ratioRound6Sql(
+            "len(list_intersect(a.g, b.g))", 0,
+            "a.m + b.m - len(list_intersect(a.g, b.g))")} AS jaccard
        |  FROM cands c JOIN gl a ON c.a_id = a.doc_id JOIN gl b ON c.b_id = b.doc_id)""".stripMargin
 
   private val intersectTail =

@@ -176,8 +176,9 @@ object PipelineQueries extends graft.QueryModule {
          |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
          |gl AS (SELECT doc_id, list(ghv) AS g, count(*) AS m FROM csh GROUP BY 1),
          |jj AS (SELECT c.a_id, c.b_id,
-         |    round(len(list_intersect(a.g, b.g)) * 1.0
-         |      / (a.m + b.m - len(list_intersect(a.g, b.g))), 6) AS jaccard
+         |    ${graft.functions.ExactRound.ratioRound6Sql(
+              "len(list_intersect(a.g, b.g))", 0,
+              "a.m + b.m - len(list_intersect(a.g, b.g))")} AS jaccard
          |  FROM cands c JOIN gl a ON c.a_id = a.doc_id JOIN gl b ON c.b_id = b.doc_id),
          |pairs AS (SELECT DISTINCT a_id, b_id FROM jj WHERE jaccard >= ${C.minJaccard}),
          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs

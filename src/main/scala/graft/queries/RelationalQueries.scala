@@ -110,8 +110,9 @@ object RelationalQueries extends graft.QueryModule {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_cust"),
-          round(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
-            / count(lit(1)), 4).as("avg_price"))
+          graft.functions.ExactRound.ratioRound(
+            sum(col("o_totalprice").cast("decimal(18,4)")), 4,
+            count(lit(1)), 0, 4).as("avg_price"))
     }),
     // Rollup (grouping-sets family): subtotals + grand total.
     "rel_rollup_flags" -> ((s, dir) => {
@@ -287,7 +288,8 @@ object RelationalQueries extends graft.QueryModule {
     "rel_priority_stats" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          |  count(DISTINCT o_custkey) AS n_cust,
-         |  round(CAST(sum(CAST(o_totalprice AS $money)) AS DOUBLE) / count(*), 4) AS avg_price
+         |  ${graft.functions.ExactRound.ratioRoundSql(
+              s"sum(CAST(o_totalprice AS $money))", 4, "count(*)", 0, 4)} AS avg_price
          |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "rel_rollup_flags" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty

@@ -152,6 +152,11 @@ class MultimodalSpec extends SparkSpec {
     assert(Mp4.parse("not a video at all".getBytes("UTF-8")).isEmpty)
     assert(Mp4.parse(bytes.take(bytes.length - 20)).isEmpty)
     assert(Mp4.parse(Array.emptyByteArray).isEmpty)
+    // Hostile size field near Int.MaxValue: `at + size` wraps negative in
+    // int arithmetic — the walk must stop, not read out of bounds.
+    val hostile = Mp4.build("isom", 1, 1, 1, 1).take(24) ++
+      Array[Byte](0x7f, -1, -1, -1) ++ "moov".getBytes("ISO-8859-1")
+    assert(Mp4.parse(hostile).isEmpty)
   }
 
   test("extractVideoMeta parses built payloads and nulls garbage ones") {
