@@ -42,5 +42,5 @@ object CleanFunctions {
     * 0 (ANSI-safe). */
   def repetitionRatio(total: Column, distinct: Column): Column =
     when(total === 0, lit(0.0d))
-      .otherwise(ExactRound.ratioRound6(total - distinct, 0, total))
+      .otherwise(ExactRound.ratioRound6PosLong(total - distinct, total))
 }

@@ -61,6 +61,24 @@ object ExactRound {
   def ratioRound6(num: Column, numScale: Int, den: Column): Column =
     ratioRound(num, numScale, den, 0, 6)
 
+  /** Hot-path twin of `ratioRound6(num, 0, den)` for NON-NEGATIVE integer
+    * ratios: identical output, but pure long/double arithmetic that stays
+    * inside whole-stage codegen — the general path's decimal(38) ops cost
+    * ~1 µs/row in BigDecimal, which turned the per-candidate Jaccard
+    * verification scan 7× slower at sf0.1. Exactness: x = 2·num·10⁶ + den
+    * and the quotient both stay far below 2^53 under the stated
+    * precondition, so the long subtraction, the double division, and the
+    * final /10⁶ are all exact — bit-identical to the decimal path and to
+    * the DuckDB HUGEINT twin.
+    * Preconditions: 0 ≤ num, den ≥ 0, num·2·10⁶ + den < 2^53. */
+  def ratioRound6PosLong(num: Column, den: Column): Column = {
+    val x = num.cast("long") * lit(2000000L) + den.cast("long")
+    val y = den.cast("long") * lit(2L)
+    val m = ((x - pmod(x, y)) / y).cast("long")
+    when(num.isNull || den.isNull || den === 0, lit(null).cast("double"))
+      .otherwise(m.cast("double") / lit(1000000.0d))
+  }
+
   /** Round a decimal-exact value (no division) portably at `digits`. */
   def decRound(v: Column, scale: Int, digits: Int): Column =
     ratioRound(v, scale, lit(1L), 0, digits)

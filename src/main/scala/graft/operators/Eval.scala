@@ -29,7 +29,7 @@ object Eval {
     totals.join(matches, Seq(queryIdCol), "left")
       .select(col(queryIdCol),
         coalesce(col("__n"), lit(0L)).as("n_matches"),
-        ExactRound.ratioRound6(coalesce(col("__n"), lit(0L)), 0, col("__total"))
+        ExactRound.ratioRound6PosLong(coalesce(col("__n"), lit(0L)), col("__total"))
           .as("recall"))
   }
 

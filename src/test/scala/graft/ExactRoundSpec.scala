@@ -55,6 +55,25 @@ class ExactRoundSpec extends SparkSpec {
     assert(df.collect().forall(_.isNullAt(0)))
   }
 
+  test("ratioRound6PosLong equals the decimal path on integer ratios") {
+    // The hot-path twin must be bit-identical to the general form for every
+    // non-negative integer ratio (incl. exact ties like 1/128).
+    val cases = Seq((1L, 128L), (0L, 7L), (7L, 2L), (1L, 3L), (2L, 3L),
+      (999999L, 1000000L), (63L, 128L), (5L, 1L), (123456789L, 997L))
+    for ((n, d) <- cases) {
+      val row = Seq((n, d)).toDF("n", "d")
+        .select(
+          ExactRound.ratioRound6(col("n"), 0, col("d")).as("dec"),
+          ExactRound.ratioRound6PosLong(col("n"), col("d")).as("lng"))
+        .head()
+      assert(row.getDouble(0) == row.getDouble(1), s"$n/$d")
+    }
+    val nulls = Seq((Some(1L), Some(0L)), (None: Option[Long], Some(3L)))
+      .toDF("n", "d")
+      .select(ExactRound.ratioRound6PosLong(col("n"), col("d")).as("r"))
+    assert(nulls.collect().forall(_.isNullAt(0)))
+  }
+
   test("agreement with legacy round away from ties (the common case)") {
     // On non-tie quotients the pin must equal what round(double, 6) produced,
     // so green queries keep their hashes when swapped over.
