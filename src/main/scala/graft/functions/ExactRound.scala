@@ -83,6 +83,23 @@ object ExactRound {
   def decRound(v: Column, scale: Int, digits: Int): Column =
     ratioRound(v, scale, lit(1L), 0, digits)
 
+  /** Predicate form of `ratioRound6PosLong(num, den) >= theta` that never
+    * computes the ratio: by monotonicity of half-up rounding,
+    * round6(n/d) ≥ θ  ⇔  2·10⁶·n ≥ (2·10⁶·θ − 1)·d — a pure long compare
+    * that stays cheap wherever Catalyst inlines it (e.g. into a join
+    * condition, where an inlined rounding expression re-evaluated its
+    * operands 7× per candidate). Owns the 10⁻⁶-grid precondition: a θ off
+    * the grid (1/3) or below it (1e-7) would silently admit pairs the
+    * rounded-compare contract excludes, so it is rejected loudly. Same
+    * non-negativity/magnitude preconditions as [[ratioRound6PosLong]]. */
+  def round6GeLong(num: Column, den: Column, theta: Double): Column = {
+    val t = math.round(theta * 1e6)
+    require(t > 0 && math.abs(theta * 1e6 - t) < 1e-9,
+      s"threshold $theta is not a positive multiple of 1e-6 — the integer-form " +
+        "compare would diverge from round6(num/den) >= theta")
+    num.cast("long") * lit(2000000L) >= den.cast("long") * lit(2L * t - 1L)
+  }
+
   // ---- DuckDB oracle twins --------------------------------------------------
 
   private def pow10Sql(e: Int): String =

@@ -133,17 +133,15 @@ object Dedup {
         col("__m").as("__mb")), "b_id")
       .withColumn("shared", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("__union", col("__ma") + col("__mb") - col("shared"))
-      // Threshold FIRST, in pure integer form: round6(s/u) ≥ θ is, by
-      // monotonicity of half-up rounding at a 6-decimal θ, exactly
-      // 2·10⁶·s ≥ (2·10⁶·θ − 1)·u — a long compare. This matters because
-      // Catalyst inlines the filter into the JOIN CONDITION: with the full
-      // rounding expression there, array_intersect re-evaluated 7× per
-      // candidate pair (measured 28 s on dedup_jaccard_pairs at sf0.1 vs
-      // ~4 s with the cheap form). The engine-proof rounded jaccard
-      // (integer-space, CORRECTNESS_r05 tie class) is then computed only
-      // for the surviving pairs.
-      .filter(col("shared") * lit(2000000L) >=
-        col("__union") * lit(math.round(2e6 * minJaccard) - 1L))
+      // Threshold FIRST, in ExactRound's integer predicate form (a long
+      // compare). This matters because Catalyst inlines the filter into
+      // the JOIN CONDITION: with the full rounding expression there,
+      // array_intersect re-evaluated 7× per candidate pair (measured 28 s
+      // on dedup_jaccard_pairs at sf0.1 vs ~4 s with the cheap form). The
+      // engine-proof rounded jaccard (integer-space, CORRECTNESS_r05 tie
+      // class) is then computed only for the surviving pairs.
+      .filter(graft.functions.ExactRound.round6GeLong(
+        col("shared"), col("__union"), minJaccard))
       .withColumn("jaccard", graft.functions.ExactRound.ratioRound6PosLong(
         col("shared"), col("__union")))
       .select(col("a_id"), col("b_id"), col("shared"), col("jaccard"))

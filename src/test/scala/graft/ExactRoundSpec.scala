@@ -68,10 +68,31 @@ class ExactRoundSpec extends SparkSpec {
         .head()
       assert(row.getDouble(0) == row.getDouble(1), s"$n/$d")
     }
-    val nulls = Seq((Some(1L), Some(0L)), (None: Option[Long], Some(3L)))
+    val nulls = Seq((Some(1L), Some(0L)), (None: Option[Long], Some(3L)),
+      (Some(1L), None: Option[Long]))
       .toDF("n", "d")
       .select(ExactRound.ratioRound6PosLong(col("n"), col("d")).as("r"))
     assert(nulls.collect().forall(_.isNullAt(0)))
+  }
+
+  test("round6GeLong matches round-then-compare and rejects off-grid thresholds") {
+    val pairs = Seq((1L, 128L), (333333L, 1000000L), (1L, 2L), (499999L, 1000000L),
+      (999999L, 2000000L), (63L, 126L), (0L, 5L))
+    for (theta <- Seq(0.5, 0.007813, 0.000001); (n, d) <- pairs) {
+      val row = Seq((n, d)).toDF("n", "d")
+        .select(ExactRound.round6GeLong(col("n"), col("d"), theta).as("fast"),
+          (ExactRound.ratioRound6PosLong(col("n"), col("d")) >= theta).as("slow"))
+        .head()
+      assert(row.getBoolean(0) == row.getBoolean(1), s"$n/$d vs $theta")
+    }
+    // Off the 1e-6 grid (1/3) or below it: silently-divergent thresholds
+    // are rejected at construction, not at row time.
+    intercept[IllegalArgumentException] {
+      ExactRound.round6GeLong(col("n"), col("d"), 1.0 / 3)
+    }
+    intercept[IllegalArgumentException] {
+      ExactRound.round6GeLong(col("n"), col("d"), 1e-7)
+    }
   }
 
   test("agreement with legacy round away from ties (the common case)") {
