@@ -37,7 +37,11 @@ object RelationalQueries extends graft.QueryModule {
           moneySum(col("l_extendedprice")).as("sum_base"),
           moneySum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
             .as("sum_disc_price"),
-          round(sum("l_quantity") / count(lit(1)), 6).as("avg_qty"),
+          // mean pin: integer-exact quantity sum over count, rounded in
+          // integer space (the CORRECTNESS_r05 sum/count tie class)
+          graft.functions.ExactRound.ratioRound6(
+            sum(col("l_quantity").cast("decimal(18,6)")), 6, count(lit(1)))
+            .as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
     // 4-way equi-join with broadcast dims: region ⋈ nation ⋈ customer ⋈ orders.
@@ -248,7 +252,8 @@ object RelationalQueries extends graft.QueryModule {
          |  sum(l_quantity) AS sum_qty,
          |  round(CAST(sum(CAST(l_extendedprice AS $money)) AS DOUBLE), 2) AS sum_base,
          |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS $money)) AS DOUBLE), 2) AS sum_disc_price,
-         |  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+         |  ${graft.functions.ExactRound.ratioRound6Sql(
+              "sum(CAST(l_quantity AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_qty,
          |  count(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate < TIMESTAMP '2000-01-01'
