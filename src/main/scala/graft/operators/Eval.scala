@@ -33,13 +33,18 @@ object Eval {
           .as("recall"))
   }
 
-  /** Order-independent mean of a (bounded-magnitude) double column: exact
-    * decimal sum, then the integer-space rounded division of
-    * [[graft.functions.ExactRound]] — a plain double `avg` sums in partition
-    * order, and `round(<double quotient>, 6)` resolves near-tie means
-    * differently per engine (CORRECTNESS_r05: the mean-pin hash fails). */
+  /** Order-independent mean of a (bounded-magnitude) double column: each row
+    * is prescaled to an integer with `floor(x·10⁶ + 0.5)` (one IEEE multiply
+    * + exact floor — identical on any engine, even off the decimal grid,
+    * unlike a double→DECIMAL cast whose tie rule is per-engine), summed
+    * exactly in decimal(38,0), then divided in integer space
+    * ([[graft.functions.ExactRound]]) — a plain double `avg` sums in
+    * partition order, and `round(<double quotient>, 6)` resolves near-tie
+    * means differently per engine (CORRECTNESS_r05: the mean-pin hash
+    * fails). */
   private def exactAvg(c: Column): Column =
-    ExactRound.ratioRound6(sum(c.cast("decimal(18,6)")), 6, count(lit(1)))
+    ExactRound.ratioRound6Int(
+      sum(ExactRound.e6(c).cast("decimal(38,0)")), 6, count(lit(1)))
 
   /** A1/A3 — collapse [[recallAtK]] output to the reference's headline
     * numbers: avg matches per query and mean recall. */

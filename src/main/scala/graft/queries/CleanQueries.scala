@@ -107,7 +107,7 @@ object CleanQueries extends graft.QueryModule {
          |SELECT t.doc_id, t.n_grams,
          |  CAST(coalesce(d.n_distinct, 0) AS BIGINT) AS n_distinct,
          |  CASE WHEN t.n_grams = 0 THEN 0.0
-         |    ELSE ${graft.functions.ExactRound.ratioRound6Sql(
+         |    ELSE ${graft.functions.ExactRound.ratioRound6IntSql(
                   "t.n_grams - coalesce(d.n_distinct, 0)", 0, "t.n_grams")}
          |  END AS rep_ratio
          |FROM tot t LEFT JOIN dis d USING (doc_id)""".stripMargin,

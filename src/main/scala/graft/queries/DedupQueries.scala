@@ -180,7 +180,7 @@ object DedupQueries extends graft.QueryModule {
     s"""gl AS (SELECT doc_id, list(ghv) AS g, count(*) AS m FROM shd GROUP BY 1),
        |j AS (SELECT c.a_id, c.b_id,
        |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS shared,
-       |    ${graft.functions.ExactRound.ratioRound6Sql(
+       |    ${graft.functions.ExactRound.ratioRound6IntSql(
             "len(list_intersect(a.g, b.g))", 0,
             "a.m + b.m - len(list_intersect(a.g, b.g))")} AS jaccard
        |  FROM cands c JOIN gl a ON c.a_id = a.doc_id JOIN gl b ON c.b_id = b.doc_id)""".stripMargin
@@ -268,9 +268,9 @@ object DedupQueries extends graft.QueryModule {
          |    CAST((SELECT count(*) FROM ls JOIN ex USING (a_id, b_id)) AS BIGINT) AS n_hit)
          |SELECT n_exact, n_lsh, n_hit,
          |  CASE WHEN n_exact = 0 THEN CAST(0 AS DOUBLE)
-         |    ELSE ${graft.functions.ExactRound.ratioRound6Sql("n_hit", 0, "n_exact")} END AS recall,
+         |    ELSE ${graft.functions.ExactRound.ratioRound6IntSql("n_hit", 0, "n_exact")} END AS recall,
          |  CASE WHEN n_lsh = 0 THEN CAST(0 AS DOUBLE)
-         |    ELSE ${graft.functions.ExactRound.ratioRound6Sql("n_hit", 0, "n_lsh")} END AS precision
+         |    ELSE ${graft.functions.ExactRound.ratioRound6IntSql("n_hit", 0, "n_lsh")} END AS precision
          |FROM ns""".stripMargin,
     // Same prefix index as dedup_jaccard_pairs; candidates keep only
     // (new, existing) orientations. The length-ratio prune the Spark side

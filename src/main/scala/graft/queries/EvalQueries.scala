@@ -110,7 +110,7 @@ object EvalQueries extends graft.QueryModule {
        |    GROUP BY a.job_id),
        |perq AS (SELECT q2.job_id,
        |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
-       |    ${ExactRound.ratioRound6Sql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+       |    ${ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
        |  FROM (SELECT DISTINCT job_id FROM cosr) q2 LEFT JOIN m USING (job_id))""".stripMargin
 
   private val bestSimCte =
@@ -123,26 +123,29 @@ object EvalQueries extends graft.QueryModule {
        |    round(avg(list_cosine_similarity(hv.svec, b.bvec)), 6) AS avg_sim
        |  FROM hv JOIN best b ON hv.job_id = b.job_id GROUP BY hv.job_id)""".stripMargin
 
-  // Rank-metric weight literals — the SAME 10-decimal strings the Spark side
-  // embeds (Eval.dcgWeightStrings/rrWeightStrings), so both engines sum
-  // identical decimals.
-  private val dcgList = Eval.dcgWeightStrings(K)
-    .map(w => s"CAST($w AS DECIMAL(12,10))").mkString("[", ", ", "]")
-  private val rrList = Eval.rrWeightStrings(K)
-    .map(w => s"CAST($w AS DECIMAL(12,10))").mkString("[", ", ", "]")
+  // Rank-metric weight literals — the SAME scale-10 weights the Spark side
+  // embeds (Eval.dcgWeightStrings/rrWeightStrings), here pre-scaled to e10
+  // BIGINT integers so the oracle's weight sums and ratio roundings stay in
+  // pure integer arithmetic (no decimal typing surface).
+  private def e10(w: String): String =
+    (BigDecimal(w) * BigDecimal(10).pow(10)).toBigIntExact.get.toString
+  private val dcgE10List = Eval.dcgWeightStrings(K)
+    .map(w => s"CAST(${e10(w)} AS BIGINT)").mkString("[", ", ", "]")
+  private val rrE10List = Eval.rrWeightStrings(K)
+    .map(w => s"CAST(${e10(w)} AS BIGINT)").mkString("[", ", ", "]")
+  private val idcgE10 = e10(Eval.idcgString(K))
 
   private val rankMetricsCte =
     s"""$ranksCte,
        |h AS (SELECT a.job_id, a.rank FROM annr a
        |    JOIN cosr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id),
        |m AS (SELECT job_id, count(*) AS n, min(rank) AS fr,
-       |    sum(($dcgList)[rank]) AS dcg FROM h GROUP BY job_id),
+       |    sum(($dcgE10List)[rank]) AS dcg FROM h GROUP BY job_id),
        |perq AS (SELECT q2.job_id,
        |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_hits,
        |    CAST(coalesce(m.fr, 0) AS BIGINT) AS first_rank,
-       |    ${ExactRound.decRoundSql(s"coalesce(($rrList)[m.fr], CAST(0 AS DECIMAL(12,10)))", 10, 6)} AS rr,
-       |    ${ExactRound.ratioRoundSql("coalesce(m.dcg, CAST(0 AS DECIMAL(12,10)))", 10,
-              s"CAST(${Eval.idcgString(K)} AS DECIMAL(20,10))", 10, 6)} AS ndcg
+       |    ${ExactRound.ratioRoundIntSql(s"coalesce(($rrE10List)[m.fr], 0)", 10, "1", 0, 6)} AS rr,
+       |    ${ExactRound.ratioRoundIntSql("coalesce(m.dcg, 0)", 10, idcgE10, 10, 6)} AS ndcg
        |  FROM (SELECT DISTINCT job_id FROM cosr) q2 LEFT JOIN m USING (job_id))""".stripMargin
 
   private val pivotCols = (0 until K).map { i =>
@@ -155,21 +158,21 @@ object EvalQueries extends graft.QueryModule {
       s"WITH $recallCte\nSELECT job_id, n_matches, recall FROM perq",
     "eval_recall_summary" ->
       s"""WITH $recallCte
-         |SELECT ${ExactRound.ratioRound6Sql("sum(CAST(n_matches AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_matches,
-         |  ${ExactRound.ratioRound6Sql("sum(CAST(recall AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_recall,
+         |SELECT ${ExactRound.ratioRound6IntSql(s"sum(${ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
+         |  ${ExactRound.ratioRound6IntSql(s"sum(${ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "eval_rank_metrics" ->
       s"WITH $rankMetricsCte\nSELECT job_id, n_hits, first_rank, rr, ndcg FROM perq",
     "eval_rank_summary" ->
       s"""WITH $rankMetricsCte
-         |SELECT ${ExactRound.ratioRound6Sql("sum(CAST(rr AS DECIMAL(18,6)))", 6, "count(*)")} AS mrr,
-         |  ${ExactRound.ratioRound6Sql("sum(CAST(ndcg AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_ndcg,
+         |SELECT ${ExactRound.ratioRound6IntSql(s"sum(${ExactRound.e6Sql("rr")})", 6, "count(*)")} AS mrr,
+         |  ${ExactRound.ratioRound6IntSql(s"sum(${ExactRound.e6Sql("ndcg")})", 6, "count(*)")} AS avg_ndcg,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "eval_best_sim" ->
       s"WITH $bestSimCte\nSELECT job_id, avg_sim FROM perq",
     "eval_best_sim_summary" ->
       s"""WITH $bestSimCte
-         |SELECT ${ExactRound.ratioRound6Sql("sum(CAST(avg_sim AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_avg_sim,
+         |SELECT ${ExactRound.ratioRound6IntSql(s"sum(${ExactRound.e6Sql("avg_sim")})", 6, "count(*)")} AS avg_avg_sim,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "report_job_skills_pivot" ->
       s"""WITH $qCte, $cCte,

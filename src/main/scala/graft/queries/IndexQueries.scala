@@ -503,13 +503,13 @@ object IndexQueries extends graft.QueryModule {
          |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
          |    GROUP BY 1),
          |perq AS (SELECT q2.job_id,
-         |    ${graft.functions.ExactRound.ratioRound6Sql("coalesce(m1.n, 0)", 0, s"$K")} AS r_adc,
-         |    ${graft.functions.ExactRound.ratioRound6Sql("coalesce(m2.n, 0)", 0, s"$K")} AS r_ref
+         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m1.n, 0)", 0, s"$K")} AS r_adc,
+         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m2.n, 0)", 0, s"$K")} AS r_ref
          |  FROM (SELECT DISTINCT job_id FROM exr) q2
          |  LEFT JOIN m1 USING (job_id) LEFT JOIN m2 USING (job_id))
-         |SELECT ${graft.functions.ExactRound.ratioRound6Sql("sum(CAST(r_adc AS DECIMAL(18,6)))", 6, "count(*)")} AS adc_recall,
+         |SELECT ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("r_adc")})", 6, "count(*)")} AS adc_recall,
          |  count(*) AS n_queries,
-         |  ${graft.functions.ExactRound.ratioRound6Sql("sum(CAST(r_ref AS DECIMAL(18,6)))", 6, "count(*)")} AS refined_recall
+         |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("r_ref")})", 6, "count(*)")} AS refined_recall
          |FROM perq""".stripMargin,
     "ivf_ann_topk" -> ivfSql(Probes),
     "ivf_probe_all_exact" -> ivfSql(Lists),
@@ -558,9 +558,9 @@ object IndexQueries extends graft.QueryModule {
          |    GROUP BY 1),
          |perq AS (SELECT q2.job_id,
          |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
-         |    ${graft.functions.ExactRound.ratioRound6Sql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
          |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
-         |SELECT ${graft.functions.ExactRound.ratioRound6Sql("sum(CAST(n_matches AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_matches,
-         |  ${graft.functions.ExactRound.ratioRound6Sql("sum(CAST(recall AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_recall,
+         |SELECT ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
+         |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
          |  count(*) AS n_queries FROM perq""".stripMargin)
 }

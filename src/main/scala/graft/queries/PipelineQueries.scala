@@ -120,7 +120,7 @@ object PipelineQueries extends graft.QueryModule {
          |    GROUP BY 1),
          |perq AS (SELECT q2.job_id,
          |    CAST(coalesce(mt.n, 0) AS BIGINT) AS n_matches,
-         |    ${ER.ratioRound6Sql("coalesce(mt.n, 0)", 0, s"$SfjK")} AS recall
+         |    ${ER.ratioRound6IntSql("coalesce(mt.n, 0)", 0, s"$SfjK")} AS recall
          |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN mt USING (job_id)),
          |hv AS (SELECT h.job_id, s.svec FROM annr h JOIN sk s USING (skill_id)),
          |best AS (SELECT r.job_id, s.svec AS bvec
@@ -142,11 +142,11 @@ object PipelineQueries extends graft.QueryModule {
          |  (SELECT CAST(sum(rank * skill_id) AS BIGINT) FROM rr) AS skills_checksum,
          |  (SELECT CAST(sum(rank * coalesce(${DocSql.tokenHashSql("level")}, 0)) AS BIGINT)
          |    FROM rr) AS levels_checksum,
-         |  (SELECT ${ER.ratioRound6Sql("sum(CAST(n_matches AS DECIMAL(18,6)))", 6, "count(*)")}
+         |  (SELECT ${ER.ratioRound6IntSql(s"sum(${ER.e6Sql("n_matches")})", 6, "count(*)")}
          |    FROM perq) AS avg_matches,
-         |  (SELECT ${ER.ratioRound6Sql("sum(CAST(recall AS DECIMAL(18,6)))", 6, "count(*)")}
+         |  (SELECT ${ER.ratioRound6IntSql(s"sum(${ER.e6Sql("recall")})", 6, "count(*)")}
          |    FROM perq) AS avg_recall,
-         |  (SELECT ${ER.ratioRound6Sql("sum(CAST(avg_sim AS DECIMAL(18,6)))", 6, "count(*)")}
+         |  (SELECT ${ER.ratioRound6IntSql(s"sum(${ER.e6Sql("avg_sim")})", 6, "count(*)")}
          |    FROM perqs) AS avg_avg_sim""".stripMargin,
     "pipeline_training_data" ->
       s"""WITH RECURSIVE $toksCte,
@@ -161,7 +161,7 @@ object PipelineQueries extends graft.QueryModule {
          |  FROM tot t LEFT JOIN dis d USING (doc_id)
          |  WHERE t.n_tokens >= ${C.minTokens}
          |    AND (CASE WHEN t.n_grams = 0 THEN 0.0
-         |      ELSE ${graft.functions.ExactRound.ratioRound6Sql(
+         |      ELSE ${graft.functions.ExactRound.ratioRound6IntSql(
                   "t.n_grams - coalesce(d.n_distinct, 0)", 0, "t.n_grams")}
          |      END) <= ${C.maxRepRatio}),
          |csh AS (SELECT shd.doc_id, shd.ghv FROM shd JOIN cleaned USING (doc_id)),
@@ -176,7 +176,7 @@ object PipelineQueries extends graft.QueryModule {
          |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
          |gl AS (SELECT doc_id, list(ghv) AS g, count(*) AS m FROM csh GROUP BY 1),
          |jj AS (SELECT c.a_id, c.b_id,
-         |    ${graft.functions.ExactRound.ratioRound6Sql(
+         |    ${graft.functions.ExactRound.ratioRound6IntSql(
               "len(list_intersect(a.g, b.g))", 0,
               "a.m + b.m - len(list_intersect(a.g, b.g))")} AS jaccard
          |  FROM cands c JOIN gl a ON c.a_id = a.doc_id JOIN gl b ON c.b_id = b.doc_id),

@@ -37,10 +37,13 @@ object RelationalQueries extends graft.QueryModule {
           moneySum(col("l_extendedprice")).as("sum_base"),
           moneySum(col("l_extendedprice") * (lit(1.0d) - col("l_discount")))
             .as("sum_disc_price"),
-          // mean pin: integer-exact quantity sum over count, rounded in
-          // integer space (the CORRECTNESS_r05 sum/count tie class)
-          graft.functions.ExactRound.ratioRound6(
-            sum(col("l_quantity").cast("decimal(18,6)")), 6, count(lit(1)))
+          // mean pin: per-row floor-prescaled micro-units summed exactly,
+          // rounded in integer space (the CORRECTNESS_r05 sum/count tie
+          // class; the prescale also removes the double→DECIMAL cast whose
+          // tie rule is per-engine)
+          graft.functions.ExactRound.ratioRound6Int(
+            sum(graft.functions.ExactRound.e6(col("l_quantity"))
+              .cast("decimal(38,0)")), 6, count(lit(1)))
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
@@ -114,8 +117,9 @@ object RelationalQueries extends graft.QueryModule {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           countDistinct(col("o_custkey")).as("n_cust"),
-          graft.functions.ExactRound.ratioRound(
-            sum(col("o_totalprice").cast("decimal(18,4)")), 4,
+          graft.functions.ExactRound.ratioRoundInt(
+            sum(graft.functions.ExactRound.eScaled(col("o_totalprice"), 4)
+              .cast("decimal(38,0)")), 4,
             count(lit(1)), 0, 4).as("avg_price"))
     }),
     // Rollup (grouping-sets family): subtotals + grand total.
@@ -252,8 +256,9 @@ object RelationalQueries extends graft.QueryModule {
          |  sum(l_quantity) AS sum_qty,
          |  round(CAST(sum(CAST(l_extendedprice AS $money)) AS DOUBLE), 2) AS sum_base,
          |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS $money)) AS DOUBLE), 2) AS sum_disc_price,
-         |  ${graft.functions.ExactRound.ratioRound6Sql(
-              "sum(CAST(l_quantity AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_qty,
+         |  ${graft.functions.ExactRound.ratioRound6IntSql(
+              s"sum(${graft.functions.ExactRound.e6Sql("l_quantity")})", 6,
+              "count(*)")} AS avg_qty,
          |  count(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate < TIMESTAMP '2000-01-01'
@@ -293,8 +298,9 @@ object RelationalQueries extends graft.QueryModule {
     "rel_priority_stats" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          |  count(DISTINCT o_custkey) AS n_cust,
-         |  ${graft.functions.ExactRound.ratioRoundSql(
-              s"sum(CAST(o_totalprice AS $money))", 4, "count(*)", 0, 4)} AS avg_price
+         |  ${graft.functions.ExactRound.ratioRoundIntSql(
+              s"sum(${graft.functions.ExactRound.eScaledSql("o_totalprice", 4)})",
+              4, "count(*)", 0, 4)} AS avg_price
          |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "rel_rollup_flags" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
@@ -338,15 +344,20 @@ object RelationalQueries extends graft.QueryModule {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM o""".stripMargin,
+    // Micro-scaled integer pins end to end: per-row floor(x*1e6 + 0.5) is
+    // the same IEEE multiply + exact floor on both engines (even off-grid),
+    // and min/max/mean never leave integer space — no decimal typing, no
+    // double rounding, no version surface.
     "profile_lineitem_numeric" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        val e6 = graft.functions.ExactRound.e6Sql(c)
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
            |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
            |  count(DISTINCT $c) AS n_distinct,
-           |  round(CAST(min($c) AS DOUBLE), 6) AS min_v,
-           |  round(CAST(max($c) AS DOUBLE), 6) AS max_v,
-           |  ${graft.functions.ExactRound.ratioRound6Sql(
-                 s"sum(CAST($c AS DECIMAL(28,8)))", 8, s"count($c)")} AS mean_v
+           |  min($e6) AS min_e6,
+           |  max($e6) AS max_e6,
+           |  ${graft.functions.ExactRound.roundDivSql(
+                 s"sum($e6)", s"count($c)")} AS mean_e6
            |FROM lineitem""".stripMargin
       }.mkString("\nUNION ALL\n"),
     // The gate booleans can only be true (raise_error otherwise), so the

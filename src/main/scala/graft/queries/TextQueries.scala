@@ -105,15 +105,19 @@ object TextQueries extends graft.QueryModule {
           round(log(col("__c").cast("double") / col("__tot")), 8).as("__lp"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
-          ExactRound.ratioRound6(sum(col("__lp").cast("decimal(28,8)")), 8,
+          ExactRound.ratioRound6Int(
+            sum(ExactRound.eScaled(col("__lp"), 8).cast("decimal(38,0)")), 8,
             count(lit(1))).as("avg_logprob"))
     }),
     // Per-source corpus scorecard: the keep/drop-by-source decision a
     // training-data pipeline makes — volume, token mass, mean quality,
     // exact-dup rate, language spread, per ingestion source. One shuffle
-    // keyed on source; averages go through decimal sums (order-independent)
-    // and the per-doc quality rounds at 6 BEFORE aggregation on both
-    // engines.
+    // keyed on source. The quality mean and dup rate are pinned as
+    // MICRO-SCALED INTEGER columns (`*_e6` BIGINT): the raw quality double
+    // (pure IEEE arithmetic — bit-identical per engine) is prescaled per
+    // row with floor(x*1e6 + 0.5) and everything after stays in exact
+    // integer space, so neither engine's double-rounding nor decimal-typing
+    // rules can reach the hash (the r5/r6 red-pin class).
     "report_source_quality" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"), col("lang"), col("text"),
@@ -121,17 +125,17 @@ object TextQueries extends graft.QueryModule {
         .select(col("source"), col("lang"),
           md5(col("text")).as("__h"),
           size(col("__toks")).cast("long").as("__nt"),
-          round(qualityScoreFromTokens(col("text"), col("__toks")), 6).as("__q"))
+          ExactRound.e6(qualityScoreFromTokens(col("text"), col("__toks")))
+            .as("__q_e6"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("__nt")).as("n_tokens"),
-          ExactRound.ratioRound6(sum(col("__q").cast("decimal(18,6)")), 6,
-            count(lit(1))).as("avg_quality"),
-          // 1 - distinct/n as the exact ratio (n - distinct)/n, rounded in
-          // integer space — both are rational pins, live tie hazard.
-          ExactRound.ratioRound6(
-            count(lit(1)) - count_distinct(col("__h")), 0, count(lit(1)))
-            .as("exact_dup_rate"),
+          ExactRound.roundDiv(sum(col("__q_e6").cast("decimal(38,0)")),
+            count(lit(1))).as("avg_quality_e6"),
+          // 1 - distinct/n as the exact integer ratio round(1e6·(n-d)/n).
+          ExactRound.roundDiv(
+            (count(lit(1)) - count_distinct(col("__h"))) * lit(1000000L),
+            count(lit(1))).as("exact_dup_rate_e6"),
           count_distinct(col("lang")).as("n_langs"))
     }),
     // Rolling-hash document fingerprint.
@@ -340,22 +344,23 @@ object TextQueries extends graft.QueryModule {
          |    round(ln(CAST(cnt.c AS DOUBLE) / tot.tot), 8) AS lp
          |  FROM tok JOIN cnt USING (t) CROSS JOIN tot)
          |SELECT doc_id, count(*) AS n_tokens,
-         |  ${ExactRound.ratioRound6Sql("sum(CAST(lp AS DECIMAL(28,8)))", 8, "count(*)")} AS avg_logprob
+         |  ${ExactRound.ratioRound6IntSql(
+              s"sum(${ExactRound.eScaledSql("lp", 8)})", 8, "count(*)")} AS avg_logprob
          |FROM lp GROUP BY 1""".stripMargin,
     "report_source_quality" ->
       s"""WITH $toksCte,
          |q AS (SELECT t.doc_id, d.source, d.lang, md5(t.text) AS h,
          |    CAST(len(t.toks) AS BIGINT) AS nt,
-         |    round(
-         |      0.4 * least(1.0, len(t.toks) / 100.0) +
-         |      0.3 * (1.0 - CASE WHEN len(t.text) = 0 THEN 0.0
-         |        ELSE CAST(len(regexp_replace(lower(t.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t.text) END) +
-         |      0.3 * least(1.0, 4.0 * CASE WHEN len(t.toks) = 0 THEN 0.0
-         |        ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END), 6) AS qs
+         |    ${ExactRound.e6Sql(
+                s"""0.4 * least(1.0, len(t.toks) / 100.0) +
+                   |      0.3 * (1.0 - CASE WHEN len(t.text) = 0 THEN 0.0
+                   |        ELSE CAST(len(regexp_replace(lower(t.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t.text) END) +
+                   |      0.3 * least(1.0, 4.0 * CASE WHEN len(t.toks) = 0 THEN 0.0
+                   |        ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END)""".stripMargin)} AS q_e6
          |  FROM tokd t JOIN documents d USING (doc_id))
          |SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
-         |  ${ExactRound.ratioRound6Sql("sum(CAST(qs AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_quality,
-         |  ${ExactRound.ratioRound6Sql("count(*) - count(DISTINCT h)", 0, "count(*)")} AS exact_dup_rate,
+         |  ${ExactRound.roundDivSql("sum(q_e6)", "count(*)")} AS avg_quality_e6,
+         |  ${ExactRound.roundDivSql("(count(*) - count(DISTINCT h)) * 1000000", "count(*)")} AS exact_dup_rate_e6,
          |  count(DISTINCT lang) AS n_langs
          |FROM q GROUP BY 1""".stripMargin,
     "text_fingerprint" ->

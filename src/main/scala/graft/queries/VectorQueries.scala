@@ -247,8 +247,8 @@ object VectorQueries extends graft.QueryModule {
          |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
          |    round(coalesce(m.n, 0) * 1.0 / $K, 6) AS recall
          |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
-         |SELECT ${graft.functions.ExactRound.ratioRound6Sql("sum(CAST(n_matches AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_matches,
-         |  ${graft.functions.ExactRound.ratioRound6Sql("sum(CAST(recall AS DECIMAL(18,6)))", 6, "count(*)")} AS avg_recall,
+         |SELECT ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
+         |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
          |  count(*) AS n_queries FROM perq""".stripMargin,
     "knn_ip_topk" ->
       s"""WITH $qCte, $cCte,

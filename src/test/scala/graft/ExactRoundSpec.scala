@@ -95,6 +95,53 @@ class ExactRoundSpec extends SparkSpec {
     }
   }
 
+  test("eScaled floor-prescale recovers the grid integer and is sign-uniform") {
+    // floor(x·10^d + 0.5) must recover N for any double x that is the
+    // nearest-double of N/10^d (the on-grid case every pinned per-row value
+    // is in), and apply the same half-up-toward-+inf rule off-grid.
+    val cases = Seq(
+      (17.0, 6, 17000000L), (0.04, 6, 40000L), (-0.04, 6, -40000L),
+      (0.0078125, 6, 7813L),           // true tie at digit 7 → up
+      (-0.0078125, 6, -7812L),         // floor(+0.5) is toward +inf for negatives
+      (0.1234565, 6, 123457L), (123456.78, 4, 1234567800L),
+      (-15.12345678, 8, -1512345678L), (0.0, 6, 0L))
+    for ((x, d, want) <- cases) {
+      val got = Seq(x).toDF("x")
+        .select(ExactRound.eScaled(col("x"), d).as("r")).head().getLong(0)
+      assert(got == want, s"eScaled($x, $d) = $got != $want")
+    }
+  }
+
+  test("ratioRound6Int on prescaled sums equals ratioRound6 on decimal sums") {
+    // The version-proof numerator (sum of per-row floor-prescaled longs) must
+    // give the same pin as the decimal-cast numerator for on-grid rows.
+    val rows = Seq(0.25, 0.1, 0.007813, 0.999999, 0.0, 1.0, 0.333333)
+    val df = rows.toDF("x")
+    val r = df.agg(
+      ExactRound.ratioRound6(sum(col("x").cast("decimal(18,6)")), 6,
+        count(lit(1))).as("dec"),
+      ExactRound.ratioRound6Int(
+        sum(ExactRound.e6(col("x")).cast("decimal(38,0)")), 6,
+        count(lit(1))).as("int")).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("roundDiv: integer rounded division, ties away, signs, guards") {
+    val cases = Seq(
+      (7L, 2L, 4L), (-7L, 2L, -4L), (1L, 3L, 0L), (2L, 3L, 1L),
+      (5L, 10L, 1L), (-5L, 10L, -1L), (0L, 7L, 0L),
+      (1000001L, 2L, 500001L), (999999999999L, 1000000L, 1000000L))
+    for ((n, d, want) <- cases) {
+      val got = Seq((n, d)).toDF("n", "d")
+        .select(ExactRound.roundDiv(col("n"), col("d")).as("r")).head().getLong(0)
+      assert(got == want, s"roundDiv($n, $d) = $got != $want")
+    }
+    val nulls = Seq((Some(1L), Some(0L)), (None: Option[Long], Some(3L)),
+      (Some(1L), None: Option[Long])).toDF("n", "d")
+      .select(ExactRound.roundDiv(col("n"), col("d")).as("r"))
+    assert(nulls.collect().forall(_.isNullAt(0)))
+  }
+
   test("agreement with legacy round away from ties (the common case)") {
     // On non-tie quotients the pin must equal what round(double, 6) produced,
     // so green queries keep their hashes when swapped over.
