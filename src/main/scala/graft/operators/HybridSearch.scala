@@ -49,6 +49,74 @@ object HybridSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Lexical top-k per query by BM25 (Robertson & Zaragoza, FnTIR 2009;
+    * the Lucene `(N − df + 0.5)/(df + 0.5) + 1` idf variant, always
+    * positive): score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    * b·|d|/avgdl)) over the query's DISTINCT token hashes. Output:
+    * (queryIdCol, idCol, rank, bm25_e9) with the score pinned as a
+    * NANO-SCALED BIGINT — each per-token contribution is `floor(x·1e9+0.5)`
+    * ([[graft.functions.ExactRound.eScaled]]) so the per-pair sum is exact
+    * integer arithmetic: order-independent under Spark's partial
+    * aggregation AND engine-proof in the oracle (a double Σ would make the
+    * ranking depend on float summation order). The one transcendental (ln
+    * in idf) is rounded at 8 digits the moment it's computed — the same
+    * discipline as the TF-IDF embedder's idf — so both engines carry
+    * identical doubles into the contribution.
+    *
+    * Scale shape: identical to [[lexicalTopK]] — tf postings are one keyed
+    * shuffle, the query join rides the token-hash key, doc-length joins on
+    * the id key, and the corpus stats (N, avgdl) are a broadcast 1-row
+    * attach. `maxDf` drops fat posting lists wholesale (the stopword
+    * lever); df for idf is computed on the UNCAPPED postings so the cap
+    * changes candidate generation, never term weighting. */
+  def bm25TopK(queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      corpus: DataFrame, idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val ctok = corpus.select(col(idCol),
+      explode(transform(TextFunctions.tokens(col(textCol)),
+        TextFunctions.tokenHash(_))).as("__h"))
+    // One row per (doc, token): tf. Cached — doc length, df, and the
+    // postings join all read it.
+    val tf = graft.Caches.cached(
+      ctok.groupBy(col(idCol), col("__h")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sl"))
+    val dfs = tf.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val postings =
+      if (maxDf == Int.MaxValue) tf
+      else Salt.capBuckets(tf, Seq("__h"), maxDf.toLong)
+    val qtok = queries.select(col(queryIdCol),
+        explode(transform(TextFunctions.tokens(col(queryTextCol)),
+          TextFunctions.tokenHash(_))).as("__h"))
+      .distinct()
+    // idf rounded at 8 immediately (both engines), THEN used — never a raw
+    // transcendental feeding the integer pin.
+    val idf = dfs.crossJoin(broadcast(stats))
+      .select(col("__h"), round(
+        log((col("__n").cast("double") - col("__df").cast("double") + lit(0.5d))
+          / (col("__df").cast("double") + lit(0.5d)) + lit(1.0d)), 8).as("__idf"))
+    val contrib = qtok
+      .join(postings, "__h")
+      .join(idf, "__h")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", col("__idf") *
+        (col("tf").cast("double") * lit(k1 + 1.0d) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0d) - lit(b) +
+            lit(b) * (col("__dl").cast("double") /
+              (col("__sl").cast("double") / col("__n").cast("double")))))))
+      .select(col(queryIdCol), col(idCol),
+        graft.functions.ExactRound.eScaled(col("__c"), 9).as("__c9"))
+    val scored = contrib.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__c9")).as("bm25_e9"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("bm25_e9").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rank"), col("bm25_e9"))
+  }
+
   /** RRF fusion of two ranked lists (queryIdCol, idCol, rank): score =
     * Σ 1/(rrfK + rank) over the lists a hit appears in, re-ranked to `k`
     * (ties → lowest id). Output: (queryIdCol, idCol, rank, rrf_score

@@ -22,6 +22,8 @@ object TextQueries extends graft.QueryModule {
   private val HybridK = 10      // fused list depth
   private val RrfK = 60         // RRF smoothing constant (Cormack et al.)
   private val HybridMaxDf = 40  // stopdrop lever: corpus df cap on the inverted index
+  private val BmK1 = 1.2        // BM25 tf saturation
+  private val BmB = 0.75        // BM25 length normalization
   private val EnWords = langWords.head._2
   private val ChunkWindow = 128 // model-context tokens per chunk
   private val ChunkStride = 96  // 32-token overlap between neighbors
@@ -232,7 +234,21 @@ object TextQueries extends graft.QueryModule {
     // |Q|·|corpus|/2 join rows and zero ranking signal). The oracle applies
     // the identical df cap, so the lever's effect on ranks is hash-gated,
     // not just "still returns rows".
-    "hybrid_rrf_stopdrop" -> ((s, dir) => hybridRrf(s, dir, HybridMaxDf)))
+    "hybrid_rrf_stopdrop" -> ((s, dir) => hybridRrf(s, dir, HybridMaxDf)),
+    // BM25 lexical ranking (Robertson/Zaragoza; Lucene idf variant) — the
+    // standard lexical leg next to the overlap leg above. The score is
+    // pinned as a nano-scaled BIGINT (per-token contributions integerized
+    // BEFORE the sum), so ranking never depends on float summation order —
+    // on either engine. Queries = doc_id < 10, corpus = the rest, as in
+    // the other hybrid queries.
+    "hybrid_bm25_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.HybridSearch.bm25TopK(
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id").as("nbr_id"), col("text")),
+        "nbr_id", "text", HybridK, BmK1, BmB)
+    }))
 
   private def hybridRrf(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -434,7 +450,42 @@ object TextQueries extends graft.QueryModule {
     // DOUBLE casts (a bare 1.0 literal is DECIMAL in DuckDB — decimal
     // division would diverge from Spark's double arithmetic).
     "hybrid_rrf_topk" -> hybridSql(None),
-    "hybrid_rrf_stopdrop" -> hybridSql(Some(HybridMaxDf)))
+    "hybrid_rrf_stopdrop" -> hybridSql(Some(HybridMaxDf)),
+    // BM25 mirror: same tf/df/dl/avgdl pipeline, idf rounded at 8 the
+    // moment ln is computed, per-token contributions integerized at e9
+    // BEFORE the sum (exact integer aggregation — no float-order hazard),
+    // and every float literal interpolated from the very Scala double the
+    // operator uses so both engines parse identical values.
+    "hybrid_bm25_topk" -> {
+      val k1p1 = BmK1 + 1.0d
+      val avgdl = "(CAST(st.sl AS DOUBLE) / CAST(st.n AS DOUBLE))"
+      val denom = s"(CAST(c.tf AS DOUBLE) + $BmK1 * (1.0 - $BmB + $BmB * (CAST(dl.dl AS DOUBLE) / $avgdl)))"
+      val contrib = s"i.idf * (CAST(c.tf AS DOUBLE) * $k1p1 / $denom)"
+      s"""WITH $toksCte,
+         |qtok AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
+         |  FROM tokd WHERE doc_id < 10)),
+         |ctf AS (SELECT nbr_id, h, count(*) AS tf FROM (
+         |  SELECT doc_id AS nbr_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
+         |  FROM tokd WHERE doc_id >= 10) GROUP BY 1, 2),
+         |dl AS (SELECT nbr_id, CAST(sum(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sl FROM dl),
+         |dft AS (SELECT h, count(*) AS df FROM ctf GROUP BY 1),
+         |idfs AS (SELECT h, round(ln((CAST(st.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+         |    / (CAST(df AS DOUBLE) + 0.5) + 1.0), 8) AS idf
+         |  FROM dft CROSS JOIN st),
+         |sc AS (SELECT q.doc_id, c.nbr_id,
+         |    CAST(sum(${ExactRound.eScaledSql(contrib, 9)}) AS BIGINT) AS bm25_e9
+         |  FROM qtok q JOIN ctf c ON q.h = c.h
+         |  JOIN idfs i ON c.h = i.h
+         |  JOIN dl ON c.nbr_id = dl.nbr_id
+         |  CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |r AS (SELECT doc_id, nbr_id, bm25_e9,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25_e9 DESC, nbr_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT doc_id, nbr_id, rank, bm25_e9 FROM r WHERE rank <= $HybridK""".stripMargin
+    })
 
   /** Both hybrid legs + the fusion in SQL; `maxDf` mirrors the stopdrop
     * lever with a QUALIFY over the same distinct postings the Spark side

@@ -21,6 +21,40 @@ class HybridSearchSpec extends SparkSpec {
     assert(r.map(_._3).toSeq == Seq(3L, 2L, 1L))
   }
 
+  test("bm25TopK: rarer matched terms outrank common ones; long docs penalized") {
+    val q = Seq((1L, "alpha zeta")).toDF("qid", "text")
+    val c = Seq(
+      (10L, "zeta only here"),                 // matches the rare term
+      (11L, "alpha common word"),              // matches the common term
+      (12L, "alpha and alpha again and more"), // common term, longer doc
+      (13L, "alpha filler"),                   // common term, short doc
+      (14L, "nothing shared")                  // 0 → absent
+    ).toDF("cid", "text")
+    val r = HybridSearch.bm25TopK(q, "qid", "text", c, "cid", "text", 10)
+      .select($"cid", $"rank", $"bm25_e9").as[(Long, Long, Long)]
+      .collect().sortBy(_._2)
+    // zeta appears in 1/5 docs, alpha in 3/5: idf(zeta) > idf(alpha), so
+    // doc 10 must rank first.
+    assert(r.head._1 == 10L)
+    assert(!r.map(_._1).contains(14L))
+    // Among the alpha-only docs, scores are positive and ordered.
+    assert(r.map(_._3).forall(_ > 0L))
+    assert(r.map(_._3).toSeq == r.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("bm25TopK score is an exact integer sum: repartition-stable") {
+    val q = Seq((1L, "alpha beta gamma delta")).toDF("qid", "text")
+    val c = (10L to 40L).map(i =>
+      (i, s"alpha beta gamma delta word$i filler${i % 3}"))
+      .toDF("cid", "text")
+    val a = HybridSearch.bm25TopK(q, "qid", "text", c, "cid", "text", 5)
+      .select($"cid", $"bm25_e9").as[(Long, Long)].collect().toMap
+    val b = HybridSearch.bm25TopK(q, "qid", "text", c.repartition(7), "cid",
+        "text", 5)
+      .select($"cid", $"bm25_e9").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("fuse: hits on both lists outrank single-list hits; ranks deterministic") {
     val dense = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("qid", "cid", "rank")
     val lex = Seq((1L, 101L, 1L), (1L, 102L, 2L)).toDF("qid", "cid", "rank")
