@@ -92,6 +92,8 @@ object Budgets {
     "pq_kmeans_recall" -> 15.1, // covers running first (absorbing the shared Lloyd fit) or after ivfpq_kmeans_recall (1.35 s)
     "ivfpq_kmeans_recall" -> 22.8, // alphabetically first kmeans query: absorbs the shared PQ+IVF fits (r6 samples 8.12/9.10)
     "hybrid_rrf_stopdrop" -> 6.9, // r6 samples 2.75/2.32
+    "hybrid_bm25_topk" -> 5.1, // sequential broadcast-build chain dominates at toy scale
+    "hybrid_bm25_rrf" -> 5.7, // runs first alphabetically: absorbs the shared tf cache build
     "join_skew_salted" -> 1.8,
     "pq_ann_topk" -> 1.8,
     "pq_ann_stored_topk" -> 1.8,

@@ -248,6 +248,27 @@ object TextQueries extends graft.QueryModule {
         docs.filter(col("doc_id") >= 10)
           .select(col("doc_id").as("nbr_id"), col("text")),
         "nbr_id", "text", HybridK, BmK1, BmB)
+    }),
+    // The production hybrid: dense cosine leg fused with the BM25 leg by
+    // RRF — what a vector store's hybrid endpoint actually ships (overlap
+    // counting above is the teaching form). Same fusion operator, so the
+    // oracle pins that swapping the lexical leg reorders the fused list
+    // exactly as BM25 says it should.
+    "hybrid_bm25_rrf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", Dim)
+      val qe = emb.filter(col("doc_id") < 10)
+      val ce = emb.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("nbr_id"), col("embedding"))
+      val dense = KnnJoin.exact(qe, "doc_id", "embedding", ce, "nbr_id",
+        "embedding", HybridInnerK, Cosine)
+      val lex = graft.operators.HybridSearch.bm25TopK(
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id").as("nbr_id"), col("text")),
+        "nbr_id", "text", HybridInnerK, BmK1, BmB)
+      graft.operators.HybridSearch.fuse(dense, lex, "doc_id", "nbr_id",
+        HybridK, RrfK)
     }))
 
   private def hybridRrf(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
@@ -456,36 +477,70 @@ object TextQueries extends graft.QueryModule {
     // BEFORE the sum (exact integer aggregation — no float-order hazard),
     // and every float literal interpolated from the very Scala double the
     // operator uses so both engines parse identical values.
-    "hybrid_bm25_topk" -> {
-      val k1p1 = BmK1 + 1.0d
-      val avgdl = "(CAST(st.sl AS DOUBLE) / CAST(st.n AS DOUBLE))"
-      val denom = s"(CAST(c.tf AS DOUBLE) + $BmK1 * (1.0 - $BmB + $BmB * (CAST(dl.dl AS DOUBLE) / $avgdl)))"
-      val contrib = s"i.idf * (CAST(c.tf AS DOUBLE) * $k1p1 / $denom)"
+    "hybrid_bm25_topk" ->
       s"""WITH $toksCte,
-         |qtok AS (SELECT DISTINCT doc_id, h FROM (
-         |  SELECT doc_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
-         |  FROM tokd WHERE doc_id < 10)),
-         |ctf AS (SELECT nbr_id, h, count(*) AS tf FROM (
-         |  SELECT doc_id AS nbr_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
-         |  FROM tokd WHERE doc_id >= 10) GROUP BY 1, 2),
-         |dl AS (SELECT nbr_id, CAST(sum(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sl FROM dl),
-         |dft AS (SELECT h, count(*) AS df FROM ctf GROUP BY 1),
-         |idfs AS (SELECT h, round(ln((CAST(st.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-         |    / (CAST(df AS DOUBLE) + 0.5) + 1.0), 8) AS idf
-         |  FROM dft CROSS JOIN st),
-         |sc AS (SELECT q.doc_id, c.nbr_id,
-         |    CAST(sum(${ExactRound.eScaledSql(contrib, 9)}) AS BIGINT) AS bm25_e9
-         |  FROM qtok q JOIN ctf c ON q.h = c.h
-         |  JOIN idfs i ON c.h = i.h
-         |  JOIN dl ON c.nbr_id = dl.nbr_id
-         |  CROSS JOIN st
-         |  GROUP BY 1, 2),
-         |r AS (SELECT doc_id, nbr_id, bm25_e9,
-         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25_e9 DESC, nbr_id) AS BIGINT) AS rank
-         |  FROM sc)
-         |SELECT doc_id, nbr_id, rank, bm25_e9 FROM r WHERE rank <= $HybridK""".stripMargin
-    })
+         |$bm25Ctes
+         |SELECT doc_id, nbr_id, rank, bm25_e9 FROM br WHERE rank <= $HybridK""".stripMargin,
+    // Dense cosine leg (embedCte replay) at HybridInnerK + the BM25 leg at
+    // HybridInnerK, RRF-fused exactly as hybridSql fuses the overlap leg.
+    "hybrid_bm25_rrf" ->
+      s"""WITH $embedCte,
+         |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),
+         |cv AS (SELECT doc_id AS nbr_id, vec FROM nv WHERE doc_id >= 10),
+         |vd AS (SELECT qv.doc_id, cv.nbr_id,
+         |    1.0 - list_cosine_similarity(qv.vec, cv.vec) AS dist
+         |  FROM qv CROSS JOIN cv),
+         |vr AS (SELECT doc_id, nbr_id, rank FROM (
+         |    SELECT doc_id, nbr_id,
+         |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist, nbr_id) AS BIGINT) AS rank
+         |    FROM vd) WHERE rank <= $HybridInnerK),
+         |$bm25Ctes,
+         |blr AS (SELECT doc_id, nbr_id, rank FROM br WHERE rank <= $HybridInnerK),
+         |f AS (SELECT coalesce(v.doc_id, l.doc_id) AS doc_id,
+         |    coalesce(v.nbr_id, l.nbr_id) AS nbr_id,
+         |    coalesce(CAST(1 AS DOUBLE) / ($RrfK + v.rank), 0)
+         |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.rank), 0) AS score
+         |  FROM vr v FULL OUTER JOIN blr l
+         |    ON v.doc_id = l.doc_id AND v.nbr_id = l.nbr_id),
+         |fr AS (SELECT doc_id, nbr_id, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
+         |  FROM f)
+         |SELECT doc_id, nbr_id, rank, round(score, 6) AS rrf_score
+         |FROM fr WHERE rank <= $HybridK""".stripMargin)
+
+  /** BM25 leg CTEs (require `tokd` from [[DocSql.toksCte]] in scope); the
+    * final CTE `br` carries (doc_id, nbr_id, bm25_e9, rank) UNFILTERED —
+    * callers apply their own depth. Every float literal is interpolated
+    * from the very Scala double the operator uses; per-token contributions
+    * are integerized at e9 before the sum (exact integer aggregation). */
+  private lazy val bm25Ctes: String = {
+    val k1p1 = BmK1 + 1.0d
+    val avgdl = "(CAST(st.sl AS DOUBLE) / CAST(st.n AS DOUBLE))"
+    val denom = s"(CAST(c.tf AS DOUBLE) + $BmK1 * (1.0 - $BmB + $BmB * (CAST(dl.dl AS DOUBLE) / $avgdl)))"
+    val contrib = s"i.idf * (CAST(c.tf AS DOUBLE) * $k1p1 / $denom)"
+    s"""qtok AS (SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
+       |  FROM tokd WHERE doc_id < 10)),
+       |ctf AS (SELECT nbr_id, h, count(*) AS tf FROM (
+       |  SELECT doc_id AS nbr_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
+       |  FROM tokd WHERE doc_id >= 10) GROUP BY 1, 2),
+       |dl AS (SELECT nbr_id, CAST(sum(tf) AS BIGINT) AS dl FROM ctf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sl FROM dl),
+       |dft AS (SELECT h, count(*) AS df FROM ctf GROUP BY 1),
+       |idfs AS (SELECT h, round(ln((CAST(st.n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |    / (CAST(df AS DOUBLE) + 0.5) + 1.0), 8) AS idf
+       |  FROM dft CROSS JOIN st),
+       |sc AS (SELECT q.doc_id, c.nbr_id,
+       |    CAST(sum(${ExactRound.eScaledSql(contrib, 9)}) AS BIGINT) AS bm25_e9
+       |  FROM qtok q JOIN ctf c ON q.h = c.h
+       |  JOIN idfs i ON c.h = i.h
+       |  JOIN dl ON c.nbr_id = dl.nbr_id
+       |  CROSS JOIN st
+       |  GROUP BY 1, 2),
+       |br AS (SELECT doc_id, nbr_id, bm25_e9,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25_e9 DESC, nbr_id) AS BIGINT) AS rank
+       |  FROM sc)""".stripMargin
+  }
 
   /** Both hybrid legs + the fusion in SQL; `maxDf` mirrors the stopdrop
     * lever with a QUALIFY over the same distinct postings the Spark side
