@@ -94,6 +94,8 @@ object Budgets {
     "hybrid_rrf_stopdrop" -> 6.9, // r6 samples 2.75/2.32
     "hybrid_bm25_topk" -> 5.1, // sequential broadcast-build chain dominates at toy scale
     "hybrid_bm25_rrf" -> 5.7, // runs first alphabetically: absorbs the shared tf cache build
+    "select_dsir_sample" -> 6.1, // runs first: absorbs the shared DSIR feature/model build
+    "select_dsir_weights" -> 2.0, // cache hit after the sample query (r6 sample 0.41)
     "join_skew_salted" -> 1.8,
     "pq_ann_topk" -> 1.8,
     "pq_ann_stored_topk" -> 1.8,

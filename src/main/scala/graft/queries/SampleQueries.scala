@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
 import graft.io.Tables
 import graft.operators.Sampling
 
@@ -44,7 +45,26 @@ object SampleQueries extends graft.QueryModule {
       Sampling.temperatureMixture(Tables.documents(s, dir), "lang", "doc_id", 0.5)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), max(col("rate")).as("rate"))
-    }))
+    }),
+    // DSIR importance weights (Xie et al. 2023): how target-like (en/src0
+    // slice) each pool document's hashed n-gram profile is. The weight is
+    // an exact micro-scaled integer, so the whole model — features,
+    // smoothing, log-ratio — is hash-gated.
+    "select_dsir_weights" -> ((s, dir) => dsirWeights(s, dir)),
+    // The DSIR selection step: deterministic Gumbel top-m over the weights
+    // (temperature 1), i.e. the actual "pick the training subset" output.
+    "select_dsir_sample" -> ((s, dir) =>
+      graft.operators.Dsir.gumbelTopM(dsirWeights(s, dir), "doc_id", DsirM)))
+
+  private val DsirBuckets = 4096
+  private val DsirM = 50
+
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Dsir.importanceWeights(docs,
+      docs.filter(col("lang") === "en" && col("source") === "src0"),
+      "doc_id", "text", DsirBuckets)
+  }
 
   val oracles: Map[String, String] = Map(
     "sample_docs_hash" ->
@@ -89,5 +109,57 @@ object SampleQueries extends graft.QueryModule {
          |      / 4294967296.0) / n_tokens, 8) AS wkey
          |  FROM t)
          |SELECT doc_id, n_tokens, wkey FROM k
-         |ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin)
+         |ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin,
+    "select_dsir_weights" ->
+      s"""WITH ${DocSql.toksCte},
+         |$dsirWeightCtes
+         |SELECT doc_id, w_e6 FROM w""".stripMargin,
+    // Gumbel top-m over the weights: the inner ln is rounded at 8 (and
+    // clamped below −1e-8) before the outer ln, mirroring the operator's
+    // transcendental discipline exactly.
+    "select_dsir_sample" ->
+      s"""WITH ${DocSql.toksCte},
+         |$dsirWeightCtes,
+         |gk AS (SELECT doc_id,
+         |    least(round(ln((CAST(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1.0)
+         |      / 4294967297.0), 8), -1e-8) AS l1, w_e6
+         |  FROM w),
+         |k2 AS (SELECT doc_id,
+         |    CAST(w_e6 AS DOUBLE) / 1e6 / 1.0 + round(-ln(-l1), 8) AS key
+         |  FROM gk),
+         |r AS (SELECT doc_id, key,
+         |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+         |  FROM k2)
+         |SELECT doc_id, rank, ${ExactRound.eScaledSql("key", 6)} AS key_e6
+         |FROM r WHERE rank <= $DsirM""".stripMargin)
+
+  /** DSIR weight CTEs (require `tokd`): hashed unigram+bigram features,
+    * add-one-smoothed target/pool bucket models, λ log-ratio, exact e6
+    * per-doc weight sum — each arithmetic step the very one the operator
+    * runs. Final CTE `w`: (doc_id, w_e6). */
+  private lazy val dsirWeightCtes: String = {
+    val b = DsirBuckets
+    s"""gd AS (SELECT doc_id, unnest(list_concat(toks,
+       |    list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))) AS g
+       |  FROM tokd),
+       |fc AS (SELECT doc_id, ${DocSql.tokenHashSql("g")} % $b AS bucket, count(*) AS c
+       |  FROM gd GROUP BY 1, 2),
+       |tb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS bc FROM fc
+       |  JOIN documents d USING (doc_id)
+       |  WHERE d.lang = 'en' AND d.source = 'src0' GROUP BY 1),
+       |tn AS (SELECT coalesce(CAST(sum(bc) AS BIGINT), 0) AS n FROM tb),
+       |pb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS bc FROM fc GROUP BY 1),
+       |pn AS (SELECT coalesce(CAST(sum(bc) AS BIGINT), 0) AS n FROM pb),
+       |tlp AS (SELECT bucket, round(ln((CAST(bc AS DOUBLE) + 1.0)
+       |    / (CAST(tn.n AS DOUBLE) + $b.0)), 8) AS lp FROM tb CROSS JOIN tn),
+       |tdf AS (SELECT round(ln(1.0 / (CAST(n AS DOUBLE) + $b.0)), 8) AS lp0 FROM tn),
+       |plp AS (SELECT bucket, round(ln((CAST(bc AS DOUBLE) + 1.0)
+       |    / (CAST(pn.n AS DOUBLE) + $b.0)), 8) AS lq FROM pb CROSS JOIN pn),
+       |lam AS (SELECT p.bucket, coalesce(t.lp, tdf.lp0) - p.lq AS lam
+       |  FROM plp p LEFT JOIN tlp t ON p.bucket = t.bucket CROSS JOIN tdf),
+       |terms AS (SELECT f.doc_id, ${ExactRound.eScaledSql("CAST(f.c AS DOUBLE) * l.lam", 6)} AS t6
+       |  FROM fc f JOIN lam l ON f.bucket = l.bucket),
+       |w AS (SELECT d.doc_id, coalesce(CAST(sum(t.t6) AS BIGINT), 0) AS w_e6
+       |  FROM documents d LEFT JOIN terms t ON d.doc_id = t.doc_id GROUP BY 1)""".stripMargin
+  }
 }

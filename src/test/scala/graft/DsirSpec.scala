@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffle join spark shuffle join"),
+    (2L, "spark shuffle join window agg"),
+    (3L, "cat dog bird cat dog bird"),
+    (4L, "cat dog fish pond"),
+    (5L, "")
+  ).toDF("id", "text")
+
+  test("importanceWeights: target-like docs outweigh dissimilar ones; empty doc is 0") {
+    val target = corpus.filter($"id" === 1L)
+    val w = Dsir.importanceWeights(corpus, target, "id", "text", 256)
+      .as[(Long, Long)].collect().toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // Doc 2 shares the target's n-grams, docs 3/4 share none.
+    assert(w(2L) > w(3L) && w(2L) > w(4L))
+    assert(w(1L) > w(3L))
+    assert(w(5L) == 0L)
+  }
+
+  test("importanceWeights: exact integer sum is repartition-stable") {
+    val target = corpus.filter($"id" === 1L)
+    val a = Dsir.importanceWeights(corpus, target, "id", "text", 256)
+      .as[(Long, Long)].collect().toMap
+    val b = Dsir.importanceWeights(corpus.repartition(7), target, "id", "text", 256)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("gumbelTopM: m rows, dense ranks, deterministic across runs") {
+    val target = corpus.filter($"id" === 1L)
+    val w = Dsir.importanceWeights(corpus, target, "id", "text", 256)
+    val s1 = Dsir.gumbelTopM(w, "id", 3).as[(Long, Long, Long)].collect().sortBy(_._2)
+    val s2 = Dsir.gumbelTopM(w, "id", 3).as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(s1.length == 3 && s1.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("plan: λ model joins broadcast onto the pool terms; top-m is a bounded take, not a global sort-window") {
+    val target = corpus.filter($"id" === 1L)
+    val w = Dsir.importanceWeights(corpus, target, "id", "text", 256)
+    val wPlan = w.queryExecution.executedPlan.toString
+    assert(wPlan.contains("BroadcastHashJoin"),
+      s"expected the fixed-size bucket model broadcast:\n$wPlan")
+    val sel = Dsir.gumbelTopM(w, "id", 3)
+    val sPlan = sel.queryExecution.executedPlan.toString
+    assert(sPlan.contains("TakeOrderedAndProject"),
+      s"expected distributed top-m selection:\n$sPlan")
+  }
+}
