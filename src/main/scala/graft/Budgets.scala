@@ -26,6 +26,8 @@ object Budgets {
     "dedup_embed_cos_pairs" -> 4.0,
     "dedup_clusters" -> 8.2, // pair pipeline + propagation rounds (shared build now lands on dedup_jaccard_pairs)
     "dedup_exact" -> 1.5,
+    "dedup_span_stats" -> 1.5, // r6 sample 0.48
+    "dedup_span_clean" -> 1.5, // r6 sample 0.50
     "dedup_jaccard_incremental" -> 7.6,
     "dedup_jaccard_incremental_indexed" -> 3.9,
     "dedup_jaccard_index_build" -> 9.6,

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Exact duplicate-SPAN removal (ExactSubstr — Lee et al., ACL 2022,
+  * arXiv:2107.06499, "Deduplicating Training Data Makes Language Models
+  * Better"): instead of deciding keep/drop per document, find every token
+  * span of length ≥ k that occurs more than once ANYWHERE in the corpus
+  * (across documents or repeated within one) and cut the spans themselves.
+  * Whole-document dedup ([[Dedup]]) misses boilerplate headers, license
+  * blocks, and templated paragraphs embedded in otherwise-unique documents
+  * — span dedup is the published fix, run by most large pretraining
+  * pipelines after near-dup removal.
+  *
+  * The reference engine has no span-level operator; this is the
+  * training-data extension (cited to the public paper, not the reference).
+  *
+  * Method: hash every k-token window (the same 31-base rolling hash over
+  * md5 token hashes as [[Dedup.shingleHashes]], but WITH positions and
+  * WITHOUT per-doc distinct); a window hash occurring ≥ 2 times marks all
+  * its occurrences; per document, overlapping/adjacent marked windows merge
+  * into maximal spans (start positions within k of each other chain into
+  * one island).
+  *
+  * Scale shape: the suffix-array the paper builds is replaced by two keyed
+  * shuffles — occurrence counting keyed on the window hash, and the
+  * mark-join keyed on the same hash — followed by a per-document window
+  * (partitioned by doc id, so the sort is bounded by document length, never
+  * corpus-wide). Nothing is quadratic in corpus size: every stage is
+  * O(total tokens) rows through hash-keyed exchanges, exactly how this
+  * shape survives 100 TB. The duplicated-hash set is emitted as a
+  * semi-join side small enough to broadcast when duplication is sparse.
+  *
+  * Determinism: counts, positions, and span bounds are exact integers;
+  * cleaned text is the kept token stream (lowercased, single-spaced —
+  * the operator works on the token stream, as the paper does) — every
+  * output is hash-stable with no float anywhere. */
+object SpanDedup {
+
+  /** Every k-gram window with its 1-based start position: (idCol, __pos,
+    * __gh). Non-distinct — repeated windows inside one document are the
+    * point. Same rolling hash as [[Dedup.shingleHashes]] so the DuckDB
+    * mirror shares [[graft.queries.DocSql]] constants. */
+  def gramPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"SpanDedup: window width k=$k must be >= 2")
+    val withHt = Dedup.tokenHashes(df, idCol, textCol)
+    val ht = col("__ht")
+    val entries = when(size(ht) >= k,
+      transform(sequence(lit(1), size(ht) - (k - 1)),
+        i => struct(i.cast("long").as("p"),
+          (0 until k).map(o => element_at(ht, i + o))
+            .foldLeft(lit(0L): Column)((acc, h) => (acc * 31L + h) % Dedup.ShingleP)
+            .as("g"))))
+      .otherwise(array().cast("array<struct<p:long,g:long>>"))
+    withHt.select(col(idCol), explode(entries).as("__e"))
+      .select(col(idCol), col("__e.p").as("__pos"), col("__e.g").as("__gh"))
+  }
+
+  /** Maximal duplicated spans per document: (idCol, span_start, span_end),
+    * token positions 1-based inclusive. A window is duplicated when its
+    * hash occurs ≥ `minCount` times corpus-wide; marked start positions
+    * within k of each other merge (their k-token windows overlap or touch),
+    * so each output row is one maximal region of duplicated text. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minCount: Long = 2L): DataFrame = {
+    val pos = gramPositions(df, idCol, textCol, k)
+    val dup = pos.groupBy(col("__gh")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__gh")
+    val dpos = pos.join(dup, Seq("__gh")).select(col(idCol), col("__pos"))
+    // Islands-and-gaps merge inside each document: the running sum of
+    // break flags is a per-doc window — sorts are bounded by doc length.
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    dpos
+      .withColumn("__prev", lag(col("__pos"), 1).over(w))
+      .withColumn("__brk",
+        (col("__prev").isNull || col("__pos") - col("__prev") > k).cast("int"))
+      .withColumn("__island", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).as("span_start"),
+        (max(col("__pos")) + lit(k - 1).cast("long")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Per-document span accounting — the report a pipeline reads to decide
+    * how aggressive the cut is: (idCol, n_tokens, n_spans, dup_tokens),
+    * all exact longs, one row per input document. */
+  def spanStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val st = duplicateSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    df.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .join(st, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+  }
+
+  /** The cut itself: every duplicated span removed, remaining tokens
+    * rejoined in order — (idCol, clean_text), one row per input document
+    * (untouched documents keep their full token stream). Covered positions
+    * are enumerated from the merged spans (bounded by total duplicated
+    * tokens) and anti-joined on (id, position) — an equi-join, never a
+    * range probe. */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val covered = duplicateSpans(df, idCol, textCol, k)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
+    val toks = df
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"), col("__tok"))
+    val cleaned = toks.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__tok")))).as("__a"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__a"), e => e.getField("__tok"))).as("clean_text"))
+    df.select(col(idCol)).join(cleaned, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+}

@@ -62,9 +62,25 @@ object DedupQueries extends graft.QueryModule {
       }
   }
 
+  /** ExactSubstr window width (tokens). 8 on this corpus: long enough that
+    * duplicated spans are real boilerplate, short enough that the planted
+    * near-dup structure produces them at every SF. */
+  private val SpanK = 8
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactAssign(Tables.documents(s, dir), "doc_id", "text")),
+    // ExactSubstr span accounting (Lee et al., ACL 2022): per doc, how many
+    // maximal >= SpanK-token regions occur elsewhere in the corpus (or again
+    // in the same doc), and how many tokens they cover — the dial a pipeline
+    // reads before cutting.
+    "dedup_span_stats" -> ((s, dir) =>
+      graft.operators.SpanDedup.spanStats(
+        Tables.documents(s, dir), "doc_id", "text", SpanK)),
+    // The cut itself: duplicated spans removed, kept token stream rejoined.
+    "dedup_span_clean" -> ((s, dir) =>
+      graft.operators.SpanDedup.removeSpans(
+        Tables.documents(s, dir), "doc_id", "text", SpanK)),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardJoin(Tables.documents(s, dir), "doc_id", "text", N, MinJ)),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -166,6 +182,20 @@ object DedupQueries extends graft.QueryModule {
 
   // ---- DuckDB mirrors -----------------------------------------------------
 
+  /** Mirror of SpanDedup.duplicateSpans: duplicated window starts → merged
+    * maximal spans. Expects `posg` ([[DocSql.gramPosCte]]); ends in
+    * sp(doc_id, island, s, e). */
+  private lazy val spanCtes: String =
+    s"""dupg AS (SELECT ghv FROM posg GROUP BY 1 HAVING count(*) >= 2),
+       |dpo AS (SELECT posg.doc_id, posg.pos FROM posg JOIN dupg USING (ghv)),
+       |lagd AS (SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dpo),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > $SpanK THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd),
+       |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + ${SpanK - 1} AS e
+       |  FROM isl GROUP BY 1, 2)""".stripMargin
+
   private val sigExpr = "[" + (0 until Dedup.NumHashes).map { j =>
     s"list_min(list_transform(ghs, x -> (${Dedup.hashA(j)}*x + ${Dedup.hashB(j)}) % ${Dedup.MinhashP}))"
   }.mkString(", ") + "]"
@@ -253,6 +283,35 @@ object DedupQueries extends graft.QueryModule {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
+    // ExactSubstr mirror: same rolling-hash windows WITH positions, same
+    // >= 2 occurrence rule, same islands-and-gaps merge (break when start
+    // gap > k), pinned as exact integer accounting per document.
+    "dedup_span_stats" ->
+      s"""WITH $toksCte,
+         |${DocSql.gramPosCte(SpanK)},
+         |$spanCtes,
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(st.n_spans, 0) AS n_spans,
+         |  coalesce(st.dup_tokens, 0) AS dup_tokens
+         |FROM documents d JOIN tokd t USING (doc_id)
+         |LEFT JOIN st USING (doc_id)""".stripMargin,
+    "dedup_span_clean" ->
+      s"""WITH $toksCte,
+         |${DocSql.gramPosCte(SpanK)},
+         |$spanCtes,
+         |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos FROM sp),
+         |tp AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+         |    i -> {'p': CAST(i AS BIGINT), 't': toks[i]})) AS s FROM tokd),
+         |tpos AS (SELECT doc_id, s.p AS pos, s.t AS tok FROM tp),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tpos t
+         |  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |cl AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY 1)
+         |SELECT d.doc_id, coalesce(cl.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin,
     // Prefix filtering mirrored 1:1: rank each doc's shingles by (global df,
     // hash), keep rank ≤ m − ceil(J·m) + 1, candidates from the prefix join,
     // exact shared counts restricted to candidates.

@@ -41,6 +41,22 @@ private[queries] object DocSql {
        |  FROM tokd WHERE len(toks) >= $n)""".stripMargin
   }
 
+  /** Mirror of SpanDedup.gramPositions: ends in posg(doc_id, pos, ghv) —
+    * every k-gram window's 1-based start position with its rolling hash,
+    * NON-distinct (repeated windows are the signal). Same fold constants as
+    * [[shingleHashCte]]. Requires [[toksCte]]. */
+  def gramPosCte(k: Int): String = {
+    val p = graft.operators.Dedup.ShingleP
+    val fold = (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, o) =>
+      val tok = if (o == 0) "toks[i]" else s"toks[i+$o]"
+      s"(($acc) * 31 + ${tokenHashSql(tok)}) % $p"
+    }
+    s"""pgr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - ${k - 1}),
+       |    i -> {'p': CAST(i AS BIGINT), 'g': $fold})) AS s
+       |  FROM tokd WHERE len(toks) >= $k),
+       |posg AS (SELECT doc_id, s.p AS pos, s.g AS ghv FROM pgr)""".stripMargin
+  }
+
   /** Mirror of Dedup.simhashOf: ends in sh(doc_id, simhash). Requires
     * [[toksCte]]. */
   val simhashCte: String =
