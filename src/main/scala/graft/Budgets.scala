@@ -25,6 +25,7 @@ object Budgets {
     "dedup_embed_cos_lsh" -> 5.4,
     "dedup_embed_cos_pairs" -> 4.0,
     "dedup_clusters" -> 8.2, // pair pipeline + propagation rounds (shared build now lands on dedup_jaccard_pairs)
+    "dedup_clusters_star" -> 9.0, // r6 sample 3.6 behind dedup_clusters' shared build; alternating-star rounds dominate
     "dedup_exact" -> 1.5,
     "dedup_span_stats" -> 1.5, // r6 sample 0.48
     "dedup_span_clean" -> 1.5, // r6 sample 0.50

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by alternating large-star / small-star rewiring
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — the edge-SKEW-robust alternative to [[Dedup
+  * .connectedComponents]]'s label propagation.
+  *
+  * Why a second algorithm: min-label propagation (even with pointer
+  * doubling) keeps the full edge list live every round and funnels each
+  * hub's traffic through one reducer per round for as many rounds as it
+  * runs. Star rewiring instead REWRITES the graph: each round hangs every
+  * node's neighbors off the locally-smallest node, so a 10⁹-leaf star
+  * collapses toward its root in O(log n) rounds while the edge list
+  * physically shrinks toward one edge per non-root node — the property
+  * that makes it the published choice for adversarially-skewed pair
+  * graphs. Both algorithms are kept: propagation is cheaper on the
+  * shallow, sparse graphs real near-dup pipelines produce (measured — no
+  * per-round reorientation), star rewiring is the insurance for graphs
+  * with hub structure. `dedup_clusters_star` pins, via the SAME oracle as
+  * `dedup_clusters`, that they agree on the corpus.
+  *
+  * Per round: large-star connects every neighbor LARGER than u to u's
+  * minimum-so-far (cuts chains under hubs without losing connectivity);
+  * small-star re-hangs the smaller-or-equal neighbors onto that minimum.
+  * Each is one groupBy-min plus one keyed join — two shuffles keyed on
+  * node id, no all-pairs anywhere; every frame is `localCheckpoint`ed so
+  * the iteration never re-plans its own history (the [[Dedup
+  * .connectedComponents]] lineage lesson). Convergence when a full
+  * large+small cycle leaves the edge multiset unchanged, checked by an
+  * order-independent (count, bit_xor of edge hashes) signature read as
+  * one tiny aggregate per round — the driver never sees an edge.
+  *
+  * Output contract matches [[Dedup.connectedComponents]]: (idCol,
+  * cluster_id) over ALL of `nodes`, cluster id = the component's smallest
+  * node id, singletons labeled with themselves. */
+object CcStar {
+
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
+      maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
+    var e = edges.select(col("a_id").as("__u"), col("b_id").as("__v"))
+      .filter(col("__u") =!= col("__v")).distinct().localCheckpoint()
+    var prevSig: (Long, Long) = null
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val row = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(__u, __v))"), lit(0L))).head()
+      val sig = (row.getLong(0), row.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"CcStar: not converged after $maxIter rounds — raise maxIter")
+    // Converged ⇒ e is a forest of depth-1 stars (child → root, root < child):
+    // child labels come off the edges, roots and singletons label themselves.
+    val labels = e.select(col("__u").as("__id"), col("__v").as("__label"))
+      .unionAll(e.select(col("__v").as("__id"), col("__v").as("__label")))
+      .groupBy(col("__id")).agg(min(col("__label")).as("__label"))
+    nodes.select(col(idCol).as("__id"))
+      .join(labels, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__label"), col("__id")).as("cluster_id"))
+  }
+
+  /** Large-star: per node u over the symmetrized neighborhood, m =
+    * min(N(u) ∪ {u}); emit (v, m) for every STRICTLY LARGER neighbor
+    * v > u. Large neighbors of a hub re-hang onto its minimum in one
+    * round; edges between small nodes survive via the symmetric view. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("__v").as("__u"), col("__u").as("__v")))
+    val m = sym.groupBy(col("__u")).agg(min(col("__v")).as("__mn"))
+      .select(col("__u"), least(col("__u"), col("__mn")).as("__m"))
+    sym.join(m, Seq("__u"))
+      .filter(col("__v") > col("__u"))
+      .select(col("__v").as("__u"), col("__m").as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge (bigger → smaller), m = min of u's
+    * smaller neighborhood; re-hang those neighbors AND u itself onto m. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("__u"), col("__v")).as("__u"),
+      least(col("__u"), col("__v")).as("__v"))
+    val m = or.groupBy(col("__u")).agg(min(col("__v")).as("__m"))
+    or.join(m, Seq("__u"))
+      .filter(col("__v") =!= col("__m"))
+      .select(col("__v").as("__u"), col("__m").as("__v"))
+      .unionAll(m.select(col("__u"), col("__m").as("__v")))
+      .distinct()
+  }
+}

@@ -125,6 +125,21 @@ object DedupQueries extends graft.QueryModule {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_rep"))
     }),
+    // Same clusters via the OTHER published algorithm: large-star/small-star
+    // edge rewiring (Kiveris SoCC'14) — the hub-robust form. Gated by the
+    // IDENTICAL oracle as dedup_clusters, so the two implementations are
+    // pinned to agree with the recursive-closure ground truth AND each other.
+    "dedup_clusters_star" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardJoin(docs, "doc_id", "text", N, MinJ)
+        .select("a_id", "b_id")
+      val cc = graft.operators.CcStar.connectedComponents(
+        pairs, docs.select("doc_id"), "doc_id")
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_rep"))
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -181,6 +196,36 @@ object DedupQueries extends graft.QueryModule {
     }))
 
   // ---- DuckDB mirrors -----------------------------------------------------
+
+  /** Min reachable id per node via recursive closure over the verified pair
+    * list — the cluster ground truth BOTH connected-components
+    * implementations (label propagation and star rewiring) must converge
+    * to. */
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE $toksCte,
+       |${DocSql.shingleHashCte(N)},
+       |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
+       |pf AS (SELECT doc_id, ghv FROM (
+       |    SELECT g.doc_id, g.ghv,
+       |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
+       |      count(*) OVER (PARTITION BY g.doc_id) AS m
+       |    FROM shd g JOIN dfc USING (ghv))
+       |  WHERE r <= m - ceil($MinJ * m) + 1),
+       |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
+       |$verifyCtes,
+       |pairs AS (SELECT DISTINCT a_id, b_id FROM j WHERE jaccard >= $MinJ),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(id, x) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x),
+       |cl AS (SELECT id AS doc_id, min(x) AS cluster_id FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  cl.doc_id = cl.cluster_id AS is_rep
+       |FROM cl JOIN sz USING (cluster_id)""".stripMargin
 
   /** Mirror of SpanDedup.duplicateSpans: duplicated window starts → merged
     * maximal spans. Expects `posg` ([[DocSql.gramPosCte]]); ends in
@@ -359,31 +404,9 @@ object DedupQueries extends graft.QueryModule {
          |  count(*) AS n_prefix_entries FROM pf""".stripMargin,
     // Min reachable id per node via recursive closure over the verified
     // pair list — the fixpoint the Spark label propagation converges to.
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $toksCte,
-         |${DocSql.shingleHashCte(N)},
-         |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
-         |pf AS (SELECT doc_id, ghv FROM (
-         |    SELECT g.doc_id, g.ghv,
-         |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
-         |      count(*) OVER (PARTITION BY g.doc_id) AS m
-         |    FROM shd g JOIN dfc USING (ghv))
-         |  WHERE r <= m - ceil($MinJ * m) + 1),
-         |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM pf a JOIN pf b ON a.ghv = b.ghv AND a.doc_id < b.doc_id),
-         |$verifyCtes,
-         |pairs AS (SELECT DISTINCT a_id, b_id FROM j WHERE jaccard >= $MinJ),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION ALL SELECT b_id, a_id FROM pairs),
-         |reach(id, x) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x),
-         |cl AS (SELECT id AS doc_id, min(x) AS cluster_id FROM reach GROUP BY 1),
-         |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
-         |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
-         |  cl.doc_id = cl.cluster_id AS is_rep
-         |FROM cl JOIN sz USING (cluster_id)""".stripMargin,
+    // The star-rewiring implementation answers to the same ground truth.
+    "dedup_clusters" -> clustersSql,
+    "dedup_clusters_star" -> clustersSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" ->
       s"""WITH $toksCte,

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{CcStar, Dedup}
+
+class CcStarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(pairs: Seq[(Long, Long)], ids: Seq[Long]): (Map[Long, Long], Map[Long, Long]) = {
+    val edges = pairs.toDF("a_id", "b_id")
+    val nodes = ids.toDF("doc_id")
+    val star = CcStar.connectedComponents(edges, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(edges, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    (star, prop)
+  }
+
+  test("adversarial hub: a star of leaves hanging off the LARGEST id") {
+    // Center 1000 with 200 leaves 0..199: propagation funnels everything
+    // through the hub; star rewiring collapses it. Component min is 0.
+    val pairs = (0L until 200L).map(l => (1000L, l))
+    val (star, prop) = run(pairs, (0L until 200L) :+ 1000L)
+    assert(star == prop)
+    assert(star.values.toSet == Set(0L))
+  }
+
+  test("deep chain converges and matches propagation") {
+    val pairs = (0L until 59L).map(i => (i, i + 1))
+    val (star, prop) = run(pairs, 0L to 59L)
+    assert(star == prop)
+    assert(star.values.toSet == Set(0L))
+  }
+
+  test("multiple components + singletons, arbitrary edge orientation") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L), (21L, 20L), (30L, 31L))
+    val ids = Seq(3L, 5L, 9L, 20L, 21L, 30L, 31L, 40L, 41L)
+    val (star, prop) = run(pairs, ids)
+    assert(star == prop)
+    assert(star(3L) == 3L && star(5L) == 3L && star(9L) == 3L)
+    assert(star(20L) == 20L && star(21L) == 20L)
+    assert(star(40L) == 40L && star(41L) == 41L)
+  }
+
+  test("empty edge list: every node its own cluster") {
+    val (star, prop) = run(Seq.empty, Seq(1L, 2L, 3L))
+    assert(star == prop)
+    assert(star == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("dense random-ish graph parity with propagation") {
+    // 80 nodes, edges joining i to (i*7) % 80 — a few mid-size components
+    // with cycles and cross links.
+    val pairs = (0L until 80L).map(i => (i, (i * 7) % 80)).filter(p => p._1 != p._2)
+    val (star, prop) = run(pairs, 0L until 80L)
+    assert(star == prop)
+  }
+}
