@@ -65,33 +65,77 @@ object Dsir {
     (lp, dflt)
   }
 
-  /** Per-document log importance weight over the pool: (idCol, w_e6) with
-    * w = Σ_b c_b·(log p_target(b) − log p_pool(b)), pinned as a
-    * micro-scaled LONG. Documents with no tokens weigh 0. */
-  def importanceWeights(pool: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame = {
-    // The pool features feed both the q model and the per-doc terms.
+  /** The fitted selection model: λ_b = log p_target(b) − log q_pool(b) for
+    * every bucket the pool has seen (≤ `buckets` rows — broadcastable by
+    * SIZE, not luck), plus the 1-row default λ for buckets absent from the
+    * pool (both models fall back to their add-one floor — only reachable
+    * when scoring documents from OUTSIDE the fitted pool, e.g. a stream). */
+  final case class LambdaModel(lam: DataFrame, default: DataFrame)
+
+  /** Fit λ from a static pool and target slice — the offline half of DSIR:
+    * fixed-size bucket models, add-one smoothing, ln rounded at 8. */
+  def fitLambda(pool: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int): LambdaModel = {
     val pf = graft.Caches.cached(featureCounts(pool, idCol, textCol, buckets))
     val tf = featureCounts(target, idCol, textCol, buckets)
     val (tlp, tdflt) = logProbs(tf, buckets)
-    val (plp, _) = logProbs(pf, buckets)
+    val (plp, pdflt) = logProbs(pf, buckets)
     // Every pool bucket is in plp by construction; only the target side
-    // needs its absent-bucket default. The λ table is ≤ `buckets` rows —
-    // broadcast by size, not by luck.
+    // needs its absent-bucket default inside the table.
     val lam = plp.withColumnRenamed("logp", "__lq")
       .join(tlp.withColumnRenamed("logp", "__lp"), Seq("bucket"), "left")
       .crossJoin(broadcast(tdflt))
       .select(col("bucket"),
         (coalesce(col("__lp"), col("logp0")) - col("__lq")).as("__lam"))
-    val terms = pf.join(broadcast(lam), Seq("bucket"))
+    val dflt = tdflt.crossJoin(pdflt.withColumnRenamed("logp0", "__lq0"))
+      .select((col("logp0") - col("__lq0")).as("__lam0"))
+    LambdaModel(lam, dflt)
+  }
+
+  /** Score documents against a fitted model: (idCol, w_e6) with
+    * w = Σ_b c_b·λ_b, per-bucket contributions integerized at e6 BEFORE the
+    * sum so the weight is exact integer arithmetic. Documents with no
+    * tokens weigh 0; buckets the pool never saw take the default λ. */
+  def scoreWith(model: LambdaModel, docs: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    val fc = featureCounts(docs, idCol, textCol, buckets)
+    val terms = fc.join(broadcast(model.lam), Seq("bucket"), "left")
+      .crossJoin(broadcast(model.default))
       .select(col(idCol),
-        ExactRound.eScaled(col("c").cast("double") * col("__lam"), 6)
+        ExactRound.eScaled(col("c").cast("double") *
+          coalesce(col("__lam"), col("__lam0")), 6)
           .cast("long").as("__t6"))
-    pool.select(col(idCol))
+    docs.select(col(idCol))
       .join(terms.groupBy(col(idCol)).agg(sum(col("__t6")).as("__w")),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__w"), lit(0L)).cast("long").as("w_e6"))
   }
+
+  /** Per-document log importance weight over the pool: (idCol, w_e6) with
+    * w = Σ_b c_b·(log p_target(b) − log p_pool(b)), pinned as a
+    * micro-scaled LONG. Documents with no tokens weigh 0. (For pool
+    * documents every bucket is in the λ table, so the default leg of
+    * [[scoreWith]] never fires here — the oracle replays the inner form.) */
+  def importanceWeights(pool: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    scoreWith(fitLambda(pool, target, idCol, textCol, buckets), pool,
+      idCol, textCol, buckets)
+
+  /** Streaming face: score an incoming document stream against the FIXED
+    * fitted model, one broadcast join per micro-batch — the online half of
+    * DSIR (filter the crawl as it arrives). Same
+    * batch-operator-behind-foreachBatch bridge as
+    * [[SimilaritySearch.topKStream]]; per-batch results equal the batch
+    * [[scoreWith]] of the same rows (asserted in DsirSpec). */
+  def scoreStream(docStream: DataFrame, model: LambdaModel, idCol: String,
+      textCol: String, buckets: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(scoreWith(model, batch, idCol, textCol, buckets), batchId)
+      }
+      .outputMode("append")
+      .start()
 
   /** Gumbel top-m resample (the DSIR selection step): key = w/τ + g where
     * g = −ln(−ln(u)) and u is the md5-uniform of the id — deterministic,

@@ -43,6 +43,41 @@ class DsirSpec extends SparkSpec {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("scoreWith on out-of-pool docs: unseen buckets take the default λ, no rows dropped") {
+    val target = corpus.filter($"id" === 1L)
+    val model = Dsir.fitLambda(corpus, target, "id", "text", 256)
+    val unseen = Seq((99L, "zzz qqq www zzz qqq")).toDF("id", "text")
+    val w = Dsir.scoreWith(model, unseen, "id", "text", 256)
+      .as[(Long, Long)].collect().toMap
+    // Every feature row must survive the left join: 5 unigrams + 4 bigrams,
+    // each weighted (possibly by the default λ) — a dropped-terms bug
+    // would zero this.
+    assert(w.keySet == Set(99L) && w(99L) != 0L)
+  }
+
+  test("streaming scores: micro-batch results equal the batch operator per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val target = corpus.filter($"id" === 1L)
+    val model = Dsir.fitLambda(corpus, target, "id", "text", 256)
+    val rows = corpus.as[(Long, String)].collect().toSeq
+    val (b1, b2) = rows.splitAt(3)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Array[(Long, Long)]]()
+    val query = Dsir.scoreStream(input.toDF().toDF("id", "text"), model,
+      "id", "text", 256)(
+      (df, id) => got(id) = df.orderBy("id").as[(Long, Long)].collect())
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    def batchOf(rs: Seq[(Long, String)]) =
+      Dsir.scoreWith(model, rs.toDF("id", "text"), "id", "text", 256)
+        .orderBy("id").as[(Long, Long)].collect()
+    assert(got(0L).toSeq == batchOf(b1).toSeq)
+    assert(got(1L).toSeq == batchOf(b2).toSeq)
+  }
+
   test("plan: λ model joins broadcast onto the pool terms; top-m is a bounded take, not a global sort-window") {
     val target = corpus.filter($"id" === 1L)
     val w = Dsir.importanceWeights(corpus, target, "id", "text", 256)
