@@ -66,10 +66,11 @@ object Dsir {
   }
 
   /** The fitted selection model: λ_b = log p_target(b) − log q_pool(b) for
-    * every bucket the pool has seen (≤ `buckets` rows — broadcastable by
-    * SIZE, not luck), plus the 1-row default λ for buckets absent from the
-    * pool (both models fall back to their add-one floor — only reachable
-    * when scoring documents from OUTSIDE the fitted pool, e.g. a stream). */
+    * every bucket EITHER model has seen (≤ 2·`buckets` rows —
+    * broadcastable by SIZE, not luck; the unseen side of each row falls
+    * back to its add-one floor), plus the 1-row default λ for buckets
+    * neither saw (only reachable when scoring documents from OUTSIDE the
+    * fitted pool, e.g. a stream). */
   final case class LambdaModel(lam: DataFrame, default: DataFrame)
 
   /** Fit λ from a static pool and target slice — the offline half of DSIR:
@@ -80,16 +81,22 @@ object Dsir {
     val tf = featureCounts(target, idCol, textCol, buckets)
     val (tlp, tdflt) = logProbs(tf, buckets)
     val (plp, pdflt) = logProbs(pf, buckets)
-    // Every pool bucket is in plp by construction; only the target side
-    // needs its absent-bucket default inside the table.
-    val lam = plp.withColumnRenamed("logp", "__lq")
-      .join(tlp.withColumnRenamed("logp", "__lp"), Seq("bucket"), "left")
-      .crossJoin(broadcast(tdflt))
-      .select(col("bucket"),
-        (coalesce(col("__lp"), col("logp0")) - col("__lq")).as("__lam"))
+    // The λ table covers every bucket EITHER model has seen (full outer
+    // join; each side falls back to its add-one floor): a bucket the target
+    // saw but the pool never did is precisely a target-signature novel
+    // token, and out-of-pool scoring must rank it by its fitted target
+    // probability — flooring it to the default would score it like
+    // never-seen gibberish. For pool documents only pool buckets are ever
+    // probed, so the batch path is unchanged.
     val dflt = tdflt.crossJoin(pdflt.withColumnRenamed("logp0", "__lq0"))
-      .select((col("logp0") - col("__lq0")).as("__lam0"))
-    LambdaModel(lam, dflt)
+      .select(col("logp0").as("__lp0"), col("__lq0"))
+    val lam = plp.withColumnRenamed("logp", "__lq")
+      .join(tlp.withColumnRenamed("logp", "__lp"), Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(dflt))
+      .select(col("bucket"),
+        (coalesce(col("__lp"), col("__lp0")) -
+          coalesce(col("__lq"), col("__lq0"))).as("__lam"))
+    LambdaModel(lam, dflt.select((col("__lp0") - col("__lq0")).as("__lam0")))
   }
 
   /** Score documents against a fitted model: (idCol, w_e6) with

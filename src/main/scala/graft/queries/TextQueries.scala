@@ -241,14 +241,7 @@ object TextQueries extends graft.QueryModule {
     // BEFORE the sum), so ranking never depends on float summation order —
     // on either engine. Queries = doc_id < 10, corpus = the rest, as in
     // the other hybrid queries.
-    "hybrid_bm25_topk" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.operators.HybridSearch.bm25TopK(
-        docs.filter(col("doc_id") < 10), "doc_id", "text",
-        docs.filter(col("doc_id") >= 10)
-          .select(col("doc_id").as("nbr_id"), col("text")),
-        "nbr_id", "text", HybridK, BmK1, BmB)
-    }),
+    "hybrid_bm25_topk" -> ((s, dir) => bm25Leg(s, dir, HybridK)),
     // The production hybrid: dense cosine leg fused with the BM25 leg by
     // RRF — what a vector store's hybrid endpoint actually ships (overlap
     // counting above is the teaching form). Same fusion operator, so the
@@ -262,14 +255,21 @@ object TextQueries extends graft.QueryModule {
         .select(col("doc_id").as("nbr_id"), col("embedding"))
       val dense = KnnJoin.exact(qe, "doc_id", "embedding", ce, "nbr_id",
         "embedding", HybridInnerK, Cosine)
-      val lex = graft.operators.HybridSearch.bm25TopK(
-        docs.filter(col("doc_id") < 10), "doc_id", "text",
-        docs.filter(col("doc_id") >= 10)
-          .select(col("doc_id").as("nbr_id"), col("text")),
-        "nbr_id", "text", HybridInnerK, BmK1, BmB)
-      graft.operators.HybridSearch.fuse(dense, lex, "doc_id", "nbr_id",
-        HybridK, RrfK)
+      graft.operators.HybridSearch.fuse(dense, bm25Leg(s, dir, HybridInnerK),
+        "doc_id", "nbr_id", HybridK, RrfK)
     }))
+
+  /** The shared BM25 lexical leg (queries = doc_id < 10, corpus = the rest
+    * — the same split as every hybrid query): one definition so the pinned
+    * standalone ranking and the fused endpoint cannot drift apart. */
+  private def bm25Leg(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.HybridSearch.bm25TopK(
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("nbr_id"), col("text")),
+      "nbr_id", "text", k, BmK1, BmB)
+  }
 
   private def hybridRrf(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val docs = Tables.documents(s, dir)

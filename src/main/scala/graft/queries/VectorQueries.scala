@@ -245,7 +245,7 @@ object VectorQueries extends graft.QueryModule {
          |    GROUP BY 1),
          |perq AS (SELECT q2.job_id,
          |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
-         |    round(coalesce(m.n, 0) * 1.0 / $K, 6) AS recall
+         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
          |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
          |SELECT ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
          |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,

@@ -55,6 +55,21 @@ class DsirSpec extends SparkSpec {
     assert(w.keySet == Set(99L) && w(99L) != 0L)
   }
 
+  test("scoreWith: a target-only token outranks never-seen gibberish") {
+    // The target corpus carries 'kubernetes', which the pool NEVER saw —
+    // the λ table must keep its FITTED target probability for that bucket
+    // (the full-outer leg), so an incoming doc repeating it beats pure
+    // gibberish instead of flooring to the same default.
+    val target = Seq((6L, "kubernetes kubernetes kubernetes")).toDF("id", "text")
+    val model = Dsir.fitLambda(corpus, target, "id", "text", 4096)
+    val probe = Seq(
+      (101L, "kubernetes kubernetes kubernetes"),
+      (102L, "zzzqq wwwxx vvvyy uuuzz")).toDF("id", "text")
+    val w = Dsir.scoreWith(model, probe, "id", "text", 4096)
+      .as[(Long, Long)].collect().toMap
+    assert(w(101L) > w(102L), s"target-signature doc must outrank gibberish: $w")
+  }
+
   test("streaming scores: micro-batch results equal the batch operator per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
