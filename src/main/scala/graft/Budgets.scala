@@ -24,7 +24,7 @@ object Budgets {
     "clean_repetition" -> 1.5,
     "dedup_embed_cos_lsh" -> 5.4,
     "dedup_embed_cos_pairs" -> 4.0,
-    "dedup_clusters" -> 8.2, // pair pipeline + propagation rounds (shared build now lands on dedup_jaccard_pairs)
+    "dedup_clusters" -> 19.7, // pair pipeline + propagation rounds; r6 clean-run sample 7.9 on a ~1.8x-slower box day (was 3.3-3.5)
     "dedup_clusters_star" -> 9.0, // r6 sample 3.6 behind dedup_clusters' shared build; alternating-star rounds dominate
     "dedup_exact" -> 1.5,
     "dedup_span_stats" -> 1.5, // r6 sample 0.48
@@ -32,7 +32,7 @@ object Budgets {
     "dedup_jaccard_incremental" -> 7.6,
     "dedup_jaccard_incremental_indexed" -> 3.9,
     "dedup_jaccard_index_build" -> 9.6,
-    "dedup_jaccard_pairs" -> 4.4, // runs as the family's producer: absorbs the shared token-hash/shingle/docset build
+    "dedup_jaccard_pairs" -> 10.6, // runs as the family's producer: absorbs the shared token-hash/shingle/docset build; r6 clean-run sample 4.2
     "dedup_minhash_lsh" -> 5.0,
     "dedup_semantic" -> 3.5, // shares the embed producer's cache; within-cluster pairs dominate
     "dedup_simhash" -> 1.5,
@@ -59,7 +59,7 @@ object Budgets {
     "io_npy_shard_roundtrip" -> 1.9,
     "ivf_ann_topk" -> 2.3,
     "ivf_kmeans_recall" -> 5.7,
-    "ivfpq_ann_topk" -> 2.2,
+    "ivfpq_ann_topk" -> 5.3, // r6 clean-run sample 2.1
     "ivfpq_stored_topk" -> 2.2,
     "ivf_probe_all_exact" -> 2.1,
     "ivf_recall_summary" -> 1.6,
@@ -96,8 +96,9 @@ object Budgets {
     "ivfpq_kmeans_recall" -> 22.8, // alphabetically first kmeans query: absorbs the shared PQ+IVF fits (r6 samples 8.12/9.10)
     "hybrid_rrf_stopdrop" -> 6.9, // r6 samples 2.75/2.32
     "hybrid_bm25_topk" -> 5.1, // sequential broadcast-build chain dominates at toy scale
-    "hybrid_bm25_rrf" -> 5.7, // runs first alphabetically: absorbs the shared tf cache build
-    "select_dsir_sample" -> 6.1, // runs first: absorbs the shared DSIR feature/model build
+    "hybrid_bm25_rrf" -> 14.0, // runs first alphabetically: absorbs the shared tf cache build; r6 clean-run sample 5.6
+    "pipeline_dsir_select" -> 21.0, // alphabetically first DSIR query: absorbs the shared feature/model build (r6 sample 8.45)
+    "select_dsir_sample" -> 6.1, // covers absorbing the shared DSIR build (pre-r6w sample 2.4) or cache-hitting behind the pipeline (0.40)
     "select_dsir_weights" -> 2.0, // cache hit after the sample query (r6 sample 0.41)
     "join_skew_salted" -> 1.8,
     "pq_ann_topk" -> 1.8,

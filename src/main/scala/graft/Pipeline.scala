@@ -161,4 +161,52 @@ object Pipeline {
       idCol, "n_tokens", cfg.packGroups, cfg.packBudget)
     TrainingData(cleaned, clusters, kept, chunks, shards)
   }
+
+  // ---- Targeted-selection pipeline (DSIR → span-clean → chunk/pack) -------
+
+  case class SelectConfig(
+      buckets: Int = 4096,  // DSIR hashed-feature buckets
+      m: Int = 50,          // documents to select
+      spanK: Int = 8,       // ExactSubstr window width within the selection
+      window: Int = 128,
+      stride: Int = 96,
+      packGroups: Int = 32,
+      packBudget: Long = 4096L)
+
+  case class SelectedData(
+      weights: DataFrame, // (id, w_e6) over the full pool
+      sample: DataFrame,  // (id, rank, key_e6) — the Gumbel top-m
+      spans: DataFrame,   // (id, n_tokens, n_spans, dup_tokens) within the selection
+      clean: DataFrame,   // (id, clean_text, n_tokens) span-cut, non-empty
+      chunks: DataFrame,  // model-context chunks over the cleaned selection
+      shards: DataFrame)  // token-budget shards over the cleaned selection
+
+  /** The targeted-corpus pipeline in one call: DSIR importance weights
+    * against a target slice → deterministic Gumbel top-m selection →
+    * ExactSubstr span dedup WITHIN the selection (the selected docs skew
+    * target-like, so they share boilerplate precisely where whole-corpus
+    * dedup already ran; the cut is what stops the training set from
+    * over-sampling the shared spans) → chunk → pack. Every stage is an
+    * individually-gated operator ([[graft.operators.Dsir]],
+    * [[graft.operators.SpanDedup]], [[graft.operators.Sequencer]]); the
+    * `pipeline_dsir_select` query pins the COMPOSITION — selection fed from
+    * the wrong weights, span-cleaning the pool instead of the selection, or
+    * packing un-cleaned counts each turn the one row red. */
+  def selectTrainingSubset(pool: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, cfg: SelectConfig = SelectConfig()): SelectedData = {
+    val weights = graft.operators.Dsir.importanceWeights(pool, target, idCol,
+      textCol, cfg.buckets)
+    val sample = Caches.cached(graft.operators.Dsir.gumbelTopM(weights, idCol, cfg.m))
+    val selected = Caches.cached(pool.join(sample.select(col(idCol)), Seq(idCol)))
+    val spans = graft.operators.SpanDedup.spanStats(selected, idCol, textCol, cfg.spanK)
+    val clean = Caches.cached(
+      graft.operators.SpanDedup.removeSpans(selected, idCol, textCol, cfg.spanK)
+        .select(col(idCol), col("clean_text"),
+          graft.functions.TextFunctions.tokenCount(col("clean_text")).as("n_tokens"))
+        .filter(col("n_tokens") > 0))
+    val chunks = Sequencer.chunkWindows(clean, idCol, "clean_text", cfg.window, cfg.stride)
+    val shards = Sequencer.packTokenShards(clean.select(col(idCol), col("n_tokens")),
+      idCol, "n_tokens", cfg.packGroups, cfg.packBudget)
+    SelectedData(weights, sample, spans, clean, chunks, shards)
+  }
 }

@@ -227,19 +227,9 @@ object DedupQueries extends graft.QueryModule {
        |  cl.doc_id = cl.cluster_id AS is_rep
        |FROM cl JOIN sz USING (cluster_id)""".stripMargin
 
-  /** Mirror of SpanDedup.duplicateSpans: duplicated window starts → merged
-    * maximal spans. Expects `posg` ([[DocSql.gramPosCte]]); ends in
-    * sp(doc_id, island, s, e). */
-  private lazy val spanCtes: String =
-    s"""dupg AS (SELECT ghv FROM posg GROUP BY 1 HAVING count(*) >= 2),
-       |dpo AS (SELECT posg.doc_id, posg.pos FROM posg JOIN dupg USING (ghv)),
-       |lagd AS (SELECT doc_id, pos,
-       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dpo),
-       |isl AS (SELECT doc_id, pos,
-       |    sum(CASE WHEN prev IS NULL OR pos - prev > $SpanK THEN 1 ELSE 0 END)
-       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd),
-       |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + ${SpanK - 1} AS e
-       |  FROM isl GROUP BY 1, 2)""".stripMargin
+  /** Span-merge mirror shared with the selection pipeline —
+    * [[DocSql.spanCtes]] at this module's window width. */
+  private lazy val spanCtes: String = DocSql.spanCtes(SpanK)
 
   private val sigExpr = "[" + (0 until Dedup.NumHashes).map { j =>
     s"list_min(list_transform(ghs, x -> (${Dedup.hashA(j)}*x + ${Dedup.hashB(j)}) % ${Dedup.MinhashP}))"

@@ -57,6 +57,22 @@ private[queries] object DocSql {
        |posg AS (SELECT doc_id, s.p AS pos, s.g AS ghv FROM pgr)""".stripMargin
   }
 
+  /** Mirror of SpanDedup.duplicateSpans: duplicated window starts (hash
+    * count ≥ 2 within `src`) → merged maximal spans (break when start gap
+    * > k). `src` must expose (doc_id, pos, ghv) — [[gramPosCte]]'s `posg`,
+    * or a filtered view of it for subset-scoped span dedup. Ends in
+    * sp(doc_id, island, s, e). */
+  def spanCtes(k: Int, src: String = "posg"): String =
+    s"""dupg AS (SELECT ghv FROM $src GROUP BY 1 HAVING count(*) >= 2),
+       |dpo AS (SELECT $src.doc_id, $src.pos FROM $src JOIN dupg USING (ghv)),
+       |lagd AS (SELECT doc_id, pos,
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dpo),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > $k THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd),
+       |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + ${k - 1} AS e
+       |  FROM isl GROUP BY 1, 2)""".stripMargin
+
   /** Mirror of Dedup.simhashOf: ends in sh(doc_id, simhash). Requires
     * [[toksCte]]. */
   val simhashCte: String =

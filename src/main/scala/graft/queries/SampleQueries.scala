@@ -54,10 +54,40 @@ object SampleQueries extends graft.QueryModule {
     // The DSIR selection step: deterministic Gumbel top-m over the weights
     // (temperature 1), i.e. the actual "pick the training subset" output.
     "select_dsir_sample" -> ((s, dir) =>
-      graft.operators.Dsir.gumbelTopM(dsirWeights(s, dir), "doc_id", DsirM)))
+      graft.operators.Dsir.gumbelTopM(dsirWeights(s, dir), "doc_id", DsirM)),
+    // The composed selection pipeline as ONE row: DSIR weights → Gumbel
+    // top-m → ExactSubstr span-clean WITHIN the selection → chunk → pack.
+    // Stages are green individually; this row goes red if the composition
+    // drifts (selection from the wrong weights, span-cleaning the pool,
+    // packing un-cleaned counts). sel_checksum = Σ rank·doc_id pins the
+    // exact selected set AND its order.
+    "pipeline_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sel = graft.Pipeline.selectTrainingSubset(docs,
+        docs.filter(col("lang") === "en" && col("source") === "src0"),
+        "doc_id", "text",
+        graft.Pipeline.SelectConfig(buckets = DsirBuckets, m = DsirM))
+      docs.agg(count(lit(1)).as("n_pool"))
+        .crossJoin(sel.sample.agg(count(lit(1)).as("n_selected"),
+          sum(col("rank") * col("doc_id")).as("sel_checksum")))
+        .crossJoin(sel.spans.agg(
+          coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"),
+          coalesce(sum(col("dup_tokens")), lit(0L)).as("dup_tokens")))
+        .crossJoin(sel.clean.agg(count(lit(1)).as("n_clean_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens_clean")))
+        .crossJoin(sel.chunks.agg(count(lit(1)).as("n_chunks")))
+        .crossJoin(sel.shards.select(col("grp"), col("shard_idx")).distinct()
+          .agg(count(lit(1)).as("n_shards")))
+    }))
 
   private val DsirBuckets = 4096
   private val DsirM = 50
+  // Selection-pipeline constants — one source for both engines
+  // (Pipeline.SelectConfig defaults must match).
+  private val SelSpanK = graft.Pipeline.SelectConfig().spanK
+  private val SelStride = graft.Pipeline.SelectConfig().stride
+  private val SelPackGroups = graft.Pipeline.SelectConfig().packGroups
+  private val SelPackBudget = graft.Pipeline.SelectConfig().packBudget
 
   private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -120,18 +150,60 @@ object SampleQueries extends graft.QueryModule {
     "select_dsir_sample" ->
       s"""WITH ${DocSql.toksCte},
          |$dsirWeightCtes,
-         |gk AS (SELECT doc_id,
-         |    least(round(ln((CAST(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1.0)
-         |      / 4294967297.0), 8), -1e-8) AS l1, w_e6
-         |  FROM w),
-         |k2 AS (SELECT doc_id,
-         |    CAST(w_e6 AS DOUBLE) / 1e6 / 1.0 + round(-ln(-l1), 8) AS key
-         |  FROM gk),
-         |r AS (SELECT doc_id, key,
-         |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
-         |  FROM k2)
+         |$dsirSampleCtes
          |SELECT doc_id, rank, ${ExactRound.eScaledSql("key", 6)} AS key_e6
-         |FROM r WHERE rank <= $DsirM""".stripMargin)
+         |FROM r WHERE rank <= $DsirM""".stripMargin,
+    // The composed selection pipeline: the same weight + Gumbel CTEs feed a
+    // subset-scoped replay of the span-dedup mirror, then the chunk/pack
+    // arithmetic over the CLEANED token counts.
+    "pipeline_dsir_select" ->
+      s"""WITH ${DocSql.toksCte},
+         |$dsirWeightCtes,
+         |$dsirSampleCtes,
+         |sel AS (SELECT doc_id, rank FROM r WHERE rank <= $DsirM),
+         |${DocSql.gramPosCte(SelSpanK)},
+         |selpos AS (SELECT posg.doc_id, posg.pos, posg.ghv
+         |  FROM posg JOIN sel USING (doc_id)),
+         |${DocSql.spanCtes(SelSpanK, "selpos")},
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1),
+         |seltok AS (SELECT s.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
+         |  FROM sel s JOIN tokd t USING (doc_id)),
+         |keptc AS (SELECT s.doc_id,
+         |    s.n_tokens - coalesce(st.dup_tokens, 0) AS ct
+         |  FROM seltok s LEFT JOIN st USING (doc_id)
+         |  WHERE s.n_tokens - coalesce(st.dup_tokens, 0) > 0),
+         |packed AS (SELECT DISTINCT doc_id % $SelPackGroups AS grp,
+         |    (sum(ct) OVER (PARTITION BY doc_id % $SelPackGroups ORDER BY doc_id)
+         |      - ct) // $SelPackBudget AS shard_idx
+         |  FROM keptc)
+         |SELECT
+         |  (SELECT count(*) FROM documents) AS n_pool,
+         |  (SELECT count(*) FROM sel) AS n_selected,
+         |  (SELECT CAST(sum(rank * doc_id) AS BIGINT) FROM sel) AS sel_checksum,
+         |  (SELECT count(*) FROM sp) AS n_spans,
+         |  (SELECT CAST(coalesce(sum(e - s + 1), 0) AS BIGINT) FROM sp) AS dup_tokens,
+         |  (SELECT count(*) FROM keptc) AS n_clean_docs,
+         |  (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM keptc) AS n_tokens_clean,
+         |  (SELECT CAST(coalesce(sum(((ct - 1) // $SelStride) + 1), 0) AS BIGINT)
+         |    FROM keptc) AS n_chunks,
+         |  (SELECT count(*) FROM packed) AS n_shards""".stripMargin)
+
+  /** Gumbel top-m CTEs shared by the sample query and the selection
+    * pipeline (require `w` from [[dsirWeightCtes]]): md5-uniform → inner ln
+    * rounded at 8 and clamped below −1e-8 → outer ln — the operator's
+    * transcendental discipline exactly. Ends in r(doc_id, key, rank). */
+  private lazy val dsirSampleCtes: String =
+    s"""gk AS (SELECT doc_id,
+       |    least(round(ln((CAST(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 1.0)
+       |      / 4294967297.0), 8), -1e-8) AS l1, w_e6
+       |  FROM w),
+       |k2 AS (SELECT doc_id,
+       |    CAST(w_e6 AS DOUBLE) / 1e6 / 1.0 + round(-ln(-l1), 8) AS key
+       |  FROM gk),
+       |r AS (SELECT doc_id, key,
+       |    CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+       |  FROM k2)""".stripMargin
 
   /** DSIR weight CTEs (require `tokd`): hashed unigram+bigram features,
     * add-one-smoothed target/pool bucket models, λ log-ratio, exact e6
