@@ -79,6 +79,40 @@ class PlanSpec extends SparkSpec {
       s"shard packing must never collapse to a global single-partition sort:\n$pack")
   }
 
+  test("span dedup: dup-hash mark is a keyed join, island windows are per-doc and share one exchange") {
+    val plan = planOf("dedup_span_stats").split("== Initial Plan ==").head
+    // The duplicated-hash set joins back onto the positional stream keyed on
+    // the window hash (broadcast at this SF; a shuffled hash join at scale)
+    // — never a sort-merge of the full positional stream and never a
+    // cartesian anything.
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"the mark-join must stay hash-keyed:\n$plan")
+    // Both running windows (lag + island sum) partition by the doc id —
+    // an unpartitioned window would drag every duplicated position into one
+    // task — and share a single hashpartitioning exchange; the only other
+    // shuffle is the occurrence-count aggregation on the window hash.
+    assert(!plan.contains("SinglePartition"),
+      s"island merge must never collapse to a single partition:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"span stats should shuffle exactly twice (gram-hash count + per-doc window), found $exchanges:\n$plan")
+  }
+
+  test("star CC: rewiring rounds are keyed aggregations, labels never sort-merge the node set") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val cc = graft.operators.CcStar.connectedComponents(edges, nodes, "doc_id")
+    cc.collect()
+    val plan = cc.queryExecution.executedPlan.toString
+    // The converged edge frame is a localCheckpoint (scan of stored
+    // blocks); the label extraction and the node join must stay
+    // hash-keyed — a sort-merge here would re-sort the corpus at scale.
+    assert(!plan.contains("Cartesian"), s"label join must be keyed:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"label extraction should be a keyed min aggregation:\n$plan")
+  }
+
   test("dimension joins broadcast the dimension side") {
     val plan = planOf("rel_region_revenue")
     assert(plan.contains("BroadcastHashJoin"),
