@@ -134,6 +134,7 @@ object Budgets {
     "text_fingerprint" -> 1.5,
     "text_pack_shards" -> 1.5,
     "text_lang_id" -> 1.5,
+    "text_bigram_logprob" -> 5.8, // r6 sample 2.3: three keyed joins over the position stream
     "text_unigram_logprob" -> 2.4,
     "text_quality" -> 1.5,
     "text_stats" -> 1.5,

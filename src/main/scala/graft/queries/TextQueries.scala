@@ -111,6 +111,40 @@ object TextQueries extends graft.QueryModule {
             sum(ExactRound.eScaled(col("__lp"), 8).cast("decimal(38,0)")), 8,
             count(lit(1))).as("avg_logprob"))
     }),
+    // Interpolated bigram LM scoring — the CCNet perplexity filter one
+    // order up from the unigram query: p(t_i | t_{i-1}) = 0.7·c(prev,cur)/
+    // c(prev) + 0.3·c(cur)/N over the corpus's own counts (KenLM's role,
+    // kept SQL-replayable). Low average = token salad that unigram
+    // frequency alone can't see (common words in impossible orders — the
+    // signal that separates spam concatenations from prose). Bigram counts
+    // are one keyed aggregation; the position stream joins back keyed on
+    // (prev, cur) / prev / cur; the totals scalar broadcasts.
+    "text_bigram_logprob" -> ((s, dir) => {
+      val toked = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("__ts"))
+      val tok = toked.select(col("doc_id"), explode(col("__ts")).as("t"))
+      val cnt = tok.groupBy("t").agg(count(lit(1)).as("__c"))
+      val total = cnt.agg(sum(col("__c")).as("__tot"))
+      val pos = toked.filter(size(col("__ts")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(2), size(col("__ts"))),
+            i => struct(element_at(col("__ts"), i - 1).as("p"),
+              element_at(col("__ts"), i).as("t")))).as("__bg"))
+        .select(col("doc_id"), col("__bg.p").as("p"), col("__bg.t").as("t"))
+      val bc = pos.groupBy("p", "t").agg(count(lit(1)).as("__c2"))
+      pos.join(bc, Seq("p", "t"))
+        .join(cnt.select(col("t").as("p"), col("__c").as("__cp")), Seq("p"))
+        .join(cnt, Seq("t"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), round(log(
+            lit(0.7d) * col("__c2").cast("double") / col("__cp") +
+            lit(0.3d) * col("__c").cast("double") / col("__tot")), 8).as("__lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          ExactRound.ratioRound6Int(
+            sum(ExactRound.eScaled(col("__lp"), 8).cast("decimal(38,0)")), 8,
+            count(lit(1))).as("avg_logprob"))
+    }),
     // Per-source corpus scorecard: the keep/drop-by-source decision a
     // training-data pipeline makes — volume, token mass, mean quality,
     // exact-dup rate, language spread, per ingestion source. One shuffle
@@ -381,6 +415,27 @@ object TextQueries extends graft.QueryModule {
          |    round(ln(CAST(cnt.c AS DOUBLE) / tot.tot), 8) AS lp
          |  FROM tok JOIN cnt USING (t) CROSS JOIN tot)
          |SELECT doc_id, count(*) AS n_tokens,
+         |  ${ExactRound.ratioRound6IntSql(
+              s"sum(${ExactRound.eScaledSql("lp", 8)})", 8, "count(*)")} AS avg_logprob
+         |FROM lp GROUP BY 1""".stripMargin,
+    "text_bigram_logprob" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
+         |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(c) AS tot FROM cnt),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(toks)),
+         |    i -> {'p': toks[i-1], 't': toks[i]})) AS s
+         |  FROM tokd WHERE len(toks) >= 2),
+         |pos AS (SELECT doc_id, s.p AS p, s.t AS t FROM bg),
+         |bc AS (SELECT p, t, count(*) AS c2 FROM pos GROUP BY 1, 2),
+         |lp AS (SELECT pos.doc_id,
+         |    round(ln(0.7 * CAST(bc.c2 AS DOUBLE) / cp.c
+         |      + 0.3 * CAST(cn.c AS DOUBLE) / CAST(tot.tot AS DOUBLE)), 8) AS lp
+         |  FROM pos JOIN bc USING (p, t)
+         |  JOIN cnt cp ON pos.p = cp.t
+         |  JOIN cnt cn ON pos.t = cn.t
+         |  CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_bigrams,
          |  ${ExactRound.ratioRound6IntSql(
               s"sum(${ExactRound.eScaledSql("lp", 8)})", 8, "count(*)")} AS avg_logprob
          |FROM lp GROUP BY 1""".stripMargin,
