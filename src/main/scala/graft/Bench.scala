@@ -45,7 +45,7 @@ object Bench {
     // dedup_clusters (alphabetically first otherwise) would absorb.
     val producers = Seq("embed_hash_tf", "join_bucketed_build",
       "dedup_jaccard_index_build", "dedup_jaccard_pairs", "lsh_index_build",
-      "pq_index_build")
+      "pq_index_build", "dedup_span_index_build")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val ordered = selected.filter(q => producers.contains(q._1)) ++

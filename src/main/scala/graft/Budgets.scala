@@ -29,6 +29,8 @@ object Budgets {
     "dedup_exact" -> 1.5,
     "dedup_span_stats" -> 1.5, // r6 sample 0.48
     "dedup_span_clean" -> 1.5, // r6 sample 0.50
+    "dedup_span_index_build" -> 4.8, // producer: pays the count-index DDL (r6 sample 1.9)
+    "dedup_span_incremental" -> 1.5, // index probe only (r6 sample 0.53 behind the producer)
     "dedup_jaccard_incremental" -> 7.6,
     "dedup_jaccard_incremental_indexed" -> 3.9,
     "dedup_jaccard_index_build" -> 9.6,

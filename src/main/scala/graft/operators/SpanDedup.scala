@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -70,9 +70,14 @@ object SpanDedup {
     val pos = gramPositions(df, idCol, textCol, k)
     val dup = pos.groupBy(col("__gh")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__gh")
-    val dpos = pos.join(dup, Seq("__gh")).select(col(idCol), col("__pos"))
-    // Islands-and-gaps merge inside each document: the running sum of
-    // break flags is a per-doc window — sorts are bounded by doc length.
+    mergeIslands(pos.join(dup, Seq("__gh")).select(col(idCol), col("__pos")),
+      idCol, k)
+  }
+
+  /** Islands-and-gaps merge of marked start positions into maximal spans.
+    * The running sum of break flags is a per-doc window — sorts are
+    * bounded by doc length, never corpus-wide. */
+  private def mergeIslands(dpos: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     dpos
       .withColumn("__prev", lag(col("__pos"), 1).over(w))
@@ -83,6 +88,64 @@ object SpanDedup {
       .agg(min(col("__pos")).as("span_start"),
         (max(col("__pos")) + lit(k - 1).cast("long")).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  // ---- Persisted index + O(delta) ingest ----------------------------------
+
+  /** Name of the one persisted table of a span index. */
+  final case class IndexTable(counts: String)
+
+  /** Build + persist the corpus window-hash counts as ONE bucketed table
+    * `graft_spanidx_<tag>`(__gh, __c), bucketed on `__gh` — the column
+    * every per-batch probe joins on, so ingest joins reuse the stored
+    * HashPartitioning and never reshuffle the corpus side. The index is
+    * counts only (no positions): marking a delta window needs just
+    * "does the corpus contain this hash", |index| = distinct window
+    * hashes, far below the positional stream it summarizes. */
+  def buildIndex(corpus: DataFrame, idCol: String, textCol: String, k: Int,
+      tag: String, basePath: String, numBuckets: Int): IndexTable = {
+    val counts = gramPositions(corpus, idCol, textCol, k)
+      .groupBy(col("__gh")).agg(count(lit(1)).as("__c"))
+    val t = IndexTable(s"graft_spanidx_$tag")
+    Bucketed.writeBucketed(counts, t.counts, s"$basePath/counts", "__gh",
+      numBuckets)
+    t
+  }
+
+  /** Duplicated spans of DELTA documents against corpus ∪ delta, with the
+    * corpus appearing ONLY through index probes: a delta window is
+    * duplicated iff its hash is stored (corpus occurrence ≥ 1) or occurs
+    * ≥ 2 times within the delta itself — exactly the set the full batch
+    * run marks in these documents (corpus ≥ 1 ∨ delta ≥ 2 ⟺ total ≥ 2
+    * for a position that itself counts once), so the one-shot oracle
+    * restricted to the delta pins this path. Per-batch work is
+    * O(|delta windows|): one semi-join against the bucketed index + one
+    * keyed self-count. */
+  def incrementalSpans(spark: SparkSession, table: IndexTable,
+      delta: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val pos = gramPositions(delta, idCol, textCol, k).localCheckpoint()
+    val inCorpus = pos.join(spark.table(table.counts), Seq("__gh"), "left_semi")
+    val inDelta = pos.join(
+      pos.groupBy(col("__gh")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2L).select("__gh"), Seq("__gh"))
+    mergeIslands(
+      inCorpus.unionAll(inDelta).select(col(idCol), col("__pos")).distinct(),
+      idCol, k)
+  }
+
+  /** Per-delta-document span accounting over [[incrementalSpans]] — the
+    * ingest-batch report: (idCol, n_tokens, n_spans, dup_tokens). */
+  def incrementalSpanStats(spark: SparkSession, table: IndexTable,
+      delta: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val st = incrementalSpans(spark, table, delta, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    delta.select(col(idCol), TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .join(st, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
   }
 
   /** Per-document span accounting — the report a pipeline reads to decide

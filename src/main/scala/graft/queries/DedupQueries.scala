@@ -67,6 +67,18 @@ object DedupQueries extends graft.QueryModule {
     * near-dup structure produces them at every SF. */
   private val SpanK = 8
 
+  /** One persisted span-count index per (session, scale dir) over the
+    * non-delta corpus, memoized like [[JidxLayout]]. */
+  private object SpidxLayout {
+    def ensure(s: SparkSession, dir: String): graft.operators.SpanDedup.IndexTable =
+      graft.Layouts.once(s, s"spidx:$dir") {
+        val tag = graft.Layouts.tag(dir)
+        graft.operators.SpanDedup.buildIndex(
+          Tables.documents(s, dir).filter(!deltaPred), "doc_id", "text",
+          SpanK, tag, s"/tmp/graft_spidx/$tag", 8)
+      }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactAssign(Tables.documents(s, dir), "doc_id", "text")),
@@ -81,6 +93,23 @@ object DedupQueries extends graft.QueryModule {
     "dedup_span_clean" -> ((s, dir) =>
       graft.operators.SpanDedup.removeSpans(
         Tables.documents(s, dir), "doc_id", "text", SpanK)),
+    // Span-index DDL as its own gated query: persist the corpus window-hash
+    // counts; the oracle recomputes both totals from scratch, so a build
+    // that drops, double-counts, or mis-hashes windows turns red here.
+    "dedup_span_index_build" -> ((s, dir) => {
+      val t = SpidxLayout.ensure(s, dir)
+      s.table(t.counts).agg(count(lit(1)).as("n_hashes"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_windows"))
+    }),
+    // The O(delta) ingest path of span dedup: the new batch's spans against
+    // corpus ∪ batch, with the corpus appearing ONLY through probes of the
+    // persisted count index. The oracle replays the one-shot batch rule over
+    // the full corpus restricted to the delta docs — the two are provably
+    // the same marking (corpus ≥ 1 ∨ delta ≥ 2 ⟺ total ≥ 2), so this row
+    // pins the equivalence, not just plumbing.
+    "dedup_span_incremental" -> ((s, dir) =>
+      graft.operators.SpanDedup.incrementalSpanStats(s, SpidxLayout.ensure(s, dir),
+        Tables.documents(s, dir).filter(deltaPred), "doc_id", "text", SpanK)),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardJoin(Tables.documents(s, dir), "doc_id", "text", N, MinJ)),
     "dedup_minhash_lsh" -> ((s, dir) =>
@@ -347,6 +376,29 @@ object DedupQueries extends graft.QueryModule {
          |  FROM kept GROUP BY 1)
          |SELECT d.doc_id, coalesce(cl.clean_text, '') AS clean_text
          |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin,
+    // Index totals recomputed from scratch over the non-delta corpus.
+    "dedup_span_index_build" ->
+      s"""WITH $toksCte,
+         |${DocSql.gramPosCte(SpanK)},
+         |cor AS (SELECT * FROM posg WHERE doc_id % 10 <> 0)
+         |SELECT count(DISTINCT ghv) AS n_hashes,
+         |  count(*) AS n_windows FROM cor""".stripMargin,
+    // The one-shot batch marking over the FULL corpus, restricted to the
+    // delta documents — provably equal to the index-probe path's
+    // corpus ≥ 1 ∨ delta ≥ 2 rule.
+    "dedup_span_incremental" ->
+      s"""WITH $toksCte,
+         |${DocSql.gramPosCte(SpanK)},
+         |delpos AS (SELECT doc_id, pos, ghv FROM posg WHERE doc_id % 10 = 0),
+         |${DocSql.spanCtes(SpanK, "delpos", "posg")},
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(st.n_spans, 0) AS n_spans,
+         |  coalesce(st.dup_tokens, 0) AS dup_tokens
+         |FROM documents d JOIN tokd t USING (doc_id)
+         |LEFT JOIN st USING (doc_id)
+         |WHERE d.doc_id % 10 = 0""".stripMargin,
     // Prefix filtering mirrored 1:1: rank each doc's shingles by (global df,
     // hash), keep rank ≤ m − ceil(J·m) + 1, candidates from the prefix join,
     // exact shared counts restricted to candidates.

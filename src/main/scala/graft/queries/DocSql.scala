@@ -58,12 +58,15 @@ private[queries] object DocSql {
   }
 
   /** Mirror of SpanDedup.duplicateSpans: duplicated window starts (hash
-    * count ≥ 2 within `src`) → merged maximal spans (break when start gap
-    * > k). `src` must expose (doc_id, pos, ghv) — [[gramPosCte]]'s `posg`,
-    * or a filtered view of it for subset-scoped span dedup. Ends in
-    * sp(doc_id, island, s, e). */
-  def spanCtes(k: Int, src: String = "posg"): String =
-    s"""dupg AS (SELECT ghv FROM $src GROUP BY 1 HAVING count(*) >= 2),
+    * count ≥ 2 within `dupSrc`, which defaults to `src`) → merged maximal
+    * spans (break when start gap > k). `src`/`dupSrc` must expose
+    * (doc_id, pos, ghv) — [[gramPosCte]]'s `posg`, or filtered views of it
+    * (subset-scoped span dedup marks and counts within the subset; the
+    * incremental path counts over the FULL corpus but marks only delta
+    * positions). Ends in sp(doc_id, island, s, e). */
+  def spanCtes(k: Int, src: String = "posg", dupSrc: String = ""): String = {
+    val d = if (dupSrc.isEmpty) src else dupSrc
+    s"""dupg AS (SELECT ghv FROM $d GROUP BY 1 HAVING count(*) >= 2),
        |dpo AS (SELECT $src.doc_id, $src.pos FROM $src JOIN dupg USING (ghv)),
        |lagd AS (SELECT doc_id, pos,
        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dpo),
@@ -72,6 +75,7 @@ private[queries] object DocSql {
        |      OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd),
        |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + ${k - 1} AS e
        |  FROM isl GROUP BY 1, 2)""".stripMargin
+  }
 
   /** Mirror of Dedup.simhashOf: ends in sh(doc_id, simhash). Requires
     * [[toksCte]]. */

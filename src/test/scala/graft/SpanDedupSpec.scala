@@ -48,6 +48,22 @@ class SpanDedupSpec extends SparkSpec {
     assert(cl(5L) == "tiny doc")
   }
 
+  test("incremental spans against a stored index equal the batch run restricted to the delta") {
+    import org.apache.spark.sql.functions.col
+    val delta = corpus.filter($"id" % 2 === 0)   // docs 2, 4
+    val rest = corpus.filter($"id" % 2 =!= 0)    // docs 1, 3, 5
+    val t = SpanDedup.buildIndex(rest, "id", "text", 5,
+      "spanspec", "/tmp/graft_spidx/spanspec", 4)
+    val inc = SpanDedup.incrementalSpanStats(spark, t, delta, "id", "text", 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = SpanDedup.spanStats(corpus, "id", "text", 5)
+      .join(delta.select(col("id")), Seq("id"), "left_semi")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(inc == batch)
+    // Non-vacuous: doc 2 shares its span with indexed doc 1.
+    assert(inc.exists(r => r._1 == 2L && r._3 > 0))
+  }
+
   test("repartition-stable: same spans from a reshuffled corpus") {
     val a = SpanDedup.spanStats(corpus, "id", "text", 5)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
