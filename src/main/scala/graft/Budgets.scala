@@ -58,6 +58,7 @@ object Budgets {
     "events_session_stats" -> 1.6,
     "events_sessionized" -> 1.5,
     "hybrid_rrf_topk" -> 2.2,
+    "io_jsonl_roundtrip" -> 1.6, // r6 sample 0.63 incl. the one-time JSONL export
     "io_npy_shard_roundtrip" -> 1.9,
     "ivf_ann_topk" -> 2.3,
     "ivf_kmeans_recall" -> 5.7,

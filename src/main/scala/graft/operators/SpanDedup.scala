@@ -133,6 +133,23 @@ object SpanDedup {
       idCol, k)
   }
 
+  /** Streaming face of [[incrementalSpanStats]] — span-dedup the crawl as
+    * it arrives: each micro-batch probes the persisted count index through
+    * the identical batch transform (the foreachBatch bridge every
+    * index-probing stream face here uses — bucketed-table joins are
+    * batch-only). Batches are independent (marks depend on the stored
+    * corpus and the batch itself), so per-batch output equals the batch
+    * operator on the same rows (asserted in SpanDedupSpec). */
+  def incrementalSpanStream(spark: SparkSession, table: IndexTable,
+      deltaStream: DataFrame, idCol: String, textCol: String, k: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(incrementalSpanStats(spark, table, batch, idCol, textCol, k), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Per-delta-document span accounting over [[incrementalSpans]] — the
     * ingest-batch report: (idCol, n_tokens, n_spans, dup_tokens). */
   def incrementalSpanStats(spark: SparkSession, table: IndexTable,

@@ -62,6 +62,28 @@ object IoQueries extends graft.QueryModule {
       graft.operators.Merge.delete(docs, forget, "doc_id")
         .select(col("doc_id"), md5(col("text")).as("content_hash"))
     }),
+    // JSONL sink + source round trip — the interchange format every crawl
+    // pipeline ingests and emits. Spark writes the documents table as
+    // partitioned JSONL and reads it back under a DECLARED schema (never
+    // inference — at 100 TB schema inference is a full extra pass); the
+    // gate pins count, id sum, and a whole-text md5-hash sum against the
+    // oracle's direct computation from parquet, so a mangled escape,
+    // dropped row, or lossy field in either direction turns the row red.
+    "io_jsonl_roundtrip" -> ((s, dir) => {
+      val path = graft.Layouts.once(s, s"jsonl:$dir") {
+        val p = s"/tmp/graft_jsonl/${graft.Layouts.tag(dir)}"
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "text")
+          .write.mode("overwrite").json(p)
+        p
+      }
+      val back = s.read
+        .schema("doc_id LONG, lang STRING, source STRING, text STRING")
+        .json(path)
+      back.agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
+        count_distinct(col("lang")).as("n_langs"))
+    }),
     "io_npy_shard_roundtrip" -> ((s, dir) => {
       val (out, parts) = Export.ensure(s, dir)
       import s.implicits._
@@ -97,5 +119,14 @@ object IoQueries extends graft.QueryModule {
     "io_npy_shard_roundtrip" ->
       s"""SELECT count(*) AS n_rows, CAST($Shards AS BIGINT) AS n_shards,
          |  CAST(0 AS BIGINT) AS n_mismatch
-         |FROM embeddings""".stripMargin)
+         |FROM embeddings""".stripMargin,
+    // Direct recomputation from parquet: equality pins the JSONL write+read
+    // as content-preserving (md5 over the full text catches any escaping
+    // or truncation defect).
+    "io_jsonl_roundtrip" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM documents""".stripMargin)
 }

@@ -64,6 +64,25 @@ class SpanDedupSpec extends SparkSpec {
     assert(inc.exists(r => r._1 == 2L && r._3 > 0))
   }
 
+  test("streaming incremental spans: per-batch results equal the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rest = corpus.filter($"id" % 2 =!= 0)
+    val t = SpanDedup.buildIndex(rest, "id", "text", 5,
+      "spanstream", "/tmp/graft_spidx/spanstream", 4)
+    val rows = corpus.filter($"id" % 2 === 0).as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Long)]]()
+    val query = SpanDedup.incrementalSpanStream(spark, t,
+      input.toDF().toDF("id", "text"), "id", "text", 5)(
+      (df, id) => got(id) = df.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq)
+    try { input.addData(rows); query.processAllAvailable() } finally query.stop()
+    val batch = SpanDedup.incrementalSpanStats(spark, t,
+      rows.toDF("id", "text"), "id", "text", 5)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got(0L) == batch && batch.exists(_._3 > 0))
+  }
+
   test("repartition-stable: same spans from a reshuffled corpus") {
     val a = SpanDedup.spanStats(corpus, "id", "text", 5)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
