@@ -111,15 +111,26 @@ object Pipeline {
 
   // ---- Training-data preparation (BASELINE.json north star) ---------------
 
+  /** Chunk/pack geometry — ONE source for the training pipeline, the
+    * selection pipeline, and the stage-level chunk/pack queries (and
+    * through them every oracle mirror): a retune edited here moves all of
+    * them together. */
+  object ChunkPack {
+    val Window = 128   // model-context tokens per chunk
+    val Stride = 96    // 32-token overlap between neighbors
+    val Groups = 32    // parallel packing groups (id mod groups)
+    val Budget = 4096L // tokens per training shard
+  }
+
   case class TrainingConfig(
       minTokens: Long = 5,       // drop ultra-short docs
       maxRepRatio: Double = 0.2, // Gopher-style intra-doc repetition cut
       gramN: Int = 3,
       minJaccard: Double = 0.5,  // near-dup threshold
-      window: Int = 128,         // model-context tokens per chunk
-      stride: Int = 96,
-      packGroups: Int = 32,
-      packBudget: Long = 4096L)  // tokens per training shard
+      window: Int = ChunkPack.Window,
+      stride: Int = ChunkPack.Stride,
+      packGroups: Int = ChunkPack.Groups,
+      packBudget: Long = ChunkPack.Budget)
 
   case class TrainingData(
       cleaned: DataFrame,  // (id, text, n_tokens) quality-surviving docs
@@ -168,10 +179,10 @@ object Pipeline {
       buckets: Int = 4096,  // DSIR hashed-feature buckets
       m: Int = 50,          // documents to select
       spanK: Int = 8,       // ExactSubstr window width within the selection
-      window: Int = 128,
-      stride: Int = 96,
-      packGroups: Int = 32,
-      packBudget: Long = 4096L)
+      window: Int = ChunkPack.Window,
+      stride: Int = ChunkPack.Stride,
+      packGroups: Int = ChunkPack.Groups,
+      packBudget: Long = ChunkPack.Budget)
 
   case class SelectedData(
       weights: DataFrame, // (id, w_e6) over the full pool
@@ -198,9 +209,14 @@ object Pipeline {
       textCol, cfg.buckets)
     val sample = Caches.cached(graft.operators.Dsir.gumbelTopM(weights, idCol, cfg.m))
     val selected = Caches.cached(pool.join(sample.select(col(idCol)), Seq(idCol)))
-    val spans = graft.operators.SpanDedup.spanStats(selected, idCol, textCol, cfg.spanK)
+    // One span-mark pass shared by the stats and the cut — the mark DAG
+    // (positional hashes + corpus count + mark-join + island merge) is the
+    // pipeline's heavy stage; running it per consumer would double it.
+    val spanFrame = Caches.cached(
+      graft.operators.SpanDedup.duplicateSpans(selected, idCol, textCol, cfg.spanK))
+    val spans = graft.operators.SpanDedup.spanStatsFrom(spanFrame, selected, idCol, textCol)
     val clean = Caches.cached(
-      graft.operators.SpanDedup.removeSpans(selected, idCol, textCol, cfg.spanK)
+      graft.operators.SpanDedup.removeSpansFrom(spanFrame, selected, idCol, textCol)
         .select(col(idCol), col("clean_text"),
           graft.functions.TextFunctions.tokenCount(col("clean_text")).as("n_tokens"))
         .filter(col("n_tokens") > 0))

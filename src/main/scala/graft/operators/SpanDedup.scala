@@ -169,8 +169,15 @@ object SpanDedup {
     * how aggressive the cut is: (idCol, n_tokens, n_spans, dup_tokens),
     * all exact longs, one row per input document. */
   def spanStats(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val st = duplicateSpans(df, idCol, textCol, k)
+      k: Int): DataFrame =
+    spanStatsFrom(duplicateSpans(df, idCol, textCol, k), df, idCol, textCol)
+
+  /** [[spanStats]] over a precomputed [[duplicateSpans]] frame — callers
+    * composing stats AND the cut (the selection pipeline) cache the span
+    * frame once instead of re-running the whole mark pipeline twice. */
+  def spanStatsFrom(spans: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val st = spans
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
@@ -188,8 +195,14 @@ object SpanDedup {
     * tokens) and anti-joined on (id, position) — an equi-join, never a
     * range probe. */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val covered = duplicateSpans(df, idCol, textCol, k)
+      k: Int): DataFrame =
+    removeSpansFrom(duplicateSpans(df, idCol, textCol, k), df, idCol, textCol)
+
+  /** [[removeSpans]] over a precomputed [[duplicateSpans]] frame (see
+    * [[spanStatsFrom]]). */
+  def removeSpansFrom(spans: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val covered = spans
       .select(col(idCol),
         explode(sequence(col("span_start"), col("span_end"))).as("__pos"))
     val toks = df

@@ -25,10 +25,13 @@ object TextQueries extends graft.QueryModule {
   private val BmK1 = 1.2        // BM25 tf saturation
   private val BmB = 0.75        // BM25 length normalization
   private val EnWords = langWords.head._2
-  private val ChunkWindow = 128 // model-context tokens per chunk
-  private val ChunkStride = 96  // 32-token overlap between neighbors
-  private val PackGroups = 32   // parallel packing groups (id mod groups)
-  private val PackBudget = 4096L // tokens per training shard
+  // Chunk/pack geometry from the pipelines' shared source (Pipeline
+  // .ChunkPack) so the stage queries, both composed pipelines, and every
+  // oracle mirror retune together.
+  private val ChunkWindow = graft.Pipeline.ChunkPack.Window
+  private val ChunkStride = graft.Pipeline.ChunkPack.Stride
+  private val PackGroups = graft.Pipeline.ChunkPack.Groups
+  private val PackBudget = graft.Pipeline.ChunkPack.Budget
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token/char counts + ratio features (north-star "quality scoring"

@@ -52,35 +52,46 @@ class SpanDedupSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val delta = corpus.filter($"id" % 2 === 0)   // docs 2, 4
     val rest = corpus.filter($"id" % 2 =!= 0)    // docs 1, 3, 5
+    val tag = specTag()
     val t = SpanDedup.buildIndex(rest, "id", "text", 5,
-      "spanspec", "/tmp/graft_spidx/spanspec", 4)
-    val inc = SpanDedup.incrementalSpanStats(spark, t, delta, "id", "text", 5)
-      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
-    val batch = SpanDedup.spanStats(corpus, "id", "text", 5)
-      .join(delta.select(col("id")), Seq("id"), "left_semi")
-      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
-    assert(inc == batch)
-    // Non-vacuous: doc 2 shares its span with indexed doc 1.
-    assert(inc.exists(r => r._1 == 2L && r._3 > 0))
+      tag, s"/tmp/graft_spidx_spec/$tag", 4)
+    try {
+      val inc = SpanDedup.incrementalSpanStats(spark, t, delta, "id", "text", 5)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val batch = SpanDedup.spanStats(corpus, "id", "text", 5)
+        .join(delta.select(col("id")), Seq("id"), "left_semi")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(inc == batch)
+      // Non-vacuous: doc 2 shares its span with indexed doc 1.
+      assert(inc.exists(r => r._1 == 2L && r._3 > 0))
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${t.counts}")
   }
+
+  /** Per-run unique tag (the DedupSpec convention): concurrent test JVMs
+    * must never share an index path or table name. */
+  private def specTag(): String =
+    "spec_" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
 
   test("streaming incremental spans: per-batch results equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val rest = corpus.filter($"id" % 2 =!= 0)
+    val tag = specTag()
     val t = SpanDedup.buildIndex(rest, "id", "text", 5,
-      "spanstream", "/tmp/graft_spidx/spanstream", 4)
-    val rows = corpus.filter($"id" % 2 === 0).as[(Long, String)].collect().toSeq
-    val input = MemoryStream[(Long, String)]
-    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Long)]]()
-    val query = SpanDedup.incrementalSpanStream(spark, t,
-      input.toDF().toDF("id", "text"), "id", "text", 5)(
-      (df, id) => got(id) = df.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq)
-    try { input.addData(rows); query.processAllAvailable() } finally query.stop()
-    val batch = SpanDedup.incrementalSpanStats(spark, t,
-      rows.toDF("id", "text"), "id", "text", 5)
-      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
-    assert(got(0L) == batch && batch.exists(_._3 > 0))
+      tag, s"/tmp/graft_spidx_spec/$tag", 4)
+    try {
+      val rows = corpus.filter($"id" % 2 === 0).as[(Long, String)].collect().toSeq
+      val input = MemoryStream[(Long, String)]
+      val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Long)]]()
+      val query = SpanDedup.incrementalSpanStream(spark, t,
+        input.toDF().toDF("id", "text"), "id", "text", 5)(
+        (df, id) => got(id) = df.as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq)
+      try { input.addData(rows); query.processAllAvailable() } finally query.stop()
+      val batch = SpanDedup.incrementalSpanStats(spark, t,
+        rows.toDF("id", "text"), "id", "text", 5)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got(0L) == batch && batch.exists(_._3 > 0))
+    } finally spark.sql(s"DROP TABLE IF EXISTS ${t.counts}")
   }
 
   test("repartition-stable: same spans from a reshuffled corpus") {
