@@ -126,6 +126,8 @@ object Budgets {
     "report_source_quality" -> 1.5,
     "sample_docs_hash" -> 1.5,
     "sample_docs_split" -> 1.5,
+    "sample_docs_shuffle" -> 1.5, // r6 sample 0.26
+    "text_vocab_coverage" -> 1.5, // r6 sample 0.60
     "layout_zorder" -> 1.5,
     "profile_sketch_gate" -> 1.5,
     "sample_docs_stratified" -> 1.5,

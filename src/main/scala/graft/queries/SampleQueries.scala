@@ -55,6 +55,24 @@ object SampleQueries extends graft.QueryModule {
     // (temperature 1), i.e. the actual "pick the training subset" output.
     "select_dsir_sample" -> ((s, dir) =>
       graft.operators.Dsir.gumbelTopM(dsirWeights(s, dir), "doc_id", DsirM)),
+    // Deterministic training-order shuffle: every epoch pipeline needs the
+    // corpus in a reproducible pseudo-random order, sharded for parallel
+    // readers. Shard and sort key come from INDEPENDENT md5 hashes of the
+    // id (seeded differently), so within-shard order is uncorrelated with
+    // shard assignment; the rank window partitions by shard — bounded
+    // sorts, never a global single-partition row_number.
+    "sample_docs_shuffle" -> ((s, dir) => {
+      val key = graft.functions.TextFunctions.tokenHash(
+        concat(lit("shufkey"), col("doc_id").cast("string")))
+      val shard = pmod(graft.functions.TextFunctions.tokenHash(
+        concat(lit("shufshard"), col("doc_id").cast("string"))), lit(ShuffleShards.toLong))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("__key"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), key.as("__key"), shard.as("shard"))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
     // The composed selection pipeline as ONE row: DSIR weights → Gumbel
     // top-m → ExactSubstr span-clean WITHIN the selection → chunk → pack.
     // Stages are green individually; this row goes red if the composition
@@ -82,6 +100,7 @@ object SampleQueries extends graft.QueryModule {
 
   private val DsirBuckets = 4096
   private val DsirM = 50
+  private val ShuffleShards = 16
   // Selection-pipeline constants — one source for both engines
   // (Pipeline.SelectConfig defaults must match).
   private val SelSpanK = graft.Pipeline.SelectConfig().spanK
@@ -140,6 +159,14 @@ object SampleQueries extends graft.QueryModule {
          |  FROM t)
          |SELECT doc_id, n_tokens, wkey FROM k
          |ORDER BY wkey DESC, doc_id LIMIT 50""".stripMargin,
+    "sample_docs_shuffle" ->
+      s"""WITH k AS (SELECT doc_id,
+         |    ${DocSql.tokenHashSql("'shufkey' || CAST(doc_id AS VARCHAR)")} AS key,
+         |    ${DocSql.tokenHashSql("'shufshard' || CAST(doc_id AS VARCHAR)")} % $ShuffleShards AS shard
+         |  FROM documents)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+         |FROM k""".stripMargin,
     "select_dsir_weights" ->
       s"""WITH ${DocSql.toksCte},
          |$dsirWeightCtes

@@ -24,6 +24,7 @@ object TextQueries extends graft.QueryModule {
   private val HybridMaxDf = 40  // stopdrop lever: corpus df cap on the inverted index
   private val BmK1 = 1.2        // BM25 tf saturation
   private val BmB = 0.75        // BM25 length normalization
+  private val VocabV = 16       // top-V vocabulary (synthetic corpus has 31 distinct tokens)
   private val EnWords = langWords.head._2
   // Chunk/pack geometry from the pipelines' shared source (Pipeline
   // .ChunkPack) so the stage queries, both composed pipelines, and every
@@ -113,6 +114,24 @@ object TextQueries extends graft.QueryModule {
           ExactRound.ratioRound6Int(
             sum(ExactRound.eScaled(col("__lp"), 8).cast("decimal(38,0)")), 8,
             count(lit(1))).as("avg_logprob"))
+    }),
+    // Vocabulary coverage — the tokenizer-training input: build the top-V
+    // corpus vocabulary (count desc, token asc — deterministic at the
+    // boundary) as a bounded take, broadcast it, and report per-doc OOV
+    // counts. At 100 TB the vocab is the only global state and it is
+    // V rows by construction; the coverage pass is one broadcast join.
+    // (V=16 against this corpus's 31-token synthetic vocabulary keeps the
+    // OOV split non-trivial at every SF.)
+    "text_vocab_coverage" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("t")).limit(VocabV)
+        .select(col("t"), lit(1).as("__in"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
     }),
     // Interpolated bigram LM scoring — the CCNet perplexity filter one
     // order up from the unigram query: p(t_i | t_{i-1}) = 0.7·c(prev,cur)/
@@ -421,6 +440,16 @@ object TextQueries extends graft.QueryModule {
          |  ${ExactRound.ratioRound6IntSql(
               s"sum(${ExactRound.eScaledSql("lp", 8)})", 8, "count(*)")} AS avg_logprob
          |FROM lp GROUP BY 1""".stripMargin,
+    "text_vocab_coverage" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
+         |voc AS (SELECT t FROM (
+         |    SELECT t, count(*) AS c FROM tok GROUP BY 1)
+         |  ORDER BY c DESC, t LIMIT $VocabV)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN voc.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |FROM tok LEFT JOIN voc ON tok.t = voc.t
+         |GROUP BY 1""".stripMargin,
     "text_bigram_logprob" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
