@@ -59,8 +59,11 @@ object SampleQueries extends graft.QueryModule {
     // corpus in a reproducible pseudo-random order, sharded for parallel
     // readers. Shard and sort key come from INDEPENDENT md5 hashes of the
     // id (seeded differently), so within-shard order is uncorrelated with
-    // shard assignment; the rank window partitions by shard — bounded
-    // sorts, never a global single-partition row_number.
+    // shard assignment; the rank window partitions by shard — never a
+    // global single-partition row_number. Each shard sorts corpus/shards
+    // rows, so `shards` is the scale lever: at 100 TB set it to
+    // corpus / target-shard-size (the shape IS a distributed sort, keyed
+    // up front); 16 here only matches the test corpus.
     "sample_docs_shuffle" -> ((s, dir) => {
       val key = graft.functions.TextFunctions.tokenHash(
         concat(lit("shufkey"), col("doc_id").cast("string")))
