@@ -113,6 +113,17 @@ class PlanSpec extends SparkSpec {
       s"label extraction should be a keyed min aggregation:\n$plan")
   }
 
+  test("vocab is a bounded take broadcast into the coverage join; shuffle ranks never single-partition") {
+    val vocab = planOf("text_vocab_coverage").split("== Initial Plan ==").head
+    assert(vocab.contains("TakeOrderedAndProject"),
+      s"top-V vocab must be a bounded take, not a global sort:\n$vocab")
+    assert(vocab.contains("BroadcastHashJoin"),
+      s"the V-row vocab should broadcast onto the token stream:\n$vocab")
+    val shuffle = planOf("sample_docs_shuffle").split("== Initial Plan ==").head
+    assert(!shuffle.contains("SinglePartition"),
+      s"shuffle ranks must partition by shard, never collapse globally:\n$shuffle")
+  }
+
   test("dimension joins broadcast the dimension side") {
     val plan = planOf("rel_region_revenue")
     assert(plan.contains("BroadcastHashJoin"),
