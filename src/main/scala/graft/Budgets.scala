@@ -20,6 +20,7 @@ object Budgets {
     "agg_skew_salted" -> 1.5,
     "clean_boilerplate" -> 2.0,
     "clean_contamination" -> 3.6,
+    "clean_normalize" -> 1.5, // r6 sample 0.25
     "clean_pii_redact" -> 1.5,
     "clean_repetition" -> 1.5,
     "dedup_embed_cos_lsh" -> 5.4,

@@ -40,6 +40,20 @@ object CleanFunctions {
     * [[graft.operators.Dedup.shingleHashes]]-compatible folds: callers pass
     * total grams (with repeats) and distinct grams; rows with no grams score
     * 0 (ANSI-safe). */
+  /** Canonical text normalization — NFC compose ([[graft.functions.expr
+    * .NfcNormalize]], native codegen), control chars → space, whitespace
+    * runs collapsed, ends trimmed. Run FIRST in a cleaning pipeline so
+    * byte-different canonically-equal spellings hash/shingle/dedup
+    * identically downstream. (The `\\s+` collapse runs AFTER the control
+    * strip on both engines — Java's `\\s` includes U+000B where RE2's does
+    * not, but the control strip has already removed it.) */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.functions.expr.NfcNormalize(
+          org.apache.spark.sql.GraftExpressionBridge.expression(text))),
+      "[\\p{Cntrl}]", " "), "\\s+", " "))
+
   def repetitionRatio(total: Column, distinct: Column): Column =
     when(total === 0, lit(0.0d))
       .otherwise(ExactRound.ratioRound6PosLong(total - distinct, total))

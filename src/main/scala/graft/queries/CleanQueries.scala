@@ -34,6 +34,21 @@ object CleanQueries extends graft.QueryModule {
       lit(" or 555-123-4567"))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Canonical normalization over a deterministically-messied corpus (the
+    // stand-in for crawl text: decomposed accents, control chars, ragged
+    // whitespace): NFC compose via the native codegen expression, control
+    // strip, whitespace collapse, trim. The oracle replays it through
+    // DuckDB's nfc_normalize (utf8proc) — hash-matching the OUTPUT TEXT
+    // pins that two independent UAX#15 implementations agree byte-for-byte
+    // through the whole cleanup.
+    "clean_normalize" -> ((s, dir) => {
+      // "e" + U+0301 combining acute — DECOMPOSED on purpose, so the gate
+      // exercises real composition, not an ASCII identity pass.
+      val messy = concat(col("text"), lit("  x\t"), lit("é"), lit("  "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          CleanFunctions.normalizeText(messy).as("norm_text"))
+    }),
     "clean_pii_redact" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), withPii("doc_id", "text").as("__t"))
@@ -81,6 +96,15 @@ object CleanQueries extends graft.QueryModule {
     }))
 
   val oracles: Map[String, String] = Map(
+    // Same messying (chr(9) = tab, chr(769) = U+0301 combining acute), then
+    // DuckDB's own utf8proc NFC — byte-equality of the output text pins the
+    // two independent UAX#15 implementations against each other.
+    "clean_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize(text || '  x' || chr(9) || 'e' || chr(769) || '  '),
+        |    '[[:cntrl:]]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
     "clean_pii_redact" ->
       s"""WITH t AS (SELECT doc_id,
          |    text || ' contact user' || CAST(doc_id AS VARCHAR)
