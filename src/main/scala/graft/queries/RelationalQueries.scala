@@ -348,11 +348,17 @@ object RelationalQueries extends graft.QueryModule {
     // the same IEEE multiply + exact floor on both engines (even off-grid),
     // and min/max/mean never leave integer space — no decimal typing, no
     // double rounding, no version surface.
+    // EVERY integer sum is CAST to BIGINT: DuckDB's sum(INTEGER/BIGINT)
+    // returns HUGEINT, which the pandas bridge converts to float64 — the
+    // driver's type-sensitive hash then sees "0.0" vs Spark's "0" and fails
+    // on that column alone while any value-compare passes. This (an uncast
+    // `sum(CASE …) AS n_null`) — not the arithmetic — was the r5/r6
+    // hash-only fail on this query.
     "profile_lineitem_numeric" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
         val e6 = graft.functions.ExactRound.e6Sql(c)
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
-           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_null,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            |  count(DISTINCT $c) AS n_distinct,
            |  min($e6) AS min_e6,
            |  max($e6) AS max_e6,

@@ -176,6 +176,11 @@ object TextQueries extends graft.QueryModule {
     // row with floor(x*1e6 + 0.5) and everything after stays in exact
     // integer space, so neither engine's double-rounding nor decimal-typing
     // rules can reach the hash (the r5/r6 red-pin class).
+    // The ACTUAL r5/r6 fail on this query was none of that: the oracle's
+    // `sum(nt) AS n_tokens` was an uncast DuckDB HUGEINT, which the pandas
+    // bridge converts to float64 — the driver's type-sensitive hash sees
+    // "123.0" vs Spark's "123" on that one column. Every integer sum in an
+    // oracle's output must be CAST to BIGINT.
     "report_source_quality" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"), col("lang"), col("text"),
@@ -482,7 +487,7 @@ object TextQueries extends graft.QueryModule {
                    |      0.3 * least(1.0, 4.0 * CASE WHEN len(t.toks) = 0 THEN 0.0
                    |        ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END)""".stripMargin)} AS q_e6
          |  FROM tokd t JOIN documents d USING (doc_id))
-         |SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+         |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
          |  ${ExactRound.roundDivSql("sum(q_e6)", "count(*)")} AS avg_quality_e6,
          |  ${ExactRound.roundDivSql("(count(*) - count(DISTINCT h)) * 1000000", "count(*)")} AS exact_dup_rate_e6,
          |  count(DISTINCT lang) AS n_langs

@@ -34,9 +34,26 @@ def canon(df):
     key = df.apply(lambda r: "\x00".join(_sort_cell(x) for x in r), axis=1)
     return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
 
+def _is_float(v):
+    return isinstance(v, float) or str(type(v)).find("float") >= 0
+
+def _is_int(v):
+    return (isinstance(v, int) and not isinstance(v, bool)) \
+        or str(type(v)).find("int") >= 0
+
 def eq(a, b):
     if a is None and b is None: return True
-    if isinstance(a, float) and isinstance(b, float):
+    # TYPE-STRICT across the int/float divide: the driver hashes canonical
+    # value reprs, so an oracle column that comes back float64 (e.g. DuckDB
+    # HUGEINT from an uncast integer sum(), via the pandas bridge) hashes as
+    # "0.0" against Spark's int64 "0" and FAILS even though 0 == 0.0. A
+    # tolerant `a == b` here is exactly how the r5/r6
+    # profile_lineitem_numeric / report_source_quality hash-only fails
+    # stayed invisible locally for two rounds.
+    if _is_float(a) != _is_float(b) and (_is_int(a) or _is_int(b)):
+        return False
+    if _is_float(a) and _is_float(b):
+        a, b = float(a), float(b)
         if math.isnan(a) and math.isnan(b): return True
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
     if isinstance(a, (list, tuple)) or str(type(a)).find("ndarray") >= 0:
