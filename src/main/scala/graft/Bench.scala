@@ -11,6 +11,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/tests: the NTZ→LTZ normalization in Tables.events
+      // must mean the same instants wherever timings run.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,13 +46,42 @@ object Bench {
     // dedup_jaccard_pairs is the jaccard family's index builder: it
     // materializes the shared token-hash/shingle/docset caches that
     // dedup_clusters (alphabetically first otherwise) would absorb.
+    // select_dsir_sample/select_dsir_weights are the DSIR family's
+    // producers: they materialize the shared pool feature-count cache so
+    // pipeline_dsir_select times the COMPOSITION, not the one-time DSIR
+    // model build it used to absorb as the family's alphabetically-first
+    // row (34.8 s vs its 21 s budget in the r6 driver record).
     val producers = Seq("embed_hash_tf", "join_bucketed_build",
       "dedup_jaccard_index_build", "dedup_jaccard_pairs", "lsh_index_build",
-      "pq_index_build", "dedup_span_index_build")
+      "pq_index_build", "dedup_span_index_build", "select_dsir_sample",
+      "select_dsir_weights")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val ordered = selected.filter(q => producers.contains(q._1)) ++
       selected.filterNot(q => producers.contains(q._1))
+    // Machine calibration: a fixed synthetic CPU+shuffle workload (no IO,
+    // no data dependence) timed on THIS box right before the measured pass.
+    // Budgets are recorded as 2.5x clean-box samples; the breach check
+    // scales them by calib/CalibRef (clamped to [1, 3]) so a loaded or
+    // slower machine doesn't turn scheduler noise into "breaches" — and a
+    // normal machine keeps the tight budgets (the r6 advice: don't size
+    // hard gates to the slowest observed box).
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 40000000L, 1L, cpus.toInt)
+        .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("id")).as("h"))
+        .groupBy(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("h"),
+          org.apache.spark.sql.functions.lit(1024L)).as("g"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("h")).as("s"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce() // warm the calibration plan's codegen
+    val calib = math.min(calibOnce(), calibOnce())
+    val factor = math.min(3.0, math.max(1.0, calib / Budgets.CalibRef))
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -61,7 +93,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Budget check (sf0.1 budgets — only meaningful at the driver's SF).
     val breaches = results.collect {
-      case (n, t) if Budgets.perQuery.get(n).exists(t > _) => "\"" + n + "\""
+      case (n, t) if Budgets.perQuery.get(n).exists(t > _ * factor) => "\"" + n + "\""
     }.mkString("[", ",", "]")
     // Per-query detail first, compact headline LAST: the round driver
     // captures the TAIL of stdout, and in r5 the long per-query map pushed
@@ -69,7 +101,7 @@ object Bench {
     // (BENCH_r05.json parsed: null). The last line must always be the one
     // the driver parses.
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"budget_breaches":$breaches}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib_sec":${fmt(calib)},"budget_factor":${fmt(factor)},"budget_breaches":$breaches}""")
     spark.stop()
   }
 }

@@ -50,6 +50,11 @@ object Tables {
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else raw
+    // NOTE: a TIMESTAMP(MICROS) file without isAdjustedToUTC reads as
+    // TIMESTAMP_NTZ under Spark 4's NTZ inference. That faithful type is
+    // kept — the oracle engine reads the same naive column, so emitted
+    // timestamps must stay naive — and instant-needing consumers cast to
+    // LTZ inside their computation (EventStreams.tsMicros).
     Schemas.byName.get("events").foreach(validate("events", df.schema, _))
     df
   }

@@ -39,6 +39,20 @@ object Bucketed {
       .saveAsTable(tableName)
   }
 
+  /** Append `df` into an existing bucketed table with the SAME bucket spec
+    * (Spark validates the spec against the catalog entry): the delta rows
+    * hash into the same bucket files as the base build, so every downstream
+    * co-located join/probe keeps its exchange-free plan — the O(delta)
+    * ingest half of the write-once trade above. Each append adds at most
+    * one file per bucket; periodic compaction (re-running the overwrite
+    * form) bounds file counts in a long-lived deployment. */
+  def appendBucketedKeys(df: DataFrame, tableName: String,
+      keys: Seq[String], numBuckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(tableName)
+
   /** Equi-join two tables bucketed on `key` with the same bucket count:
     * both scans report the same HashPartitioning, so the join (and any
     * following aggregation on `key`) plans exchange-free. */

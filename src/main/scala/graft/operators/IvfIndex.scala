@@ -101,6 +101,43 @@ object IvfIndex {
   def write(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
+  /** Quantizer-drift metric — the signal a deployment schedules index
+    * rebuilds by (the append-ingest invariant: deltas encode against the
+    * STORED model, so once the corpus has drifted from the fit, rebuild):
+    * the fraction of corpus vectors whose nearest centroid changed between
+    * two fits. Centroids are compared BY VALUE (the assigned centroid
+    * vectors), not by list_id, so a relabeled-but-identical centroid set
+    * reports zero drift and a genuinely moved centroid always counts —
+    * for re-fits that keep most centroids (the deterministic-seed case,
+    * where centroids are corpus vectors) this is exactly "would this
+    * vector's inverted list move". Output: (n_vectors, n_changed,
+    * drift_e6), drift_e6 = round(1e6·changed/n).
+    *
+    * Scale shape: both argmin assignments are literal-centroid projections
+    * fused into ONE corpus scan ([[assign]] twice on the same frame); the
+    * centroid-vector attach is two broadcast joins of `lists`-row tables;
+    * the result is a single aggregate. No shuffle touches the corpus. */
+  def assignmentDrift(corpus: DataFrame, idCol: String, vecCol: String,
+      oldModel: Model, newModel: Model, metric: Metric): DataFrame = {
+    val a = assign(corpus, idCol, vecCol, oldModel, metric)
+      .withColumnRenamed("list_id", "__lid_old")
+    val b = assign(a, idCol, vecCol, newModel, metric)
+    val withC = b
+      .join(broadcast(oldModel.centroids.select(
+        col("list_id").as("__lid_old"),
+        col("centroid").cast("array<double>").as("__c_old"))), "__lid_old")
+      .join(broadcast(newModel.centroids.select(
+        col("list_id"),
+        col("centroid").cast("array<double>").as("__c_new"))), "list_id")
+    withC
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("__c_old") === col("__c_new"), 0L).otherwise(1L))
+          .as("n_changed"))
+      .select(col("n_vectors"), col("n_changed"),
+        graft.functions.ExactRound.roundDiv(
+          col("n_changed") * lit(1000000L), col("n_vectors")).as("drift_e6"))
+  }
+
   /** Probe-pruned ANN top-k. `indexed` must already carry `list_id`
     * (from [[assign]] or a partitioned read). */
   def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,

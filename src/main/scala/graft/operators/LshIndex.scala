@@ -56,14 +56,44 @@ object LshIndex {
     * bucketizing the corpus per query. `corpus` still supplies the vectors
     * (the index stores only the bucket entries). Identical output to
     * [[annTopK]] with the same parameters — the stored query shares
-    * `lsh_ann_topk`'s oracle verbatim. */
+    * `lsh_ann_topk`'s oracle verbatim.
+    *
+    * `recapAt`: for an index that has received [[appendToIndex]] deltas,
+    * pass the bucket cap here — appends are written uncapped (capping is a
+    * skew guard, not index semantics, and a delta batch can't know the
+    * union bucket sizes), so the probe re-applies the cap over the union at
+    * read time. None (the default) keeps the build-time-capped fast path:
+    * no extra window over the index. */
   def annTopKStored(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String, indexTable: String,
       k: Int, dim: Int, bucketLength: Double, numTables: Int,
-      numPlanes: Int): DataFrame =
+      numPlanes: Int, recapAt: Option[Long] = None): DataFrame = {
+    val stored = queries.sparkSession.table(indexTable)
+    val cb = recapAt.map(Salt.capBuckets(stored, Seq("tbl", "bucket"), _))
+      .getOrElse(stored)
     annTopKOfBuckets(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
-      queries.sparkSession.table(indexTable), k, dim, bucketLength,
-      numTables, numPlanes)
+      cb, k, dim, bucketLength, numTables, numPlanes)
+  }
+
+  /** O(delta) ingest for a stored [[writeIndex]] table (the daily-crawl
+    * path): hash ONLY the delta rows against the SAME deterministic
+    * projection planes (derived from md5 constants — the planes ARE the
+    * stored model) and append their bucket entries into the bucketed
+    * layout. The base corpus is never re-read or re-hashed — the same
+    * contract as [[JaccardIndex]]'s incremental ingest. Delta entries are
+    * written UNCAPPED: the cap is a probe-time skew guard
+    * ([[annTopKStored]]'s `recapAt`), because a delta batch cannot know
+    * union bucket sizes without scanning the base — re-capping at write
+    * would make ingest O(corpus). Rebuild equivalence: bucketize is
+    * row-local, so base ∪ delta entries equal a from-scratch bucketize of
+    * the union corpus exactly (gated by `lsh_index_append` /
+    * `lsh_ann_appended_topk`). */
+  def appendToIndex(delta: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bucketLength: Double, numTables: Int, numPlanes: Int,
+      tableName: String, numBuckets: Int): Unit =
+    Bucketed.appendBucketedKeys(
+      RpLsh.bucketize(delta, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
+      tableName, Seq("tbl", "bucket"), numBuckets)
 
   private def annTopKOfBuckets(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, corpus: DataFrame, idCol: String, vecCol: String,

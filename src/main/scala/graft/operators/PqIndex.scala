@@ -231,6 +231,32 @@ object PqIndex {
       .option("path", path).saveAsTable(tableName)
   }
 
+  /** O(delta) ingest for the stored [[writeIvfIndex]] layout (the
+    * daily-crawl path): assign + encode ONLY the delta rows against the
+    * STORED coarse centroids and codebooks and append them into the
+    * list-partitioned codes table — the base corpus is never re-read or
+    * re-encoded, so a daily batch costs O(|delta|) instead of the full
+    * re-encode a rebuild-only index forces (the gap the reference's
+    * truncate-then-reload loaders have, `load_skill_vectors_pg.py:29-31`).
+    * Both steps are pure projections, so the append is one delta-scan
+    * write job touching only the delta's list_id partitions.
+    *
+    * Append-mode invariant: `pqModel`/`ivfModel` MUST be the models the
+    * base build used — encoding deltas against re-fitted models silently
+    * mixes incompatible code spaces. Re-fitting requires a rebuild;
+    * `ivf_drift_summary` is the metric a deployment schedules rebuilds by.
+    * Rebuild equivalence (same models ⇒ appended table ≡ from-scratch
+    * encode of the union) is exact because assign/encode are
+    * row-deterministic — gated by `pq_index_append` / `ivfpq_appended_topk`. */
+  def appendToIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
+      pqModel: Model, ivfModel: IvfIndex.Model,
+      metric: graft.functions.VectorFunctions.Metric, tableName: String): Unit =
+    IvfIndex.assign(delta, idCol, vecCol, ivfModel, metric)
+      .select(col(idCol), col("list_id"))
+      .join(encode(delta, idCol, vecCol, pqModel), idCol)
+      .select(col(idCol), col("codes"), col("list_id"))
+      .write.mode("append").insertInto(tableName)
+
   /** ADC + refine (the "IVFADC+R" production shape): [[search]] overfetches
     * k·`overfetch` candidates from the code scan, then ONLY those rows'
     * true vectors are read back and exact-ranked. The expensive full-width

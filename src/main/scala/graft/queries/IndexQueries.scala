@@ -87,6 +87,57 @@ object IndexQueries extends graft.QueryModule {
       }
   }
 
+  /** Deterministic base/delta split for the append-ingest gates: the delta
+    * is every tenth corpus row ABOVE the seed range (skill_id % 10 == 7 and
+    * skill_id >= 36 — corpus ids start at NQ=20, so the 16 lowest ids
+    * 20..35 that seed BOTH quantizer fits always stay in the base). Models
+    * fit on the base therefore equal full-corpus fits, which is exactly the
+    * append-mode contract: deltas are encoded against the STORED models,
+    * and the oracle replays the full-corpus build. */
+  private def appendSplit(c: DataFrame): (DataFrame, DataFrame) = {
+    val isDelta = pmod(col("skill_id"), lit(10L)) === 7L && col("skill_id") >= 36L
+    (c.filter(!isDelta), c.filter(isDelta))
+  }
+
+  /** Stored IVF-PQ codes built on the BASE slice then delta-appended
+    * against the stored models ([[PqIndex.appendToIvfIndex]]) — the
+    * O(delta) daily-crawl ingest the rebuild-only layouts lack.
+    * `pq_index_append` pays build + append as a Bench producer. */
+  private object PqAppendLayout {
+    def ensure(s: SparkSession, dir: String): String =
+      graft.Layouts.once(s, s"pqapp:$dir") {
+        val tag = graft.Layouts.tag(dir)
+        val name = s"graft_pqapp_$tag"
+        val (_, c) = Fixtures.split(s, dir)
+        val (base, delta) = appendSplit(c)
+        val pqModel = PqIndex.fitSeeds(base, "skill_id", "svec", PqM, PqK)
+        val ivfModel = IvfIndex.fitSeeds(base, "skill_id", "svec", Lists)
+        PqIndex.writeIvfIndex(base, "skill_id", "svec", pqModel, ivfModel,
+          Cosine, name, s"/tmp/graft_pqapp/$tag")
+        PqIndex.appendToIvfIndex(delta, "skill_id", "svec", pqModel, ivfModel,
+          Cosine, name)
+        name
+      }
+  }
+
+  /** Stored LSH bucket table built on the BASE slice then delta-appended
+    * against the same md5-derived planes ([[LshIndex.appendToIndex]]);
+    * probes re-cap over the union at read time. */
+  private object LshAppendLayout {
+    def ensure(s: SparkSession, dir: String): String =
+      graft.Layouts.once(s, s"lshapp:$dir") {
+        val tag = graft.Layouts.tag(dir)
+        val name = s"graft_lshapp_$tag"
+        val (_, c) = Fixtures.split(s, dir)
+        val (base, delta) = appendSplit(c)
+        LshIndex.writeIndex(base, "skill_id", "svec", Dim, LshBucketLen,
+          LshTables, LshPlanes, name, s"/tmp/graft_lshapp/$tag", 8)
+        LshIndex.appendToIndex(delta, "skill_id", "svec", Dim, LshBucketLen,
+          LshTables, LshPlanes, name, 8)
+        name
+      }
+  }
+
   private def ivfParts(s: SparkSession, dir: String) = {
     val (q, c) = Fixtures.split(s, dir)
     val model = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
@@ -320,6 +371,69 @@ object IndexQueries extends graft.QueryModule {
               col("__r_seed").cast("string"), lit(" kmeans="),
               col("__r_km").cast("string")))).as("recall_ok"))
     }),
+    // Append-ingest rebuild equivalence, PQ side: base build + O(delta)
+    // append must equal a from-scratch encode of the FULL corpus — the
+    // oracle IS pq_index_build's full-corpus recount (rows + the
+    // position-weighted code checksum), so a dropped delta row, a stale
+    // model, or a double-append all turn this red.
+    "pq_index_append" -> ((s, dir) => {
+      val t = PqAppendLayout.ensure(s, dir)
+      s.table(t).agg(count(lit(1)).as("n_rows"),
+        sum(aggregate(zip_with(col("codes"),
+            sequence(lit(1), lit(PqM)), (c, i) => c.cast("long") * i),
+          lit(0L), (a, x) => a + x)).as("code_checksum"))
+    }),
+    // IVFADC over the APPENDED layout: probe-pruned search of the
+    // base+delta codes table must answer exactly like ivfpq_ann_topk over
+    // the whole corpus (shares its oracle verbatim) — ingest must change
+    // nothing a reader sees.
+    "ivfpq_appended_topk" -> ((s, dir) => {
+      val t = PqAppendLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      val ivfModel = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+      val pqModel = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      PqIndex.searchIvf(q, "job_id", "qvec", s.table(t), "skill_id",
+        ivfModel, pqModel, K, Probes, Cosine)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // Append-ingest rebuild equivalence, LSH side: the uncapped delta
+    // append re-capped over the union at read must recount exactly like a
+    // capped from-scratch bucketize of the full corpus (lsh_index_build's
+    // oracle).
+    "lsh_index_append" -> ((s, dir) => {
+      val t = LshAppendLayout.ensure(s, dir)
+      val cb = graft.operators.Salt.capBuckets(s.table(t),
+        Seq("tbl", "bucket"), Cap)
+      cb.agg(count(lit(1)).as("n_entries"))
+        .crossJoin(cb.select("tbl", "bucket").distinct()
+          .agg(count(lit(1)).as("n_buckets")))
+    }),
+    // Probing the appended LSH index (recapAt = the probe-time skew guard)
+    // must answer exactly like lsh_ann_topk over the whole corpus — shares
+    // that oracle verbatim.
+    "lsh_ann_appended_topk" -> ((s, dir) => {
+      val t = LshAppendLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      LshIndex.annTopKStored(q, "job_id", "qvec", c, "skill_id", "svec", t,
+        K, Dim, LshBucketLen, LshTables, LshPlanes, recapAt = Some(Cap))
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // Quantizer drift after a re-fit — the rebuild scheduler's signal the
+    // append-ingest invariant calls for (appendToIvfIndex encodes deltas
+    // against the STORED model; once assignments drift, rebuild).
+    // Deterministic scenario: the stored quantizer was fit before the two
+    // lowest-id corpus vectors existed; the re-fit sees them and the seed
+    // set shifts by two. Both fits are seed-deterministic, so the
+    // changed-assignment fraction is exact and the oracle replays the
+    // whole metric — assignments compared by centroid VALUE, immune to
+    // list relabeling.
+    "ivf_drift_summary" -> ((s, dir) => {
+      val (_, c) = Fixtures.split(s, dir)
+      val oldModel = IvfIndex.fitSeeds(
+        c.filter(col("skill_id") >= 22L), "skill_id", "svec", Lists)
+      val newModel = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+      IvfIndex.assignmentDrift(c, "skill_id", "svec", oldModel, newModel, Cosine)
+    }),
     "ivf_kmeans_recall" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
       val model = IvfIndex.fitKMeans(c, "svec", Lists)
@@ -462,9 +576,43 @@ object IndexQueries extends graft.QueryModule {
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
          |FROM xr WHERE rank <= $K""".stripMargin
 
+  /** Drift oracle: both seed fits replayed from scratch (old excludes the
+    * two lowest corpus ids), nearest centroid per vector under each,
+    * changed = assigned centroid VECTORS differ. Integer counts only;
+    * drift_e6 via the shared rounded-division twin. */
+  private val driftSql: String = {
+    def centCte(name: String, pred: String) =
+      s"""$name AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS list_id,
+         |    svec AS centroid
+         |  FROM (SELECT skill_id, svec FROM c $pred ORDER BY skill_id LIMIT $Lists))""".stripMargin
+    def asgCte(name: String, cent: String) =
+      s"""$name AS (SELECT skill_id, centroid FROM (
+         |    SELECT c.skill_id, $cent.centroid,
+         |      row_number() OVER (PARTITION BY c.skill_id
+         |        ORDER BY 1.0 - list_cosine_similarity(c.svec, $cent.centroid), $cent.list_id) AS pick
+         |    FROM c CROSS JOIN $cent) WHERE pick = 1)""".stripMargin
+    s"""WITH $cCte,
+       |${centCte("co", "WHERE skill_id >= 22")},
+       |${centCte("cn", "")},
+       |${asgCte("ao", "co")},
+       |${asgCte("an", "cn")},
+       |j AS (SELECT ao.skill_id,
+       |    CASE WHEN ao.centroid = an.centroid THEN 0 ELSE 1 END AS chg
+       |  FROM ao JOIN an USING (skill_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       |  CAST(sum(chg) AS BIGINT) AS n_changed,
+       |  ${graft.functions.ExactRound.roundDivSql("sum(chg) * 1000000", "count(*)")} AS drift_e6
+       |FROM j""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "ivfpq_ann_topk" -> ivfpqSql,
     "ivfpq_stored_topk" -> ivfpqSql,
+    // Append-ingest gates: the appended layouts must be indistinguishable
+    // from a from-scratch build over the union corpus, so each shares the
+    // corresponding full-corpus oracle verbatim.
+    "ivfpq_appended_topk" -> ivfpqSql,
+    "ivf_drift_summary" -> driftSql,
     "pq_ann_topk" ->
       s"""WITH $pqCtes
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
@@ -480,6 +628,21 @@ object IndexQueries extends graft.QueryModule {
          |SELECT count(DISTINCT skill_id) AS n_rows,
          |  CAST(sum((m + 1) * k) AS BIGINT) AS code_checksum
          |FROM enc""".stripMargin,
+    // Base build + O(delta) append recounted as ONE from-scratch encode of
+    // the union corpus — byte-for-byte the pq_index_build oracle.
+    "pq_index_append" ->
+      s"""WITH $pqCtes
+         |SELECT count(DISTINCT skill_id) AS n_rows,
+         |  CAST(sum((m + 1) * k) AS BIGINT) AS code_checksum
+         |FROM enc""".stripMargin,
+    "lsh_ann_appended_topk" -> lshAnnSql,
+    "lsh_index_append" ->
+      s"""WITH $cCte,
+         |cb AS (${graft.operators.RpLsh.bucketsSql("c", "skill_id", "svec", Dim, LshBucketLen, LshTables, LshPlanes)}),
+         |cbc AS (SELECT * FROM cb
+         |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $Cap)
+         |SELECT (SELECT count(*) FROM cbc) AS n_entries,
+         |  (SELECT count(*) FROM (SELECT DISTINCT tbl, bucket FROM cbc)) AS n_buckets""".stripMargin,
     "pq_refine_topk" ->
       s"""WITH $pqCtes,
          |$pqRefineCtes

@@ -245,7 +245,8 @@ object RelationalQueries extends graft.QueryModule {
         .join(ev.select(col("event_id"), col("ts")), "event_id")
         .groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
-          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"))
+          (max(graft.streaming.EventStreams.tsMicros(col("ts"))) -
+            min(graft.streaming.EventStreams.tsMicros(col("ts")))).as("duration_us"))
     }))
 
   private val money = "DECIMAL(18,4)"

@@ -20,6 +20,15 @@ object EventStreams {
   /** Session gap: events further apart than this start a new session. */
   val SessionGapUs: Long = 1800L * 1000000L // 30 min in microseconds
 
+  /** Epoch-micros of an event-time column, NTZ-tolerant: `unix_micros` is
+    * LTZ-only, and a parquet TIMESTAMP(MICROS) without isAdjustedToUTC now
+    * reads as TIMESTAMP_NTZ (Spark 4 NTZ inference over the regenerated
+    * testdata). The cast re-declares naive wall time as an instant in the
+    * session zone — every entry point pins UTC, so this equals DuckDB's
+    * `epoch_us` of the same naive column; on an LTZ column it's a no-op. */
+  def tsMicros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** Tumbling hourly counts per event type. Works unchanged on a batch frame
     * or a watermarked streaming frame (append mode emits finalized windows). */
   def hourlyTypeCounts(events: DataFrame): DataFrame =
@@ -98,9 +107,9 @@ object EventStreams {
     * Output: (user_id, event_id, session_id 1..n per user). */
   def sessionizeBatch(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val prevTs = lag(unix_micros(col("ts")), 1).over(w)
+    val prevTs = lag(tsMicros(col("ts")), 1).over(w)
     val isNew = when(prevTs.isNull ||
-      unix_micros(col("ts")) - prevTs > SessionGapUs, 1L).otherwise(0L)
+      tsMicros(col("ts")) - prevTs > SessionGapUs, 1L).otherwise(0L)
     events
       .withColumn("session_id",
         sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

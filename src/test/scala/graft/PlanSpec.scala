@@ -170,6 +170,42 @@ class PlanSpec extends SparkSpec {
       s"argmin should be the literal-centroid sort projection:\n$plan")
   }
 
+  test("ANN append ingest scans ONLY the delta; base corpus and stored index never read") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{IvfIndex, PqIndex}
+    // The exact frame appendToIvfIndex writes: assign + encode of the
+    // delta slice against given models. O(delta) means every source scan
+    // carries the delta predicate and nothing else is read.
+    // Cache-free plan: other suites' Caches frames over the same corpus
+    // would otherwise substitute an InMemoryTableScan whose INNER plan
+    // (the cache's own unfiltered build scan) trips the leak detector —
+    // a shared-test-JVM artifact, not an ingest property.
+    graft.Caches.clear()
+    spark.sharedState.cacheManager.clearCache()
+    val emb = graft.io.Tables.embeddings(spark, dir)
+    val c = emb.filter(col("vec_id") >= 20)
+      .select(col("vec_id").as("skill_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("svec"))
+    val isDelta = pmod(col("skill_id"), lit(10L)) === 7L && col("skill_id") >= 36L
+    val (base, delta) = (c.filter(!isDelta), c.filter(isDelta))
+    val pqModel = PqIndex.fitSeeds(base, "skill_id", "svec", 8, 16)
+    val ivfModel = IvfIndex.fitSeeds(base, "skill_id", "svec", 4)
+    val frame = IvfIndex.assign(delta, "skill_id", "svec", ivfModel,
+        graft.functions.VectorFunctions.Cosine)
+      .select(col("skill_id"), col("list_id"))
+      .join(PqIndex.encode(delta, "skill_id", "svec", pqModel), "skill_id")
+      .select(col("skill_id"), col("codes"), col("list_id"))
+    frame.collect()
+    val plan = frame.queryExecution.executedPlan.toString
+    val unfiltered = plan.linesIterator
+      .filter(_.contains("embeddings.parquet"))
+      .filterNot(l => l.contains("pmod") || l.contains("% 10"))
+    assert(unfiltered.isEmpty,
+      s"append ingest leaked a non-delta embeddings scan:\n$plan")
+    assert(!plan.contains("graft_pqapp") && !plan.contains("graft_lshapp"),
+      s"append ingest must never read the stored index:\n$plan")
+  }
+
   test("PQ ADC search broadcasts the query side and scans codes only") {
     val plan = planOf("pq_ann_topk")
     assert(plan.contains("Broadcast"),
