@@ -1,159 +1,170 @@
 package graft
 
-/** Per-query wall-time budgets: 2.5× the slower of two recorded round-5
-  * sf0.1 samples, floored at 1.5 s. [[Bench]] emits the breach list in its
-  * headline JSON, so a broken plan (a lost broadcast, a shuffle gone
+/** Per-query wall-time budgets: 2.5x the slower of two round-8 clean-box
+  * full-bench samples (the 131-query and 136-query sf0.1 runs recorded in
+  * BASELINE.md), floored at 1.5 s. [[Bench]] multiplies each budget by the
+  * run's calibration factor (see [[CalibRef]]) and emits the breach list in
+  * its headline JSON, so a broken plan (a lost broadcast, a shuffle gone
   * quadratic — the class that took `dedup_embed_cos_lsh` to 13 s in r3)
   * turns up in the round's BENCH file instead of waiting for a human diff
   * against BASELINE.md — whose snapshot section mirrors these values.
   *
-  * Why 2.5× and not tighter: back-to-back full-bench totals on this box
-  * range 42–59 s with identical code (shared machine), so a 1.5× budget
-  * flags pure scheduler noise — measured: three consecutive runs breached
-  * three different queries. 2.5× sits above the noise envelope while a
-  * genuine plan regression (the multi-× blowups every round has actually
-  * produced) still lands far past it. A query missing here (newly added,
-  * not yet measured twice) is simply unbudgeted for that round. */
+  * Why 2.5x of FULL-BENCH samples (not isolated runs): position effects are
+  * real — a query late in a 136-query pass can pay GC/heap pressure its
+  * isolated run never sees (eval_pq_recall 0.9/3.2 across the two runs,
+  * 1.5 isolated) — and the budget must cover both positions. Machine SPEED
+  * is handled separately by the calibration factor, so these numbers stay
+  * sized to a clean box instead of the slowest observed one (the r6 advice
+  * item). A query missing here (newly added, not yet measured twice) is
+  * simply unbudgeted for that round. */
 object Budgets {
   /** Wall time of [[Bench]]'s calibration workload (a fixed 40M-row
     * hash+shuffle aggregate, min of two timed runs after one warm-up) on
-    * the box that produced the per-query budget samples. Bench scales every
-    * budget by clamp(calib/CalibRef, 1, 3) at run time, so the gates track
-    * the measuring machine's speed instead of being padded for the slowest
-    * observed box (the r6 advice item) — a ~1.8x-loaded driver day raises
-    * the envelope via its own calibration, while a clean box keeps the
-    * tight 2.5x-of-sample budgets. */
-  val CalibRef: Double = 0.9
+    * the box that produced the budget samples, in its clean state —
+    * observed 0.29/0.33/0.46 across the r8 runs; pinned to the fast end so
+    * mild local noise reads as a small factor (intended headroom) and a
+    * genuinely loaded or slower machine (the r6 driver day ran ~1.8x slow
+    * and flagged 5 load-artifact breaches) raises the envelope via its own
+    * calibration. Bench clamps the factor to [1, 3]. */
+  val CalibRef: Double = 0.30
   val perQuery: Map[String, Double] = Map(
-    "agg_price_quantiles" -> 1.5,
-    "agg_skew_salted" -> 1.5,
-    "clean_boilerplate" -> 2.0,
-    "clean_contamination" -> 3.6,
-    "clean_normalize" -> 1.5, // r6 sample 0.25
-    "clean_pii_redact" -> 1.5,
-    "clean_repetition" -> 1.5,
-    "dedup_embed_cos_lsh" -> 5.4,
-    "dedup_embed_cos_pairs" -> 4.0,
-    "dedup_clusters" -> 19.7, // pair pipeline + propagation rounds; r6 clean-run sample 7.9 on a ~1.8x-slower box day (was 3.3-3.5)
-    "dedup_clusters_star" -> 9.0, // r6 sample 3.6 behind dedup_clusters' shared build; alternating-star rounds dominate
-    "dedup_exact" -> 1.5,
-    "dedup_span_stats" -> 1.5, // r6 sample 0.48
-    "dedup_span_clean" -> 1.5, // r6 sample 0.50
-    "dedup_span_index_build" -> 4.8, // producer: pays the count-index DDL (r6 sample 1.9)
-    "dedup_span_incremental" -> 1.5, // index probe only (r6 sample 0.53 behind the producer)
-    "dedup_jaccard_incremental" -> 7.6,
-    "dedup_jaccard_incremental_indexed" -> 3.9,
-    "dedup_jaccard_index_build" -> 9.6,
-    "dedup_jaccard_pairs" -> 10.6, // runs as the family's producer: absorbs the shared token-hash/shingle/docset build; r6 clean-run sample 4.2
-    "dedup_minhash_lsh" -> 5.0,
-    "dedup_semantic" -> 3.5, // shares the embed producer's cache; within-cluster pairs dominate
-    "dedup_simhash" -> 1.5,
-    "dedup_simhash_pairs" -> 4.8,
-    "embed_hash_tf" -> 9.5, // the bench's first producer: absorbs the shared embedding build; samples 2.5/3.8 under load
-    "embed_knn_docs" -> 2.1,
-    "embed_tfidf" -> 3.4,
-    "embed_label_centroids" -> 1.5,
-    "embed_project_jl" -> 1.5,
-    "embed_quantize_int8" -> 1.5,
-    "eval_ann_recall" -> 1.7,
-    "eval_dedup_lsh" -> 9.4, // 2.5x the first recorded sample (3.74 on a loaded box); re-runs both member legs' verify joins
-    "eval_rank_metrics" -> 1.7,
-    "eval_rank_summary" -> 1.7,
-    "eval_best_sim" -> 2.4,
-    "eval_best_sim_summary" -> 1.9,
-    "eval_recall_summary" -> 1.5,
-    "events_attribution" -> 1.5,
-    "events_enriched" -> 1.5,
-    "events_json_stats" -> 1.5,
-    "events_session_stats" -> 1.6,
-    "events_sessionized" -> 1.5,
-    "hybrid_rrf_topk" -> 2.2,
-    "io_jsonl_roundtrip" -> 1.6, // r6 sample 0.63 incl. the one-time JSONL export
-    "io_npy_shard_roundtrip" -> 1.9,
-    "ivf_ann_topk" -> 2.3,
-    "ivf_kmeans_recall" -> 5.7,
-    "ivfpq_ann_topk" -> 5.3, // r6 clean-run sample 2.1
-    "ivfpq_stored_topk" -> 2.2,
-    "ivf_probe_all_exact" -> 2.1,
-    "ivf_recall_summary" -> 1.6,
-    "join_anti_unshipped_parts" -> 1.5,
-    "join_asof_purchase_click" -> 1.5,
-    "join_bloom_pruned" -> 1.8, // includes the driver-side sketch build (count + bloom agg)
-    "join_bucketed_build" -> 5.7,
-    "join_bucketed_colocated" -> 1.7,
-    "join_outer_nation_counts" -> 1.5,
-    "join_range_followup_orders" -> 1.5,
-    "join_semi_urgent_customers" -> 1.5,
-    "knn_cosine_topk" -> 1.5,
-    "knn_filtered_topk" -> 1.5,
-    "knn_int8_adc" -> 1.5,
-    "eval_int8_recall" -> 2.4,
-    "knn_radius_cosine" -> 1.5,
-    "knn_dedup_label_topk" -> 1.5,
-    "knn_ip_topk" -> 1.5,
-    "knn_l2_topk" -> 1.5,
-    "lsh_ann_stored_topk" -> 2.1,
-    "lsh_ann_topk" -> 2.4,
-    "lsh_index_build" -> 2.2,
-    "media_audio_features" -> 1.5,
-    "merge_delete_docs" -> 1.5,
-    "merge_upsert_docs" -> 1.5,
-    "media_frame_sample" -> 1.5,
-    "media_image_features" -> 1.5,
-    "media_meta" -> 1.5,
-    "media_resize" -> 1.5,
-    "media_video_meta" -> 1.5,
-    "pipeline_training_data" -> 17.8, // full compose: quality+jaccard+CC+chunk+pack, mostly cold
-    "pipeline_skills_for_jobs" -> 12.4, // entry point C composed: embed + 2 searches + eval + pivot (r6 samples 4.97/4.23)
-    "pq_kmeans_recall" -> 15.1, // covers running first (absorbing the shared Lloyd fit) or after ivfpq_kmeans_recall (1.35 s)
-    "ivfpq_kmeans_recall" -> 22.8, // alphabetically first kmeans query: absorbs the shared PQ+IVF fits (r6 samples 8.12/9.10)
-    "hybrid_rrf_stopdrop" -> 6.9, // r6 samples 2.75/2.32
-    "hybrid_bm25_topk" -> 5.1, // sequential broadcast-build chain dominates at toy scale
-    "hybrid_bm25_rrf" -> 14.0, // runs first alphabetically: absorbs the shared tf cache build; r6 clean-run sample 5.6
-    "pipeline_dsir_select" -> 21.0, // alphabetically first DSIR query: absorbs the shared feature/model build (r6 sample 8.45)
-    "select_dsir_sample" -> 6.1, // covers absorbing the shared DSIR build (pre-r6w sample 2.4) or cache-hitting behind the pipeline (0.40)
-    "select_dsir_weights" -> 2.0, // cache hit after the sample query (r6 sample 0.41)
-    "join_skew_salted" -> 1.8,
-    "pq_ann_topk" -> 1.8,
-    "pq_ann_stored_topk" -> 1.8,
-    "pq_index_build" -> 6.8, // producer: absorbs the one-time code write; isolated 1.6-1.8 s but full-bench samples hit 4.2 (GC/heap pressure behind the 123-query warm-up + five prior producers)
-    "pq_refine_topk" -> 2.1,
-    "eval_pq_recall" -> 3.0,
-    "profile_lineitem_numeric" -> 1.5,
-    "rel_cube_flags" -> 1.5,
-    "rel_events_hourly" -> 1.5,
-    "rel_nations_both" -> 1.5,
-    "rel_part_name_edits" -> 1.5,
-    "rel_pricing_summary" -> 1.5,
-    "rel_priority_stats" -> 1.5,
-    "rel_region_revenue" -> 1.5,
-    "rel_rollup_flags" -> 1.5,
-    "rel_running_revenue" -> 1.5,
-    "rel_top20_parts" -> 1.5,
-    "rel_top_orders_per_cust" -> 1.5,
-    "rel_urgent_only_customers" -> 1.5,
-    "report_job_skills_pivot" -> 1.9,
-    "report_source_quality" -> 1.5,
-    "sample_docs_hash" -> 1.5,
-    "sample_docs_split" -> 1.5,
-    "sample_docs_shuffle" -> 1.5, // r6 sample 0.26
-    "text_vocab_coverage" -> 1.5, // r6 sample 0.60
-    "layout_zorder" -> 1.5,
-    "profile_sketch_gate" -> 1.5,
-    "sample_docs_stratified" -> 1.5,
-    "sample_docs_weighted" -> 1.5,
-    "sample_mixture_temperature" -> 1.5,
-    "sql_knn_topk" -> 1.5,
-    "sql_text_pipeline" -> 1.5,
-    "text_chunk_windows" -> 1.5,
-    "text_fingerprint" -> 1.5,
-    "text_pack_shards" -> 1.5,
-    "text_lang_id" -> 1.5,
-    "text_bigram_logprob" -> 5.8, // r6 sample 2.3: three keyed joins over the position stream
-    "text_unigram_logprob" -> 2.4,
-    "text_quality" -> 1.5,
-    "text_stats" -> 1.5,
-    "text_top_ngrams" -> 1.9,
-    "vec_scalar_pairs" -> 1.5,
-    "vec_text_roundtrip" -> 1.5)
+    "agg_price_quantiles" -> 1.5, // r8 samples 0.20/0.23
+    "agg_skew_salted" -> 1.5, // r8 samples 0.16/0.17
+    "clean_boilerplate" -> 1.5, // r8 samples 0.31/0.28
+    "clean_contamination" -> 1.9, // r8 samples 0.75/0.70
+    "clean_normalize" -> 1.5, // r8 samples 0.10/0.08
+    "clean_pii_redact" -> 1.5, // r8 samples 0.11/0.08
+    "clean_repetition" -> 1.5, // r8 samples 0.12/0.09
+    "dedup_clusters" -> 18.1, // r8 samples 7.20/3.97
+    "dedup_clusters_star" -> 7.0, // r8 samples 2.78/2.12
+    "dedup_embed_cos_lsh" -> 4.7, // r8 samples 1.85/1.77
+    "dedup_embed_cos_pairs" -> 4.6, // r8 samples 1.76/1.81
+    "dedup_exact" -> 1.5, // r8 samples 0.14/0.16
+    "dedup_jaccard_incremental" -> 5.0, // r8 samples 1.99/1.85
+    "dedup_jaccard_incremental_indexed" -> 4.6, // r8 samples 1.83/1.69
+    "dedup_jaccard_index_build" -> 10.5, // r8 samples 4.17/2.58
+    "dedup_jaccard_pairs" -> 8.1, // r8 samples 3.21/2.08
+    "dedup_minhash_lsh" -> 4.5, // r8 samples 1.77/1.72
+    "dedup_semantic" -> 3.1, // r8 samples 1.22/1.09
+    "dedup_simhash" -> 1.5, // r8 samples 0.17/0.12
+    "dedup_simhash_pairs" -> 4.1, // r8 samples 1.61/1.55
+    "dedup_span_clean" -> 1.5, // r8 samples 0.32/0.14
+    "dedup_span_incremental" -> 1.5, // r8 samples 0.29/0.27
+    "dedup_span_index_append" -> 4.5, // r8 sample 1.60 (one full-bench run; added late in r8)
+    "dedup_span_index_compact" -> 4.5, // no full-bench sample yet (added late in r8); sized like its siblings
+    "dedup_span_index_build" -> 4.5, // r8 samples 1.78/1.23
+    "dedup_span_stats" -> 1.5, // r8 samples 0.15/0.12
+    "embed_hash_tf" -> 4.8, // r8 samples 1.61/1.89
+    "embed_knn_docs" -> 2.1, // r8 samples 0.83/0.75
+    "embed_label_centroids" -> 1.5, // r8 samples 0.50/0.47
+    "embed_project_jl" -> 1.5, // r8 samples 0.12/0.10
+    "embed_quantize_int8" -> 1.5, // r8 samples 0.22/0.21
+    "embed_tfidf" -> 3.1, // r8 samples 1.21/1.07
+    "eval_ann_recall" -> 2.1, // r8 samples 0.80/0.70
+    "eval_best_sim" -> 2.6, // r8 samples 1.00/0.99
+    "eval_best_sim_summary" -> 2.2, // r8 samples 0.85/0.69
+    "eval_dedup_lsh" -> 10.6, // r8 samples 4.05/4.22
+    "eval_int8_recall" -> 4.6, // r8 samples 0.63/1.80
+    "eval_pq_recall" -> 8.0, // r8 samples 0.90/3.16
+    "eval_rank_metrics" -> 4.1, // r8 samples 0.83/1.61
+    "eval_rank_summary" -> 1.5, // r8 samples 0.57/0.50
+    "eval_recall_summary" -> 1.5, // r8 samples 0.40/0.39
+    "events_attribution" -> 1.5, // r8 samples 0.30/0.23
+    "events_enriched" -> 1.5, // r8 samples 0.23/0.18
+    "events_json_stats" -> 1.5, // r8 samples 0.31/0.18
+    "events_session_stats" -> 1.5, // r8 samples 0.06/0.48
+    "events_sessionized" -> 1.5, // r8 samples 0.06/0.10
+    "hybrid_bm25_rrf" -> 10.1, // r8 samples 3.90/4.01
+    "hybrid_bm25_topk" -> 6.5, // r8 samples 2.53/2.57
+    "hybrid_rrf_stopdrop" -> 4.0, // r8 samples 1.57/1.16
+    "hybrid_rrf_topk" -> 3.4, // r8 samples 1.33/1.05
+    "io_jsonl_roundtrip" -> 1.5, // r8 samples 0.33/0.27
+    "io_npy_shard_roundtrip" -> 1.5, // r8 samples 0.53/0.43
+    "ivf_ann_topk" -> 1.7, // r8 samples 0.66/0.57
+    "ivf_drift_summary" -> 1.5, // r8 samples 0.45 (one sample)
+    "ivf_kmeans_recall" -> 4.5, // r8 samples 1.80/1.55
+    "ivf_probe_all_exact" -> 1.5, // r8 samples 0.52/0.52
+    "ivf_recall_summary" -> 1.5, // r8 samples 0.44/0.44
+    "ivfpq_ann_topk" -> 3.3, // r8 samples 1.24/1.28
+    "ivfpq_appended_topk" -> 4.7, // r8 samples 1.87 (one sample)
+    "ivfpq_kmeans_recall" -> 16.8, // r8 samples 6.71/6.36
+    "ivfpq_stored_topk" -> 1.7, // r8 samples 0.65/0.53
+    "join_anti_unshipped_parts" -> 1.5, // r8 samples 0.29/0.32
+    "join_asof_purchase_click" -> 1.5, // r8 samples 0.16/0.14
+    "join_bloom_pruned" -> 1.8, // r8 samples 0.71/0.55
+    "join_bucketed_build" -> 10.4, // r8 samples 2.88/4.14
+    "join_bucketed_colocated" -> 1.5, // r8 samples 0.57/0.56
+    "join_outer_nation_counts" -> 1.5, // r8 samples 0.36/0.30
+    "join_range_followup_orders" -> 1.5, // r8 samples 0.45/0.37
+    "join_semi_urgent_customers" -> 1.5, // r8 samples 0.23/0.29
+    "join_skew_salted" -> 1.8, // r8 samples 0.69/0.53
+    "knn_cosine_topk" -> 1.5, // r8 samples 0.37/0.35
+    "knn_dedup_label_topk" -> 1.5, // r8 samples 0.46/0.57
+    "knn_filtered_topk" -> 1.5, // r8 samples 0.28/0.24
+    "knn_int8_adc" -> 1.5, // r8 samples 0.53/0.34
+    "knn_ip_topk" -> 1.5, // r8 samples 0.36/0.28
+    "knn_l2_topk" -> 1.5, // r8 samples 0.33/0.36
+    "knn_radius_cosine" -> 1.5, // r8 samples 0.22/0.17
+    "layout_zorder" -> 1.5, // r8 samples 0.59/0.53
+    "lsh_ann_appended_topk" -> 2.8, // r8 samples 1.11 (one sample)
+    "lsh_ann_stored_topk" -> 1.6, // r8 samples 0.63/0.51
+    "lsh_ann_topk" -> 2.0, // r8 samples 0.76/0.58
+    "lsh_index_append" -> 1.5, // r8 samples 0.14 (one sample)
+    "lsh_index_build" -> 3.8, // r8 samples 0.76/1.48
+    "media_audio_features" -> 1.5, // r8 samples 0.21/0.17
+    "media_frame_sample" -> 1.5, // r8 samples 0.17/0.17
+    "media_image_features" -> 1.5, // r8 samples 0.13/0.11
+    "media_meta" -> 1.5, // r8 samples 0.11/0.09
+    "media_resize" -> 1.5, // r8 samples 0.09/0.08
+    "media_video_meta" -> 1.5, // r8 samples 0.17/0.15
+    "merge_delete_docs" -> 1.5, // r8 samples 0.18/0.13
+    "merge_upsert_docs" -> 1.5, // r8 samples 0.32/0.24
+    "pipeline_dsir_select" -> 16.5, // r8 samples 6.57/6.56
+    "pipeline_skills_for_jobs" -> 22.0, // bimodal: 5.5-5.6 typical/isolated, 14.7 once under end-of-run heap pressure; 1.5x the pressured sample
+    "pipeline_training_data" -> 15.3, // r8 samples 6.10/4.18
+    "pq_ann_stored_topk" -> 2.0, // r8 samples 0.80/0.67
+    "pq_ann_topk" -> 3.2, // r8 samples 1.19/1.26
+    "pq_index_append" -> 1.5, // r8 samples 0.08 (one sample)
+    "pq_index_build" -> 3.1, // r8 samples 1.20/1.19
+    "pq_kmeans_recall" -> 2.3, // r8 samples 0.90/0.67
+    "pq_refine_topk" -> 3.5, // r8 samples 1.39/1.10
+    "profile_lineitem_numeric" -> 1.5, // r8 samples 0.19/0.14
+    "profile_sketch_gate" -> 1.5, // r8 samples 0.27/0.22
+    "rel_cube_flags" -> 1.5, // r8 samples 0.54/0.35
+    "rel_events_hourly" -> 1.5, // r8 samples 0.24/0.20
+    "rel_nations_both" -> 1.5, // r8 samples 0.50/0.35
+    "rel_part_name_edits" -> 1.5, // r8 samples 0.18/0.20
+    "rel_pricing_summary" -> 1.5, // r8 samples 0.27/0.24
+    "rel_priority_stats" -> 1.5, // r8 samples 0.13/0.11
+    "rel_region_revenue" -> 1.5, // r8 samples 0.49/0.37
+    "rel_rollup_flags" -> 1.5, // r8 samples 0.33/0.28
+    "rel_running_revenue" -> 1.5, // r8 samples 0.11/0.09
+    "rel_top20_parts" -> 1.5, // r8 samples 0.14/0.10
+    "rel_top_orders_per_cust" -> 1.5, // r8 samples 0.51/0.34
+    "rel_urgent_only_customers" -> 1.5, // r8 samples 0.55/0.37
+    "report_job_skills_pivot" -> 1.5, // r8 samples 0.59/0.60
+    "report_source_quality" -> 1.5, // r8 samples 0.18/0.13
+    "sample_docs_hash" -> 1.5, // r8 samples 0.18/0.10
+    "sample_docs_shuffle" -> 1.5, // r8 samples 0.10/0.09
+    "sample_docs_split" -> 1.5, // r8 samples 0.10/0.07
+    "sample_docs_stratified" -> 1.5, // r8 samples 0.26/0.16
+    "sample_docs_weighted" -> 1.5, // r8 samples 0.31/0.22
+    "sample_mixture_temperature" -> 1.6, // r8 samples 0.63/0.44
+    "select_dsir_sample" -> 10.0, // r8 samples 3.84/3.99
+    "select_dsir_weights" -> 1.5, // r8 samples 0.23/0.27
+    "sql_knn_topk" -> 1.5, // r8 samples 0.58/0.40
+    "sql_text_pipeline" -> 1.5, // r8 samples 0.21/0.13
+    "text_bigram_logprob" -> 3.8, // r8 samples 1.49/1.16
+    "text_chunk_windows" -> 1.5, // r8 samples 0.25/0.17
+    "text_fingerprint" -> 1.5, // r8 samples 0.10/0.09
+    "text_lang_id" -> 1.5, // r8 samples 0.11/0.09
+    "text_pack_shards" -> 1.5, // r8 samples 0.11/0.08
+    "text_quality" -> 1.5, // r8 samples 0.14/0.08
+    "text_stats" -> 1.5, // r8 samples 0.12/0.08
+    "text_top_ngrams" -> 1.9, // r8 samples 0.73/0.55
+    "text_unigram_logprob" -> 1.9, // r8 samples 0.73/0.61
+    "text_vocab_coverage" -> 1.5, // r8 samples 0.36/0.26
+    "vec_scalar_pairs" -> 1.5, // r8 samples 0.20/0.14
+    "vec_text_roundtrip" -> 1.5, // r8 samples 0.20/0.08
+  )
 }

@@ -29,9 +29,15 @@ import org.apache.spark.sql.functions._
   * node id, no all-pairs anywhere; every frame is `localCheckpoint`ed so
   * the iteration never re-plans its own history (the [[Dedup
   * .connectedComponents]] lineage lesson). Convergence when a full
-  * large+small cycle leaves the edge multiset unchanged, checked by an
-  * order-independent (count, bit_xor of edge hashes) signature read as
-  * one tiny aggregate per round — the driver never sees an edge.
+  * large+small cycle leaves the edge set unchanged: an order-independent
+  * (count, bit_xor of edge hashes) signature — one tiny aggregate per
+  * round, the driver never sees an edge — acts as the cheap detector, and
+  * the round it first matches is CONFIRMED by an exact set-equality job
+  * (distinct union count), so a signature collision between different
+  * edge sets can delay convergence by a round but can never terminate the
+  * loop on wrong labels. The confirmation costs one extra shuffle over
+  * 2·|edges| rows exactly once, on the terminal round, when the edge list
+  * has already collapsed toward one edge per non-root node.
   *
   * Output contract matches [[Dedup.connectedComponents]]: (idCol,
   * cluster_id) over ALL of `nodes`, cluster id = the component's smallest
@@ -47,11 +53,17 @@ object CcStar {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val prev = e
       e = smallStar(largeStar(e)).localCheckpoint()
       val row = e.agg(count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(__u, __v))"), lit(0L))).head()
       val sig = (row.getLong(0), row.getLong(1))
-      converged = sig == prevSig
+      // Signature match is necessary but (with 2^-64-ish probability) not
+      // sufficient — confirm set equality exactly before declaring
+      // convergence: both frames are distinct row sets with equal counts
+      // (the signature carries the count), so |prev ∪ e| == |e| ⇔ equal.
+      converged = sig == prevSig &&
+        prev.unionAll(e).distinct().count() == row.getLong(0)
       prevSig = sig
       i += 1
     }

@@ -79,15 +79,29 @@ object Dedup {
     * index across queries in a run. (A hash collision merges two shingles
     * identically on both sides — the oracle computes the same fold.) */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    Caches.cached(shingleHashesPlan(tokenHashes(df, idCol, textCol), idCol, n))
+
+  /** [[shingleHashes]] WITHOUT registry entries at either level — for
+    * per-batch/delta paths (the incremental-ingest faces): every micro-batch
+    * is a distinct plan, so registering it would grow the JVM-global
+    * [[Caches]] registry (and the executor storage it pins until `clear()`)
+    * without bound over a long-running stream. Delta frames are used a
+    * bounded number of times per batch; callers needing reuse
+    * localCheckpoint instead — blocks free with the batch. */
+  def shingleHashesUncached(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleHashesPlan(tokenHashesUncached(df, idCol, textCol), idCol, n)
+
+  private def shingleHashesPlan(withHt: DataFrame, idCol: String,
       n: Int): DataFrame = {
-    val withHt = tokenHashes(df, idCol, textCol)
     val ht = col("__ht")
     val ghs = when(size(ht) >= n, array_distinct(
       transform(sequence(lit(1), size(ht) - (n - 1)),
         i => (0 until n).map(o => element_at(ht, i + o))
           .foldLeft(lit(0L): Column)((acc, h) => (acc * 31L + h) % ShingleP))))
       .otherwise(array().cast("array<long>"))
-    Caches.cached(withHt.select(col(idCol), explode(ghs).as("__gh")))
+    withHt.select(col(idCol), explode(ghs).as("__gh"))
   }
 
   /** Per-token md5 hash array: (idCol, __ht array<long>) — the expensive half
@@ -97,8 +111,13 @@ object Dedup {
     * plan doesn't depend on the gram width, so the n=3 dedup family and the
     * n=8 decontamination index share ONE md5-per-token pass per corpus. */
   def tokenHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    Caches.cached(df.select(col(idCol),
-      transform(TextFunctions.tokens(col(textCol)), TextFunctions.tokenHash(_)).as("__ht")))
+    Caches.cached(tokenHashesUncached(df, idCol, textCol))
+
+  /** [[tokenHashes]] without the [[Caches]] registration — see
+    * [[shingleHashesUncached]] for when (and why) delta paths need this. */
+  def tokenHashesUncached(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(TextFunctions.tokens(col(textCol)), TextFunctions.tokenHash(_)).as("__ht"))
 
   /** Per-doc gram-hash set as ONE array row: (idCol, __g array<long>,
     * __m int). ≤ a few hundred longs per doc, so the whole frame is orders

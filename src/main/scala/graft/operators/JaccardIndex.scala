@@ -78,7 +78,10 @@ object JaccardIndex {
       delta: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard $minJaccard outside (0, 1]")
-    val shD = Dedup.shingleHashes(delta, idCol, textCol, n)
+    // Uncached: each ingest batch has a fresh plan, and the delta's shingle
+    // stream is consumed once — a Caches entry per micro-batch would grow
+    // the registry without bound in the streaming face.
+    val shD = Dedup.shingleHashesUncached(delta, idCol, textCol, n)
     // Order the delta's grams by the STORED corpus df; grams the corpus has
     // never seen have df 0 — rarer than anything indexed, and consistently
     // so on every delta doc, which is all losslessness needs.

@@ -45,9 +45,21 @@ object SpanDedup {
     * point. Same rolling hash as [[Dedup.shingleHashes]] so the DuckDB
     * mirror shares [[graft.queries.DocSql]] constants. */
   def gramPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    gramPositionsOf(Dedup.tokenHashes(df, idCol, textCol), idCol, k)
+
+  /** [[gramPositions]] over a delta WITHOUT registering the token-hash
+    * frame in [[graft.Caches]]: each ingest micro-batch is a distinct plan,
+    * and a registry entry per batch would grow driver state and pinned
+    * executor storage without bound over a long-running stream (see
+    * [[Dedup.shingleHashesUncached]]). */
+  def gramPositionsUncached(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    gramPositionsOf(Dedup.tokenHashesUncached(df, idCol, textCol), idCol, k)
+
+  private def gramPositionsOf(withHt: DataFrame, idCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"SpanDedup: window width k=$k must be >= 2")
-    val withHt = Dedup.tokenHashes(df, idCol, textCol)
     val ht = col("__ht")
     val entries = when(size(ht) >= k,
       transform(sequence(lit(1), size(ht) - (k - 1)),
@@ -112,6 +124,48 @@ object SpanDedup {
     t
   }
 
+  /** O(delta) ingest for the stored count index (the daily-crawl path,
+    * completing the maintenance story [[buildIndex]] starts): hash ONLY
+    * the delta's windows, count them per hash, and append the rows into
+    * the bucketed counts table — the base corpus is never re-read. The
+    * table then holds SPLIT counts (one row per (hash, ingest batch)),
+    * which is semantics-preserving by construction: [[incrementalSpans]]
+    * probes existence (`left_semi`, corpus count ≥ 1), and existence is
+    * invariant under splitting a count into positive parts; the recount
+    * invariants `count(DISTINCT __gh)` and `sum(__c)` equal the
+    * from-scratch rebuild exactly (gated by `dedup_span_index_append`).
+    * Appends go through the same bucket spec, so probe joins keep the
+    * stored HashPartitioning; periodic compaction = re-running
+    * [[buildIndex]] over the union. */
+  def appendToIndex(table: IndexTable, delta: DataFrame, idCol: String,
+      textCol: String, k: Int, numBuckets: Int): Unit =
+    Bucketed.appendBucketedKeys(
+      gramPositionsUncached(delta, idCol, textCol, k)
+        .groupBy(col("__gh")).agg(count(lit(1)).as("__c")),
+      table.counts, Seq("__gh"), numBuckets)
+
+  /** Compact an appended count index back to one row per hash: re-aggregate
+    * the split counts and rewrite the bucketed layout (K3
+    * truncate-then-load applied to index maintenance). Bounds the file and
+    * row growth a long append history accumulates — each append adds a file
+    * per bucket and a row per (hash, batch) — while changing nothing a
+    * probe sees: existence and the recount invariants are preserved by
+    * construction (`dedup_span_index_compact` pins both plus the
+    * one-row-per-hash property). The rewrite reads only the index (≪ the
+    * corpus), never the documents. */
+  def compactIndex(spark: SparkSession, table: IndexTable,
+      numBuckets: Int): Unit = {
+    // Materialize off the live table before overwriting it (a bucketed
+    // overwrite of its own scan would read-while-truncate).
+    val merged = spark.table(table.counts)
+      .groupBy(col("__gh")).agg(sum(col("__c")).as("__c"))
+      .localCheckpoint()
+    val loc = spark.sql(s"DESCRIBE FORMATTED ${table.counts}")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    Bucketed.writeBucketed(merged, table.counts, loc, "__gh", numBuckets)
+  }
+
   /** Duplicated spans of DELTA documents against corpus ∪ delta, with the
     * corpus appearing ONLY through index probes: a delta window is
     * duplicated iff its hash is stored (corpus occurrence ≥ 1) or occurs
@@ -123,7 +177,10 @@ object SpanDedup {
     * keyed self-count. */
   def incrementalSpans(spark: SparkSession, table: IndexTable,
       delta: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val pos = gramPositions(delta, idCol, textCol, k).localCheckpoint()
+    // Uncached positional stream: the checkpoint below materializes it once
+    // for the two probes, and its blocks free with the batch — unlike a
+    // Caches entry, which a stream would accumulate per micro-batch.
+    val pos = gramPositionsUncached(delta, idCol, textCol, k).localCheckpoint()
     val inCorpus = pos.join(spark.table(table.counts), Seq("__gh"), "left_semi")
     val inDelta = pos.join(
       pos.groupBy(col("__gh")).agg(count(lit(1)).as("__c"))

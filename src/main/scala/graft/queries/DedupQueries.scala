@@ -79,9 +79,54 @@ object DedupQueries extends graft.QueryModule {
       }
   }
 
+  /** The append-ingest twin of [[SpidxLayout]]: base build over the
+    * non-delta corpus, then the delta's counts appended O(delta)
+    * ([[graft.operators.SpanDedup.appendToIndex]]) — the table ends up
+    * with SPLIT counts, whose probe semantics and recount invariants equal
+    * a from-scratch build over the full corpus. */
+  private object SpidxAppendLayout {
+    def ensure(s: SparkSession, dir: String): graft.operators.SpanDedup.IndexTable =
+      graft.Layouts.once(s, s"spidxapp:$dir") {
+        val tag = graft.Layouts.tag(dir) + "app"
+        val t = graft.operators.SpanDedup.buildIndex(
+          Tables.documents(s, dir).filter(!deltaPred), "doc_id", "text",
+          SpanK, tag, s"/tmp/graft_spidx/$tag", 8)
+        graft.operators.SpanDedup.appendToIndex(t,
+          Tables.documents(s, dir).filter(deltaPred), "doc_id", "text",
+          SpanK, 8)
+        t
+      }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactAssign(Tables.documents(s, dir), "doc_id", "text")),
+    // Append-ingest rebuild equivalence for the span count index: base
+    // build + O(delta) count append recounted against a from-scratch
+    // full-corpus window census. `count(DISTINCT __gh)` and `sum(__c)` are
+    // invariant under the count-splitting an append produces, so a dropped
+    // batch, a double-append, or a re-hashed window turns this red.
+    "dedup_span_index_append" -> ((s, dir) => {
+      val t = SpidxAppendLayout.ensure(s, dir)
+      s.table(t.counts).agg(
+        count_distinct(col("__gh")).as("n_hashes"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_windows"))
+    }),
+    // The lifecycle's third act: compacting the appended index back to one
+    // row per hash must preserve the probe-visible content exactly —
+    // n_rows == n_hashes pins the compaction itself, the other two pin
+    // content against the same from-scratch census as the append gate.
+    // Order-independent with dedup_span_index_append: both emit
+    // splitting-invariant aggregates, so either may run (and rewrite)
+    // first.
+    "dedup_span_index_compact" -> ((s, dir) => {
+      val t = SpidxAppendLayout.ensure(s, dir)
+      graft.operators.SpanDedup.compactIndex(s, t, 8)
+      s.table(t.counts).agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col("__gh")).as("n_hashes"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_windows"))
+    }),
     // ExactSubstr span accounting (Lee et al., ACL 2022): per doc, how many
     // maximal >= SpanK-token regions occur elsewhere in the corpus (or again
     // in the same doc), and how many tokens they cover — the dial a pipeline
@@ -383,6 +428,19 @@ object DedupQueries extends graft.QueryModule {
          |cor AS (SELECT * FROM posg WHERE doc_id % 10 <> 0)
          |SELECT count(DISTINCT ghv) AS n_hashes,
          |  count(*) AS n_windows FROM cor""".stripMargin,
+    // Base + appended delta recounted as ONE from-scratch census of the
+    // FULL corpus's windows.
+    "dedup_span_index_append" ->
+      s"""WITH $toksCte,
+         |${DocSql.gramPosCte(SpanK)}
+         |SELECT count(DISTINCT ghv) AS n_hashes,
+         |  count(*) AS n_windows FROM posg""".stripMargin,
+    "dedup_span_index_compact" ->
+      s"""WITH $toksCte,
+         |${DocSql.gramPosCte(SpanK)}
+         |SELECT count(DISTINCT ghv) AS n_rows,
+         |  count(DISTINCT ghv) AS n_hashes,
+         |  count(*) AS n_windows FROM posg""".stripMargin,
     // The one-shot batch marking over the FULL corpus, restricted to the
     // delta documents — provably equal to the index-probe path's
     // corpus ≥ 1 ∨ delta ≥ 2 rule.

@@ -201,10 +201,16 @@ class DedupSpec extends SparkSpec {
     val tag = "spec_" + java.util.UUID.randomUUID.toString.replace("-", "").take(12)
     val t = graft.operators.JaccardIndex.build(df.filter(col("doc_id") % 5 =!= 0),
       "doc_id", "text", 3, 0.5, tag, s"/tmp/graft_jidx_spec/$tag", 4)
+    // Streaming-leak guard: a delta probe is per-batch work and must not
+    // register cache entries (a long-running stream would accumulate one
+    // registry entry + pinned storage per micro-batch otherwise).
+    val cachesBefore = Caches.size
     val got = graft.operators.JaccardIndex.incrementalJoin(spark, t,
         df.filter(col("doc_id") % 5 === 0), "doc_id", "text", 3, 0.5)
       .select($"a_id", $"b_id", $"shared", $"jaccard")
       .as[(Long, Long, Long, Double)].collect().toSet
+    assert(Caches.size == cachesBefore,
+      "incrementalJoin registered cache entries for a per-batch delta")
     assert(got == want, s"missing=${want -- got}\nextra=${got -- want}")
     Seq(t.docsets, t.prefix, t.dfc)
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))

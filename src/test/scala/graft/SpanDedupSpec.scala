@@ -64,7 +64,77 @@ class SpanDedupSpec extends SparkSpec {
       assert(inc == batch)
       // Non-vacuous: doc 2 shares its span with indexed doc 1.
       assert(inc.exists(r => r._1 == 2L && r._3 > 0))
+      // Streaming-leak guard: per-batch probes must not register cache
+      // entries — a long-running incrementalSpanStream would accumulate
+      // one registry entry + pinned executor storage per micro-batch.
+      val before = Caches.size
+      SpanDedup.incrementalSpanStats(spark, t,
+        delta.withColumn("text", concat($"text", lit(" tail"))),
+        "id", "text", 5).collect()
+      assert(Caches.size == before,
+        "incremental span probe registered cache entries for a per-batch delta")
     } finally spark.sql(s"DROP TABLE IF EXISTS ${t.counts}")
+  }
+
+  /** The one place document LENGTH (not corpus size) bounds a sort: the
+    * per-doc islands-merge window. A fully-duplicated 10^6-token document
+    * (a 10-token phrase repeated 100k times) pushes ~10^6 marked positions
+    * through ONE doc partition — linear memory and wall time (measured
+    * ~15 s under the 4-thread test session), no OOM, one maximal span. */
+  test("pathological 1e6-token document: islands merge stays linear, single span") {
+    val phrase = "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    val docs = Seq((1L, phrase * 100000), (2L, "clean words only here"))
+      .toDF("id", "text")
+    val st = SpanDedup.spanStats(docs, "id", "text", 5)
+      .as[(Long, Long, Long, Long)].collect().toMap2
+    assert(st(1L) == ((1000000L, 1L, 1000000L)), s"got ${st(1L)}")
+    assert(st(2L) == ((4L, 0L, 0L)))
+  }
+
+  test("appended count index: probes equal a from-scratch rebuild of the union") {
+    val base = corpus.filter($"id".isin(1L, 5L))
+    val delta1 = corpus.filter($"id" === 3L)
+    // Doc 6 shares its opening 5-token run ONLY with doc 3 — the appended
+    // batch — so its mark below proves the appended counts are live.
+    val delta2 = corpus.filter($"id".isin(2L, 4L))
+      .unionAll(Seq((6L, "alpha beta gamma delta eps and fresh trailing words"))
+        .toDF("id", "text"))
+    val tagApp = specTag()
+    val tApp = SpanDedup.buildIndex(base, "id", "text", 5,
+      tagApp, s"/tmp/graft_spidx_spec/$tagApp", 4)
+    SpanDedup.appendToIndex(tApp, delta1, "id", "text", 5, 4)
+    val tagFull = specTag()
+    val tFull = SpanDedup.buildIndex(base.unionAll(delta1), "id", "text", 5,
+      tagFull, s"/tmp/graft_spidx_spec/$tagFull", 4)
+    try {
+      // Recount invariants survive count splitting.
+      val inv = (t: SpanDedup.IndexTable) => spark.table(t.counts)
+        .agg(count_distinct($"__gh"), sum($"__c")).as[(Long, Long)].head()
+      assert(inv(tApp) == inv(tFull))
+      // Probe equivalence: a later batch sees the same spans either way.
+      val viaApp = SpanDedup.incrementalSpanStats(spark, tApp, delta2, "id", "text", 5)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val viaFull = SpanDedup.incrementalSpanStats(spark, tFull, delta2, "id", "text", 5)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(viaApp == viaFull)
+      // Non-vacuous both ways: doc 2 marks against BASE doc 1, doc 6 marks
+      // against APPENDED doc 3 (its only span partner).
+      assert(viaApp.exists(r => r._1 == 2L && r._3 > 0))
+      assert(viaApp.exists(r => r._1 == 6L && r._3 > 0),
+        "appended counts not visible to probes")
+      // Compaction: one row per hash afterwards, content (invariants AND
+      // probe results) unchanged.
+      SpanDedup.compactIndex(spark, tApp, 4)
+      val nRows = spark.table(tApp.counts).count()
+      val invC = spark.table(tApp.counts)
+        .agg(count_distinct($"__gh"), sum($"__c")).as[(Long, Long)].head()
+      assert(nRows == invC._1, "compaction left split counts")
+      assert(invC == inv(tFull))
+      val viaCompacted = SpanDedup.incrementalSpanStats(spark, tApp, delta2, "id", "text", 5)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(viaCompacted == viaFull)
+    } finally Seq(tApp.counts, tFull.counts)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
   /** Per-run unique tag (the DedupSpec convention): concurrent test JVMs
