@@ -51,7 +51,7 @@ object Budgets {
     "dedup_span_clean" -> 1.5, // r8 samples 0.32/0.14
     "dedup_span_incremental" -> 1.5, // r8 samples 0.29/0.27
     "dedup_span_index_append" -> 4.5, // r8 sample 1.60 (one full-bench run; added late in r8)
-    "dedup_span_index_compact" -> 4.5, // no full-bench sample yet (added late in r8); sized like its siblings
+    "dedup_span_index_compact" -> 1.8, // r8 sample 0.69 (one full-bench run)
     "dedup_span_index_build" -> 4.5, // r8 samples 1.78/1.23
     "dedup_span_stats" -> 1.5, // r8 samples 0.15/0.12
     "embed_hash_tf" -> 4.8, // r8 samples 1.61/1.89
@@ -104,6 +104,8 @@ object Budgets {
     "knn_int8_adc" -> 1.5, // r8 samples 0.53/0.34
     "knn_ip_topk" -> 1.5, // r8 samples 0.36/0.28
     "knn_l2_topk" -> 1.5, // r8 samples 0.33/0.36
+    "knn_mmr_lambda1" -> 7.2, // r8 sample 2.88 (one full-bench run; k greedy rounds over the bounded pool)
+    "knn_mmr_diverse" -> 8.5, // r8 sample 3.39 (one full-bench run; MMR + the pairwise-spread assertion)
     "knn_radius_cosine" -> 1.5, // r8 samples 0.22/0.17
     "layout_zorder" -> 1.5, // r8 samples 0.59/0.53
     "lsh_ann_appended_topk" -> 2.8, // r8 samples 1.11 (one sample)
@@ -118,6 +120,7 @@ object Budgets {
     "media_resize" -> 1.5, // r8 samples 0.09/0.08
     "media_video_meta" -> 1.5, // r8 samples 0.17/0.15
     "merge_delete_docs" -> 1.5, // r8 samples 0.18/0.13
+    "merge_scd2_history" -> 1.6, // r8 sample 0.62 (one full-bench run)
     "merge_upsert_docs" -> 1.5, // r8 samples 0.32/0.24
     "pipeline_dsir_select" -> 16.5, // r8 samples 6.57/6.56
     "pipeline_skills_for_jobs" -> 22.0, // bimodal: 5.5-5.6 typical/isolated, 14.7 once under end-of-run heap pressure; 1.5x the pressured sample

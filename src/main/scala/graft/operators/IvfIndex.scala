@@ -101,6 +101,17 @@ object IvfIndex {
   def write(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
+  /** O(delta) ingest for a [[write]] layout: assign ONLY the delta against
+    * the STORED model and append into the partitioned files — the plain-IVF
+    * face of [[PqIndex.appendToIvfIndex]], same invariant (the model must
+    * be the build's; re-fit ⇒ rebuild, scheduled via [[assignmentDrift]]).
+    * Assign is a pure projection, so the append touches only the delta's
+    * list_id partitions. */
+  def append(delta: DataFrame, idCol: String, vecCol: String, model: Model,
+      metric: Metric, path: String): Unit =
+    assign(delta, idCol, vecCol, model, metric)
+      .write.mode("append").partitionBy("list_id").parquet(path)
+
   /** Quantizer-drift metric — the signal a deployment schedules index
     * rebuilds by (the append-ingest invariant: deltas encode against the
     * STORED model, so once the corpus has drifted from the fit, rebuild):

@@ -47,6 +47,72 @@ object Merge {
       .drop("__rn", "__pri")
   }
 
+  /** SCD-2 history merge — the versioned sibling of [[upsert]]: instead of
+    * replacing a row, a changed key CLOSES the current version
+    * (`valid_to` = `batchId`) and appends a new one (`valid_from` =
+    * `batchId`, `valid_to` null = current). What a corpus pipeline needs
+    * the moment "what did this document say when we trained run N" is a
+    * real question — lineage/audit over a mutating crawl, with versions
+    * keyed by exact batch numbers, never wall clock (deterministic and
+    * replayable).
+    *
+    * Rules per delta key: absent from current → insert; present and ANY
+    * data column differs (null-safe) → close + insert; present and
+    * identical → NO-OP (no spurious version — re-delivering a crawl batch
+    * at-least-once leaves history unchanged). Base versions without a
+    * delta twin pass through untouched.
+    *
+    * Scale shape: ONE keyed full-outer join of current×delta decides every
+    * key's action in a single pass (the three outcomes are built as an
+    * exploded struct array, so the join is never recomputed per leg);
+    * closed history passes through without touching the join. History
+    * grows append-only — at 100 TB the natural layout is the history table
+    * bucketed on the key so each batch's merge shuffles one side only.
+    *
+    * `history` schema: delta's columns + (`valid_from` long, `valid_to`
+    * long-nullable). Bootstrap: [[scd2Init]]. */
+  def scd2Apply(history: DataFrame, delta: DataFrame, keyCol: String,
+      batchId: Long): DataFrame = {
+    val metaCols = Seq("valid_from", "valid_to")
+    val dataCols = history.columns.toSeq.filterNot(metaCols.contains)
+    require(delta.columns.toSeq == dataCols,
+      s"scd2Apply: delta schema ${delta.columns.toSeq} != history data columns $dataCols")
+    require(metaCols.forall(history.columns.contains),
+      s"scd2Apply: history must carry $metaCols")
+    val cur = history.filter(col("valid_to").isNull)
+    val closedRows = history.filter(col("valid_to").isNotNull)
+    val c = cur.select(col(keyCol) +:
+      dataCols.map(n => col(n).as(s"__c_$n")) :+
+      col("valid_from").as("__c_vf") :+ lit(1).as("__hc"): _*)
+    val d = delta.select(col(keyCol) +:
+      dataCols.map(n => col(n).as(s"__d_$n")) :+ lit(1).as("__hd"): _*)
+    val j = c.join(d, Seq(keyCol), "full_outer")
+    val hasC = col("__hc").isNotNull
+    val hasD = col("__hd").isNotNull
+    val changed = dataCols.filterNot(_ == keyCol)
+      .map(n => !(col(s"__c_$n") <=> col(s"__d_$n")))
+      .foldLeft(lit(false))(_ || _)
+    def ver(side: String, vf: org.apache.spark.sql.Column,
+        vt: org.apache.spark.sql.Column) =
+      struct(dataCols.map(n =>
+        (if (n == keyCol) col(keyCol) else col(s"__${side}_$n")).as(n)) :+
+        vf.as("valid_from") :+ vt.as("valid_to"): _*)
+    val nullVt = lit(null).cast("long")
+    val out = j.select(explode(filter(array(
+        when(hasC && (!hasD || !changed), ver("c", col("__c_vf"), nullVt)),
+        when(hasC && hasD && changed, ver("c", col("__c_vf"), lit(batchId))),
+        when(hasD && (!hasC || changed), ver("d", lit(batchId), nullVt))),
+      x => x.isNotNull)).as("__v"))
+      .select(col("__v.*"))
+    closedRows.select(out.columns.map(col): _*).unionByName(out)
+  }
+
+  /** Bootstrap an SCD-2 history from an initial snapshot: every row is
+    * version (`batchId`, null-open). */
+  def scd2Init(snapshot: DataFrame, batchId: Long = 0L): DataFrame =
+    snapshot.withColumn("valid_from", lit(batchId))
+      .withColumn("valid_to", lit(null).cast("long"))
+
   /** The delete leg of the table-maintenance trio (K3 truncate, [[upsert]],
     * delete — the "right to be forgotten" pipeline at corpus scale): drop
     * every base row whose key appears in `keys`. A plain left-anti join —

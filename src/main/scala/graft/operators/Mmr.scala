@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR'98):
+  * pick k results that are RELEVANT to the query but DIVERSE among
+  * themselves — the standard fix when a plain top-k returns k paraphrases
+  * of one document (retrieval-augmented pipelines dedup their context
+  * windows exactly this way).
+  *
+  * score(d) = λ·sim(q, d) − (1−λ)·max_{s∈S} sim(d, s), greedily for k
+  * rounds over a top-`fetch` candidate pool; λ=1 degenerates to plain
+  * top-k (the hash-gated parity `knn_mmr_lambda1` pins the iterative
+  * machinery to the one-shot oracle), λ<1 trades relevance for spread
+  * (pinned by an in-plan diversity assertion, `knn_mmr_diverse` — the
+  * greedy recursion isn't expressible in portable SQL).
+  *
+  * Scale shape: the candidate pool is the bounded top-`fetch` per query
+  * (|Q|·fetch rows total — the same bounded-heap reduce as
+  * [[KnnJoin.exact]]); each of the k greedy rounds is one keyed join of
+  * remaining×selected on the query id plus a per-query argmax (a
+  * fetch-bounded aggregation, never corpus-wide), with per-round
+  * `localCheckpoint` lineage truncation like the CC loops. Work is
+  * O(|Q|·fetch·k) — independent of corpus size once the pool is built.
+  *
+  * Determinism: similarities come from the fused cosine expression both
+  * engines evaluate bit-identically; every argmax ties to the LOWEST
+  * candidate id via struct ordering. All sims are cosine (query-doc and
+  * doc-doc) — MMR's usual instantiation. */
+object Mmr {
+
+  /** (queryIdCol, idCol, rank 1..k, score round-6) — rank in selection
+    * order (rank 1 = the plain top-1; later ranks trade off diversity). */
+  def rerank(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      fetch: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"Mmr: k=$k must be >= 1")
+    require(fetch >= k, s"Mmr: fetch=$fetch must be >= k=$k")
+    require(lambda >= 0 && lambda <= 1, s"Mmr: lambda=$lambda outside [0, 1]")
+    val qv = queries.select(col(queryIdCol),
+      col(queryVecCol).cast("array<double>").as("__qv"))
+    val cv = corpus.select(col(idCol).as("__cid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    // Bounded candidate pool with both vectors attached: top-`fetch` by
+    // query-doc cosine similarity (= 1 − the distance KnnJoin ranks by).
+    val pool0 = KnnJoin.exact(queries, queryIdCol, queryVecCol, corpus,
+        idCol, vecCol, fetch, VectorFunctions.Cosine)
+      .select(col(queryIdCol), col(idCol).as("__cid"),
+        (lit(1.0d) - col("dist")).as("__rel"))
+      .join(broadcast(qv), queryIdCol).join(cv, "__cid")
+      .localCheckpoint()
+    // Greedy selection. selected: (qid, __cid, __cv, rank, __score);
+    // remaining: pool rows not yet picked.
+    val wBest = Window.partitionBy(col(queryIdCol))
+    def pickBest(scored: DataFrame): DataFrame = scored
+      .withColumn("__best", min(struct(negate(col("__score")).as("s"),
+        col("__cid").as("c"))).over(wBest))
+      .filter(col("__best.c") === col("__cid"))
+      .drop("__best")
+    var selected = pickBest(
+        pool0.withColumn("__score", lit(lambda) * col("__rel")))
+      .withColumn("rank", lit(1L))
+      .localCheckpoint()
+    var remaining = pool0.join(
+      selected.select(col(queryIdCol), col("__cid")), Seq(queryIdCol, "__cid"),
+      "left_anti").localCheckpoint()
+    for (t <- 2 to k) {
+      // max doc-doc sim of each remaining candidate against the selected
+      // set: |remaining| × t rows through a keyed join on the query id.
+      val maxSim = remaining.alias("r")
+        .join(selected.select(col(queryIdCol), col("__cv").as("__sv"))
+          .alias("s"), queryIdCol)
+        .groupBy(col(queryIdCol), col("__cid"))
+        .agg(max(lit(1.0d) - VectorFunctions.fusedDistance("cosine")(
+          col("__cv"), col("__sv"))).as("__maxsim"))
+      val scored = remaining.join(maxSim, Seq(queryIdCol, "__cid"))
+        .withColumn("__score",
+          lit(lambda) * col("__rel") - lit(1.0d - lambda) * col("__maxsim"))
+      val pick = pickBest(scored).withColumn("rank", lit(t.toLong))
+        .select(selected.columns.map(col): _*)
+      selected = selected.unionByName(pick).localCheckpoint()
+      remaining = remaining.join(
+        selected.select(col(queryIdCol), col("__cid")),
+        Seq(queryIdCol, "__cid"), "left_anti").localCheckpoint()
+    }
+    selected.select(col(queryIdCol), col("__cid").as(idCol), col("rank"),
+      round(col("__score"), 6).as("score"))
+  }
+}

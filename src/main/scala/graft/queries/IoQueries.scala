@@ -53,6 +53,30 @@ object IoQueries extends graft.QueryModule {
       merged.select(col("doc_id"), md5(col("text")).as("content_hash"),
         col("__src").as("src"))
     }),
+    // K4 versioned: SCD-2 history over two chained batches. Batch 1 revises
+    // every 10th doc, RE-DELIVERS every (10th+5) doc byte-identical (the
+    // at-least-once case — must be a no-op, no spurious version), and
+    // inserts negative-id docs; batch 2 revises every 20th doc again,
+    // closing its batch-1 version. The oracle rebuilds the full version
+    // table relationally — a missed close, a phantom version from the
+    // redelivery, or a wrong batch stamp turns a row red.
+    "merge_scd2_history" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val h0 = graft.operators.Merge.scd2Init(docs)
+      val delta1 = docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" [rev2]")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((-(col("doc_id") + 1L)).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      val h1 = graft.operators.Merge.scd2Apply(h0, delta1, "doc_id", 1L)
+      val delta2 = docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("text", concat(col("text"), lit(" [rev3]")))
+      val h2 = graft.operators.Merge.scd2Apply(h1, delta2, "doc_id", 2L)
+      h2.select(col("doc_id"), md5(col("text")).as("content_hash"),
+        col("valid_from"), col("valid_to"))
+    }),
     // The delete leg (GDPR-style key removal): every 13th doc's key is
     // "forgotten"; the oracle pins the surviving rows by content hash, so
     // an under- or over-delete turns red row-by-row.
@@ -103,6 +127,34 @@ object IoQueries extends graft.QueryModule {
     }))
 
   val oracles: Map[String, String] = Map(
+    // The full version table rebuilt relationally: snapshot versions close
+    // at batch 1 iff revised then; [rev2] versions close at batch 2 iff
+    // revised again; redelivered-identical docs keep ONE open snapshot
+    // version; inserts open at batch 1.
+    "merge_scd2_history" ->
+      """WITH upd AS (SELECT doc_id, text || ' [rev2]' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |upd2 AS (SELECT doc_id, text || ' [rev3]' AS text
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |ins AS (SELECT -(doc_id + 1) AS doc_id,
+        |    'new doc ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id, md5(text) AS content_hash,
+        |  CAST(0 AS BIGINT) AS valid_from,
+        |  CASE WHEN doc_id % 10 = 0 THEN CAST(1 AS BIGINT)
+        |       ELSE CAST(NULL AS BIGINT) END AS valid_to
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, md5(text), CAST(1 AS BIGINT),
+        |  CASE WHEN doc_id % 20 = 0 THEN CAST(2 AS BIGINT)
+        |       ELSE CAST(NULL AS BIGINT) END
+        |FROM upd
+        |UNION ALL
+        |SELECT doc_id, md5(text), CAST(2 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM upd2
+        |UNION ALL
+        |SELECT doc_id, md5(text), CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM ins""".stripMargin,
     "merge_delete_docs" ->
       """SELECT doc_id, md5(text) AS content_hash FROM documents
         |WHERE doc_id % 13 <> 0""".stripMargin,

@@ -65,6 +65,50 @@ object VectorQueries extends graft.QueryModule {
     }),
     // The flagship expressed as pure SQL text through spark.sql — temp views
     // plus the Graft-registered vector_distance function; same result set as
+    // MMR λ=1 parity: the greedy k-round re-ranker degenerates to plain
+    // cosine top-k, so the ENTIRE iterative machinery (pool build, argmax
+    // rounds, tie-breaks, rank order) hash-matches the one-shot oracle —
+    // the same full-gate trick ivf_probe_all_exact plays for IVF.
+    "knn_mmr_lambda1" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      graft.operators.Mmr.rerank(q, "job_id", "qvec", c, "skill_id", "svec",
+        K, fetch = 3 * K, lambda = 1.0)
+    }),
+    // MMR at λ=0.5, diversity pinned IN-PLAN (the greedy recursion isn't
+    // portable SQL — the ivf_kmeans_recall gating pattern): over the same
+    // candidate pool, the MMR selection's mean per-query max pairwise
+    // similarity must not exceed the plain top-k's — picking for diversity
+    // can only tie or improve the spread. raise_error turns any violation
+    // into a red row; the oracle pins n_queries and the flag.
+    "knn_mmr_diverse" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      val vecs = c.select(col("skill_id"), col("svec"))
+      def spread(sel: DataFrame): DataFrame = {
+        val va = sel.join(vecs, "skill_id")
+          .select(col("job_id"), col("skill_id").as("__aid"), col("svec").as("__av"))
+        val vb = sel.join(vecs, "skill_id")
+          .select(col("job_id"), col("skill_id").as("__bid"), col("svec").as("__bv"))
+        va.join(vb, "job_id").filter(col("__aid") < col("__bid"))
+          .select(col("job_id"),
+            (lit(1.0d) - Cosine.dist(col("__av"), col("__bv"))).as("__s"))
+          .groupBy("job_id").agg(max(col("__s")).as("__maxsim"))
+          .agg(avg(col("__maxsim")).as("spread"), count(lit(1)).as("n"))
+      }
+      val mmr = graft.operators.Mmr.rerank(q, "job_id", "qvec", c,
+          "skill_id", "svec", K, 3 * K, 0.5)
+        .select(col("job_id"), col("skill_id"))
+      val plain = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec",
+          K, Cosine)
+        .select(col("job_id"), col("skill_id"))
+      spread(mmr).select(col("spread").as("__m"), col("n").as("n_queries"))
+        .crossJoin(spread(plain).select(col("spread").as("__p")))
+        .select(col("n_queries"),
+          when(col("__m") <= col("__p") + lit(1e-9d), lit(true))
+            .otherwise(raise_error(concat(
+              lit("knn_mmr_diverse: MMR spread above plain top-k: mmr="),
+              col("__m").cast("string"), lit(" plain="),
+              col("__p").cast("string")))).as("diverse_ok"))
+    }),
     // knn_cosine_topk (SQL-surface parity check). k=5 to keep its own shape.
     "sql_knn_topk" -> ((s, dir) => {
       graft.Graft.register(s)
@@ -205,6 +249,26 @@ object VectorQueries extends graft.QueryModule {
          |      FROM d)
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
          |FROM r WHERE rank <= $K""".stripMargin,
+    // λ=1 MMR ≡ plain cosine top-k with score = similarity: same ranking,
+    // rank order by sim desc (= dist asc), score = round(1 − dist, 6).
+    "knn_mmr_lambda1" ->
+      s"""WITH $qCte, $cCte,
+         |d AS (SELECT job_id, skill_id,
+         |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT job_id, skill_id, rank, round(1.0 - dist, 6) AS score
+         |FROM r WHERE rank <= $K""".stripMargin,
+    // Pinned-output contract of the in-plan diversity assertion: n_queries
+    // counts the fixture's query set, diverse_ok can only hash TRUE if the
+    // raise_error branch didn't fire.
+    "knn_mmr_diverse" ->
+      s"""WITH $qCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  TRUE AS diverse_ok
+         |FROM q""".stripMargin,
     "sql_knn_topk" ->
       s"""WITH $qCte, $cCte,
          |d AS (SELECT job_id, skill_id,

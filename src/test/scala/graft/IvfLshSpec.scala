@@ -65,6 +65,20 @@ class IvfLshSpec extends SparkSpec {
     assertNear(recallOf(viaIndex), 1.0)
   }
 
+  test("IVF append against the stored model equals a from-scratch assign of the union") {
+    val isDelta = $"cid" % 7 === 3 && $"cid" >= 110L
+    val (base, delta) = (corpus.filter(!isDelta), corpus.filter(isDelta))
+    val model = IvfIndex.fitSeeds(base, "cid", "cvec", 4)
+    val path = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
+    IvfIndex.write(IvfIndex.assign(base, "cid", "cvec", model, Cosine), path)
+    IvfIndex.append(delta, "cid", "cvec", model, Cosine, path)
+    val got = spark.read.parquet(path).select($"cid", $"list_id".cast("int"))
+      .as[(Long, Int)].collect().toSet
+    val want = IvfIndex.assign(corpus, "cid", "cvec", model, Cosine)
+      .select($"cid", $"list_id".cast("int")).as[(Long, Int)].collect().toSet
+    assert(got == want)
+  }
+
   test("LSH ANN is deterministic across runs and finds real neighbors") {
     val a = LshIndex.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec", 10,
       dim = 64, bucketLength = 0.2, numTables = 3)

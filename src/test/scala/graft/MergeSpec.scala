@@ -33,6 +33,47 @@ class MergeSpec extends SparkSpec {
     assert(left == Set(1L, 3L))
   }
 
+  private def versions(df: org.apache.spark.sql.DataFrame) =
+    df.select($"id", $"v", $"valid_from", $"valid_to")
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+
+  test("scd2: changed keys close + insert, identical redelivery is a no-op, inserts open") {
+    val h0 = Merge.scd2Init(base)
+    // 2 changes, 3 is re-delivered byte-identical, 9 is new.
+    val delta = Seq((2L, "TWO", 20), (3L, "three", 30), (9L, "nine", 90))
+      .toDF("id", "v", "n")
+    val h1 = Merge.scd2Apply(h0, delta, "id", 1L)
+    assert(versions(h1) == Set(
+      (1L, "one", 0L, None),
+      (2L, "two", 0L, Some(1L)), (2L, "TWO", 1L, None),
+      (3L, "three", 0L, None),            // no spurious version
+      (9L, "nine", 1L, None)))
+    // Chain a second batch: 2 changes again — its batch-1 version closes.
+    val h2 = Merge.scd2Apply(h1, Seq((2L, "ZWEI", 20)).toDF("id", "v", "n"),
+      "id", 2L)
+    assert(versions(h2) == Set(
+      (1L, "one", 0L, None),
+      (2L, "two", 0L, Some(1L)), (2L, "TWO", 1L, Some(2L)),
+      (2L, "ZWEI", 2L, None),
+      (3L, "three", 0L, None),
+      (9L, "nine", 1L, None)))
+    // Null-safe change detection: null -> value and value -> null both count.
+    val hn = Merge.scd2Apply(
+      Merge.scd2Init(Seq((1L, null.asInstanceOf[String], 1)).toDF("id", "v", "n")),
+      Seq((1L, "x", 1)).toDF("id", "v", "n"), "id", 5L)
+    assert(versions(hn) == Set(
+      (1L, null, 0L, Some(5L)), (1L, "x", 5L, None)))
+  }
+
+  test("scd2 rejects mismatched delta schemas and histories without meta columns") {
+    intercept[IllegalArgumentException] {
+      Merge.scd2Apply(Merge.scd2Init(base), base.drop("n"), "id", 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Merge.scd2Apply(base, base, "id", 1L) // no valid_from/valid_to
+    }
+  }
+
   test("upsert rejects mismatched schemas") {
     intercept[IllegalArgumentException] {
       Merge.upsert(base, base.drop("n"), "id", "id")
