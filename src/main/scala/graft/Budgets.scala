@@ -104,8 +104,11 @@ object Budgets {
     "knn_int8_adc" -> 1.5, // r8 samples 0.53/0.34
     "knn_ip_topk" -> 1.5, // r8 samples 0.36/0.28
     "knn_l2_topk" -> 1.5, // r8 samples 0.33/0.36
-    "knn_mmr_lambda1" -> 7.2, // r8 sample 2.88 (one full-bench run; k greedy rounds over the bounded pool)
-    "knn_mmr_diverse" -> 8.5, // r8 sample 3.39 (one full-bench run; MMR + the pairwise-spread assertion)
+    "knn_mmr_lambda1" -> 7.2, // r8 samples 2.88/2.57 (k greedy rounds over the bounded pool)
+    "knn_mmr_diverse" -> 8.5, // r8 samples 3.39/3.26 (MMR + the pairwise-spread assertion)
+    "knn_mrl_topk" -> 1.5, // r8 sample 0.38 (one full-bench run)
+    "eval_mrl_recall" -> 1.5, // r8 sample 0.38 (one full-bench run)
+    "sample_token_budget" -> 1.7, // r8 sample 0.68 (one full-bench run)
     "knn_radius_cosine" -> 1.5, // r8 samples 0.22/0.17
     "layout_zorder" -> 1.5, // r8 samples 0.59/0.53
     "lsh_ann_appended_topk" -> 2.8, // r8 samples 1.11 (one sample)
@@ -131,6 +134,7 @@ object Budgets {
     "pq_index_build" -> 3.1, // r8 samples 1.20/1.19
     "pq_kmeans_recall" -> 2.3, // r8 samples 0.90/0.67
     "pq_refine_topk" -> 3.5, // r8 samples 1.39/1.10
+    "profile_embedding_dims" -> 1.8, // added last in r8; narrow explode+agg, sized pending a full-bench sample
     "profile_lineitem_numeric" -> 1.5, // r8 samples 0.19/0.14
     "profile_sketch_gate" -> 1.5, // r8 samples 0.27/0.22
     "rel_cube_flags" -> 1.5, // r8 samples 0.54/0.35

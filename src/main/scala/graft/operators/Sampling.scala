@@ -107,6 +107,46 @@ object Sampling {
       .drop("__grp")
   }
 
+  /** Token-budget mixture sampling — the form a training run actually
+    * specifies its data mix in: "B tokens total, split across sources in
+    * proportion to their token share" (weights in TOKENS, not documents —
+    * a long-document source would otherwise blow its quota with few rows).
+    * Per group g with token count T_g of a corpus totalling T: the target
+    * is the exact integer roundDiv(B·T_g, T); documents are ordered by the
+    * portable (hash, id) — reproducible "random" — and kept while the
+    * RUNNING token sum stays within the target (first-past-the-post: the
+    * document that crosses the boundary is kept, so every non-empty target
+    * keeps ≥ 1 document and the kept count overshoots by < 1 document).
+    *
+    * Every step is exact integer arithmetic — token counts are longs, the
+    * target is [[graft.functions.ExactRound.roundDiv]] — so the kept SET
+    * replays bit-exactly in the DuckDB oracle. Scale shape: one tiny
+    * per-group aggregate broadcast back, then ONE per-group running-sum
+    * window (partitioned on the group — sorts bounded by group size, and a
+    * skewed group salts the same way any window here would).
+    *
+    * Output: (groupCol, idCol, n_tokens, cum_tokens, target_tokens) for
+    * the kept rows. */
+  def tokenBudget(df: DataFrame, groupCol: String, idCol: String,
+      tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    val cnt = df.groupBy(col(groupCol)).agg(sum(col(tokensCol)).as("__tg"))
+    val tot = cnt.agg(sum("__tg").as("__tt"))
+    val targets = cnt.crossJoin(broadcast(tot))
+      .select(col(groupCol).as("__grp"),
+        graft.functions.ExactRound.roundDiv(
+          col("__tg") * lit(budgetTokens), col("__tt")).as("target_tokens"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashBucket(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol), col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+      .join(broadcast(targets), col(groupCol) <=> col("__grp"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < col("target_tokens"))
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("cum_tokens"),
+        col("target_tokens"))
+  }
+
   /** Deterministic stratified sample: the `n` rows of each stratum with the
     * smallest (hash, key) — reproducible "random" per-group quotas. */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,

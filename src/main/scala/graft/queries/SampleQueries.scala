@@ -76,6 +76,23 @@ object SampleQueries extends graft.QueryModule {
         .withColumn("pos", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
     }),
+    // Token-budget mixture — the unit a training run specifies its mix in:
+    // 10k tokens split across sources by TOKEN share (exact integer
+    // targets), filled per source in portable-hash order with
+    // first-past-the-post running sums. The per-source summary pins the
+    // kept SET (id checksum), its token accounting, and the target
+    // arithmetic in one row per source.
+    "sample_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"))
+      graft.operators.Sampling.tokenBudget(docs, "source", "doc_id",
+          "n_toks", TokenBudget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_tokens")).as("n_tokens_kept"),
+          max(col("target_tokens")).as("target_tokens"),
+          sum(col("doc_id")).as("id_checksum"))
+    }),
     // The composed selection pipeline as ONE row: DSIR weights → Gumbel
     // top-m → ExactSubstr span-clean WITHIN the selection → chunk → pack.
     // Stages are green individually; this row goes red if the composition
@@ -102,6 +119,7 @@ object SampleQueries extends graft.QueryModule {
     }))
 
   private val DsirBuckets = 4096
+  private val TokenBudget = 10000L
   private val DsirM = 50
   private val ShuffleShards = 16
   // Selection-pipeline constants — one source for both engines
@@ -119,6 +137,29 @@ object SampleQueries extends graft.QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // Mirrors tokenBudget step for step: token counts → exact integer
+    // per-source targets (shared rounded division) → hash-ordered running
+    // sums → first-past-the-post keep rule → per-source summary.
+    "sample_token_budget" ->
+      s"""WITH ${DocSql.toksCte},
+         |t AS (SELECT d.doc_id, d.source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    $bucketSql AS b
+         |  FROM documents d JOIN tokd USING (doc_id)),
+         |g AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tg FROM t GROUP BY 1),
+         |tt AS (SELECT CAST(sum(tg) AS BIGINT) AS tt FROM g),
+         |tgt AS (SELECT source,
+         |    ${graft.functions.ExactRound.roundDivSql(s"tg * $TokenBudget", "tt")} AS target_tokens
+         |  FROM g CROSS JOIN tt),
+         |r AS (SELECT t.*, sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY b, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+         |k AS (SELECT r.source, r.doc_id, r.n_tokens, tgt.target_tokens
+         |  FROM r JOIN tgt USING (source)
+         |  WHERE cum - n_tokens < target_tokens)
+         |SELECT source, count(*) AS n_docs_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+         |  max(target_tokens) AS target_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM k GROUP BY 1""".stripMargin,
     "sample_docs_hash" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $bucketSql < 1000""".stripMargin,

@@ -65,6 +65,50 @@ object VectorQueries extends graft.QueryModule {
     }),
     // The flagship expressed as pure SQL text through spark.sql — temp views
     // plus the Graft-registered vector_distance function; same result set as
+    // Embedding-corpus profiling — the ANALYZE of the vector world: per
+    // DIMENSION count/mean/min/max over the whole corpus in ONE
+    // explode + keyed aggregation (64 output rows regardless of corpus
+    // size). The signal a deployment reads for collapsed dimensions, scale
+    // drift after a re-embed, or a provider change; values ride the same
+    // e6 integer prescale as the relational profile, so the whole census
+    // is hash-exact.
+    "profile_embedding_dims" -> ((s, dir) => {
+      val x6 = graft.functions.ExactRound.e6(col("x")).cast("long")
+      Tables.embeddings(s, dir)
+        .select(posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"), x6.as("__x6"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          min(col("__x6")).as("min_e6"),
+          max(col("__x6")).as("max_e6"),
+          graft.functions.ExactRound.roundDiv(sum(col("__x6")), count(lit(1)))
+            .as("mean_e6"))
+    }),
+    // Matryoshka retrieval (Kusupati et al., NeurIPS 2022: MRL embeddings
+    // are trained so PREFIXES of the vector are usable embeddings): rank
+    // with only the first 16 of 64 dims — a 4× cheaper scan side, the
+    // standard first pass of a tiered retrieval. Cosine is scale-invariant,
+    // so slicing IS the truncated-embedding search (no renormalize needed
+    // for ranking); the full ranking replays in the oracle.
+    "knn_mrl_topk" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      val q16 = q.select(col("job_id"), slice(col("qvec"), 1, MrlDim).as("qvec"))
+      val c16 = c.select(col("skill_id"), slice(col("svec"), 1, MrlDim).as("svec"))
+      rounded(KnnJoin.exact(q16, "job_id", "qvec", c16, "skill_id", "svec", K, Cosine))
+    }),
+    // The tier's quality dial, hash-gated: recall@k of the 16-dim prefix
+    // ranking against the full 64-dim exact search (the fraction a refine
+    // pass would need to recover) — same exact-integer summary the other
+    // recall gates use.
+    "eval_mrl_recall" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      val q16 = q.select(col("job_id"), slice(col("qvec"), 1, MrlDim).as("qvec"))
+      val c16 = c.select(col("skill_id"), slice(col("svec"), 1, MrlDim).as("svec"))
+      val ann = KnnJoin.exact(q16, "job_id", "qvec", c16, "skill_id", "svec", K, Cosine)
+      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+    }),
     // MMR λ=1 parity: the greedy k-round re-ranker degenerates to plain
     // cosine top-k, so the ENTIRE iterative machinery (pool build, argmax
     // rounds, tie-breaks, rank order) hash-matches the one-shot oracle —
@@ -207,6 +251,7 @@ object VectorQueries extends graft.QueryModule {
 
   private val qCte = Fixtures.qCte
   private val cCte = Fixtures.cCte
+  private val MrlDim = 16
 
   private val jlComps = (0 until 16).map(p =>
     graft.operators.RpLsh.projectComponentSql("embedding::DOUBLE[]", 64, 16, p))
@@ -249,6 +294,57 @@ object VectorQueries extends graft.QueryModule {
          |      FROM d)
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
          |FROM r WHERE rank <= $K""".stripMargin,
+    // Per-dim census replayed via generate_series subscripts; the e6
+    // prescale and rounded division are the shared exact-integer twins.
+    "profile_embedding_dims" ->
+      s"""WITH x AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
+         |    ${graft.functions.ExactRound.e6Sql("CAST(embedding[i] AS DOUBLE)")} AS x6
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i))
+         |SELECT dim, count(*) AS n,
+         |  CAST(min(x6) AS BIGINT) AS min_e6,
+         |  CAST(max(x6) AS BIGINT) AS max_e6,
+         |  ${graft.functions.ExactRound.roundDivSql("sum(x6)", "count(*)")} AS mean_e6
+         |FROM x GROUP BY 1""".stripMargin,
+    // Prefix-sliced cosine ranking — DuckDB's v[1:n] slice is 1-based
+    // inclusive, exactly Spark's slice(v, 1, n).
+    "knn_mrl_topk" ->
+      s"""WITH $qCte, $cCte,
+         |d AS (SELECT job_id, skill_id,
+         |        1.0 - list_cosine_similarity(qvec[1:$MrlDim], svec[1:$MrlDim]) AS dist
+         |      FROM q CROSS JOIN c),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
+    // Recall of the 16-dim prefix tier vs the full-dim exact ranking,
+    // replayed from scratch (both rankings + the exact-integer summary).
+    "eval_mrl_recall" ->
+      s"""WITH $qCte, $cCte,
+         |da AS (SELECT job_id, skill_id,
+         |        1.0 - list_cosine_similarity(qvec[1:$MrlDim], svec[1:$MrlDim]) AS dist
+         |      FROM q CROSS JOIN c),
+         |ra AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM da) WHERE rank <= $K),
+         |de AS (SELECT job_id, skill_id,
+         |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |exr AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM de) WHERE rank <= $K),
+         |m AS (SELECT a.job_id, count(*) AS n FROM ra a
+         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |    GROUP BY 1),
+         |perq AS (SELECT q2.job_id,
+         |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+         |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
+         |SELECT ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
+         |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
+         |  count(*) AS n_queries FROM perq""".stripMargin,
     // λ=1 MMR ≡ plain cosine top-k with score = similarity: same ranking,
     // rank order by sim desc (= dist asc), score = round(1 − dist, 6).
     "knn_mmr_lambda1" ->

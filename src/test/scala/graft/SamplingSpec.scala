@@ -81,6 +81,31 @@ class SamplingSpec extends SparkSpec {
     assert(keptNull > 20, s"null group should be sampled, kept $keptNull")
   }
 
+  test("tokenBudget: token-share targets, first-past-the-post fill, repartition-stable") {
+    import spark.implicits._
+    // Group a: 10 docs × 10 tokens (100); group b: 5 docs × 10 tokens (50).
+    // Budget 60 → targets round(60·100/150)=40 and round(60·50/150)=20.
+    val docs = ((1 to 10).map(i => ("a", i.toLong, 10L)) ++
+      (11 to 15).map(i => ("b", i.toLong, 10L))).toDF("src", "id", "nt")
+    val out = Sampling.tokenBudget(docs, "src", "id", "nt", 60L)
+    val perGroup = out.groupBy("src")
+      .agg(sum($"n_tokens").as("kept"), max($"target_tokens").as("tgt"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(perGroup("a") == ((40L, 40L)), s"got $perGroup")
+    assert(perGroup("b") == ((20L, 20L)), s"got $perGroup")
+    // First-past-the-post: a doc crossing the boundary is kept, so a
+    // non-divisible budget overshoots by < 1 document.
+    val odd = Sampling.tokenBudget(docs, "src", "id", "nt", 55L)
+      .filter($"src" === "a")
+      .agg(sum($"n_tokens"), max($"target_tokens")).as[(Long, Long)].head()
+    assert(odd._2 == 37L && odd._1 == 40L, s"got $odd") // 4 docs cover target 37
+    // Repartition-stable: the kept SET is identical from any layout.
+    val a = out.select($"id").as[Long].collect().toSet
+    val b = Sampling.tokenBudget(docs.repartition(7), "src", "id", "nt", 60L)
+      .select($"id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("stratifiedSample: exact quota per stratum (or all rows if fewer)") {
     val strat = rows.withColumn("g", (col("id") % 4).cast("string"))
     val out = Sampling.stratifiedSample(strat, "g", "id", 10)
