@@ -30,6 +30,34 @@ object Layouts {
     }
   }
 
+  private val FpKey = "graft.model.fingerprint"
+
+  /** Stamp the model/parameter fingerprint a stored layout was built under
+    * as a table property — the append paths' compatibility witness. */
+  def stampFingerprint(s: SparkSession, tableName: String, fp: String): Unit =
+    s.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES ('$FpKey' = '$fp')")
+
+  /** The stamped fingerprint of a table, if any — maintenance ops that
+    * REWRITE a layout (compaction) read it first and re-stamp after. */
+  def readFingerprint(s: SparkSession, tableName: String): Option[String] =
+    s.sql(s"SHOW TBLPROPERTIES $tableName")
+      .filter(org.apache.spark.sql.functions.col("key") === FpKey)
+      .collect().headOption.map(_.getString(1))
+
+  /** Enforce that an O(delta) append runs under the SAME fingerprint the
+    * base build stamped: a delta encoded against re-fitted models/params is
+    * a silently incompatible code space — fail loudly instead. Tables
+    * without a stamp (pre-fingerprint layouts) pass, preserving
+    * compatibility with externally-created tables. */
+  def checkFingerprint(s: SparkSession, tableName: String, fp: String,
+      what: String): Unit = {
+    val stored = readFingerprint(s, tableName)
+    stored.foreach(st => require(st == fp,
+      s"$what: append models/params do not match the stored layout's build " +
+        s"(stored fingerprint $st, append $fp) — re-fitting requires a " +
+        "rebuild, not an append"))
+  }
+
   /** Deterministic pid-suffixed identifier for `dir`-scoped table names and
     * paths (hex of the dir's name-UUID + this JVM's pid). */
   def tag(dir: String): String =

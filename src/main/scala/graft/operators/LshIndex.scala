@@ -45,12 +45,24 @@ object LshIndex {
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       bucketLength: Double, numTables: Int, numPlanes: Int,
       tableName: String, path: String, numBuckets: Int,
-      maxBucket: Long = Dedup.DefaultMaxBucket): Unit =
+      maxBucket: Long = Dedup.DefaultMaxBucket): Unit = {
     Bucketed.writeBucketedKeys(
       Salt.capBuckets(
         RpLsh.bucketize(corpus, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
         Seq("tbl", "bucket"), maxBucket),
       tableName, path, Seq("tbl", "bucket"), numBuckets)
+    graft.Layouts.stampFingerprint(corpus.sparkSession, tableName,
+      planeFingerprint(dim, bucketLength, numTables, numPlanes))
+  }
+
+  /** The hash-geometry identity of a stored LSH index (the planes are
+    * derived deterministically from these parameters, so the parameters
+    * ARE the model) — stamped by [[writeIndex]], required to match by
+    * [[appendToIndex]]: delta entries hashed under a different geometry
+    * would silently land in meaningless buckets. */
+  def planeFingerprint(dim: Int, bucketLength: Double, numTables: Int,
+      numPlanes: Int): String =
+    s"rplsh|$dim|$bucketLength|$numTables|$numPlanes"
 
   /** [[annTopK]] probing a stored [[writeIndex]] table instead of
     * bucketizing the corpus per query. `corpus` still supplies the vectors
@@ -90,10 +102,14 @@ object LshIndex {
     * `lsh_ann_appended_topk`). */
   def appendToIndex(delta: DataFrame, idCol: String, vecCol: String, dim: Int,
       bucketLength: Double, numTables: Int, numPlanes: Int,
-      tableName: String, numBuckets: Int): Unit =
+      tableName: String, numBuckets: Int): Unit = {
+    graft.Layouts.checkFingerprint(delta.sparkSession, tableName,
+      planeFingerprint(dim, bucketLength, numTables, numPlanes),
+      "LshIndex.appendToIndex")
     Bucketed.appendBucketedKeys(
       RpLsh.bucketize(delta, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
       tableName, Seq("tbl", "bucket"), numBuckets)
+  }
 
   private def annTopKOfBuckets(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, corpus: DataFrame, idCol: String, vecCol: String,

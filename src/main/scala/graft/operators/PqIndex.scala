@@ -212,11 +212,31 @@ object PqIndex {
     KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
   }
 
+  /** Stable fingerprint of the (coarse quantizer, codebooks, metric)
+    * triple an IVF-PQ layout was encoded under — stored as a table
+    * property by [[writeIvfIndex]] and REQUIRED to match by
+    * [[appendToIvfIndex]], so a delta encoded against re-fitted models
+    * (a silently incompatible code space) fails loudly instead of
+    * corrupting the index. */
+  def modelFingerprint(pqModel: Model, ivfModel: IvfIndex.Model,
+      metric: graft.functions.VectorFunctions.Metric): String = {
+    val cents = ivfModel.centroids
+      .select(col("list_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => s"${r.getInt(0)}:${r.getSeq[Double](1).mkString(",")}")
+      .sorted.mkString(";")
+    val s = s"${pqModel.dim}|${pqModel.subDim}|${pqModel.codebooks}|$cents|$metric"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** The combined IVF-PQ layout at rest: (id, codes, list_id) partitioned
     * by `list_id` — the on-disk form of [[searchIvf]]'s `indexed` input.
     * Partitioning by the coarse list means a probe-pruned read touches only
     * the probed lists' files (the ivfflat trade IvfIndex.write makes,
-    * applied to codes instead of vectors: pruning AND 64× smaller rows). */
+    * applied to codes instead of vectors: pruning AND 64× smaller rows).
+    * The models' [[modelFingerprint]] is stamped on the table for
+    * [[appendToIvfIndex]]'s compatibility check. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       pqModel: Model, ivfModel: IvfIndex.Model,
       metric: graft.functions.VectorFunctions.Metric,
@@ -229,6 +249,8 @@ object PqIndex {
       .write.mode("overwrite").format("parquet")
       .partitionBy("list_id")
       .option("path", path).saveAsTable(tableName)
+    graft.Layouts.stampFingerprint(spark, tableName,
+      modelFingerprint(pqModel, ivfModel, metric))
   }
 
   /** O(delta) ingest for the stored [[writeIvfIndex]] layout (the
@@ -243,19 +265,24 @@ object PqIndex {
     *
     * Append-mode invariant: `pqModel`/`ivfModel` MUST be the models the
     * base build used — encoding deltas against re-fitted models silently
-    * mixes incompatible code spaces. Re-fitting requires a rebuild;
-    * `ivf_drift_summary` is the metric a deployment schedules rebuilds by.
+    * mixes incompatible code spaces. ENFORCED: the build stamps
+    * [[modelFingerprint]] as a table property and this method requires a
+    * match. Re-fitting requires a rebuild; `ivf_drift_summary` is the
+    * metric a deployment schedules rebuilds by.
     * Rebuild equivalence (same models ⇒ appended table ≡ from-scratch
     * encode of the union) is exact because assign/encode are
     * row-deterministic — gated by `pq_index_append` / `ivfpq_appended_topk`. */
   def appendToIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
       pqModel: Model, ivfModel: IvfIndex.Model,
-      metric: graft.functions.VectorFunctions.Metric, tableName: String): Unit =
+      metric: graft.functions.VectorFunctions.Metric, tableName: String): Unit = {
+    graft.Layouts.checkFingerprint(delta.sparkSession, tableName,
+      modelFingerprint(pqModel, ivfModel, metric), "PqIndex.appendToIvfIndex")
     IvfIndex.assign(delta, idCol, vecCol, ivfModel, metric)
       .select(col(idCol), col("list_id"))
       .join(encode(delta, idCol, vecCol, pqModel), idCol)
       .select(col(idCol), col("codes"), col("list_id"))
       .write.mode("append").insertInto(tableName)
+  }
 
   /** ADC + refine (the "IVFADC+R" production shape): [[search]] overfetches
     * k·`overfetch` candidates from the code scan, then ONLY those rows'

@@ -121,6 +121,7 @@ object SpanDedup {
     val t = IndexTable(s"graft_spanidx_$tag")
     Bucketed.writeBucketed(counts, t.counts, s"$basePath/counts", "__gh",
       numBuckets)
+    graft.Layouts.stampFingerprint(corpus.sparkSession, t.counts, s"span|$k")
     t
   }
 
@@ -138,11 +139,17 @@ object SpanDedup {
     * stored HashPartitioning; periodic compaction = re-running
     * [[buildIndex]] over the union. */
   def appendToIndex(table: IndexTable, delta: DataFrame, idCol: String,
-      textCol: String, k: Int, numBuckets: Int): Unit =
+      textCol: String, k: Int, numBuckets: Int): Unit = {
+    // Window width is the index's identity: delta windows hashed at a
+    // different k would poison the counts silently — the build stamps it,
+    // the append requires a match.
+    graft.Layouts.checkFingerprint(delta.sparkSession, table.counts,
+      s"span|$k", "SpanDedup.appendToIndex")
     Bucketed.appendBucketedKeys(
       gramPositionsUncached(delta, idCol, textCol, k)
         .groupBy(col("__gh")).agg(count(lit(1)).as("__c")),
       table.counts, Seq("__gh"), numBuckets)
+  }
 
   /** Compact an appended count index back to one row per hash: re-aggregate
     * the split counts and rewrite the bucketed layout (K3
@@ -156,7 +163,10 @@ object SpanDedup {
   def compactIndex(spark: SparkSession, table: IndexTable,
       numBuckets: Int): Unit = {
     // Materialize off the live table before overwriting it (a bucketed
-    // overwrite of its own scan would read-while-truncate).
+    // overwrite of its own scan would read-while-truncate), and carry the
+    // build's fingerprint across the rewrite — compaction changes layout,
+    // never identity.
+    val fp = graft.Layouts.readFingerprint(spark, table.counts)
     val merged = spark.table(table.counts)
       .groupBy(col("__gh")).agg(sum(col("__c")).as("__c"))
       .localCheckpoint()
@@ -164,6 +174,7 @@ object SpanDedup {
       .filter(col("col_name") === "Location")
       .select("data_type").head().getString(0)
     Bucketed.writeBucketed(merged, table.counts, loc, "__gh", numBuckets)
+    fp.foreach(graft.Layouts.stampFingerprint(spark, table.counts, _))
   }
 
   /** Duplicated spans of DELTA documents against corpus ∪ delta, with the

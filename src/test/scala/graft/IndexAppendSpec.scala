@@ -63,6 +63,40 @@ class IndexAppendSpec extends SparkSpec {
       "appended bucket table diverged from a from-scratch union bucketize")
   }
 
+  test("append under re-fitted models or different hash geometry fails loudly") {
+    val (base, delta) = splitCorpus
+    val pqModel = PqIndex.fitSeeds(base, "id", "vec", m = 4, k = 8)
+    val ivfModel = IvfIndex.fitSeeds(base, "id", "vec", 4)
+    val t = "graft_test_fpcheck_pq"
+    PqIndex.writeIvfIndex(base, "id", "vec", pqModel, ivfModel, Cosine,
+      t, s"/tmp/graft_test_fpcheck/pq_${ProcessHandle.current().pid()}")
+    // A re-fit (different codebooks — here: trained on a different slice)
+    // is an incompatible code space: the stored fingerprint must reject it.
+    val refit = PqIndex.fitSeeds(corpus.filter(col("id") >= 2L), "id", "vec", 4, 8)
+    intercept[IllegalArgumentException] {
+      PqIndex.appendToIvfIndex(delta, "id", "vec", refit, ivfModel, Cosine, t)
+    }
+    val tl = "graft_test_fpcheck_lsh"
+    LshIndex.writeIndex(base, "id", "vec", dim, 0.5, 2, 1,
+      tl, s"/tmp/graft_test_fpcheck/lsh_${ProcessHandle.current().pid()}", 4)
+    intercept[IllegalArgumentException] { // different bucketLength geometry
+      LshIndex.appendToIndex(delta, "id", "vec", dim, 0.7, 2, 1, tl, 4)
+    }
+    val ts = graft.operators.SpanDedup.buildIndex(
+      Seq((1L, "a b c d e f g h")).toDF("id", "text"), "id", "text", 5,
+      s"fp_${ProcessHandle.current().pid()}", "/tmp/graft_test_fpcheck/span", 2)
+    intercept[IllegalArgumentException] { // different window width
+      graft.operators.SpanDedup.appendToIndex(ts,
+        Seq((2L, "a b c d e f g h")).toDF("id", "text"), "id", "text", 6, 2)
+    }
+    // Compaction preserves the stamp: a later same-k append still works.
+    graft.operators.SpanDedup.compactIndex(spark, ts, 2)
+    assert(graft.Layouts.readFingerprint(spark, ts.counts).contains("span|5"))
+    graft.operators.SpanDedup.appendToIndex(ts,
+      Seq((2L, "a b c d e f g h")).toDF("id", "text"), "id", "text", 5, 2)
+    Seq(t, tl, ts.counts).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("assignment drift: zero for identical and for relabeled centroids, counted for a moved set") {
     val model = IvfIndex.fitSeeds(corpus, "id", "vec", 4)
     val same = IvfIndex.assignmentDrift(corpus, "id", "vec", model, model, Cosine)
