@@ -134,7 +134,9 @@ object Budgets {
     "pq_index_build" -> 3.1, // r8 samples 1.20/1.19
     "pq_kmeans_recall" -> 2.3, // r8 samples 0.90/0.67
     "pq_refine_topk" -> 3.5, // r8 samples 1.39/1.10
-    "profile_embedding_dims" -> 1.8, // added last in r8; narrow explode+agg, sized pending a full-bench sample
+    "pq_drift_summary" -> 1.5, // r8 sample 0.27 (one full-bench run)
+    "clean_quality_floor" -> 1.5, // r8 sample 0.57 (one full-bench run)
+    "profile_embedding_dims" -> 1.5, // r8 sample 0.21 (one full-bench run)
     "profile_lineitem_numeric" -> 1.5, // r8 samples 0.19/0.14
     "profile_sketch_gate" -> 1.5, // r8 samples 0.27/0.22
     "rel_cube_flags" -> 1.5, // r8 samples 0.54/0.35

@@ -212,6 +212,39 @@ object PqIndex {
     KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)
   }
 
+  /** Code-assignment drift between two codebook fits — [[IvfIndex
+    * .assignmentDrift]]'s product-quantizer sibling, the rebuild signal at
+    * the CODE level (an appendable codes table encodes deltas against the
+    * stored codebooks; once re-fitting would move many cells, rebuild).
+    * A cell = one (vector, subspace) assignment; changed = the chosen
+    * codeWORD differs BY VALUE between fits (codebook relabeling can't
+    * fake stability). Both argmins evaluate as literal-codebook
+    * projections fused into ONE corpus scan — no join, no shuffle beyond
+    * the 1-row aggregate. Output: (n_vectors, n_cells, n_changed_cells,
+    * drift_e6). */
+  def codeDrift(corpus: DataFrame, idCol: String, vecCol: String,
+      oldModel: Model, newModel: Model): DataFrame = {
+    require(oldModel.dim == newModel.dim && oldModel.subDim == newModel.subDim,
+      s"codeDrift: incompatible shapes ${oldModel.dim}/${oldModel.subDim} vs " +
+        s"${newModel.dim}/${newModel.subDim}")
+    val m = oldModel.codebooks.size
+    val v = col(vecCol).cast("array<double>")
+    def chosen(model: Model, mm: Int): Column =
+      element_at(typedlit(model.codebooks(mm)),
+        element_at(array_sort(transform(typedlit(model.codebooks(mm)),
+          (cw, k) => struct(l2Distance(slice(v, mm * model.subDim + 1,
+            model.subDim), cw).as("d"), k.as("k")))), 1).getField("k") + 1)
+    val changed = (0 until m).map(mm =>
+      when(chosen(oldModel, mm) === chosen(newModel, mm), 0L).otherwise(1L))
+      .reduce(_ + _)
+    corpus.select(changed.as("__chg"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("__chg")).as("n_changed_cells"))
+      .select(col("n_vectors"), (col("n_vectors") * lit(m.toLong)).as("n_cells"),
+        col("n_changed_cells"),
+        graft.functions.ExactRound.roundDiv(col("n_changed_cells") * lit(1000000L),
+          col("n_vectors") * lit(m.toLong)).as("drift_e6"))
+  }
+
   /** Stable fingerprint of the (coarse quantizer, codebooks, metric)
     * triple an IVF-PQ layout was encoded under — stored as a table
     * property by [[writeIvfIndex]] and REQUIRED to match by

@@ -434,6 +434,19 @@ object IndexQueries extends graft.QueryModule {
       val newModel = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
       IvfIndex.assignmentDrift(c, "skill_id", "svec", oldModel, newModel, Cosine)
     }),
+    // The PQ-level drift twin: code-assignment drift between the stored-era
+    // codebooks (fit before the two lowest-id vectors existed) and a re-fit
+    // over the grown corpus — the rebuild signal for appendable CODES
+    // tables, at cell granularity. Both fits are seed-deterministic and the
+    // changed-codeword comparison is by value, so the census replays
+    // exactly.
+    "pq_drift_summary" -> ((s, dir) => {
+      val (_, c) = Fixtures.split(s, dir)
+      val oldM = PqIndex.fitSeeds(
+        c.filter(col("skill_id") >= 22L), "skill_id", "svec", PqM, PqK)
+      val newM = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      PqIndex.codeDrift(c, "skill_id", "svec", oldM, newM)
+    }),
     "ivf_kmeans_recall" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
       val model = IvfIndex.fitKMeans(c, "svec", Lists)
@@ -605,7 +618,41 @@ object IndexQueries extends graft.QueryModule {
        |FROM j""".stripMargin
   }
 
+  /** PQ code drift replayed from scratch: both seed fits (old excludes the
+    * two lowest corpus ids), argmin code per (vector, subspace) under each,
+    * changed = chosen codeword SLICES differ by value. */
+  private val pqDriftSql: String = {
+    def cbCte(name: String, pred: String) =
+      s"""$name AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS k, svec
+         |  FROM (SELECT skill_id, svec FROM c $pred ORDER BY skill_id LIMIT $PqK))""".stripMargin
+    def encCte(name: String, cb: String) =
+      s"""$name AS (SELECT pick.skill_id, pick.m,
+         |    $cb.svec[pick.m*$SubD+1 : pick.m*$SubD+$SubD] AS w
+         |  FROM (
+         |    SELECT c.skill_id, mm.m, $cb.k,
+         |      row_number() OVER (PARTITION BY c.skill_id, mm.m
+         |        ORDER BY list_distance(${pqSlice("c.svec")}, ${pqSlice(s"$cb.svec")}), $cb.k) AS r
+         |    FROM c CROSS JOIN mm CROSS JOIN $cb) pick
+         |  JOIN $cb ON pick.k = $cb.k
+         |  WHERE pick.r = 1)""".stripMargin
+    s"""WITH $cCte,
+       |mm AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
+       |${cbCte("cbn", "")},
+       |${cbCte("cbo", "WHERE skill_id >= 22")},
+       |${encCte("wn", "cbn")},
+       |${encCte("wo", "cbo")},
+       |j AS (SELECT wn.skill_id, wn.m,
+       |    CASE WHEN wn.w = wo.w THEN 0 ELSE 1 END AS chg
+       |  FROM wn JOIN wo USING (skill_id, m))
+       |SELECT CAST(count(DISTINCT skill_id) AS BIGINT) AS n_vectors,
+       |  CAST(count(*) AS BIGINT) AS n_cells,
+       |  CAST(sum(chg) AS BIGINT) AS n_changed_cells,
+       |  ${graft.functions.ExactRound.roundDivSql("sum(chg) * 1000000", "count(*)")} AS drift_e6
+       |FROM j""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pq_drift_summary" -> pqDriftSql,
     "ivfpq_ann_topk" -> ivfpqSql,
     "ivfpq_stored_topk" -> ivfpqSql,
     // Append-ingest gates: the appended layouts must be indistinguishable

@@ -201,6 +201,32 @@ object TextQueries extends graft.QueryModule {
             count(lit(1))).as("exact_dup_rate_e6"),
           count_distinct(col("lang")).as("n_langs"))
     }),
+    // Median-quality floor per source — the per-source quality gate a
+    // cleaning pipeline applies before mixing (absolute thresholds don't
+    // transfer across sources; a PER-SOURCE median does): rank every doc
+    // within its source by the integer quality score (ties → lowest id),
+    // keep the top half, and pin the kept SET (id checksum), the applied
+    // floor, and the counts. One window per source — sorts bounded by
+    // source size, the same shape every stratified op here uses.
+    "clean_quality_floor" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("text"),
+          tokens(col("text")).as("__toks"))
+        .select(col("source"), col("doc_id"),
+          ExactRound.e6(qualityScoreFromTokens(col("text"), col("__toks")))
+            .cast("long").as("__q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("__q").desc, col("doc_id"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      docs.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .filter(col("__rn") * 2 <= col("__n") + 1)
+        .groupBy("source")
+        .agg(max(col("__n")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_kept"),
+          min(col("__q")).as("floor_q_e6"),
+          sum(col("doc_id")).as("id_checksum"))
+    }),
     // Rolling-hash document fingerprint.
     "text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -356,6 +382,20 @@ object TextQueries extends graft.QueryModule {
 
   private val toksCte = DocSql.toksCte
 
+  /** The per-doc quality row shared by report_source_quality and
+    * clean_quality_floor — ONE source of truth for the oracle-side q_e6,
+    * so the floor can't drift from the scorecard. Requires [[toksCte]]. */
+  private lazy val srcQualityCte: String =
+    s"""q AS (SELECT t.doc_id, d.source, d.lang, md5(t.text) AS h,
+       |    CAST(len(t.toks) AS BIGINT) AS nt,
+       |    ${ExactRound.e6Sql(
+              s"""0.4 * least(1.0, len(t.toks) / 100.0) +
+                 |      0.3 * (1.0 - CASE WHEN len(t.text) = 0 THEN 0.0
+                 |        ELSE CAST(len(regexp_replace(lower(t.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t.text) END) +
+                 |      0.3 * least(1.0, 4.0 * CASE WHEN len(t.toks) = 0 THEN 0.0
+                 |        ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END)""".stripMargin)} AS q_e6
+       |  FROM tokd t JOIN documents d USING (doc_id))""".stripMargin
+
   /** The embedder, replayed in SQL (see [[DocSql.embedCte]]). */
   private val embedCte = s"$toksCte,\n${DocSql.embedCte(Dim)}"
 
@@ -478,20 +518,27 @@ object TextQueries extends graft.QueryModule {
          |FROM lp GROUP BY 1""".stripMargin,
     "report_source_quality" ->
       s"""WITH $toksCte,
-         |q AS (SELECT t.doc_id, d.source, d.lang, md5(t.text) AS h,
-         |    CAST(len(t.toks) AS BIGINT) AS nt,
-         |    ${ExactRound.e6Sql(
-                s"""0.4 * least(1.0, len(t.toks) / 100.0) +
-                   |      0.3 * (1.0 - CASE WHEN len(t.text) = 0 THEN 0.0
-                   |        ELSE CAST(len(regexp_replace(lower(t.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t.text) END) +
-                   |      0.3 * least(1.0, 4.0 * CASE WHEN len(t.toks) = 0 THEN 0.0
-                   |        ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END)""".stripMargin)} AS q_e6
-         |  FROM tokd t JOIN documents d USING (doc_id))
+         |$srcQualityCte
          |SELECT source, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens,
          |  ${ExactRound.roundDivSql("sum(q_e6)", "count(*)")} AS avg_quality_e6,
          |  ${ExactRound.roundDivSql("(count(*) - count(DISTINCT h)) * 1000000", "count(*)")} AS exact_dup_rate_e6,
          |  count(DISTINCT lang) AS n_langs
          |FROM q GROUP BY 1""".stripMargin,
+    // Median-quality floor per source replayed step for step: the same q
+    // CTE, per-source rank by (q_e6 desc, doc_id), keep the top half.
+    "clean_quality_floor" ->
+      s"""WITH $toksCte,
+         |$srcQualityCte,
+         |r AS (SELECT source, doc_id, q_e6,
+         |    row_number() OVER (PARTITION BY source ORDER BY q_e6 DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM q),
+         |k AS (SELECT * FROM r WHERE rn * 2 <= n + 1)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  count(*) AS n_kept,
+         |  CAST(min(q_e6) AS BIGINT) AS floor_q_e6,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM k GROUP BY 1""".stripMargin,
     "text_fingerprint" ->
       s"""WITH $toksCte
          |SELECT doc_id, list_reduce(
