@@ -46,7 +46,15 @@ object JaccardIndex {
     *  - `graft_jidx_df_<tag>`(__gh, __df)            bucketed by __gh
     *  - `graft_jidx_prefix_<tag>`(id, __m, __gh)     bucketed by __gh
     *  - `graft_jidx_docsets_<tag>`(id, __g, __m)     bucketed by id
-    */
+    *
+    * DESIGNEDLY rebuild-only (unlike the span/PQ/LSH indexes, which have
+    * O(delta) write paths): prefix filtering's losslessness depends on one
+    * CONSISTENT global df order across every stored prefix, and appended
+    * deltas shift df — stored prefixes computed under the stale order
+    * could then miss true pairs silently. The O(delta) INGEST story lives
+    * on the probe side instead ([[incrementalJoin]] orders delta grams by
+    * the STORED df, which is lossless for delta-vs-corpus pairs); rebuild
+    * this index on the re-fit cadence, like a quantizer. */
   def build(corpus: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, tag: String, basePath: String,
       numBuckets: Int): IndexTables = {

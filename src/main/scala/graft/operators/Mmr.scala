@@ -89,4 +89,23 @@ object Mmr {
     selected.select(col(queryIdCol), col("__cid").as(idCol), col("rank"),
       round(col("__score"), 6).as("score"))
   }
+
+  /** Streaming face — diversified retrieval for an arriving query stream
+    * against the static corpus: each micro-batch runs the identical batch
+    * [[rerank]] (the foreachBatch bridge every static-corpus search face
+    * here uses; the greedy rounds are batch-only). Batches are independent
+    * (selection depends on the corpus and the batch's own queries), so
+    * per-batch output equals the batch operator on the same rows
+    * (asserted in MmrSpec). */
+  def rerankStream(queryStream: DataFrame, queryIdCol: String,
+      queryVecCol: String, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, fetch: Int, lambda: Double)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(rerank(batch, queryIdCol, queryVecCol, corpus, idCol, vecCol,
+          k, fetch, lambda), batchId)
+      }
+      .outputMode("append")
+      .start()
 }

@@ -93,6 +93,32 @@ object SampleQueries extends graft.QueryModule {
           max(col("target_tokens")).as("target_tokens"),
           sum(col("doc_id")).as("id_checksum"))
     }),
+    // Epoch planning under data constraints (Muennighoff et al., NeurIPS
+    // 2023: repeating data up to ~4 epochs retains most of its value):
+    // give every source an EQUAL share of the corpus-sized token budget;
+    // sources below the share repeat (epochs = ceil(target/available),
+    // capped at 4 — past the cap the remainder is an explicit deficit, the
+    // number a mixing run rebalances by). Pure integer arithmetic over two
+    // tiny aggregates — the whole plan is hash-exact.
+    "sample_epoch_plan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("__nt"))
+      val per = docs.groupBy("source").agg(sum(col("__nt")).as("avail_tokens"))
+        .filter(col("avail_tokens") > 0L)
+      val tot = per.agg(sum(col("avail_tokens")).as("__tt"),
+        count(lit(1)).as("__ns"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("target_tokens",
+          graft.functions.ExactRound.roundDiv(col("__tt"), col("__ns")))
+        .withColumn("epochs", least(lit(4L),
+          expr("(target_tokens + avail_tokens - 1) div avail_tokens")))
+        .withColumn("effective_tokens",
+          least(col("target_tokens"), col("epochs") * col("avail_tokens")))
+        .withColumn("deficit_tokens",
+          col("target_tokens") - col("effective_tokens"))
+        .select(col("source"), col("avail_tokens"), col("target_tokens"),
+          col("epochs"), col("effective_tokens"), col("deficit_tokens"))
+    }),
     // The composed selection pipeline as ONE row: DSIR weights → Gumbel
     // top-m → ExactSubstr span-clean WITHIN the selection → chunk → pack.
     // Stages are green individually; this row goes red if the composition
@@ -137,6 +163,26 @@ object SampleQueries extends graft.QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    // The plan arithmetic replayed in integer SQL, step for step.
+    "sample_epoch_plan" ->
+      s"""WITH ${DocSql.toksCte},
+         |t AS (SELECT d.source, CAST(len(toks) AS BIGINT) AS nt
+         |  FROM documents d JOIN tokd USING (doc_id)),
+         |g AS (SELECT source, CAST(sum(nt) AS BIGINT) AS avail_tokens
+         |  FROM t GROUP BY 1 HAVING sum(nt) > 0),
+         |tt AS (SELECT CAST(sum(avail_tokens) AS BIGINT) AS tt,
+         |    CAST(count(*) AS BIGINT) AS ns FROM g),
+         |p AS (SELECT source, avail_tokens,
+         |    ${graft.functions.ExactRound.roundDivSql("tt", "ns")} AS target_tokens
+         |  FROM g CROSS JOIN tt),
+         |e AS (SELECT source, avail_tokens, target_tokens,
+         |    least(4, (target_tokens + avail_tokens - 1) // avail_tokens) AS epochs
+         |  FROM p)
+         |SELECT source, avail_tokens, target_tokens,
+         |  CAST(epochs AS BIGINT) AS epochs,
+         |  CAST(least(target_tokens, epochs * avail_tokens) AS BIGINT) AS effective_tokens,
+         |  CAST(target_tokens - least(target_tokens, epochs * avail_tokens) AS BIGINT) AS deficit_tokens
+         |FROM e""".stripMargin,
     // Mirrors tokenBudget step for step: token counts → exact integer
     // per-source targets (shared rounded division) → hash-ordered running
     // sums → first-past-the-post keep rule → per-source summary.

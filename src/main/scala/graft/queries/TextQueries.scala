@@ -227,6 +227,25 @@ object TextQueries extends graft.QueryModule {
           min(col("__q")).as("floor_q_e6"),
           sum(col("doc_id")).as("id_checksum"))
     }),
+    // Curriculum training order: within each deterministic shard, documents
+    // ordered easy-first by the SAME integer quality score the scorecard
+    // and the floor pin (one more consumer of one definition). Shard
+    // assignment and rank key are independent md5 derivations — the
+    // sample_docs_shuffle discipline — and the rank window partitions by
+    // shard, so sorts are bounded by corpus/shards at any scale.
+    "sample_docs_curriculum" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          ExactRound.e6(qualityScoreFromTokens(col("text"), col("__toks")))
+            .cast("long").as("__q"),
+          pmod(tokenHash(concat(lit("currshard"), col("doc_id").cast("string"))),
+            lit(16L)).as("shard"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("__q").desc, col("doc_id"))
+      docs.withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
     // Rolling-hash document fingerprint.
     "text_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir).select(col("doc_id"),
@@ -524,6 +543,17 @@ object TextQueries extends graft.QueryModule {
          |  ${ExactRound.roundDivSql("(count(*) - count(DISTINCT h)) * 1000000", "count(*)")} AS exact_dup_rate_e6,
          |  count(DISTINCT lang) AS n_langs
          |FROM q GROUP BY 1""".stripMargin,
+    // Quality-ordered curriculum shards: the same q CTE again, md5 shard
+    // assignment, per-shard rank by (q_e6 desc, doc_id).
+    "sample_docs_curriculum" ->
+      s"""WITH $toksCte,
+         |$srcQualityCte,
+         |r AS (SELECT doc_id,
+         |    ${DocSql.tokenHashSql("'currshard' || CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |    q_e6 FROM q)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY q_e6 DESC, doc_id) AS BIGINT) AS pos
+         |FROM r""".stripMargin,
     // Median-quality floor per source replayed step for step: the same q
     // CTE, per-source rank by (q_e6 desc, doc_id), keep the top half.
     "clean_quality_floor" ->

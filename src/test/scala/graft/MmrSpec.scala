@@ -48,6 +48,32 @@ class MmrSpec extends SparkSpec {
     assert(mmr.map(_._1).toSet.subsetOf(Set(1L, 2L, 3L, 10L, 20L)))
   }
 
+  test("streaming rerank: micro-batch results equal the batch operator per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batches = Seq(
+      Seq((100L, vec(1.0))),
+      Seq((101L, vec(0.0, 1.0)), (102L, vec(0.7, 0.7))))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long)]]()
+    val query = graft.operators.Mmr.rerankStream(
+      input.toDF().toDF("qid", "qvec"), "qid", "qvec", corpus, "cid", "cvec",
+      3, 5, 0.4)(
+      (df, id) => got(id) = df.orderBy("qid", "rank")
+        .select($"qid", $"cid", $"rank").as[(Long, Long, Long)].collect().toSeq)
+    try {
+      input.addData(batches(0)); query.processAllAvailable()
+      input.addData(batches(1)); query.processAllAvailable()
+    } finally query.stop()
+    def batchOf(rows: Seq[(Long, Seq[Double])]) =
+      graft.operators.Mmr.rerank(rows.toDF("qid", "qvec"), "qid", "qvec",
+        corpus, "cid", "cvec", 3, 5, 0.4)
+        .orderBy("qid", "rank").select($"qid", $"cid", $"rank")
+        .as[(Long, Long, Long)].collect().toSeq
+    assert(got(0L) == batchOf(batches(0)))
+    assert(got(1L) == batchOf(batches(1)))
+  }
+
   test("parameter validation") {
     intercept[IllegalArgumentException] {
       Mmr.rerank(queries, "qid", "qvec", corpus, "cid", "cvec", 5, 4, 0.5)
