@@ -136,7 +136,8 @@ object Budgets {
     "pq_refine_topk" -> 3.5, // r8 samples 1.39/1.10
     "pq_drift_summary" -> 1.5, // r8 sample 0.27 (one full-bench run)
     "sample_docs_curriculum" -> 1.5, // r8 sample 0.09 (one full-bench run)
-    "sample_epoch_plan" -> 1.5, // added last in r8; two tiny aggregates, sized pending a sample
+    "sample_epoch_plan" -> 1.5, // r8 sample 0.58 (one full-bench run)
+    "dedup_keep_best" -> 15.0, // r8 sample 6.0 on a 1.5x-calib run (re-runs propagation behind the cached pair build)
     "clean_quality_floor" -> 1.5, // r8 sample 0.57 (one full-bench run)
     "profile_embedding_dims" -> 1.5, // r8 sample 0.21 (one full-bench run)
     "profile_lineitem_numeric" -> 1.5, // r8 samples 0.19/0.14

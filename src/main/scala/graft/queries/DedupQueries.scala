@@ -199,6 +199,28 @@ object DedupQueries extends graft.QueryModule {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_rep"))
     }),
+    // The survivor POLICY a real pipeline wants: keep each cluster's
+    // LONGEST member, not its smallest id (truncated copies of a page are
+    // common near-dups — min-id keep throws away the fullest version about
+    // half the time). One aggregate-join for sizes + one per-cluster argmax
+    // window (sorts bounded by cluster size); the oracle replays the
+    // closure and the argmax.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardJoin(docs, "doc_id", "text", N, MinJ)
+        .select("a_id", "b_id")
+      val cc = Dedup.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      val withNt = cc.join(docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("__nt")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("__nt").desc, col("doc_id"))
+      withNt.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .join(sizes, "cluster_id")
+        .select(col("cluster_id"), col("cluster_size"),
+          col("doc_id").as("rep_id"), col("__nt").as("rep_tokens"))
+    }),
     // Same clusters via the OTHER published algorithm: large-star/small-star
     // edge rewiring (Kiveris SoCC'14) — the hub-robust form. Gated by the
     // IDENTICAL oracle as dedup_clusters, so the two implementations are
@@ -275,8 +297,12 @@ object DedupQueries extends graft.QueryModule {
     * list — the cluster ground truth BOTH connected-components
     * implementations (label propagation and star rewiring) must converge
     * to. */
-  private lazy val clustersSql: String =
-    s"""WITH RECURSIVE $toksCte,
+  /** The recursive-closure cluster ground truth as reusable CTEs (ends in
+    * cl(doc_id, cluster_id) + sz(cluster_id, cluster_size)) — shared by
+    * the min-label gate, the star-CC parity gate, and the survivor-policy
+    * gate. Callers prepend `WITH RECURSIVE `. */
+  private lazy val clustersCtes: String =
+    s"""$toksCte,
        |${DocSql.shingleHashCte(N)},
        |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
        |pf AS (SELECT doc_id, ghv FROM (
@@ -296,7 +322,10 @@ object DedupQueries extends graft.QueryModule {
        |  UNION
        |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x),
        |cl AS (SELECT id AS doc_id, min(x) AS cluster_id FROM reach GROUP BY 1),
-       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1)""".stripMargin
+
+  private lazy val clustersSql: String =
+    s"""WITH RECURSIVE $clustersCtes
        |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
        |  cl.doc_id = cl.cluster_id AS is_rep
        |FROM cl JOIN sz USING (cluster_id)""".stripMargin
@@ -507,6 +536,20 @@ object DedupQueries extends graft.QueryModule {
     // The star-rewiring implementation answers to the same ground truth.
     "dedup_clusters" -> clustersSql,
     "dedup_clusters_star" -> clustersSql,
+    // Survivor policy over the same ground-truth clusters: keep the LONGEST
+    // member (ties → lowest id), not the smallest id — argmax replayed by a
+    // per-cluster window over the closure.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $clustersCtes,
+         |r AS (SELECT cl.cluster_id, cl.doc_id,
+         |    CAST(len(t.toks) AS BIGINT) AS nt,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY len(t.toks) DESC, cl.doc_id) AS rn
+         |  FROM cl JOIN tokd t ON cl.doc_id = t.doc_id)
+         |SELECT r.cluster_id, sz.cluster_size,
+         |  r.doc_id AS rep_id, r.nt AS rep_tokens
+         |FROM r JOIN sz USING (cluster_id)
+         |WHERE r.rn = 1""".stripMargin,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" ->
       s"""WITH $toksCte,
