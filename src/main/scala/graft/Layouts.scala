@@ -31,6 +31,19 @@ object Layouts {
   }
 
   private val FpKey = "graft.model.fingerprint"
+  private val AppendedKey = "graft.appended"
+
+  /** Record that a stored layout has received O(delta) appends — probe
+    * paths whose guards assume build-time invariants (e.g. LSH bucket
+    * capping) read this to demand the probe-time variant instead of
+    * silently serving an un-guarded layout. */
+  def markAppended(s: SparkSession, tableName: String): Unit =
+    s.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES ('$AppendedKey' = 'true')")
+
+  def isAppended(s: SparkSession, tableName: String): Boolean =
+    s.sql(s"SHOW TBLPROPERTIES $tableName")
+      .filter(org.apache.spark.sql.functions.col("key") === AppendedKey)
+      .count() > 0
 
   /** Stamp the model/parameter fingerprint a stored layout was built under
     * as a table property — the append paths' compatibility witness. */

@@ -95,22 +95,69 @@ object IvfIndex {
       element_at(array_sort(array(scored.toSeq: _*)), 1).getField("list_id"))
   }
 
+  /** Stable fingerprint of the (centroids, metric) pair a [[write]] layout
+    * was assigned under — the path-based sibling of
+    * [[PqIndex.modelFingerprint]] (no catalog table here, so the stamp is
+    * a `_`-prefixed sidecar file Spark's scans ignore). */
+  def modelFingerprint(model: Model, metric: Metric): String = {
+    val cents = model.centroids
+      .select(col("list_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => s"${r.getInt(0)}:${r.getSeq[Double](1).mkString(",")}")
+      .sorted.mkString(";")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$cents|$metric".getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  private def fpPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_model_fp")
+
   /** K3-style index materialization: overwrite, partitioned by list_id —
     * `spark.read.parquet(path)` + a `list_id` filter then prunes partitions
     * exactly like ivfflat probes. */
   def write(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
 
+  /** [[write]] with the assignment model's fingerprint stamped as a
+    * sidecar — the append-able form: [[append]] requires the stamp (when
+    * present) to match its model, closing the same silent-code-space hole
+    * the table-backed indexes close via table properties. */
+  def write(indexed: DataFrame, path: String, model: Model,
+      metric: Metric): Unit = {
+    write(indexed, path)
+    val fs = fpPath(path).getFileSystem(
+      indexed.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(fpPath(path), true)
+    try out.write(modelFingerprint(model, metric).getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** O(delta) ingest for a [[write]] layout: assign ONLY the delta against
     * the STORED model and append into the partitioned files — the plain-IVF
     * face of [[PqIndex.appendToIvfIndex]], same invariant (the model must
-    * be the build's; re-fit ⇒ rebuild, scheduled via [[assignmentDrift]]).
-    * Assign is a pure projection, so the append touches only the delta's
-    * list_id partitions. */
+    * be the build's; re-fit ⇒ rebuild, scheduled via [[assignmentDrift]]),
+    * ENFORCED against the sidecar fingerprint when the build stamped one
+    * (builds through the 2-arg [[write]] pass unchecked, preserving
+    * compatibility with externally-created layouts). Assign is a pure
+    * projection, so the append touches only the delta's list_id
+    * partitions. */
   def append(delta: DataFrame, idCol: String, vecCol: String, model: Model,
-      metric: Metric, path: String): Unit =
+      metric: Metric, path: String): Unit = {
+    val fs = fpPath(path).getFileSystem(
+      delta.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(fpPath(path))) {
+      val in = fs.open(fpPath(path))
+      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val fp = modelFingerprint(model, metric)
+      require(stored == fp,
+        s"IvfIndex.append: model does not match the stored layout's build " +
+          s"(stored fingerprint $stored, append $fp) — re-fitting requires " +
+          "a rebuild, not an append")
+    }
     assign(delta, idCol, vecCol, model, metric)
       .write.mode("append").partitionBy("list_id").parquet(path)
+  }
 
   /** Quantizer-drift metric — the signal a deployment schedules index
     * rebuilds by (the append-ingest invariant: deltas encode against the

@@ -41,7 +41,18 @@ object LshIndex {
     * external table bucketed AND sorted on (tbl, bucket) —
     * [[annTopKStored]]'s probe join then reuses the stored HashPartitioning
     * with no corpus-side exchange, the same write-once/probe-many trade as
-    * [[IvfIndex.write]]'s list-partitioned layout. */
+    * [[IvfIndex.write]]'s list-partitioned layout.
+    *
+    * APPEND-MODE contract: an index that will receive [[appendToIndex]]
+    * deltas must be built with `maxBucket = Long.MaxValue` (capping
+    * DISABLED) and probed with `recapAt` — build-time capping DROPS
+    * oversized buckets wholesale, so a capped base is not the full base
+    * bucketize and later deltas landing in a dropped bucket would
+    * resurface it partially, diverging from a from-scratch capped build of
+    * the union. Moving the cap wholly to probe time makes append ∪ base ≡
+    * rebuild exact at ANY skew. Build-time capping remains the right
+    * default for rebuild-only indexes (smaller layout, no per-probe
+    * window). */
   def writeIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       bucketLength: Double, numTables: Int, numPlanes: Int,
       tableName: String, path: String, numBuckets: Int,
@@ -80,6 +91,14 @@ object LshIndex {
       corpus: DataFrame, idCol: String, vecCol: String, indexTable: String,
       k: Int, dim: Int, bucketLength: Double, numTables: Int,
       numPlanes: Int, recapAt: Option[Long] = None): DataFrame = {
+    // An appended table carries deltas written without the build-time cap
+    // (see appendToIndex) — probing it without the probe-time guard would
+    // quietly re-expose the quadratic fat-bucket join the cap exists to
+    // prevent. Fail loudly instead of serving an un-guarded layout.
+    require(recapAt.nonEmpty ||
+        !graft.Layouts.isAppended(queries.sparkSession, indexTable),
+      s"LshIndex.annTopKStored: $indexTable has received appends — " +
+        "probe it with recapAt (the probe-time skew guard)")
     val stored = queries.sparkSession.table(indexTable)
     val cb = recapAt.map(Salt.capBuckets(stored, Seq("tbl", "bucket"), _))
       .getOrElse(stored)
@@ -98,8 +117,10 @@ object LshIndex {
     * union bucket sizes without scanning the base — re-capping at write
     * would make ingest O(corpus). Rebuild equivalence: bucketize is
     * row-local, so base ∪ delta entries equal a from-scratch bucketize of
-    * the union corpus exactly (gated by `lsh_index_append` /
-    * `lsh_ann_appended_topk`). */
+    * the union corpus exactly — PROVIDED the base was built uncapped (the
+    * append-mode contract on [[writeIndex]]); gated by `lsh_index_append`
+    * / `lsh_ann_appended_topk`. The table is marked appended, and
+    * cap-less probes of it fail loudly. */
   def appendToIndex(delta: DataFrame, idCol: String, vecCol: String, dim: Int,
       bucketLength: Double, numTables: Int, numPlanes: Int,
       tableName: String, numBuckets: Int): Unit = {
@@ -109,6 +130,7 @@ object LshIndex {
     Bucketed.appendBucketedKeys(
       RpLsh.bucketize(delta, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
       tableName, Seq("tbl", "bucket"), numBuckets)
+    graft.Layouts.markAppended(delta.sparkSession, tableName)
   }
 
   private def annTopKOfBuckets(queries: DataFrame, queryIdCol: String,

@@ -62,6 +62,14 @@ object Merge {
     * at-least-once leaves history unchanged). Base versions without a
     * delta twin pass through untouched.
     *
+    * Duplicate keys WITHIN one batch are resolved BEFORE the merge —
+    * byte-identical copies collapse (the same-batch at-least-once case:
+    * without this, the full-outer join would fan out and mint duplicate
+    * open versions), and genuinely conflicting duplicates pick one winner
+    * deterministically (lexicographic-least over the data columns), since
+    * two different versions cannot share one `valid_from`. Requires the
+    * data columns to be orderable types.
+    *
     * Scale shape: ONE keyed full-outer join of current×delta decides every
     * key's action in a single pass (the three outcomes are built as an
     * exploded struct array, so the join is never recomputed per leg);
@@ -84,7 +92,14 @@ object Merge {
     val c = cur.select(col(keyCol) +:
       dataCols.map(n => col(n).as(s"__c_$n")) :+
       col("valid_from").as("__c_vf") :+ lit(1).as("__hc"): _*)
-    val d = delta.select(col(keyCol) +:
+    // Within-batch key resolution (see scaladoc): one row per key, chosen
+    // deterministically, BEFORE the join — a duplicated key would
+    // otherwise fan the full-outer join out and mint duplicate versions.
+    val wDelta = Window.partitionBy(col(keyCol))
+      .orderBy(dataCols.filterNot(_ == keyCol).map(col): _*)
+    val deltaOne = delta.withColumn("__dn", row_number().over(wDelta))
+      .filter(col("__dn") === 1).drop("__dn")
+    val d = deltaOne.select(col(keyCol) +:
       dataCols.map(n => col(n).as(s"__d_$n")) :+ lit(1).as("__hd"): _*)
     val j = c.join(d, Seq(keyCol), "full_outer")
     val hasC = col("__hc").isNotNull

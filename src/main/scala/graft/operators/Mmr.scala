@@ -40,17 +40,17 @@ object Mmr {
     require(k >= 1, s"Mmr: k=$k must be >= 1")
     require(fetch >= k, s"Mmr: fetch=$fetch must be >= k=$k")
     require(lambda >= 0 && lambda <= 1, s"Mmr: lambda=$lambda outside [0, 1]")
-    val qv = queries.select(col(queryIdCol),
-      col(queryVecCol).cast("array<double>").as("__qv"))
     val cv = corpus.select(col(idCol).as("__cid"),
       col(vecCol).cast("array<double>").as("__cv"))
-    // Bounded candidate pool with both vectors attached: top-`fetch` by
-    // query-doc cosine similarity (= 1 − the distance KnnJoin ranks by).
+    // Bounded candidate pool with the CANDIDATE vectors attached (doc-doc
+    // sims are all the rounds need; query-doc relevance is already the
+    // precomputed __rel, so the query vector is not carried): top-`fetch`
+    // by query-doc cosine similarity (= 1 − the distance KnnJoin ranks by).
     val pool0 = KnnJoin.exact(queries, queryIdCol, queryVecCol, corpus,
         idCol, vecCol, fetch, VectorFunctions.Cosine)
       .select(col(queryIdCol), col(idCol).as("__cid"),
         (lit(1.0d) - col("dist")).as("__rel"))
-      .join(broadcast(qv), queryIdCol).join(cv, "__cid")
+      .join(cv, "__cid")
       .localCheckpoint()
     // Greedy selection. selected: (qid, __cid, __cv, rank, __score);
     // remaining: pool rows not yet picked.

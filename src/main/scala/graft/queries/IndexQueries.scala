@@ -130,8 +130,12 @@ object IndexQueries extends graft.QueryModule {
         val name = s"graft_lshapp_$tag"
         val (_, c) = Fixtures.split(s, dir)
         val (base, delta) = appendSplit(c)
+        // Append-mode contract: base built UNCAPPED (capping would drop
+        // oversized buckets wholesale and break union ≡ rebuild); the cap
+        // moves wholly to probe time (recapAt).
         LshIndex.writeIndex(base, "skill_id", "svec", Dim, LshBucketLen,
-          LshTables, LshPlanes, name, s"/tmp/graft_lshapp/$tag", 8)
+          LshTables, LshPlanes, name, s"/tmp/graft_lshapp/$tag", 8,
+          maxBucket = Long.MaxValue)
         LshIndex.appendToIndex(delta, "skill_id", "svec", Dim, LshBucketLen,
           LshTables, LshPlanes, name, 8)
         name

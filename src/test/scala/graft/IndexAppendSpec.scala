@@ -78,10 +78,22 @@ class IndexAppendSpec extends SparkSpec {
     }
     val tl = "graft_test_fpcheck_lsh"
     LshIndex.writeIndex(base, "id", "vec", dim, 0.5, 2, 1,
-      tl, s"/tmp/graft_test_fpcheck/lsh_${ProcessHandle.current().pid()}", 4)
+      tl, s"/tmp/graft_test_fpcheck/lsh_${ProcessHandle.current().pid()}", 4,
+      maxBucket = Long.MaxValue)
     intercept[IllegalArgumentException] { // different bucketLength geometry
       LshIndex.appendToIndex(delta, "id", "vec", dim, 0.7, 2, 1, tl, 4)
     }
+    // After a SUCCESSFUL append the table is marked: a cap-less probe of
+    // it fails loudly (deltas are written uncapped; the skew guard must
+    // move to probe time), while recapAt probes work.
+    LshIndex.appendToIndex(delta, "id", "vec", dim, 0.5, 2, 1, tl, 4)
+    val q = corpus.limit(2).select(col("id").as("qid"), col("vec").as("qvec"))
+    intercept[IllegalArgumentException] {
+      LshIndex.annTopKStored(q, "qid", "qvec", corpus, "id", "vec", tl,
+        3, dim, 0.5, 2, 1)
+    }
+    assert(LshIndex.annTopKStored(q, "qid", "qvec", corpus, "id", "vec", tl,
+      3, dim, 0.5, 2, 1, recapAt = Some(1000L)).count() > 0)
     val ts = graft.operators.SpanDedup.buildIndex(
       Seq((1L, "a b c d e f g h")).toDF("id", "text"), "id", "text", 5,
       s"fp_${ProcessHandle.current().pid()}", "/tmp/graft_test_fpcheck/span", 2)

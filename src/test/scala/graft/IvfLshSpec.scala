@@ -70,13 +70,20 @@ class IvfLshSpec extends SparkSpec {
     val (base, delta) = (corpus.filter(!isDelta), corpus.filter(isDelta))
     val model = IvfIndex.fitSeeds(base, "cid", "cvec", 4)
     val path = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
-    IvfIndex.write(IvfIndex.assign(base, "cid", "cvec", model, Cosine), path)
+    IvfIndex.write(IvfIndex.assign(base, "cid", "cvec", model, Cosine), path,
+      model, Cosine)
     IvfIndex.append(delta, "cid", "cvec", model, Cosine, path)
     val got = spark.read.parquet(path).select($"cid", $"list_id".cast("int"))
       .as[(Long, Int)].collect().toSet
     val want = IvfIndex.assign(corpus, "cid", "cvec", model, Cosine)
       .select($"cid", $"list_id".cast("int")).as[(Long, Int)].collect().toSet
     assert(got == want)
+    // Re-fitted model (different seed set: the two lowest corpus ids
+    // excluded) against the stamped sidecar: rejected loudly.
+    val refit = IvfIndex.fitSeeds(corpus.filter($"cid" >= 22L), "cid", "cvec", 4)
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(delta, "cid", "cvec", refit, Cosine, path)
+    }
   }
 
   test("LSH ANN is deterministic across runs and finds real neighbors") {

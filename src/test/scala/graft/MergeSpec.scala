@@ -65,6 +65,20 @@ class MergeSpec extends SparkSpec {
       (1L, null, 0L, Some(5L)), (1L, "x", 5L, None)))
   }
 
+  test("scd2: duplicate keys WITHIN one batch cannot fan out versions") {
+    val h0 = Merge.scd2Init(base)
+    // Key 3: byte-identical duplicate (same-batch redelivery) — still a
+    // no-op. Key 2: genuinely conflicting duplicates — the
+    // lexicographic-least data wins deterministically, ONE version minted.
+    val delta = Seq((3L, "three", 30), (3L, "three", 30),
+      (2L, "B", 1), (2L, "A", 1)).toDF("id", "v", "n")
+    val h1 = Merge.scd2Apply(h0, delta, "id", 1L)
+    assert(versions(h1) == Set(
+      (1L, "one", 0L, None),
+      (2L, "two", 0L, Some(1L)), (2L, "A", 1L, None),
+      (3L, "three", 0L, None)))
+  }
+
   test("scd2 rejects mismatched delta schemas and histories without meta columns") {
     intercept[IllegalArgumentException] {
       Merge.scd2Apply(Merge.scd2Init(base), base.drop("n"), "id", 1L)
