@@ -31,19 +31,12 @@ object Layouts {
   }
 
   private val FpKey = "graft.model.fingerprint"
-  private val AppendedKey = "graft.appended"
 
-  /** Record that a stored layout has received O(delta) appends — probe
-    * paths whose guards assume build-time invariants (e.g. LSH bucket
-    * capping) read this to demand the probe-time variant instead of
-    * silently serving an un-guarded layout. */
-  def markAppended(s: SparkSession, tableName: String): Unit =
-    s.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES ('$AppendedKey' = 'true')")
-
-  def isAppended(s: SparkSession, tableName: String): Boolean =
-    s.sql(s"SHOW TBLPROPERTIES $tableName")
-      .filter(org.apache.spark.sql.functions.col("key") === AppendedKey)
-      .count() > 0
+  /** MD5 hex of a fingerprint payload — ONE digest implementation for
+    * every stored-layout stamp, so the formats can't drift apart. */
+  def md5Hex(payload: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Stamp the model/parameter fingerprint a stored layout was built under
     * as a table property — the append paths' compatibility witness. */
@@ -51,11 +44,16 @@ object Layouts {
     s.sql(s"ALTER TABLE $tableName SET TBLPROPERTIES ('$FpKey' = '$fp')")
 
   /** The stamped fingerprint of a table, if any — maintenance ops that
-    * REWRITE a layout (compaction) read it first and re-stamp after. */
+    * REWRITE a layout (compaction) read it first and re-stamp after.
+    * Tolerant of non-catalog relations (temp views have no table
+    * properties and SHOW TBLPROPERTIES throws on them): no catalog entry
+    * simply means no stamp — the lenient legacy path. */
   def readFingerprint(s: SparkSession, tableName: String): Option[String] =
-    s.sql(s"SHOW TBLPROPERTIES $tableName")
-      .filter(org.apache.spark.sql.functions.col("key") === FpKey)
-      .collect().headOption.map(_.getString(1))
+    scala.util.Try(
+      s.sql(s"SHOW TBLPROPERTIES $tableName")
+        .filter(org.apache.spark.sql.functions.col("key") === FpKey)
+        .collect().headOption.map(_.getString(1))
+    ).toOption.flatten
 
   /** Enforce that an O(delta) append runs under the SAME fingerprint the
     * base build stamped: a delta encoded against re-fitted models/params is

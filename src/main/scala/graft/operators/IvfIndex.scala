@@ -95,19 +95,22 @@ object IvfIndex {
       element_at(array_sort(array(scored.toSeq: _*)), 1).getField("list_id"))
   }
 
-  /** Stable fingerprint of the (centroids, metric) pair a [[write]] layout
-    * was assigned under — the path-based sibling of
-    * [[PqIndex.modelFingerprint]] (no catalog table here, so the stamp is
-    * a `_`-prefixed sidecar file Spark's scans ignore). */
-  def modelFingerprint(model: Model, metric: Metric): String = {
-    val cents = model.centroids
+  /** Canonical serialization of a centroid table — the ONE implementation
+    * both this module's and [[PqIndex]]'s fingerprints build on, so the
+    * two stamp formats cannot drift apart. */
+  private[operators] def centroidsKey(model: Model): String =
+    model.centroids
       .select(col("list_id").cast("int"), col("centroid").cast("array<double>"))
       .collect()
       .map(r => s"${r.getInt(0)}:${r.getSeq[Double](1).mkString(",")}")
       .sorted.mkString(";")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$cents|$metric".getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+
+  /** Stable fingerprint of the (centroids, metric) pair a [[write]] layout
+    * was assigned under — the path-based sibling of
+    * [[PqIndex.modelFingerprint]] (no catalog table here, so the stamp is
+    * a `_`-prefixed sidecar file Spark's scans ignore). */
+  def modelFingerprint(model: Model, metric: Metric): String =
+    graft.Layouts.md5Hex(s"${centroidsKey(model)}|$metric")
 
   private def fpPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_model_fp")

@@ -63,17 +63,22 @@ object LshIndex {
         Seq("tbl", "bucket"), maxBucket),
       tableName, path, Seq("tbl", "bucket"), numBuckets)
     graft.Layouts.stampFingerprint(corpus.sparkSession, tableName,
-      planeFingerprint(dim, bucketLength, numTables, numPlanes))
+      planeFingerprint(dim, bucketLength, numTables, numPlanes,
+        uncapped = maxBucket == Long.MaxValue))
   }
 
   /** The hash-geometry identity of a stored LSH index (the planes are
     * derived deterministically from these parameters, so the parameters
-    * ARE the model) — stamped by [[writeIndex]], required to match by
-    * [[appendToIndex]]: delta entries hashed under a different geometry
-    * would silently land in meaningless buckets. */
+    * ARE the model) PLUS its capping mode — stamped by [[writeIndex]].
+    * [[appendToIndex]] requires the UNCAPPED form (appending to a capped
+    * base breaks union ≡ rebuild — see [[writeIndex]]'s append-mode
+    * contract), and [[annTopKStored]] reads the mode to demand a
+    * probe-time cap on uncapped layouts. A different geometry would land
+    * delta entries in meaningless buckets; both mistakes fail loudly. */
   def planeFingerprint(dim: Int, bucketLength: Double, numTables: Int,
-      numPlanes: Int): String =
-    s"rplsh|$dim|$bucketLength|$numTables|$numPlanes"
+      numPlanes: Int, uncapped: Boolean): String =
+    s"rplsh|$dim|$bucketLength|$numTables|$numPlanes|" +
+      (if (uncapped) "uncapped" else "capped")
 
   /** [[annTopK]] probing a stored [[writeIndex]] table instead of
     * bucketizing the corpus per query. `corpus` still supplies the vectors
@@ -91,14 +96,17 @@ object LshIndex {
       corpus: DataFrame, idCol: String, vecCol: String, indexTable: String,
       k: Int, dim: Int, bucketLength: Double, numTables: Int,
       numPlanes: Int, recapAt: Option[Long] = None): DataFrame = {
-    // An appended table carries deltas written without the build-time cap
-    // (see appendToIndex) — probing it without the probe-time guard would
+    // An UNCAPPED layout (the append-mode build; the stamp carries the
+    // mode from build time, so the guard holds before the first append
+    // too) has no build-time skew guard — probing it cap-less would
     // quietly re-expose the quadratic fat-bucket join the cap exists to
     // prevent. Fail loudly instead of serving an un-guarded layout.
-    require(recapAt.nonEmpty ||
-        !graft.Layouts.isAppended(queries.sparkSession, indexTable),
-      s"LshIndex.annTopKStored: $indexTable has received appends — " +
-        "probe it with recapAt (the probe-time skew guard)")
+    val uncappedStored = graft.Layouts
+      .readFingerprint(queries.sparkSession, indexTable)
+      .exists(_.endsWith("|uncapped"))
+    require(recapAt.nonEmpty || !uncappedStored,
+      s"LshIndex.annTopKStored: $indexTable is an uncapped (append-mode) " +
+        "layout — probe it with recapAt (the probe-time skew guard)")
     val stored = queries.sparkSession.table(indexTable)
     val cb = recapAt.map(Salt.capBuckets(stored, Seq("tbl", "bucket"), _))
       .getOrElse(stored)
@@ -117,20 +125,20 @@ object LshIndex {
     * union bucket sizes without scanning the base — re-capping at write
     * would make ingest O(corpus). Rebuild equivalence: bucketize is
     * row-local, so base ∪ delta entries equal a from-scratch bucketize of
-    * the union corpus exactly — PROVIDED the base was built uncapped (the
-    * append-mode contract on [[writeIndex]]); gated by `lsh_index_append`
-    * / `lsh_ann_appended_topk`. The table is marked appended, and
-    * cap-less probes of it fail loudly. */
+    * the union corpus exactly — PROVIDED the base was built uncapped,
+    * which the fingerprint check ENFORCES (a capped base stamps `capped`
+    * and mismatches; capping dropped oversized buckets wholesale, so
+    * appending into one would resurface it partially). Gated by
+    * `lsh_index_append` / `lsh_ann_appended_topk`. */
   def appendToIndex(delta: DataFrame, idCol: String, vecCol: String, dim: Int,
       bucketLength: Double, numTables: Int, numPlanes: Int,
       tableName: String, numBuckets: Int): Unit = {
     graft.Layouts.checkFingerprint(delta.sparkSession, tableName,
-      planeFingerprint(dim, bucketLength, numTables, numPlanes),
+      planeFingerprint(dim, bucketLength, numTables, numPlanes, uncapped = true),
       "LshIndex.appendToIndex")
     Bucketed.appendBucketedKeys(
       RpLsh.bucketize(delta, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
       tableName, Seq("tbl", "bucket"), numBuckets)
-    graft.Layouts.markAppended(delta.sparkSession, tableName)
   }
 
   private def annTopKOfBuckets(queries: DataFrame, queryIdCol: String,

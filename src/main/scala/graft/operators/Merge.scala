@@ -95,10 +95,17 @@ object Merge {
     // Within-batch key resolution (see scaladoc): one row per key, chosen
     // deterministically, BEFORE the join — a duplicated key would
     // otherwise fan the full-outer join out and mint duplicate versions.
-    val wDelta = Window.partitionBy(col(keyCol))
-      .orderBy(dataCols.filterNot(_ == keyCol).map(col): _*)
-    val deltaOne = delta.withColumn("__dn", row_number().over(wDelta))
-      .filter(col("__dn") === 1).drop("__dn")
+    // Key-only histories have no columns to order by (every duplicate is
+    // byte-identical by construction), so distinct() suffices there.
+    val nonKeyCols = dataCols.filterNot(_ == keyCol)
+    val deltaOne =
+      if (nonKeyCols.isEmpty) delta.distinct()
+      else {
+        val wDelta = Window.partitionBy(col(keyCol))
+          .orderBy(nonKeyCols.map(col): _*)
+        delta.withColumn("__dn", row_number().over(wDelta))
+          .filter(col("__dn") === 1).drop("__dn")
+      }
     val d = deltaOne.select(col(keyCol) +:
       dataCols.map(n => col(n).as(s"__d_$n")) :+ lit(1).as("__hd"): _*)
     val j = c.join(d, Seq(keyCol), "full_outer")

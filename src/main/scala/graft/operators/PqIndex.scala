@@ -252,16 +252,9 @@ object PqIndex {
     * (a silently incompatible code space) fails loudly instead of
     * corrupting the index. */
   def modelFingerprint(pqModel: Model, ivfModel: IvfIndex.Model,
-      metric: graft.functions.VectorFunctions.Metric): String = {
-    val cents = ivfModel.centroids
-      .select(col("list_id").cast("int"), col("centroid").cast("array<double>"))
-      .collect()
-      .map(r => s"${r.getInt(0)}:${r.getSeq[Double](1).mkString(",")}")
-      .sorted.mkString(";")
-    val s = s"${pqModel.dim}|${pqModel.subDim}|${pqModel.codebooks}|$cents|$metric"
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  }
+      metric: graft.functions.VectorFunctions.Metric): String =
+    graft.Layouts.md5Hex(s"${pqModel.dim}|${pqModel.subDim}|" +
+      s"${pqModel.codebooks}|${IvfIndex.centroidsKey(ivfModel)}|$metric")
 
   /** The combined IVF-PQ layout at rest: (id, codes, list_id) partitioned
     * by `list_id` — the on-disk form of [[searchIvf]]'s `indexed` input.

@@ -52,8 +52,11 @@ class IndexAppendSpec extends SparkSpec {
   test("LSH append equals a from-scratch bucketize of the union") {
     val (base, delta) = splitCorpus
     val t = "graft_test_lshapp_inc"
+    // Append-mode contract: the base must be built UNCAPPED (enforced by
+    // the fingerprint check — see the fpcheck test).
     LshIndex.writeIndex(base, "id", "vec", dim, 0.5, 2, 1,
-      t, s"/tmp/graft_test_lshapp/inc_${ProcessHandle.current().pid()}", 4)
+      t, s"/tmp/graft_test_lshapp/inc_${ProcessHandle.current().pid()}", 4,
+      maxBucket = Long.MaxValue)
     LshIndex.appendToIndex(delta, "id", "vec", dim, 0.5, 2, 1, t, 4)
     val got = spark.table(t).select("tbl", "bucket", "id")
       .as[(Int, String, Long)].collect().toSet
@@ -83,9 +86,17 @@ class IndexAppendSpec extends SparkSpec {
     intercept[IllegalArgumentException] { // different bucketLength geometry
       LshIndex.appendToIndex(delta, "id", "vec", dim, 0.7, 2, 1, tl, 4)
     }
-    // After a SUCCESSFUL append the table is marked: a cap-less probe of
-    // it fails loudly (deltas are written uncapped; the skew guard must
-    // move to probe time), while recapAt probes work.
+    // Appending to a CAPPED base is rejected: build-time capping dropped
+    // oversized buckets wholesale, so union ≡ rebuild would not hold.
+    val tlc = "graft_test_fpcheck_lsh_capped"
+    LshIndex.writeIndex(base, "id", "vec", dim, 0.5, 2, 1,
+      tlc, s"/tmp/graft_test_fpcheck/lshc_${ProcessHandle.current().pid()}", 4)
+    intercept[IllegalArgumentException] {
+      LshIndex.appendToIndex(delta, "id", "vec", dim, 0.5, 2, 1, tlc, 4)
+    }
+    // An uncapped (append-mode) layout refuses cap-less probes — from the
+    // BUILD stamp, so the guard holds before and after appends — while
+    // recapAt probes work.
     LshIndex.appendToIndex(delta, "id", "vec", dim, 0.5, 2, 1, tl, 4)
     val q = corpus.limit(2).select(col("id").as("qid"), col("vec").as("qvec"))
     intercept[IllegalArgumentException] {
@@ -106,7 +117,7 @@ class IndexAppendSpec extends SparkSpec {
     assert(graft.Layouts.readFingerprint(spark, ts.counts).contains("span|5"))
     graft.operators.SpanDedup.appendToIndex(ts,
       Seq((2L, "a b c d e f g h")).toDF("id", "text"), "id", "text", 5, 2)
-    Seq(t, tl, ts.counts).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    Seq(t, tl, tlc, ts.counts).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
   test("assignment drift: zero for identical and for relabeled centroids, counted for a moved set") {

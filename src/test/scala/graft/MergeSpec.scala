@@ -79,6 +79,15 @@ class MergeSpec extends SparkSpec {
       (3L, "three", 0L, None)))
   }
 
+  test("scd2 handles key-only histories (no data columns to order duplicates by)") {
+    val kb = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    val h = Merge.scd2Apply(Merge.scd2Init(kb),
+      Seq(Tuple1(2L), Tuple1(2L), Tuple1(9L)).toDF("id"), "id", 1L)
+    assert(h.select($"id", $"valid_from", $"valid_to")
+      .as[(Long, Long, Option[Long])].collect().toSet ==
+      Set((1L, 0L, None), (2L, 0L, None), (9L, 1L, None)))
+  }
+
   test("scd2 rejects mismatched delta schemas and histories without meta columns") {
     intercept[IllegalArgumentException] {
       Merge.scd2Apply(Merge.scd2Init(base), base.drop("n"), "id", 1L)
