@@ -124,6 +124,19 @@ class PlanSpec extends SparkSpec {
       s"shuffle ranks must partition by shard, never collapse globally:\n$shuffle")
   }
 
+  test("token-budget fill broadcasts its targets and windows per group") {
+    val plan = planOf("sample_token_budget").split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-group targets (|groups| rows) should broadcast onto the corpus:\n$plan")
+    // The running sum must partition by the group — an unpartitioned
+    // window would drag the whole corpus through one task. (The 1-row
+    // budget-total aggregate legitimately uses SinglePartition, so the
+    // assertion targets the Window node itself.)
+    val winLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("windowspecdefinition(source")),
+      s"running sums must window per group:\n$plan")
+  }
+
   test("dimension joins broadcast the dimension side") {
     val plan = planOf("rel_region_revenue")
     assert(plan.contains("BroadcastHashJoin"),
