@@ -131,6 +131,8 @@ object Budgets {
     "pq_ann_stored_topk" -> 2.0, // r8 samples 0.80/0.67
     "pq_ann_topk" -> 3.2, // r8 samples 1.19/1.26
     "pq_index_append" -> 1.5, // r8 samples 0.08 (one sample)
+    "pq_index_compact" -> 1.5, // r8 sample 0.51 (one full-bench run)
+    "lsh_index_compact" -> 1.5, // r8 sample 0.50 (one full-bench run)
     "pq_index_build" -> 3.1, // r8 samples 1.20/1.19
     "pq_kmeans_recall" -> 2.3, // r8 samples 0.90/0.67
     "pq_refine_topk" -> 3.5, // r8 samples 1.39/1.10

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.L2
 
@@ -139,6 +139,24 @@ object LshIndex {
     Bucketed.appendBucketedKeys(
       RpLsh.bucketize(delta, idCol, vecCol, dim, bucketLength, numTables, numPlanes),
       tableName, Seq("tbl", "bucket"), numBuckets)
+  }
+
+  /** Compact an appended bucket table: re-write the same entries through
+    * the bucketed layout in one pass, carrying the build stamp across the
+    * rewrite (the [[SpanDedup.compactIndex]] pattern). Each append adds a
+    * file per bucket, so a long append history degrades probe scan
+    * efficiency; compaction bounds it while changing nothing a probe sees
+    * (gated by `lsh_index_compact`, which shares the append oracle). */
+  def compactIndex(spark: SparkSession, tableName: String,
+      numBuckets: Int): Unit = {
+    val fp = graft.Layouts.readFingerprint(spark, tableName)
+    val entries = spark.table(tableName).localCheckpoint()
+    val loc = spark.sql(s"DESCRIBE FORMATTED $tableName")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    Bucketed.writeBucketedKeys(entries, tableName, loc,
+      Seq("tbl", "bucket"), numBuckets)
+    fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
   }
 
   private def annTopKOfBuckets(queries: DataFrame, queryIdCol: String,

@@ -310,6 +310,25 @@ object PqIndex {
       .write.mode("append").insertInto(tableName)
   }
 
+  /** Compact an appended codes table: rewrite each list partition's files
+    * in one pass off a checkpointed read, carrying the build's model
+    * fingerprint across the rewrite (the [[SpanDedup.compactIndex]]
+    * pattern — every append adds a file per touched partition, and a long
+    * append history degrades probe scan efficiency; compaction bounds it
+    * while changing nothing a reader sees, gated by `pq_index_compact`). */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Unit = {
+    val fp = graft.Layouts.readFingerprint(spark, tableName)
+    val rows = spark.table(tableName).localCheckpoint()
+    val loc = spark.sql(s"DESCRIBE FORMATTED $tableName")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    rows.write.mode("overwrite").format("parquet")
+      .partitionBy("list_id").option("path", loc).saveAsTable(tableName)
+    fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
+  }
+
   /** ADC + refine (the "IVFADC+R" production shape): [[search]] overfetches
     * k·`overfetch` candidates from the code scan, then ONLY those rows'
     * true vectors are read back and exact-ranked. The expensive full-width

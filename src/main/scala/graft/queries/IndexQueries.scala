@@ -422,6 +422,29 @@ object IndexQueries extends graft.QueryModule {
         K, Dim, LshBucketLen, LshTables, LshPlanes, recapAt = Some(Cap))
         .withColumn("dist", round(col("dist"), 6))
     }),
+    // Lifecycle act three for the codes table: compaction after appends
+    // must change NOTHING a reader sees — same recount as the append gate
+    // (order-independent with it: both emit content invariants and
+    // compaction is idempotent).
+    "pq_index_compact" -> ((s, dir) => {
+      val t = PqAppendLayout.ensure(s, dir)
+      PqIndex.compactIvfIndex(s, t)
+      s.table(t).agg(count(lit(1)).as("n_rows"),
+        sum(aggregate(zip_with(col("codes"),
+            sequence(lit(1), lit(PqM)), (c, i) => c.cast("long") * i),
+          lit(0L), (a, x) => a + x)).as("code_checksum"))
+    }),
+    // Same for the bucket table: compacted entries recount exactly like
+    // the appended (and the from-scratch) form.
+    "lsh_index_compact" -> ((s, dir) => {
+      val t = LshAppendLayout.ensure(s, dir)
+      LshIndex.compactIndex(s, t, 8)
+      val cb = graft.operators.Salt.capBuckets(s.table(t),
+        Seq("tbl", "bucket"), Cap)
+      cb.agg(count(lit(1)).as("n_entries"))
+        .crossJoin(cb.select("tbl", "bucket").distinct()
+          .agg(count(lit(1)).as("n_buckets")))
+    }),
     // Quantizer drift after a re-fit — the rebuild scheduler's signal the
     // append-ingest invariant calls for (appendToIvfIndex encodes deltas
     // against the STORED model; once assignments drift, rebuild).
@@ -686,6 +709,18 @@ object IndexQueries extends graft.QueryModule {
          |SELECT count(DISTINCT skill_id) AS n_rows,
          |  CAST(sum((m + 1) * k) AS BIGINT) AS code_checksum
          |FROM enc""".stripMargin,
+    "pq_index_compact" ->
+      s"""WITH $pqCtes
+         |SELECT count(DISTINCT skill_id) AS n_rows,
+         |  CAST(sum((m + 1) * k) AS BIGINT) AS code_checksum
+         |FROM enc""".stripMargin,
+    "lsh_index_compact" ->
+      s"""WITH $cCte,
+         |cb AS (${graft.operators.RpLsh.bucketsSql("c", "skill_id", "svec", Dim, LshBucketLen, LshTables, LshPlanes)}),
+         |cbc AS (SELECT * FROM cb
+         |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $Cap)
+         |SELECT (SELECT count(*) FROM cbc) AS n_entries,
+         |  (SELECT count(*) FROM (SELECT DISTINCT tbl, bucket FROM cbc)) AS n_buckets""".stripMargin,
     "lsh_ann_appended_topk" -> lshAnnSql,
     "lsh_index_append" ->
       s"""WITH $cCte,

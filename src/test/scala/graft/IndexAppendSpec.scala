@@ -47,6 +47,12 @@ class IndexAppendSpec extends SparkSpec {
     // The base fit IS the union fit (the append-mode precondition).
     val fullFit = PqIndex.fitSeeds(corpus, "id", "vec", m = 4, k = 8)
     assert(pqModel.codebooks == fullFit.codebooks)
+    // Compaction: content and the fingerprint survive the rewrite.
+    val fpBefore = Layouts.readFingerprint(spark, t1)
+    PqIndex.compactIvfIndex(spark, t1)
+    assert(rows(spark.table(t1)) == rows(spark.table(t2)),
+      "compaction changed the codes table's content")
+    assert(Layouts.readFingerprint(spark, t1) == fpBefore && fpBefore.nonEmpty)
   }
 
   test("LSH append equals a from-scratch bucketize of the union") {
@@ -64,6 +70,13 @@ class IndexAppendSpec extends SparkSpec {
       .select("tbl", "bucket", "id").as[(Int, String, Long)].collect().toSet
     assert(got == want,
       "appended bucket table diverged from a from-scratch union bucketize")
+    // Compaction: content and the (uncapped) fingerprint survive.
+    val fpBefore = Layouts.readFingerprint(spark, t)
+    LshIndex.compactIndex(spark, t, 4)
+    val afterCompact = spark.table(t).select("tbl", "bucket", "id")
+      .as[(Int, String, Long)].collect().toSet
+    assert(afterCompact == want, "compaction changed the bucket table's content")
+    assert(Layouts.readFingerprint(spark, t) == fpBefore && fpBefore.nonEmpty)
   }
 
   test("append under re-fitted models or different hash geometry fails loudly") {
