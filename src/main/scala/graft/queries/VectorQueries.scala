@@ -252,11 +252,79 @@ object VectorQueries extends graft.QueryModule {
         .select(col("vec_id"), round(aggregate(col("vec"), lit(0.0d),
           (acc, v) => acc + v), 6).as("vec_sum"),
           size(col("vec")).cast("long").as("dim"))
+    }),
+    // Binary (sign-bit) quantization census: every vector's packed code
+    // words + popcount — the 32×-compression tier (BinaryQuant scaladoc);
+    // n_ones is pinned through an independent count of positive dims, so a
+    // packing bug can't cancel against itself.
+    "embed_quantize_binary" -> ((s, dir) =>
+      graft.operators.BinaryQuant.quantize(
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v")),
+        "vec_id", "v", BDim)),
+    // Hamming top-k over the packed sign bits — the binary tier's search:
+    // 16 bytes and two xor/popcounts per corpus vector inside the same
+    // broadcast + bounded-heap plan as exact search.
+    "knn_hamming_topk" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      graft.operators.BinaryQuant.hammingTopK(q, "job_id", "qvec",
+        c, "skill_id", "svec", BDim, K)
+    }),
+    // The cascade: Hamming shortlist (4× overfetch over the codes) then
+    // exact cosine refine touching only the shortlist's float vectors.
+    "knn_hamming_refine" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      rounded(graft.operators.BinaryQuant.hammingRefine(q, "job_id", "qvec",
+        c, "skill_id", "svec", BDim, K, 4))
+    }),
+    // Contrastive-training pair mining: per anchor (the first 20 corpus
+    // vectors, with their labels), the top-5 nearest corpus items whose
+    // label DIFFERS — the hard negatives an embedding fine-tune trains on
+    // (Contrastive scaladoc). The label predicate is anchor-dependent, so
+    // it rides the join condition ahead of the bounded heap.
+    "mine_hard_negatives" -> ((s, dir) => {
+      val (_, c) = split(s, dir)
+      val anchors = c.filter(col("skill_id") < NQ * 2)
+        .select(col("skill_id").as("anchor_id"), col("svec").as("avec"),
+          col("label").as("albl"))
+      rounded(graft.operators.Contrastive.hardNegatives(
+        anchors, "anchor_id", "avec", "albl",
+        c, "skill_id", "svec", "label", HardNegK, Cosine))
+    }),
+    // Quality dial of the binary tier: recall@k of the Hamming ranking vs
+    // the exact cosine ranking — the number that justifies 32× compression
+    // (SimHash's estimator argument makes it high at these dims).
+    "eval_binary_recall" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      val ham = graft.operators.BinaryQuant.hammingTopK(q, "job_id", "qvec",
+        c, "skill_id", "svec", BDim, K)
+      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec",
+        K, Cosine)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(ham, exact, "job_id", "skill_id"))
     }))
 
   private val qCte = Fixtures.qCte
   private val cCte = Fixtures.cCte
   private val MrlDim = 16
+  private val BDim = 64
+  private val HardNegK = 5
+
+  /** Packed-sign-bit CTEs shared by the hamming oracles: qb(job_id,q0,q1) +
+    * cb(skill_id,c0,c1) and the word-pair Hamming expression — one emitter
+    * (BinaryQuant.packWordSql) so the twins can't drift from the operator. */
+  private def qbCte: String = {
+    val ws = (0 until BDim / 32).map(w =>
+      s"${graft.operators.BinaryQuant.packWordSql("qvec", w)} AS q$w")
+    s"qb AS (SELECT job_id, ${ws.mkString(", ")} FROM q)"
+  }
+  private def cbCte: String = {
+    val ws = (0 until BDim / 32).map(w =>
+      s"${graft.operators.BinaryQuant.packWordSql("svec", w)} AS c$w")
+    s"cb AS (SELECT skill_id, ${ws.mkString(", ")} FROM c)"
+  }
+  private def hamSql: String = graft.operators.BinaryQuant.hammingDistSql(
+    (0 until BDim / 32).map(w => (s"q$w", s"c$w")))
 
   private val jlComps = (0 until 16).map(p =>
     graft.operators.RpLsh.projectComponentSql("embedding::DOUBLE[]", 64, 16, p))
@@ -461,5 +529,84 @@ object VectorQueries extends graft.QueryModule {
       """SELECT vec_id,
         |  round(list_sum(embedding::DOUBLE[]), 6) AS vec_sum,
         |  CAST(len(embedding) AS BIGINT) AS dim
-        |FROM embeddings""".stripMargin)
+        |FROM embeddings""".stripMargin,
+    "mine_hard_negatives" ->
+      s"""WITH $cCte,
+         |a AS (SELECT skill_id AS anchor_id, svec AS avec, label AS albl
+         |      FROM c WHERE skill_id < ${Fixtures.NQ * 2}),
+         |d AS (SELECT a.anchor_id, c.skill_id, c.label,
+         |        1.0 - list_cosine_similarity(a.avec, c.svec) AS dist
+         |      FROM a JOIN c ON c.label <> a.albl AND c.skill_id <> a.anchor_id),
+         |r AS (SELECT anchor_id, skill_id, label, dist,
+         |        CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT anchor_id, skill_id, label, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $HardNegK""".stripMargin,
+    "embed_quantize_binary" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id,
+         |  ${graft.operators.BinaryQuant.packWordSql("v", 0)} AS code_0,
+         |  ${graft.operators.BinaryQuant.packWordSql("v", 1)} AS code_1,
+         |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_ones
+         |FROM e""".stripMargin,
+    "knn_hamming_topk" ->
+      s"""WITH $qCte, $cCte,
+         |$qbCte,
+         |$cbCte,
+         |d AS (SELECT job_id, skill_id,
+         |        CAST($hamSql AS DOUBLE) AS dist
+         |      FROM qb CROSS JOIN cb),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM d)
+         |SELECT job_id, skill_id, rank, dist
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "knn_hamming_refine" ->
+      s"""WITH $qCte, $cCte,
+         |$qbCte,
+         |$cbCte,
+         |hd AS (SELECT job_id, skill_id,
+         |        CAST($hamSql AS DOUBLE) AS dist
+         |      FROM qb CROSS JOIN cb),
+         |hr AS (SELECT job_id, skill_id,
+         |        row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS hrank
+         |      FROM hd),
+         |sl AS (SELECT job_id, skill_id FROM hr WHERE hrank <= ${K * 4}),
+         |rd AS (SELECT s.job_id, s.skill_id,
+         |        1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
+         |      FROM sl s JOIN q ON q.job_id = s.job_id
+         |        JOIN c ON c.skill_id = s.skill_id),
+         |r AS (SELECT job_id, skill_id, dist,
+         |        CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+         |      FROM rd)
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "eval_binary_recall" ->
+      s"""WITH $qCte, $cCte,
+         |$qbCte,
+         |$cbCte,
+         |da AS (SELECT job_id, skill_id,
+         |        CAST($hamSql AS DOUBLE) AS dist
+         |      FROM qb CROSS JOIN cb),
+         |ra AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM da) WHERE rank <= $K),
+         |de AS (SELECT job_id, skill_id,
+         |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |exr AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM de) WHERE rank <= $K),
+         |m AS (SELECT a.job_id, count(*) AS n FROM ra a
+         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |    GROUP BY 1),
+         |perq AS (SELECT q2.job_id,
+         |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+         |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
+         |SELECT ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
+         |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
+         |  count(*) AS n_queries FROM perq""".stripMargin)
 }

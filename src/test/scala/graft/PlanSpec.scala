@@ -219,6 +219,22 @@ class PlanSpec extends SparkSpec {
       s"append ingest must never read the stored index:\n$plan")
   }
 
+  test("Hamming top-k broadcasts packed queries; corpus never sort-merges") {
+    val plan = planOf("knn_hamming_topk")
+    assert(plan.contains("Broadcast"),
+      s"packed query side should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"binary search must not sort-merge the corpus:\n$plan")
+  }
+
+  test("Hamming refine joins only the shortlist back to float vectors") {
+    val plan = planOf("knn_hamming_refine")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"refine joins should stay broadcast-sized:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"refine must never cross-join the corpus:\n$plan")
+  }
+
   test("PQ ADC search broadcasts the query side and scans codes only") {
     val plan = planOf("pq_ann_topk")
     assert(plan.contains("Broadcast"),
