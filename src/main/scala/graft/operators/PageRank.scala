@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
+import graft.functions.VectorFunctions.{Cosine, Metric}
+
+/** PageRank over a k-NN similarity graph — a graph-centrality quality
+  * prior for corpus items (Page et al. 1999; the "web graph" signal the
+  * crawl-filtering literature uses, rebuilt here over embedding-space
+  * neighborhoods when no hyperlink graph exists).
+  *
+  * Two pieces, both keyed-aggregation plans:
+  *
+  *  - [[knnEdges]]: symmetric top-k cosine neighbor edges. The pinned
+  *    query uses the exact candidate generator (broadcast + bounded heap,
+  *    KnnJoin's plan) so the DuckDB oracle can replay it; a 100 TB corpus
+  *    swaps this one stage for the stored ANN probe (IvfIndex/LshIndex
+  *    searches return exactly the (src, dst, dist) triples needed) and
+  *    keeps everything downstream unchanged.
+  *
+  *  - [[pagerank]]: fixed-iteration power method in e9 integer fixed
+  *    point. Every per-node share and the damping mix go through
+  *    [[ExactRound.roundDiv]] (ties away from zero), so scores are exact
+  *    integers — reproducible across engines, partitionings, and retry
+  *    orders (a double-summing PageRank is none of those). Per iteration:
+  *    one keyed join (share = r/deg), one shuffle-agg (inflow per dst),
+  *    one left join (apply damping) — O(|E|) per round, never all-pairs;
+  *    frames are `localCheckpoint`ed per round like the CC loops, so
+  *    lineage stays bounded.
+  *
+  * The symmetric graph has no dangling nodes (every node emits its own
+  * top-k edges), so the classic dangling-mass correction is unneeded —
+  * total mass still drifts by rounding, which is why scores are pinned as
+  * integer fixed point rather than a "sums to 1" invariant.
+  */
+object PageRank {
+
+  /** Symmetric top-`k` cosine neighbor edges over one vector frame:
+    * (src, dst) with both directions present, self-edges excluded before
+    * the heap, deduplicated. */
+  def knnEdges(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      metric: Metric = Cosine): DataFrame = {
+    val a = broadcast(vecs.select(col(idCol).as("__src"),
+      col(vecCol).as("__avec")))
+    val (keyCol, isString) = KnnJoin.keyColumn(vecs, idCol)
+    val c = vecs.select(keyCol, col(vecCol).as("__cvec"))
+    val cands = a.join(c, col("__cid") =!= col("__src"))
+      .select(col("__src"), metric.dist(col("__avec"), col("__cvec")).as("dist"),
+        col("__cid"))
+    val nn = KnnJoin.topkOfCandidates(cands, "__src", "dst", k, isString)
+      .select(col("__src").as("src"), col("dst"))
+    nn.union(nn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** `iters` power-method rounds at damping `dampingPct`/100 over a
+    * symmetric edge list. Output: (id, pr_e9) — the PageRank score scaled
+    * by 10⁹, an exact integer. */
+  def pagerank(edges: DataFrame, iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint()
+    // 1-row node count attached by broadcast cross join (never a driver
+    // collect): base teleport share = roundDiv(15·10⁹, 100·n).
+    val nn = deg.agg(count(lit(1)).as("__n"))
+    val base = ExactRound.roundDiv(
+      lit((100L - dampingPct) * 1000000000L), lit(100L) * col("__n"))
+    var r = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("id"),
+        ExactRound.roundDiv(lit(1000000000L), col("__n")).as("pr_e9"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val share = r.join(deg, col("id") === col("src"))
+        .select(col("id").as("__u"),
+          ExactRound.roundDiv(col("pr_e9"), col("__deg")).as("__share"))
+      val inflow = e.join(share, col("src") === col("__u"))
+        .groupBy(col("dst")).agg(sum(col("__share")).as("__inflow"))
+      r = deg.join(inflow, col("src") === col("dst"), "left")
+        .crossJoin(broadcast(nn))
+        .select(col("src").as("id"),
+          (base + ExactRound.roundDiv(
+            lit(dampingPct.toLong) * coalesce(col("__inflow"), lit(0L)),
+            lit(100L))).cast("long").as("pr_e9"))
+        .localCheckpoint()
+    }
+    r
+  }
+
+  /** DuckDB twin of the whole computation: edges → degrees → `iters`
+    * unrolled iterations, each the same roundDiv arithmetic. `corpusCte`
+    * must define `c(idCol, vecCol)` with a DOUBLE[] vector. */
+  def pagerankSql(corpusCte: String, idCol: String, vecCol: String,
+      k: Int, iters: Int, dampingPct: Int = 85,
+      outIdCol: String = "id"): String = {
+    val rd = ExactRound.roundDivSql _
+    val head =
+      s"""WITH $corpusCte,
+         |nd AS (SELECT a.$idCol AS src, b.$idCol AS dst,
+         |        1.0 - list_cosine_similarity(a.$vecCol, b.$vecCol) AS dist
+         |      FROM c a JOIN c b ON a.$idCol <> b.$idCol),
+         |e0 AS (SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM nd) WHERE rn <= $k),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS id, ${rd("1000000000", "n")} AS pr
+         |      FROM deg, nn)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""s$t AS (SELECT e.dst AS id, sum(sh.share) AS inflow
+         |  FROM (SELECT r${t - 1}.id AS uid, ${rd(s"r${t - 1}.pr", "deg.deg")} AS share
+         |        FROM r${t - 1} JOIN deg ON deg.src = r${t - 1}.id) sh
+         |  JOIN e ON e.src = sh.uid GROUP BY 1),
+         |r$t AS (SELECT d.src AS id,
+         |    ${rd(s"${(100 - dampingPct).toLong * 1000000000L}", "100 * nn.n")} +
+         |    ${rd(s"$dampingPct * coalesce(s$t.inflow, 0)", "100")} AS pr
+         |  FROM deg d LEFT JOIN s$t ON s$t.id = d.src CROSS JOIN nn)""".stripMargin
+    }
+    val tail =
+      s"""SELECT id AS $outIdCol, CAST(pr AS BIGINT) AS pr_e9 FROM r$iters"""
+    (Seq(head) ++ rounds).mkString(",\n") + "\n" + tail
+  }
+}

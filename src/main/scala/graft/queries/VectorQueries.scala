@@ -291,6 +291,19 @@ object VectorQueries extends graft.QueryModule {
         anchors, "anchor_id", "avec", "albl",
         c, "skill_id", "svec", "label", HardNegK, Cosine))
     }),
+    // Graph-centrality quality prior: PageRank over the symmetric top-3
+    // cosine-neighbor graph, 5 power iterations in e9 integer fixed point
+    // (PageRank scaladoc) — the "well-connectedness" score a selection
+    // pipeline mixes into its quality blend when no hyperlink graph
+    // exists. Exact-integer arithmetic end to end; the oracle replays
+    // edges, degrees, and every iteration.
+    "rank_knn_pagerank" -> ((s, dir) => {
+      val (_, c) = split(s, dir)
+      val edges = graft.operators.PageRank.knnEdges(
+        c.select(col("skill_id"), col("svec")), "skill_id", "svec", PrK)
+      graft.operators.PageRank.pagerank(edges, PrIters)
+        .select(col("id").as("skill_id"), col("pr_e9"))
+    }),
     // Quality dial of the binary tier: recall@k of the Hamming ranking vs
     // the exact cosine ranking — the number that justifies 32× compression
     // (SimHash's estimator argument makes it high at these dims).
@@ -309,6 +322,8 @@ object VectorQueries extends graft.QueryModule {
   private val MrlDim = 16
   private val BDim = 64
   private val HardNegK = 5
+  private val PrK = 3
+  private val PrIters = 5
 
   /** Packed-sign-bit CTEs shared by the hamming oracles: qb(job_id,q0,q1) +
     * cb(skill_id,c0,c1) and the word-pair Hamming expression — one emitter
@@ -530,6 +545,8 @@ object VectorQueries extends graft.QueryModule {
         |  round(list_sum(embedding::DOUBLE[]), 6) AS vec_sum,
         |  CAST(len(embedding) AS BIGINT) AS dim
         |FROM embeddings""".stripMargin,
+    "rank_knn_pagerank" -> graft.operators.PageRank.pagerankSql(
+      cCte, "skill_id", "svec", PrK, PrIters, outIdCol = "skill_id"),
     "mine_hard_negatives" ->
       s"""WITH $cCte,
          |a AS (SELECT skill_id AS anchor_id, svec AS avec, label AS albl
