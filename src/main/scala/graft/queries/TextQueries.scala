@@ -133,6 +133,16 @@ object TextQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
     }),
+    // Snapshot drift: Jensen-Shannon divergence between the token unigram
+    // distributions of two corpus halves (doc_id parity stands in for
+    // old/new crawl batches) — the promotion gate a recurring ingest runs
+    // (Drift scaladoc). One scan, one keyed agg, e8-scaled integer terms.
+    "profile_corpus_drift" -> ((s, dir) =>
+      graft.operators.Drift.jsdSummary(driftTok(s, dir))),
+    // The drill-down: top-10 tokens by probability shift between the
+    // snapshots, ordered and cut on the integer delta.
+    "profile_drift_tokens" -> ((s, dir) =>
+      graft.operators.Drift.topMovers(driftTok(s, dir), 10)),
     // Interpolated bigram LM scoring — the CCNet perplexity filter one
     // order up from the unigram query: p(t_i | t_{i-1}) = 0.7·c(prev,cur)/
     // c(prev) + 0.3·c(cur)/N over the corpus's own counts (KenLM's role,
@@ -397,6 +407,19 @@ object TextQueries extends graft.QueryModule {
   // ---- DuckDB mirrors -----------------------------------------------------
 
   private val enIn = EnWords.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Tagged token stream for the drift queries: snapshot A = even doc_id. */
+  private def driftTok(s: SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select((pmod(col("doc_id"), lit(2L)) === 0L).as("ga"),
+        explode(tokens(col("text"))).as("t"))
+
+  /** Oracle twin of [[driftTok]] + the shared Drift count CTEs. (A `def`:
+    * it reads `toksCte`, declared later in initialization order.) */
+  private def driftCtes =
+    s"""$toksCte,
+       |tok AS (SELECT doc_id % 2 = 0 AS ga, unnest(toks) AS t FROM tokd),
+       |${graft.operators.Drift.countsCte}""".stripMargin
   private def langIn(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
   private val toksCte = DocSql.toksCte
@@ -514,6 +537,12 @@ object TextQueries extends graft.QueryModule {
          |  CAST(sum(CASE WHEN voc.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
          |FROM tok LEFT JOIN voc ON tok.t = voc.t
          |GROUP BY 1""".stripMargin,
+    "profile_corpus_drift" ->
+      s"""WITH $driftCtes
+         |${graft.operators.Drift.jsdSummarySql}""".stripMargin,
+    "profile_drift_tokens" ->
+      s"""WITH $driftCtes
+         |${graft.operators.Drift.topMoversSql(10)}""".stripMargin,
     "text_bigram_logprob" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
