@@ -143,6 +143,17 @@ object TextQueries extends graft.QueryModule {
     // snapshots, ordered and cut on the integer delta.
     "profile_drift_tokens" -> ((s, dir) =>
       graft.operators.Drift.topMovers(driftTok(s, dir), 10)),
+    // Seed-corpus quality classifier — multinomial Naive Bayes log-odds
+    // against a trusted source subset (NaiveBayes scaladoc: the GPT-3/
+    // CCNet linear-filter role). Model = one keyed agg (O(V) rows);
+    // scoring = one model join + per-doc integer sum; e8-exact end to end.
+    "select_nb_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), nbPos.as("gp"), tokens(col("text")).as("toks"))
+      graft.operators.NaiveBayes.scoreDocs(
+        d.select(col("doc_id"), col("gp")), "doc_id",
+        d.select(col("doc_id"), col("gp"), explode(col("toks")).as("t")))
+    }),
     // Interpolated bigram LM scoring — the CCNet perplexity filter one
     // order up from the unigram query: p(t_i | t_{i-1}) = 0.7·c(prev,cur)/
     // c(prev) + 0.3·c(cur)/N over the corpus's own counts (KenLM's role,
@@ -408,6 +419,11 @@ object TextQueries extends graft.QueryModule {
 
   private val enIn = EnWords.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** Seed ("positive") sources for the NB quality classifier. */
+  private val NbSeedSources = Seq("src0", "src1", "src2", "src3")
+  private def nbPos = col("source").isin(NbSeedSources: _*)
+  private val nbSeedIn = NbSeedSources.map(s => s"'$s'").mkString("(", ",", ")")
+
   /** Tagged token stream for the drift queries: snapshot A = even doc_id. */
   private def driftTok(s: SparkSession, dir: String) =
     Tables.documents(s, dir)
@@ -537,6 +553,13 @@ object TextQueries extends graft.QueryModule {
          |  CAST(sum(CASE WHEN voc.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
          |FROM tok LEFT JOIN voc ON tok.t = voc.t
          |GROUP BY 1""".stripMargin,
+    "select_nb_quality" ->
+      s"""WITH $toksCte,
+         |docs AS (SELECT doc_id, source IN $nbSeedIn AS gp FROM documents),
+         |tok AS (SELECT tokd.doc_id, docs.gp, unnest(toks) AS t
+         |  FROM tokd JOIN docs USING (doc_id)),
+         |${graft.operators.NaiveBayes.modelCtes("docs")},
+         |${graft.operators.NaiveBayes.scoreSql("docs")}""".stripMargin,
     "profile_corpus_drift" ->
       s"""WITH $driftCtes
          |${graft.operators.Drift.jsdSummarySql}""".stripMargin,
