@@ -159,12 +159,38 @@ object LshIndex {
     fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
   }
 
+  /** Multi-probe variant of [[annTopK]]: the query side probes its own
+    * grid cell plus every single-coordinate ±1 neighbor
+    * ([[RpLsh.bucketizeProbes]]), recovering near-boundary misses without
+    * adding hash tables — probes multiply only the broadcast-sized query
+    * buckets, never the corpus index, so at 100 TB this is the recall dial
+    * that costs (1 + 2·numPlanes)× query rows instead of another full
+    * corpus hash table. Also probes stored [[writeIndex]] layouts when
+    * `indexTable` is given (same probe join, stored bucket side). */
+  def annTopKMultiProbe(queries: DataFrame, queryIdCol: String,
+      queryVecCol: String, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, bucketLength: Double, numTables: Int = 3,
+      numPlanes: Int = 1, maxBucket: Long = Dedup.DefaultMaxBucket,
+      indexTable: Option[String] = None): DataFrame = {
+    val cb = indexTable match {
+      case Some(t) => queries.sparkSession.table(t)
+      case None => Salt.capBuckets(
+        RpLsh.bucketize(corpus, idCol, vecCol, dim, bucketLength, numTables,
+          numPlanes), Seq("tbl", "bucket"), maxBucket)
+    }
+    annTopKOfBuckets(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
+      cb, k, dim, bucketLength, numTables, numPlanes,
+      qbOverride = Some(RpLsh.bucketizeProbes(queries, queryIdCol, queryVecCol,
+        dim, bucketLength, numTables, numPlanes)))
+  }
+
   private def annTopKOfBuckets(queries: DataFrame, queryIdCol: String,
       queryVecCol: String, corpus: DataFrame, idCol: String, vecCol: String,
       cb: DataFrame, k: Int, dim: Int, bucketLength: Double, numTables: Int,
-      numPlanes: Int): DataFrame = {
-    val qb = RpLsh.bucketize(queries, queryIdCol, queryVecCol, dim, bucketLength,
-      numTables, numPlanes)
+      numPlanes: Int, qbOverride: Option[DataFrame] = None): DataFrame = {
+    val qb = qbOverride.getOrElse(
+      RpLsh.bucketize(queries, queryIdCol, queryVecCol, dim, bucketLength,
+        numTables, numPlanes))
     val candIds = qb.join(cb, Seq("tbl", "bucket"))
       .select(col(queryIdCol), col(idCol)).distinct()
     val (keyCol, isString) = KnnJoin.keyColumn(corpus, idCol)

@@ -87,6 +87,58 @@ object RpLsh {
       .select(col(idCol), col("__h.tbl").as("tbl"), col("__h.bucket").as("bucket"))
   }
 
+  /** Multi-probe query-side buckets (Lv et al., VLDB 2007, simplified to
+    * the unit perturbation set): per hash table, the base grid cell PLUS
+    * every single-coordinate ±1 neighbor — (1 + 2·numPlanes) probes per
+    * table. Near-boundary queries whose true neighbors landed one cell
+    * over are recovered WITHOUT adding hash tables: probes multiply only
+    * the (tiny) query side of the bucket join, while the corpus side —
+    * the stored index, the thing that costs at 100 TB — is untouched.
+    * Probe keys are pairwise distinct by construction (each differs in
+    * exactly one coordinate), so no dedup pass is needed. Same output
+    * shape as [[bucketize]]. */
+  def bucketizeProbes(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      bucketLength: Double, numTables: Int, numPlanes: Int = 1): DataFrame = {
+    require(dim > 0 && bucketLength > 0 && numTables > 0 && numPlanes > 0,
+      s"dim $dim / bucketLength $bucketLength / numTables $numTables / numPlanes $numPlanes must be positive")
+    val raw = col(vecCol).cast("array<double>")
+    val checked = when(raw.isNull, raw)
+      .when(size(raw) === dim, raw).otherwise(raise_error(concat(
+      lit(s"RpLsh.bucketizeProbes: expected vectors of dim $dim, got "),
+      size(raw).cast("string"))))
+    val vd = df.select(col(idCol), checked.as("__vd"))
+    val probes = (0 until numTables).flatMap { t =>
+      val cells = (0 until numPlanes).map { p =>
+        val proj = dotProduct(col("__vd"), lit(plane(t, p, dim).toArray))
+        floor(round(proj / bucketLength, 6)).cast("long")
+      }
+      val sets = Seq(cells) ++ (for {
+        p <- 0 until numPlanes; d <- Seq(-1L, 1L)
+      } yield cells.updated(p, cells(p) + lit(d)))
+      sets.map(cs => struct(lit(t).as("tbl"),
+        concat_ws(":", cs.map(_.cast("string")): _*).as("bucket")))
+    }
+    vd.select(col(idCol), explode(array(probes: _*)).as("__h"))
+      .select(col(idCol), col("__h.tbl").as("tbl"), col("__h.bucket").as("bucket"))
+  }
+
+  /** DuckDB mirror of [[bucketizeProbes]]: UNION ALL of one SELECT per
+    * (table, probe). */
+  def probesSql(rel: String, idSql: String, vecSql: String, dim: Int,
+      bucketLength: Double, numTables: Int, numPlanes: Int = 1): String =
+    (0 until numTables).flatMap { t =>
+      val cells = (0 until numPlanes).map { p =>
+        s"CAST(floor(round(list_dot_product($vecSql, ${planeSql(t, p, dim)}) / $bucketLength, 6)) AS BIGINT)"
+      }
+      val sets = Seq(cells) ++ (for {
+        p <- 0 until numPlanes; d <- Seq(-1, 1)
+      } yield cells.updated(p, s"(${cells(p)} + ($d))"))
+      sets.map(cs =>
+        s"""SELECT $idSql, $t AS tbl,
+           |    concat_ws(':', ${cs.mkString(",\n      ")}) AS bucket
+           |  FROM $rel""".stripMargin)
+    }.mkString("\n  UNION ALL ")
+
   /** Plane-family table id reserved for [[project]] so projection planes
     * never coincide with any LSH table's. */
   val ProjectionTable = 9999

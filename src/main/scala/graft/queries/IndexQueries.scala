@@ -183,6 +183,30 @@ object IndexQueries extends graft.QueryModule {
         Dim, LshBucketLen, LshTables, LshPlanes)
         .withColumn("dist", round(col("dist"), 6))
     }),
+    // X2 multi-probe: the query side probes its own grid cell plus every
+    // single-coordinate ±1 neighbor (Lv et al. 2007) — the recall dial
+    // that multiplies only the broadcast-sized query buckets, never the
+    // corpus index. Fully deterministic, so the result is hash-gated like
+    // the single-probe form.
+    "lsh_multiprobe_topk" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      LshIndex.annTopKMultiProbe(q, "job_id", "qvec", c, "skill_id", "svec",
+        K, Dim, LshBucketLen, LshTables, LshPlanes)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // The dial's reading: recall@k of multi-probe LSH against the exact L2
+    // ranking — the number that shows the ±1 probes buying back the
+    // near-boundary misses single-probe leaves behind (both replayed in
+    // the oracle; the summary is exact-integer).
+    "eval_multiprobe_recall" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val mp = LshIndex.annTopKMultiProbe(q, "job_id", "qvec", c, "skill_id",
+        "svec", K, Dim, LshBucketLen, LshTables, LshPlanes)
+      val exact = graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", c, "skill_id", "svec", K, L2)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(mp, exact, "job_id", "skill_id"))
+    }),
     // X2 persisted: the capped bucket table stored bucketBy(tbl, bucket) —
     // the index's on-disk form; the oracle recounts its entries and
     // distinct cells from scratch.
@@ -540,6 +564,48 @@ object IndexQueries extends graft.QueryModule {
        |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
        |FROM r WHERE rank <= $K""".stripMargin
 
+  /** Multi-probe twin of [[lshAnnSql]]: qb becomes the probe union. */
+  private val lshMultiCtes =
+    s"""$qCte, $cCte,
+       |qb AS (${graft.operators.RpLsh.probesSql("q", "job_id", "qvec", Dim, LshBucketLen, LshTables, LshPlanes)}),
+       |cb AS (${graft.operators.RpLsh.bucketsSql("c", "skill_id", "svec", Dim, LshBucketLen, LshTables, LshPlanes)}),
+       |cbc AS (SELECT * FROM cb
+       |  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= $Cap),
+       |cand AS (SELECT DISTINCT qb.job_id, cbc.skill_id
+       |  FROM qb JOIN cbc ON qb.tbl = cbc.tbl AND qb.bucket = cbc.bucket),
+       |d AS (SELECT cand.job_id, cand.skill_id, list_distance(q.qvec, c.svec) AS dist
+       |  FROM cand JOIN q USING (job_id) JOIN c USING (skill_id)),
+       |r AS (SELECT job_id, skill_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+       |  FROM d)""".stripMargin
+
+  private val lshMultiSql =
+    s"""WITH $lshMultiCtes
+       |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+       |FROM r WHERE rank <= $K""".stripMargin
+
+  private val lshMultiRecallSql = {
+    val er = graft.functions.ExactRound
+    s"""WITH $lshMultiCtes,
+       |ra AS (SELECT job_id, skill_id FROM r WHERE rank <= $K),
+       |de AS (SELECT job_id, skill_id, list_distance(qvec, svec) AS dist
+       |      FROM q CROSS JOIN c),
+       |exr AS (SELECT job_id, skill_id FROM (
+       |    SELECT job_id, skill_id,
+       |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+       |    FROM de) WHERE rank <= $K),
+       |m AS (SELECT a.job_id, count(*) AS n FROM ra a
+       |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+       |    GROUP BY 1),
+       |perq AS (SELECT q2.job_id,
+       |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+       |    ${er.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+       |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
+       |SELECT ${er.ratioRound6IntSql(s"sum(${er.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
+       |  ${er.ratioRound6IntSql(s"sum(${er.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
+       |  count(*) AS n_queries FROM perq""".stripMargin
+  }
+
   /** PQ pipeline in SQL: seed codebooks per subspace → argmin encode →
     * per-query distance tables → ADC ranking. `$SubD`-wide 1-based list
     * slices mirror PqIndex.subspace; the squared sub-distances sum in exact
@@ -764,6 +830,8 @@ object IndexQueries extends graft.QueryModule {
     "ivf_probe_all_exact" -> ivfSql(Lists),
     "lsh_ann_topk" -> lshAnnSql,
     "lsh_ann_stored_topk" -> lshAnnSql,
+    "lsh_multiprobe_topk" -> lshMultiSql,
+    "eval_multiprobe_recall" -> lshMultiRecallSql,
     // From-scratch recount of the stored index's shape.
     "lsh_index_build" ->
       s"""WITH $cCte,

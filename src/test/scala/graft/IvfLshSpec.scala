@@ -101,6 +101,29 @@ class IvfLshSpec extends SparkSpec {
     assert(rec > 0.0, s"LSH recall $rec should be positive")
   }
 
+  test("multi-probe LSH never loses recall vs single-probe; probes expand the query side only") {
+    val l2exact = KnnJoin.exact(queries, "qid", "qvec", corpus, "cid", "cvec", 10, L2)
+    def recL2(df: org.apache.spark.sql.DataFrame): Double =
+      Eval.recallSummary(Eval.recallAtK(df, l2exact, "qid", "cid"))
+        .select("avg_recall").head().getDouble(0)
+    val single = LshIndex.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec",
+      10, dim = 64, bucketLength = 0.4, numTables = 3, numPlanes = 2)
+    val multi = LshIndex.annTopKMultiProbe(queries, "qid", "qvec", corpus,
+      "cid", "cvec", 10, dim = 64, bucketLength = 0.4, numTables = 3,
+      numPlanes = 2)
+    // the multi-probe candidate set is a superset, so recall can only rise
+    val (rs, rm) = (recL2(single), recL2(multi))
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    assert(multi.count() >= single.count(),
+      "multi-probe answered fewer queries than single-probe")
+    // probe fan-out: 1 + 2·numPlanes keys per (query, table)
+    val probes = graft.operators.RpLsh.bucketizeProbes(queries, "qid", "qvec",
+      64, 0.4, numTables = 3, numPlanes = 2)
+    assert(probes.count() === queries.count() * 3 * 5)
+    assert(probes.distinct().count() === probes.count(),
+      "probe keys must be pairwise distinct by construction")
+  }
+
   test("RpLsh planes are md5-deterministic, unit-norm, and SQL literals round-trip") {
     import graft.operators.RpLsh
     assert(RpLsh.plane(0, 0, 64) == RpLsh.plane(0, 0, 64))
