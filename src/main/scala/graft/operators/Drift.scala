@@ -66,6 +66,25 @@ object Drift {
       .orderBy(col("delta_e6").desc, col("token"))
       .limit(n)
 
+  /** Streaming face: monitor an incoming token stream batch-by-batch
+    * against a STATIC reference distribution — the live form of the
+    * promotion gate (each micro-batch emits one [[jsdSummary]] row, so a
+    * dashboard reads drift per ingest batch). Batch-operator-behind-
+    * foreachBatch like the other streaming faces: the divergence needs
+    * the batch's full counts, so per-batch is the natural granularity.
+    * `tokenStream` must have a `t` column; `reference` is the static
+    * snapshot-A token frame. */
+  def jsdStream(tokenStream: DataFrame, reference: DataFrame)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    tokenStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val tagged = reference.select(lit(true).as("ga"), col("t"))
+          .unionByName(batch.select(lit(false).as("ga"), col("t")))
+        sink(jsdSummary(tagged), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   // ---- DuckDB twins ---------------------------------------------------------
 
   private val paSql = "(CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))"

@@ -176,6 +176,24 @@ object IndexQueries extends graft.QueryModule {
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
     }),
+    // The IVF tuning curve: recall@k at nprobe ∈ {1, 2, 4} in one result —
+    // the table an operator reads to pick the probes/latency point (probes
+    // scan ~nprobe/lists of the corpus; recall rises toward exact at
+    // nprobe = lists). Each point is the same oracle-replayed exact-integer
+    // summary as ivf_recall_summary.
+    "ivf_probe_curve" -> ((s, dir) => {
+      val (q, indexed, model) = ivfParts(s, dir)
+      val exact = graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", indexed, "skill_id", "svec", K, Cosine)
+      ProbeCurve.map { np =>
+        val ann = IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id",
+          "svec", model, K, np, Cosine)
+        graft.operators.Eval.recallSummary(
+          graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+          .select(lit(np.toLong).as("n_probe"), col("avg_matches"),
+            col("avg_recall"), col("n_queries"))
+      }.reduce(_ unionByName _)
+    }),
     // X2 — LSH bucket-join ANN on deterministic md5 planes (oracle-gated).
     "lsh_ann_topk" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
@@ -564,6 +582,35 @@ object IndexQueries extends graft.QueryModule {
        |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
        |FROM r WHERE rank <= $K""".stripMargin
 
+  private val ProbeCurve = Seq(1, 2, 4)
+
+  /** One probe-curve point: the ivf ranking at `np` probes + the exact
+    * ranking + the exact-integer recall summary, self-contained in a
+    * parenthesized WITH subquery so points union without CTE collisions. */
+  private def probePointSql(np: Int): String = {
+    val er = graft.functions.ExactRound
+    s"""(WITH ${ivfCtes(np)},
+       |ra AS (SELECT job_id, skill_id FROM r WHERE rank <= $K),
+       |de AS (SELECT job_id, skill_id,
+       |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+       |      FROM q CROSS JOIN c),
+       |exr AS (SELECT job_id, skill_id FROM (
+       |    SELECT job_id, skill_id,
+       |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+       |    FROM de) WHERE rank <= $K),
+       |m AS (SELECT a.job_id, count(*) AS n FROM ra a
+       |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+       |    GROUP BY 1),
+       |perq AS (SELECT q2.job_id,
+       |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+       |    ${er.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+       |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
+       |SELECT CAST($np AS BIGINT) AS n_probe,
+       |  ${er.ratioRound6IntSql(s"sum(${er.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
+       |  ${er.ratioRound6IntSql(s"sum(${er.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
+       |  count(*) AS n_queries FROM perq)""".stripMargin
+  }
+
   /** Multi-probe twin of [[lshAnnSql]]: qb becomes the probe union. */
   private val lshMultiCtes =
     s"""$qCte, $cCte,
@@ -830,6 +877,8 @@ object IndexQueries extends graft.QueryModule {
     "ivf_probe_all_exact" -> ivfSql(Lists),
     "lsh_ann_topk" -> lshAnnSql,
     "lsh_ann_stored_topk" -> lshAnnSql,
+    "ivf_probe_curve" -> ProbeCurve.map(np => s"SELECT * FROM ${probePointSql(np)}")
+      .mkString("\nUNION ALL\n"),
     "lsh_multiprobe_topk" -> lshMultiSql,
     "eval_multiprobe_recall" -> lshMultiRecallSql,
     // From-scratch recount of the stored index's shape.

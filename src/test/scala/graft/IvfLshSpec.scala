@@ -124,6 +124,17 @@ class IvfLshSpec extends SparkSpec {
       "probe keys must be pairwise distinct by construction")
   }
 
+  test("probe curve: recall monotone in nprobe, exact at full probe") {
+    val rows = SparkEntry.queries("ivf_probe_curve")(spark, sfDir)
+      .orderBy("n_probe").collect()
+      .map(r => (r.getAs[Long]("n_probe"), r.getAs[Double]("avg_recall")))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    val recs = rows.map(_._2)
+    assert(recs.sliding(2).forall(w => w(0) <= w(1)),
+      s"recall not monotone in probes: ${recs.toSeq}")
+    assertNear(recs.last, 1.0)
+  }
+
   test("RpLsh planes are md5-deterministic, unit-norm, and SQL literals round-trip") {
     import graft.operators.RpLsh
     assert(RpLsh.plane(0, 0, 64) == RpLsh.plane(0, 0, 64))
