@@ -22,6 +22,8 @@ object CleanQueries extends graft.QueryModule {
   private val BenchMaxId = 100L // stand-in held-out benchmark: doc_id ≤ 100
   private val SpanW = 8       // boilerplate span width (tokens per block)
   private val SpanMinDocs = 2L // blocks in ≥ this many docs are boilerplate
+  private val GopherMinToks = 50L   // Gopher word-count floor
+  private val GopherMaxToks = 100000L // Gopher word-count ceiling
 
   /** The corpus text carries no PII, so the query plants one deterministic
     * email/URL/phone per row (derived from doc_id) — the redaction output
@@ -93,6 +95,60 @@ object CleanQueries extends graft.QueryModule {
       sh.filter(col("doc_id") > BenchMaxId)
         .join(bench, "__gh")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    }),
+    // Gopher-style document quality rules (Rae et al. 2021, §A1.1): word
+    // count bounds, mean-word-length bounds, alphabetic-token share,
+    // function-word floor. Every rule is an INTEGER comparison (3·nt ≤
+    // chars ≤ 10·nt instead of a mean in doubles), so the booleans are
+    // closed under any engine arithmetic — and at 100 TB the whole filter
+    // is one narrow projection over the corpus scan, no shuffle at all.
+    "clean_gopher_rules" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          coalesce(aggregate(col("__toks"), lit(0L),
+            (acc, t) => acc + length(t).cast("long")), lit(0L))
+            .as("n_token_chars"),
+          size(filter(col("__toks"), t => t.rlike("^[a-z]+$"))).cast("long")
+            .as("n_alpha"),
+          TextFunctions.stopwordHits(col("__toks"),
+            TextFunctions.langWords.head._2).cast("long").as("n_stop"))
+        .select(col("doc_id"), col("n_tokens"), col("n_token_chars"),
+          col("n_alpha"), col("n_stop"),
+          (col("n_tokens") >= GopherMinToks &&
+            col("n_tokens") <= GopherMaxToks).as("r_len"),
+          (col("n_token_chars") >= col("n_tokens") * 3 &&
+            col("n_token_chars") <= col("n_tokens") * 10).as("r_wordlen"),
+          (col("n_alpha") * 5 >= col("n_tokens") * 4).as("r_alpha"),
+          (col("n_stop") >= 2).as("r_stop"))
+        .withColumn("keep",
+          col("r_len") && col("r_wordlen") && col("r_alpha") && col("r_stop"))
+    }),
+    // C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep lines
+    // that end in terminal punctuation, have ≥5 words, and carry no "lorem
+    // ipsum" or '{'. The corpus is single-line, so the query plants a
+    // deterministic multi-line scaffold per doc (lines engineered to
+    // exercise every rule, one varying per doc_id); the md5 over the
+    // reassembled kept lines pins both the per-line decisions and the
+    // reconstruction. Stateless per-row — the 100 TB plan is scan+project.
+    "clean_c4_lines" -> ((s, dir) => {
+      val lined = concat(col("text"),
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(".")).otherwise(lit("")),
+        lit("\n- bullet item\nshort\nDocument "), col("doc_id").cast("string"),
+        lit(" summary sentence goes here.\nbad brace { line here now.\nlorem ipsum dolor sit amet today."))
+      val keepLine = (l: org.apache.spark.sql.Column) =>
+        l.rlike("[.!?]$") &&
+          size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 5 &&
+          !l.contains("lorem ipsum") && !l.contains("{")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(lined, "\n").as("__lines"))
+        .select(col("doc_id"),
+          size(col("__lines")).cast("long").as("n_lines"),
+          filter(col("__lines"), keepLine).as("__kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("__kept")).cast("long").as("n_kept"),
+          md5(concat_ws("\n", col("__kept"))).as("kept_hash"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -164,5 +220,40 @@ object CleanQueries extends graft.QueryModule {
          |SELECT doc_id, count(*) AS n_shared_grams
          |FROM shd JOIN bench USING (ghv)
          |WHERE doc_id > $BenchMaxId
-         |GROUP BY 1""".stripMargin)
+         |GROUP BY 1""".stripMargin,
+    "clean_gopher_rules" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS n_token_chars,
+         |    CAST(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(toks, t -> t IN ${TextFunctions.langWords.head._2.map(w => s"'$w'").mkString("(", ", ", ")")})) AS BIGINT) AS n_stop
+         |  FROM tokd)
+         |SELECT doc_id, n_tokens, n_token_chars, n_alpha, n_stop,
+         |  (n_tokens >= $GopherMinToks AND n_tokens <= $GopherMaxToks) AS r_len,
+         |  (n_token_chars >= n_tokens * 3 AND n_token_chars <= n_tokens * 10) AS r_wordlen,
+         |  (n_alpha * 5 >= n_tokens * 4) AS r_alpha,
+         |  (n_stop >= 2) AS r_stop,
+         |  ((n_tokens >= $GopherMinToks AND n_tokens <= $GopherMaxToks)
+         |    AND (n_token_chars >= n_tokens * 3 AND n_token_chars <= n_tokens * 10)
+         |    AND (n_alpha * 5 >= n_tokens * 4) AND (n_stop >= 2)) AS keep
+         |FROM c""".stripMargin,
+    "clean_c4_lines" ->
+      """WITH l AS (SELECT doc_id, string_split(
+        |    text || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+        |      || chr(10) || '- bullet item' || chr(10) || 'short'
+        |      || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR) || ' summary sentence goes here.'
+        |      || chr(10) || 'bad brace { line here now.'
+        |      || chr(10) || 'lorem ipsum dolor sit amet today.', chr(10)) AS lines
+        |  FROM documents),
+        |k AS (SELECT doc_id, lines, list_filter(lines, x ->
+        |    regexp_matches(x, '[.!?]$')
+        |    AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5
+        |    AND position('lorem ipsum' IN x) = 0
+        |    AND position('{' IN x) = 0) AS kept
+        |  FROM l)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(kept, chr(10))) AS kept_hash
+        |FROM k""".stripMargin)
 }

@@ -247,6 +247,25 @@ object RelationalQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_events"),
           (max(graft.streaming.EventStreams.tsMicros(col("ts"))) -
             min(graft.streaming.EventStreams.tsMicros(col("ts")))).as("duration_us"))
+    }),
+    // Ordered conversion funnel (view → click → purchase): batch face of
+    // EventStreams.funnelBatch/funnelStream — per user, each step's first
+    // completion at-or-after the previous step. Keyed aggs + keyed joins on
+    // user_id only; no global sort, no full-log window.
+    "events_funnel" -> ((s, dir) =>
+      graft.streaming.EventStreams.funnelBatch(Tables.events(s, dir))),
+    // Cohort retention: users grouped by first-seen day; n distinct users
+    // active at each day offset. Two keyed shuffles (per-user first day,
+    // then (cohort, offset) counts) — the standard product-analytics grid.
+    "events_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstDay = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("__cd"))
+      ev.select(col("user_id"), to_date(col("ts")).as("__d")).distinct()
+        .join(firstDay, "user_id")
+        .groupBy(date_format(col("__cd"), "yyyy-MM-dd").as("cohort_date"),
+          datediff(col("__d"), col("__cd")).cast("long").as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_active"))
     }))
 
   private val money = "DECIMAL(18,4)"
@@ -405,5 +424,27 @@ object RelationalQueries extends graft.QueryModule {
         |FROM o)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
-        |FROM s GROUP BY 1, 2""".stripMargin)
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us
+        |    FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+        |    FROM events e JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1_us GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+        |    FROM events e JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2_us GROUP BY 1)
+        |SELECT s1.user_id, t1_us, t2_us, t3_us,
+        |  CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS furthest_step
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "events_retention" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cd
+        |    FROM events GROUP BY 1),
+        |ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT strftime(fd.cd, '%Y-%m-%d') AS cohort_date,
+        |  CAST(date_diff('day', fd.cd, ad.d) AS BIGINT) AS day_offset,
+        |  count(DISTINCT ad.user_id) AS n_active
+        |FROM ad JOIN fd USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)
 }

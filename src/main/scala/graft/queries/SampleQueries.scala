@@ -142,12 +142,34 @@ object SampleQueries extends graft.QueryModule {
         .crossJoin(sel.chunks.agg(count(lit(1)).as("n_chunks")))
         .crossJoin(sel.shards.select(col("grp"), col("shard_idx")).distinct()
           .agg(count(lit(1)).as("n_shards")))
+    }),
+    // Length-bucketed batch planning: docs binned to the smallest
+    // power-of-two cap that fits (overflow clamps to the top bucket,
+    // truncating), then per bucket the padding waste a fixed-shape batch
+    // pays and how many TokenBudget-token batches the bucket fills. The
+    // standard efficiency prep for fixed-shape training kernels; pure
+    // integer arithmetic, one keyed agg over a scan.
+    "sample_length_buckets" -> ((s, dir) => {
+      val capCol = LengthCaps.init.foldRight(lit(LengthCaps.last)) {
+        (c, elseCol) => when(col("__nt") <= c, lit(c)).otherwise(elseCol) }
+      Tables.documents(s, dir)
+        .select(graft.functions.TextFunctions.tokenCount(col("text")).as("__nt"))
+        .select(col("__nt"), capCol.as("cap"))
+        .select(col("__nt"), col("cap"),
+          (col("cap") - least(col("__nt"), col("cap"))).as("__pad"))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).cast("long").as("sum_tokens"),
+          sum(col("__pad")).cast("long").as("padding_tokens"))
+        .withColumn("n_batches",
+          expr(s"(n_docs + ($TokenBudget div cap) - 1) div ($TokenBudget div cap)"))
     }))
 
   private val DsirBuckets = 4096
   private val TokenBudget = 10000L
   private val DsirM = 50
   private val ShuffleShards = 16
+  private val LengthCaps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
   // Selection-pipeline constants — one source for both engines
   // (Pipeline.SelectConfig defaults must match).
   private val SelSpanK = graft.Pipeline.SelectConfig().spanK
@@ -163,6 +185,17 @@ object SampleQueries extends graft.QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "sample_length_buckets" ->
+      s"""WITH ${DocSql.toksCte},
+         |t AS (SELECT CAST(len(toks) AS BIGINT) AS nt FROM tokd),
+         |b AS (SELECT nt, CAST(CASE
+         |    ${LengthCaps.init.map(c => s"WHEN nt <= $c THEN $c").mkString("\n    ")}
+         |    ELSE ${LengthCaps.last} END AS BIGINT) AS cap FROM t)
+         |SELECT cap, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(cap - least(nt, cap)) AS BIGINT) AS padding_tokens,
+         |  CAST((count(*) + ($TokenBudget // cap) - 1) // ($TokenBudget // cap) AS BIGINT) AS n_batches
+         |FROM b GROUP BY 1""".stripMargin,
     // The plan arithmetic replayed in integer SQL, step for step.
     "sample_epoch_plan" ->
       s"""WITH ${DocSql.toksCte},

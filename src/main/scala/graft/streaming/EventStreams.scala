@@ -140,4 +140,76 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** Funnel steps in order; a step counts only at-or-after the previous
+    * step's first completion. */
+  val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
+
+  case class FunnelState(times: Seq[Long])
+  case class FunnelRow(user_id: Long, t1_us: java.lang.Long,
+      t2_us: java.lang.Long, t3_us: java.lang.Long, furthest_step: Long)
+
+  /** Ordered funnel (view → click → purchase): per user, the FIRST time of
+    * each step at-or-after the previous step's first time; users enter at
+    * step 1. Each stage is a filtered keyed agg plus a keyed equi-join on
+    * `user_id` — at 100 TB every shuffle shares the same key, so AQE reuses
+    * the exchange across stages, and no stage ever sorts or windows the
+    * full event log. */
+  def funnelBatch(events: DataFrame, steps: Seq[String] = FunnelSteps): DataFrame = {
+    require(steps.nonEmpty)
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min(tsMicros(col("ts"))).as("t1_us"))
+    val all = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (st, i)) =>
+      val prev = s"t${i + 1}_us"
+      val cur = s"t${i + 2}_us"
+      val nxt = events.filter(col("event_type") === st)
+        .select(col("user_id"), tsMicros(col("ts")).as("__m"))
+        .join(acc.select(col("user_id"), col(prev)), "user_id")
+        .filter(col("__m") >= col(prev))
+        .groupBy("user_id").agg(min(col("__m")).as(cur))
+      acc.join(nxt, Seq("user_id"), "left")
+    }
+    val reached = steps.indices.drop(1)
+      .map(i => when(col(s"t${i + 1}_us").isNotNull, 1L).otherwise(0L))
+      .foldLeft(lit(1L))(_ + _)
+    all.select(col("user_id") +:
+      steps.indices.map(i => col(s"t${i + 1}_us")) :+
+      reached.as("furthest_step"): _*)
+  }
+
+  /** Streaming face of [[funnelBatch]]: per-user state = the first-completion
+    * time of each step so far. Within a micro-batch the group's events fold
+    * in (ts, event_id) order, so one-batch replay matches the batch face
+    * exactly (the parity contract sessionizeStream set); the emitted row is
+    * the user's CURRENT funnel standing after the batch (update-in-place
+    * semantics — downstream sinks key on user_id). */
+  def funnelStream(events: Dataset[Event],
+      steps: Seq[String] = FunnelSteps): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val times = state.getOption
+            .map(_.times.toArray).getOrElse(Array.fill(steps.size)(Long.MinValue))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            stepIdx.get(e.event_type).foreach { i =>
+              val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+              val prevDone = i == 0 || times(i - 1) != Long.MinValue
+              if (times(i) == Long.MinValue && prevDone &&
+                  (i == 0 || us >= times(i - 1))) times(i) = us
+            }
+          }
+          state.update(FunnelState(times.toSeq))
+          if (times(0) == Long.MinValue) Iterator.empty
+          else {
+            def t(i: Int): java.lang.Long =
+              if (i < times.length && times(i) != Long.MinValue) times(i) else null
+            val furthest = times.takeWhile(_ != Long.MinValue).length.toLong
+            Iterator.single(FunnelRow(userId, t(0), t(1), t(2), furthest))
+          }
+      }
+  }
 }

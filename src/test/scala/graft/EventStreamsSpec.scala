@@ -110,6 +110,41 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful streaming funnel matches batch funnel across batches") {
+    val input = MemoryStream[Event]
+    val query = EventStreams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_t")
+      .outputMode("append").start()
+    // user 100: click@0, view@10, click@50, purchase@60 — the click BEFORE
+    // the first view must not count; user 200: view only → step 1.
+    val f1 = Seq(
+      Event(1L, ts(0), 100L, "click", 1.0),
+      Event(2L, ts(10), 100L, "view", 2.0),
+      Event(3L, ts(12), 200L, "view", 3.0))
+    val f2 = Seq(
+      Event(4L, ts(50), 100L, "click", 4.0),
+      Event(5L, ts(60), 100L, "purchase", 5.0))
+    try {
+      input.addData(f1); query.processAllAvailable()
+      input.addData(f2); query.processAllAvailable()
+      // append mode emits the user's standing per batch — the LAST row per
+      // user is the final state, which must equal the batch face.
+      val streamed = spark.table("funnel_t")
+        .groupBy("user_id").agg(max(struct(col("furthest_step"),
+          col("t1_us"), col("t2_us"), col("t3_us"))).as("s"))
+        .select(col("user_id"), col("s.t1_us"), col("s.t2_us"), col("s.t3_us"),
+          col("s.furthest_step"))
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.funnelBatch((f1 ++ f2).toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // user 100 reached step 3 via the click AFTER the view
+      val u100 = batch.find(_.head == 100L).get
+      assert(u100(4) == 3L)
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops replayed event ids across batches") {
     val input = MemoryStream[Event]
     val query = EventStreams.dedupEventsStream(input.toDF())
