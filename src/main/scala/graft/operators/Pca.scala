@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.ExactRound
+
+/** Distributed PCA over the embedding corpus, exact-integer end to end.
+  *
+  * The expensive half — the d×d second-moment (uncentered Gram) matrix —
+  * is ONE scan: each row emits its upper-triangle products (d(d+1)/2 values
+  * per row, flat-mapped in a codegen'd HOF, no self-join), prescaled to e9
+  * integers so the keyed sum is exact and partition-order-proof. At 100 TB
+  * that is a map-side-combined aggregation onto d² = 4096 cells — the
+  * shuffle carries O(d²·partitions) rows regardless of corpus size.
+  *
+  * The cheap half — the top principal axis — is power iteration on the
+  * COLLECTED d×d matrix (a bounded model fetch, the IVF/PQ-codebook
+  * pattern), run in FIXED-POINT: after every mat-vec the vector is
+  * re-quantized to e6 integers, so each iteration's input is integer-exact
+  * and the whole trajectory replays bit-for-bit on any engine (the DuckDB
+  * oracle reruns it as a recursive CTE over the same pinned integers).
+  * Every non-integer step is a single correctly-rounded IEEE op (int→double
+  * cast, one divide, sqrt), so there is no accumulation-order freedom
+  * anywhere. Sign is fixed by the deterministic all-positive start.
+  *
+  * The axis itself is O(d) — projecting the corpus onto it (the dimension-
+  * reduction / whitening-first-step a real embedding pipeline runs) is a
+  * broadcast literal dot product: one more scan, no shuffle.
+  */
+object Pca {
+
+  /** Fixed-point power-iteration rounds — enough for a clear top-eigengap
+    * spectrum at d=64; the pin does not require convergence, it IS the
+    * operator's defined output. */
+  val Iters = 12
+
+  /** Initial coordinate: e6 of 1/8 = 1/√64 (unit vector at d=64). */
+  val InitE6 = 125000L
+
+  /** Upper-triangle exact second-moment census: one row per (dim_i ≤ dim_j),
+    * 1-BASED dims, with n and m2_e9 = round(mean of e9-prescaled per-row
+    * products). The per-row product of two float→double casts is one IEEE
+    * multiply — bit-identical on any engine reading the same floats. */
+  def secondMoment(emb: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val pairs = flatten(transform(v, (x, i) =>
+      transform(sequence(i + 1, size(v)), j =>
+        struct((i + 1).cast("long").as("i"), j.cast("long").as("j"),
+          ExactRound.eScaled(x * element_at(v, j), 9).cast("long").as("p9")))))
+    emb.select(explode(pairs).as("__p"))
+      .select(col("__p.i").as("dim_i"), col("__p.j").as("dim_j"),
+        col("__p.p9").as("__p9"))
+      .groupBy("dim_i", "dim_j")
+      .agg(count(lit(1)).as("n"),
+        ExactRound.roundDiv(sum(col("__p9")), count(lit(1))).as("m2_e9"))
+  }
+
+  /** The fixed-point power iteration, mirrored EXACTLY by [[iterSql]]:
+    *   w   = A_e9 · v_e6                  (integer mat-vec, |w| < 2^63)
+    *   n2  = Σ w²                         (exact big-integer)
+    *   v'  = floor(w/√n2 · 1e6 + 0.5)     (two IEEE ops + the e6 floor)
+    * `m2` is [[secondMoment]] output (upper triangle; mirrored here). */
+  def topAxisE6(m2: DataFrame): Array[Long] = {
+    val cells = m2.select(col("dim_i").cast("long"), col("dim_j").cast("long"),
+      col("m2_e9").cast("long")).collect()
+    val d = cells.map(_.getLong(1)).max.toInt
+    val a = Array.ofDim[Long](d, d)
+    cells.foreach { case Row(i: Long, j: Long, x: Long) =>
+      a(i.toInt - 1)(j.toInt - 1) = x
+      a(j.toInt - 1)(i.toInt - 1) = x
+    }
+    var v = Array.fill(d)(InitE6)
+    for (_ <- 1 to Iters) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0L
+        var j = 0
+        while (j < d) { s += a(i)(j) * v(j); j += 1 }
+        s
+      }
+      val n2 = w.foldLeft(BigInt(0))((acc, x) => acc + BigInt(x) * BigInt(x))
+      val norm = math.sqrt(n2.toDouble)
+      v = w.map(x => math.floor(x.toDouble / norm * 1e6 + 0.5).toLong)
+    }
+    v
+  }
+
+  /** Project every vector onto the e6 axis: proj_e12 = Σ e6(x_j)·v_e6[j],
+    * an exact integer (|proj| ≤ d·1e12 < 2^53). Broadcast-literal dot —
+    * scan-only, no shuffle. */
+  def project(emb: DataFrame, idCol: String, vecCol: String,
+      axisE6: Array[Long]): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val axis = array(axisE6.map(lit): _*)
+    emb.select(col(idCol),
+      aggregate(
+        zip_with(v, axis, (x, w) => ExactRound.e6(x).cast("long") * w),
+        lit(0L), (acc, t) => acc + t).as("proj_e12"))
+  }
+
+  // ---- DuckDB twins ---------------------------------------------------------
+
+  /** CTEs over `embeddings(vec_id, embedding)`: upper-triangle census `sm`
+    * (dim_i, dim_j, n, m2_e9), 1-based. */
+  def secondMomentSql(dim: Int): String =
+    s"""pr AS (SELECT ${ExactRound.eScaledSql(
+            "CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)", 9)} AS p9,
+       |    CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j
+       |  FROM embeddings,
+       |    unnest(generate_series(1, $dim)) AS t(i),
+       |    unnest(generate_series(1, $dim)) AS u(j)
+       |  WHERE j >= i),
+       |sm AS (SELECT dim_i, dim_j, count(*) AS n,
+       |    ${ExactRound.roundDivSql("sum(p9)", "count(*)")} AS m2_e9
+       |  FROM pr GROUP BY 1, 2)""".stripMargin
+
+  /** CTEs replaying [[topAxisE6]] from `sm`: ends in `axis(v)` — the e6
+    * integer axis as a 1-based list. Requires [[secondMomentSql]]. */
+  def iterSql(dim: Int): String =
+    s"""fm AS (SELECT dim_i AS i, dim_j AS j, m2_e9 AS a FROM sm
+       |  UNION ALL SELECT dim_j, dim_i, m2_e9 FROM sm WHERE dim_i <> dim_j),
+       |am AS (SELECT list(r ORDER BY i) AS m
+       |  FROM (SELECT i, list(a ORDER BY j) AS r FROM fm GROUP BY i)),
+       |it AS (SELECT 0 AS k,
+       |    list_transform(generate_series(1, $dim), x -> CAST(${InitE6} AS BIGINT)) AS v
+       |  UNION ALL
+       |  SELECT k + 1,
+       |    list_transform(w, x -> CAST(floor(CAST(x AS DOUBLE) / norm * 1e6 + 0.5) AS BIGINT))
+       |  FROM (SELECT k, w,
+       |      sqrt(CAST(list_sum(list_transform(w,
+       |        x -> CAST(x AS HUGEINT) * CAST(x AS HUGEINT))) AS DOUBLE)) AS norm
+       |    FROM (SELECT it.k AS k,
+       |        list_transform(generate_series(1, $dim), i ->
+       |          CAST(list_sum(list_transform(generate_series(1, $dim),
+       |            j -> am.m[i][j] * it.v[j])) AS BIGINT)) AS w
+       |      FROM it, am WHERE it.k < $Iters)) ),
+       |axis AS (SELECT v FROM it WHERE k = $Iters)""".stripMargin
+}

@@ -101,6 +101,18 @@ object DedupQueries extends graft.QueryModule {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactAssign(Tables.documents(s, dir), "doc_id", "text")),
+    // Content-defined chunking (LBFS rolling-hash boundaries): per-doc
+    // chunk count + order-sensitive digest of the chunk-hash sequence —
+    // pins boundary placement AND chunk contents.
+    "dedup_cdc_chunks" -> ((s, dir) =>
+      graft.operators.Cdc.perDoc(
+        graft.operators.Cdc.chunks(Tables.documents(s, dir), "doc_id", "text"),
+        "doc_id")),
+    // The corpus storage census over the same chunk table: how many tokens
+    // collapse as duplicate chunk copies (the chunk-store dedup win).
+    "dedup_cdc_stats" -> ((s, dir) =>
+      graft.operators.Cdc.stats(
+        graft.operators.Cdc.chunks(Tables.documents(s, dir), "doc_id", "text"))),
     // Append-ingest rebuild equivalence for the span count index: base
     // build + O(delta) count append recounted against a from-scratch
     // full-corpus window census. `count(DISTINCT __gh)` and `sum(__c)` are
@@ -415,7 +427,41 @@ object DedupQueries extends graft.QueryModule {
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |$intersectTail""".stripMargin
 
+  private val cdcChunkCtes: String = {
+    val m = graft.operators.Cdc.DefaultModulus
+    s"""$toksCte,
+       |pgr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+       |    i -> {'p': CAST(i AS BIGINT), 't': toks[i]})) AS s
+       |  FROM tokd),
+       |pos AS (SELECT doc_id, s.p AS pos, s.t AS tok,
+       |    CASE WHEN ${tokenHashSql("s.t")} % $m = 0 THEN 1 ELSE 0 END AS brk
+       |  FROM pgr),
+       |cix AS (SELECT doc_id, pos, tok,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) - brk AS chunk_idx
+       |  FROM pos),
+       |chk AS (SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM cix GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_cdc_chunks" ->
+      s"""WITH $cdcChunkCtes
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  md5(string_agg(chunk_hash, '' ORDER BY chunk_idx)) AS chunks_hash
+         |FROM chk GROUP BY 1""".stripMargin,
+    "dedup_cdc_stats" ->
+      s"""WITH $cdcChunkCtes,
+         |ph AS (SELECT chunk_hash, count(*) AS cnt, min(n_tokens) AS nt
+         |  FROM chk GROUP BY 1)
+         |SELECT CAST(sum(cnt) AS BIGINT) AS total_chunks,
+         |  count(*) AS distinct_chunks,
+         |  CAST(sum((cnt - 1) * nt) AS BIGINT) AS dup_tokens,
+         |  CAST(sum(cnt * nt) AS BIGINT) AS total_tokens,
+         |  ${graft.functions.ExactRound.roundDivSql(
+              "sum((cnt - 1) * nt) * 1000000", "sum(cnt * nt)")} AS dedup_ratio_e6
+         |FROM ph""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,

@@ -154,6 +154,32 @@ object TextQueries extends graft.QueryModule {
         d.select(col("doc_id"), col("gp")), "doc_id",
         d.select(col("doc_id"), col("gp"), explode(col("toks")).as("t")))
     }),
+    // Classifier calibration report: the confusion matrix + exact-integer
+    // precision/recall/F1 of the NB quality classifier against its own
+    // seed labels (resubstitution — the sanity gate a pipeline runs before
+    // trusting a filter's threshold; f1 = 2tp/(2tp+fp+fn) exactly, so all
+    // three metrics stay integer rationals). One extra keyed join + one
+    // 1-row agg over the scoring pass.
+    "select_nb_confusion" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), nbPos.as("gp"), tokens(col("text")).as("toks"))
+      val scored = graft.operators.NaiveBayes.scoreDocs(
+        d.select(col("doc_id"), col("gp")), "doc_id",
+        d.select(col("doc_id"), col("gp"), explode(col("toks")).as("t")))
+      scored.join(d.select(col("doc_id"), col("gp")), "doc_id")
+        .agg(
+          sum(when(col("pred_pos") && col("gp"), 1L).otherwise(0L)).cast("long").as("tp"),
+          sum(when(col("pred_pos") && !col("gp"), 1L).otherwise(0L)).cast("long").as("fp"),
+          sum(when(!col("pred_pos") && col("gp"), 1L).otherwise(0L)).cast("long").as("fn"),
+          sum(when(!col("pred_pos") && !col("gp"), 1L).otherwise(0L)).cast("long").as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          ExactRound.roundDiv(col("tp") * lit(1000000L), col("tp") + col("fp"))
+            .as("precision_e6"),
+          ExactRound.roundDiv(col("tp") * lit(1000000L), col("tp") + col("fn"))
+            .as("recall_e6"),
+          ExactRound.roundDiv(col("tp") * lit(2000000L),
+            col("tp") * 2L + col("fp") + col("fn")).as("f1_e6"))
+    }),
     // Interpolated bigram LM scoring — the CCNet perplexity filter one
     // order up from the unigram query: p(t_i | t_{i-1}) = 0.7·c(prev,cur)/
     // c(prev) + 0.3·c(cur)/N over the corpus's own counts (KenLM's role,
@@ -560,6 +586,28 @@ object TextQueries extends graft.QueryModule {
          |  FROM tokd JOIN docs USING (doc_id)),
          |${graft.operators.NaiveBayes.modelCtes("docs")},
          |${graft.operators.NaiveBayes.scoreSql("docs")}""".stripMargin,
+    "select_nb_confusion" ->
+      s"""WITH $toksCte,
+         |docs AS (SELECT doc_id, source IN $nbSeedIn AS gp FROM documents),
+         |tok AS (SELECT tokd.doc_id, docs.gp, unnest(toks) AS t
+         |  FROM tokd JOIN docs USING (doc_id)),
+         |${graft.operators.NaiveBayes.modelCtes("docs")},
+         |perdoc AS (SELECT doc_id, CAST(sum(w8) AS BIGINT) AS sw
+         |  FROM tok JOIN mdl USING (t) GROUP BY 1),
+         |p AS (SELECT d.doc_id, d.gp,
+         |    (pri.prior8 + coalesce(perdoc.sw, 0)) > 0 AS pred
+         |  FROM docs d LEFT JOIN perdoc USING (doc_id) CROSS JOIN pri),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN pred AND gp THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN pred AND NOT gp THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN NOT pred AND gp THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN NOT pred AND NOT gp THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM p)
+         |SELECT tp, fp, fn, tn,
+         |  ${ExactRound.roundDivSql("tp * 1000000", "tp + fp")} AS precision_e6,
+         |  ${ExactRound.roundDivSql("tp * 1000000", "tp + fn")} AS recall_e6,
+         |  ${ExactRound.roundDivSql("tp * 2000000", "2 * tp + fp + fn")} AS f1_e6
+         |FROM c""".stripMargin,
     "profile_corpus_drift" ->
       s"""WITH $driftCtes
          |${graft.operators.Drift.jsdSummarySql}""".stripMargin,

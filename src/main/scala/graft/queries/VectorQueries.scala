@@ -84,6 +84,22 @@ object VectorQueries extends graft.QueryModule {
           graft.functions.ExactRound.roundDiv(sum(col("__x6")), count(lit(1)))
             .as("mean_e6"))
     }),
+    // The corpus's exact d×d second-moment census (upper triangle): the
+    // input to PCA/whitening, one scan with per-row HOF pair expansion —
+    // the shuffle carries d² cells, never the corpus (Pca scaladoc).
+    "profile_embedding_cov" -> ((s, dir) =>
+      graft.operators.Pca.secondMoment(Tables.embeddings(s, dir), "embedding")),
+    // Top-principal-axis projection: fixed-point power iteration on the
+    // collected d×d matrix (bounded model fetch), then a broadcast-literal
+    // dot product over the corpus. The DuckDB oracle re-runs the identical
+    // integer iteration as a recursive CTE, so the axis AND every
+    // projection are hash-exact.
+    "embed_pca_project" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val axis = graft.operators.Pca.topAxisE6(
+        graft.operators.Pca.secondMoment(emb, "embedding"))
+      graft.operators.Pca.project(emb, "vec_id", "embedding", axis)
+    }),
     // Matryoshka retrieval (Kusupati et al., NeurIPS 2022: MRL embeddings
     // are trained so PREFIXES of the vector are usable embeddings): rank
     // with only the first 16 of 64 dims — a 4× cheaper scan side, the
@@ -384,6 +400,19 @@ object VectorQueries extends graft.QueryModule {
          |FROM r WHERE rank <= $K""".stripMargin,
     // Per-dim census replayed via generate_series subscripts; the e6
     // prescale and rounded division are the shared exact-integer twins.
+    "profile_embedding_cov" ->
+      s"""WITH ${graft.operators.Pca.secondMomentSql(64)}
+         |SELECT dim_i, dim_j, n, m2_e9 FROM sm""".stripMargin,
+    "embed_pca_project" ->
+      s"""WITH RECURSIVE ${graft.operators.Pca.secondMomentSql(64)},
+         |${graft.operators.Pca.iterSql(64)},
+         |xe AS (SELECT vec_id, list_transform(embedding,
+         |    e -> ${graft.functions.ExactRound.e6Sql("CAST(e AS DOUBLE)")}) AS x6
+         |  FROM embeddings)
+         |SELECT xe.vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 64),
+         |    j -> xe.x6[j] * axis.v[j])) AS BIGINT) AS proj_e12
+         |FROM xe, axis""".stripMargin,
     "profile_embedding_dims" ->
       s"""WITH x AS (SELECT CAST(i - 1 AS BIGINT) AS dim,
          |    ${graft.functions.ExactRound.e6Sql("CAST(embedding[i] AS DOUBLE)")} AS x6
