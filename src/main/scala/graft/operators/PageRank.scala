@@ -36,10 +36,10 @@ import graft.functions.VectorFunctions.{Cosine, Metric}
   */
 object PageRank {
 
-  /** Symmetric top-`k` cosine neighbor edges over one vector frame:
-    * (src, dst) with both directions present, self-edges excluded before
-    * the heap, deduplicated. */
-  def knnEdges(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+  /** DIRECTED top-`k` neighbor edges (src → its k nearest, self excluded):
+    * the raw graph whose in-degree skew and reciprocity the graph-stats
+    * queries read; [[knnEdges]] symmetrizes it for the rank walk. */
+  def directedKnnEdges(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       metric: Metric = Cosine): DataFrame = {
     val a = broadcast(vecs.select(col(idCol).as("__src"),
       col(vecCol).as("__avec")))
@@ -48,8 +48,16 @@ object PageRank {
     val cands = a.join(c, col("__cid") =!= col("__src"))
       .select(col("__src"), metric.dist(col("__avec"), col("__cvec")).as("dist"),
         col("__cid"))
-    val nn = KnnJoin.topkOfCandidates(cands, "__src", "dst", k, isString)
+    KnnJoin.topkOfCandidates(cands, "__src", "dst", k, isString)
       .select(col("__src").as("src"), col("dst"))
+  }
+
+  /** Symmetric top-`k` cosine neighbor edges over one vector frame:
+    * (src, dst) with both directions present, self-edges excluded before
+    * the heap, deduplicated. */
+  def knnEdges(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      metric: Metric = Cosine): DataFrame = {
+    val nn = directedKnnEdges(vecs, idCol, vecCol, k, metric)
     nn.union(nn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 

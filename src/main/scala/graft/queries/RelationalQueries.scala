@@ -254,6 +254,33 @@ object RelationalQueries extends graft.QueryModule {
     // user_id only; no global sort, no full-log window.
     "events_funnel" -> ((s, dir) =>
       graft.streaming.EventStreams.funnelBatch(Tables.events(s, dir))),
+    // Time-decayed user value (half-life = 1 day): the recency-weighted
+    // feature a feature store maintains per entity. The decay 2^-age is a
+    // POWER OF TWO, so the whole sum stays exact: every term is
+    // value_e4 · 2^(A-age) (integer), accumulated exactly, divided by 2^A
+    // once at the end — no floating decay product anywhere. Scalar max-age
+    // broadcasts; one keyed agg per user.
+    "events_decayed_value" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("value"), to_date(col("ts")).as("__d"))
+      val ref = ev.agg(max(col("__d")).as("__ref"))
+      val aged = ev.crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          graft.functions.ExactRound.eScaled(col("value"), 4).cast("long")
+            .as("__v4"),
+          datediff(col("__ref"), col("__d")).cast("long").as("__age"))
+      val amax = aged.agg(max(col("__age")).as("__a"))
+      aged.crossJoin(broadcast(amax))
+        .select(col("user_id"),
+          (col("__v4") * expr("shiftleft(1L, CAST(__a - __age AS INT))"))
+            .as("__t"), col("__a"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          graft.functions.ExactRound.roundDiv(
+            sum(col("__t").cast("decimal(38,0)")),
+            expr("shiftleft(1L, CAST(max(__a) AS INT))")).as("decayed_e4"))
+    }),
     // Cohort retention: users grouped by first-seen day; n distinct users
     // active at each day offset. Two keyed shuffles (per-user first day,
     // then (cohort, offset) counts) — the standard product-analytics grid.
@@ -438,6 +465,21 @@ object RelationalQueries extends graft.QueryModule {
         |  CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
         |         + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS furthest_step
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "events_decayed_value" ->
+      s"""WITH ev AS (SELECT user_id, value, CAST(ts AS DATE) AS d
+         |    FROM events WHERE event_type = 'purchase'),
+         |ref AS (SELECT max(d) AS rd FROM ev),
+         |aged AS (SELECT user_id,
+         |    ${graft.functions.ExactRound.eScaledSql("value", 4)} AS v4,
+         |    CAST(date_diff('day', d, ref.rd) AS BIGINT) AS age
+         |  FROM ev, ref),
+         |am AS (SELECT max(age) AS a FROM aged)
+         |SELECT user_id, count(*) AS n_events,
+         |  ${graft.functions.ExactRound.roundDivSql(
+              "sum(v4 * (CAST(1 AS BIGINT) << (am.a - age)))",
+              "CAST(1 AS BIGINT) << am.a")} AS decayed_e4
+         |FROM aged, am
+         |GROUP BY user_id, am.a""".stripMargin,
     "events_retention" ->
       """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cd
         |    FROM events GROUP BY 1),

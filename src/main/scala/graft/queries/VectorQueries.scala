@@ -320,6 +320,39 @@ object VectorQueries extends graft.QueryModule {
       graft.operators.PageRank.pagerank(edges, PrIters)
         .select(col("id").as("skill_id"), col("pr_e9"))
     }),
+    // In-degree histogram of the DIRECTED k-NN graph: hub structure — the
+    // SemDeDup-adjacent signal that a few items sit in everyone's
+    // neighborhood (in-degree ≫ k) while isolated items are nobody's
+    // neighbor (in-degree 0, kept via the corpus left join). One keyed agg
+    // over the edge list.
+    "rank_knn_degree_hist" -> ((s, dir) => {
+      val (_, c) = split(s, dir)
+      val vecs = c.select(col("skill_id"), col("svec"))
+      val ed = graft.operators.PageRank.directedKnnEdges(
+        vecs, "skill_id", "svec", PrK)
+      vecs.select(col("skill_id").as("id"))
+        .join(ed.groupBy("dst").agg(count(lit(1)).as("__in")),
+          col("id") === col("dst"), "left")
+        .select(coalesce(col("__in"), lit(0L)).as("in_degree"))
+        .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
+    }),
+    // The graph's shape card: node/edge counts, mutual-edge count (a self
+    // equi-join of the edge list on the reversed key — never all-pairs),
+    // exact-integer reciprocity, max in-degree.
+    "rank_knn_graph_summary" -> ((s, dir) => {
+      val (_, c) = split(s, dir)
+      val vecs = c.select(col("skill_id"), col("svec"))
+      val ed = graft.operators.PageRank.directedKnnEdges(
+        vecs, "skill_id", "svec", PrK).cache()
+      val rev = ed.select(col("dst").as("src"), col("src").as("dst"))
+      vecs.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(ed.intersect(rev).agg(count(lit(1)).as("n_reciprocal")))
+        .crossJoin(ed.groupBy("dst").agg(count(lit(1)).as("__in"))
+          .agg(max(col("__in")).as("max_in_degree")))
+        .withColumn("reciprocity_e6", graft.functions.ExactRound.roundDiv(
+          col("n_reciprocal") * lit(1000000L), col("n_edges")))
+    }),
     // Quality dial of the binary tier: recall@k of the Hamming ranking vs
     // the exact cosine ranking — the number that justifies 32× compression
     // (SimHash's estimator argument makes it high at these dims).
@@ -576,6 +609,39 @@ object VectorQueries extends graft.QueryModule {
         |FROM embeddings""".stripMargin,
     "rank_knn_pagerank" -> graft.operators.PageRank.pagerankSql(
       cCte, "skill_id", "svec", PrK, PrIters, outIdCol = "skill_id"),
+    "rank_knn_degree_hist" ->
+      s"""WITH $cCte,
+         |nd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
+         |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
+         |    FROM c a JOIN c b ON a.skill_id <> b.skill_id),
+         |e0 AS (SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM nd) WHERE rn <= $PrK),
+         |ind AS (SELECT c.skill_id AS id,
+         |    CAST(coalesce(d.ind, 0) AS BIGINT) AS in_degree
+         |  FROM c LEFT JOIN (SELECT dst, count(*) AS ind FROM e0 GROUP BY 1) d
+         |    ON d.dst = c.skill_id)
+         |SELECT in_degree, count(*) AS n_nodes FROM ind GROUP BY 1""".stripMargin,
+    "rank_knn_graph_summary" ->
+      s"""WITH $cCte,
+         |nd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
+         |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
+         |    FROM c a JOIN c b ON a.skill_id <> b.skill_id),
+         |e0 AS (SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM nd) WHERE rn <= $PrK),
+         |rec AS (SELECT count(*) AS nr FROM e0 a JOIN e0 b
+         |    ON a.src = b.dst AND a.dst = b.src),
+         |tot AS (SELECT count(*) AS ne FROM e0),
+         |nn AS (SELECT count(*) AS n FROM c),
+         |mx AS (SELECT CAST(max(ind) AS BIGINT) AS mi
+         |  FROM (SELECT dst, count(*) AS ind FROM e0 GROUP BY 1))
+         |SELECT nn.n AS n_nodes, tot.ne AS n_edges,
+         |  CAST(rec.nr AS BIGINT) AS n_reciprocal, mx.mi AS max_in_degree,
+         |  ${graft.functions.ExactRound.roundDivSql("rec.nr * 1000000", "tot.ne")} AS reciprocity_e6
+         |FROM nn, tot, rec, mx""".stripMargin,
     "mine_hard_negatives" ->
       s"""WITH $cCte,
          |a AS (SELECT skill_id AS anchor_id, svec AS avec, label AS albl

@@ -274,4 +274,32 @@ class PlanSpec extends SparkSpec {
     assert(joinLine.exists(l => l.contains("__salt") && !l.contains("Broadcast")),
       s"the equi-join must key on (o_orderpriority, __salt) and not broadcast:\n$plan")
   }
+
+  test("funnel stages shuffle only on user_id — no full-log sort or window") {
+    val plan = planOf("events_funnel")
+    assert(!plan.contains("Window"),
+      s"the funnel must be keyed aggs/joins, never a full-log window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") || plan.contains("user_id"),
+      s"stage joins must key on user_id:\n$plan")
+  }
+
+  test("CDC windows partition by document — never a global window") {
+    val plan = planOf("dedup_cdc_chunks")
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(_.contains("doc_id")),
+      s"every CDC window must partition by doc_id:\n$plan")
+  }
+
+  test("PCA projection is scan-only; census shuffles d² cells not the corpus") {
+    val plan = planOf("embed_pca_project")
+    // the projection query's plan = scan + project with a literal axis; the
+    // census was collected at build time in a separate bounded job
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"axis projection must be one narrow scan:\n$plan")
+    val census = planOf("profile_embedding_cov")
+    assert(census.contains("HashAggregate"),
+      s"census should be a keyed aggregation (map-side partials onto d² cells):\n$census")
+    assert(!census.contains("Join"),
+      s"the pair expansion must be a per-row HOF, never a self-join:\n$census")
+  }
 }
