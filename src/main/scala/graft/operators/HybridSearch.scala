@@ -136,4 +136,24 @@ object HybridSearch {
       .select(col(queryIdCol), col(idCol), col("rank"),
         round(col("__score"), 6).as("rrf_score"))
   }
+
+  /** Borda-count fusion — the all-integer alternative to [[fuse]]: a leg
+    * awards `m + 1 − rank` points (0 when absent from its top-m), points
+    * add, ties break on id. No score calibration, no floats anywhere —
+    * the fusion a pipeline picks when the pinned ranking itself must be
+    * integer-exact. Same plan shape as [[fuse]]. */
+  def fuseBorda(a: DataFrame, b: DataFrame, queryIdCol: String, idCol: String,
+      k: Int, m: Int): DataFrame = {
+    val aa = a.select(col(queryIdCol), col(idCol), col("rank").as("__ra"))
+    val bb = b.select(col(queryIdCol), col(idCol), col("rank").as("__rb"))
+    val scored = aa.join(bb, Seq(queryIdCol, idCol), "full_outer")
+      .withColumn("borda_pts",
+        (coalesce(lit(m.toLong) + 1L - col("__ra"), lit(0L)) +
+          coalesce(lit(m.toLong) + 1L - col("__rb"), lit(0L))).cast("long"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("borda_pts").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rank"), col("borda_pts"))
+  }
 }

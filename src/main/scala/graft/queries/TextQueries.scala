@@ -133,6 +133,26 @@ object TextQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
     }),
+    // Per-document distinctive keywords: top-3 tokens by tf/df, the exact
+    // integer rational score_e6 = round(1e6·tf/df) — the tf·idf ranking
+    // with the idf log dropped so NO double ever orders the window (the
+    // log is monotone in 1/df, so at equal tf the order is identical).
+    // Two keyed aggs (tf, df) + one broadcast-shaped join + a per-doc
+    // window bounded by the doc's distinct-token count.
+    "text_keywords_tfidf" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score_e6").desc, col("t"))
+      tf.join(dfc, "t")
+        .select(col("doc_id"), col("t"), col("tf"), col("df"),
+          ExactRound.roundDiv(col("tf") * lit(1000000L), col("df"))
+            .as("score_e6"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
     // Snapshot drift: Jensen-Shannon divergence between the token unigram
     // distributions of two corpus halves (doc_id parity stands in for
     // old/new crawl batches) — the promotion gate a recurring ingest runs
@@ -410,6 +430,23 @@ object TextQueries extends graft.QueryModule {
         "embedding", HybridInnerK, Cosine)
       graft.operators.HybridSearch.fuse(dense, bm25Leg(s, dir, HybridInnerK),
         "doc_id", "nbr_id", HybridK, RrfK)
+    }),
+    // Borda-count fusion of the same two legs — the ALL-INTEGER fusion
+    // (m+1−rank points per leg, 0 when absent): rank arithmetic only, so
+    // the fused ordering is engine-proof by construction. Pins that the
+    // two fusion rules produce their documented different orderings from
+    // identical legs.
+    "hybrid_borda_topk" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Embedder.hashTfEmbed(docs, "doc_id", "text", Dim)
+      val qe = emb.filter(col("doc_id") < 10)
+      val ce = emb.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("nbr_id"), col("embedding"))
+      val dense = KnnJoin.exact(qe, "doc_id", "embedding", ce, "nbr_id",
+        "embedding", HybridInnerK, Cosine)
+      graft.operators.HybridSearch.fuseBorda(dense,
+        bm25Leg(s, dir, HybridInnerK), "doc_id", "nbr_id", HybridK,
+        HybridInnerK)
     }))
 
   /** The shared BM25 lexical leg (queries = doc_id < 10, corpus = the rest
@@ -586,6 +623,19 @@ object TextQueries extends graft.QueryModule {
          |  FROM tokd JOIN docs USING (doc_id)),
          |${graft.operators.NaiveBayes.modelCtes("docs")},
          |${graft.operators.NaiveBayes.scoreSql("docs")}""".stripMargin,
+    "text_keywords_tfidf" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.t, tf.tf, dfc.df,
+         |    ${ExactRound.roundDivSql("tf.tf * 1000000", "dfc.df")} AS score_e6
+         |  FROM tf JOIN dfc USING (t)),
+         |r AS (SELECT doc_id, t, tf, df, score_e6,
+         |    CAST(row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY score_e6 DESC, t) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT doc_id, t, tf, df, score_e6, rank FROM r WHERE rank <= 3""".stripMargin,
     "select_nb_confusion" ->
       s"""WITH $toksCte,
          |docs AS (SELECT doc_id, source IN $nbSeedIn AS gp FROM documents),
@@ -775,6 +825,30 @@ object TextQueries extends graft.QueryModule {
          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
          |  FROM f)
          |SELECT doc_id, nbr_id, rank, round(score, 6) AS rrf_score
+         |FROM fr WHERE rank <= $HybridK""".stripMargin,
+    "hybrid_borda_topk" ->
+      s"""WITH $embedCte,
+         |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),
+         |cv AS (SELECT doc_id AS nbr_id, vec FROM nv WHERE doc_id >= 10),
+         |vd AS (SELECT qv.doc_id, cv.nbr_id,
+         |    1.0 - list_cosine_similarity(qv.vec, cv.vec) AS dist
+         |  FROM qv CROSS JOIN cv),
+         |vr AS (SELECT doc_id, nbr_id, rank FROM (
+         |    SELECT doc_id, nbr_id,
+         |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist, nbr_id) AS BIGINT) AS rank
+         |    FROM vd) WHERE rank <= $HybridInnerK),
+         |$bm25Ctes,
+         |blr AS (SELECT doc_id, nbr_id, rank FROM br WHERE rank <= $HybridInnerK),
+         |f AS (SELECT coalesce(v.doc_id, l.doc_id) AS doc_id,
+         |    coalesce(v.nbr_id, l.nbr_id) AS nbr_id,
+         |    CAST(coalesce(${HybridInnerK + 1} - v.rank, 0)
+         |      + coalesce(${HybridInnerK + 1} - l.rank, 0) AS BIGINT) AS borda_pts
+         |  FROM vr v FULL OUTER JOIN blr l
+         |    ON v.doc_id = l.doc_id AND v.nbr_id = l.nbr_id),
+         |fr AS (SELECT doc_id, nbr_id, borda_pts,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY borda_pts DESC, nbr_id) AS BIGINT) AS rank
+         |  FROM f)
+         |SELECT doc_id, nbr_id, rank, borda_pts
          |FROM fr WHERE rank <= $HybridK""".stripMargin)
 
   /** BM25 leg CTEs (require `tokd` from [[DocSql.toksCte]] in scope); the
