@@ -108,6 +108,25 @@ object IoQueries extends graft.QueryModule {
         sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
         count_distinct(col("lang")).as("n_langs"))
     }),
+    // ORC columnar roundtrip (the other splittable columnar format Spark
+    // ships a vectorized reader for): write once per sfDir, read back with
+    // a DECLARED schema, pin the content census. The oracle reads the
+    // SOURCE parquet — equality proves the ORC write+read is lossless.
+    "io_orc_roundtrip" -> ((s, dir) => {
+      val path = graft.Layouts.once(s, s"orc:$dir") {
+        val p = s"/tmp/graft_orc/${graft.Layouts.tag(dir)}"
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "text")
+          .write.mode("overwrite").orc(p)
+        p
+      }
+      val back = s.read
+        .schema("doc_id LONG, lang STRING, source STRING, text STRING")
+        .orc(path)
+      back.agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
+        count_distinct(col("source")).as("n_sources"))
+    }),
     "io_npy_shard_roundtrip" -> ((s, dir) => {
       val (out, parts) = Export.ensure(s, dir)
       import s.implicits._
@@ -180,5 +199,11 @@ object IoQueries extends graft.QueryModule {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
          |  count(DISTINCT lang) AS n_langs
+         |FROM documents""".stripMargin,
+    "io_orc_roundtrip" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
+         |  count(DISTINCT source) AS n_sources
          |FROM documents""".stripMargin)
 }

@@ -254,6 +254,41 @@ object RelationalQueries extends graft.QueryModule {
     // user_id only; no global sort, no full-log window.
     "events_funnel" -> ((s, dir) =>
       graft.streaming.EventStreams.funnelBatch(Tables.events(s, dir))),
+    // Equi-depth decile binning (ntile) over order value with a
+    // deterministic tiebreak, then per-decile exact aggregates — the
+    // binning step of any spend-segmentation or winsorization pass.
+    "rel_order_deciles" -> ((s, dir) => {
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ntile(10).over(w).cast("long").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("revenue"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+    }),
+    // Unpivot (melt): lineitem's four numeric measures as (measure, value)
+    // rows — the long-form reshape feeding any generic profiler; stack()
+    // is Spark's native unpivot, a Generate node (no shuffle).
+    "rel_unpivot_measures" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          expr("""stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,
+            'discount', l_discount, 'tax', l_tax) AS (measure, value)"""))
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.ExactRound.roundDiv(
+            sum(graft.functions.ExactRound.e6(col("value")).cast("decimal(38,0)")),
+            count(col("value"))).as("mean_e6"))),
+    // Funnel conversion timing: for users who completed a step, the exact
+    // integer gap to the previous step — the latency distribution product
+    // teams read next to the funnel counts. Reuses funnelBatch unchanged.
+    "events_funnel_timing" -> ((s, dir) =>
+      graft.streaming.EventStreams.funnelBatch(Tables.events(s, dir))
+        .select(col("user_id"), col("furthest_step"),
+          (col("t2_us") - col("t1_us")).as("view_to_click_us"),
+          (col("t3_us") - col("t2_us")).as("click_to_purchase_us"))),
     // Time-decayed user value (half-life = 1 day): the recency-weighted
     // feature a feature store maintains per entity. The decay 2^-age is a
     // POWER OF TWO, so the whole sum stays exact: every term is
@@ -464,6 +499,40 @@ object RelationalQueries extends graft.QueryModule {
         |SELECT s1.user_id, t1_us, t2_us, t3_us,
         |  CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
         |         + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS furthest_step
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "rel_order_deciles" ->
+      s"""WITH d AS (SELECT o_orderkey, o_totalprice,
+         |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+         |  FROM orders)
+         |SELECT decile, count(*) AS n,
+         |  round(CAST(sum(CAST(o_totalprice AS $money)) AS DOUBLE), 2) AS revenue,
+         |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         |FROM d GROUP BY 1""".stripMargin,
+    "rel_unpivot_measures" ->
+      s"""WITH u AS (
+         |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+         |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+         |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+         |SELECT measure, count(*) AS n,
+         |  ${graft.functions.ExactRound.roundDivSql(
+              s"sum(${graft.functions.ExactRound.e6Sql("value")})",
+              "count(value)")} AS mean_e6
+         |FROM u GROUP BY 1""".stripMargin,
+    "events_funnel_timing" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us
+        |    FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2_us
+        |    FROM events e JOIN s1 USING (user_id)
+        |    WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1_us GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3_us
+        |    FROM events e JOIN s2 USING (user_id)
+        |    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2_us GROUP BY 1)
+        |SELECT s1.user_id,
+        |  CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS furthest_step,
+        |  t2_us - t1_us AS view_to_click_us,
+        |  t3_us - t2_us AS click_to_purchase_us
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
     "events_decayed_value" ->
       s"""WITH ev AS (SELECT user_id, value, CAST(ts AS DATE) AS d
