@@ -74,8 +74,8 @@ object Budgets {
     "events_json_stats" -> 1.5, // r8 samples 0.31/0.18
     "events_session_stats" -> 1.5, // r8 samples 0.06/0.48
     "events_sessionized" -> 1.5, // r8 samples 0.06/0.10
-    "hybrid_bm25_rrf" -> 10.1, // r8 samples 3.90/4.01
-    "hybrid_bm25_topk" -> 6.5, // r8 samples 2.53/2.57
+    "hybrid_bm25_rrf" -> 4.0, // r9 sample 1.19 after the leg moved to the producer
+    "hybrid_bm25_topk" -> 9.4, // r9 sample 3.75 — now the BM25-leg producer (Caches-shared)
     "hybrid_rrf_stopdrop" -> 4.0, // r8 samples 1.57/1.16
     "hybrid_rrf_topk" -> 3.4, // r8 samples 1.33/1.05
     "io_jsonl_roundtrip" -> 1.5, // r8 samples 0.33/0.27
@@ -180,5 +180,33 @@ object Budgets {
     "text_vocab_coverage" -> 1.5, // r8 samples 0.36/0.26
     "vec_scalar_pairs" -> 1.5, // r8 samples 0.20/0.14
     "vec_text_roundtrip" -> 1.5, // r8 samples 0.20/0.08
+    // ---- round-9 additions (two r9 full-bench samples each) ----------------
+    "clean_gopher_rules" -> 1.5, // r9 samples 0.12/0.15
+    "clean_c4_lines" -> 1.5, // r9 samples 0.10/0.10
+    "dedup_cdc_chunks" -> 1.5, // r9 samples 0.40/0.43
+    "dedup_cdc_stats" -> 1.5, // r9 samples 0.30/0.33
+    "events_decayed_value" -> 2.0, // r9 samples 0.80/0.41
+    "events_funnel" -> 1.5, // r9 samples 0.54/0.23
+    "events_funnel_timing" -> 1.5, // r9 sample 0.16
+    "events_retention" -> 3.7, // r9 samples 1.48/0.49
+    "hybrid_borda_topk" -> 1.8, // r9 sample 0.70 (legs producer-attributed)
+    "io_orc_roundtrip" -> 1.5, // r9 sample 0.25
+    "rel_order_deciles" -> 1.5, // r9 sample 0.48
+    "rel_unpivot_measures" -> 1.5, // r9 sample 0.36
+    "sample_length_buckets" -> 1.5, // r9 samples 0.31/0.27
+    "select_nb_confusion" -> 1.5, // r9 samples 0.23/0.22
+    "text_keywords_tfidf" -> 3.3, // r9 sample 1.33
+    // earlier-session queries first sampled in the r9 full benches
+    "embed_quantize_binary" -> 1.5, // r9 samples 0.10/0.09
+    "eval_binary_recall" -> 1.5, // r9 samples 0.38/0.53
+    "eval_multiprobe_recall" -> 1.5, // r9 samples 0.43/0.44
+    "ivf_probe_curve" -> 1.9, // r9 samples 0.75/0.64
+    "knn_hamming_refine" -> 1.5, // r9 samples 0.41/0.38
+    "knn_hamming_topk" -> 1.5, // r9 samples 0.31/0.28
+    "lsh_multiprobe_topk" -> 2.2, // r9 samples 0.77/0.90
+    "mine_hard_negatives" -> 1.5, // r9 samples 0.55/0.47
+    "profile_corpus_drift" -> 1.5, // r9 samples 0.43/0.38
+    "profile_drift_tokens" -> 1.5, // r9 samples 0.50/0.45
+    "select_nb_quality" -> 1.5, // r9 samples 0.19/0.17
   )
 }

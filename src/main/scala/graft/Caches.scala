@@ -49,11 +49,24 @@ object Caches {
     }
   }
 
+  private val keyed = scala.collection.mutable.Map.empty[(Int, String), DataFrame]
+
+  /** [[cached]] with an explicit (session, key) identity instead of plan
+    * equality — for frames whose plans embed per-call object identities
+    * (e.g. a fresh ScalaUDAF instance per `udaf(...)` call), which defeat
+    * `sameResult` even though the computation is identical. The builder
+    * runs once per key per session; `clear` forgets these too. */
+  def memo(s: org.apache.spark.sql.SparkSession, key: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    keyed.getOrElseUpdate((System.identityHashCode(s), key), cached(build))
+  }
+
   /** Unpersist and forget every registered frame (blocking = false: eviction
     * proceeds in the background, callers don't wait on block cleanup). */
   def clear(): Unit = synchronized {
     reg.foreach { case (_, d) => d.unpersist(false) }
     reg.clear()
+    keyed.clear()
   }
 
   /** Number of live registered caches (test/diagnostic surface). */

@@ -59,6 +59,68 @@ object Cdc {
           transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk_hash")))),
             s => s.getField("chunk_hash")))).as("chunks_hash"))
 
+  final case class StoreTable(chunks: String)
+
+  /** Build + persist the corpus chunk census as ONE bucketed table
+    * `graft_cdcstore_<tag>`(chunk_hash, __c, __nt), bucketed on
+    * `chunk_hash` — the column every ingest probe joins on, so per-batch
+    * joins reuse the stored HashPartitioning. Counts only (no positions):
+    * the store answers "is this chunk already held, and how long is it" —
+    * |store| = distinct chunks, far below the corpus. */
+  def buildStore(corpus: DataFrame, idCol: String, textCol: String,
+      modulus: Int, tag: String, basePath: String,
+      numBuckets: Int): StoreTable = {
+    val census = chunks(corpus, idCol, textCol, modulus)
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("__c"), min(col("n_tokens")).as("__nt"))
+    val t = StoreTable(s"graft_cdcstore_$tag")
+    Bucketed.writeBucketed(census, t.chunks, s"$basePath/chunks",
+      "chunk_hash", numBuckets)
+    graft.Layouts.stampFingerprint(corpus.sparkSession, t.chunks,
+      s"cdc|$modulus")
+    t
+  }
+
+  /** O(delta) ingest: chunk ONLY the delta, count per hash, append into the
+    * bucketed store — the base corpus is never re-read. The table then
+    * holds SPLIT counts (one row per (hash, batch)), semantics-preserving
+    * for every consumer: probes test existence, and the recount invariants
+    * `count(DISTINCT chunk_hash)` / `sum(__c)` equal a from-scratch build
+    * (the SpanDedup.appendToIndex argument, applied to chunk storage). */
+  def appendToStore(table: StoreTable, delta: DataFrame, idCol: String,
+      textCol: String, modulus: Int, numBuckets: Int): Unit = {
+    graft.Layouts.checkFingerprint(delta.sparkSession, table.chunks,
+      s"cdc|$modulus", "Cdc.appendToStore")
+    Bucketed.appendBucketedKeys(
+      chunks(delta, idCol, textCol, modulus)
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("__c"), min(col("n_tokens")).as("__nt")),
+      table.chunks, Seq("chunk_hash"), numBuckets)
+  }
+
+  /** Ingest-batch dedup hit rate: per delta document, how many of its
+    * chunks (and tokens) the store already holds — the number that decides
+    * whether a crawl batch is worth storing. Chunking is O(|delta|); the
+    * store appears only through a bucketed left-semi probe. */
+  def probeStore(spark: org.apache.spark.sql.SparkSession, table: StoreTable,
+      delta: DataFrame, idCol: String, textCol: String,
+      modulus: Int): DataFrame = {
+    graft.Layouts.checkFingerprint(spark, table.chunks,
+      s"cdc|$modulus", "Cdc.probeStore")
+    val dch = chunks(delta, idCol, textCol, modulus).localCheckpoint()
+    val known = dch.join(spark.table(table.chunks).select(col("chunk_hash")),
+        Seq("chunk_hash"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nk"), sum(col("n_tokens")).as("__kt"))
+    dch.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .join(known, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"), col("n_tokens"),
+        coalesce(col("__nk"), lit(0L)).as("n_known_chunks"),
+        coalesce(col("__kt"), lit(0L)).cast("long").as("known_tokens"))
+  }
+
   /** Corpus-level storage census: total vs distinct chunks, tokens that
     * collapse as duplicate chunk copies, and the exact dedup ratio in
     * micro-units. One hash groupBy over the chunk table. */

@@ -108,7 +108,7 @@ object KnnJoin {
     * posexplode to ranked rows (rank 1..k, dist ascending, ties by id).
     * `cands` must carry (queryIdCol, "__cid" key from [[keyColumn]],
     * "dist"). Shared tail of [[exact]] and IvfIndex.search. */
-  private[operators] def topkOfCandidates(cands: DataFrame, queryIdCol: String,
+  private[graft] def topkOfCandidates(cands: DataFrame, queryIdCol: String,
       idCol: String, k: Int, isString: Boolean): DataFrame = {
     val topk = if (isString) udaf(new TopKAggS(k)) else udaf(new TopKAggL(k))
     cands

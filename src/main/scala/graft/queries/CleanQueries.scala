@@ -25,6 +25,26 @@ object CleanQueries extends graft.QueryModule {
   private val GopherMinToks = 50L   // Gopher word-count floor
   private val GopherMaxToks = 100000L // Gopher word-count ceiling
 
+  /** The deterministic multi-line scaffold the two C4 line queries share
+    * (the corpus is single-line): lines engineered to exercise every rule,
+    * one varying per doc_id. */
+  private def c4Scaffold: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(".")).otherwise(lit("")),
+      lit("\n- bullet item\nshort\nDocument "), col("doc_id").cast("string"),
+      lit(" summary sentence goes here.\nbad brace { line here now.\nlorem ipsum dolor sit amet today."))
+
+  /** DuckDB twin of [[c4Scaffold]], split into a `lines` list. (No line
+    * here may START with `|` or `||` — interpolation into an outer
+    * `.stripMargin` oracle would re-strip it.) */
+  private val c4ScaffoldSql: String =
+    """string_split(
+      |    text || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END ||
+      |      chr(10) || '- bullet item' || chr(10) || 'short' ||
+      |      chr(10) || 'Document ' || CAST(doc_id AS VARCHAR) || ' summary sentence goes here.' ||
+      |      chr(10) || 'bad brace { line here now.' ||
+      |      chr(10) || 'lorem ipsum dolor sit amet today.', chr(10))""".stripMargin
+
   /** The corpus text carries no PII, so the query plants one deterministic
     * email/URL/phone per row (derived from doc_id) — the redaction output
     * then depends on BOTH the planted spans and the surrounding text, which
@@ -133,22 +153,42 @@ object CleanQueries extends graft.QueryModule {
     // reassembled kept lines pins both the per-line decisions and the
     // reconstruction. Stateless per-row — the 100 TB plan is scan+project.
     "clean_c4_lines" -> ((s, dir) => {
-      val lined = concat(col("text"),
-        when(pmod(col("doc_id"), lit(2)) === 0, lit(".")).otherwise(lit("")),
-        lit("\n- bullet item\nshort\nDocument "), col("doc_id").cast("string"),
-        lit(" summary sentence goes here.\nbad brace { line here now.\nlorem ipsum dolor sit amet today."))
       val keepLine = (l: org.apache.spark.sql.Column) =>
         l.rlike("[.!?]$") &&
           size(filter(split(l, "\\s+"), w => length(w) > 0)) >= 5 &&
           !l.contains("lorem ipsum") && !l.contains("{")
       Tables.documents(s, dir)
-        .select(col("doc_id"), split(lined, "\n").as("__lines"))
+        .select(col("doc_id"), split(c4Scaffold, "\n").as("__lines"))
         .select(col("doc_id"),
           size(col("__lines")).cast("long").as("n_lines"),
           filter(col("__lines"), keepLine).as("__kept"))
         .select(col("doc_id"), col("n_lines"),
           size(col("__kept")).cast("long").as("n_kept"),
           md5(concat_ws("\n", col("__kept"))).as("kept_hash"))
+    }),
+    // C4's OTHER line rule: corpus-global line dedup — every line keeps
+    // only its FIRST occurrence (by (doc, position)); later copies drop,
+    // including within-document repeats. One keyed agg on the line (the
+    // skew-safe argmin form — a hot line partial-aggregates, never
+    // windows) + one keyed join back. The md5 over each reassembled doc
+    // pins every drop decision corpus-wide.
+    "clean_c4_line_dedup" -> ((s, dir) => {
+      val lines = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(c4Scaffold, "\n")).as(Seq("idx", "line")))
+        .withColumn("__k", col("doc_id") * 1000L + col("idx"))
+      val winners = lines.groupBy("line").agg(min(col("__k")).as("__w"))
+      val kept = lines.join(winners, "line").filter(col("__k") === col("__w"))
+      val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      val keptAgg = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("__nk"),
+          md5(concat_ws("\n",
+            transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+              s => s.getField("line")))).as("__kh"))
+      totals.join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("__nk"), lit(0L)).as("n_kept"),
+          coalesce(col("__kh"), md5(lit(""))).as("kept_hash"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -239,21 +279,35 @@ object CleanQueries extends graft.QueryModule {
          |    AND (n_alpha * 5 >= n_tokens * 4) AND (n_stop >= 2)) AS keep
          |FROM c""".stripMargin,
     "clean_c4_lines" ->
-      """WITH l AS (SELECT doc_id, string_split(
-        |    text || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
-        |      || chr(10) || '- bullet item' || chr(10) || 'short'
-        |      || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR) || ' summary sentence goes here.'
-        |      || chr(10) || 'bad brace { line here now.'
-        |      || chr(10) || 'lorem ipsum dolor sit amet today.', chr(10)) AS lines
-        |  FROM documents),
-        |k AS (SELECT doc_id, lines, list_filter(lines, x ->
-        |    regexp_matches(x, '[.!?]$')
-        |    AND len(list_filter(string_split_regex(x, '\s+'), w -> w <> '')) >= 5
-        |    AND position('lorem ipsum' IN x) = 0
-        |    AND position('{' IN x) = 0) AS kept
-        |  FROM l)
-        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
-        |  CAST(len(kept) AS BIGINT) AS n_kept,
-        |  md5(array_to_string(kept, chr(10))) AS kept_hash
-        |FROM k""".stripMargin)
+      s"""WITH l AS (SELECT doc_id, $c4ScaffoldSql AS lines
+         |  FROM documents),
+         |k AS (SELECT doc_id, lines, list_filter(lines, x ->
+         |    regexp_matches(x, '[.!?]$$')
+         |    AND len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 5
+         |    AND position('lorem ipsum' IN x) = 0
+         |    AND position('{' IN x) = 0) AS kept
+         |  FROM l)
+         |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  md5(array_to_string(kept, chr(10))) AS kept_hash
+         |FROM k""".stripMargin,
+    "clean_c4_line_dedup" ->
+      s"""WITH l AS (SELECT doc_id, $c4ScaffoldSql AS lines
+         |  FROM documents),
+         |x AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)),
+         |    i -> {'i': CAST(i - 1 AS BIGINT), 'l': lines[i]})) AS s
+         |  FROM l),
+         |k AS (SELECT doc_id, s.i AS idx, s.l AS line,
+         |    doc_id * 1000 + s.i AS kk FROM x),
+         |w AS (SELECT line, min(kk) AS wk FROM k GROUP BY 1),
+         |kept AS (SELECT k.doc_id, k.idx, k.line FROM k
+         |  JOIN w ON k.line = w.line AND k.kk = w.wk),
+         |t AS (SELECT doc_id, count(*) AS n_lines FROM k GROUP BY 1),
+         |ka AS (SELECT doc_id, count(*) AS nk,
+         |    md5(string_agg(line, chr(10) ORDER BY idx)) AS kh
+         |  FROM kept GROUP BY 1)
+         |SELECT t.doc_id, t.n_lines,
+         |  CAST(coalesce(ka.nk, 0) AS BIGINT) AS n_kept,
+         |  coalesce(ka.kh, md5('')) AS kept_hash
+         |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin)
 }

@@ -98,9 +98,59 @@ object DedupQueries extends graft.QueryModule {
       }
   }
 
+  /** Persisted CDC chunk store over the non-delta corpus ([[JidxLayout]]
+    * memo pattern); the append twin builds on the base then appends the
+    * delta's chunk counts O(delta). */
+  private object CdcLayout {
+    def ensure(s: SparkSession, dir: String): graft.operators.Cdc.StoreTable =
+      graft.Layouts.once(s, s"cdcstore:$dir") {
+        val tag = graft.Layouts.tag(dir)
+        graft.operators.Cdc.buildStore(
+          Tables.documents(s, dir).filter(!deltaPred), "doc_id", "text",
+          graft.operators.Cdc.DefaultModulus, tag, s"/tmp/graft_cdc/$tag", 8)
+      }
+  }
+  private object CdcAppendLayout {
+    def ensure(s: SparkSession, dir: String): graft.operators.Cdc.StoreTable =
+      graft.Layouts.once(s, s"cdcstoreapp:$dir") {
+        val tag = graft.Layouts.tag(dir) + "app"
+        val t = graft.operators.Cdc.buildStore(
+          Tables.documents(s, dir).filter(!deltaPred), "doc_id", "text",
+          graft.operators.Cdc.DefaultModulus, tag, s"/tmp/graft_cdc/$tag", 8)
+        graft.operators.Cdc.appendToStore(t,
+          Tables.documents(s, dir).filter(deltaPred), "doc_id", "text",
+          graft.operators.Cdc.DefaultModulus, 8)
+        t
+      }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactAssign(Tables.documents(s, dir), "doc_id", "text")),
+    // CDC chunk-store build: recount invariants of the persisted census
+    // (distinct hashes + total copies) vs the oracle's from-scratch census
+    // over the same (non-delta) corpus.
+    "dedup_cdc_index_build" -> ((s, dir) => {
+      val t = CdcLayout.ensure(s, dir)
+      s.table(t.chunks).agg(
+        count_distinct(col("chunk_hash")).as("n_hashes"),
+        coalesce(sum(col("__c")), lit(0L)).cast("long").as("n_copies"))
+    }),
+    // O(delta) append: same recount invariants over the FULL corpus —
+    // invariant under the count splitting an append produces, so a dropped
+    // batch, a double append, or a re-hashed chunk turns this red.
+    "dedup_cdc_index_append" -> ((s, dir) => {
+      val t = CdcAppendLayout.ensure(s, dir)
+      s.table(t.chunks).agg(
+        count_distinct(col("chunk_hash")).as("n_hashes"),
+        coalesce(sum(col("__c")), lit(0L)).cast("long").as("n_copies"))
+    }),
+    // Ingest-batch dedup hit rate: the delta's chunks probed against the
+    // stored census — per new doc, how much the store already holds.
+    "dedup_cdc_incremental" -> ((s, dir) =>
+      graft.operators.Cdc.probeStore(s, CdcLayout.ensure(s, dir),
+        Tables.documents(s, dir).filter(deltaPred), "doc_id", "text",
+        graft.operators.Cdc.DefaultModulus)),
     // Content-defined chunking (LBFS rolling-hash boundaries): per-doc
     // chunk count + order-sensitive digest of the chunk-hash sequence —
     // pins boundary placement AND chunk contents.
@@ -427,6 +477,28 @@ object DedupQueries extends graft.QueryModule {
        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |$intersectTail""".stripMargin
 
+  /** CDC chunk CTEs over an arbitrary doc predicate: ends in
+    * chk(doc_id, chunk_idx, n_tokens, chunk_hash). */
+  private def cdcChunkCtesWhere(pred: String): String = {
+    val m = graft.operators.Cdc.DefaultModulus
+    s"""tokd AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+       |  FROM documents WHERE $pred),
+       |pgr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)),
+       |    i -> {'p': CAST(i AS BIGINT), 't': toks[i]})) AS s
+       |  FROM tokd),
+       |pos AS (SELECT doc_id, s.p AS pos, s.t AS tok,
+       |    CASE WHEN ${tokenHashSql("s.t")} % $m = 0 THEN 1 ELSE 0 END AS brk
+       |  FROM pgr),
+       |cix AS (SELECT doc_id, pos, tok,
+       |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) - brk AS chunk_idx
+       |  FROM pos),
+       |chk AS (SELECT doc_id, chunk_idx, count(*) AS n_tokens,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+       |  FROM cix GROUP BY 1, 2)""".stripMargin
+  }
+
   private val cdcChunkCtes: String = {
     val m = graft.operators.Cdc.DefaultModulus
     s"""$toksCte,
@@ -446,6 +518,30 @@ object DedupQueries extends graft.QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_cdc_index_build" ->
+      s"""WITH ${cdcChunkCtesWhere("doc_id % 10 <> 0")}
+         |SELECT count(DISTINCT chunk_hash) AS n_hashes,
+         |  count(*) AS n_copies
+         |FROM chk""".stripMargin,
+    "dedup_cdc_index_append" ->
+      s"""WITH ${cdcChunkCtesWhere("TRUE")}
+         |SELECT count(DISTINCT chunk_hash) AS n_hashes,
+         |  count(*) AS n_copies
+         |FROM chk""".stripMargin,
+    "dedup_cdc_incremental" ->
+      s"""WITH ${cdcChunkCtesWhere("TRUE")},
+         |base AS (SELECT DISTINCT chunk_hash FROM chk WHERE doc_id % 10 <> 0),
+         |d AS (SELECT * FROM chk WHERE doc_id % 10 = 0),
+         |kn AS (SELECT d.doc_id, count(*) AS nk,
+         |    CAST(sum(d.n_tokens) AS BIGINT) AS kt
+         |  FROM d JOIN base USING (chunk_hash) GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_chunks, tot.n_tokens,
+         |  CAST(coalesce(kn.nk, 0) AS BIGINT) AS n_known_chunks,
+         |  CAST(coalesce(kn.kt, 0) AS BIGINT) AS known_tokens
+         |FROM tot LEFT JOIN kn USING (doc_id)""".stripMargin,
     "dedup_cdc_chunks" ->
       s"""WITH $cdcChunkCtes
          |SELECT doc_id, count(*) AS n_chunks,

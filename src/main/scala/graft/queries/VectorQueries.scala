@@ -87,18 +87,16 @@ object VectorQueries extends graft.QueryModule {
     // The corpus's exact d×d second-moment census (upper triangle): the
     // input to PCA/whitening, one scan with per-row HOF pair expansion —
     // the shuffle carries d² cells, never the corpus (Pca scaladoc).
-    "profile_embedding_cov" -> ((s, dir) =>
-      graft.operators.Pca.secondMoment(Tables.embeddings(s, dir), "embedding")),
+    "profile_embedding_cov" -> ((s, dir) => pcaCensus(s, dir)),
     // Top-principal-axis projection: fixed-point power iteration on the
     // collected d×d matrix (bounded model fetch), then a broadcast-literal
     // dot product over the corpus. The DuckDB oracle re-runs the identical
     // integer iteration as a recursive CTE, so the axis AND every
     // projection are hash-exact.
     "embed_pca_project" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val axis = graft.operators.Pca.topAxisE6(
-        graft.operators.Pca.secondMoment(emb, "embedding"))
-      graft.operators.Pca.project(emb, "vec_id", "embedding", axis)
+      val axis = graft.operators.Pca.topAxisE6(pcaCensus(s, dir))
+      graft.operators.Pca.project(Tables.embeddings(s, dir), "vec_id",
+        "embedding", axis)
     }),
     // Matryoshka retrieval (Kusupati et al., NeurIPS 2022: MRL embeddings
     // are trained so PREFIXES of the vector are usable embeddings): rank
@@ -351,6 +349,32 @@ object VectorQueries extends graft.QueryModule {
         .withColumn("reciprocity_e6", graft.functions.ExactRound.roundDiv(
           col("n_reciprocal") * lit(1000000L), col("n_edges")))
     }),
+    // The PCA axis as a 1-D retrieval tier: rank candidates by |Δproj|
+    // (exact integer distance on the e12 projections), recall@k vs the
+    // full cosine ranking — the dial that says how much signal one
+    // principal dimension carries (the degenerate-but-instructive end of
+    // the Matryoshka curve; a refine pass recovers the rest). Scan-side
+    // cost is ONE BIGINT per vector — 512× narrower than the raw floats.
+    "eval_pca_recall" -> ((s, dir) => {
+      val axis = graft.operators.Pca.topAxisE6(pcaCensus(s, dir))
+      val proj = graft.operators.Pca.project(Tables.embeddings(s, dir),
+        "vec_id", "embedding", axis)
+      val qp = proj.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("job_id"), col("proj_e12").as("__qp"))
+      val cp = proj.filter(col("vec_id") >= NQ)
+        .select(col("vec_id").as("__cid"), col("proj_e12").as("__cp"))
+      val cands = broadcast(qp).join(cp)
+        .select(col("job_id"),
+          abs(col("__qp") - col("__cp")).cast("double").as("dist"),
+          col("__cid"))
+      val approx = KnnJoin.topkOfCandidates(cands, "job_id", "skill_id", K,
+        isString = false)
+      val (q, c) = split(s, dir)
+      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec",
+        K, Cosine)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(approx, exact, "job_id", "skill_id"))
+    }),
     // Quality dial of the binary tier: recall@k of the Hamming ranking vs
     // the exact cosine ranking — the number that justifies 32× compression
     // (SimHash's estimator argument makes it high at these dims).
@@ -370,9 +394,19 @@ object VectorQueries extends graft.QueryModule {
     * order makes `rank_knn_degree_hist` the family's absorbing producer. */
   private def knnEdgeCache(s: SparkSession, dir: String): DataFrame = {
     val (_, c) = split(s, dir)
-    graft.Caches.cached(graft.operators.PageRank.directedKnnEdges(
-      c.select(col("skill_id"), col("svec")), "skill_id", "svec", PrK))
+    // keyed memo, not plan-equality: the bounded-heap UDAF in the edge
+    // build is a fresh instance per call, which defeats sameResult
+    graft.Caches.memo(s, s"knn_edges:$dir")(
+      graft.operators.PageRank.directedKnnEdges(
+        c.select(col("skill_id"), col("svec")), "skill_id", "svec", PrK))
   }
+
+  /** The exact second-moment census, shared by the three PCA queries
+    * (census profile, axis projection, prefilter recall) — the O(n·d²)
+    * scan runs once per session. */
+  private def pcaCensus(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"pca_sm:$dir")(
+      graft.operators.Pca.secondMoment(Tables.embeddings(s, dir), "embedding"))
 
   private val qCte = Fixtures.qCte
   private val cCte = Fixtures.cCte
@@ -444,6 +478,42 @@ object VectorQueries extends graft.QueryModule {
     "profile_embedding_cov" ->
       s"""WITH ${graft.operators.Pca.secondMomentSql(64)}
          |SELECT dim_i, dim_j, n, m2_e9 FROM sm""".stripMargin,
+    "eval_pca_recall" ->
+      s"""WITH RECURSIVE ${graft.operators.Pca.secondMomentSql(64)},
+         |${graft.operators.Pca.iterSql(64)},
+         |xe AS (SELECT vec_id, list_transform(embedding,
+         |    e -> ${graft.functions.ExactRound.e6Sql("CAST(e AS DOUBLE)")}) AS x6
+         |  FROM embeddings),
+         |pj AS (SELECT xe.vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 64),
+         |      j -> xe.x6[j] * axis.v[j])) AS BIGINT) AS p
+         |  FROM xe, axis),
+         |qp AS (SELECT vec_id AS job_id, p FROM pj WHERE vec_id < ${Fixtures.NQ}),
+         |cp AS (SELECT vec_id AS skill_id, p FROM pj WHERE vec_id >= ${Fixtures.NQ}),
+         |da AS (SELECT job_id, skill_id, CAST(abs(qp.p - cp.p) AS DOUBLE) AS dist
+         |  FROM qp CROSS JOIN cp),
+         |ra AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM da) WHERE rank <= $K),
+         |$qCte, $cCte,
+         |de AS (SELECT job_id, skill_id,
+         |        1.0 - list_cosine_similarity(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |exr AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM de) WHERE rank <= $K),
+         |m AS (SELECT a.job_id, count(*) AS n FROM ra a
+         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |    GROUP BY 1),
+         |perq AS (SELECT q2.job_id,
+         |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+         |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
+         |SELECT ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
+         |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
+         |  count(*) AS n_queries FROM perq""".stripMargin,
     "embed_pca_project" ->
       s"""WITH RECURSIVE ${graft.operators.Pca.secondMomentSql(64)},
          |${graft.operators.Pca.iterSql(64)},
