@@ -195,7 +195,7 @@ object Budgets {
     "rel_unpivot_measures" -> 1.5, // r9 sample 0.36
     "sample_length_buckets" -> 1.5, // r9 samples 0.31/0.27
     "select_nb_confusion" -> 1.5, // r9 samples 0.23/0.22
-    "text_keywords_tfidf" -> 3.3, // r9 sample 1.33
+    "text_keywords_tfidf" -> 5.0, // r9 samples 1.33/2.01
     // earlier-session queries first sampled in the r9 full benches
     "embed_quantize_binary" -> 1.5, // r9 samples 0.10/0.09
     "eval_binary_recall" -> 1.5, // r9 samples 0.38/0.53
@@ -208,5 +208,15 @@ object Budgets {
     "profile_corpus_drift" -> 1.5, // r9 samples 0.43/0.38
     "profile_drift_tokens" -> 1.5, // r9 samples 0.50/0.45
     "select_nb_quality" -> 1.5, // r9 samples 0.19/0.17
+    "clean_c4_line_dedup" -> 1.5, // r9 sample 0.27
+    "dedup_cdc_incremental" -> 4.9, // r9 sample 1.94 (absorbs the base store build — family producer by alphabetical order)
+    "dedup_cdc_index_append" -> 4.4, // r9 sample 1.75 (builds its own append-twin layout)
+    "dedup_cdc_index_build" -> 1.5, // r9 sample 0.05 (store already built by the incremental row)
+    "embed_pca_project" -> 21.1, // r9 sample 8.42 (absorbs the one-time census + axis; cov/recall then read the memo)
+    "eval_pca_recall" -> 1.5, // r9 sample 0.47
+    "profile_embedding_cov" -> 1.5, // r9 sample 0.12
+    "rank_knn_degree_hist" -> 20.3, // r9 sample 8.11 (absorbs the one-time edge build for the rank_knn_* family)
+    "rank_knn_graph_summary" -> 1.5, // r9 sample 0.41
+    "rank_knn_pagerank" -> 6.4, // r9 sample 2.54 (edge build memo-shared)
   )
 }

@@ -225,4 +225,63 @@ object Pipeline {
       idCol, "n_tokens", cfg.packGroups, cfg.packBudget)
     SelectedData(weights, sample, spans, clean, chunks, shards)
   }
+
+  // ---- Crawl-ingest pipeline (gate → store-dedup probe → score → select) --
+
+  case class IngestConfig(
+      minToks: Long = 50,     // Gopher word-count floor
+      maxToks: Long = 100000, // Gopher word-count ceiling
+      maxKnownPct: Int = 50,  // drop docs with > this % of tokens already stored
+      m: Int = 20,            // docs promoted to training per batch
+      modulus: Int = graft.operators.Cdc.DefaultModulus)
+
+  case class IngestResult(
+      gated: DataFrame,    // Gopher survivors (id, text, __toks)
+      fresh: DataFrame,    // after the CDC store-dedup cut
+      scored: DataFrame,   // (id, q_e6) over fresh
+      selected: DataFrame) // top-m by (q_e6 desc, id): (id, q_e6, rank)
+
+  /** The daily crawl batch end to end: Gopher integer quality gate →
+    * CDC chunk-store probe (drop documents the store mostly already holds
+    * — the content-level near-dup cut against EVERYTHING ever ingested,
+    * not just this batch) → quality scoring → top-m promotion. Every stage
+    * is an individually-gated operator; `pipeline_crawl_ingest` pins the
+    * COMPOSITION (a gate bypassed, a probe against the wrong store, a
+    * selection from unfiltered docs each turn the one row red). Batch-
+    * sized work throughout: the corpus appears only through bucketed
+    * store probes, and the promotion is TakeOrdered, never a global sort
+    * of anything larger than the batch. */
+  def ingestCrawlBatch(spark: SparkSession, store: graft.operators.Cdc.StoreTable,
+      batch: DataFrame, idCol: String, textCol: String,
+      cfg: IngestConfig = IngestConfig()): IngestResult = {
+    import graft.functions.TextFunctions
+    val counted = batch
+      .select(col(idCol), col(textCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col(textCol), col("__toks"),
+        size(col("__toks")).cast("long").as("__nt"),
+        coalesce(aggregate(col("__toks"), lit(0L),
+          (a, t) => a + length(t).cast("long")), lit(0L)).as("__ch"),
+        size(filter(col("__toks"), t => t.rlike("^[a-z]+$"))).cast("long").as("__al"),
+        TextFunctions.stopwordHits(col("__toks"), TextFunctions.langWords.head._2)
+          .cast("long").as("__st"))
+    val gated = Caches.cached(counted
+      .filter(col("__nt") >= cfg.minToks && col("__nt") <= cfg.maxToks &&
+        col("__ch") >= col("__nt") * 3 && col("__ch") <= col("__nt") * 10 &&
+        col("__al") * 5 >= col("__nt") * 4 && col("__st") >= 2)
+      .select(col(idCol), col(textCol), col("__toks")))
+    val probe = graft.operators.Cdc.probeStore(spark, store,
+      gated.select(col(idCol), col(textCol)), idCol, textCol, cfg.modulus)
+    val fresh = Caches.cached(gated.join(
+      probe.filter(col("known_tokens") * 100 <=
+        col("n_tokens") * cfg.maxKnownPct).select(col(idCol)), Seq(idCol)))
+    val scored = Caches.cached(fresh.select(col(idCol),
+      graft.functions.ExactRound.e6(
+        TextFunctions.qualityScoreFromTokens(col(textCol), col("__toks")))
+        .cast("long").as("q_e6")))
+    val top = scored.orderBy(col("q_e6").desc, col(idCol)).limit(cfg.m)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q_e6").desc, col(idCol))
+    val selected = top.withColumn("rank", row_number().over(w).cast("long"))
+    IngestResult(gated, fresh, scored, selected)
+  }
 }

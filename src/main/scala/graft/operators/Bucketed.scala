@@ -47,11 +47,19 @@ object Bucketed {
     * one file per bucket; periodic compaction (re-running the overwrite
     * form) bounds file counts in a long-lived deployment. */
   def appendBucketedKeys(df: DataFrame, tableName: String,
-      keys: Seq[String], numBuckets: Int): Unit =
+      keys: Seq[String], numBuckets: Int): Unit = {
     df.write.mode("append").format("parquet")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(tableName)
+    // The session caches the table's resolved relation (file listing
+    // included); an append from inside a streaming foreachBatch does NOT
+    // reliably invalidate it, so a later micro-batch probing the table can
+    // read the PRE-append snapshot silently (caught by CdcSpec's streaming
+    // ingest test — batch 3 couldn't see batch 2's append). Refresh makes
+    // append → probe sequencing correct for every appendable index.
+    df.sparkSession.catalog.refreshTable(tableName)
+  }
 
   /** Equi-join two tables bucketed on `key` with the same bucket count:
     * both scans report the same HashPartitioning, so the join (and any

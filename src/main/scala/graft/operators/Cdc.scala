@@ -121,6 +121,33 @@ object Cdc {
         coalesce(col("__kt"), lit(0L)).cast("long").as("known_tokens"))
   }
 
+  /** Streaming face of the ingest path — the deployed daily-crawl shape:
+    * each micro-batch of arriving documents is chunked, its hit-rate
+    * probed against the persisted store, the batch's NEW chunk counts
+    * appended, and the per-doc stats handed to `sink`. foreachBatch is the
+    * standard bridge for stream stages needing batch-only operators
+    * (bucketed-table joins, bucketed appends). Per-batch work is
+    * O(|batch|); the store is never rebuilt. Probe-then-append per batch
+    * means an intra-batch duplicate still counts as new (matching the
+    * batch probe), while later batches see every earlier batch's chunks. */
+  def ingestStream(spark: org.apache.spark.sql.SparkSession, table: StoreTable,
+      deltaStream: DataFrame, idCol: String, textCol: String, modulus: Int,
+      numBuckets: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(probeStore(spark, table, batch, idCol, textCol, modulus)
+          .localCheckpoint(), batchId)
+        appendToStore(table, batch, idCol, textCol, modulus, numBuckets)
+        // the append refreshed the MICRO-BATCH session's relation cache
+        // (batch.sparkSession is a streaming clone); the next batch's probe
+        // reads through THIS session — refresh it too or it sees the
+        // pre-append file listing
+        spark.catalog.refreshTable(table.chunks)
+      }
+      .outputMode("append")
+      .start()
+
   /** Corpus-level storage census: total vs distinct chunks, tokens that
     * collapse as duplicate chunk copies, and the exact dedup ratio in
     * micro-units. One hash groupBy over the chunk table. */

@@ -101,7 +101,7 @@ object DedupQueries extends graft.QueryModule {
   /** Persisted CDC chunk store over the non-delta corpus ([[JidxLayout]]
     * memo pattern); the append twin builds on the base then appends the
     * delta's chunk counts O(delta). */
-  private object CdcLayout {
+  private[queries] object CdcLayout {
     def ensure(s: SparkSession, dir: String): graft.operators.Cdc.StoreTable =
       graft.Layouts.once(s, s"cdcstore:$dir") {
         val tag = graft.Layouts.tag(dir)
@@ -479,7 +479,7 @@ object DedupQueries extends graft.QueryModule {
 
   /** CDC chunk CTEs over an arbitrary doc predicate: ends in
     * chk(doc_id, chunk_idx, n_tokens, chunk_hash). */
-  private def cdcChunkCtesWhere(pred: String): String = {
+  private[queries] def cdcChunkCtesWhere(pred: String): String = {
     val m = graft.operators.Cdc.DefaultModulus
     s"""tokd AS (SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks

@@ -76,11 +76,78 @@ object PipelineQueries extends graft.QueryModule {
         .crossJoin(td.chunks.agg(count(lit(1)).as("n_chunks")))
         .crossJoin(td.shards.select(col("grp"), col("shard_idx")).distinct()
           .agg(count(lit(1)).as("n_shards")))
+    }),
+    // The daily-crawl batch end to end (Pipeline.ingestCrawlBatch): Gopher
+    // integer gate → CDC chunk-store probe against EVERYTHING already
+    // ingested → quality score → top-m promotion. One row; red if a gate
+    // is bypassed, the probe hits the wrong store, or the promotion reads
+    // unfiltered docs.
+    "pipeline_crawl_ingest" -> ((s, dir) => {
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+      val r = Pipeline.ingestCrawlBatch(s,
+        DedupQueries.CdcLayout.ensure(s, dir), batch, "doc_id", "text")
+      batch.agg(count(lit(1)).as("n_batch"))
+        .crossJoin(r.gated.agg(count(lit(1)).as("n_gated")))
+        .crossJoin(r.fresh.agg(count(lit(1)).as("n_fresh")))
+        .crossJoin(r.scored.agg(
+          ER.roundDiv(sum(col("q_e6")), count(lit(1))).as("mean_q_e6")))
+        .crossJoin(r.selected.agg(count(lit(1)).as("n_selected"),
+          coalesce(sum(col("rank") * col("doc_id")), lit(0L)).cast("long")
+            .as("sel_checksum")))
     }))
 
   private def ER = graft.functions.ExactRound
 
+  private lazy val crawlIngestSql: String = {
+    val enIn = graft.functions.TextFunctions.langWords.head._2
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    val ic = Pipeline.IngestConfig()
+    val qual =
+      s"""0.4 * least(1.0, len(f.toks) / 100.0) +
+         |      0.3 * (1.0 - CASE WHEN len(d.text) = 0 THEN 0.0
+         |        ELSE CAST(len(regexp_replace(lower(d.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(d.text) END) +
+         |      0.3 * least(1.0, 4.0 * CASE WHEN len(f.toks) = 0 THEN 0.0
+         |        ELSE CAST(len(list_filter(f.toks, x -> x IN $enIn)) AS DOUBLE) / len(f.toks) END)""".stripMargin
+    s"""WITH ${DedupQueries.cdcChunkCtesWhere("TRUE")},
+       |b AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+       |g0 AS (SELECT tokd.doc_id, tokd.toks,
+       |    CAST(len(toks) AS BIGINT) AS nt,
+       |    CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS ch,
+       |    CAST(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS al,
+       |    CAST(len(list_filter(toks, t -> t IN $enIn)) AS BIGINT) AS st
+       |  FROM tokd JOIN b USING (doc_id)),
+       |gated AS (SELECT doc_id, toks FROM g0
+       |  WHERE nt >= ${ic.minToks} AND nt <= ${ic.maxToks}
+       |    AND ch >= nt * 3 AND ch <= nt * 10
+       |    AND al * 5 >= nt * 4 AND st >= 2),
+       |base AS (SELECT DISTINCT chunk_hash FROM chk WHERE doc_id % 10 <> 0),
+       |dch AS (SELECT chk.doc_id, chk.chunk_hash, chk.n_tokens
+       |  FROM chk JOIN gated USING (doc_id)),
+       |kn AS (SELECT dch.doc_id,
+       |    CAST(sum(dch.n_tokens) AS BIGINT) AS tt,
+       |    CAST(coalesce(sum(CASE WHEN base.chunk_hash IS NOT NULL THEN dch.n_tokens END), 0) AS BIGINT) AS kt
+       |  FROM dch LEFT JOIN base USING (chunk_hash) GROUP BY 1),
+       |fresh AS (SELECT gated.doc_id, gated.toks FROM gated JOIN kn USING (doc_id)
+       |  WHERE kn.kt * 100 <= kn.tt * ${ic.maxKnownPct}),
+       |q AS (SELECT f.doc_id, ${ER.e6Sql(qual)} AS q_e6
+       |  FROM fresh f JOIN documents d USING (doc_id)),
+       |r AS (SELECT doc_id, q_e6,
+       |    CAST(row_number() OVER (ORDER BY q_e6 DESC, doc_id) AS BIGINT) AS rank
+       |  FROM q),
+       |sel AS (SELECT * FROM r WHERE rank <= ${ic.m}),
+       |c1 AS (SELECT count(*) AS n_batch FROM b),
+       |c2 AS (SELECT count(*) AS n_gated FROM gated),
+       |c3 AS (SELECT count(*) AS n_fresh FROM fresh),
+       |c4 AS (SELECT ${ER.roundDivSql("sum(q_e6)", "count(*)")} AS mean_q_e6 FROM q),
+       |c5 AS (SELECT count(*) AS n_selected,
+       |    CAST(coalesce(sum(rank * doc_id), 0) AS BIGINT) AS sel_checksum FROM sel)
+       |SELECT c1.n_batch, c2.n_gated, c3.n_fresh, c4.mean_q_e6,
+       |  c5.n_selected, c5.sel_checksum
+       |FROM c1, c2, c3, c4, c5""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipeline_crawl_ingest" -> crawlIngestSql,
     // Entry point C replayed whole: hashTF embed → seed centroids → assign →
     // probe 2 of 4 → ANN ranking; exact ranking; recall + best-sim eval;
     // K×10-overfetch first-wins dedup by level; rank-weighted pivot
