@@ -248,6 +248,12 @@ object RelationalQueries extends graft.QueryModule {
           (max(graft.streaming.EventStreams.tsMicros(col("ts"))) -
             min(graft.streaming.EventStreams.tsMicros(col("ts")))).as("duration_us"))
     }),
+    // Native gap-merged session windows (session_window — Spark's built-in
+    // streaming sessionization primitive) with bounds and counts; the
+    // oracle replays the exact merge rule (gap ≥ 30 min splits; window
+    // end = last event + gap).
+    "events_session_windows" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionWindows(Tables.events(s, dir))),
     // Ordered conversion funnel (view → click → purchase): batch face of
     // EventStreams.funnelBatch/funnelStream — per user, each step's first
     // completion at-or-after the previous step. Keyed aggs + keyed joins on
@@ -487,6 +493,21 @@ object RelationalQueries extends graft.QueryModule {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "events_session_windows" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM o)
+        |SELECT user_id,
+        |  min(epoch_us(ts)) AS start_us,
+        |  max(epoch_us(ts)) + 1800000000 AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us
         |    FROM events WHERE event_type = 'view' GROUP BY 1),

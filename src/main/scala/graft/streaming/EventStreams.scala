@@ -141,6 +141,22 @@ object EventStreams {
       }
   }
 
+  /** Native session windows (`session_window`, gap-merged event-time
+    * windows — Spark's built-in streaming sessionization; the
+    * flatMapGroupsWithState face above is the custom-state teaching twin).
+    * Semantics pinned by the oracle: two events share a session iff their
+    * windows overlap, i.e. a gap ≥ the window gap SPLITS (boundary
+    * exclusive — note the ≥ vs sessionizeBatch's >). Works unchanged on a
+    * watermarked stream (append mode emits closed sessions). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        tsMicros(col("__w.start")).as("start_us"),
+        tsMicros(col("__w.end")).as("end_us"),
+        col("n_events"))
+
   /** Funnel steps in order; a step counts only at-or-after the previous
     * step's first completion. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
