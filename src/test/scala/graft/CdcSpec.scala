@@ -75,6 +75,22 @@ class CdcSpec extends SparkSpec {
     assert(recount == fresh)
   }
 
+  test("pathological document: chunking stays linear in doc length, never quadratic") {
+    // 200k tokens in ONE document — the per-doc window sort is the only
+    // place doc length (not corpus size) bounds the work (the SpanDedup
+    // pathological-bound argument applied to CDC).
+    val n = 200000
+    val text = (0 until n).map(i => plain(i % plain.size)).mkString(" ")
+    val t0 = System.nanoTime()
+    val st = Cdc.stats(Cdc.chunks(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text")).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(st.getAs[Long]("total_tokens") == n.toLong)
+    // 6 distinct filler tokens → no breaks (none hash to 0 mod 16), one chunk
+    assert(st.getAs[Long]("total_chunks") >= 1)
+    assert(secs < 120, s"200k-token single doc took $secs s — not linear")
+  }
+
   test("streaming ingest probes then appends per micro-batch") {
     val tag = s"cdcstream${System.nanoTime()}"
     val base = Seq((1L, s"${plain(0)} ${plain(1)} $brk"))

@@ -145,6 +145,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming session windows emit closed sessions matching the batch face") {
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionWindows(
+        input.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("swin_t")
+      .outputMode("append").start()
+    val early = Seq(
+      Event(1L, ts(0), 100L, "click", 1.0),
+      Event(2L, ts(5), 100L, "view", 2.0),
+      Event(3L, ts(10), 200L, "view", 3.0))
+    try {
+      input.addData(early); query.processAllAvailable()
+      // a far-future event advances the watermark past both early sessions
+      input.addData(Event(9L, ts(600), 300L, "click", 9.0))
+      query.processAllAvailable()
+      val streamed = spark.table("swin_t").collect().map(_.toSeq).toSet
+      val batchAll = EventStreams.sessionWindows(early.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batchAll,
+        s"closed sessions must match the batch face: $streamed vs $batchAll")
+      assert(query.lastProgress.stateOperators.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops replayed event ids across batches") {
     val input = MemoryStream[Event]
     val query = EventStreams.dedupEventsStream(input.toDF())
