@@ -49,16 +49,27 @@ object Caches {
     }
   }
 
-  private val keyed = scala.collection.mutable.Map.empty[(Int, String), DataFrame]
+  private val keyed =
+    ArrayBuffer.empty[(org.apache.spark.sql.SparkSession, String, DataFrame)]
 
   /** [[cached]] with an explicit (session, key) identity instead of plan
     * equality — for frames whose plans embed per-call object identities
     * (e.g. a fresh ScalaUDAF instance per `udaf(...)` call), which defeat
     * `sameResult` even though the computation is identical. The builder
-    * runs once per key per session; `clear` forgets these too. */
+    * runs once per key per session; `clear` forgets these too. The session
+    * is compared by REFERENCE (`eq`, like [[cached]]'s session check) — an
+    * identity-hash key could alias two live sessions on a collision and
+    * hand one a plan bound to the other. Linear scan: the registry holds a
+    * handful of entries. */
   def memo(s: org.apache.spark.sql.SparkSession, key: String)(
       build: => DataFrame): DataFrame = synchronized {
-    keyed.getOrElseUpdate((System.identityHashCode(s), key), cached(build))
+    keyed.find { case (sess, k, _) => (sess eq s) && k == key } match {
+      case Some((_, _, df)) => df
+      case None =>
+        val df = cached(build)
+        keyed += ((s, key, df))
+        df
+    }
   }
 
   /** Unpersist and forget every registered frame (blocking = false: eviction
@@ -66,7 +77,7 @@ object Caches {
   def clear(): Unit = synchronized {
     reg.foreach { case (_, d) => d.unpersist(false) }
     reg.clear()
-    keyed.clear()
+    keyed.clear() // underlying frames were registered through cached()
   }
 
   /** Number of live registered caches (test/diagnostic surface). */

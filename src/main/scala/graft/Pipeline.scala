@@ -229,8 +229,6 @@ object Pipeline {
   // ---- Crawl-ingest pipeline (gate → store-dedup probe → score → select) --
 
   case class IngestConfig(
-      minToks: Long = 50,     // Gopher word-count floor
-      maxToks: Long = 100000, // Gopher word-count ceiling
       maxKnownPct: Int = 50,  // drop docs with > this % of tokens already stored
       m: Int = 20,            // docs promoted to training per batch
       modulus: Int = graft.operators.Cdc.DefaultModulus)
@@ -255,29 +253,31 @@ object Pipeline {
       batch: DataFrame, idCol: String, textCol: String,
       cfg: IngestConfig = IngestConfig()): IngestResult = {
     import graft.functions.TextFunctions
+    val g = graft.functions.CleanFunctions.Gopher
+    val (nt, ch, al, st) = g.counts(col("__toks"))
     val counted = batch
       .select(col(idCol), col(textCol), TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col(textCol), col("__toks"),
-        size(col("__toks")).cast("long").as("__nt"),
-        coalesce(aggregate(col("__toks"), lit(0L),
-          (a, t) => a + length(t).cast("long")), lit(0L)).as("__ch"),
-        size(filter(col("__toks"), t => t.rlike("^[a-z]+$"))).cast("long").as("__al"),
-        TextFunctions.stopwordHits(col("__toks"), TextFunctions.langWords.head._2)
-          .cast("long").as("__st"))
-    val gated = Caches.cached(counted
-      .filter(col("__nt") >= cfg.minToks && col("__nt") <= cfg.maxToks &&
-        col("__ch") >= col("__nt") * 3 && col("__ch") <= col("__nt") * 10 &&
-        col("__al") * 5 >= col("__nt") * 4 && col("__st") >= 2)
-      .select(col(idCol), col(textCol), col("__toks")))
+        nt.as("__nt"), ch.as("__ch"), al.as("__al"), st.as("__st"))
+    // localCheckpoint, not Caches: each ingest batch has a fresh plan — a
+    // registry entry per batch would grow executor storage without bound
+    // in the streaming/daily deployment (the JaccardIndex.incrementalJoin
+    // argument); checkpoint blocks free when the batch's frames drop.
+    val gated = counted
+      .filter(g.keep(col("__nt"), col("__ch"), col("__al"), col("__st")))
+      .select(col(idCol), col(textCol), col("__toks"))
+      .localCheckpoint()
     val probe = graft.operators.Cdc.probeStore(spark, store,
       gated.select(col(idCol), col(textCol)), idCol, textCol, cfg.modulus)
-    val fresh = Caches.cached(gated.join(
+    val fresh = gated.join(
       probe.filter(col("known_tokens") * 100 <=
-        col("n_tokens") * cfg.maxKnownPct).select(col(idCol)), Seq(idCol)))
-    val scored = Caches.cached(fresh.select(col(idCol),
+        col("n_tokens") * cfg.maxKnownPct).select(col(idCol)), Seq(idCol))
+      .localCheckpoint()
+    val scored = fresh.select(col(idCol),
       graft.functions.ExactRound.e6(
         TextFunctions.qualityScoreFromTokens(col(textCol), col("__toks")))
-        .cast("long").as("q_e6")))
+        .cast("long").as("q_e6"))
+      .localCheckpoint()
     val top = scored.orderBy(col("q_e6").desc, col(idCol)).limit(cfg.m)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("q_e6").desc, col(idCol))

@@ -57,4 +57,30 @@ object CleanFunctions {
   def repetitionRatio(total: Column, distinct: Column): Column =
     when(total === 0, lit(0.0d))
       .otherwise(ExactRound.ratioRound6PosLong(total - distinct, total))
+
+  /** Gopher document-quality counters + rules (Rae et al. 2021 §A1.1) —
+    * the ONE source for the standalone `clean_gopher_rules` query and the
+    * crawl-ingest pipeline's gate (they duplicated the thresholds before;
+    * a tweak to one silently desynchronized the other). Every rule is a
+    * pure INTEGER comparison. */
+  object Gopher {
+    val MinToks = 50L
+    val MaxToks = 100000L
+    /** (n_tokens, n_token_chars, n_alpha, n_stop) over a token array. */
+    def counts(toks: Column): (Column, Column, Column, Column) = (
+      size(toks).cast("long"),
+      coalesce(aggregate(toks, lit(0L),
+        (a, t) => a + length(t).cast("long")), lit(0L)),
+      size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("long"),
+      TextFunctions.stopwordHits(toks, TextFunctions.langWords.head._2)
+        .cast("long"))
+    def rLen(nt: Column): Column = nt >= MinToks && nt <= MaxToks
+    def rWordLen(nt: Column, chars: Column): Column =
+      chars >= nt * 3 && chars <= nt * 10 // mean word length in [3, 10]
+    def rAlpha(nt: Column, alpha: Column): Column =
+      alpha * 5 >= nt * 4 // ≥ 80% alphabetic tokens
+    def rStop(stop: Column): Column = stop >= 2
+    def keep(nt: Column, chars: Column, alpha: Column, stop: Column): Column =
+      rLen(nt) && rWordLen(nt, chars) && rAlpha(nt, alpha) && rStop(stop)
+  }
 }

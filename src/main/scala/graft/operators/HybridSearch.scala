@@ -147,9 +147,13 @@ object HybridSearch {
     val aa = a.select(col(queryIdCol), col(idCol), col("rank").as("__ra"))
     val bb = b.select(col(queryIdCol), col(idCol), col("rank").as("__rb"))
     val scored = aa.join(bb, Seq(queryIdCol, idCol), "full_outer")
+      // greatest(0, …): a leg deeper than m must award 0 beyond its top-m,
+      // exactly like an absent row — not NEGATIVE points that would rank a
+      // two-leg document below a one-leg one
       .withColumn("borda_pts",
-        (coalesce(lit(m.toLong) + 1L - col("__ra"), lit(0L)) +
-          coalesce(lit(m.toLong) + 1L - col("__rb"), lit(0L))).cast("long"))
+        (greatest(lit(0L), coalesce(lit(m.toLong) + 1L - col("__ra"), lit(0L))) +
+          greatest(lit(0L), coalesce(lit(m.toLong) + 1L - col("__rb"), lit(0L))))
+          .cast("long"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("borda_pts").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -52,14 +52,20 @@ object PageRank {
       .select(col("__src").as("src"), col("dst"))
   }
 
+  /** Both directions of a directed (src, dst) edge list, deduplicated —
+    * the rank walk's undirected view. ONE definition so the walk and any
+    * cached-edge call site can't drift. */
+  def symmetrize(directed: DataFrame): DataFrame =
+    directed
+      .union(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
   /** Symmetric top-`k` cosine neighbor edges over one vector frame:
     * (src, dst) with both directions present, self-edges excluded before
     * the heap, deduplicated. */
   def knnEdges(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      metric: Metric = Cosine): DataFrame = {
-    val nn = directedKnnEdges(vecs, idCol, vecCol, k, metric)
-    nn.union(nn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
-  }
+      metric: Metric = Cosine): DataFrame =
+    symmetrize(directedKnnEdges(vecs, idCol, vecCol, k, metric))
 
   /** `iters` power-method rounds at damping `dampingPct`/100 over a
     * symmetric edge list. Output: (id, pr_e9) — the PageRank score scaled

@@ -22,8 +22,9 @@ object CleanQueries extends graft.QueryModule {
   private val BenchMaxId = 100L // stand-in held-out benchmark: doc_id ≤ 100
   private val SpanW = 8       // boilerplate span width (tokens per block)
   private val SpanMinDocs = 2L // blocks in ≥ this many docs are boilerplate
-  private val GopherMinToks = 50L   // Gopher word-count floor
-  private val GopherMaxToks = 100000L // Gopher word-count ceiling
+  private val GopherMinToks = CleanFunctions.Gopher.MinToks
+  private val GopherMaxToks = CleanFunctions.Gopher.MaxToks
+  private val MaxLinesPerDoc = 1L << 20 // line-dedup argmin key stride
 
   /** The deterministic multi-line scaffold the two C4 line queries share
     * (the corpus is single-line): lines engineered to exercise every rule,
@@ -123,25 +124,18 @@ object CleanQueries extends graft.QueryModule {
     // closed under any engine arithmetic — and at 100 TB the whole filter
     // is one narrow projection over the corpus scan, no shuffle at all.
     "clean_gopher_rules" -> ((s, dir) => {
+      val g = CleanFunctions.Gopher
+      val (nt, ch, al, st) = g.counts(col("__toks"))
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
-        .select(col("doc_id"),
-          size(col("__toks")).cast("long").as("n_tokens"),
-          coalesce(aggregate(col("__toks"), lit(0L),
-            (acc, t) => acc + length(t).cast("long")), lit(0L))
-            .as("n_token_chars"),
-          size(filter(col("__toks"), t => t.rlike("^[a-z]+$"))).cast("long")
-            .as("n_alpha"),
-          TextFunctions.stopwordHits(col("__toks"),
-            TextFunctions.langWords.head._2).cast("long").as("n_stop"))
+        .select(col("doc_id"), nt.as("n_tokens"), ch.as("n_token_chars"),
+          al.as("n_alpha"), st.as("n_stop"))
         .select(col("doc_id"), col("n_tokens"), col("n_token_chars"),
           col("n_alpha"), col("n_stop"),
-          (col("n_tokens") >= GopherMinToks &&
-            col("n_tokens") <= GopherMaxToks).as("r_len"),
-          (col("n_token_chars") >= col("n_tokens") * 3 &&
-            col("n_token_chars") <= col("n_tokens") * 10).as("r_wordlen"),
-          (col("n_alpha") * 5 >= col("n_tokens") * 4).as("r_alpha"),
-          (col("n_stop") >= 2).as("r_stop"))
+          g.rLen(col("n_tokens")).as("r_len"),
+          g.rWordLen(col("n_tokens"), col("n_token_chars")).as("r_wordlen"),
+          g.rAlpha(col("n_tokens"), col("n_alpha")).as("r_alpha"),
+          g.rStop(col("n_stop")).as("r_stop"))
         .withColumn("keep",
           col("r_len") && col("r_wordlen") && col("r_alpha") && col("r_stop"))
     }),
@@ -176,7 +170,10 @@ object CleanQueries extends graft.QueryModule {
       val lines = Tables.documents(s, dir)
         .select(col("doc_id"),
           posexplode(split(c4Scaffold, "\n")).as(Seq("idx", "line")))
-        .withColumn("__k", col("doc_id") * 1000L + col("idx"))
+        // encoded (doc, position) argmin key — MaxLinesPerDoc bounds idx so
+        // keys can't collide across documents (a 2^20-line ≈ 100 MB doc is
+        // past any plausible input; both engines interpolate the SAME bound)
+        .withColumn("__k", col("doc_id") * MaxLinesPerDoc + col("idx"))
       val winners = lines.groupBy("line").agg(min(col("__k")).as("__w"))
       val kept = lines.join(winners, "line").filter(col("__k") === col("__w"))
       val totals = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
@@ -298,7 +295,7 @@ object CleanQueries extends graft.QueryModule {
          |    i -> {'i': CAST(i - 1 AS BIGINT), 'l': lines[i]})) AS s
          |  FROM l),
          |k AS (SELECT doc_id, s.i AS idx, s.l AS line,
-         |    doc_id * 1000 + s.i AS kk FROM x),
+         |    doc_id * $MaxLinesPerDoc + s.i AS kk FROM x),
          |w AS (SELECT line, min(kk) AS wk FROM k GROUP BY 1),
          |kept AS (SELECT k.doc_id, k.idx, k.line FROM k
          |  JOIN w ON k.line = w.line AND k.kk = w.wk),

@@ -16,6 +16,23 @@ private[queries] object DocSql {
   /** Mirror of TextFunctions.tokenHash. */
   def tokenHashSql(x: String): String = s"('0x' || substr(md5($x), 1, 8))::BIGINT"
 
+  /** Mirror of TextFunctions.qualityScoreFromTokens over SQL expressions
+    * for the token list and the raw text — the ONE copy of the composite
+    * quality formula every quality-consuming oracle interpolates (it
+    * appeared four times before; a formula tweak missing one copy made a
+    * pinned oracle diverge for reasons unrelated to the query under
+    * test). */
+  def qualitySql(toks: String, text: String): String = {
+    val enIn = graft.functions.TextFunctions.langWords.head._2
+      .map(w => s"'$w'").mkString("(", ",", ")")
+    s"""0.4 * least(1.0, len($toks) / 100.0) +
+       |  0.3 * (1.0 - CASE WHEN len($text) = 0 THEN 0.0
+       |    ELSE CAST(len(regexp_replace(lower($text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len($text) END) +
+       |  0.3 * least(1.0, 4.0 * CASE WHEN len($toks) = 0 THEN 0.0
+       |    ELSE CAST(len(list_filter($toks, gq -> gq IN $enIn)) AS DOUBLE) / len($toks) END)""".stripMargin
+      .linesIterator.mkString(" ")
+  }
+
   /** Mirror of Dedup.shingles: (doc_id, gram), distinct token n-grams.
     * Requires [[toksCte]]. */
   def shinglesCte(n: Int): String = {

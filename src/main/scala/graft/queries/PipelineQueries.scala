@@ -102,12 +102,7 @@ object PipelineQueries extends graft.QueryModule {
     val enIn = graft.functions.TextFunctions.langWords.head._2
       .map(w => s"'$w'").mkString("(", ", ", ")")
     val ic = Pipeline.IngestConfig()
-    val qual =
-      s"""0.4 * least(1.0, len(f.toks) / 100.0) +
-         |      0.3 * (1.0 - CASE WHEN len(d.text) = 0 THEN 0.0
-         |        ELSE CAST(len(regexp_replace(lower(d.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(d.text) END) +
-         |      0.3 * least(1.0, 4.0 * CASE WHEN len(f.toks) = 0 THEN 0.0
-         |        ELSE CAST(len(list_filter(f.toks, x -> x IN $enIn)) AS DOUBLE) / len(f.toks) END)""".stripMargin
+    val qual = DocSql.qualitySql("f.toks", "d.text")
     s"""WITH ${DedupQueries.cdcChunkCtesWhere("TRUE")},
        |b AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
        |g0 AS (SELECT tokd.doc_id, tokd.toks,
@@ -117,7 +112,8 @@ object PipelineQueries extends graft.QueryModule {
        |    CAST(len(list_filter(toks, t -> t IN $enIn)) AS BIGINT) AS st
        |  FROM tokd JOIN b USING (doc_id)),
        |gated AS (SELECT doc_id, toks FROM g0
-       |  WHERE nt >= ${ic.minToks} AND nt <= ${ic.maxToks}
+       |  WHERE nt >= ${graft.functions.CleanFunctions.Gopher.MinToks}
+       |    AND nt <= ${graft.functions.CleanFunctions.Gopher.MaxToks}
        |    AND ch >= nt * 3 AND ch <= nt * 10
        |    AND al * 5 >= nt * 4 AND st >= 2),
        |base AS (SELECT DISTINCT chunk_hash FROM chk WHERE doc_id % 10 <> 0),

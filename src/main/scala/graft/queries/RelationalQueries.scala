@@ -26,6 +26,10 @@ object RelationalQueries extends graft.QueryModule {
   private def moneySum(c: Column): Column =
     round(sum(c.cast("decimal(18,4)")).cast("double"), 2)
 
+  /** Decay retention horizon: weight 2^-age is exactly 0 past this age —
+    * bounds the integer exponent (see events_decayed_value). */
+  private val DecayHorizonDays = 30L
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: filter → hash agg (partial+final).
     "rel_pricing_summary" -> ((s, dir) => {
@@ -299,8 +303,13 @@ object RelationalQueries extends graft.QueryModule {
     // feature a feature store maintains per entity. The decay 2^-age is a
     // POWER OF TWO, so the whole sum stays exact: every term is
     // value_e4 · 2^(A-age) (integer), accumulated exactly, divided by 2^A
-    // once at the end — no floating decay product anywhere. Scalar max-age
-    // broadcasts; one keyed agg per user.
+    // once at the end — no floating decay product anywhere. Events older
+    // than DecayHorizonDays get weight EXACTLY 0 (a retention horizon:
+    // their true weight < 2^-30 ≈ 1e-9, invisible at e4 resolution) —
+    // which also bounds the exponent, so the integer term never overflows
+    // (|value| < 8·10⁵ ⇒ v4·2^30 < 2^63; Spark's shiftleft masks shifts
+    // to 6 bits, so an unbounded A-age would corrupt silently, not throw).
+    // Scalar max-age broadcasts; one keyed agg per user.
     "events_decayed_value" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("event_type") === "purchase")
@@ -311,6 +320,7 @@ object RelationalQueries extends graft.QueryModule {
           graft.functions.ExactRound.eScaled(col("value"), 4).cast("long")
             .as("__v4"),
           datediff(col("__ref"), col("__d")).cast("long").as("__age"))
+        .filter(col("__age") <= DecayHorizonDays)
       val amax = aged.agg(max(col("__age")).as("__a"))
       aged.crossJoin(broadcast(amax))
         .select(col("user_id"),
@@ -559,10 +569,10 @@ object RelationalQueries extends graft.QueryModule {
       s"""WITH ev AS (SELECT user_id, value, CAST(ts AS DATE) AS d
          |    FROM events WHERE event_type = 'purchase'),
          |ref AS (SELECT max(d) AS rd FROM ev),
-         |aged AS (SELECT user_id,
+         |aged AS (SELECT * FROM (SELECT user_id,
          |    ${graft.functions.ExactRound.eScaledSql("value", 4)} AS v4,
          |    CAST(date_diff('day', d, ref.rd) AS BIGINT) AS age
-         |  FROM ev, ref),
+         |  FROM ev, ref) WHERE age <= $DecayHorizonDays),
          |am AS (SELECT max(age) AS a FROM aged)
          |SELECT user_id, count(*) AS n_events,
          |  ${graft.functions.ExactRound.roundDivSql(

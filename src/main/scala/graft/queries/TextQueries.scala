@@ -507,12 +507,7 @@ object TextQueries extends graft.QueryModule {
   private lazy val srcQualityCte: String =
     s"""q AS (SELECT t.doc_id, d.source, d.lang, md5(t.text) AS h,
        |    CAST(len(t.toks) AS BIGINT) AS nt,
-       |    ${ExactRound.e6Sql(
-              s"""0.4 * least(1.0, len(t.toks) / 100.0) +
-                 |      0.3 * (1.0 - CASE WHEN len(t.text) = 0 THEN 0.0
-                 |        ELSE CAST(len(regexp_replace(lower(t.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t.text) END) +
-                 |      0.3 * least(1.0, 4.0 * CASE WHEN len(t.toks) = 0 THEN 0.0
-                 |        ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END)""".stripMargin)} AS q_e6
+       |    ${ExactRound.e6Sql(DocSql.qualitySql("t.toks", "t.text"))} AS q_e6
        |  FROM tokd t JOIN documents d USING (doc_id))""".stripMargin
 
   /** The embedder, replayed in SQL (see [[DocSql.embedCte]]). */
@@ -568,12 +563,8 @@ object TextQueries extends graft.QueryModule {
          |FROM h""".stripMargin,
     "text_quality" ->
       s"""WITH $toksCte
-         |SELECT doc_id, round(
-         |  0.4 * least(1.0, len(toks) / 100.0) +
-         |  0.3 * (1.0 - CASE WHEN len(text) = 0 THEN 0.0
-         |    ELSE CAST(len(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(text) END) +
-         |  0.3 * least(1.0, 4.0 * CASE WHEN len(toks) = 0 THEN 0.0
-         |    ELSE CAST(len(list_filter(toks, t -> t IN $enIn)) AS DOUBLE) / len(toks) END), 6) AS quality
+         |SELECT doc_id,
+         |  round(${DocSql.qualitySql("toks", "text")}, 6) AS quality
          |FROM tokd""".stripMargin,
     "sql_text_pipeline" ->
       s"""WITH $toksCte,
@@ -584,12 +575,7 @@ object TextQueries extends graft.QueryModule {
          |      list_transform(t.toks, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT)),
          |    (a, b) -> (a * 31 + b) % 1000000007) AS fp,
          |  sh.simhash AS simhash,
-         |  round(
-         |    0.4 * least(1.0, len(t.toks) / 100.0) +
-         |    0.3 * (1.0 - CASE WHEN len(t.text) = 0 THEN 0.0
-         |      ELSE CAST(len(regexp_replace(lower(t.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / len(t.text) END) +
-         |    0.3 * least(1.0, 4.0 * CASE WHEN len(t.toks) = 0 THEN 0.0
-         |      ELSE CAST(len(list_filter(t.toks, x -> x IN $enIn)) AS DOUBLE) / len(t.toks) END), 6) AS quality,
+         |  round(${DocSql.qualitySql("t.toks", "t.text")}, 6) AS quality,
          |  ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bucket
          |FROM tokd t JOIN sh ON t.doc_id = sh.doc_id""".stripMargin,
     "text_unigram_logprob" ->

@@ -312,9 +312,7 @@ object VectorQueries extends graft.QueryModule {
     // exists. Exact-integer arithmetic end to end; the oracle replays
     // edges, degrees, and every iteration.
     "rank_knn_pagerank" -> ((s, dir) => {
-      val nn = knnEdgeCache(s, dir)
-      val edges = nn
-        .union(nn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val edges = graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir))
       graft.operators.PageRank.pagerank(edges, PrIters)
         .select(col("id").as("skill_id"), col("pr_e9"))
     }),

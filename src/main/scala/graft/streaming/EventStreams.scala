@@ -210,12 +210,17 @@ object EventStreams {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
           val times = state.getOption
             .map(_.times.toArray).getOrElse(Array.fill(steps.size)(Long.MinValue))
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // sort by MICROSECONDS (the unit the fold and the batch face
+          // compare in) — a millisecond sort key would reorder
+          // sub-millisecond event pairs and break one-batch parity
+          def us(e: Event): Long =
+            e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+          it.toSeq.sortBy(e => (us(e), e.event_id)).foreach { e =>
             stepIdx.get(e.event_type).foreach { i =>
-              val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+              val t = us(e)
               val prevDone = i == 0 || times(i - 1) != Long.MinValue
               if (times(i) == Long.MinValue && prevDone &&
-                  (i == 0 || us >= times(i - 1))) times(i) = us
+                  (i == 0 || t >= times(i - 1))) times(i) = t
             }
           }
           state.update(FunnelState(times.toSeq))
