@@ -133,6 +133,39 @@ object TextQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
     }),
+    // Zipf rank-frequency slope of the corpus vocabulary — the classic
+    // sanity statistic for a text corpus (natural language ≈ −1; token
+    // salad and boilerplate bend it). Least squares over (ln rank,
+    // ln count) with every term e8-integerized the moment the ln is
+    // computed, so the regression reduces to exact integer sums and ONE
+    // rounded integer division: engine-proof end to end. The global rank
+    // window orders the VOCABULARY (≪ corpus — the only global state, as
+    // in text_vocab_coverage).
+    "text_zipf_slope" -> ((s, dir) => {
+      val cnt = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__c").desc, col("t"))
+      val xy = cnt
+        .withColumn("__r", row_number().over(w).cast("long"))
+        .select(
+          ExactRound.eScaled(log(col("__r").cast("double")), 8).cast("long")
+            .as("__x8"),
+          ExactRound.eScaled(log(col("__c").cast("double")), 8).cast("long")
+            .as("__y8"))
+      xy.agg(count(lit(1)).as("n_vocab"),
+          sum(col("__x8").cast("decimal(38,0)")).as("__sx"),
+          sum(col("__y8").cast("decimal(38,0)")).as("__sy"),
+          sum((col("__x8") * col("__y8")).cast("decimal(38,0)")).as("__sxy"),
+          sum((col("__x8") * col("__x8")).cast("decimal(38,0)")).as("__sxx"))
+        .select(col("n_vocab"),
+          ExactRound.ratioRoundInt(
+            col("n_vocab").cast("decimal(38,0)") * col("__sxy") -
+              col("__sx") * col("__sy"), 0,
+            col("n_vocab").cast("decimal(38,0)") * col("__sxx") -
+              col("__sx") * col("__sx"), 0, 6).as("zipf_slope"))
+    }),
     // Per-document distinctive keywords: top-3 tokens by tf/df, the exact
     // integer rational score_e6 = round(1e6·tf/df) — the tf·idf ranking
     // with the idf log dropped so NO double ever orders the window (the
@@ -607,6 +640,27 @@ object TextQueries extends graft.QueryModule {
          |  FROM tokd JOIN docs USING (doc_id)),
          |${graft.operators.NaiveBayes.modelCtes("docs")},
          |${graft.operators.NaiveBayes.scoreSql("docs")}""".stripMargin,
+    "text_zipf_slope" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT unnest(toks) AS t FROM tokd),
+         |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |rk AS (SELECT c,
+         |    CAST(row_number() OVER (ORDER BY c DESC, t) AS BIGINT) AS r
+         |  FROM cnt),
+         |xy AS (SELECT
+         |    ${ExactRound.eScaledSql("ln(CAST(r AS DOUBLE))", 8)} AS x8,
+         |    ${ExactRound.eScaledSql("ln(CAST(c AS DOUBLE))", 8)} AS y8
+         |  FROM rk),
+         |sm AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x8) AS HUGEINT) AS sx, CAST(sum(y8) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x8 AS HUGEINT) * y8) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(x8 AS HUGEINT) * x8) AS HUGEINT) AS sxx
+         |  FROM xy)
+         |SELECT CAST(n AS BIGINT) AS n_vocab,
+         |  ${ExactRound.ratioRoundIntSql(
+              "sm.n * sm.sxy - sm.sx * sm.sy", 0,
+              "sm.n * sm.sxx - sm.sx * sm.sx", 0, 6)} AS zipf_slope
+         |FROM sm""".stripMargin,
     "text_keywords_tfidf" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
