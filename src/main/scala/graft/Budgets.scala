@@ -218,5 +218,8 @@ object Budgets {
     "rank_knn_degree_hist" -> 20.3, // r9 sample 8.11 (absorbs the one-time edge build for the rank_knn_* family)
     "rank_knn_graph_summary" -> 1.5, // r9 sample 0.41
     "rank_knn_pagerank" -> 6.4, // r9 sample 2.54 (edge build memo-shared)
+    "events_session_windows" -> 1.5, // r9 sample 0.57
+    "pipeline_crawl_ingest" -> 3.2, // r9 sample 1.25 (store pre-built by the dedup_cdc_* producers)
+    "text_zipf_slope" -> 1.5, // r9 sample 0.30
   )
 }
