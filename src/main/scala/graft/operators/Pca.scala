@@ -40,19 +40,70 @@ object Pca {
   /** Upper-triangle exact second-moment census: one row per (dim_i ≤ dim_j),
     * 1-BASED dims, with n and m2_e9 = round(mean of e9-prescaled per-row
     * products). The per-row product of two float→double casts is one IEEE
-    * multiply — bit-identical on any engine reading the same floats. */
+    * multiply — bit-identical on any engine reading the same floats; the
+    * e9 floor-prescale is the identical op sequence (×, ×1e9, +0.5, floor)
+    * whether Catalyst or this JVM loop evaluates it, so the integer sums
+    * are the same numbers the HOF formulation produced.
+    *
+    * Shape: per-PARTITION Gram accumulation in one `mapPartitions` pass (a
+    * genuine imperative-per-partition case — the HOF pair expansion paid
+    * ~2 080 interpreted struct constructions per row, a 7 s census at
+    * sf0.1), emitting ONE flat d(d+1)/2 partial array per partition; the
+    * shuffle then carries partitions×d² cells, never corpus×d². Exact
+    * integer partials are order-independent, so the re-combine is
+    * partition-layout-proof. */
   def secondMoment(emb: DataFrame, vecCol: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val pairs = flatten(transform(v, (x, i) =>
-      transform(sequence(i + 1, size(v)), j =>
-        struct((i + 1).cast("long").as("i"), j.cast("long").as("j"),
-          ExactRound.eScaled(x * element_at(v, j), 9).cast("long").as("p9")))))
-    emb.select(explode(pairs).as("__p"))
-      .select(col("__p.i").as("dim_i"), col("__p.j").as("dim_j"),
-        col("__p.p9").as("__p9"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // Per-partition partials ride Long: |x·y|·1e9·rowsPerPartition < 2^63
+    // holds with orders of magnitude to spare for unit-ish embeddings
+    // (|x·y| ≤ ~400 ⇒ ~2×10¹⁰ rows per partition before overflow); the
+    // cross-partition re-combine rides decimal(38,0).
+    val partials = emb.select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        var acc: Array[Long] = null
+        var d = 0
+        var n = 0L
+        it.foreach { v =>
+          if (v != null) {
+            if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
+            require(v.length == d,
+              s"secondMoment: ragged vector (dim ${v.length} vs $d)")
+            n += 1
+            var c = 0
+            var i = 0
+            while (i < d) {
+              val xi = v(i)
+              var j = i
+              while (j < d) {
+                // identical to ExactRound.eScaled(x*y, 9)
+                acc(c) += math.floor(xi * v(j) * 1e9 + 0.5d).toLong
+                c += 1
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        if (acc == null) Iterator.empty
+        else {
+          val out = new Array[(Long, Long, Long, Long)](acc.length)
+          var c = 0
+          var i = 1
+          while (i <= d) {
+            var j = i
+            while (j <= d) { out(c) = (i.toLong, j.toLong, n, acc(c)); c += 1; j += 1 }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+    partials.toDF("dim_i", "dim_j", "__n", "__p9")
       .groupBy("dim_i", "dim_j")
-      .agg(count(lit(1)).as("n"),
-        ExactRound.roundDiv(sum(col("__p9")), count(lit(1))).as("m2_e9"))
+      .agg(sum(col("__n")).cast("long").as("n"),
+        ExactRound.roundDiv(sum(col("__p9").cast("decimal(38,0)")),
+          sum(col("__n"))).as("m2_e9"))
   }
 
   /** The fixed-point power iteration, mirrored EXACTLY by [[iterSql]]:
