@@ -264,6 +264,56 @@ object RelationalQueries extends graft.QueryModule {
     // user_id only; no global sort, no full-log window.
     "events_funnel" -> ((s, dir) =>
       graft.streaming.EventStreams.funnelBatch(Tables.events(s, dir))),
+    // Market-basket pair mining over order line items: support counts and
+    // exact-integer lift for the top-20 co-purchased part pairs. The
+    // self-join keys on l_orderkey (bounded per-order fanout — the pair
+    // expansion is O(items²) within an order, never across orders) and
+    // lift = n·c(ab)/(c(a)·c(b)) stays a rounded integer division.
+    "rel_basket_pairs" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
+        .distinct()
+      val n = items.select(col("__o")).distinct()
+        .agg(count(lit(1)).as("__n"))
+      val pc = items.groupBy("__p").agg(count(lit(1)).as("__c"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.__o") === col("b.__o") && col("a.__p") < col("b.__p"))
+        .groupBy(col("a.__p").as("part_a"), col("b.__p").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+      pairs
+        .join(pc.select(col("__p").as("part_a"), col("__c").as("count_a")), "part_a")
+        .join(pc.select(col("__p").as("part_b"), col("__c").as("count_b")), "part_b")
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("support"),
+          col("count_a"), col("count_b"),
+          graft.functions.ExactRound.roundDiv(
+            col("support") * col("__n") * lit(1000000L),
+            col("count_a") * col("count_b")).as("lift_e6"))
+        .orderBy(col("support").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+    // Per-user anomaly days WITHOUT any sqrt or double: flag a day iff its
+    // count sits more than 3σ above the user's mean —
+    // (k·c − S1)² > 9·(k·S2 − S1²) ∧ k·c > S1 is the same predicate in
+    // pure integer arithmetic (k = days, S1/S2 = count sums), so the flag
+    // is closed under any engine. Two keyed aggs, one keyed join back.
+    "events_anomaly_days" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val stats = daily.groupBy("user_id").agg(
+        count(lit(1)).as("__k"),
+        sum(col("n_events")).as("__s1"),
+        sum(col("n_events") * col("n_events")).as("__s2"))
+      val dev = col("__k") * col("n_events") - col("__s1")
+      daily.join(stats, "user_id")
+        .filter(dev > 0 && dev * dev >
+          lit(9L) * (col("__k") * col("__s2") - col("__s1") * col("__s1")))
+        .select(col("user_id"), col("day"), col("n_events"),
+          col("__k").cast("long").as("n_days"))
+    }),
     // Equi-depth decile binning (ntile) over order value with a
     // deterministic tiebreak, then per-decile exact aggregates — the
     // binning step of any spend-segmentation or winsorization pass.
@@ -531,6 +581,33 @@ object RelationalQueries extends graft.QueryModule {
         |  CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
         |         + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS furthest_step
         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "rel_basket_pairs" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |n AS (SELECT count(DISTINCT o) AS n FROM it),
+         |pc AS (SELECT p, count(*) AS c FROM it GROUP BY 1),
+         |pr AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS support
+         |  FROM it a JOIN it b ON a.o = b.o AND a.p < b.p
+         |  GROUP BY 1, 2)
+         |SELECT part_a, part_b, support,
+         |  ca.c AS count_a, cb.c AS count_b,
+         |  ${graft.functions.ExactRound.roundDivSql(
+              "support * n.n * 1000000", "ca.c * cb.c")} AS lift_e6
+         |FROM pr JOIN pc ca ON pr.part_a = ca.p
+         |JOIN pc cb ON pr.part_b = cb.p CROSS JOIN n
+         |ORDER BY support DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "events_anomaly_days" ->
+      """WITH d AS (SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, count(*) AS k,
+        |    CAST(sum(n_events) AS BIGINT) AS s1,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS s2
+        |  FROM d GROUP BY 1)
+        |SELECT d.user_id, d.day, d.n_events, s.k AS n_days
+        |FROM d JOIN s USING (user_id)
+        |WHERE s.k * d.n_events - s.s1 > 0
+        |  AND (s.k * d.n_events - s.s1) * (s.k * d.n_events - s.s1)
+        |      > 9 * (s.k * s.s2 - s.s1 * s.s1)""".stripMargin,
     "rel_order_deciles" ->
       s"""WITH d AS (SELECT o_orderkey, o_totalprice,
          |    CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
