@@ -148,6 +148,50 @@ object Pca {
         lit(0L), (acc, t) => acc + t).as("proj_e12"))
   }
 
+  /** Per-dimension means in micro-units: (dim 1-based, mean_e6). */
+  def dimMeansE6(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__i", "__x")))
+      .select((col("__i") + 1).cast("long").as("dim"),
+        ExactRound.e6(col("__x")).cast("long").as("__x6"))
+      .groupBy("dim")
+      .agg(ExactRound.roundDiv(sum(col("__x6").cast("decimal(38,0)")),
+        count(lit(1))).as("mean_e6"))
+
+  /** Per-dimension z-score whitening (the standardization step before
+    * scalar/product quantization), pinned as ONE exact integer per vector:
+    * z_checksum = Σ_j j · e4((x_j − μ_j)/σ_j). μ and σ derive from the
+    * PINNED integer census ([[secondMoment]] diagonal + [[dimMeansE6]]) by
+    * a fixed sequence of single IEEE ops, so both engines carry identical
+    * doubles into the per-value e4 floor; collapsed dimensions (σ ≤ 0 or
+    * NaN) contribute exactly 0. Stats collect is a bounded model fetch;
+    * the corpus pass is a broadcast-literal scan, no shuffle. */
+  def standardizeChecksum(emb: DataFrame, idCol: String, vecCol: String,
+      census: DataFrame): DataFrame = {
+    val means = dimMeansE6(emb, vecCol).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val diag = census.filter(col("dim_i") === col("dim_j"))
+      .select(col("dim_i").cast("long"), col("m2_e9").cast("long")).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val d = means.keys.max
+    val mus = Array.tabulate(d)(j => means(j + 1).toDouble / 1e6)
+    val sgs = Array.tabulate(d) { j =>
+      val mu = mus(j)
+      math.sqrt(diag(j + 1).toDouble / 1e9 - mu * mu)
+    }
+    val muArr = array(mus.map(lit(_)): _*)
+    val sgArr = array(sgs.map(lit(_)): _*)
+    val v = col(vecCol).cast("array<double>")
+    val terms = transform(v, (x, i) => {
+      val mu = element_at(muArr, i + 1)
+      val sg = element_at(sgArr, i + 1)
+      when(sg > 0.0d,
+        (i + 1).cast("long") * ExactRound.eScaled((x - mu) / sg, 4).cast("long"))
+        .otherwise(0L)
+    })
+    emb.select(col(idCol),
+      aggregate(terms, lit(0L), (acc, t) => acc + t).as("z_checksum"))
+  }
+
   // ---- DuckDB twins ---------------------------------------------------------
 
   /** CTEs over `embeddings(vec_id, embedding)`: upper-triangle census `sm`

@@ -347,6 +347,13 @@ object VectorQueries extends graft.QueryModule {
         .withColumn("reciprocity_e6", graft.functions.ExactRound.roundDiv(
           col("n_reciprocal") * lit(1000000L), col("n_edges")))
     }),
+    // Per-dim whitening (standardize before quantization) pinned as ONE
+    // exact integer per vector — μ/σ derive from the pinned integer census
+    // by fixed single-IEEE-op sequences, so both engines carry identical
+    // doubles into the e4 floor (Pca.standardizeChecksum scaladoc).
+    "embed_whiten_checksum" -> ((s, dir) =>
+      graft.operators.Pca.standardizeChecksum(Tables.embeddings(s, dir),
+        "vec_id", "embedding", pcaCensus(s, dir))),
     // The PCA axis as a 1-D retrieval tier: rank candidates by |Δproj|
     // (exact integer distance on the e12 projections), recall@k vs the
     // full cosine ranking — the dial that says how much signal one
@@ -476,6 +483,29 @@ object VectorQueries extends graft.QueryModule {
     "profile_embedding_cov" ->
       s"""WITH ${graft.operators.Pca.secondMomentSql(64)}
          |SELECT dim_i, dim_j, n, m2_e9 FROM sm""".stripMargin,
+    "embed_whiten_checksum" ->
+      s"""WITH ${graft.operators.Pca.secondMomentSql(64)},
+         |md AS (SELECT CAST(i AS BIGINT) AS j,
+         |    ${graft.functions.ExactRound.roundDivSql(
+              s"sum(${graft.functions.ExactRound.e6Sql("CAST(embedding[i] AS DOUBLE)")})",
+              "count(*)")} AS mean_e6
+         |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+         |  GROUP BY 1),
+         |st AS (SELECT sm.dim_i AS j,
+         |    CAST(md.mean_e6 AS DOUBLE) / 1e6 AS mu,
+         |    sqrt(CAST(sm.m2_e9 AS DOUBLE) / 1e9 -
+         |      (CAST(md.mean_e6 AS DOUBLE) / 1e6) * (CAST(md.mean_e6 AS DOUBLE) / 1e6)) AS sg
+         |  FROM sm JOIN md ON sm.dim_i = md.j
+         |  WHERE sm.dim_i = sm.dim_j),
+         |stl AS (SELECT list(mu ORDER BY j) AS mus, list(sg ORDER BY j) AS sgs
+         |  FROM st)
+         |SELECT e.vec_id,
+         |  CAST(list_sum(list_transform(generate_series(1, 64), j ->
+         |    CASE WHEN stl.sgs[j] > 0 THEN
+         |      j * ${graft.functions.ExactRound.eScaledSql(
+                "(CAST(e.embedding[j] AS DOUBLE) - stl.mus[j]) / stl.sgs[j]", 4)}
+         |    ELSE 0 END)) AS BIGINT) AS z_checksum
+         |FROM embeddings e, stl""".stripMargin,
     "eval_pca_recall" ->
       s"""WITH RECURSIVE ${graft.operators.Pca.secondMomentSql(64)},
          |${graft.operators.Pca.iterSql(64)},
