@@ -290,6 +290,25 @@ class PlanSpec extends SparkSpec {
       s"every CDC window must partition by doc_id:\n$plan")
   }
 
+  test("whitening is a broadcast-literal scan — no shuffle, no join") {
+    val plan = planOf("embed_whiten_checksum")
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"the standardize pass must be one narrow scan over literal stats:\n$plan")
+  }
+
+  test("basket pairs self-join keys on the order id — never a cross product") {
+    val plan = planOf("rel_basket_pairs").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"pair expansion must ride the order-id equi-join:\n$plan")
+    // the only nested-loop join allowed is the documented 1-row total
+    // attach (broadcast of the order-count aggregate)
+    val nlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"only the 1-row n attach may nested-loop ($nlj found):\n$plan")
+    val pairJoin = plan.linesIterator.find(l =>
+      l.contains("Join") && l.contains("__o") && !l.contains("NestedLoop"))
+    assert(pairJoin.isDefined, s"pair join should equi-key on the order id:\n$plan")
+  }
+
   test("PCA projection is scan-only; census shuffles d² cells not the corpus") {
     val plan = planOf("embed_pca_project")
     // the projection query's plan = scan + project with a literal axis; the
