@@ -221,5 +221,8 @@ object Budgets {
     "events_session_windows" -> 1.5, // r9 sample 0.57
     "pipeline_crawl_ingest" -> 3.2, // r9 sample 1.25 (store pre-built by the dedup_cdc_* producers)
     "text_zipf_slope" -> 1.5, // r9 sample 0.30
+    "embed_whiten_checksum" -> 1.5, // r9 sample 0.35
+    "events_anomaly_days" -> 1.5, // r9 sample 0.58
+    "rel_basket_pairs" -> 5.1, // r9 sample 2.05
   )
 }
