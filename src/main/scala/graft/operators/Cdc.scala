@@ -98,6 +98,27 @@ object Cdc {
       table.chunks, Seq("chunk_hash"), numBuckets)
   }
 
+  /** Compact an appended chunk store back to one row per hash: re-aggregate
+    * the split counts (min(__nt) is append-invariant — copies of one chunk
+    * share a length) and rewrite through the same bucketed layout, carrying
+    * the build fingerprint across (compaction changes layout, never
+    * identity — the SpanDedup.compactIndex contract). Bounds the file and
+    * row growth of a long append history; reads only the store, never the
+    * corpus. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      table: StoreTable, numBuckets: Int): Unit = {
+    val fp = graft.Layouts.readFingerprint(spark, table.chunks)
+    val merged = spark.table(table.chunks)
+      .groupBy(col("chunk_hash"))
+      .agg(sum(col("__c")).cast("long").as("__c"), min(col("__nt")).as("__nt"))
+      .localCheckpoint()
+    val loc = spark.sql(s"DESCRIBE FORMATTED ${table.chunks}")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    Bucketed.writeBucketed(merged, table.chunks, loc, "chunk_hash", numBuckets)
+    fp.foreach(graft.Layouts.stampFingerprint(spark, table.chunks, _))
+  }
+
   /** Ingest-batch dedup hit rate: per delta document, how many of its
     * chunks (and tokens) the store already holds — the number that decides
     * whether a crawl batch is worth storing. Chunking is O(|delta|); the

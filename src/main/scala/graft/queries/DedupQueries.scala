@@ -145,6 +145,20 @@ object DedupQueries extends graft.QueryModule {
         count_distinct(col("chunk_hash")).as("n_hashes"),
         coalesce(sum(col("__c")), lit(0L)).cast("long").as("n_copies"))
     }),
+    // Compaction of the appended store: same recount invariants PLUS the
+    // one-row-per-hash property (n_rows == n_hashes) — red if the rewrite
+    // dropped counts, kept splits, or lost rows.
+    "dedup_cdc_index_compact" -> ((s, dir) => {
+      val t = graft.Layouts.once(s, s"cdcstorecmp:$dir") {
+        val tt = CdcAppendLayout.ensure(s, dir)
+        graft.operators.Cdc.compactStore(s, tt, 8)
+        tt
+      }
+      s.table(t.chunks).agg(
+        count_distinct(col("chunk_hash")).as("n_hashes"),
+        coalesce(sum(col("__c")), lit(0L)).cast("long").as("n_copies"),
+        count(lit(1)).as("n_rows"))
+    }),
     // Ingest-batch dedup hit rate: the delta's chunks probed against the
     // stored census — per new doc, how much the store already holds.
     "dedup_cdc_incremental" -> ((s, dir) =>
@@ -527,6 +541,12 @@ object DedupQueries extends graft.QueryModule {
       s"""WITH ${cdcChunkCtesWhere("TRUE")}
          |SELECT count(DISTINCT chunk_hash) AS n_hashes,
          |  count(*) AS n_copies
+         |FROM chk""".stripMargin,
+    "dedup_cdc_index_compact" ->
+      s"""WITH ${cdcChunkCtesWhere("TRUE")}
+         |SELECT count(DISTINCT chunk_hash) AS n_hashes,
+         |  count(*) AS n_copies,
+         |  count(DISTINCT chunk_hash) AS n_rows
          |FROM chk""".stripMargin,
     "dedup_cdc_incremental" ->
       s"""WITH ${cdcChunkCtesWhere("TRUE")},

@@ -127,6 +127,29 @@ object IoQueries extends graft.QueryModule {
         sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
         count_distinct(col("source")).as("n_sources"))
     }),
+    // Hive-style partitioned layout + partition PRUNING: write the corpus
+    // once partitioned by lang, read back with a lang predicate, and pin
+    // the census of the pruned slice. At 100 TB this is THE data-skipping
+    // primitive for categorical filters — the pruned read lists only the
+    // lang=en directory (PlanSpec asserts the PartitionFilters reach the
+    // scan), so the query's IO is proportional to the slice, not the
+    // table.
+    "io_partitioned_roundtrip" -> ((s, dir) => {
+      val path = graft.Layouts.once(s, s"partlang:$dir") {
+        val p = s"/tmp/graft_partlang/${graft.Layouts.tag(dir)}"
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "text")
+          .write.mode("overwrite").partitionBy("lang").parquet(p)
+        p
+      }
+      s.read
+        .schema("doc_id LONG, source STRING, text STRING, lang STRING")
+        .parquet(path)
+        .filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
+          count_distinct(col("source")).as("n_sources"))
+    }),
     "io_npy_shard_roundtrip" -> ((s, dir) => {
       val (out, parts) = Export.ensure(s, dir)
       import s.implicits._
@@ -205,5 +228,11 @@ object IoQueries extends graft.QueryModule {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
          |  count(DISTINCT source) AS n_sources
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    "io_partitioned_roundtrip" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
+         |  count(DISTINCT source) AS n_sources
+         |FROM documents WHERE lang = 'en'""".stripMargin)
 }

@@ -290,6 +290,14 @@ class PlanSpec extends SparkSpec {
       s"every CDC window must partition by doc_id:\n$plan")
   }
 
+  test("partitioned read-back prunes to the lang=en directory") {
+    val plan = planOf("io_partitioned_roundtrip")
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"the lang predicate must prune partitions at the scan:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang should be a partition column, not a data filter:\n$plan")
+  }
+
   test("whitening is a broadcast-literal scan — no shuffle, no join") {
     val plan = planOf("embed_whiten_checksum")
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
