@@ -212,7 +212,7 @@ object Budgets {
     "dedup_cdc_incremental" -> 4.9, // r9 sample 1.94 (absorbs the base store build — family producer by alphabetical order)
     "dedup_cdc_index_append" -> 4.4, // r9 sample 1.75 (builds its own append-twin layout)
     "dedup_cdc_index_build" -> 1.5, // r9 sample 0.05 (store already built by the incremental row)
-    "embed_pca_project" -> 5.0, // r9 isolated 1.0 after the mapPartitions census rewrite (was 8.4 with the HOF pair expansion); absorbs the one-time census + axis
+    "embed_pca_project" -> 2.5, // r9 full-bench sample 0.71 after the mapPartitions census rewrite (one run; was 8.4 with the HOF pair expansion); absorbs the one-time census + axis
     "eval_pca_recall" -> 1.5, // r9 sample 0.47
     "profile_embedding_cov" -> 1.5, // r9 sample 0.12
     "rank_knn_degree_hist" -> 20.3, // r9 sample 8.11 (absorbs the one-time edge build for the rank_knn_* family)

@@ -61,6 +61,24 @@ object Bucketed {
     df.sparkSession.catalog.refreshTable(tableName)
   }
 
+  /** The shared compaction scaffold for appendable bucketed layouts:
+    * materialize `merge` of the live table OFF the table (a bucketed
+    * overwrite of its own scan would read-while-truncate), rewrite through
+    * the same bucketed layout at the same location, and carry the build's
+    * fingerprint across — compaction changes layout, never identity. One
+    * definition for the span-count, LSH-bucket, and CDC-chunk stores
+    * (each previously hand-copied the 10-line dance). */
+  def compactTable(spark: SparkSession, tableName: String, keys: Seq[String],
+      numBuckets: Int)(merge: DataFrame => DataFrame): Unit = {
+    val fp = graft.Layouts.readFingerprint(spark, tableName)
+    val merged = merge(spark.table(tableName)).localCheckpoint()
+    val loc = spark.sql(s"DESCRIBE FORMATTED $tableName")
+      .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    writeBucketedKeys(merged, tableName, loc, keys, numBuckets)
+    fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
+  }
+
   /** Equi-join two tables bucketed on `key` with the same bucket count:
     * both scans report the same HashPartitioning, so the join (and any
     * following aggregation on `key`) plans exchange-free. */

@@ -106,18 +106,11 @@ object Cdc {
     * row growth of a long append history; reads only the store, never the
     * corpus. */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
-      table: StoreTable, numBuckets: Int): Unit = {
-    val fp = graft.Layouts.readFingerprint(spark, table.chunks)
-    val merged = spark.table(table.chunks)
-      .groupBy(col("chunk_hash"))
-      .agg(sum(col("__c")).cast("long").as("__c"), min(col("__nt")).as("__nt"))
-      .localCheckpoint()
-    val loc = spark.sql(s"DESCRIBE FORMATTED ${table.chunks}")
-      .filter(col("col_name") === "Location")
-      .select("data_type").head().getString(0)
-    Bucketed.writeBucketed(merged, table.chunks, loc, "chunk_hash", numBuckets)
-    fp.foreach(graft.Layouts.stampFingerprint(spark, table.chunks, _))
-  }
+      table: StoreTable, numBuckets: Int): Unit =
+    Bucketed.compactTable(spark, table.chunks, Seq("chunk_hash"), numBuckets)(
+      _.groupBy(col("chunk_hash"))
+        .agg(sum(col("__c")).cast("long").as("__c"),
+          min(col("__nt")).as("__nt")))
 
   /** Ingest-batch dedup hit rate: per delta document, how many of its
     * chunks (and tokens) the store already holds — the number that decides

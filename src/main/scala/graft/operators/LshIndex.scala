@@ -148,16 +148,9 @@ object LshIndex {
     * efficiency; compaction bounds it while changing nothing a probe sees
     * (gated by `lsh_index_compact`, which shares the append oracle). */
   def compactIndex(spark: SparkSession, tableName: String,
-      numBuckets: Int): Unit = {
-    val fp = graft.Layouts.readFingerprint(spark, tableName)
-    val entries = spark.table(tableName).localCheckpoint()
-    val loc = spark.sql(s"DESCRIBE FORMATTED $tableName")
-      .filter(col("col_name") === "Location")
-      .select("data_type").head().getString(0)
-    Bucketed.writeBucketedKeys(entries, tableName, loc,
-      Seq("tbl", "bucket"), numBuckets)
-    fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
-  }
+      numBuckets: Int): Unit =
+    Bucketed.compactTable(spark, tableName, Seq("tbl", "bucket"),
+      numBuckets)(identity)
 
   /** Multi-probe variant of [[annTopK]]: the query side probes its own
     * grid cell plus every single-coordinate ±1 neighbor

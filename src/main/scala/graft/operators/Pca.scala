@@ -60,13 +60,16 @@ object Pca {
     // (|x·y| ≤ ~400 ⇒ ~2×10¹⁰ rows per partition before overflow); the
     // cross-partition re-combine rides decimal(38,0).
     val partials = emb.select(col(vecCol).cast("array<double>"))
-      .as[Seq[Double]]
+      .as[Seq[Option[Double]]] // Option elements: a null element must fail
+      // with a diagnosable message, not the deserializer's generic one
       .mapPartitions { it =>
         var acc: Array[Long] = null
         var d = 0
         var n = 0L
-        it.foreach { v =>
-          if (v != null) {
+        it.foreach { vOpt =>
+          if (vOpt != null) {
+            val v = vOpt.map(_.getOrElse(throw new IllegalArgumentException(
+              "Pca.secondMoment: null embedding element — malformed vector")))
             if (acc == null) { d = v.length; acc = new Array[Long](d * (d + 1) / 2) }
             require(v.length == d,
               s"secondMoment: ragged vector (dim ${v.length} vs $d)")
@@ -176,7 +179,13 @@ object Pca {
     val mus = Array.tabulate(d)(j => means(j + 1).toDouble / 1e6)
     val sgs = Array.tabulate(d) { j =>
       val mu = mus(j)
-      math.sqrt(diag(j + 1).toDouble / 1e9 - mu * mu)
+      val sg = math.sqrt(diag(j + 1).toDouble / 1e9 - mu * mu)
+      // a near-constant dim can compute a slightly NEGATIVE variance from
+      // the rounded census → NaN sqrt; NaN compares HIGH in both engines,
+      // so a bare sg > 0 guard would take the branch — sanitize to the
+      // documented exactly-0 contribution here (the oracle carries an
+      // explicit isnan() guard for the same case)
+      if (sg.isNaN || sg <= 0.0) 0.0 else sg
     }
     val muArr = array(mus.map(lit(_)): _*)
     val sgArr = array(sgs.map(lit(_)): _*)

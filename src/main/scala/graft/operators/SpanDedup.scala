@@ -161,21 +161,9 @@ object SpanDedup {
     * one-row-per-hash property). The rewrite reads only the index (≪ the
     * corpus), never the documents. */
   def compactIndex(spark: SparkSession, table: IndexTable,
-      numBuckets: Int): Unit = {
-    // Materialize off the live table before overwriting it (a bucketed
-    // overwrite of its own scan would read-while-truncate), and carry the
-    // build's fingerprint across the rewrite — compaction changes layout,
-    // never identity.
-    val fp = graft.Layouts.readFingerprint(spark, table.counts)
-    val merged = spark.table(table.counts)
-      .groupBy(col("__gh")).agg(sum(col("__c")).as("__c"))
-      .localCheckpoint()
-    val loc = spark.sql(s"DESCRIBE FORMATTED ${table.counts}")
-      .filter(col("col_name") === "Location")
-      .select("data_type").head().getString(0)
-    Bucketed.writeBucketed(merged, table.counts, loc, "__gh", numBuckets)
-    fp.foreach(graft.Layouts.stampFingerprint(spark, table.counts, _))
-  }
+      numBuckets: Int): Unit =
+    Bucketed.compactTable(spark, table.counts, Seq("__gh"), numBuckets)(
+      _.groupBy(col("__gh")).agg(sum(col("__c")).as("__c")))
 
   /** Duplicated spans of DELTA documents against corpus ∪ delta, with the
     * corpus appearing ONLY through index probes: a delta window is

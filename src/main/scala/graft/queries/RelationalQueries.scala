@@ -270,9 +270,12 @@ object RelationalQueries extends graft.QueryModule {
     // expansion is O(items²) within an order, never across orders) and
     // lift = n·c(ab)/(c(a)·c(b)) stays a rounded integer division.
     "rel_basket_pairs" -> ((s, dir) => {
+      // localCheckpoint: four subtrees read this frame (both self-join
+      // legs, the per-part counts, the total) — without it each re-plans
+      // the lineitem scan + distinct shuffle (the Cdc.probeStore pattern)
       val items = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("__o"), col("l_partkey").as("__p"))
-        .distinct()
+        .distinct().localCheckpoint()
       val n = items.select(col("__o")).distinct()
         .agg(count(lit(1)).as("__n"))
       val pc = items.groupBy("__p").agg(count(lit(1)).as("__c"))

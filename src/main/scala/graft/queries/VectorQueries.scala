@@ -501,7 +501,7 @@ object VectorQueries extends graft.QueryModule {
          |  FROM st)
          |SELECT e.vec_id,
          |  CAST(list_sum(list_transform(generate_series(1, 64), j ->
-         |    CASE WHEN stl.sgs[j] > 0 THEN
+         |    CASE WHEN stl.sgs[j] > 0 AND NOT isnan(stl.sgs[j]) THEN
          |      j * ${graft.functions.ExactRound.eScaledSql(
                 "(CAST(e.embedding[j] AS DOUBLE) - stl.mus[j]) / stl.sgs[j]", 4)}
          |    ELSE 0 END)) AS BIGINT) AS z_checksum
