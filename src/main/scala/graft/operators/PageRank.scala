@@ -100,6 +100,54 @@ object PageRank {
     r
   }
 
+  /** Triangle census of a symmetric edge list — exact triangle count plus
+    * the global clustering coefficient, via DEGREE-ORDERED orientation
+    * (Schank & Wagner 2005; the standard distributed-triangle trick, e.g.
+    * Suri & Vassilvitskii WWW'11): each undirected edge is directed from
+    * its (degree, id)-smaller endpoint to the larger, so every node's
+    * out-degree is O(√m) regardless of hubs, and each triangle is counted
+    * exactly once at its order-minimum vertex. The wedge join therefore
+    * fans out per-node by the ORIENTED degree — a hub of in-degree 10⁶ in
+    * a 100 TB similarity graph contributes no quadratic wedge set; the
+    * closing-edge check is one keyed equi-join against the canonical edge
+    * list (never all-pairs). Output is ONE row of exact integers:
+    * (n_edges, n_wedges, n_triangles, global_cc_e6) with
+    * cc = roundDiv(3·10⁶·T, wedges) and wedges = Σ deg·(deg−1)/2. */
+  def triangleSummary(symEdges: DataFrame): DataFrame = {
+    // canonical undirected edges (a < b), one row per unordered pair
+    val und = symEdges.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b")).distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("__deg"))
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("__deg").as("__da")), "a")
+      .join(deg.select(col("id").as("b"), col("__deg").as("__db")), "b")
+    val aFirst = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"))
+    val wedgePairs = oriented.select(col("u"), col("v").as("x"))
+      .join(oriented.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+    val tri = wedgePairs
+      .join(und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedges = deg
+      .agg((sum(col("__deg") * (col("__deg") - 1)) / 2).cast("long")
+        .as("n_wedges"))
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(wedges)
+      .crossJoin(tri)
+      .withColumn("global_cc_e6",
+        when(col("n_wedges") === 0, lit(0L)).otherwise(
+          ExactRound.roundDiv(col("n_triangles") * lit(3000000L),
+            col("n_wedges"))))
+  }
+
   /** DuckDB twin of the whole computation: edges → degrees → `iters`
     * unrolled iterations, each the same roundDiv arithmetic. `corpusCte`
     * must define `c(idCol, vecCol)` with a DOUBLE[] vector. */

@@ -347,6 +347,18 @@ object VectorQueries extends graft.QueryModule {
         .withColumn("reciprocity_e6", graft.functions.ExactRound.roundDiv(
           col("n_reciprocal") * lit(1000000L), col("n_edges")))
     }),
+    // Triangle census of the symmetric kNN graph: exact triangle count +
+    // global clustering coefficient via degree-ordered orientation
+    // (PageRank.triangleSummary scaladoc) — the neighborhood-coherence
+    // statistic (high cc = tight semantic clusters, the SemDeDup regime;
+    // low cc = hub-and-spoke noise). Wedge fanout is bounded by the
+    // oriented degree, never a hub's full neighborhood; the oracle counts
+    // the same triangles by id-ordered 3-way join, which the orientation
+    // provably preserves.
+    "rank_knn_triangles" -> ((s, dir) => {
+      val edges = graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir))
+      graft.operators.PageRank.triangleSummary(edges)
+    }),
     // Per-dim whitening (standardize before quantization) pinned as ONE
     // exact integer per vector — μ/σ derive from the pinned integer census
     // by fixed single-IEEE-op sequences, so both engines carry identical
@@ -748,6 +760,28 @@ object VectorQueries extends graft.QueryModule {
          |  CAST(rec.nr AS BIGINT) AS n_reciprocal, mx.mi AS max_in_degree,
          |  ${graft.functions.ExactRound.roundDivSql("rec.nr * 1000000", "tot.ne")} AS reciprocity_e6
          |FROM nn, tot, rec, mx""".stripMargin,
+    "rank_knn_triangles" ->
+      s"""WITH $cCte,
+         |nd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
+         |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
+         |    FROM c a JOIN c b ON a.skill_id <> b.skill_id),
+         |e0 AS (SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM nd) WHERE rn <= $PrK),
+         |es AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |cnd AS (SELECT src AS a, dst AS b FROM es WHERE src < dst),
+         |deg AS (SELECT src AS id, count(*) AS dg FROM es GROUP BY 1),
+         |tri AS (SELECT count(*) AS t FROM cnd e1
+         |  JOIN cnd e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN cnd e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |wg AS (SELECT CAST(sum(dg * (dg - 1)) // 2 AS BIGINT) AS w FROM deg),
+         |ne AS (SELECT count(*) AS e FROM cnd)
+         |SELECT ne.e AS n_edges, wg.w AS n_wedges, CAST(tri.t AS BIGINT) AS n_triangles,
+         |  CASE WHEN wg.w = 0 THEN 0
+         |    ELSE ${graft.functions.ExactRound.roundDivSql("tri.t * 3000000", "wg.w")}
+         |  END AS global_cc_e6
+         |FROM ne, wg, tri""".stripMargin,
     "mine_hard_negatives" ->
       s"""WITH $cCte,
          |a AS (SELECT skill_id AS anchor_id, svec AS avec, label AS albl

@@ -329,4 +329,15 @@ class PlanSpec extends SparkSpec {
     assert(!census.contains("Join"),
       s"the pair expansion must be a per-row HOF, never a self-join:\n$census")
   }
+
+  test("triangle census wedges ride equi-joins — never a cross product") {
+    val plan = planOf("rank_knn_triangles").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge expansion must equi-join on the apex node:\n$plan")
+    // the only nested-loop joins allowed are the 1-row summary attaches
+    // (edge count × wedge count × triangle count cross of three 1-row aggs)
+    val nlj = plan.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+    assert(nlj <= 2, s"only the 1-row summary attaches may nested-loop ($nlj):\n$plan")
+  }
 }
