@@ -25,6 +25,7 @@ object TextQueries extends graft.QueryModule {
   private val BmK1 = 1.2        // BM25 tf saturation
   private val BmB = 0.75        // BM25 length normalization
   private val VocabV = 16       // top-V vocabulary (synthetic corpus has 31 distinct tokens)
+  private val BpeK = 6          // BPE merge rounds (vocab never exhausts pairs at any SF)
   private val EnWords = langWords.head._2
   // Chunk/pack geometry from the pipelines' shared source (Pipeline
   // .ChunkPack) so the stage queries, both composed pipelines, and every
@@ -166,6 +167,20 @@ object TextQueries extends graft.QueryModule {
             col("n_vocab").cast("decimal(38,0)") * col("__sxx") -
               col("__sx") * col("__sx"), 0, 6).as("zipf_slope"))
     }),
+    // Distributed BPE tokenizer training (Bpe scaladoc): the learned merge
+    // table — k rounds of exact weighted pair counting over the en
+    // word-frequency vocabulary, ties broken (count desc, pair asc). The
+    // oracle unrolls every round: per-round argmax AND the replace-applied
+    // vocabulary state must match bit-for-bit or the merge trajectory
+    // diverges visibly.
+    "text_bpe_merges" -> ((s, dir) => bpeMerges(s, dir)),
+    // Tokenizer applied back to the corpus: per-doc [a-z]+ token count and
+    // total post-merge symbol count — the compression dial. The merge list
+    // is a bounded driver fetch (k rows); the encode pass is ONE narrow
+    // scan with a fixed nested-replace expression, no joins.
+    "text_bpe_encode" -> ((s, dir) =>
+      graft.operators.Bpe.encodeCounts(Tables.documents(s, dir), "text",
+        "doc_id", bpeMerges(s, dir))),
     // Per-document distinctive keywords: top-3 tokens by tf/df, the exact
     // integer rational score_e6 = round(1e6·tf/df) — the tf·idf ranking
     // with the idf log dropped so NO double ever orders the window (the
@@ -550,6 +565,42 @@ object TextQueries extends graft.QueryModule {
     s"CAST(len(list_filter(toks, t -> t IN ${langIn(ws)})) AS BIGINT) AS ${lang}_hits"
   }.mkString(",\n  ")
 
+  /** The learned BPE merge table, memoized per (session, dir): both BPE
+    * queries share ONE training run (k bounded argmax jobs over the
+    * vocabulary — a keyed memo because each run embeds fresh
+    * localCheckpoint frames that defeat plan equality). */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"bpe:$dir")(
+      graft.operators.Bpe.learnMerges(Tables.documents(s, dir), "text", BpeK))
+
+  /** DuckDB twin of Bpe.learnMerges: word-freq head + every merge round
+    * unrolled (pair counts → argmax with the same tie-break → replace-
+    * applied vocabulary state). Ends with bm1..bm`k` (lhs l, rhs r, cnt)
+    * and bs`k` (final vocab state). The wrappers are the same /
+    * control chars embedded raw in the SQL text. */
+  private def bpeCtes(k: Int): String = {
+    val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)
+    val head =
+      s"""btok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents WHERE lang = 'en'),
+         |bwt AS (SELECT w, count(*) AS freq FROM btok
+         |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY 1),
+         |bs0 AS (SELECT regexp_replace(w, '(.)', '$wl\\1$wr', 'g') AS sym, freq FROM bwt)""".stripMargin
+    val rounds = (1 to k).map { t =>
+      s"""bp$t AS (SELECT unnest(list_transform(generate_series(1, len(a) - 1),
+         |    i -> a[i] || ' ' || a[i+1])) AS pair, freq
+         |  FROM (SELECT string_split(substr(sym, 2, length(sym) - 2), '$wr$wl') AS a, freq
+         |        FROM bs${t - 1}) WHERE len(a) >= 2),
+         |bb$t AS (SELECT pair, sum(freq) AS cnt FROM bp$t GROUP BY 1
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |bm$t AS (SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r, cnt FROM bb$t),
+         |bs$t AS (SELECT replace(sym, '$wl' || l || '$wr$wl' || r || '$wr',
+         |    '$wl' || l || r || '$wr') AS sym, freq
+         |  FROM bs${t - 1} CROSS JOIN bm$t)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   val oracles: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH $toksCte
@@ -661,6 +712,28 @@ object TextQueries extends graft.QueryModule {
               "sm.n * sm.sxy - sm.sx * sm.sy", 0,
               "sm.n * sm.sxx - sm.sx * sm.sx", 0, 6)} AS zipf_slope
          |FROM sm""".stripMargin,
+    "text_bpe_merges" -> {
+      val rows = (1 to BpeK).map(t =>
+        s"SELECT $t AS step, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM bm$t")
+      s"WITH ${bpeCtes(BpeK)}\n" + rows.mkString("\nUNION ALL ")
+    },
+    "text_bpe_encode" -> {
+      val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)
+      val enc = (1 to BpeK).foldLeft(
+        s"regexp_replace(w, '(.)', '$wl\\1$wr', 'g')") { (acc, t) =>
+        s"replace($acc, '$wl' || bm$t.l || '$wr$wl' || bm$t.r || '$wr', '$wl' || bm$t.l || bm$t.r || '$wr')"
+      }
+      val crosses = (1 to BpeK).map(t => s"CROSS JOIN bm$t").mkString(" ")
+      s"""WITH ${bpeCtes(BpeK)},
+         |dtok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents WHERE lang = 'en'),
+         |dwt AS (SELECT doc_id, w FROM dtok WHERE regexp_full_match(w, '[a-z]+')),
+         |denc AS (SELECT doc_id,
+         |    len(string_split(substr(sym, 2, length(sym) - 2), '$wr$wl')) AS ns
+         |  FROM (SELECT doc_id, $enc AS sym FROM dwt $crosses))
+         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(ns) AS BIGINT) AS n_symbols
+         |FROM denc GROUP BY 1""".stripMargin
+    },
     "text_keywords_tfidf" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
