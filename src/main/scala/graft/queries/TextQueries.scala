@@ -26,6 +26,7 @@ object TextQueries extends graft.QueryModule {
   private val BmB = 0.75        // BM25 length normalization
   private val VocabV = 16       // top-V vocabulary (synthetic corpus has 31 distinct tokens)
   private val BpeK = 6          // BPE merge rounds (vocab never exhausts pairs at any SF)
+  private val DomainCap = 10    // clean_domain_cap: max docs kept per source
   private val EnWords = langWords.head._2
   // Chunk/pack geometry from the pipelines' shared source (Pipeline
   // .ChunkPack) so the stage queries, both composed pipelines, and every
@@ -339,6 +340,61 @@ object TextQueries extends graft.QueryModule {
         .groupBy("source")
         .agg(max(col("__n")).cast("long").as("n_docs"),
           count(lit(1)).as("n_kept"),
+          min(col("__q")).as("floor_q_e6"),
+          sum(col("doc_id")).as("id_checksum"))
+    }),
+    // CCNet-style perplexity buckets (Wenzek et al. LREC 2020 §4.3): per
+    // language, rank docs by the corpus-LM score and split into
+    // head/middle/tail tertiles — the standard "keep head+middle, drop
+    // tail" quality gate. The LM is the same exact-integer unigram score
+    // text_unigram_logprob pins; ntile(3) over (score desc, doc_id) is
+    // deterministic and identically defined in both engines. Windows
+    // partition by lang, so sorts stay bounded per language at any scale.
+    "clean_ccnet_buckets" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val counts = tok.groupBy("t").agg(count(lit(1)).as("__c"))
+      val total = counts.agg(sum(col("__c")).as("__tot"))
+      val lp = tok.join(counts, "t").crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(log(col("__c").cast("double") / col("__tot")), 8).as("__lp"))
+        .groupBy("doc_id")
+        .agg(ExactRound.ratioRound6Int(
+          sum(ExactRound.eScaled(col("__lp"), 8).cast("decimal(38,0)")), 8,
+          count(lit(1))).as("__alp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("__alp").desc, col("doc_id"))
+      lp.join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast("long"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("__alp")).as("best_lp"),
+          min(col("__alp")).as("worst_lp"),
+          sum(col("doc_id")).as("id_checksum"))
+    }),
+    // Per-domain frequency cap (the C4/RefinedWeb "no domain dominates"
+    // rule): keep at most DomainCap docs per source, best-quality first
+    // (q_e6 desc, doc_id tie-break — the SAME integer score the scorecard
+    // and the floor pin). One bounded per-source window; the kept set,
+    // the cap arithmetic, and the dropped count are all exact integers.
+    "clean_domain_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("text"),
+          tokens(col("text")).as("__toks"))
+        .select(col("source"), col("doc_id"),
+          ExactRound.e6(qualityScoreFromTokens(col("text"), col("__toks")))
+            .cast("long").as("__q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("__q").desc, col("doc_id"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      docs.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .filter(col("__rn") <= DomainCap)
+        .groupBy("source")
+        .agg(max(col("__n")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_kept"),
+          (max(col("__n")) - count(lit(1))).cast("long").as("n_dropped"),
           min(col("__q")).as("floor_q_e6"),
           sum(col("doc_id")).as("id_checksum"))
     }),
@@ -827,6 +883,40 @@ object TextQueries extends graft.QueryModule {
          |k AS (SELECT * FROM r WHERE rn * 2 <= n + 1)
          |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
          |  count(*) AS n_kept,
+         |  CAST(min(q_e6) AS BIGINT) AS floor_q_e6,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM k GROUP BY 1""".stripMargin,
+    "clean_ccnet_buckets" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
+         |cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT sum(c) AS tot FROM cnt),
+         |lp AS (SELECT tok.doc_id,
+         |    round(ln(CAST(cnt.c AS DOUBLE) / tot.tot), 8) AS lp
+         |  FROM tok JOIN cnt USING (t) CROSS JOIN tot),
+         |alp AS (SELECT doc_id,
+         |    ${ExactRound.ratioRound6IntSql(
+                s"sum(${ExactRound.eScaledSql("lp", 8)})", 8, "count(*)")} AS alp
+         |  FROM lp GROUP BY 1),
+         |bkt AS (SELECT d.lang, a.doc_id, a.alp,
+         |    CAST(ntile(3) OVER (PARTITION BY d.lang ORDER BY a.alp DESC, a.doc_id) AS BIGINT) AS bucket
+         |  FROM alp a JOIN documents d USING (doc_id))
+         |SELECT lang, bucket, count(*) AS n_docs,
+         |  max(alp) AS best_lp,
+         |  min(alp) AS worst_lp,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM bkt GROUP BY 1, 2""".stripMargin,
+    "clean_domain_cap" ->
+      s"""WITH $toksCte,
+         |$srcQualityCte,
+         |r AS (SELECT source, doc_id, q_e6,
+         |    row_number() OVER (PARTITION BY source ORDER BY q_e6 DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM q),
+         |k AS (SELECT * FROM r WHERE rn <= $DomainCap)
+         |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+         |  count(*) AS n_kept,
+         |  CAST(max(n) - count(*) AS BIGINT) AS n_dropped,
          |  CAST(min(q_e6) AS BIGINT) AS floor_q_e6,
          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
          |FROM k GROUP BY 1""".stripMargin,
