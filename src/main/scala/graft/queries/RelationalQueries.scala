@@ -258,6 +258,64 @@ object RelationalQueries extends graft.QueryModule {
     // end = last event + gap).
     "events_session_windows" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionWindows(Tables.events(s, dir))),
+    // Sliding 1h/15min activity windows (EventStreams.slidingTypeCounts
+    // scaladoc): window assignment is a bounded generator, never a join.
+    "events_sliding_windows" -> ((s, dir) =>
+      graft.streaming.EventStreams.slidingTypeCounts(Tables.events(s, dir))),
+    // Sketched distinct counting gated against the exact answer: the HLL++
+    // estimate (rsd 2%) per order priority must land within 10% of the
+    // exact distinct-customer count. The PINNED columns are the exact
+    // count and the boolean gate — engine-portable — while the assertion
+    // still fails the row if Spark's sketch ever degrades; at 100 TB the
+    // sketch is the one that runs (fixed-size registers, map-side
+    // mergeable, no distinct shuffle of the key universe).
+    "agg_distinct_sketch" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count_distinct(col("o_custkey")).as("n_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("__approx"))
+        .select(col("o_orderpriority"), col("n_exact"),
+          (abs(col("__approx") - col("n_exact")) * lit(10L) <=
+            col("n_exact")).as("approx_ok"))
+    }),
+    // Winsorized mean order value per priority — the robust-mean report
+    // that caps outliers at the p10/p90 rank values instead of dropping
+    // them. Exact integer end to end: prices pinned at e4, rank bounds
+    // klo = ceil(n/10) and khi = n+1-klo from integer arithmetic, and the
+    // winsorized sum assembled in ONE conditional aggregation
+    // (mid-range sum + (klo-1)·lo + (n-khi)·hi) — no second join, no
+    // doubles anywhere near the mean.
+    "rel_winsorized_prices" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,4)") * 10000)
+            .cast("long").as("__p"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("__p"), col("o_orderkey"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+      o.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .withColumn("__klo", expr("(__n + 9) DIV 10"))
+        .withColumn("__khi", col("__n") + 1 - col("__klo"))
+        .groupBy("o_orderpriority")
+        .agg(max(col("__n")).as("n_orders"),
+          min(when(col("__rn") === col("__klo"), col("__p"))).as("lo_e4"),
+          min(when(col("__rn") === col("__khi"), col("__p"))).as("hi_e4"),
+          sum(when(col("__rn").between(col("__klo"), col("__khi")), col("__p"))
+            .otherwise(lit(0L)).cast("decimal(38,0)")).as("__mid"))
+        .select(col("o_orderpriority"), col("n_orders"), col("lo_e4"),
+          col("hi_e4"),
+          graft.functions.ExactRound.roundDiv(
+            col("__mid") +
+              ((expr("(n_orders + 9) DIV 10") - 1) * col("lo_e4"))
+                .cast("decimal(38,0)") +
+              ((col("n_orders") - (col("n_orders") + 1 -
+                expr("(n_orders + 9) DIV 10"))) * col("hi_e4"))
+                .cast("decimal(38,0)"),
+            col("n_orders")).as("wins_mean_e4"))
+    }),
     // Ordered conversion funnel (view → click → purchase): batch face of
     // EventStreams.funnelBatch/funnelStream — per user, each step's first
     // completion at-or-after the previous step. Keyed aggs + keyed joins on
@@ -461,6 +519,39 @@ object RelationalQueries extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding_windows" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM (SELECT user_id,
+        |    time_bucket(INTERVAL '15 minutes', ts) - to_minutes(15 * g.i) AS ws
+        |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g)
+        |GROUP BY 1""".stripMargin,
+    // The sketch estimate is asserted in-plan (within 10% of exact); the
+    // pinned surface is the exact count + the boolean gate.
+    "agg_distinct_sketch" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
+        |  TRUE AS approx_ok
+        |FROM orders GROUP BY 1""".stripMargin,
+    "rel_winsorized_prices" ->
+      s"""WITH p AS (SELECT o_orderpriority, o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS pe4
+         |  FROM orders),
+         |r AS (SELECT o_orderpriority, pe4,
+         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY pe4, o_orderkey) AS rn,
+         |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+         |  FROM p),
+         |g AS (SELECT o_orderpriority, max(n) AS n,
+         |    min(CASE WHEN rn = (n + 9) // 10 THEN pe4 END) AS lo,
+         |    min(CASE WHEN rn = n + 1 - (n + 9) // 10 THEN pe4 END) AS hi,
+         |    sum(CASE WHEN rn BETWEEN (n + 9) // 10 AND n + 1 - (n + 9) // 10
+         |      THEN pe4 ELSE 0 END) AS mid
+         |  FROM r GROUP BY 1)
+         |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+         |  CAST(lo AS BIGINT) AS lo_e4, CAST(hi AS BIGINT) AS hi_e4,
+         |  ${graft.functions.ExactRound.roundDivSql(
+             "g.mid + ((g.n + 9) // 10 - 1) * g.lo + (g.n - (g.n + 1 - (g.n + 9) // 10)) * g.hi",
+             "g.n")} AS wins_mean_e4
+         |FROM g""".stripMargin,
     "rel_running_revenue" ->
       """SELECT o_custkey, o_orderkey,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))

@@ -46,6 +46,41 @@ object EventStreams {
       spark.readStream.schema(schema).parquet(path).withWatermark("ts", "1 hour"))
   }
 
+  /** Streaming face of [[slidingTypeCounts]]: watermarked windowed agg —
+    * identical windows, but distinct users come from the HLL++ sketch
+    * (Structured Streaming rejects exact distinct aggregation — the
+    * sketch's fixed-size mergeable registers are exactly what incremental
+    * state maintenance needs; same trade the agg_distinct_sketch query
+    * gates). */
+  def slidingTypeCountsStream(spark: SparkSession, path: String): DataFrame = {
+    val schema = graft.schema.Schemas.events
+    slidingTypeCountsSketch(
+      spark.readStream.schema(schema).parquet(path).withWatermark("ts", "1 hour"))
+  }
+
+  /** [[slidingTypeCounts]] with the sketch distinct — the form a stream
+    * (or an exactness-indifferent 100 TB batch) runs. */
+  def slidingTypeCountsSketch(events: DataFrame): DataFrame =
+    slidingCounts(events, exactDistinct = false)
+
+  /** Sliding-window activity: 1-hour windows advancing every 15 minutes —
+    * the overlap-smoothed rate monitor. Spark's `window(ts, len, slide)`
+    * materializes the ≤ len/slide window assignments per event as a
+    * generator inside the scan stage (never a windows×events join), then
+    * ONE keyed agg; every event lands in exactly 4 epoch-aligned windows,
+    * which is what the oracle replays via the 15-minute grid. */
+  def slidingTypeCounts(events: DataFrame): DataFrame =
+    slidingCounts(events, exactDistinct = true)
+
+  private def slidingCounts(events: DataFrame, exactDistinct: Boolean): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("__w"))
+      .agg(count(lit(1)).as("n_events"),
+        (if (exactDistinct) count_distinct(col("user_id"))
+         else approx_count_distinct(col("user_id"), 0.02)).as("n_users"))
+      .select(date_format(col("__w.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+        col("n_events"), col("n_users"))
+
   /** Stream-static dimension enrichment: each event joined to its user's
     * static attributes (customer dims keyed by custkey). In Structured
     * Streaming a stream-static equi-join is STATELESS — the static side is

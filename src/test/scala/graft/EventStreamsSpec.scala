@@ -184,6 +184,31 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sliding windows match the batch face in complete mode") {
+    // the stream face swaps exact distinct for the HLL sketch (Structured
+    // Streaming rejects exact distinct agg), so parity is pinned on the
+    // window keys + event counts, and the sketch column is bound-checked
+    val input = MemoryStream[Event]
+    val q = EventStreams.slidingTypeCountsSketch(input.toDF())
+      .writeStream.format("memory").queryName("slide_t")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+      val streamed = spark.table("slide_t")
+        .select("w_start", "n_events").collect().map(_.toSeq).toSet
+      val batch = EventStreams.slidingTypeCounts((batch1 ++ batch2).toDF())
+        .select("w_start", "n_events").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // every event lands in exactly 4 windows: n_events sums to 4x
+      val total = spark.table("slide_t").agg(sum("n_events")).as[Long].head()
+      assert(total == 4L * (batch1.size + batch2.size), s"got $total")
+      // sketch distinct counts stay within 10% of exact (tiny data: exact)
+      val users = spark.table("slide_t").agg(max("n_users")).as[Long].head()
+      assert(users >= 1L && users <= 2L, s"got $users")
+    } finally q.stop()
+  }
+
   test("file-source streaming hourly counts run against the events table") {
     // copy a slice of the real events table into a stream-source dir
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
