@@ -56,10 +56,12 @@ object Bench {
     // rows time fusion, not the leg build. The rank_knn_* edge cache needs
     // no entry: its producer (rank_knn_degree_hist) is alphabetically
     // first in its family already.
+    // text_bpe_merges IS the BPE trainer whose memoized merge table
+    // text_bpe_encode (alphabetically first otherwise) consumes.
     val producers = Seq("embed_hash_tf", "join_bucketed_build",
       "dedup_jaccard_index_build", "dedup_jaccard_pairs", "lsh_index_build",
       "pq_index_build", "dedup_span_index_build", "select_dsir_sample",
-      "select_dsir_weights", "hybrid_bm25_topk")
+      "select_dsir_weights", "hybrid_bm25_topk", "text_bpe_merges")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val ordered = selected.filter(q => producers.contains(q._1)) ++

@@ -224,5 +224,16 @@ object Budgets {
     "embed_whiten_checksum" -> 1.5, // r9 sample 0.35
     "events_anomaly_days" -> 1.5, // r9 sample 0.58
     "rel_basket_pairs" -> 5.1, // r9 sample 2.05
+    "rank_knn_triangles" -> 2.4, // r10 sample 0.94 (edge build memo-shared)
+    "text_bpe_merges" -> 2.8, // r10 sample 1.11 (the trainer; producer for encode)
+    "text_bpe_encode" -> 1.5, // r10 sample 0.42
+    "clean_ccnet_buckets" -> 5.0, // r10 sample 2.00
+    "clean_domain_cap" -> 1.5, // r10 sample 0.56
+    "events_sliding_windows" -> 1.5, // r10 sample 0.27
+    "agg_distinct_sketch" -> 1.5, // r10 sample 0.23
+    "rel_winsorized_prices" -> 1.5, // r10 sample 0.21
+    "events_transition_matrix" -> 2.2, // r10 sample 0.86
+    "events_rfm_segments" -> 2.2, // r10 sample 0.86
+    "pipeline_tokenizer_train" -> 1.6, // r10 sample 0.61 (merges memo-shared)
   )
 }

@@ -443,6 +443,58 @@ object RelationalQueries extends graft.QueryModule {
             sum(col("__t").cast("decimal(38,0)")),
             expr("shiftleft(1L, CAST(max(__a) AS INT))")).as("decayed_e4"))
     }),
+    // First-order Markov transition matrix over event types: per user,
+    // consecutive-event pairs by (ts, event_id) order, then exact
+    // transition counts and row-normalized probabilities (e6 integers).
+    // The lead window partitions by user — sorts bounded per user — and
+    // the normalizing window partitions by from_type (≤ |event types|
+    // rows after the agg): the behavioral model a funnel generalizes.
+    "events_transition_matrix" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("from_type"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("__next", lead(col("event_type"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_e6", graft.functions.ExactRound.roundDiv(
+          col("n") * lit(1000000L), sum(col("n")).over(wf)))
+    }),
+    // RFM segmentation (recency / frequency / monetary tertiles): the
+    // classic customer-value grid. Exact integers end to end — recency in
+    // whole days vs the corpus max date, monetary at e4 — and each
+    // dimension's ntile(3) orders by (metric, user_id), deterministic at
+    // every boundary. The global ntile windows sort the USER table, which
+    // is ≪ events (the vocab-window bound every global rank here leans
+    // on); output is the 27-cell segment census, not per-user rows.
+    "events_rfm_segments" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ref = ev.agg(max(to_date(col("ts"))).as("__ref"))
+      val byUser = ev
+        .select(col("user_id"), to_date(col("ts")).as("__d"),
+          when(col("event_type") === "purchase",
+            graft.functions.ExactRound.eScaled(col("value"), 4).cast("long"))
+            .otherwise(lit(0L)).as("__v4"))
+        .groupBy("user_id")
+        .agg(max(col("__d")).as("__last"), count(lit(1)).as("__f"),
+          sum(col("__v4")).as("__m"))
+        .crossJoin(broadcast(ref))
+        .select(col("user_id"), datediff(col("__ref"), col("__last"))
+          .cast("long").as("__rec"), col("__f"), col("__m"))
+      import org.apache.spark.sql.expressions.Window
+      val seg = byUser
+        .withColumn("r_seg", ntile(3).over(
+          Window.orderBy(col("__rec"), col("user_id"))).cast("long"))
+        .withColumn("f_seg", ntile(3).over(
+          Window.orderBy(col("__f").desc, col("user_id"))).cast("long"))
+        .withColumn("m_seg", ntile(3).over(
+          Window.orderBy(col("__m").desc, col("user_id"))).cast("long"))
+      seg.groupBy("r_seg", "f_seg", "m_seg")
+        .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("id_checksum"))
+    }),
     // Cohort retention: users grouped by first-seen day; n distinct users
     // active at each day offset. Two keyed shuffles (per-user first day,
     // then (cohort, offset) counts) — the standard product-analytics grid.
@@ -519,6 +571,30 @@ object RelationalQueries extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_transition_matrix" ->
+      s"""WITH nx AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n,
+         |  ${graft.functions.ExactRound.roundDivSql(
+             "n * 1000000", "sum(n) OVER (PARTITION BY from_type)")} AS p_e6
+         |FROM c""".stripMargin,
+    "events_rfm_segments" ->
+      s"""WITH ref AS (SELECT max(CAST(ts AS DATE)) AS r FROM events),
+        |u AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_d, count(*) AS f,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |      THEN ${graft.functions.ExactRound.eScaledSql("value", 4)} ELSE 0 END) AS m
+        |  FROM events GROUP BY 1),
+        |seg AS (SELECT user_id,
+        |    CAST(ntile(3) OVER (ORDER BY datediff('day', last_d, ref.r), user_id) AS BIGINT) AS r_seg,
+        |    CAST(ntile(3) OVER (ORDER BY f DESC, user_id) AS BIGINT) AS f_seg,
+        |    CAST(ntile(3) OVER (ORDER BY m DESC, user_id) AS BIGINT) AS m_seg
+        |  FROM u CROSS JOIN ref)
+        |SELECT r_seg, f_seg, m_seg, count(*) AS n_users,
+        |  CAST(sum(user_id) AS BIGINT) AS id_checksum
+        |FROM seg GROUP BY 1, 2, 3""".stripMargin,
     "events_sliding_windows" ->
       """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start,
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users

@@ -182,6 +182,25 @@ object TextQueries extends graft.QueryModule {
     "text_bpe_encode" -> ((s, dir) =>
       graft.operators.Bpe.encodeCounts(Tables.documents(s, dir), "text",
         "doc_id", bpeMerges(s, dir))),
+    // Tokenizer-training pipeline card (one-row composition pin, the
+    // pipeline_* pattern): train → encode → report. Pins the merge count,
+    // the vocabulary geometry, and the corpus compression dial
+    // (symbols/chars) in exact integers — if any stage of the BPE story
+    // drifts, this row turns red even when the stage queries still pass
+    // their own pins.
+    "pipeline_tokenizer_train" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = bpeMerges(s, dir)
+      val wf = graft.operators.Bpe.wordFreq(docs, "text")
+      val enc = graft.operators.Bpe.encodeCounts(docs, "text", "doc_id", merges)
+      merges.agg(count(lit(1)).as("n_merges"))
+        .crossJoin(wf.agg(count(lit(1)).as("vocab_words"),
+          sum(col("freq")).as("total_tokens"),
+          sum(col("freq") * length(col("w"))).as("total_chars")))
+        .crossJoin(enc.agg(sum(col("n_symbols")).as("total_symbols")))
+        .withColumn("compression_e6", ExactRound.roundDiv(
+          col("total_symbols") * lit(1000000L), col("total_chars")))
+    }),
     // Per-document distinctive keywords: top-3 tokens by tf/df, the exact
     // integer rational score_e6 = round(1e6·tf/df) — the tf·idf ranking
     // with the idf log dropped so NO double ever orders the window (the
@@ -789,6 +808,31 @@ object TextQueries extends graft.QueryModule {
          |  FROM (SELECT doc_id, $enc AS sym FROM dwt $crosses))
          |SELECT doc_id, count(*) AS n_tokens, CAST(sum(ns) AS BIGINT) AS n_symbols
          |FROM denc GROUP BY 1""".stripMargin
+    },
+    "pipeline_tokenizer_train" -> {
+      val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)
+      val enc = (1 to BpeK).foldLeft(
+        s"regexp_replace(w, '(.)', '$wl\\1$wr', 'g')") { (acc, t) =>
+        s"replace($acc, '$wl' || bm$t.l || '$wr$wl' || bm$t.r || '$wr', '$wl' || bm$t.l || bm$t.r || '$wr')"
+      }
+      val crosses = (1 to BpeK).map(t => s"CROSS JOIN bm$t").mkString(" ")
+      val mgAll = (1 to BpeK).map(t => s"SELECT l FROM bm$t")
+        .mkString(" UNION ALL ")
+      s"""WITH ${bpeCtes(BpeK)},
+         |dwt AS (SELECT w FROM btok WHERE regexp_full_match(w, '[a-z]+')),
+         |denc AS (SELECT
+         |    len(string_split(substr(sym, 2, length(sym) - 2), '$wr$wl')) AS ns
+         |  FROM (SELECT $enc AS sym FROM dwt $crosses)),
+         |c1 AS (SELECT count(*) AS n_merges FROM ($mgAll)),
+         |c2 AS (SELECT count(*) AS vocab_words,
+         |    CAST(sum(freq) AS BIGINT) AS total_tokens,
+         |    CAST(sum(freq * length(w)) AS BIGINT) AS total_chars FROM bwt),
+         |c3 AS (SELECT CAST(sum(ns) AS BIGINT) AS total_symbols FROM denc)
+         |SELECT c1.n_merges, c2.vocab_words, c2.total_tokens, c2.total_chars,
+         |  c3.total_symbols,
+         |  ${graft.functions.ExactRound.roundDivSql(
+             "c3.total_symbols * 1000000", "c2.total_chars")} AS compression_e6
+         |FROM c1, c2, c3""".stripMargin
     },
     "text_keywords_tfidf" ->
       s"""WITH $toksCte,
