@@ -235,5 +235,7 @@ object Budgets {
     "events_transition_matrix" -> 2.2, // r10 sample 0.86
     "events_rfm_segments" -> 2.2, // r10 sample 0.86
     "pipeline_tokenizer_train" -> 1.6, // r10 sample 0.61 (merges memo-shared)
+    "text_cms_heavyhitters" -> 2.1, // r10 sample 0.82
+    "agg_quantile_sketch" -> 1.6, // r10 sample 0.64
   )
 }

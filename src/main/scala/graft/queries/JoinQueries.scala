@@ -157,6 +157,39 @@ object JoinQueries extends graft.QueryModule {
           round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2)
             .as("revenue"))
     }),
+    // Quantile sketch gated against the exact rank median: the GK summary
+    // (percentile_approx) is the one-pass bounded-memory quantile engine a
+    // 100 TB scan runs; its worst-case rank-error guarantee (n/accuracy)
+    // holds for ANY merge order, so the gate — the approx value's true
+    // in-group rank within the guaranteed envelope of the target rank —
+    // is deterministic even though the estimate itself may shift with
+    // partitioning. Pinned surface: exact e4 lower-median + the gate.
+    "agg_quantile_sketch" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          (col("c_acctbal").cast("decimal(18,4)") * 10000)
+            .cast("long").as("__v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment").orderBy(col("__v"), col("c_custkey"))
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_mktsegment")
+      val med = c.withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .groupBy("c_mktsegment")
+        .agg(max(col("__n")).as("n_rows"),
+          min(when(col("__rn") === expr("(__n + 1) DIV 2"), col("__v")))
+            .as("median_e4"),
+          expr("percentile_approx(__v, 0.5D, 1000)").as("__apx"))
+      val ranked = c
+        .join(med.select(col("c_mktsegment"), col("__apx")), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(sum(when(col("__v") <= col("__apx"), lit(1L)).otherwise(lit(0L)))
+          .as("__r"))
+      med.join(ranked, "c_mktsegment")
+        .select(col("c_mktsegment"), col("n_rows"), col("median_e4"),
+          (abs(col("__r") - expr("(n_rows + 1) DIV 2")) <=
+            expr("n_rows DIV 1000") + 2).as("approx_ok"))
+    }),
     // Exact interpolated percentiles per group (sort-based, deterministic).
     "agg_price_quantiles" -> ((s, dir) => {
       Tables.customer(s, dir)
@@ -234,5 +267,19 @@ object JoinQueries extends graft.QueryModule {
         |  round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.25), 4) AS p25,
         |  round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 4) AS p50,
         |  round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.75), 4) AS p75
-        |FROM customer GROUP BY 1""".stripMargin)
+        |FROM customer GROUP BY 1""".stripMargin,
+    // The sketch is asserted in-plan (true rank of the estimate within the
+    // GK guarantee envelope); pinned surface = exact lower-median + gate.
+    "agg_quantile_sketch" ->
+      """WITH v AS (SELECT c_mktsegment, c_custkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT) AS ve4
+        |  FROM customer),
+        |r AS (SELECT c_mktsegment, ve4,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY ve4, c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM v)
+        |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n_rows,
+        |  CAST(min(CASE WHEN rn = (n + 1) // 2 THEN ve4 END) AS BIGINT) AS median_e4,
+        |  TRUE AS approx_ok
+        |FROM r GROUP BY 1""".stripMargin)
 }

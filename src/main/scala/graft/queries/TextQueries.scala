@@ -182,6 +182,31 @@ object TextQueries extends graft.QueryModule {
     "text_bpe_encode" -> ((s, dir) =>
       graft.operators.Bpe.encodeCounts(Tables.documents(s, dir), "text",
         "doc_id", bpeMerges(s, dir))),
+    // Count-min-sketch heavy hitters gated against the exact top-20: the
+    // fixed-size mergeable frequency sketch (Cormode & Muthukrishnan 2005)
+    // every streaming/one-pass frequency monitor runs at 100 TB, checked
+    // here against the exact keyed agg. CMS merge is element-wise counter
+    // addition — partition-order independent — and the seed is pinned, so
+    // the estimate is deterministic per corpus; the pinned columns are the
+    // exact counts + the one-sided-error gate (est ≥ exact always, and
+    // within the eps·N overcount envelope), so a degraded sketch turns
+    // the row red. The sketch and the top-20 fetch are both bounded
+    // driver objects (like the IVF centroid fetch).
+    "text_cms_heavyhitters" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("t"))
+      val eps = 0.001
+      val sketch = tok.stat.countMinSketch(col("t"), eps, 0.99, 42)
+      val top = tok.groupBy("t").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t")).limit(20).collect()
+      val n = sketch.totalCount() // exact stream length, carried by the sketch
+      top.toSeq.map { r =>
+        val est = sketch.estimateCount(r.getString(0))
+        (r.getString(0), r.getLong(1),
+          est >= r.getLong(1) && est <= r.getLong(1) + (eps * n).toLong + 1)
+      }.toDF("t", "n", "sketch_ok")
+    }),
     // Tokenizer-training pipeline card (one-row composition pin, the
     // pipeline_* pattern): train → encode → report. Pins the merge count,
     // the vocabulary geometry, and the corpus compression dial
@@ -809,6 +834,11 @@ object TextQueries extends graft.QueryModule {
          |SELECT doc_id, count(*) AS n_tokens, CAST(sum(ns) AS BIGINT) AS n_symbols
          |FROM denc GROUP BY 1""".stripMargin
     },
+    "text_cms_heavyhitters" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT unnest(toks) AS t FROM tokd)
+         |SELECT t, count(*) AS n, TRUE AS sketch_ok
+         |FROM tok GROUP BY 1 ORDER BY n DESC, t LIMIT 20""".stripMargin,
     "pipeline_tokenizer_train" -> {
       val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)
       val enc = (1 to BpeK).foldLeft(
