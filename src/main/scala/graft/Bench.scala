@@ -58,10 +58,15 @@ object Bench {
     // first in its family already.
     // text_bpe_merges IS the BPE trainer whose memoized merge table
     // text_bpe_encode (alphabetically first otherwise) consumes.
+    // rank_knn_degree_hist became an explicit producer when the graph-ANN
+    // rows landed: eval_graph_recall sorts before it alphabetically and
+    // would otherwise absorb the one-time O(n²) kNN edge build its walk
+    // probes.
     val producers = Seq("embed_hash_tf", "join_bucketed_build",
       "dedup_jaccard_index_build", "dedup_jaccard_pairs", "lsh_index_build",
       "pq_index_build", "dedup_span_index_build", "select_dsir_sample",
-      "select_dsir_weights", "hybrid_bm25_topk", "text_bpe_merges")
+      "select_dsir_weights", "hybrid_bm25_topk", "text_bpe_merges",
+      "rank_knn_degree_hist")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val ordered = selected.filter(q => producers.contains(q._1)) ++

@@ -237,5 +237,8 @@ object Budgets {
     "pipeline_tokenizer_train" -> 1.6, // r10 sample 0.61 (merges memo-shared)
     "text_cms_heavyhitters" -> 2.1, // r10 sample 0.82
     "agg_quantile_sketch" -> 1.6, // r10 sample 0.64
+    "eval_graph_recall" -> 19.3, // r10 sample 7.7 (absorbs the 6-hop walk; edge build in the producer)
+    "knn_graph_topk" -> 1.5, // r10 sample 0.31 (walk memo-shared)
+    "events_top_paths" -> 3.8, // r10 sample 1.51
   )
 }

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{Cosine, Metric}
+
+/** Graph-based ANN: greedy BEAM SEARCH over a precomputed similarity graph
+  * — the navigable-small-world retrieval family (Malkov & Yashunin's HNSW
+  * is the hierarchical refinement; this is the flat NSW walk), rebuilt on
+  * the kNN edge list the graph-census queries already maintain.
+  *
+  * Search state is two keyed frames — frontier and visited, both
+  * (query, node) — advanced a fixed number of hops:
+  *
+  *   frontier ⋈ edges → candidate neighbors (keyed equi-join on the node)
+  *   minus visited (keyed anti-join)
+  *   score vs the broadcast query vectors, keep the best `beam` per query
+  *   (bounded per-query window), fold into visited.
+  *
+  * Per hop that is O(|frontier|·avg-degree) keyed work — never a corpus
+  * scan: at 100 TB the vectors are probed by id (the vector table join
+  * prunes to the candidate ids), the walk touches hops·beam·degree nodes
+  * per query, and the graph itself is the one big artifact — maintained
+  * incrementally like the other stored indexes. Everything is
+  * deterministic (distance ties break by node id; fixed entry point =
+  * min corpus id), so the DuckDB oracle replays the walk hop for hop.
+  * Frames are `localCheckpoint`ed per hop like the CC loops.
+  */
+object GraphSearch {
+
+  /** Beam search `queries` against `corpus` over symmetric `edges`
+    * (src, dst). Output: (qId, cId, rank, dist) — top-`k` of the VISITED
+    * set by exact metric distance, rank 1..k. */
+  def beamSearch(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String, edges: DataFrame,
+      hops: Int, beam: Int, k: Int, metric: Metric = Cosine): DataFrame = {
+    require(hops >= 1 && beam >= 1 && k >= 1)
+    val q = broadcast(queries.select(col(qId).as("__qid"),
+      col(qVec).as("__qv")))
+    val vecs = corpus.select(col(cId).cast("long").as("__vid"),
+      col(cVec).as("__cv"))
+    val e = edges.select(col("src").cast("long").as("__node"),
+      col("dst").cast("long").as("__dst"))
+    val entry = corpus.agg(min(col(cId)).cast("long").as("__node"))
+    var visited = q.select(col("__qid")).crossJoin(broadcast(entry))
+      .localCheckpoint()
+    var frontier = visited
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("__d"), col("__node"))
+    for (_ <- 1 to hops) {
+      val cand = frontier.join(e, "__node")
+        .select(col("__qid"), col("__dst").as("__node")).distinct()
+        .join(visited, Seq("__qid", "__node"), "left_anti")
+      val scored = cand
+        .join(vecs, col("__node") === col("__vid"))
+        .join(q, "__qid")
+        .select(col("__qid"), col("__node"),
+          metric.dist(col("__qv"), col("__cv")).as("__d"))
+      // the walk state is hops·beam·|Q| rows — coalesce(1) before each
+      // checkpoint so the per-hop jobs don't pay 32-partition scheduling
+      // for a few hundred rows (the frames are bounded by construction)
+      frontier = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= beam).select("__qid", "__node")
+        .coalesce(1).localCheckpoint()
+      visited = visited.unionAll(frontier).coalesce(1).localCheckpoint()
+    }
+    val cands = visited
+      .join(vecs, col("__node") === col("__vid"))
+      .join(q, "__qid")
+      .select(col("__qid").as(qId),
+        metric.dist(col("__qv"), col("__cv")).as("dist"),
+        col("__node").as("__cid"))
+    KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
+  }
+
+  /** DuckDB twin: the walk unrolled hop for hop. `qCte`/`cCte` must define
+    * q(job_id, qvec) and c(skill_id, svec) with DOUBLE[] vectors; the edge
+    * CTEs mirror PageRank.directedKnnEdges + symmetrize at degree `gk`.
+    * Ends in gtop(job_id, skill_id, rank, dist-unrounded). */
+  def beamSearchCtes(qCte: String, cCte: String, gk: Int, hops: Int,
+      beam: Int, k: Int): String = {
+    val head =
+      s"""$qCte, $cCte,
+         |nd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
+         |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
+         |    FROM c a JOIN c b ON a.skill_id <> b.skill_id),
+         |e0 AS (SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+         |    FROM nd) WHERE rn <= $gk),
+         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |en AS (SELECT min(skill_id) AS node FROM c),
+         |v0 AS (SELECT q.job_id, en.node FROM q CROSS JOIN en),
+         |f0 AS (SELECT * FROM v0)""".stripMargin
+    val hopCtes = (1 to hops).map { t =>
+      s"""c$t AS MATERIALIZED (SELECT DISTINCT f${t - 1}.job_id, es.dst AS node
+         |  FROM f${t - 1} JOIN es ON es.src = f${t - 1}.node),
+         |a$t AS (SELECT cc.job_id, cc.node FROM c$t cc
+         |  LEFT JOIN v${t - 1} v ON v.job_id = cc.job_id AND v.node = cc.node
+         |  WHERE v.node IS NULL),
+         |s$t AS (SELECT a.job_id, a.node,
+         |    1.0 - list_cosine_similarity(q.qvec, cv.svec) AS d
+         |  FROM a$t a JOIN q ON q.job_id = a.job_id
+         |  JOIN c cv ON cv.skill_id = a.node),
+         |f$t AS MATERIALIZED (SELECT job_id, node FROM (
+         |    SELECT job_id, node,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY d, node) AS rn
+         |    FROM s$t) WHERE rn <= $beam),
+         |v$t AS MATERIALIZED (SELECT * FROM v${t - 1} UNION ALL SELECT * FROM f$t)""".stripMargin
+    }
+    val tail =
+      s"""gsc AS (SELECT v.job_id, v.node AS skill_id,
+         |    1.0 - list_cosine_similarity(q.qvec, cv.svec) AS dist
+         |  FROM v$hops v JOIN q ON q.job_id = v.job_id
+         |  JOIN c cv ON cv.skill_id = v.node),
+         |gtop AS (SELECT job_id, skill_id, CAST(rn AS BIGINT) AS rank, dist
+         |  FROM (SELECT job_id, skill_id, dist,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
+         |    FROM gsc) WHERE rn <= $k)""".stripMargin
+    (Seq(head) ++ hopCtes :+ tail).mkString(",\n")
+  }
+}

@@ -443,6 +443,25 @@ object RelationalQueries extends graft.QueryModule {
             sum(col("__t").cast("decimal(38,0)")),
             expr("shiftleft(1L, CAST(max(__a) AS INT))")).as("decayed_e4"))
     }),
+    // Top session paths: each session's ordered event-type sequence as one
+    // string (the path-analysis report behind every funnel tool), counted
+    // corpus-wide, top-10 by (count desc, path). The per-session fold is a
+    // sort_array over collect_list — bounded by session length, grouped on
+    // (user, session) so nothing global sorts; ordering inside the path is
+    // (ts, event_id), the same tie rule sessionization pins.
+    "events_top_paths" -> ((s, dir) => {
+      val sess = graft.streaming.EventStreams.sessionizeBatch(
+        Tables.events(s, dir))
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "ts")
+      sess.join(ev, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
     // First-order Markov transition matrix over event types: per user,
     // consecutive-event pairs by (ts, event_id) order, then exact
     // transition counts and row-normalized probabilities (e6 integers).
@@ -571,6 +590,21 @@ object RelationalQueries extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_top_paths" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |sess AS (SELECT user_id, event_id, ts, event_type,
+        |    sum(CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM o),
+        |paths AS (SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*) AS n FROM paths
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "events_transition_matrix" ->
       s"""WITH nx AS (SELECT event_type AS from_type,
          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
