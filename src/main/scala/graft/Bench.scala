@@ -53,23 +53,25 @@ object Bench {
     // row (34.8 s vs its 21 s budget in the r6 driver record).
     // hybrid_bm25_topk IS the BM25 leg the two fusion queries consume
     // (Caches-shared at the leg level) — running it first makes the fusion
-    // rows time fusion, not the leg build. The rank_knn_* edge cache needs
-    // no entry: its producer (rank_knn_degree_hist) is alphabetically
-    // first in its family already.
+    // rows time fusion, not the leg build.
     // text_bpe_merges IS the BPE trainer whose memoized merge table
     // text_bpe_encode (alphabetically first otherwise) consumes.
-    // rank_knn_degree_hist became an explicit producer when the graph-ANN
-    // rows landed: eval_graph_recall sorts before it alphabetically and
-    // would otherwise absorb the one-time O(n²) kNN edge build its walk
-    // probes.
+    // rank_knn_degree_hist (edge build) then eval_graph_recall (walk
+    // build) became explicit producers when the graph-ANN rows landed:
+    // eval_graph_recall sorts before the edge producer alphabetically and
+    // would otherwise absorb the one-time O(n²) edge build its walk
+    // probes; knn_graph_topk then times ranking only.
     val producers = Seq("embed_hash_tf", "join_bucketed_build",
       "dedup_jaccard_index_build", "dedup_jaccard_pairs", "lsh_index_build",
       "pq_index_build", "dedup_span_index_build", "select_dsir_sample",
       "select_dsir_weights", "hybrid_bm25_topk", "text_bpe_merges",
-      "rank_knn_degree_hist")
+      "rank_knn_degree_hist", "eval_graph_recall")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val ordered = selected.filter(q => producers.contains(q._1)) ++
+    // Producers run in DECLARED order (not alphabetical): chains like
+    // rank_knn_degree_hist (edge build) → eval_graph_recall (walk build)
+    // depend on it.
+    val ordered = producers.flatMap(p => selected.find(_._1 == p)) ++
       selected.filterNot(q => producers.contains(q._1))
     // Machine calibration: a fixed synthetic CPU+shuffle workload (no IO,
     // no data dependence) timed on THIS box right before the measured pass.

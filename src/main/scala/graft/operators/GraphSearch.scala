@@ -81,13 +81,7 @@ object GraphSearch {
       beam: Int, k: Int): String = {
     val head =
       s"""$qCte, $cCte,
-         |nd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
-         |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
-         |    FROM c a JOIN c b ON a.skill_id <> b.skill_id),
-         |e0 AS (SELECT src, dst FROM (
-         |    SELECT src, dst,
-         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-         |    FROM nd) WHERE rn <= $gk),
+         |${PageRank.edgeCtesSql("skill_id", "svec", gk)},
          |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
          |en AS (SELECT min(skill_id) AS node FROM c),
          |v0 AS (SELECT q.job_id, en.node FROM q CROSS JOIN en),

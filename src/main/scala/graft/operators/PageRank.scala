@@ -137,8 +137,7 @@ object PageRank {
         "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val wedges = deg
-      .agg((sum(col("__deg") * (col("__deg") - 1)) / 2).cast("long")
-        .as("n_wedges"))
+      .agg(expr("sum(__deg * (__deg - 1)) DIV 2").as("n_wedges"))
     und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wedges)
       .crossJoin(tri)
@@ -147,6 +146,19 @@ object PageRank {
           ExactRound.roundDiv(col("n_triangles") * lit(3000000L),
             col("n_wedges"))))
   }
+
+  /** SQL mirror of [[directedKnnEdges]] (cosine, ties (dist, dst)): CTE
+    * block ending in e0(src, dst) — the ONE copy every edge-consuming
+    * oracle interpolates, so the metric/tie-break can't drift per oracle.
+    * Requires a CTE `c(idCol, vecCol)` with DOUBLE[] vectors. */
+  def edgeCtesSql(idCol: String, vecCol: String, k: Int): String =
+    s"""nd AS (SELECT a.$idCol AS src, b.$idCol AS dst,
+       |      1.0 - list_cosine_similarity(a.$vecCol, b.$vecCol) AS dist
+       |    FROM c a JOIN c b ON a.$idCol <> b.$idCol),
+       |e0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+       |    FROM nd) WHERE rn <= $k)""".stripMargin
 
   /** DuckDB twin of the whole computation: edges → degrees → `iters`
     * unrolled iterations, each the same roundDiv arithmetic. `corpusCte`
@@ -157,13 +169,7 @@ object PageRank {
     val rd = ExactRound.roundDivSql _
     val head =
       s"""WITH $corpusCte,
-         |nd AS (SELECT a.$idCol AS src, b.$idCol AS dst,
-         |        1.0 - list_cosine_similarity(a.$vecCol, b.$vecCol) AS dist
-         |      FROM c a JOIN c b ON a.$idCol <> b.$idCol),
-         |e0 AS (SELECT src, dst FROM (
-         |    SELECT src, dst,
-         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-         |    FROM nd) WHERE rn <= $k),
+         |${edgeCtesSql(idCol, vecCol, k)},
          |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
          |nn AS (SELECT count(*) AS n FROM deg),

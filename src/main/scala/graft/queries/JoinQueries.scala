@@ -180,15 +180,25 @@ object JoinQueries extends graft.QueryModule {
           min(when(col("__rn") === expr("(__n + 1) DIV 2"), col("__v")))
             .as("median_e4"),
           expr("percentile_approx(__v, 0.5D, 1000)").as("__apx"))
+        .localCheckpoint() // med feeds two consumers: evaluate the scan +
+                           // windows + sketch once, and pin ONE __apx
+      // The returned element's RANK INTERVAL is [count(<)+1, count(<=)] —
+      // with duplicated values the max-rank alone can exceed the envelope
+      // on a healthy sketch (a tie run longer than the slack), so the gate
+      // checks the INTERVAL intersects [target - eps, target + eps].
       val ranked = c
         .join(med.select(col("c_mktsegment"), col("__apx")), "c_mktsegment")
         .groupBy("c_mktsegment")
-        .agg(sum(when(col("__v") <= col("__apx"), lit(1L)).otherwise(lit(0L)))
-          .as("__r"))
+        .agg(sum(when(col("__v") < col("__apx"), lit(1L)).otherwise(lit(0L)))
+            .as("__rlt"),
+          sum(when(col("__v") <= col("__apx"), lit(1L)).otherwise(lit(0L)))
+            .as("__rle"))
       med.join(ranked, "c_mktsegment")
         .select(col("c_mktsegment"), col("n_rows"), col("median_e4"),
-          (abs(col("__r") - expr("(n_rows + 1) DIV 2")) <=
-            expr("n_rows DIV 1000") + 2).as("approx_ok"))
+          (col("__rlt") + 1 <= expr("(n_rows + 1) DIV 2") +
+            expr("n_rows DIV 1000") + 2 &&
+           col("__rle") >= expr("(n_rows + 1) DIV 2") -
+            expr("n_rows DIV 1000") - 2).as("approx_ok"))
     }),
     // Exact interpolated percentiles per group (sort-based, deterministic).
     "agg_price_quantiles" -> ((s, dir) => {

@@ -450,10 +450,7 @@ object RelationalQueries extends graft.QueryModule {
     // (user, session) so nothing global sorts; ordering inside the path is
     // (ts, event_id), the same tie rule sessionization pins.
     "events_top_paths" -> ((s, dir) => {
-      val sess = graft.streaming.EventStreams.sessionizeBatch(
-        Tables.events(s, dir))
-      val ev = Tables.events(s, dir).select("event_id", "event_type", "ts")
-      sess.join(ev, "event_id")
+      graft.streaming.EventStreams.sessionAssignments(Tables.events(s, dir))
         .groupBy("user_id", "session_id")
         .agg(array_join(transform(
           sort_array(collect_list(struct(col("ts"), col("event_id"),

@@ -676,13 +676,19 @@ object TextQueries extends graft.QueryModule {
   /** DuckDB twin of Bpe.learnMerges: word-freq head + every merge round
     * unrolled (pair counts → argmax with the same tie-break → replace-
     * applied vocabulary state). Ends with bm1..bm`k` (lhs l, rhs r, cnt)
-    * and bs`k` (final vocab state). The wrappers are the same /
+    * and bs`k` (final vocab state). A round with no remaining pair emits
+    * a no-op sentinel ('', '', 0) instead of an empty bm — Spark's
+    * learnMerges stops early, and an empty CTE would otherwise empty
+    * every downstream CROSS JOIN (state, encode, pipeline card); the
+    * sentinel's empty-symbol pattern matches nothing and is filtered
+    * from the merge-table output. The wrappers are the same /
     * control chars embedded raw in the SQL text. */
   private def bpeCtes(k: Int): String = {
     val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)
     val head =
-      s"""btok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w
-         |  FROM documents WHERE lang = 'en'),
+      s"""${DocSql.toksCte},
+         |btok AS (SELECT unnest(t.toks) AS w FROM tokd t
+         |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
          |bwt AS (SELECT w, count(*) AS freq FROM btok
          |  WHERE regexp_full_match(w, '[a-z]+') GROUP BY 1),
          |bs0 AS (SELECT regexp_replace(w, '(.)', '$wl\\1$wr', 'g') AS sym, freq FROM bwt)""".stripMargin
@@ -693,7 +699,9 @@ object TextQueries extends graft.QueryModule {
          |        FROM bs${t - 1}) WHERE len(a) >= 2),
          |bb$t AS (SELECT pair, sum(freq) AS cnt FROM bp$t GROUP BY 1
          |  ORDER BY cnt DESC, pair LIMIT 1),
-         |bm$t AS (SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r, cnt FROM bb$t),
+         |bm$t AS (SELECT split_part(pair, ' ', 1) AS l, split_part(pair, ' ', 2) AS r, cnt FROM bb$t
+         |  UNION ALL SELECT '', '', CAST(0 AS HUGEINT)
+         |    WHERE NOT EXISTS (SELECT 1 FROM bb$t)),
          |bs$t AS (SELECT replace(sym, '$wl' || l || '$wr$wl' || r || '$wr',
          |    '$wl' || l || r || '$wr') AS sym, freq
          |  FROM bs${t - 1} CROSS JOIN bm$t)""".stripMargin
@@ -814,7 +822,7 @@ object TextQueries extends graft.QueryModule {
          |FROM sm""".stripMargin,
     "text_bpe_merges" -> {
       val rows = (1 to BpeK).map(t =>
-        s"SELECT $t AS step, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM bm$t")
+        s"SELECT $t AS step, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM bm$t WHERE l <> ''")
       s"WITH ${bpeCtes(BpeK)}\n" + rows.mkString("\nUNION ALL ")
     },
     "text_bpe_encode" -> {
@@ -825,8 +833,8 @@ object TextQueries extends graft.QueryModule {
       }
       val crosses = (1 to BpeK).map(t => s"CROSS JOIN bm$t").mkString(" ")
       s"""WITH ${bpeCtes(BpeK)},
-         |dtok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS w
-         |  FROM documents WHERE lang = 'en'),
+         |dtok AS (SELECT t.doc_id, unnest(t.toks) AS w FROM tokd t
+         |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
          |dwt AS (SELECT doc_id, w FROM dtok WHERE regexp_full_match(w, '[a-z]+')),
          |denc AS (SELECT doc_id,
          |    len(string_split(substr(sym, 2, length(sym) - 2), '$wr$wl')) AS ns
@@ -846,7 +854,7 @@ object TextQueries extends graft.QueryModule {
         s"replace($acc, '$wl' || bm$t.l || '$wr$wl' || bm$t.r || '$wr', '$wl' || bm$t.l || bm$t.r || '$wr')"
       }
       val crosses = (1 to BpeK).map(t => s"CROSS JOIN bm$t").mkString(" ")
-      val mgAll = (1 to BpeK).map(t => s"SELECT l FROM bm$t")
+      val mgAll = (1 to BpeK).map(t => s"SELECT l FROM bm$t WHERE l <> ''")
         .mkString(" UNION ALL ")
       s"""WITH ${bpeCtes(BpeK)},
          |dwt AS (SELECT w FROM btok WHERE regexp_full_match(w, '[a-z]+')),

@@ -758,13 +758,7 @@ object VectorQueries extends graft.QueryModule {
       cCte, "skill_id", "svec", PrK, PrIters, outIdCol = "skill_id"),
     "rank_knn_degree_hist" ->
       s"""WITH $cCte,
-         |nd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
-         |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
-         |    FROM c a JOIN c b ON a.skill_id <> b.skill_id),
-         |e0 AS (SELECT src, dst FROM (
-         |    SELECT src, dst,
-         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-         |    FROM nd) WHERE rn <= $PrK),
+         |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},
          |ind AS (SELECT c.skill_id AS id,
          |    CAST(coalesce(d.ind, 0) AS BIGINT) AS in_degree
          |  FROM c LEFT JOIN (SELECT dst, count(*) AS ind FROM e0 GROUP BY 1) d
@@ -772,13 +766,7 @@ object VectorQueries extends graft.QueryModule {
          |SELECT in_degree, count(*) AS n_nodes FROM ind GROUP BY 1""".stripMargin,
     "rank_knn_graph_summary" ->
       s"""WITH $cCte,
-         |nd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
-         |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
-         |    FROM c a JOIN c b ON a.skill_id <> b.skill_id),
-         |e0 AS (SELECT src, dst FROM (
-         |    SELECT src, dst,
-         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-         |    FROM nd) WHERE rn <= $PrK),
+         |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},
          |rec AS (SELECT count(*) AS nr FROM e0 a JOIN e0 b
          |    ON a.src = b.dst AND a.dst = b.src),
          |tot AS (SELECT count(*) AS ne FROM e0),
@@ -816,13 +804,7 @@ object VectorQueries extends graft.QueryModule {
     },
     "rank_knn_triangles" ->
       s"""WITH $cCte,
-         |nd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
-         |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
-         |    FROM c a JOIN c b ON a.skill_id <> b.skill_id),
-         |e0 AS (SELECT src, dst FROM (
-         |    SELECT src, dst,
-         |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-         |    FROM nd) WHERE rn <= $PrK),
+         |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},
          |es AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
          |cnd AS (SELECT src AS a, dst AS b FROM es WHERE src < dst),
          |deg AS (SELECT src AS id, count(*) AS dg FROM es GROUP BY 1),

@@ -140,7 +140,14 @@ object EventStreams {
     * previous event exceeds [[SessionGapUs]]. Pure window functions —
     * deterministic (ties ordered by event_id) and oracle-replayable.
     * Output: (user_id, event_id, session_id 1..n per user). */
-  def sessionizeBatch(events: DataFrame): DataFrame = {
+  def sessionizeBatch(events: DataFrame): DataFrame =
+    sessionAssignments(events)
+      .select(col("user_id"), col("event_id"), col("session_id"))
+
+  /** [[sessionizeBatch]] carrying ts/event_type through — ONE scan for
+    * consumers (path mining) that need the event payload per session;
+    * the assignment logic lives only here. */
+  def sessionAssignments(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val prevTs = lag(tsMicros(col("ts")), 1).over(w)
     val isNew = when(prevTs.isNull ||
@@ -148,7 +155,8 @@ object EventStreams {
     events
       .withColumn("session_id",
         sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("user_id"), col("event_id"), col("session_id"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("session_id"))
   }
 
   /** Streaming sessionization: per-user state (last event time, session
