@@ -240,5 +240,7 @@ object Budgets {
     "eval_graph_recall" -> 19.3, // r10 sample 7.7 (absorbs the 6-hop walk; edge build in the producer)
     "knn_graph_topk" -> 1.5, // r10 sample 0.31 (walk memo-shared)
     "events_top_paths" -> 3.8, // r10 sample 1.51
+    "graph_index_append" -> 16.3, // r10 sample 6.54 (base build + delta append DDL row)
+    "knn_graph_stored_topk" -> 15.0, // r10 sample 5.99 (the stored walk: hops sequential rounds)
   )
 }

@@ -73,16 +73,72 @@ object GraphSearch {
     KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
   }
 
+  /** The graph-model identity stamped on a stored index: degree + metric
+    * (the edge list is fully determined by them given the corpus). */
+  def graphFingerprint(k: Int): String = s"knngraph|cosine|$k"
+
+  /** Persist the DIRECTED top-`k` edge list as a src-bucketed table — the
+    * stored face of the graph tier (build once, walk many), the same
+    * write-side contract as the LSH/PQ layouts: bucketed by the probe key,
+    * fingerprint-stamped. */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      tableName: String, path: String, numBuckets: Int): Unit = {
+    Bucketed.writeBucketedKeys(
+      PageRank.directedKnnEdges(corpus, idCol, vecCol, k),
+      tableName, path, Seq("src"), numBuckets)
+    graft.Layouts.stampFingerprint(corpus.sparkSession, tableName,
+      graphFingerprint(k))
+  }
+
+  /** O(delta) append: each delta node's directed top-`k` among the FULL
+    * corpus (base ∪ delta, self excluded) is appended; base nodes' stored
+    * edge lists are left as built — NSW-style insertion without back-link
+    * repair. The symmetric search view still gains delta↔base connectivity
+    * through the delta's own out-edges (symmetrize reverses them), which
+    * is what makes flat-NSW insert-only maintenance usable between
+    * rebuilds; the drift metrics (assignmentDrift's pattern) tell a
+    * deployment when to rebuild. Delta is broadcast against one corpus
+    * scan — never corpus×corpus. */
+  def appendToIndex(delta: DataFrame, fullCorpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, tableName: String, numBuckets: Int): Unit = {
+    graft.Layouts.checkFingerprint(delta.sparkSession, tableName,
+      graphFingerprint(k), "graph append")
+    Bucketed.appendBucketedKeys(
+      PageRank.directedKnnEdgesFrom(delta, fullCorpus, idCol, vecCol, k),
+      tableName, Seq("src"), numBuckets)
+  }
+
+  /** [[beamSearch]] over a stored ([[writeIndex]] + appends) edge table:
+    * the index supplies the (symmetrized) edges, the corpus frame supplies
+    * vectors for scoring — identical walk semantics. */
+  def beamSearchStored(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String, indexTable: String,
+      hops: Int, beam: Int, k: Int, metric: Metric = Cosine): DataFrame = {
+    val edges = PageRank.symmetrize(
+      queries.sparkSession.table(indexTable).select("src", "dst"))
+    beamSearch(queries, qId, qVec, corpus, cId, cVec, edges, hops, beam, k,
+      metric)
+  }
+
   /** DuckDB twin: the walk unrolled hop for hop. `qCte`/`cCte` must define
     * q(job_id, qvec) and c(skill_id, svec) with DOUBLE[] vectors; the edge
     * CTEs mirror PageRank.directedKnnEdges + symmetrize at degree `gk`.
     * Ends in gtop(job_id, skill_id, rank, dist-unrounded). */
   def beamSearchCtes(qCte: String, cCte: String, gk: Int, hops: Int,
-      beam: Int, k: Int): String = {
+      beam: Int, k: Int): String =
+    beamSearchCtesWithEdges(qCte, cCte,
+      PageRank.edgeCtesSql("skill_id", "svec", gk) + ",\n" +
+        "es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+      hops, beam, k)
+
+  /** [[beamSearchCtes]] over a caller-supplied edge block (a CTE chain
+    * ending in `es(src, dst)`, both directions present) — the stored/
+    * appended-graph oracles substitute their own edge construction. */
+  def beamSearchCtesWithEdges(qCte: String, cCte: String, esCtes: String,
+      hops: Int, beam: Int, k: Int): String = {
     val head =
       s"""$qCte, $cCte,
-         |${PageRank.edgeCtesSql("skill_id", "svec", gk)},
-         |es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |$esCtes,
          |en AS (SELECT min(skill_id) AS node FROM c),
          |v0 AS (SELECT q.job_id, en.node FROM q CROSS JOIN en),
          |f0 AS (SELECT * FROM v0)""".stripMargin

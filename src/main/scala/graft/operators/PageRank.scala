@@ -40,11 +40,19 @@ object PageRank {
     * the raw graph whose in-degree skew and reciprocity the graph-stats
     * queries read; [[knnEdges]] symmetrizes it for the rank walk. */
   def directedKnnEdges(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      metric: Metric = Cosine): DataFrame = {
-    val a = broadcast(vecs.select(col(idCol).as("__src"),
+      metric: Metric = Cosine): DataFrame =
+    directedKnnEdgesFrom(vecs, vecs, idCol, vecCol, k, metric)
+
+  /** [[directedKnnEdges]] with a distinct source set: each `srcs` row gets
+    * its top-`k` neighbors among `corpus` (self excluded by id) — the
+    * append-ingest form, where a small delta batch is broadcast against
+    * the full corpus scan exactly like a query batch. */
+  def directedKnnEdgesFrom(srcs: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, metric: Metric = Cosine): DataFrame = {
+    val a = broadcast(srcs.select(col(idCol).as("__src"),
       col(vecCol).as("__avec")))
-    val (keyCol, isString) = KnnJoin.keyColumn(vecs, idCol)
-    val c = vecs.select(keyCol, col(vecCol).as("__cvec"))
+    val (keyCol, isString) = KnnJoin.keyColumn(corpus, idCol)
+    val c = corpus.select(keyCol, col(vecCol).as("__cvec"))
     val cands = a.join(c, col("__cid") =!= col("__src"))
       .select(col("__src"), metric.dist(col("__avec"), col("__cvec")).as("dist"),
         col("__cid"))

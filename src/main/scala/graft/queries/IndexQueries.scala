@@ -99,6 +99,30 @@ object IndexQueries extends graft.QueryModule {
     (c.filter(!isDelta), c.filter(isDelta))
   }
 
+  private val GraphK = 3     // stored-graph out-degree (matches the census graph)
+  private val GraphHops = 6  // stored-walk depth (mirrors knn_graph_topk)
+  private val GraphBeam = 16 // stored-walk beam width
+
+  /** Stored kNN-graph edge table built on the BASE slice then
+    * delta-appended against the full corpus
+    * ([[graft.operators.GraphSearch.appendToIndex]]): the graph tier's
+    * index lifecycle, same base/delta fixture as the PQ/LSH appends.
+    * `graph_index_append` pays build + append as the family's first row. */
+  private object GraphLayout {
+    def ensure(s: SparkSession, dir: String): String =
+      graft.Layouts.once(s, s"graphidx:$dir") {
+        val tag = graft.Layouts.tag(dir)
+        val name = s"graft_graphidx_$tag"
+        val (_, c) = Fixtures.split(s, dir)
+        val (base, delta) = appendSplit(c)
+        graft.operators.GraphSearch.writeIndex(base, "skill_id", "svec",
+          GraphK, name, s"/tmp/graft_graphidx/$tag", 8)
+        graft.operators.GraphSearch.appendToIndex(delta, c, "skill_id",
+          "svec", GraphK, name, 8)
+        name
+      }
+  }
+
   /** Stored IVF-PQ codes built on the BASE slice then delta-appended
     * against the stored models ([[PqIndex.appendToIvfIndex]]) — the
     * O(delta) daily-crawl ingest the rebuild-only layouts lack.
@@ -416,6 +440,29 @@ object IndexQueries extends graft.QueryModule {
               lit(s"ivfpq_kmeans_recall: trained gain below $IvfPqKmMinGain: seed="),
               col("__r_seed").cast("string"), lit(" kmeans="),
               col("__r_km").cast("string")))).as("recall_ok"))
+    }),
+    // Graph-index append census: base build (top-k among base) + O(delta)
+    // append (each delta node's top-k among the FULL corpus) — the oracle
+    // replays BOTH window constructions, so a dropped delta row, an edge
+    // computed against the wrong candidate set, or a double-append all
+    // turn the edge checksum red.
+    "graph_index_append" -> ((s, dir) => {
+      val t = GraphLayout.ensure(s, dir)
+      s.table(t).agg(count(lit(1)).as("n_edges"),
+        count_distinct(col("src")).as("n_nodes"),
+        sum(col("src") * lit(100003L) + col("dst")).as("edge_checksum"))
+    }),
+    // Beam search over the STORED appended graph: the walk probes the
+    // bucketed edge table (symmetrized at read) instead of rebuilding
+    // edges per query — the ranked output is hash-gated against the
+    // oracle's replay of the same base∪delta edge set walked hop for hop.
+    "knn_graph_stored_topk" -> ((s, dir) => {
+      val t = GraphLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      graft.operators.GraphSearch.beamSearchStored(q, "job_id", "qvec",
+        c.select(col("skill_id"), col("svec")), "skill_id", "svec", t,
+        GraphHops, GraphBeam, K)
+        .withColumn("dist", round(col("dist"), 6))
     }),
     // Append-ingest rebuild equivalence, PQ side: base build + O(delta)
     // append must equal a from-scratch encode of the FULL corpus — the
@@ -791,7 +838,39 @@ object IndexQueries extends graft.QueryModule {
        |FROM j""".stripMargin
   }
 
+  /** SQL replay of [[GraphLayout]]: base edges = top-GraphK among the base
+    * slice; delta edges = top-GraphK among the FULL corpus (the append
+    * contract). Ends in ae(src, dst). Requires cCte. */
+  private val graphEdgeCtes: String =
+    s"""bc AS (SELECT * FROM c WHERE NOT (skill_id % 10 = 7 AND skill_id >= 36)),
+       |dc AS (SELECT * FROM c WHERE skill_id % 10 = 7 AND skill_id >= 36),
+       |bnd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
+       |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
+       |    FROM bc a JOIN bc b ON a.skill_id <> b.skill_id),
+       |be0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+       |    FROM bnd) WHERE rn <= $GraphK),
+       |dnd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
+       |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
+       |    FROM dc a JOIN c b ON a.skill_id <> b.skill_id),
+       |de0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+       |    FROM dnd) WHERE rn <= $GraphK),
+       |ae AS (SELECT * FROM be0 UNION ALL SELECT * FROM de0)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_index_append" ->
+      s"""WITH $cCte,
+         |$graphEdgeCtes
+         |SELECT count(*) AS n_edges, count(DISTINCT src) AS n_nodes,
+         |  CAST(sum(src * 100003 + dst) AS BIGINT) AS edge_checksum
+         |FROM ae""".stripMargin,
+    "knn_graph_stored_topk" ->
+      s"""WITH ${graft.operators.GraphSearch.beamSearchCtesWithEdges(qCte, cCte,
+           graphEdgeCtes + ",\n" +
+             "es AS MATERIALIZED (SELECT src, dst FROM ae UNION SELECT dst, src FROM ae)",
+           GraphHops, GraphBeam, K)}
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist FROM gtop""".stripMargin,
     "pq_drift_summary" -> pqDriftSql,
     "ivfpq_ann_topk" -> ivfpqSql,
     "ivfpq_stored_topk" -> ivfpqSql,
