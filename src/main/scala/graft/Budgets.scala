@@ -242,5 +242,7 @@ object Budgets {
     "events_top_paths" -> 3.8, // r10 sample 1.51
     "graph_index_append" -> 16.3, // r10 sample 6.54 (base build + delta append DDL row)
     "knn_graph_stored_topk" -> 15.0, // r10 sample 5.99 (the stored walk: hops sequential rounds)
+    "graph_index_compact" -> 1.5, // r10 sample 0.43
+    "profile_orders_histogram" -> 1.8, // r10 sample 0.69
   )
 }

@@ -464,6 +464,17 @@ object IndexQueries extends graft.QueryModule {
         GraphHops, GraphBeam, K)
         .withColumn("dist", round(col("dist"), 6))
     }),
+    // Graph compaction: each append adds a file per bucket; re-writing
+    // through the same layout (dedup on (src, dst) — identical re-appends
+    // collapse) must leave the edge SET, and therefore the census,
+    // invariant. Shares graph_index_append's oracle.
+    "graph_index_compact" -> ((s, dir) => {
+      val t = GraphLayout.ensure(s, dir)
+      graft.operators.Bucketed.compactTable(s, t, Seq("src"), 8)(_.distinct())
+      s.table(t).agg(count(lit(1)).as("n_edges"),
+        count_distinct(col("src")).as("n_nodes"),
+        sum(col("src") * lit(100003L) + col("dst")).as("edge_checksum"))
+    }),
     // Append-ingest rebuild equivalence, PQ side: base build + O(delta)
     // append must equal a from-scratch encode of the FULL corpus — the
     // oracle IS pq_index_build's full-corpus recount (rows + the
@@ -860,6 +871,13 @@ object IndexQueries extends graft.QueryModule {
 
   val oracles: Map[String, String] = Map(
     "graph_index_append" ->
+      s"""WITH $cCte,
+         |$graphEdgeCtes
+         |SELECT count(*) AS n_edges, count(DISTINCT src) AS n_nodes,
+         |  CAST(sum(src * 100003 + dst) AS BIGINT) AS edge_checksum
+         |FROM ae""".stripMargin,
+    // Compaction is layout-only: the census oracle is the append oracle.
+    "graph_index_compact" ->
       s"""WITH $cCte,
          |$graphEdgeCtes
          |SELECT count(*) AS n_edges, count(DISTINCT src) AS n_nodes,

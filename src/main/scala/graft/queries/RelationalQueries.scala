@@ -459,6 +459,23 @@ object RelationalQueries extends graft.QueryModule {
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path")).limit(10)
     }),
+    // Equi-width histogram profile (the ANALYZE histogram): 10 integer
+    // bins over e4-pinned order values — bounds from one 1-row extremes
+    // aggregate attached by broadcast, width and bin assignment in pure
+    // integer arithmetic, so every bin edge and count is engine-exact.
+    "profile_orders_histogram" -> ((s, dir) => {
+      val p = Tables.orders(s, dir)
+        .select((col("o_totalprice").cast("decimal(18,4)") * 10000)
+          .cast("long").as("__p"))
+      val ext = p.agg(min(col("__p")).as("__lo"), max(col("__p")).as("__hi"))
+      p.crossJoin(broadcast(ext))
+        .withColumn("__w", expr("(__hi - __lo) DIV 10 + 1"))
+        .withColumn("bin", expr("(__p - __lo) DIV __w"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          min(expr("__lo + bin * __w")).as("bin_lo_e4"),
+          min(expr("__lo + (bin + 1) * __w - 1")).as("bin_hi_e4"))
+    }),
     // First-order Markov transition matrix over event types: per user,
     // consecutive-event pairs by (ts, event_id) order, then exact
     // transition counts and row-normalized probabilities (e6 integers).
@@ -587,6 +604,17 @@ object RelationalQueries extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "profile_orders_histogram" ->
+      """WITH p AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS pe4
+        |  FROM orders),
+        |ext AS (SELECT min(pe4) AS lo, max(pe4) AS hi FROM p),
+        |b AS (SELECT (pe4 - lo) // ((hi - lo) // 10 + 1) AS bin,
+        |    lo, (hi - lo) // 10 + 1 AS w
+        |  FROM p CROSS JOIN ext)
+        |SELECT bin, count(*) AS n,
+        |  CAST(min(lo + bin * w) AS BIGINT) AS bin_lo_e4,
+        |  CAST(min(lo + (bin + 1) * w - 1) AS BIGINT) AS bin_hi_e4
+        |FROM b GROUP BY 1""".stripMargin,
     "events_top_paths" ->
       """WITH o AS (SELECT user_id, event_id, ts, event_type,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
