@@ -42,13 +42,17 @@ object GraphSearch {
     val e = edges.select(col("src").cast("long").as("__node"),
       col("dst").cast("long").as("__dst"))
     val entry = corpus.agg(min(col(cId)).cast("long").as("__node"))
-    var visited = q.select(col("__qid")).crossJoin(broadcast(entry))
-      .localCheckpoint()
-    var frontier = visited
+    // Only FRONTIERS are checkpointed (coalesce(1): the state is
+    // hops·beam·|Q| rows — don't pay 32-partition scheduling for a few
+    // hundred); visited stays a lazy union of the checkpointed frontiers,
+    // which costs nothing to rebuild and halves the per-hop job count.
+    var frontiers = List(q.select(col("__qid")).crossJoin(broadcast(entry))
+      .localCheckpoint())
+    def visited = frontiers.reduce(_ unionAll _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__qid").orderBy(col("__d"), col("__node"))
     for (_ <- 1 to hops) {
-      val cand = frontier.join(e, "__node")
+      val cand = frontiers.head.join(e, "__node")
         .select(col("__qid"), col("__dst").as("__node")).distinct()
         .join(visited, Seq("__qid", "__node"), "left_anti")
       val scored = cand
@@ -56,13 +60,9 @@ object GraphSearch {
         .join(q, "__qid")
         .select(col("__qid"), col("__node"),
           metric.dist(col("__qv"), col("__cv")).as("__d"))
-      // the walk state is hops·beam·|Q| rows — coalesce(1) before each
-      // checkpoint so the per-hop jobs don't pay 32-partition scheduling
-      // for a few hundred rows (the frames are bounded by construction)
-      frontier = scored.withColumn("__rn", row_number().over(w))
+      frontiers ::= scored.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= beam).select("__qid", "__node")
         .coalesce(1).localCheckpoint()
-      visited = visited.unionAll(frontier).coalesce(1).localCheckpoint()
     }
     val cands = visited
       .join(vecs, col("__node") === col("__vid"))
