@@ -244,5 +244,6 @@ object Budgets {
     "knn_graph_stored_topk" -> 15.0, // r10 sample 5.99 (the stored walk: hops sequential rounds)
     "graph_index_compact" -> 1.5, // r10 sample 0.43
     "profile_orders_histogram" -> 1.8, // r10 sample 0.69
+    "text_lang_confusion" -> 2.3, // r10 sample 0.90
   )
 }

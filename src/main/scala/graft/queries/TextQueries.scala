@@ -73,6 +73,21 @@ object TextQueries extends graft.QueryModule {
         .select(
           (col("doc_id") +: hitCols :+ langIdFromTokens(col("__toks")).as("lang_pred")): _*)
     }),
+    // Language-ID evaluated against the gold labels: the confusion matrix
+    // + per-true-language exact-integer accuracy — the calibration report
+    // a deployment reads before trusting the heuristic as a filter. Same
+    // predictor expression text_lang_id pins; one keyed agg + one
+    // per-true-lang window over ≤ |langs|² rows.
+    "text_lang_confusion" -> ((s, dir) => {
+      val wl = org.apache.spark.sql.expressions.Window.partitionBy("lang_true")
+      Tables.documents(s, dir)
+        .select(col("lang").as("lang_true"),
+          langIdFromTokens(tokens(col("text"))).as("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share_e6", ExactRound.roundDiv(
+          col("n") * lit(1000000L), sum(col("n")).over(wl)))
+    }),
     // Composite quality score.
     "text_quality" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -842,6 +857,24 @@ object TextQueries extends graft.QueryModule {
          |SELECT doc_id, count(*) AS n_tokens, CAST(sum(ns) AS BIGINT) AS n_symbols
          |FROM denc GROUP BY 1""".stripMargin
     },
+    "text_lang_confusion" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id,
+         |  $langHitCols
+         |FROM tokd),
+         |pr AS (SELECT d.lang AS lang_true,
+         |  CASE
+         |    WHEN en_hits > 0 AND en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
+         |    WHEN es_hits > 0 AND es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
+         |    WHEN de_hits > 0 AND de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
+         |    WHEN fr_hits > 0 AND fr_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'fr'
+         |    ELSE 'und' END AS lang_pred
+         |  FROM h JOIN documents d USING (doc_id)),
+         |cm AS (SELECT lang_true, lang_pred, count(*) AS n FROM pr GROUP BY 1, 2)
+         |SELECT lang_true, lang_pred, n,
+         |  ${graft.functions.ExactRound.roundDivSql(
+             "n * 1000000", "sum(n) OVER (PARTITION BY lang_true)")} AS share_e6
+         |FROM cm""".stripMargin,
     "text_cms_heavyhitters" ->
       s"""WITH $toksCte,
          |tok AS (SELECT unnest(toks) AS t FROM tokd)
