@@ -245,5 +245,6 @@ object Budgets {
     "graph_index_compact" -> 1.5, // r10 sample 0.43
     "profile_orders_histogram" -> 1.8, // r10 sample 0.69
     "text_lang_confusion" -> 2.3, // r10 sample 0.90
+    "eval_graph_hops_curve" -> 22.2, // r10 sample 8.87 (one walk of max depth + 3 ranked prefixes + exact)
   )
 }

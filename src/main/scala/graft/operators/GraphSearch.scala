@@ -73,6 +73,55 @@ object GraphSearch {
     KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
   }
 
+  /** [[beamSearch]] evaluated at several depths in ONE walk: because the
+    * walk is deterministic, an h-hop search IS the prefix of the deepest
+    * search — so the curve costs one walk of max(stages) hops, and each
+    * stage's ranking reads the visited-set prefix. Output adds a `hops`
+    * column. The tuning dial a deployment reads to set walk depth (the
+    * probe-count curve's graph sibling). */
+  def beamSearchAtStages(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String, edges: DataFrame,
+      stages: Seq[Int], beam: Int, k: Int,
+      metric: Metric = Cosine): DataFrame = {
+    require(stages.nonEmpty && stages.forall(_ >= 1))
+    val q = broadcast(queries.select(col(qId).as("__qid"),
+      col(qVec).as("__qv")))
+    val vecs = corpus.select(col(cId).cast("long").as("__vid"),
+      col(cVec).as("__cv"))
+    val e = edges.select(col("src").cast("long").as("__node"),
+      col("dst").cast("long").as("__dst"))
+    val entry = corpus.agg(min(col(cId)).cast("long").as("__node"))
+    var frontiers = Vector(q.select(col("__qid")).crossJoin(broadcast(entry))
+      .localCheckpoint())
+    def visited = frontiers.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__qid").orderBy(col("__d"), col("__node"))
+    for (_ <- 1 to stages.max) {
+      val cand = frontiers.last.join(e, "__node")
+        .select(col("__qid"), col("__dst").as("__node")).distinct()
+        .join(visited, Seq("__qid", "__node"), "left_anti")
+      val scored = cand
+        .join(vecs, col("__node") === col("__vid"))
+        .join(q, "__qid")
+        .select(col("__qid"), col("__node"),
+          metric.dist(col("__qv"), col("__cv")).as("__d"))
+      frontiers :+= scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= beam).select("__qid", "__node")
+        .coalesce(1).localCheckpoint()
+    }
+    stages.map { h =>
+      val vh = frontiers.take(h + 1).reduce(_ unionAll _)
+      val cands = vh
+        .join(vecs, col("__node") === col("__vid"))
+        .join(q, "__qid")
+        .select(col("__qid").as(qId),
+          metric.dist(col("__qv"), col("__cv")).as("dist"),
+          col("__node").as("__cid"))
+      KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
+        .withColumn("hops", lit(h.toLong))
+    }.reduce(_ unionAll _)
+  }
+
   /** The graph-model identity stamped on a stored index: degree + metric
     * (the edge list is fully determined by them given the corpus). */
   def graphFingerprint(k: Int): String = s"knngraph|cosine|$k"
@@ -135,7 +184,26 @@ object GraphSearch {
     * ending in `es(src, dst)`, both directions present) — the stored/
     * appended-graph oracles substitute their own edge construction. */
   def beamSearchCtesWithEdges(qCte: String, cCte: String, esCtes: String,
-      hops: Int, beam: Int, k: Int): String = {
+      hops: Int, beam: Int, k: Int): String =
+    walkCtes(qCte, cCte, esCtes, hops, beam) + ",\n" + rankTail(hops, k)
+
+  /** The ranked-output tail over a walk's visited set v`h`: ends in
+    * gtop(job_id, skill_id, rank, dist-unrounded), CTE names suffixed so
+    * several depths can coexist (the hops curve). */
+  def rankTail(h: Int, k: Int, suffix: String = ""): String =
+    s"""gsc$suffix AS (SELECT v.job_id, v.node AS skill_id,
+       |    1.0 - list_cosine_similarity(q.qvec, cv.svec) AS dist
+       |  FROM v$h v JOIN q ON q.job_id = v.job_id
+       |  JOIN c cv ON cv.skill_id = v.node),
+       |gtop$suffix AS (SELECT job_id, skill_id, CAST(rn AS BIGINT) AS rank, dist
+       |  FROM (SELECT job_id, skill_id, dist,
+       |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
+       |    FROM gsc$suffix) WHERE rn <= $k)""".stripMargin
+
+  /** The walk itself, no ranking tail: head + every hop CTE, ending in
+    * v`hops` (the visited set). */
+  def walkCtes(qCte: String, cCte: String, esCtes: String,
+      hops: Int, beam: Int): String = {
     val head =
       s"""$qCte, $cCte,
          |$esCtes,
@@ -158,15 +226,6 @@ object GraphSearch {
          |    FROM s$t) WHERE rn <= $beam),
          |v$t AS MATERIALIZED (SELECT * FROM v${t - 1} UNION ALL SELECT * FROM f$t)""".stripMargin
     }
-    val tail =
-      s"""gsc AS (SELECT v.job_id, v.node AS skill_id,
-         |    1.0 - list_cosine_similarity(q.qvec, cv.svec) AS dist
-         |  FROM v$hops v JOIN q ON q.job_id = v.job_id
-         |  JOIN c cv ON cv.skill_id = v.node),
-         |gtop AS (SELECT job_id, skill_id, CAST(rn AS BIGINT) AS rank, dist
-         |  FROM (SELECT job_id, skill_id, dist,
-         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
-         |    FROM gsc) WHERE rn <= $k)""".stripMargin
-    (Seq(head) ++ hopCtes :+ tail).mkString(",\n")
+    (Seq(head) ++ hopCtes).mkString(",\n")
   }
 }

@@ -361,6 +361,25 @@ object VectorQueries extends graft.QueryModule {
       graft.operators.Eval.recallSummary(graft.operators.Eval.recallAtK(
         graphSearchCache(s, dir), exact, "job_id", "skill_id"))
     }),
+    // Recall-vs-depth tuning curve for the walk (the probe-count curve's
+    // graph sibling): one deterministic walk of max depth, each shallower
+    // depth read off the visited-set prefix (GraphSearch.beamSearchAtStages
+    // scaladoc) — the dial that sets walk depth for a latency budget.
+    "eval_graph_hops_curve" -> ((s, dir) => {
+      val (q, c) = split(s, dir)
+      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec",
+        K, Cosine)
+      val staged = graft.operators.GraphSearch.beamSearchAtStages(
+        q, "job_id", "qvec", c.select(col("skill_id"), col("svec")),
+        "skill_id", "svec",
+        graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir)),
+        GsStages, GsBeam, K)
+      GsStages.map { h =>
+        graft.operators.Eval.recallSummary(graft.operators.Eval.recallAtK(
+          staged.filter(col("hops") === h), exact, "job_id", "skill_id"))
+          .withColumn("hops", lit(h.toLong))
+      }.reduce(_ unionAll _)
+    }),
     // Triangle census of the symmetric kNN graph: exact triangle count +
     // global clustering coefficient via degree-ordered orientation
     // (PageRank.triangleSummary scaladoc) — the neighborhood-coherence
@@ -460,6 +479,7 @@ object VectorQueries extends graft.QueryModule {
   private val PrK = 3
   private val GsHops = 6 // graph-search walk depth
   private val GsBeam = 16 // graph-search beam width
+  private val GsStages = Seq(2, 4, GsHops) // hops-curve sample depths
   private val PrIters = 5
 
   /** Packed-sign-bit CTEs shared by the hamming oracles: qb(job_id,q0,q1) +
@@ -801,6 +821,41 @@ object VectorQueries extends graft.QueryModule {
          |SELECT ${rr(s"sum(${e6("n_matches")})", "count(*)")} AS avg_matches,
          |  ${rr(s"sum(${e6("recall")})", "count(*)")} AS avg_recall,
          |  count(*) AS n_queries FROM perq""".stripMargin
+    },
+    "eval_graph_hops_curve" -> {
+      val e6 = (x: String) => graft.functions.ExactRound.e6Sql(x)
+      val rr = (n: String, d: String) =>
+        graft.functions.ExactRound.ratioRound6IntSql(n, 6, d)
+      val gs = graft.operators.GraphSearch
+      val es = graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK) +
+        ",\n" +
+        "es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)"
+      val walk = gs.walkCtes(qCte, cCte, es, GsHops, GsBeam)
+      val tails = GsStages.map(h => gs.rankTail(h, K, s"_$h")).mkString(",\n")
+      val perStage = GsStages.map { h =>
+        s"""m_$h AS (SELECT g.job_id, count(*) AS n FROM gtop_$h g
+           |  JOIN etop e ON e.job_id = g.job_id AND e.skill_id = g.skill_id
+           |  GROUP BY 1),
+           |perq_$h AS (SELECT q2.job_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+           |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+           |  FROM (SELECT DISTINCT job_id FROM etop) q2 LEFT JOIN m_$h m USING (job_id))""".stripMargin
+      }.mkString(",\n")
+      val rows = GsStages.map { h =>
+        s"""SELECT ${rr(s"sum(${e6("n_matches")})", "count(*)")} AS avg_matches,
+           |  ${rr(s"sum(${e6("recall")})", "count(*)")} AS avg_recall,
+           |  count(*) AS n_queries, CAST($h AS BIGINT) AS hops FROM perq_$h""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH $walk,
+         |$tails,
+         |ed AS (SELECT q.job_id, c.skill_id,
+         |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
+         |  FROM q CROSS JOIN c),
+         |etop AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
+         |    FROM ed) WHERE rn <= $K),
+         |$perStage
+         |$rows""".stripMargin
     },
     "rank_knn_triangles" ->
       s"""WITH $cCte,
