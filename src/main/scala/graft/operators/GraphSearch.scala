@@ -33,45 +33,9 @@ object GraphSearch {
     * set by exact metric distance, rank 1..k. */
   def beamSearch(queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String, edges: DataFrame,
-      hops: Int, beam: Int, k: Int, metric: Metric = Cosine): DataFrame = {
-    require(hops >= 1 && beam >= 1 && k >= 1)
-    val q = broadcast(queries.select(col(qId).as("__qid"),
-      col(qVec).as("__qv")))
-    val vecs = corpus.select(col(cId).cast("long").as("__vid"),
-      col(cVec).as("__cv"))
-    val e = edges.select(col("src").cast("long").as("__node"),
-      col("dst").cast("long").as("__dst"))
-    val entry = corpus.agg(min(col(cId)).cast("long").as("__node"))
-    // Only FRONTIERS are checkpointed (coalesce(1): the state is
-    // hops·beam·|Q| rows — don't pay 32-partition scheduling for a few
-    // hundred); visited stays a lazy union of the checkpointed frontiers,
-    // which costs nothing to rebuild and halves the per-hop job count.
-    var frontiers = List(q.select(col("__qid")).crossJoin(broadcast(entry))
-      .localCheckpoint())
-    def visited = frontiers.reduce(_ unionAll _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__qid").orderBy(col("__d"), col("__node"))
-    for (_ <- 1 to hops) {
-      val cand = frontiers.head.join(e, "__node")
-        .select(col("__qid"), col("__dst").as("__node")).distinct()
-        .join(visited, Seq("__qid", "__node"), "left_anti")
-      val scored = cand
-        .join(vecs, col("__node") === col("__vid"))
-        .join(q, "__qid")
-        .select(col("__qid"), col("__node"),
-          metric.dist(col("__qv"), col("__cv")).as("__d"))
-      frontiers ::= scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= beam).select("__qid", "__node")
-        .coalesce(1).localCheckpoint()
-    }
-    val cands = visited
-      .join(vecs, col("__node") === col("__vid"))
-      .join(q, "__qid")
-      .select(col("__qid").as(qId),
-        metric.dist(col("__qv"), col("__cv")).as("dist"),
-        col("__node").as("__cid"))
-    KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
-  }
+      hops: Int, beam: Int, k: Int, metric: Metric = Cosine): DataFrame =
+    beamSearchAtStages(queries, qId, qVec, corpus, cId, cVec, edges,
+      Seq(hops), beam, k, metric).drop("hops")
 
   /** [[beamSearch]] evaluated at several depths in ONE walk: because the
     * walk is deterministic, an h-hop search IS the prefix of the deepest
@@ -83,7 +47,7 @@ object GraphSearch {
       corpus: DataFrame, cId: String, cVec: String, edges: DataFrame,
       stages: Seq[Int], beam: Int, k: Int,
       metric: Metric = Cosine): DataFrame = {
-    require(stages.nonEmpty && stages.forall(_ >= 1))
+    require(stages.nonEmpty && stages.forall(_ >= 1) && beam >= 1 && k >= 1)
     val q = broadcast(queries.select(col(qId).as("__qid"),
       col(qVec).as("__qv")))
     val vecs = corpus.select(col(cId).cast("long").as("__vid"),

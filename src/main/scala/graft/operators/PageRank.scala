@@ -160,13 +160,22 @@ object PageRank {
     * oracle interpolates, so the metric/tie-break can't drift per oracle.
     * Requires a CTE `c(idCol, vecCol)` with DOUBLE[] vectors. */
   def edgeCtesSql(idCol: String, vecCol: String, k: Int): String =
-    s"""nd AS (SELECT a.$idCol AS src, b.$idCol AS dst,
+    edgeCtesFromSql("c", "c", idCol, vecCol, k, "")
+
+  /** [[edgeCtesSql]] generalized the way [[directedKnnEdgesFrom]] is:
+    * sources from `srcCte`, candidates from `candCte`, CTE names prefixed
+    * so several instances can coexist (the append-layout oracles build
+    * base-vs-base and delta-vs-full edge sets side by side). Ends in
+    * `${prefix}e0(src, dst)`. */
+  def edgeCtesFromSql(srcCte: String, candCte: String, idCol: String,
+      vecCol: String, k: Int, prefix: String): String =
+    s"""${prefix}nd AS (SELECT a.$idCol AS src, b.$idCol AS dst,
        |      1.0 - list_cosine_similarity(a.$vecCol, b.$vecCol) AS dist
-       |    FROM c a JOIN c b ON a.$idCol <> b.$idCol),
-       |e0 AS (SELECT src, dst FROM (
+       |    FROM $srcCte a JOIN $candCte b ON a.$idCol <> b.$idCol),
+       |${prefix}e0 AS (SELECT src, dst FROM (
        |    SELECT src, dst,
        |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-       |    FROM nd) WHERE rn <= $k)""".stripMargin
+       |    FROM ${prefix}nd) WHERE rn <= $k)""".stripMargin
 
   /** DuckDB twin of the whole computation: edges → degrees → `iters`
     * unrolled iterations, each the same roundDiv arithmetic. `corpusCte`

@@ -94,6 +94,7 @@ object IndexQueries extends graft.QueryModule {
     * fit on the base therefore equal full-corpus fits, which is exactly the
     * append-mode contract: deltas are encoded against the STORED models,
     * and the oracle replays the full-corpus build. */
+  /** (Its SQL twin is [[sqlDeltaPred]] — change both together.) */
   private def appendSplit(c: DataFrame): (DataFrame, DataFrame) = {
     val isDelta = pmod(col("skill_id"), lit(10L)) === 7L && col("skill_id") >= 36L
     (c.filter(!isDelta), c.filter(isDelta))
@@ -448,9 +449,7 @@ object IndexQueries extends graft.QueryModule {
     // turn the edge checksum red.
     "graph_index_append" -> ((s, dir) => {
       val t = GraphLayout.ensure(s, dir)
-      s.table(t).agg(count(lit(1)).as("n_edges"),
-        count_distinct(col("src")).as("n_nodes"),
-        sum(col("src") * lit(100003L) + col("dst")).as("edge_checksum"))
+      edgeCensus(s.table(t))
     }),
     // Beam search over the STORED appended graph: the walk probes the
     // bucketed edge table (symmetrized at read) instead of rebuilding
@@ -471,9 +470,7 @@ object IndexQueries extends graft.QueryModule {
     "graph_index_compact" -> ((s, dir) => {
       val t = GraphLayout.ensure(s, dir)
       graft.operators.Bucketed.compactTable(s, t, Seq("src"), 8)(_.distinct())
-      s.table(t).agg(count(lit(1)).as("n_edges"),
-        count_distinct(col("src")).as("n_nodes"),
-        sum(col("src") * lit(100003L) + col("dst")).as("edge_checksum"))
+      edgeCensus(s.table(t))
     }),
     // Append-ingest rebuild equivalence, PQ side: base build + O(delta)
     // append must equal a from-scratch encode of the FULL corpus — the
@@ -849,40 +846,43 @@ object IndexQueries extends graft.QueryModule {
        |FROM j""".stripMargin
   }
 
+  /** SQL twin of [[appendSplit]]'s delta predicate (kept adjacent to the
+    * Scala form by the scaladoc cross-reference there). */
+  private val sqlDeltaPred = "skill_id % 10 = 7 AND skill_id >= 36"
+
   /** SQL replay of [[GraphLayout]]: base edges = top-GraphK among the base
     * slice; delta edges = top-GraphK among the FULL corpus (the append
-    * contract). Ends in ae(src, dst). Requires cCte. */
+    * contract). Both edge sets come from the ONE shared edge-CTE helper
+    * ([[graft.operators.PageRank.edgeCtesFromSql]]), so the metric and
+    * tie-break cannot drift from the other graph oracles. Ends in
+    * ae(src, dst). Requires cCte. */
   private val graphEdgeCtes: String =
-    s"""bc AS (SELECT * FROM c WHERE NOT (skill_id % 10 = 7 AND skill_id >= 36)),
-       |dc AS (SELECT * FROM c WHERE skill_id % 10 = 7 AND skill_id >= 36),
-       |bnd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
-       |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
-       |    FROM bc a JOIN bc b ON a.skill_id <> b.skill_id),
-       |be0 AS (SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-       |    FROM bnd) WHERE rn <= $GraphK),
-       |dnd AS (SELECT a.skill_id AS src, b.skill_id AS dst,
-       |      1.0 - list_cosine_similarity(a.svec, b.svec) AS dist
-       |    FROM dc a JOIN c b ON a.skill_id <> b.skill_id),
-       |de0 AS (SELECT src, dst FROM (
-       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-       |    FROM dnd) WHERE rn <= $GraphK),
+    s"""bc AS (SELECT * FROM c WHERE NOT ($sqlDeltaPred)),
+       |dc AS (SELECT * FROM c WHERE $sqlDeltaPred),
+       |${graft.operators.PageRank.edgeCtesFromSql("bc", "bc", "skill_id", "svec", GraphK, "b")},
+       |${graft.operators.PageRank.edgeCtesFromSql("dc", "c", "skill_id", "svec", GraphK, "d")},
        |ae AS (SELECT * FROM be0 UNION ALL SELECT * FROM de0)""".stripMargin
 
+  /** The one census every graph-layout gate pins: edge count, node count,
+    * exact position-weighted checksum. */
+  private def edgeCensus(df: org.apache.spark.sql.DataFrame) =
+    df.agg(count(lit(1)).as("n_edges"),
+      count_distinct(col("src")).as("n_nodes"),
+      sum(col("src") * lit(100003L) + col("dst")).as("edge_checksum"))
+
+  /** Shared oracle of graph_index_append and graph_index_compact
+    * (compaction is layout-only — the census must be invariant). */
+  private lazy val graphCensusOracle: String =
+    s"""WITH $cCte,
+       |$graphEdgeCtes
+       |SELECT count(*) AS n_edges, count(DISTINCT src) AS n_nodes,
+       |  CAST(sum(src * 100003 + dst) AS BIGINT) AS edge_checksum
+       |FROM ae""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "graph_index_append" ->
-      s"""WITH $cCte,
-         |$graphEdgeCtes
-         |SELECT count(*) AS n_edges, count(DISTINCT src) AS n_nodes,
-         |  CAST(sum(src * 100003 + dst) AS BIGINT) AS edge_checksum
-         |FROM ae""".stripMargin,
-    // Compaction is layout-only: the census oracle is the append oracle.
-    "graph_index_compact" ->
-      s"""WITH $cCte,
-         |$graphEdgeCtes
-         |SELECT count(*) AS n_edges, count(DISTINCT src) AS n_nodes,
-         |  CAST(sum(src * 100003 + dst) AS BIGINT) AS edge_checksum
-         |FROM ae""".stripMargin,
+    "graph_index_append" -> graphCensusOracle,
+    // Compaction is layout-only: the census oracle IS the append oracle.
+    "graph_index_compact" -> graphCensusOracle,
     "knn_graph_stored_topk" ->
       s"""WITH ${graft.operators.GraphSearch.beamSearchCtesWithEdges(qCte, cCte,
            graphEdgeCtes + ",\n" +

@@ -81,8 +81,8 @@ object TextQueries extends graft.QueryModule {
     "text_lang_confusion" -> ((s, dir) => {
       val wl = org.apache.spark.sql.expressions.Window.partitionBy("lang_true")
       Tables.documents(s, dir)
-        .select(col("lang").as("lang_true"),
-          langIdFromTokens(tokens(col("text"))).as("lang_pred"))
+        .select(col("lang").as("lang_true"), tokens(col("text")).as("__toks"))
+        .select(col("lang_true"), langIdFromTokens(col("__toks")).as("lang_pred"))
         .groupBy("lang_true", "lang_pred")
         .agg(count(lit(1)).as("n"))
         .withColumn("share_e6", ExactRound.roundDiv(
