@@ -224,27 +224,27 @@ object Budgets {
     "embed_whiten_checksum" -> 1.5, // r9 sample 0.35
     "events_anomaly_days" -> 1.5, // r9 sample 0.58
     "rel_basket_pairs" -> 5.1, // r9 sample 2.05
-    "rank_knn_triangles" -> 2.4, // r10 sample 0.94 (edge build memo-shared)
-    "text_bpe_merges" -> 2.8, // r10 sample 1.11 (the trainer; producer for encode)
-    "text_bpe_encode" -> 1.5, // r10 sample 0.42
-    "clean_ccnet_buckets" -> 5.0, // r10 sample 2.00
-    "clean_domain_cap" -> 1.5, // r10 sample 0.56
-    "events_sliding_windows" -> 1.5, // r10 sample 0.27
-    "agg_distinct_sketch" -> 1.5, // r10 sample 0.23
-    "rel_winsorized_prices" -> 1.5, // r10 sample 0.21
-    "events_transition_matrix" -> 2.2, // r10 sample 0.86
-    "events_rfm_segments" -> 2.2, // r10 sample 0.86
-    "pipeline_tokenizer_train" -> 1.6, // r10 sample 0.61 (merges memo-shared)
-    "text_cms_heavyhitters" -> 2.1, // r10 sample 0.82
-    "agg_quantile_sketch" -> 1.6, // r10 sample 0.64
-    "eval_graph_recall" -> 19.3, // r10 sample 7.7 (absorbs the 6-hop walk; edge build in the producer)
-    "knn_graph_topk" -> 1.5, // r10 sample 0.31 (walk memo-shared)
-    "events_top_paths" -> 3.8, // r10 sample 1.51
-    "graph_index_append" -> 16.3, // r10 sample 6.54 (base build + delta append DDL row)
-    "knn_graph_stored_topk" -> 15.0, // r10 sample 5.99 (the stored walk: hops sequential rounds)
-    "graph_index_compact" -> 1.5, // r10 sample 0.43
-    "profile_orders_histogram" -> 1.8, // r10 sample 0.69
-    "text_lang_confusion" -> 2.3, // r10 sample 0.90
-    "eval_graph_hops_curve" -> 22.2, // r10 sample 8.87 (one walk of max depth + 3 ranked prefixes + exact)
+    "rank_knn_triangles" -> 2.8, // r10 full-bench samples 1.09/1.11 (calibration-normalized)
+    "text_bpe_merges" -> 2.7, // r10 full-bench samples 1.09/1.0 (calibration-normalized)
+    "text_bpe_encode" -> 1.5, // r10 full-bench samples 0.45/0.46 (calibration-normalized)
+    "clean_ccnet_buckets" -> 4.1, // r10 full-bench samples 1.31/1.64 (calibration-normalized)
+    "clean_domain_cap" -> 1.6, // r10 full-bench samples 0.53/0.66 (calibration-normalized)
+    "events_sliding_windows" -> 1.5, // r10 full-bench samples 0.33/0.33 (calibration-normalized)
+    "agg_distinct_sketch" -> 1.5, // r10 full-bench samples 0.24/0.38 (calibration-normalized)
+    "rel_winsorized_prices" -> 1.5, // r10 full-bench samples 0.18/0.22 (calibration-normalized)
+    "events_transition_matrix" -> 1.5, // r10 full-bench samples 0.51/0.51 (calibration-normalized)
+    "events_rfm_segments" -> 1.5, // r10 full-bench samples 0.49/0.51 (calibration-normalized)
+    "pipeline_tokenizer_train" -> 1.5, // r10 full-bench samples 0.38/0.43 (calibration-normalized)
+    "text_cms_heavyhitters" -> 1.8, // r10 full-bench samples 0.6/0.72 (calibration-normalized)
+    "agg_quantile_sketch" -> 1.7, // r10 full-bench samples 0.56/0.69 (calibration-normalized)
+    "eval_graph_recall" -> 17.9, // r10 full-bench samples 7.16/6.57 (calibration-normalized)
+    "knn_graph_topk" -> 1.5, // r10 full-bench samples 0.3/0.32 (calibration-normalized)
+    "events_top_paths" -> 2.0, // r10 full-bench samples 0.73/0.78 (calibration-normalized)
+    "graph_index_append" -> 15.6, // r10 full-bench samples 5.52/6.24 (calibration-normalized)
+    "knn_graph_stored_topk" -> 11.8, // r10 full-bench samples 4.03/4.71 (calibration-normalized)
+    "graph_index_compact" -> 1.5, // r10 full-bench samples 0.36/0.48 (calibration-normalized)
+    "profile_orders_histogram" -> 1.5, // r10 full-bench samples 0.53/0.59 (calibration-normalized)
+    "text_lang_confusion" -> 1.5, // r10 full-bench samples 0.61/0.56 (calibration-normalized)
+    "eval_graph_hops_curve" -> 18.9, // r10 full-bench samples 7.15/7.56 (calibration-normalized)
   )
 }
