@@ -246,5 +246,8 @@ object Budgets {
     "profile_orders_histogram" -> 1.5, // r10 full-bench samples 0.53/0.59 (calibration-normalized)
     "text_lang_confusion" -> 1.5, // r10 full-bench samples 0.61/0.56 (calibration-normalized)
     "eval_graph_hops_curve" -> 18.9, // r10 full-bench samples 7.15/7.56 (calibration-normalized)
+    "sample_split_dedup_aware" -> 1.5, // r10 sample 0.46 (pairs+clusters memo-shared; dedup_clusters absorbs)
+    "rel_grouping_sets" -> 1.6, // r10 sample 0.63
+    "events_dau_wau" -> 2.4, // r10 sample 0.95
   )
 }

@@ -132,6 +132,38 @@ object RelationalQueries extends graft.QueryModule {
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
     }),
+    // Explicit GROUPING SETS (the general form cube/rollup specialize):
+    // per-flag totals, per-status totals, and the grand total in ONE scan
+    // with map-side partials — grouping_id disambiguates the null dims.
+    "rel_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum("l_quantity").as("sum_qty"))
+    }),
+    // DAU / WAU / stickiness — the daily-active report: per-day distinct
+    // users and the trailing-7-day distinct users, joined on the DAY
+    // DIMENSION (bounded: days ≪ events at any scale, so the 7-offset
+    // range join broadcasts the day list, never the event log); the
+    // stickiness ratio is an exact integer rational.
+    "events_dau_wau" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      val days = daily.select("d").distinct()
+      val dau = daily.groupBy("d")
+        .agg(count_distinct(col("user_id")).as("dau"))
+      val wau = broadcast(days)
+        .join(daily.select(col("d").as("__ad"), col("user_id")),
+          col("__ad") <= col("d") && col("__ad") > date_sub(col("d"), 7))
+        .groupBy("d").agg(count_distinct(col("user_id")).as("wau"))
+      dau.join(wau, "d")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          graft.functions.ExactRound.roundDiv(
+            col("dau") * lit(1000000L), col("wau")).as("stickiness_e6"))
+    }),
     // Event-time bucketing: per-hour per-type counts over the events table —
     // the exact transform the streaming face applies behind a watermark
     // (graft.streaming.EventStreams.hourlyTypeCounts).
@@ -604,6 +636,23 @@ object RelationalQueries extends graft.QueryModule {
         |  event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "events_dau_wau" ->
+      s"""WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         |days AS (SELECT DISTINCT d FROM daily),
+         |dau AS (SELECT d, count(DISTINCT user_id) AS dau FROM daily GROUP BY 1),
+         |wau AS (SELECT days.d, count(DISTINCT daily.user_id) AS wau
+         |  FROM days JOIN daily
+         |    ON daily.d <= days.d AND daily.d > days.d - 7
+         |  GROUP BY 1)
+         |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+         |  ${graft.functions.ExactRound.roundDivSql("dau.dau * 1000000", "wau.wau")} AS stickiness_e6
+         |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
     "profile_orders_histogram" ->
       """WITH p AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS pe4
         |  FROM orders),
