@@ -249,5 +249,6 @@ object Budgets {
     "sample_split_dedup_aware" -> 1.5, // r10 sample 0.46 (pairs+clusters memo-shared; dedup_clusters absorbs)
     "rel_grouping_sets" -> 1.6, // r10 sample 0.63
     "events_dau_wau" -> 2.4, // r10 sample 0.95
+    "eval_split_leakage_naive" -> 1.5, // r10 sample 0.60 (pairs memo-shared)
   )
 }

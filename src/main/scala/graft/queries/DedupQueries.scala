@@ -313,6 +313,29 @@ object DedupQueries extends graft.QueryModule {
           sum(col("doc_id")).as("id_checksum"))
         .crossJoin(broadcast(crossPairs))
     }),
+    // The CONTRAST row: the naive doc-hash split over the same corpus —
+    // its n_cross_pairs counts verified near-dup pairs that straddle the
+    // train/test boundary (non-zero on this corpus), the leakage the
+    // cluster-keyed split provably eliminates. Same hash family, same
+    // 80/20 rate; only the hashed KEY differs.
+    "eval_split_leakage_naive" -> ((s, dir) => {
+      val pairs = ccPairs(s, dir)
+      val assigned = Tables.documents(s, dir).select("doc_id")
+        .withColumn("split",
+          when(pmod(graft.functions.TextFunctions.tokenHash(
+              concat(lit("ccsplit"), col("doc_id").cast("string"))),
+            lit(10L)) < 8, "train").otherwise("test"))
+      val crossPairs = pairs
+        .join(assigned.select(col("doc_id").as("a_id"),
+          col("split").as("__sa")), "a_id")
+        .join(assigned.select(col("doc_id").as("b_id"),
+          col("split").as("__sb")), "b_id")
+        .agg(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+          .as("n_cross_pairs"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+        .crossJoin(broadcast(crossPairs))
+    }),
     // The survivor POLICY a real pipeline wants: keep each cluster's
     // LONGEST member, not its smallest id (truncated copies of a page are
     // common near-dups — min-id keep throws away the fullest version about
@@ -731,6 +754,19 @@ object DedupQueries extends graft.QueryModule {
     // pair list — the fixpoint the Spark label propagation converges to.
     // The star-rewiring implementation answers to the same ground truth.
     "dedup_clusters" -> clustersSql,
+    "eval_split_leakage_naive" ->
+      s"""WITH RECURSIVE $clustersCtes,
+         |asn AS (SELECT d.doc_id,
+         |    CASE WHEN ${tokenHashSql("'ccsplit' || CAST(d.doc_id AS VARCHAR)")} % 10 < 8
+         |      THEN 'train' ELSE 'test' END AS split
+         |  FROM documents d),
+         |cp AS (SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_pairs
+         |  FROM pairs p JOIN asn a ON a.doc_id = p.a_id
+         |  JOIN asn b ON b.doc_id = p.b_id)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         |  cp.n_cross_pairs
+         |FROM asn CROSS JOIN cp GROUP BY split, cp.n_cross_pairs""".stripMargin,
     "sample_split_dedup_aware" ->
       s"""WITH RECURSIVE $clustersCtes,
          |asn AS (SELECT cl.doc_id, cl.cluster_id,
