@@ -140,6 +140,35 @@ object DedupQueries extends graft.QueryModule {
       Dedup.connectedComponents(ccPairs(s, dir),
         Tables.documents(s, dir).select("doc_id"), "doc_id"))
 
+  /** The salted 80/20 split assignment over a key column — ONE definition
+    * for the cluster-keyed (leakage-free) and doc-keyed (naive contrast)
+    * splits; its SQL twin is [[splitAssignSql]]. */
+  private def splitAssign(key: org.apache.spark.sql.Column) =
+    when(pmod(graft.functions.TextFunctions.tokenHash(
+      concat(lit("ccsplit"), key.cast("string"))), lit(10L)) < 8, "train")
+      .otherwise("test")
+
+  private def splitAssignSql(keySql: String): String =
+    s"CASE WHEN ${tokenHashSql(s"'ccsplit' || CAST($keySql AS VARCHAR)")} % 10 < 8 THEN 'train' ELSE 'test' END"
+
+  /** Count of verified pairs whose endpoints landed on different sides —
+    * the leakage number both split pins carry (0 for the cluster-keyed
+    * split by construction). Coalesced: zero pairs must read 0, not NULL
+    * (the oracle's coalesce mirrored). Its SQL twin is [[crossPairsCpCte]]. */
+  private def crossPairCount(pairs: DataFrame, assigned: DataFrame): DataFrame =
+    pairs
+      .join(assigned.select(col("doc_id").as("a_id"),
+        col("split").as("__sa")), "a_id")
+      .join(assigned.select(col("doc_id").as("b_id"),
+        col("split").as("__sb")), "b_id")
+      .agg(coalesce(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)),
+        lit(0L)).as("n_cross_pairs"))
+
+  private val crossPairsCpCte: String =
+    """cp AS (SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_pairs
+      |  FROM pairs p JOIN asn a ON a.doc_id = p.a_id
+      |  JOIN asn b ON b.doc_id = p.b_id)""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactAssign(Tables.documents(s, dir), "doc_id", "text")),
@@ -295,23 +324,13 @@ object DedupQueries extends graft.QueryModule {
     // The pin carries the proof: n_cross_pairs counts verified near-dup
     // pairs straddling the split and must be 0 by construction.
     "sample_split_dedup_aware" -> ((s, dir) => {
-      val pairs = ccPairs(s, dir)
-      val assigned = ccClusters(s, dir).withColumn("split",
-        when(pmod(graft.functions.TextFunctions.tokenHash(
-            concat(lit("ccsplit"), col("cluster_id").cast("string"))),
-          lit(10L)) < 8, "train").otherwise("test"))
-      val crossPairs = pairs
-        .join(assigned.select(col("doc_id").as("a_id"),
-          col("split").as("__sa")), "a_id")
-        .join(assigned.select(col("doc_id").as("b_id"),
-          col("split").as("__sb")), "b_id")
-        .agg(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
-          .as("n_cross_pairs"))
+      val assigned = ccClusters(s, dir)
+        .withColumn("split", splitAssign(col("cluster_id")))
       assigned.groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           count_distinct(col("cluster_id")).as("n_clusters"),
           sum(col("doc_id")).as("id_checksum"))
-        .crossJoin(broadcast(crossPairs))
+        .crossJoin(broadcast(crossPairCount(ccPairs(s, dir), assigned)))
     }),
     // The CONTRAST row: the naive doc-hash split over the same corpus —
     // its n_cross_pairs counts verified near-dup pairs that straddle the
@@ -319,22 +338,11 @@ object DedupQueries extends graft.QueryModule {
     // cluster-keyed split provably eliminates. Same hash family, same
     // 80/20 rate; only the hashed KEY differs.
     "eval_split_leakage_naive" -> ((s, dir) => {
-      val pairs = ccPairs(s, dir)
       val assigned = Tables.documents(s, dir).select("doc_id")
-        .withColumn("split",
-          when(pmod(graft.functions.TextFunctions.tokenHash(
-              concat(lit("ccsplit"), col("doc_id").cast("string"))),
-            lit(10L)) < 8, "train").otherwise("test"))
-      val crossPairs = pairs
-        .join(assigned.select(col("doc_id").as("a_id"),
-          col("split").as("__sa")), "a_id")
-        .join(assigned.select(col("doc_id").as("b_id"),
-          col("split").as("__sb")), "b_id")
-        .agg(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
-          .as("n_cross_pairs"))
+        .withColumn("split", splitAssign(col("doc_id")))
       assigned.groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
-        .crossJoin(broadcast(crossPairs))
+        .crossJoin(broadcast(crossPairCount(ccPairs(s, dir), assigned)))
     }),
     // The survivor POLICY a real pipeline wants: keep each cluster's
     // LONGEST member, not its smallest id (truncated copies of a page are
@@ -756,26 +764,18 @@ object DedupQueries extends graft.QueryModule {
     "dedup_clusters" -> clustersSql,
     "eval_split_leakage_naive" ->
       s"""WITH RECURSIVE $clustersCtes,
-         |asn AS (SELECT d.doc_id,
-         |    CASE WHEN ${tokenHashSql("'ccsplit' || CAST(d.doc_id AS VARCHAR)")} % 10 < 8
-         |      THEN 'train' ELSE 'test' END AS split
+         |asn AS (SELECT d.doc_id, ${splitAssignSql("d.doc_id")} AS split
          |  FROM documents d),
-         |cp AS (SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_pairs
-         |  FROM pairs p JOIN asn a ON a.doc_id = p.a_id
-         |  JOIN asn b ON b.doc_id = p.b_id)
+         |$crossPairsCpCte
          |SELECT split, count(*) AS n_docs,
          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
          |  cp.n_cross_pairs
          |FROM asn CROSS JOIN cp GROUP BY split, cp.n_cross_pairs""".stripMargin,
     "sample_split_dedup_aware" ->
       s"""WITH RECURSIVE $clustersCtes,
-         |asn AS (SELECT cl.doc_id, cl.cluster_id,
-         |    CASE WHEN ${tokenHashSql("'ccsplit' || CAST(cl.cluster_id AS VARCHAR)")} % 10 < 8
-         |      THEN 'train' ELSE 'test' END AS split
+         |asn AS (SELECT cl.doc_id, cl.cluster_id, ${splitAssignSql("cl.cluster_id")} AS split
          |  FROM cl),
-         |cp AS (SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_pairs
-         |  FROM pairs p JOIN asn a ON a.doc_id = p.a_id
-         |  JOIN asn b ON b.doc_id = p.b_id)
+         |$crossPairsCpCte
          |SELECT split, count(*) AS n_docs,
          |  count(DISTINCT cluster_id) AS n_clusters,
          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,

@@ -149,8 +149,10 @@ object RelationalQueries extends graft.QueryModule {
     // range join broadcasts the day list, never the event log); the
     // stickiness ratio is an exact integer rational.
     "events_dau_wau" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
-        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      // three branches (days, dau, wau) read the distinct frame — cache it
+      // so the event-log dedup aggregation runs once, not per branch
+      val daily = graft.Caches.cached(Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct())
       val days = daily.select("d").distinct()
       val dau = daily.groupBy("d")
         .agg(count_distinct(col("user_id")).as("dau"))
