@@ -18,8 +18,8 @@ import DocSql.toksCte
 object CleanQueries extends graft.QueryModule {
 
   private val RepN = 3        // repetition gram width
-  private val ContamN = 8     // decontamination gram width (long spans only)
-  private val BenchMaxId = 100L // stand-in held-out benchmark: doc_id ≤ 100
+  private[queries] val ContamN = 8     // decontamination gram width (long spans only)
+  private[queries] val BenchMaxId = 100L // stand-in held-out benchmark: doc_id ≤ 100
   private val SpanW = 8       // boilerplate span width (tokens per block)
   private val SpanMinDocs = 2L // blocks in ≥ this many docs are boilerplate
   private val GopherMinToks = CleanFunctions.Gopher.MinToks

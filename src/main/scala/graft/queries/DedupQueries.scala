@@ -344,6 +344,38 @@ object DedupQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
         .crossJoin(broadcast(crossPairCount(ccPairs(s, dir), assigned)))
     }),
+    // Eval-set construction pipeline (one-row composition pin): held-out
+    // decontamination (drop pool docs sharing any long n-gram with the
+    // benchmark slice — clean_contamination's gate) THEN the cluster-keyed
+    // leakage-free split. The card pins pool size, contamination drops,
+    // both split sides (counts + checksums), and the zero cross-pair
+    // guard over the surviving pool — the end-to-end invariant an eval
+    // pipeline must hold even when each stage query is green alone.
+    "pipeline_eval_set" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = Dedup.shingleHashes(docs, "doc_id", "text",
+        CleanQueries.ContamN)
+      val bench = sh.filter(col("doc_id") <= CleanQueries.BenchMaxId)
+        .select(col("__gh")).distinct()
+      val contaminated = sh.filter(col("doc_id") > CleanQueries.BenchMaxId)
+        .join(bench, "__gh").select("doc_id").distinct()
+      val pool = docs.filter(col("doc_id") > CleanQueries.BenchMaxId)
+        .select("doc_id")
+      val clean = pool.join(contaminated, Seq("doc_id"), "left_anti")
+      val assigned = ccClusters(s, dir).join(clean, "doc_id")
+        .withColumn("split", splitAssign(col("cluster_id")))
+      val sums = assigned.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        coalesce(sum(when(col("split") === "train", col("doc_id"))), lit(0L))
+          .as("train_checksum"),
+        coalesce(sum(when(col("split") === "test", col("doc_id"))), lit(0L))
+          .as("test_checksum"))
+      pool.agg(count(lit(1)).as("n_pool"))
+        .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
+        .crossJoin(sums)
+        .crossJoin(broadcast(crossPairCount(ccPairs(s, dir), assigned)))
+    }),
     // The survivor POLICY a real pipeline wants: keep each cluster's
     // LONGEST member, not its smallest id (truncated copies of a page are
     // common near-dups — min-id keep throws away the fullest version about
@@ -771,6 +803,31 @@ object DedupQueries extends graft.QueryModule {
          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
          |  cp.n_cross_pairs
          |FROM asn CROSS JOIN cp GROUP BY split, cp.n_cross_pairs""".stripMargin,
+    // Contamination grams at ContamN reuse the shared shingle-hash CTE
+    // with renamed CTE heads (clustersCtes already binds shd at width N).
+    "pipeline_eval_set" -> {
+      val contamCte = DocSql.shingleHashCte(CleanQueries.ContamN)
+        .replace("shd", "cshd")
+      s"""WITH RECURSIVE $clustersCtes,
+         |$contamCte,
+         |bench AS (SELECT DISTINCT ghv FROM cshd WHERE doc_id <= ${CleanQueries.BenchMaxId}),
+         |cont AS (SELECT DISTINCT cshd.doc_id FROM cshd JOIN bench USING (ghv)
+         |  WHERE cshd.doc_id > ${CleanQueries.BenchMaxId}),
+         |pool AS (SELECT doc_id FROM documents WHERE doc_id > ${CleanQueries.BenchMaxId}),
+         |cln AS (SELECT pool.doc_id FROM pool LEFT JOIN cont USING (doc_id)
+         |  WHERE cont.doc_id IS NULL),
+         |asn AS (SELECT cl.doc_id, ${splitAssignSql("cl.cluster_id")} AS split
+         |  FROM cl JOIN cln USING (doc_id)),
+         |$crossPairsCpCte
+         |SELECT (SELECT count(*) FROM pool) AS n_pool,
+         |  (SELECT count(*) FROM cont) AS n_contaminated,
+         |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |  CAST(coalesce(sum(CASE WHEN split = 'train' THEN doc_id END), 0) AS BIGINT) AS train_checksum,
+         |  CAST(coalesce(sum(CASE WHEN split = 'test' THEN doc_id END), 0) AS BIGINT) AS test_checksum,
+         |  cp.n_cross_pairs
+         |FROM asn CROSS JOIN cp GROUP BY cp.n_cross_pairs""".stripMargin
+    },
     "sample_split_dedup_aware" ->
       s"""WITH RECURSIVE $clustersCtes,
          |asn AS (SELECT cl.doc_id, cl.cluster_id, ${splitAssignSql("cl.cluster_id")} AS split
