@@ -251,5 +251,6 @@ object Budgets {
     "events_dau_wau" -> 2.4, // r10 sample 0.95
     "eval_split_leakage_naive" -> 1.5, // r10 sample 0.60 (pairs memo-shared)
     "pipeline_eval_set" -> 2.9, // r10 sample 1.16 (shingle/pair/cluster caches shared with the dedup family)
+    "text_fertility_by_lang" -> 1.5, // r10 sample 0.35
   )
 }

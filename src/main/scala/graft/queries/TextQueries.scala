@@ -73,6 +73,26 @@ object TextQueries extends graft.QueryModule {
         .select(
           (col("doc_id") +: hitCols :+ langIdFromTokens(col("__toks")).as("lang_pred")): _*)
     }),
+    // Tokenizer fertility by language — the per-language cost dial a
+    // multilingual tokenizer report shows (chars consumed per token and
+    // per BPE-ish subword; languages far off the corpus average pay more
+    // sequence length per character). One scan, exact integer sums, e6
+    // rational ratios.
+    "text_fertility_by_lang" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), tokens(col("text")).as("__toks"),
+          length(col("text")).cast("long").as("__chars"),
+          graft.functions.TextFunctions.bpeTokenCount(col("text")).as("__sub"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("__toks")).cast("long")).as("n_tokens"),
+          sum(col("__sub")).as("n_subwords"),
+          sum(col("__chars")).as("n_chars"))
+        .withColumn("chars_per_token_e6", ExactRound.roundDiv(
+          col("n_chars") * lit(1000000L), col("n_tokens")))
+        .withColumn("chars_per_subword_e6", ExactRound.roundDiv(
+          col("n_chars") * lit(1000000L), col("n_subwords")))
+    }),
     // Language-ID evaluated against the gold labels: the confusion matrix
     // + per-true-language exact-integer accuracy — the calibration report
     // a deployment reads before trusting the heuristic as a filter. Same
@@ -857,6 +877,18 @@ object TextQueries extends graft.QueryModule {
          |SELECT doc_id, count(*) AS n_tokens, CAST(sum(ns) AS BIGINT) AS n_symbols
          |FROM denc GROUP BY 1""".stripMargin
     },
+    "text_fertility_by_lang" ->
+      s"""WITH $toksCte
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(regexp_extract_all(lower(t.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+'))) AS BIGINT) AS n_subwords,
+         |  CAST(sum(len(t.text)) AS BIGINT) AS n_chars,
+         |  ${graft.functions.ExactRound.roundDivSql("sum(len(t.text)) * 1000000", "sum(len(t.toks))")} AS chars_per_token_e6,
+         |  ${graft.functions.ExactRound.roundDivSql(
+             "sum(len(t.text)) * 1000000",
+             "sum(len(regexp_extract_all(lower(t.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')))")} AS chars_per_subword_e6
+         |FROM tokd t JOIN documents d USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "text_lang_confusion" ->
       s"""WITH $toksCte,
          |h AS (SELECT doc_id,
