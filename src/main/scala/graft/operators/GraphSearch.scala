@@ -33,30 +33,51 @@ object GraphSearch {
     * set by exact metric distance, rank 1..k. */
   def beamSearch(queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String, edges: DataFrame,
-      hops: Int, beam: Int, k: Int, metric: Metric = Cosine): DataFrame =
+      hops: Int, beam: Int, k: Int, metric: Metric = Cosine,
+      entries: Option[DataFrame] = None): DataFrame =
     beamSearchAtStages(queries, qId, qVec, corpus, cId, cVec, edges,
-      Seq(hops), beam, k, metric).drop("hops")
+      Seq(hops), beam, k, metric, entries).drop("hops")
 
   /** [[beamSearch]] evaluated at several depths in ONE walk: because the
     * walk is deterministic, an h-hop search IS the prefix of the deepest
     * search — so the curve costs one walk of max(stages) hops, and each
     * stage's ranking reads the visited-set prefix. Output adds a `hops`
     * column. The tuning dial a deployment reads to set walk depth (the
-    * probe-count curve's graph sibling). */
+    * probe-count curve's graph sibling).
+    *
+    * `entries` optionally supplies PER-QUERY entry points — a (qId, cId)
+    * frame, several rows per query allowed (the hierarchy layer's entry
+    * selection); absent, every query enters at the min corpus id. */
   def beamSearchAtStages(queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String, edges: DataFrame,
       stages: Seq[Int], beam: Int, k: Int,
-      metric: Metric = Cosine): DataFrame = {
+      metric: Metric = Cosine, entries: Option[DataFrame] = None): DataFrame = {
     require(stages.nonEmpty && stages.forall(_ >= 1) && beam >= 1 && k >= 1)
+    // A duplicated depth would silently duplicate that stage's ranked rows
+    // in the unioned output.
+    require(stages.distinct.size == stages.size,
+      s"beamSearchAtStages: duplicate depths in $stages")
     val q = broadcast(queries.select(col(qId).as("__qid"),
       col(qVec).as("__qv")))
     val vecs = corpus.select(col(cId).cast("long").as("__vid"),
       col(cVec).as("__cv"))
     val e = edges.select(col("src").cast("long").as("__node"),
       col("dst").cast("long").as("__dst"))
+    // Per-hop frontier partitioning proportional to the query fleet: the
+    // frontier carries ≤ |Q|·beam rows per hop, so the NQ=20 fixture packs
+    // into one block (minimal per-hop task overhead), while a 10⁵-query
+    // production batch spreads across the cluster instead of serializing
+    // every hop through a single partition. |Q| is one count of the
+    // (broadcast-small by contract) query frame.
+    val fParts = frontierPartitions(queries.count(), beam,
+      queries.sparkSession.sparkContext.defaultParallelism)
     val entry = corpus.agg(min(col(cId)).cast("long").as("__node"))
-    var frontiers = Vector(q.select(col("__qid")).crossJoin(broadcast(entry))
-      .localCheckpoint())
+    val f0 = entries match {
+      case Some(ent) => ent.select(col(qId).as("__qid"),
+        col(cId).cast("long").as("__node"))
+      case None => q.select(col("__qid")).crossJoin(broadcast(entry))
+    }
+    var frontiers = Vector(f0.coalesce(fParts).localCheckpoint())
     def visited = frontiers.reduce(_ unionAll _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__qid").orderBy(col("__d"), col("__node"))
@@ -71,7 +92,7 @@ object GraphSearch {
           metric.dist(col("__qv"), col("__cv")).as("__d"))
       frontiers :+= scored.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= beam).select("__qid", "__node")
-        .coalesce(1).localCheckpoint()
+        .coalesce(fParts).localCheckpoint()
     }
     stages.map { h =>
       val vh = frontiers.take(h + 1).reduce(_ unionAll _)
@@ -84,6 +105,50 @@ object GraphSearch {
       KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
         .withColumn("hops", lit(h.toLong))
     }.reduce(_ unionAll _)
+  }
+
+  /** Frontier partition target for a walk: ~4096 (query, node) rows per
+    * partition, ≥ 1, capped at the cluster's parallelism. */
+  private[graft] def frontierPartitions(nQueries: Long, beam: Int,
+      maxParallelism: Int): Int =
+    math.max(1L, math.min(maxParallelism.toLong,
+      nQueries * beam / 4096L + 1L)).toInt
+
+  /** HNSW-style HIERARCHICAL search (Malkov & Yashunin, TPAMI'18 — the
+    * log-layered refinement of the flat NSW walk; the reference's own
+    * Milvus index is HNSW, `load_skill_vectors_milvus.py:53-68`): a
+    * deterministic 1/`layerMod` node sample forms an upper layer with its
+    * own kNN edge list; a cheap coarse walk over that small layer picks
+    * per-query entry points, and the layer-0 beam search starts from them
+    * instead of a fixed corner of the graph. This is what bounds walk
+    * length at scale — the upper layer's diameter shrinks by the sample
+    * rate, so a few coarse hops land the walker near its target and the
+    * layer-0 budget is spent refining, not crossing the graph.
+    *
+    * Layer assignment hashes the node id ([[Sampling.hashBucket]] — md5,
+    * so the oracle replays it); upper-layer edges are the same
+    * [[PageRank.directedKnnEdges]] construction at `upperDegree`,
+    * symmetrized. At 100 TB the upper layer is corpus/`layerMod` rows —
+    * its edge build runs the same stored-ANN probe path as layer 0, and
+    * the coarse walk touches `upperHops`·`upperBeam`·`upperDegree` nodes
+    * per query. Everything stays deterministic, so the DuckDB oracle
+    * replays both walks hop for hop ([[hierSearchCtes]]). */
+  def hierarchicalSearch(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String, edges: DataFrame,
+      hops: Int, beam: Int, k: Int, layerMod: Int, upperDegree: Int,
+      upperHops: Int, upperBeam: Int, nEntries: Int,
+      metric: Metric = Cosine): DataFrame = {
+    require(layerMod >= 2 && upperDegree >= 1 && nEntries >= 1)
+    val upper = corpus
+      .filter(Sampling.hashBucket(col(cId), layerMod) === 0L)
+      .select(col(cId), col(cVec))
+    val upperEdges = PageRank.symmetrize(
+      PageRank.directedKnnEdges(upper, cId, cVec, upperDegree, metric))
+    val entries = beamSearch(queries, qId, qVec, upper, cId, cVec,
+      upperEdges, upperHops, upperBeam, nEntries, metric)
+      .select(col(qId), col(cId))
+    beamSearch(queries, qId, qVec, corpus, cId, cVec, edges, hops, beam, k,
+      metric, entries = Some(entries))
   }
 
   /** The graph-model identity stamped on a stored index: degree + metric
@@ -151,13 +216,16 @@ object GraphSearch {
       hops: Int, beam: Int, k: Int): String =
     walkCtes(qCte, cCte, esCtes, hops, beam) + ",\n" + rankTail(hops, k)
 
-  /** The ranked-output tail over a walk's visited set v`h`: ends in
-    * gtop(job_id, skill_id, rank, dist-unrounded), CTE names suffixed so
-    * several depths can coexist (the hops curve). */
-  def rankTail(h: Int, k: Int, suffix: String = ""): String =
+  /** The ranked-output tail over a walk's visited set v`h``walkSuffix`:
+    * ends in gtop`suffix`(job_id, skill_id, rank, dist-unrounded), CTE
+    * names suffixed so several depths can coexist (the hops curve);
+    * `walkSuffix` points at a suffixed walk's visited set (the hierarchy's
+    * upper layer). */
+  def rankTail(h: Int, k: Int, suffix: String = "",
+      walkSuffix: String = ""): String =
     s"""gsc$suffix AS (SELECT v.job_id, v.node AS skill_id,
        |    1.0 - list_cosine_similarity(q.qvec, cv.svec) AS dist
-       |  FROM v$h v JOIN q ON q.job_id = v.job_id
+       |  FROM v$h$walkSuffix v JOIN q ON q.job_id = v.job_id
        |  JOIN c cv ON cv.skill_id = v.node),
        |gtop$suffix AS (SELECT job_id, skill_id, CAST(rn AS BIGINT) AS rank, dist
        |  FROM (SELECT job_id, skill_id, dist,
@@ -167,29 +235,78 @@ object GraphSearch {
   /** The walk itself, no ranking tail: head + every hop CTE, ending in
     * v`hops` (the visited set). */
   def walkCtes(qCte: String, cCte: String, esCtes: String,
-      hops: Int, beam: Int): String = {
-    val head =
-      s"""$qCte, $cCte,
-         |$esCtes,
-         |en AS (SELECT min(skill_id) AS node FROM c),
-         |v0 AS (SELECT q.job_id, en.node FROM q CROSS JOIN en),
-         |f0 AS (SELECT * FROM v0)""".stripMargin
+      hops: Int, beam: Int): String =
+    s"""$qCte, $cCte,
+       |$esCtes,
+       |${walkBodyCtes(hops, beam)}""".stripMargin
+
+  /** The hop-CTE chain of one walk, without the q/c/edge heads — so two
+    * walks (the hierarchy's upper + lower layers) can coexist in one
+    * query. CTE names carry `suffix`; candidates expand over `esName`
+    * (src, dst, both directions); scores and the default min-id entry read
+    * `corpusName`(skill_id, svec); `v0Sql` overrides the entry frontier
+    * with a caller-supplied (job_id, node) SELECT (per-query entries). */
+  def walkBodyCtes(hops: Int, beam: Int, suffix: String = "",
+      corpusName: String = "c", esName: String = "es",
+      v0Sql: Option[String] = None): String = {
+    val head = v0Sql match {
+      case Some(sql) =>
+        s"""v0$suffix AS ($sql),
+           |f0$suffix AS (SELECT * FROM v0$suffix)""".stripMargin
+      case None =>
+        s"""en$suffix AS (SELECT min(skill_id) AS node FROM $corpusName),
+           |v0$suffix AS (SELECT q.job_id, en$suffix.node FROM q CROSS JOIN en$suffix),
+           |f0$suffix AS (SELECT * FROM v0$suffix)""".stripMargin
+    }
     val hopCtes = (1 to hops).map { t =>
-      s"""c$t AS MATERIALIZED (SELECT DISTINCT f${t - 1}.job_id, es.dst AS node
-         |  FROM f${t - 1} JOIN es ON es.src = f${t - 1}.node),
-         |a$t AS (SELECT cc.job_id, cc.node FROM c$t cc
-         |  LEFT JOIN v${t - 1} v ON v.job_id = cc.job_id AND v.node = cc.node
+      s"""c$t$suffix AS MATERIALIZED (SELECT DISTINCT f${t - 1}$suffix.job_id, $esName.dst AS node
+         |  FROM f${t - 1}$suffix JOIN $esName ON $esName.src = f${t - 1}$suffix.node),
+         |a$t$suffix AS (SELECT cc.job_id, cc.node FROM c$t$suffix cc
+         |  LEFT JOIN v${t - 1}$suffix v ON v.job_id = cc.job_id AND v.node = cc.node
          |  WHERE v.node IS NULL),
-         |s$t AS (SELECT a.job_id, a.node,
+         |s$t$suffix AS (SELECT a.job_id, a.node,
          |    1.0 - list_cosine_similarity(q.qvec, cv.svec) AS d
-         |  FROM a$t a JOIN q ON q.job_id = a.job_id
-         |  JOIN c cv ON cv.skill_id = a.node),
-         |f$t AS MATERIALIZED (SELECT job_id, node FROM (
+         |  FROM a$t$suffix a JOIN q ON q.job_id = a.job_id
+         |  JOIN $corpusName cv ON cv.skill_id = a.node),
+         |f$t$suffix AS MATERIALIZED (SELECT job_id, node FROM (
          |    SELECT job_id, node,
          |      row_number() OVER (PARTITION BY job_id ORDER BY d, node) AS rn
-         |    FROM s$t) WHERE rn <= $beam),
-         |v$t AS MATERIALIZED (SELECT * FROM v${t - 1} UNION ALL SELECT * FROM f$t)""".stripMargin
+         |    FROM s$t$suffix) WHERE rn <= $beam),
+         |v$t$suffix AS MATERIALIZED (SELECT * FROM v${t - 1}$suffix UNION ALL SELECT * FROM f$t$suffix)""".stripMargin
     }
     (Seq(head) ++ hopCtes).mkString(",\n")
   }
+
+  /** DuckDB twin of [[hierarchicalSearch]]: upper-layer subset (md5 bucket
+    * 0 of `layerMod`) → upper kNN edges at `upperDegree` → coarse walk →
+    * top-`nEntries` entry selection → layer-0 walk from those entries →
+    * ranked tail. Ends in gtop(job_id, skill_id, rank, dist-unrounded);
+    * layer-0 edges come from the caller-supplied `esCtes` (ending in
+    * `es`), mirroring the Scala signature. */
+  def hierSearchCtesWithEdges(qCte: String, cCte: String, esCtes: String,
+      layerMod: Int, upperDegree: Int, upperHops: Int, upperBeam: Int,
+      nEntries: Int, hops: Int, beam: Int, k: Int): String = {
+    val cu =
+      s"""cu AS (SELECT skill_id, svec FROM c
+         |  WHERE ('0x' || substr(md5(CAST(skill_id AS VARCHAR)), 1, 8))::BIGINT % $layerMod = 0)""".stripMargin
+    val upperEdges =
+      PageRank.edgeCtesFromSql("cu", "cu", "skill_id", "svec", upperDegree, "u") +
+        ",\nues AS MATERIALIZED (SELECT src, dst FROM ue0 UNION SELECT dst, src FROM ue0)"
+    val upperWalk = walkBodyCtes(upperHops, upperBeam, "u", "cu", "ues")
+    val entryTail = rankTail(upperHops, nEntries, "u", "u")
+    val lowerWalk = walkBodyCtes(hops, beam, "", "c", "es",
+      Some("SELECT job_id, skill_id AS node FROM gtopu"))
+    Seq(s"$qCte, $cCte", cu, upperEdges, upperWalk, entryTail, esCtes,
+      lowerWalk, rankTail(hops, k)).mkString(",\n")
+  }
+
+  /** [[hierSearchCtesWithEdges]] with the standard degree-`gk` layer-0
+    * edge construction (the sibling of [[beamSearchCtes]]). */
+  def hierSearchCtes(qCte: String, cCte: String, gk: Int, layerMod: Int,
+      upperDegree: Int, upperHops: Int, upperBeam: Int, nEntries: Int,
+      hops: Int, beam: Int, k: Int): String =
+    hierSearchCtesWithEdges(qCte, cCte,
+      PageRank.edgeCtesSql("skill_id", "svec", gk) + ",\n" +
+        "es AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)",
+      layerMod, upperDegree, upperHops, upperBeam, nEntries, hops, beam, k)
 }

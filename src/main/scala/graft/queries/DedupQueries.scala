@@ -364,9 +364,14 @@ object DedupQueries extends graft.QueryModule {
       val clean = pool.join(contaminated, Seq("doc_id"), "left_anti")
       val assigned = ccClusters(s, dir).join(clean, "doc_id")
         .withColumn("split", splitAssign(col("cluster_id")))
+      // coalesce to 0 on an empty clean pool (every pool doc contaminated):
+      // a global agg still emits one row, and the oracle's aggregate-
+      // without-GROUP-BY twin must see identical zeros, not NULLs.
       val sums = assigned.agg(
-        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
-        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        coalesce(sum(when(col("split") === "train", 1L).otherwise(0L)), lit(0L))
+          .as("n_train"),
+        coalesce(sum(when(col("split") === "test", 1L).otherwise(0L)), lit(0L))
+          .as("n_test"),
         coalesce(sum(when(col("split") === "train", col("doc_id"))), lit(0L))
           .as("train_checksum"),
         coalesce(sum(when(col("split") === "test", col("doc_id"))), lit(0L))
@@ -821,12 +826,12 @@ object DedupQueries extends graft.QueryModule {
          |$crossPairsCpCte
          |SELECT (SELECT count(*) FROM pool) AS n_pool,
          |  (SELECT count(*) FROM cont) AS n_contaminated,
-         |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-         |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |  CAST(coalesce(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_train,
+         |  CAST(coalesce(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_test,
          |  CAST(coalesce(sum(CASE WHEN split = 'train' THEN doc_id END), 0) AS BIGINT) AS train_checksum,
          |  CAST(coalesce(sum(CASE WHEN split = 'test' THEN doc_id END), 0) AS BIGINT) AS test_checksum,
-         |  cp.n_cross_pairs
-         |FROM asn CROSS JOIN cp GROUP BY cp.n_cross_pairs""".stripMargin
+         |  (SELECT n_cross_pairs FROM cp) AS n_cross_pairs
+         |FROM asn""".stripMargin
     },
     "sample_split_dedup_aware" ->
       s"""WITH RECURSIVE $clustersCtes,

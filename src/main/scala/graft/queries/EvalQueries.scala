@@ -21,18 +21,18 @@ object EvalQueries extends graft.QueryModule {
 
   private def tops(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (q, c) = Fixtures.split(s, dir)
-    // Register both top-k frames (≤ |Q|·K rows each) with graft.Caches:
-    // every eval query reads them twice (hits + best / matches +
-    // denominator), and the registry's plan-identity memoization shares the
-    // materialization across all four eval_* queries in a run — the
-    // cross-corpus k-NN join runs once, not eight times — while
-    // Caches.clear() releases them when the run ends.
-    val cosTop = graft.Caches.cached(
-      KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine))
-    val qh = q.select(col("job_id"), slice(col("qvec"), 1, HalfDim).as("qvec"))
-    val ch = c.select(col("skill_id"), slice(col("svec"), 1, HalfDim).as("svec"))
-    val annTop = graft.Caches.cached(
-      KnnJoin.exact(qh, "job_id", "qvec", ch, "skill_id", "svec", K, Cosine))
+    // Both top-k frames (≤ |Q|·K rows each) are KEYED memos: every eval
+    // query reads them twice (hits + best / matches + denominator), and
+    // the bounded-heap UDAF embeds a fresh instance per call, so plan
+    // equality could not share them across queries — the keyed registry
+    // does, and Caches.clear() releases them when the run ends. The exact
+    // frame is the board-wide shared oracle ranking (Fixtures.exactTopK).
+    val cosTop = Fixtures.exactTopK(s, dir)
+    val annTop = graft.Caches.memo(s, s"exact:ann$HalfDim:$dir") {
+      val qh = q.select(col("job_id"), slice(col("qvec"), 1, HalfDim).as("qvec"))
+      val ch = c.select(col("skill_id"), slice(col("svec"), 1, HalfDim).as("svec"))
+      KnnJoin.exact(qh, "job_id", "qvec", ch, "skill_id", "svec", K, Cosine)
+    }
     (cosTop, annTop, c)
   }
 

@@ -25,6 +25,20 @@ private[queries] object Fixtures {
     (q, c)
   }
 
+  /** The exact top-K ranking over the fixture split — THE oracle frame of
+    * every recall/eval gate (~26 call sites pay it otherwise), memo-shared
+    * per (session, metric, dir). Keyed memo, not plan equality: the
+    * bounded-heap UDAF embeds a fresh instance per `udaf(...)` call, which
+    * defeats `sameResult` even though the computation is identical. */
+  def exactTopK(s: SparkSession, dir: String,
+      metric: graft.functions.VectorFunctions.Metric =
+        graft.functions.VectorFunctions.Cosine): DataFrame = {
+    val (q, c) = split(s, dir)
+    graft.Caches.memo(s, s"exact:$metric:$dir")(
+      graft.operators.KnnJoin.exact(
+        q, "job_id", "qvec", c, "skill_id", "svec", K, metric))
+  }
+
   val qCte: String =
     s"q AS (SELECT vec_id AS job_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $NQ)"
   val cCte: String =

@@ -100,9 +100,10 @@ object IndexQueries extends graft.QueryModule {
     (c.filter(!isDelta), c.filter(isDelta))
   }
 
-  private val GraphK = 3     // stored-graph out-degree (matches the census graph)
+  private val GraphK = 8     // stored-graph out-degree (matches the census/search graph's M)
   private val GraphHops = 6  // stored-walk depth (mirrors knn_graph_topk)
-  private val GraphBeam = 16 // stored-walk beam width
+  private val GraphBeam = 16 // stored-walk beam width (lifecycle-equivalence gate — any
+                             // beam pins it; the recall-grade beam lives in VectorQueries)
 
   /** Stored kNN-graph edge table built on the BASE slice then
     * delta-appended against the full corpus
@@ -196,8 +197,7 @@ object IndexQueries extends graft.QueryModule {
       val (q, indexed, model) = ivfParts(s, dir)
       val ann = IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id", "svec",
         model, K, Probes, Cosine)
-      val exact = graft.operators.KnnJoin.exact(
-        q, "job_id", "qvec", indexed, "skill_id", "svec", K, Cosine)
+      val exact = Fixtures.exactTopK(s, dir)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
     }),
@@ -208,8 +208,7 @@ object IndexQueries extends graft.QueryModule {
     // summary as ivf_recall_summary.
     "ivf_probe_curve" -> ((s, dir) => {
       val (q, indexed, model) = ivfParts(s, dir)
-      val exact = graft.operators.KnnJoin.exact(
-        q, "job_id", "qvec", indexed, "skill_id", "svec", K, Cosine)
+      val exact = Fixtures.exactTopK(s, dir)
       ProbeCurve.map { np =>
         val ann = IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id",
           "svec", model, K, np, Cosine)
@@ -245,8 +244,7 @@ object IndexQueries extends graft.QueryModule {
       val (q, c) = Fixtures.split(s, dir)
       val mp = LshIndex.annTopKMultiProbe(q, "job_id", "qvec", c, "skill_id",
         "svec", K, Dim, LshBucketLen, LshTables, LshPlanes)
-      val exact = graft.operators.KnnJoin.exact(
-        q, "job_id", "qvec", c, "skill_id", "svec", K, L2)
+      val exact = Fixtures.exactTopK(s, dir, L2)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(mp, exact, "job_id", "skill_id"))
     }),
@@ -325,10 +323,9 @@ object IndexQueries extends graft.QueryModule {
       val adc = PqIndex.search(q, "job_id", "qvec", enc, "skill_id", model, K)
       val refined = PqIndex.searchRefined(q, "job_id", "qvec", enc, c,
         "skill_id", "svec", model, K, PqOverfetch)
-      // Registered with Caches: the exact-L2 oracle frame feeds both recall
-      // legs here AND pq_kmeans_recall's two legs — one materialization.
-      val exact = graft.Caches.cached(graft.operators.KnnJoin.exact(
-        q, "job_id", "qvec", c, "skill_id", "svec", K, L2))
+      // Memo-shared: the exact-L2 oracle frame feeds both recall legs here
+      // AND pq_kmeans_recall's two legs — one materialization.
+      val exact = Fixtures.exactTopK(s, dir, L2)
       val rAdc = graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(adc, exact, "job_id", "skill_id"))
         .select(col("avg_recall").as("adc_recall"), col("n_queries"))
@@ -388,8 +385,7 @@ object IndexQueries extends graft.QueryModule {
     // seeds and turns this row red. PqIndexSpec asserts the same ordering.
     "pq_kmeans_recall" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
-      val exact = graft.Caches.cached(graft.operators.KnnJoin.exact(
-        q, "job_id", "qvec", c, "skill_id", "svec", K, L2))
+      val exact = Fixtures.exactTopK(s, dir, L2)
       def recallOf(model: PqIndex.Model) = {
         val enc = PqIndex.encode(c, "skill_id", "svec", model)
         val adc = PqIndex.search(q, "job_id", "qvec", enc, "skill_id", model, K)
@@ -417,8 +413,7 @@ object IndexQueries extends graft.QueryModule {
     // so either training pass silently degrading turns this row red.
     "ivfpq_kmeans_recall" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
-      val exact = graft.Caches.cached(graft.operators.KnnJoin.exact(
-        q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine))
+      val exact = Fixtures.exactTopK(s, dir)
       def recallOf(ivf: IvfIndex.Model, pq: PqIndex.Model) = {
         val indexed = IvfIndex.assign(c, "skill_id", "svec", ivf, Cosine)
           .select(col("skill_id"), col("list_id"))
@@ -577,8 +572,7 @@ object IndexQueries extends graft.QueryModule {
       val indexed = IvfIndex.assign(c, "skill_id", "svec", model, Cosine)
       val ann = IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id", "svec",
         model, K, Probes, Cosine)
-      val exact = graft.operators.KnnJoin.exact(
-        q, "job_id", "qvec", indexed, "skill_id", "svec", K, Cosine)
+      val exact = Fixtures.exactTopK(s, dir)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
         .select(col("n_queries"),

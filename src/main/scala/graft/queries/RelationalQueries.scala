@@ -292,10 +292,10 @@ object RelationalQueries extends graft.QueryModule {
     // end = last event + gap).
     "events_session_windows" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionWindows(Tables.events(s, dir))),
-    // Sliding 1h/15min activity windows (EventStreams.slidingTypeCounts
+    // Sliding 1h/15min activity windows (EventStreams.slidingActivityCounts
     // scaladoc): window assignment is a bounded generator, never a join.
     "events_sliding_windows" -> ((s, dir) =>
-      graft.streaming.EventStreams.slidingTypeCounts(Tables.events(s, dir))),
+      graft.streaming.EventStreams.slidingActivityCounts(Tables.events(s, dir))),
     // Sketched distinct counting gated against the exact answer: the HLL++
     // estimate (rsd 2%) per order priority must land within 10% of the
     // exact distinct-customer count. The PINNED columns are the exact

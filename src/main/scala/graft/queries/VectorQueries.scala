@@ -119,7 +119,7 @@ object VectorQueries extends graft.QueryModule {
       val q16 = q.select(col("job_id"), slice(col("qvec"), 1, MrlDim).as("qvec"))
       val c16 = c.select(col("skill_id"), slice(col("svec"), 1, MrlDim).as("svec"))
       val ann = KnnJoin.exact(q16, "job_id", "qvec", c16, "skill_id", "svec", K, Cosine)
-      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, Cosine)
+      val exact = Fixtures.exactTopK(s, dir)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
     }),
@@ -241,7 +241,7 @@ object VectorQueries extends graft.QueryModule {
     "eval_int8_recall" -> ((s, dir) => {
       val (q, c) = split(s, dir)
       val adc = KnnJoin.exact(q, "job_id", "qvec", deqInt8(c), "skill_id", "svec", K, L2)
-      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec", K, L2)
+      val exact = Fixtures.exactTopK(s, dir, L2)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(adc, exact, "job_id", "skill_id"))
     }),
@@ -350,35 +350,71 @@ object VectorQueries extends graft.QueryModule {
     // Graph-ANN: NSW-style beam search over the symmetric kNN graph
     // (GraphSearch scaladoc) — the full ranked walk output, hash-gated
     // against the oracle's hop-for-hop replay. Per hop the work is
-    // frontier×degree keyed joins, never a corpus scan.
-    "knn_graph_topk" -> ((s, dir) => rounded(graphSearchCache(s, dir))),
-    // The graph walk's quality dial: recall@k vs the exact ranking — how
-    // much a 6-hop beam-16 walk over a degree-3 graph recovers.
+    // frontier×degree keyed joins, never a corpus scan. The 6-hop ranking
+    // is read off the ONE staged walk every flat-walk consumer shares.
+    "knn_graph_topk" -> ((s, dir) => rounded(
+      stagedWalkCache(s, dir).filter(col("hops") === GsHops).drop("hops"))),
+    // The graph walk's quality dial: recall@k vs the exact ranking at the
+    // pinned operating point (degree-8 graph, beam 32, 6 hops — the r7
+    // verdict's re-provisioning of the under-provisioned degree-3/beam-16
+    // walk, measured 0.595 → 0.92 at sf0.1 and 1.0 at sf0.01/0.001), with
+    // the absolute floor asserted IN-PLAN (the ivf_kmeans_recall pattern):
+    // a regression below 0.9 raise_errors the row red in CORRECTNESS, on
+    // top of the hash gate replaying the exact recall value.
     "eval_graph_recall" -> ((s, dir) => {
-      val (q, c) = split(s, dir)
-      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec",
-        K, Cosine)
+      val exact = Fixtures.exactTopK(s, dir)
       graft.operators.Eval.recallSummary(graft.operators.Eval.recallAtK(
-        graphSearchCache(s, dir), exact, "job_id", "skill_id"))
+        stagedWalkCache(s, dir).filter(col("hops") === GsHops),
+        exact, "job_id", "skill_id"))
+        .select(col("avg_matches"), col("avg_recall"), col("n_queries"),
+          lit(GsRecallFloor).as("min_recall"),
+          when(col("avg_recall") >= GsRecallFloor, lit(true))
+            .otherwise(raise_error(concat(
+              lit(s"eval_graph_recall: avg_recall below $GsRecallFloor: "),
+              col("avg_recall").cast("string")))).as("recall_ok"))
     }),
     // Recall-vs-depth tuning curve for the walk (the probe-count curve's
     // graph sibling): one deterministic walk of max depth, each shallower
     // depth read off the visited-set prefix (GraphSearch.beamSearchAtStages
     // scaladoc) — the dial that sets walk depth for a latency budget.
     "eval_graph_hops_curve" -> ((s, dir) => {
-      val (q, c) = split(s, dir)
-      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec",
-        K, Cosine)
-      val staged = graft.operators.GraphSearch.beamSearchAtStages(
-        q, "job_id", "qvec", c.select(col("skill_id"), col("svec")),
-        "skill_id", "svec",
-        graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir)),
-        GsStages, GsBeam, K)
+      val exact = Fixtures.exactTopK(s, dir)
+      val staged = stagedWalkCache(s, dir)
       GsStages.map { h =>
         graft.operators.Eval.recallSummary(graft.operators.Eval.recallAtK(
           staged.filter(col("hops") === h), exact, "job_id", "skill_id"))
           .withColumn("hops", lit(h.toLong))
       }.reduce(_ unionAll _)
+    }),
+    // HNSW-style hierarchical walk (GraphSearch.hierarchicalSearch): a
+    // deterministic 1/4 upper layer picks per-query entry points, then the
+    // layer-0 beam search runs 4 hops from them instead of 6 from a fixed
+    // corner — the full ranked output hash-gated against the oracle's
+    // replay of BOTH walks.
+    "knn_graph_hier_topk" -> ((s, dir) => rounded(hierWalkCache(s, dir))),
+    // The hierarchy's value, pinned: recall of the 4-hop hierarchical walk
+    // vs the 4-hop flat walk AT THE SAME beam — entry selection must beat
+    // the fixed-corner entry at equal layer-0 hop budget (measured 0.825
+    // vs 0.585 at sf0.1), asserted in-plan on top of the hash gate (both
+    // walks are deterministic, so both recalls replay in the oracle).
+    "eval_graph_hier_recall" -> ((s, dir) => {
+      val exact = Fixtures.exactTopK(s, dir)
+      val hier = graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(hierWalkCache(s, dir), exact,
+          "job_id", "skill_id"))
+        .select(col("avg_recall").as("hier_recall"), col("n_queries"))
+      val flat = graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(
+          stagedWalkCache(s, dir).filter(col("hops") === HierHops),
+          exact, "job_id", "skill_id"))
+        .select(col("avg_recall").as("flat_recall"))
+      hier.crossJoin(flat)
+        .select(col("hier_recall"), col("flat_recall"), col("n_queries"),
+          when(col("hier_recall") >= col("flat_recall"), lit(true))
+            .otherwise(raise_error(concat(
+              lit("eval_graph_hier_recall: hierarchy below flat walk: hier="),
+              col("hier_recall").cast("string"), lit(" flat="),
+              col("flat_recall").cast("string")))).as("recall_ok"))
     }),
     // Triangle census of the symmetric kNN graph: exact triangle count +
     // global clustering coefficient via degree-ordered orientation
@@ -419,9 +455,7 @@ object VectorQueries extends graft.QueryModule {
           col("__cid"))
       val approx = KnnJoin.topkOfCandidates(cands, "job_id", "skill_id", K,
         isString = false)
-      val (q, c) = split(s, dir)
-      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec",
-        K, Cosine)
+      val exact = Fixtures.exactTopK(s, dir)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(approx, exact, "job_id", "skill_id"))
     }),
@@ -432,8 +466,7 @@ object VectorQueries extends graft.QueryModule {
       val (q, c) = split(s, dir)
       val ham = graft.operators.BinaryQuant.hammingTopK(q, "job_id", "qvec",
         c, "skill_id", "svec", BDim, K)
-      val exact = KnnJoin.exact(q, "job_id", "qvec", c, "skill_id", "svec",
-        K, Cosine)
+      val exact = Fixtures.exactTopK(s, dir)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ham, exact, "job_id", "skill_id"))
     }))
@@ -451,17 +484,32 @@ object VectorQueries extends graft.QueryModule {
         c.select(col("skill_id"), col("svec")), "skill_id", "svec", PrK))
   }
 
-  /** The beam-search walk shared by knn_graph_topk and eval_graph_recall
-    * (keyed memo: the bounded-heap UDAF in the final ranking defeats plan
-    * equality). Alphabetical bench order makes eval_graph_recall the
-    * family's first row, so it is registered as the Bench producer. */
-  private def graphSearchCache(s: SparkSession, dir: String): DataFrame = {
+  /** ONE staged walk serving every flat-walk consumer (keyed memo: the
+    * bounded-heap UDAF in the rankings defeats plan equality): the
+    * deterministic max-depth walk ranked at hops 2/4/6 — knn_graph_topk
+    * and eval_graph_recall read the hops=6 slice, the hops curve reads all
+    * three, the hierarchy gate reads hops=4 as its flat comparison leg.
+    * The walk used to be built twice (6-hop + staged); eval_graph_recall
+    * stays the family's walk-building Bench producer. */
+  private def stagedWalkCache(s: SparkSession, dir: String): DataFrame = {
     val (q, c) = split(s, dir)
-    graft.Caches.memo(s, s"graphsearch:$dir")(
-      graft.operators.GraphSearch.beamSearch(q, "job_id", "qvec",
+    graft.Caches.memo(s, s"graphwalk:$dir")(
+      graft.operators.GraphSearch.beamSearchAtStages(q, "job_id", "qvec",
         c.select(col("skill_id"), col("svec")), "skill_id", "svec",
         graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir)),
-        GsHops, GsBeam, K))
+        GsStages, GsBeam, K))
+  }
+
+  /** The hierarchical walk shared by knn_graph_hier_topk and
+    * eval_graph_hier_recall (same keyed-memo reasoning). */
+  private def hierWalkCache(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(s, dir)
+    graft.Caches.memo(s, s"graphwalk_hier:$dir")(
+      graft.operators.GraphSearch.hierarchicalSearch(q, "job_id", "qvec",
+        c.select(col("skill_id"), col("svec")), "skill_id", "svec",
+        graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir)),
+        HierHops, GsBeam, K, HierLayerMod, HierUpperDegree, HierUpperHops,
+        HierUpperBeam, HierEntries))
   }
 
   /** The exact second-moment census, shared by the three PCA queries
@@ -476,10 +524,20 @@ object VectorQueries extends graft.QueryModule {
   private val MrlDim = 16
   private val BDim = 64
   private val HardNegK = 5
-  private val PrK = 3
+  // kNN-graph out-degree, shared by the census queries and the walk (the
+  // HNSW-family connectivity parameter M; 3 was the r7 verdict's
+  // under-provisioned point — recall@10 0.595)
+  private val PrK = 8
   private val GsHops = 6 // graph-search walk depth
-  private val GsBeam = 16 // graph-search beam width
+  private val GsBeam = 32 // graph-search beam width
   private val GsStages = Seq(2, 4, GsHops) // hops-curve sample depths
+  private val GsRecallFloor = 0.9 // measured 0.92 (sf0.1) / 1.0 (sf0.01, sf0.001)
+  private val HierHops = 4 // layer-0 hop budget of the hierarchical walk
+  private val HierLayerMod = 4 // upper layer = md5 bucket 0 of 4 (~¼ of corpus)
+  private val HierUpperDegree = 8 // upper-layer kNN edge degree
+  private val HierUpperHops = 3 // coarse-walk depth on the upper layer
+  private val HierUpperBeam = 8 // coarse-walk beam
+  private val HierEntries = 4 // entry points handed to layer 0 per query
   private val PrIters = 5
 
   /** Packed-sign-bit CTEs shared by the hamming oracles: qb(job_id,q0,q1) +
@@ -820,7 +878,51 @@ object VectorQueries extends graft.QueryModule {
          |  FROM (SELECT DISTINCT job_id FROM etop) q2 LEFT JOIN m USING (job_id))
          |SELECT ${rr(s"sum(${e6("n_matches")})", "count(*)")} AS avg_matches,
          |  ${rr(s"sum(${e6("recall")})", "count(*)")} AS avg_recall,
-         |  count(*) AS n_queries FROM perq""".stripMargin
+         |  count(*) AS n_queries,
+         |  CAST($GsRecallFloor AS DOUBLE) AS min_recall,
+         |  true AS recall_ok FROM perq""".stripMargin
+    },
+    "knn_graph_hier_topk" ->
+      s"""WITH ${graft.operators.GraphSearch.hierSearchCtes(qCte, cCte, PrK,
+             HierLayerMod, HierUpperDegree, HierUpperHops, HierUpperBeam,
+             HierEntries, HierHops, GsBeam, K)}
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist FROM gtop""".stripMargin,
+    "eval_graph_hier_recall" -> {
+      val e6 = (x: String) => graft.functions.ExactRound.e6Sql(x)
+      val rr = (n: String, d: String) =>
+        graft.functions.ExactRound.ratioRound6IntSql(n, 6, d)
+      val gs = graft.operators.GraphSearch
+      // hier walk (ends in gtop) + a THIRD walk: the flat min-id-entry
+      // walk at the same (hops, beam), CTE names suffixed "f".
+      val hier = gs.hierSearchCtes(qCte, cCte, PrK, HierLayerMod,
+        HierUpperDegree, HierUpperHops, HierUpperBeam, HierEntries,
+        HierHops, GsBeam, K)
+      val flat = gs.walkBodyCtes(HierHops, GsBeam, "f", "c", "es") + ",\n" +
+        gs.rankTail(HierHops, K, "f", "f")
+      def leg(top: String, pq: String) =
+        s"""m$pq AS (SELECT g.job_id, count(*) AS n FROM $top g
+           |  JOIN etop e ON e.job_id = g.job_id AND e.skill_id = g.skill_id
+           |  GROUP BY 1),
+           |perq$pq AS (SELECT q2.job_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+           |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+           |  FROM (SELECT DISTINCT job_id FROM etop) q2 LEFT JOIN m$pq m USING (job_id))""".stripMargin
+      s"""WITH $hier,
+         |$flat,
+         |ed AS (SELECT q.job_id, c.skill_id,
+         |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
+         |  FROM q CROSS JOIN c),
+         |etop AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
+         |    FROM ed) WHERE rn <= $K),
+         |${leg("gtop", "h")},
+         |${leg("gtopf", "f")},
+         |sh AS (SELECT ${rr(s"sum(${e6("recall")})", "count(*)")} AS hier_recall,
+         |  count(*) AS n_queries FROM perqh),
+         |sf AS (SELECT ${rr(s"sum(${e6("recall")})", "count(*)")} AS flat_recall
+         |  FROM perqf)
+         |SELECT sh.hier_recall, sf.flat_recall, sh.n_queries,
+         |  true AS recall_ok FROM sh, sf""".stripMargin
     },
     "eval_graph_hops_curve" -> {
       val e6 = (x: String) => graft.functions.ExactRound.e6Sql(x)

@@ -46,21 +46,21 @@ object EventStreams {
       spark.readStream.schema(schema).parquet(path).withWatermark("ts", "1 hour"))
   }
 
-  /** Streaming face of [[slidingTypeCounts]]: watermarked windowed agg —
+  /** Streaming face of [[slidingActivityCounts]]: watermarked windowed agg —
     * identical windows, but distinct users come from the HLL++ sketch
     * (Structured Streaming rejects exact distinct aggregation — the
     * sketch's fixed-size mergeable registers are exactly what incremental
     * state maintenance needs; same trade the agg_distinct_sketch query
     * gates). */
-  def slidingTypeCountsStream(spark: SparkSession, path: String): DataFrame = {
+  def slidingActivityCountsStream(spark: SparkSession, path: String): DataFrame = {
     val schema = graft.schema.Schemas.events
-    slidingTypeCountsSketch(
+    slidingActivityCountsSketch(
       spark.readStream.schema(schema).parquet(path).withWatermark("ts", "1 hour"))
   }
 
-  /** [[slidingTypeCounts]] with the sketch distinct — the form a stream
+  /** [[slidingActivityCounts]] with the sketch distinct — the form a stream
     * (or an exactness-indifferent 100 TB batch) runs. */
-  def slidingTypeCountsSketch(events: DataFrame): DataFrame =
+  def slidingActivityCountsSketch(events: DataFrame): DataFrame =
     slidingCounts(events, exactDistinct = false)
 
   /** Sliding-window activity: 1-hour windows advancing every 15 minutes —
@@ -69,7 +69,7 @@ object EventStreams {
     * generator inside the scan stage (never a windows×events join), then
     * ONE keyed agg; every event lands in exactly 4 epoch-aligned windows,
     * which is what the oracle replays via the 15-minute grid. */
-  def slidingTypeCounts(events: DataFrame): DataFrame =
+  def slidingActivityCounts(events: DataFrame): DataFrame =
     slidingCounts(events, exactDistinct = true)
 
   private def slidingCounts(events: DataFrame, exactDistinct: Boolean): DataFrame =

@@ -189,7 +189,7 @@ class EventStreamsSpec extends SparkSpec {
     // Streaming rejects exact distinct agg), so parity is pinned on the
     // window keys + event counts, and the sketch column is bound-checked
     val input = MemoryStream[Event]
-    val q = EventStreams.slidingTypeCountsSketch(input.toDF())
+    val q = EventStreams.slidingActivityCountsSketch(input.toDF())
       .writeStream.format("memory").queryName("slide_t")
       .outputMode("complete").start()
     try {
@@ -197,7 +197,7 @@ class EventStreamsSpec extends SparkSpec {
       input.addData(batch2); q.processAllAvailable()
       val streamed = spark.table("slide_t")
         .select("w_start", "n_events").collect().map(_.toSeq).toSet
-      val batch = EventStreams.slidingTypeCounts((batch1 ++ batch2).toDF())
+      val batch = EventStreams.slidingActivityCounts((batch1 ++ batch2).toDF())
         .select("w_start", "n_events").collect().map(_.toSeq).toSet
       assert(streamed == batch)
       // every event lands in exactly 4 windows: n_events sums to 4x
