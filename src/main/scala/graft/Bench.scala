@@ -35,6 +35,8 @@ object Bench {
         .foreach { case (_, fn) =>
           try { fn(spark, warmDir).count() } catch { case _: Throwable => } }
       Caches.clear()
+      // with the registry empty, the sweep frees every warm-up checkpoint
+      Caches.sweepCheckpoints(spark.sparkContext)
     }
     // Producers-first ordering: queries that materialize a shared input run
     // before the queries that read it, so each measurement reflects its own
@@ -73,25 +75,33 @@ object Bench {
     // depend on it.
     val ordered = producers.flatMap(p => selected.find(_._1 == p)) ++
       selected.filterNot(q => producers.contains(q._1))
-    // Machine calibration: a fixed synthetic CPU+shuffle workload (no IO,
-    // no data dependence) timed on THIS box right before the measured pass.
+    // Machine calibration: a fixed synthetic workload (no data dependence)
+    // timed on THIS box right before the measured pass. Two legs so the
+    // factor sees both resources the board leans on: (a) CPU + shuffle (a
+    // 40M-row hash aggregate) and (b) block-manager IO — a ~100 MB
+    // localCheckpoint write + full re-read, the cost shape of the
+    // checkpoint-heavy iterative families (walks, CC, MMR), which the r7
+    // CPU-only factor was blind to while exactly that class breached.
     // Budgets are recorded as 2.5x clean-box samples; the breach check
     // scales them by calib/CalibRef (clamped to [1, 3]) so a loaded or
     // slower machine doesn't turn scheduler noise into "breaches" — and a
     // normal machine keeps the tight budgets (the r6 advice: don't size
     // hard gates to the slowest observed box).
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
     def calibOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 40000000L, 1L, cpus.toInt)
-        .select(org.apache.spark.sql.functions.xxhash64(
-          org.apache.spark.sql.functions.col("id")).as("h"))
-        .groupBy(org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.col("h"),
-          org.apache.spark.sql.functions.lit(1024L)).as("g"))
-        .agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.col("h")).as("s"))
+        .select(xxhash64(col("id")).as("h"))
+        .groupBy(pmod(col("h"), lit(1024L)).as("g"))
+        .agg(sum(col("h")).as("s"))
         .count()
-      (System.nanoTime() - t0) / 1e9
+      val ck = spark.range(0L, 6000000L, 1L, cpus.toInt)
+        .select(col("id"), xxhash64(col("id")).as("h"))
+        .localCheckpoint() // eager: times the block-manager write
+      ck.agg(sum(col("h"))).count() // times the read-back
+      val dt = (System.nanoTime() - t0) / 1e9
+      Caches.sweepCheckpoints(spark.sparkContext) // free the calib blocks
+      dt
     }
     calibOnce() // warm the calibration plan's codegen
     val calib = math.min(calibOnce(), calibOnce())
@@ -99,9 +109,17 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Between queries (outside the timed window): free dead checkpoint
+      // blocks — per-hop/per-round frames of the query that just ran —
+      // so storage doesn't accumulate across 220+ queries and squeeze
+      // later families (the r7 breach mechanism). Memo-shared frames'
+      // checkpoints are protected via the registry.
+      Caches.sweepCheckpoints(spark.sparkContext)
+      name -> dt
     }
     Caches.clear() // release operator-internal caches registered during the run
+    Caches.sweepCheckpoints(spark.sparkContext)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

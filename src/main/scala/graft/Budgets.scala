@@ -18,15 +18,18 @@ package graft
   * item). A query missing here (newly added, not yet measured twice) is
   * simply unbudgeted for that round. */
 object Budgets {
-  /** Wall time of [[Bench]]'s calibration workload (a fixed 40M-row
-    * hash+shuffle aggregate, min of two timed runs after one warm-up) on
-    * the box that produced the budget samples, in its clean state —
-    * observed 0.29/0.33/0.46 across the r8 runs; pinned to the fast end so
-    * mild local noise reads as a small factor (intended headroom) and a
-    * genuinely loaded or slower machine (the r6 driver day ran ~1.8x slow
-    * and flagged 5 load-artifact breaches) raises the envelope via its own
-    * calibration. Bench clamps the factor to [1, 3]. */
-  val CalibRef: Double = 0.30
+  /** Wall time of [[Bench]]'s calibration workload (min of two timed runs
+    * after one warm-up) on the box that produced the budget samples, in
+    * its clean state. The workload has two legs since round 8: the 40M-row
+    * hash+shuffle aggregate AND a ~100 MB localCheckpoint write + re-read,
+    * so a box with slow block-manager/disk IO raises the factor the way a
+    * slow CPU always did (the r7 verdict: the CPU-only factor was blind to
+    * exactly the checkpoint-heavy class that breached). Observed
+    * 0.82/0.88/0.89/1.01 across the round-8 re-pin runs; pinned to the
+    * fast end so mild local noise reads as a small factor (intended
+    * headroom) and a genuinely loaded or slower machine raises the
+    * envelope via its own calibration. Bench clamps the factor to [1, 3]. */
+  val CalibRef: Double = 0.85
   val perQuery: Map[String, Double] = Map(
     "agg_price_quantiles" -> 1.5, // r8 samples 0.20/0.23
     "agg_skew_salted" -> 1.5, // r8 samples 0.16/0.17

@@ -72,6 +72,37 @@ object Caches {
     }
   }
 
+  /** RDD ids appearing as LogicalRDD leaves in registered frames' plans —
+    * the `localCheckpoint` blocks a registered (cached) frame still
+    * depends on: if its column buffers are evicted under pressure, the
+    * recompute starts FROM those checkpoint blocks, whose lineage is
+    * truncated. A storage sweep must never free them. Includes subquery
+    * plans for completeness. */
+  def protectedRddIds: Set[Int] = synchronized {
+    reg.flatMap { case (p, _) =>
+      (p +: p.subqueriesAll).flatMap(_.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      })
+    }.toSet
+  }
+
+  /** Free every locally-checkpointed RDD NOT protected by a registered
+    * frame. Operators `localCheckpoint` per-hop/per-round frames (walks,
+    * CC loops, MMR rounds) whose blocks otherwise accumulate in the block
+    * manager until GC + ContextCleaner get around to them — across a
+    * 220+-query bench run that is gigabytes of dead storage competing
+    * with live work (the r7 breach class). Cached column buffers are NOT
+    * swept (they are persisted, not checkpointed — the filter excludes
+    * them); [[Bench]] calls this between queries. */
+  def sweepCheckpoints(sc: org.apache.spark.SparkContext): Unit = {
+    val keep = protectedRddIds
+    sc.getPersistentRDDs.valuesIterator.foreach { rdd =>
+      if (org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(rdd) &&
+          !keep.contains(rdd.id))
+        rdd.unpersist(false)
+    }
+  }
+
   /** Unpersist and forget every registered frame (blocking = false: eviction
     * proceeds in the background, callers don't wait on block cleanup). */
   def clear(): Unit = synchronized {

@@ -116,6 +116,110 @@ object PqIndex {
     model
   }
 
+  /** OPQ-lite pre-rotation (Ge, He, Ke & Sun, "Optimized Product
+    * Quantization", CVPR 2013): OPQ's parametric solution allocates
+    * dimensions to subspaces so each sub-quantizer carries comparable
+    * energy (eigenvalue allocation, §4 — applied here in the natural
+    * basis: a dimension PERMUTATION is an orthogonal rotation, and for the
+    * hashing-TF/Zipf-skewed corpora this engine embeds, per-dim variance
+    * skew is exactly what misallocates the plain left-to-right split).
+    * Deterministic and oracle-replayable: dims rank by the exact-integer
+    * variance key n·Σx₆² − (Σx₆)² (x₆ = e6 prescale, sums exact in
+    * decimal/HUGEINT), ties by dim, then deal to the m subspaces in SNAKE
+    * (boustrophedon) order — the classic balanced-allocation pass. The
+    * dim-row census is a bounded model fetch like the codebook fetch.
+    * Returns perm: the permuted vector's position j reads source dim
+    * perm(j) (0-based). */
+  def variancePermutation(corpus: DataFrame, vecCol: String, m: Int): Seq[Int] = {
+    val x6 = graft.functions.ExactRound.e6(col("x")).cast("long")
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .select(col("d"), x6.as("x6"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x6").cast("decimal(38,0)")).as("s1"),
+        sum((col("x6") * col("x6")).cast("decimal(38,0)")).as("s2"))
+      .collect()
+    require(rows.nonEmpty, "PqIndex.variancePermutation: empty corpus")
+    val dim = rows.length
+    require(dim % m == 0, s"PqIndex: dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    val ranked = rows.map { r =>
+      val v = BigInt(r.getLong(1)) * BigInt(r.getDecimal(3).toBigInteger) -
+        BigInt(r.getDecimal(2).toBigInteger).pow(2)
+      (r.getInt(0), v)
+    }.sortBy { case (d, v) => (-v, d) }
+    val perm = Array.ofDim[Int](dim)
+    ranked.zipWithIndex.foreach { case ((d, _), r) =>
+      val round = r / m
+      val s = if (round % 2 == 0) r % m else m - 1 - (r % m)
+      perm(s * sd + round) = d
+    }
+    perm.toSeq
+  }
+
+  /** Apply a [[variancePermutation]] in place: vec'(j) = vec(perm(j)) —
+    * a fixed dim-wide projection, fully codegen'd. */
+  def permute(df: DataFrame, vecCol: String, perm: Seq[Int]): DataFrame =
+    df.withColumn(vecCol, array(perm.map(i =>
+      element_at(col(vecCol), i + 1)): _*))
+
+  /** DuckDB twin of [[variancePermutation]] + [[permute]] over the
+    * q/c fixture frames: CTE block ending in qp(job_id, qvec) and
+    * cp(skill_id, svec) — the permuted frames. The 1-based `d` here vs
+    * Spark's 0-based posexplode index preserves the tie order, and
+    * p[j] is already the 1-based source subscript. */
+  def permutedFixtureSql(dim: Int, m: Int): String = {
+    val sd = dim / m
+    val x6 = graft.functions.ExactRound.e6Sql("svec[i]")
+    s"""vx AS (SELECT i AS d, count(*) AS n,
+       |    sum(CAST($x6 AS HUGEINT)) AS s1,
+       |    sum(CAST($x6 AS HUGEINT) * CAST($x6 AS HUGEINT)) AS s2
+       |  FROM c, unnest(generate_series(1, $dim)) AS t(i) GROUP BY 1),
+       |vrk AS (SELECT d, CAST(row_number() OVER (
+       |    ORDER BY n * s2 - s1 * s1 DESC, d) AS INT) - 1 AS r FROM vx),
+       |vtp AS (SELECT d, (CASE WHEN (r // $m) % 2 = 0 THEN r % $m
+       |    ELSE ${m - 1} - (r % $m) END) * $sd + r // $m AS np FROM vrk),
+       |vpl AS (SELECT list(d ORDER BY np) AS p FROM vtp),
+       |cp AS (SELECT skill_id, list_transform(generate_series(1, $dim),
+       |    j -> svec[vpl.p[j]]) AS svec FROM c, vpl),
+       |qp AS (SELECT job_id, list_transform(generate_series(1, $dim),
+       |    j -> qvec[vpl.p[j]]) AS qvec FROM q, vpl)""".stripMargin
+  }
+
+  /** Seed-PQ ADC pipeline in SQL over caller-named frames
+    * `qName`(job_id, qvec) / `cName`(skill_id, svec): seed codebooks from
+    * the `k` lowest-id rows, argmin encode, per-query distance tables, ADC
+    * ranking with the squared sub-distances summed in exact DECIMAL (the
+    * same float discipline as [[search]]). CTE names carry prefix `p` so
+    * two chains (e.g. plain + OPQ-permuted) can coexist in one query; ends
+    * in `${p}pr`(job_id, skill_id, dist, rank). */
+  def adcCtesSql(qName: String, cName: String, dim: Int, m: Int, k: Int,
+      p: String = ""): String = {
+    val sd = dim / m
+    def sl(v: String) = s"$v[${p}mm.m*$sd+1 : ${p}mm.m*$sd+$sd]"
+    s"""${p}mm AS (SELECT unnest(generate_series(0, ${m - 1})) AS m),
+       |${p}cb AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS k, svec
+       |  FROM (SELECT skill_id, svec FROM $cName ORDER BY skill_id LIMIT $k)),
+       |${p}encd AS (SELECT c.skill_id, ${p}mm.m, ${p}cb.k,
+       |    list_distance(${sl("c.svec")}, ${sl(s"${p}cb.svec")}) AS d
+       |  FROM $cName c CROSS JOIN ${p}mm CROSS JOIN ${p}cb),
+       |${p}enc AS (SELECT skill_id, m, k FROM (
+       |    SELECT skill_id, m, k,
+       |      row_number() OVER (PARTITION BY skill_id, m ORDER BY d, k) AS r
+       |    FROM ${p}encd) WHERE r = 1),
+       |${p}qd AS (SELECT q.job_id, ${p}mm.m, ${p}cb.k,
+       |    list_distance(${sl("q.qvec")}, ${sl(s"${p}cb.svec")}) AS d
+       |  FROM $qName q CROSS JOIN ${p}mm CROSS JOIN ${p}cb),
+       |${p}ad AS (SELECT qd.job_id, enc.skill_id,
+       |    sqrt(CAST(sum(CAST(qd.d * qd.d AS DECIMAL(30,18))) AS DOUBLE)) AS dist
+       |  FROM ${p}enc enc JOIN ${p}qd qd ON enc.m = qd.m AND enc.k = qd.k
+       |  GROUP BY 1, 2),
+       |${p}pr AS (SELECT job_id, skill_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
+       |  FROM ${p}ad)""".stripMargin
+  }
+
   /** Per-subspace distance tables for a query vector: dt(m)(k) =
     * l2(sub_m(q), codebook(m)(k)) — shared by [[search]] and [[searchIvf]]. */
   private def distTables(qv: Column, model: Model): Column =

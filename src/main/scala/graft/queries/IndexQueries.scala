@@ -334,6 +334,49 @@ object IndexQueries extends graft.QueryModule {
         .select(col("avg_recall").as("refined_recall"))
       rAdc.crossJoin(rRef)
     }),
+    // OPQ pre-rotation gate (Ge et al. CVPR'13; PqIndex.variancePermutation
+    // scaladoc): seed-PQ ADC recall WITH the variance-balanced dimension
+    // permutation vs WITHOUT, on the Zipf-skewed hashing-TF document
+    // embeddings — the random-vector fixture is rotation-invariant (no
+    // rotation can help in expectation there), so the gate runs where the
+    // per-dim skew is real. The exact L2 ranking is permutation-invariant,
+    // so ONE exact leg serves both sides. Everything is deterministic —
+    // permutation, codebooks, encode, ADC, both recalls replay in the
+    // oracle — and the ≥ gate raise_errors in-plan on top of the hash
+    // (measured plain→opq: 0.38→0.47 sf0.001, 0.35→0.47 sf0.01,
+    // 0.21→0.24 sf0.1).
+    "pq_opq_recall" -> ((s, dir) => {
+      val emb = graft.operators.Embedder.hashTfEmbed(
+        graft.io.Tables.documents(s, dir), "doc_id", "text", Dim)
+        .select(col("doc_id"), col("embedding").cast("array<double>").as("__v"))
+      val q = emb.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("job_id"), col("__v").as("qvec"))
+      val c = emb.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("skill_id"), col("__v").as("svec"))
+      val exact = graft.Caches.memo(s, s"opq_exact:$dir")(
+        graft.operators.KnnJoin.exact(q, "job_id", "qvec", c, "skill_id",
+          "svec", K, L2))
+      def recallOf(qq: DataFrame, cc: DataFrame) = {
+        val model = PqIndex.fitSeeds(cc, "skill_id", "svec", PqM, PqK)
+        val adc = PqIndex.search(qq, "job_id", "qvec",
+          PqIndex.encode(cc, "skill_id", "svec", model), "skill_id", model, K)
+        graft.operators.Eval.recallSummary(
+          graft.operators.Eval.recallAtK(adc, exact, "job_id", "skill_id"))
+      }
+      val plain = recallOf(q, c)
+        .select(col("avg_recall").as("plain_recall"), col("n_queries"))
+      val perm = PqIndex.variancePermutation(c, "svec", PqM)
+      val opq = recallOf(PqIndex.permute(q, "qvec", perm),
+        PqIndex.permute(c, "svec", perm))
+        .select(col("avg_recall").as("opq_recall"))
+      plain.crossJoin(opq)
+        .select(col("plain_recall"), col("opq_recall"), col("n_queries"),
+          when(col("opq_recall") >= col("plain_recall"), lit(true))
+            .otherwise(raise_error(concat(
+              lit("pq_opq_recall: rotation below plain PQ: plain="),
+              col("plain_recall").cast("string"), lit(" opq="),
+              col("opq_recall").cast("string")))).as("recall_ok"))
+    }),
     // IVF-PQ — the two quantizers composed (FAISS IVFADC): the coarse
     // quantizer prunes WHICH rows are scanned (2 of 4 lists per query),
     // the product codes shrink WHAT a scanned row costs (8 lookups, no
@@ -711,26 +754,7 @@ object IndexQueries extends graft.QueryModule {
   private def pqSlice(v: String) = s"$v[mm.m*$SubD+1 : mm.m*$SubD+$SubD]"
   private val pqCtes: String =
     s"""$qCte, $cCte,
-       |mm AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS m),
-       |cb AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS k, svec
-       |  FROM (SELECT skill_id, svec FROM c ORDER BY skill_id LIMIT $PqK)),
-       |encd AS (SELECT c.skill_id, mm.m, cb.k,
-       |    list_distance(${pqSlice("c.svec")}, ${pqSlice("cb.svec")}) AS d
-       |  FROM c CROSS JOIN mm CROSS JOIN cb),
-       |enc AS (SELECT skill_id, m, k FROM (
-       |    SELECT skill_id, m, k,
-       |      row_number() OVER (PARTITION BY skill_id, m ORDER BY d, k) AS r
-       |    FROM encd) WHERE r = 1),
-       |qd AS (SELECT q.job_id, mm.m, cb.k,
-       |    list_distance(${pqSlice("q.qvec")}, ${pqSlice("cb.svec")}) AS d
-       |  FROM q CROSS JOIN mm CROSS JOIN cb),
-       |ad AS (SELECT qd.job_id, enc.skill_id,
-       |    sqrt(CAST(sum(CAST(qd.d * qd.d AS DECIMAL(30,18))) AS DOUBLE)) AS dist
-       |  FROM enc JOIN qd ON enc.m = qd.m AND enc.k = qd.k
-       |  GROUP BY 1, 2),
-       |pr AS (SELECT job_id, skill_id, dist,
-       |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
-       |  FROM ad)""".stripMargin
+       |${graft.operators.PqIndex.adcCtesSql("q", "c", 64, PqM, PqK)}""".stripMargin
 
   /** The refine pass in SQL: ADC top-(k·overfetch) candidates re-ranked by
     * exact L2 on the true vectors. Requires [[pqCtes]]; ends in
@@ -964,6 +988,43 @@ object IndexQueries extends graft.QueryModule {
          |  count(*) AS n_queries,
          |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("r_ref")})", 6, "count(*)")} AS refined_recall
          |FROM perq""".stripMargin,
+    // Both ADC chains (plain over q/c, OPQ over the permuted qp/cp) + one
+    // exact leg; the permutation itself is recomputed from the corpus
+    // variance census, so a Spark-side allocation bug can't hide.
+    "pq_opq_recall" -> {
+      val er = graft.functions.ExactRound
+      s"""WITH ${DocSql.toksCte},
+         |${DocSql.embedCte(Dim)},
+         |q AS (SELECT doc_id AS job_id, vec AS qvec FROM nv WHERE doc_id < 10),
+         |c AS (SELECT doc_id AS skill_id, vec AS svec FROM nv WHERE doc_id >= 10),
+         |${PqIndex.permutedFixtureSql(Dim, PqM)},
+         |${PqIndex.adcCtesSql("q", "c", Dim, PqM, PqK, "pl")},
+         |${PqIndex.adcCtesSql("qp", "cp", Dim, PqM, PqK, "op")},
+         |exd AS (SELECT job_id, skill_id, list_distance(qvec, svec) AS dist
+         |      FROM q CROSS JOIN c),
+         |exr AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+         |    FROM exd) WHERE rank <= $K),
+         |mpl AS (SELECT a.job_id, count(*) AS n
+         |  FROM (SELECT job_id, skill_id FROM plpr WHERE rank <= $K) a
+         |  JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |  GROUP BY 1),
+         |mop AS (SELECT a.job_id, count(*) AS n
+         |  FROM (SELECT job_id, skill_id FROM oppr WHERE rank <= $K) a
+         |  JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+         |  GROUP BY 1),
+         |perq AS (SELECT q2.job_id,
+         |    ${er.ratioRound6IntSql("coalesce(mpl.n, 0)", 0, s"$K")} AS rpl,
+         |    ${er.ratioRound6IntSql("coalesce(mop.n, 0)", 0, s"$K")} AS rop
+         |  FROM (SELECT DISTINCT job_id FROM exr) q2
+         |  LEFT JOIN mpl USING (job_id) LEFT JOIN mop USING (job_id))
+         |SELECT ${er.ratioRound6IntSql(s"sum(${er.e6Sql("rpl")})", 6, "count(*)")} AS plain_recall,
+         |  ${er.ratioRound6IntSql(s"sum(${er.e6Sql("rop")})", 6, "count(*)")} AS opq_recall,
+         |  count(*) AS n_queries,
+         |  true AS recall_ok
+         |FROM perq""".stripMargin
+    },
     "ivf_ann_topk" -> ivfSql(Probes),
     "ivf_probe_all_exact" -> ivfSql(Lists),
     "lsh_ann_topk" -> lshAnnSql,
