@@ -52,7 +52,19 @@ object Pca {
     * shuffle then carries partitions×d² cells, never corpus×d². Exact
     * integer partials are order-independent, so the re-combine is
     * partition-layout-proof. */
-  def secondMoment(emb: DataFrame, vecCol: String): DataFrame = {
+  def secondMoment(emb: DataFrame, vecCol: String): DataFrame =
+    m2FromRaw(secondMomentRaw(emb, vecCol))
+
+  /** The census in its RAW additive form: (dim_i, dim_j, n, s9) with
+    * s9 = exact Σ of the e9-prescaled per-row products (decimal(38,0)).
+    * Unlike the rounded mean `m2_e9`, raw cells MERGE exactly — census ⊎
+    * census = census of the union — which is the O(delta) maintenance
+    * path: a deployment stores the d² raw cells, folds each ingest
+    * batch's raw census in with [[mergeRawCensus]] (one delta scan, no
+    * corpus re-read), and derives the mean census on demand with
+    * [[m2FromRaw]]. profile_cov_append pins merge ≡ rebuild cell for
+    * cell. */
+  def secondMomentRaw(emb: DataFrame, vecCol: String): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // Per-partition partials ride Long: |x·y|·1e9·rowsPerPartition < 2^63
@@ -105,9 +117,21 @@ object Pca {
     partials.toDF("dim_i", "dim_j", "__n", "__p9")
       .groupBy("dim_i", "dim_j")
       .agg(sum(col("__n")).cast("long").as("n"),
-        ExactRound.roundDiv(sum(col("__p9").cast("decimal(38,0)")),
-          sum(col("__n"))).as("m2_e9"))
+        sum(col("__p9").cast("decimal(38,0)")).cast("decimal(38,0)").as("s9"))
   }
+
+  /** Fold one raw census into another: exact integer sums per cell. */
+  def mergeRawCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("dim_i", "dim_j")
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("s9")).cast("decimal(38,0)").as("s9"))
+
+  /** Derive the mean census (the [[secondMoment]] output contract) from a
+    * raw census: m2_e9 = roundDiv(s9, n). */
+  def m2FromRaw(raw: DataFrame): DataFrame =
+    raw.select(col("dim_i"), col("dim_j"), col("n"),
+      ExactRound.roundDiv(col("s9"), col("n")).as("m2_e9"))
 
   /** The fixed-point power iteration, mirrored EXACTLY by [[iterSql]]:
     *   w   = A_e9 · v_e6                  (integer mat-vec, |w| < 2^63)
@@ -203,28 +227,32 @@ object Pca {
 
   // ---- DuckDB twins ---------------------------------------------------------
 
-  /** CTEs over `embeddings(vec_id, embedding)`: upper-triangle census `sm`
-    * (dim_i, dim_j, n, m2_e9), 1-based. */
-  def secondMomentSql(dim: Int): String =
-    s"""pr AS (SELECT ${ExactRound.eScaledSql(
+  /** CTEs over `src`(vec_id, embedding): upper-triangle census
+    * `${p}sm`(dim_i, dim_j, n, m2_e9), 1-based. CTE names carry prefix
+    * `p` so two censuses (e.g. base + full for the drift gate) can
+    * coexist in one query. */
+  def secondMomentSql(dim: Int, src: String = "embeddings",
+      p: String = ""): String =
+    s"""${p}pr AS (SELECT ${ExactRound.eScaledSql(
             "CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)", 9)} AS p9,
        |    CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j
-       |  FROM embeddings,
+       |  FROM $src,
        |    unnest(generate_series(1, $dim)) AS t(i),
        |    unnest(generate_series(1, $dim)) AS u(j)
        |  WHERE j >= i),
-       |sm AS (SELECT dim_i, dim_j, count(*) AS n,
+       |${p}sm AS (SELECT dim_i, dim_j, count(*) AS n,
        |    ${ExactRound.roundDivSql("sum(p9)", "count(*)")} AS m2_e9
-       |  FROM pr GROUP BY 1, 2)""".stripMargin
+       |  FROM ${p}pr GROUP BY 1, 2)""".stripMargin
 
-  /** CTEs replaying [[topAxisE6]] from `sm`: ends in `axis(v)` — the e6
-    * integer axis as a 1-based list. Requires [[secondMomentSql]]. */
-  def iterSql(dim: Int): String =
-    s"""fm AS (SELECT dim_i AS i, dim_j AS j, m2_e9 AS a FROM sm
-       |  UNION ALL SELECT dim_j, dim_i, m2_e9 FROM sm WHERE dim_i <> dim_j),
-       |am AS (SELECT list(r ORDER BY i) AS m
-       |  FROM (SELECT i, list(a ORDER BY j) AS r FROM fm GROUP BY i)),
-       |it AS (SELECT 0 AS k,
+  /** CTEs replaying [[topAxisE6]] from `${p}sm`: ends in `${p}axis(v)` —
+    * the e6 integer axis as a 1-based list. Requires [[secondMomentSql]]
+    * at the same prefix. */
+  def iterSql(dim: Int, p: String = ""): String =
+    s"""${p}fm AS (SELECT dim_i AS i, dim_j AS j, m2_e9 AS a FROM ${p}sm
+       |  UNION ALL SELECT dim_j, dim_i, m2_e9 FROM ${p}sm WHERE dim_i <> dim_j),
+       |${p}am AS (SELECT list(r ORDER BY i) AS m
+       |  FROM (SELECT i, list(a ORDER BY j) AS r FROM ${p}fm GROUP BY i)),
+       |${p}it AS (SELECT 0 AS k,
        |    list_transform(generate_series(1, $dim), x -> CAST(${InitE6} AS BIGINT)) AS v
        |  UNION ALL
        |  SELECT k + 1,
@@ -232,10 +260,10 @@ object Pca {
        |  FROM (SELECT k, w,
        |      sqrt(CAST(list_sum(list_transform(w,
        |        x -> CAST(x AS HUGEINT) * CAST(x AS HUGEINT))) AS DOUBLE)) AS norm
-       |    FROM (SELECT it.k AS k,
+       |    FROM (SELECT ${p}it.k AS k,
        |        list_transform(generate_series(1, $dim), i ->
        |          CAST(list_sum(list_transform(generate_series(1, $dim),
-       |            j -> am.m[i][j] * it.v[j])) AS BIGINT)) AS w
-       |      FROM it, am WHERE it.k < $Iters)) ),
-       |axis AS (SELECT v FROM it WHERE k = $Iters)""".stripMargin
+       |            j -> ${p}am.m[i][j] * ${p}it.v[j])) AS BIGINT)) AS w
+       |      FROM ${p}it, ${p}am WHERE ${p}it.k < $Iters)) ),
+       |${p}axis AS (SELECT v FROM ${p}it WHERE k = $Iters)""".stripMargin
 }

@@ -381,6 +381,45 @@ object DedupQueries extends graft.QueryModule {
         .crossJoin(sums)
         .crossJoin(broadcast(crossPairCount(ccPairs(s, dir), assigned)))
     }),
+    // The corpus DATASHEET (one-row composition pin): the card every
+    // training-data release ships — size, token mass, language spread,
+    // quality pass rate, near-duplication — drawn from FOUR families'
+    // shared machinery in one row (tokens + lang-ID from TextFunctions,
+    // the Gopher gate from CleanFunctions.Gopher, clusters from the
+    // memoized CC build). Every number is an exact integer / deterministic
+    // argmax, so the whole card hash-gates; any stage drifting (tokenizer,
+    // predictor, quality thresholds, pair verification) turns THIS row red
+    // even when the stage's own query is green on its narrower fixture.
+    "report_dataset_card" -> ((s, dir) => {
+      val g = graft.functions.CleanFunctions.Gopher
+      val perDoc = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), {
+          val (nt, ch, al, st) = g.counts(col("__toks"))
+          struct(nt.as("nt"), g.keep(nt, ch, al, st).as("keep"),
+            graft.functions.TextFunctions.langIdFromTokens(col("__toks"))
+              .as("lang")).as("__d")
+        })
+        .select(col("doc_id"), col("__d.nt").as("__nt"),
+          col("__d.keep").as("__keep"), col("__d.lang").as("__lang"))
+      val core = perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).cast("long").as("n_tokens"),
+        count_distinct(col("__lang")).as("n_langs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).cast("long")
+          .as("n_gopher_pass"))
+      val topLang = perDoc.groupBy("__lang").agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("__lang")).limit(1)
+        .select(col("__lang").as("top_lang"), col("__c").as("top_lang_docs"))
+      val dup = ccClusters(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("__sz"))
+        .agg(coalesce(sum(when(col("__sz") > 1L, 1L).otherwise(0L)), lit(0L))
+          .as("n_dup_clusters"),
+          coalesce(sum(when(col("__sz") > 1L, col("__sz")).otherwise(0L)),
+            lit(0L)).as("n_near_dup_docs"))
+      core.crossJoin(broadcast(topLang)).crossJoin(broadcast(dup))
+    }),
     // The survivor POLICY a real pipeline wants: keep each cluster's
     // LONGEST member, not its smallest id (truncated copies of a page are
     // common near-dups — min-id keep throws away the fullest version about
@@ -858,6 +897,40 @@ object DedupQueries extends graft.QueryModule {
          |  r.doc_id AS rep_id, r.nt AS rep_tokens
          |FROM r JOIN sz USING (cluster_id)
          |WHERE r.rn = 1""".stripMargin,
+    // Four families replayed into one row: tokens/lang/Gopher per doc
+    // (n_stop IS en_hits — Gopher's function-word floor counts the same
+    // en stopword hits the lang predictor does), cluster sizes from the
+    // recursive closure.
+    "report_dataset_card" -> {
+      val g = graft.functions.CleanFunctions.Gopher
+      s"""WITH RECURSIVE $clustersCtes,
+         |hm AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS nt,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT) AS nch,
+         |    CAST(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT) AS nal,
+         |    ${DocSql.langHitColsSql}
+         |  FROM tokd),
+         |pd AS (SELECT doc_id, nt,
+         |    ${DocSql.langPredSql} AS lang_pred,
+         |    (nt >= ${g.MinToks} AND nt <= ${g.MaxToks}
+         |     AND nch >= nt * 3 AND nch <= nt * 10
+         |     AND nal * 5 >= nt * 4 AND en_hits >= 2) AS keep
+         |  FROM hm),
+         |core AS (SELECT count(*) AS n_docs,
+         |    CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+         |    CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gopher_pass
+         |  FROM pd),
+         |tl AS (SELECT lang_pred AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs
+         |  FROM pd GROUP BY 1 ORDER BY count(*) DESC, lang_pred LIMIT 1),
+         |dup AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_clusters,
+         |    CAST(coalesce(sum(CASE WHEN cluster_size > 1 THEN cluster_size ELSE 0 END), 0) AS BIGINT) AS n_near_dup_docs
+         |  FROM sz)
+         |SELECT core.n_docs, core.n_tokens, core.n_langs, core.n_gopher_pass,
+         |  tl.top_lang, tl.top_lang_docs, dup.n_dup_clusters, dup.n_near_dup_docs
+         |FROM core, tl, dup""".stripMargin
+    },
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" ->
       s"""WITH $toksCte,

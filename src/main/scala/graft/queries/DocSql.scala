@@ -129,6 +129,26 @@ private[queries] object DocSql {
 
   /** Mirror of Embedder.hashTfEmbed at the given dim: ends in
     * nv(doc_id, vec) with unit-norm doubles. Requires [[toksCte]]. */
+  /** Per-language stopword-hit columns (`en_hits`, …) over a `toks` list —
+    * mirror of TextFunctions.stopwordHits per langWords entry; the ONE
+    * copy text_lang_id, text_lang_confusion and the dataset card share. */
+  def langHitColsSql: String =
+    graft.functions.TextFunctions.langWords.map { case (lang, ws) =>
+      s"CAST(len(list_filter(toks, t -> t IN ${ws.map(w => s"'$w'").mkString("(", ",", ")")})) AS BIGINT) AS ${lang}_hits"
+    }.mkString(",\n  ")
+
+  /** The langIdFromTokens decision CASE over [[langHitColsSql]]'s columns:
+    * argmax hits in langWords order, zero hits everywhere → 'und'. */
+  def langPredSql: String = {
+    val langs = graft.functions.TextFunctions.langWords.map(_._1)
+    val great = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+    val whens = langs.map(l =>
+      s"WHEN ${l}_hits > 0 AND ${l}_hits = $great THEN '$l'").mkString("\n    ")
+    s"""CASE
+       |    $whens
+       |    ELSE 'und' END""".stripMargin
+  }
+
   def embedCte(dim: Int): String =
     s"""tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
        |b AS (SELECT doc_id,

@@ -346,8 +346,10 @@ object IndexQueries extends graft.QueryModule {
     // (measured plain→opq: 0.38→0.47 sf0.001, 0.35→0.47 sf0.01,
     // 0.21→0.24 sf0.1).
     "pq_opq_recall" -> ((s, dir) => {
-      val emb = graft.operators.Embedder.hashTfEmbed(
-        graft.io.Tables.documents(s, dir), "doc_id", "text", Dim)
+      // plan-equality cached: shares the one materialized doc-embedding
+      // frame with the dedup_embed_*/hybrid dense-leg consumers
+      val emb = graft.Caches.cached(graft.operators.Embedder.hashTfEmbed(
+        graft.io.Tables.documents(s, dir), "doc_id", "text", Dim))
         .select(col("doc_id"), col("embedding").cast("array<double>").as("__v"))
       val q = emb.filter(col("doc_id") < 10)
         .select(col("doc_id").as("job_id"), col("__v").as("qvec"))

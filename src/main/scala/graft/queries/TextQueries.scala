@@ -696,9 +696,7 @@ object TextQueries extends graft.QueryModule {
   /** The embedder, replayed in SQL (see [[DocSql.embedCte]]). */
   private val embedCte = s"$toksCte,\n${DocSql.embedCte(Dim)}"
 
-  private val langHitCols = langWords.map { case (lang, ws) =>
-    s"CAST(len(list_filter(toks, t -> t IN ${langIn(ws)})) AS BIGINT) AS ${lang}_hits"
-  }.mkString(",\n  ")
+  private val langHitCols = DocSql.langHitColsSql
 
   /** The learned BPE merge table, memoized per (session, dir): both BPE
     * queries share ONE training run (k bounded argmax jobs over the
@@ -781,12 +779,7 @@ object TextQueries extends graft.QueryModule {
          |  $langHitCols
          |FROM tokd)
          |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
-         |  CASE
-         |    WHEN en_hits > 0 AND en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
-         |    WHEN es_hits > 0 AND es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
-         |    WHEN de_hits > 0 AND de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
-         |    WHEN fr_hits > 0 AND fr_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'fr'
-         |    ELSE 'und' END AS lang_pred
+         |  ${DocSql.langPredSql} AS lang_pred
          |FROM h""".stripMargin,
     "text_quality" ->
       s"""WITH $toksCte
@@ -895,12 +888,7 @@ object TextQueries extends graft.QueryModule {
          |  $langHitCols
          |FROM tokd),
          |pr AS (SELECT d.lang AS lang_true,
-         |  CASE
-         |    WHEN en_hits > 0 AND en_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'en'
-         |    WHEN es_hits > 0 AND es_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'es'
-         |    WHEN de_hits > 0 AND de_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'de'
-         |    WHEN fr_hits > 0 AND fr_hits = greatest(en_hits, es_hits, de_hits, fr_hits) THEN 'fr'
-         |    ELSE 'und' END AS lang_pred
+         |  ${DocSql.langPredSql} AS lang_pred
          |  FROM h JOIN documents d USING (doc_id)),
          |cm AS (SELECT lang_true, lang_pred, count(*) AS n FROM pr GROUP BY 1, 2)
          |SELECT lang_true, lang_pred, n,

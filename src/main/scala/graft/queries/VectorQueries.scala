@@ -428,6 +428,57 @@ object VectorQueries extends graft.QueryModule {
       val edges = graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir))
       graft.operators.PageRank.triangleSummary(edges)
     }),
+    // O(delta) census maintenance for the PCA/whitening tier — the same
+    // rebuild-free ingest story the IVF/PQ/LSH/graph/CDC layouts have: the
+    // RAW census cells are exact integer sums, so base-census ⊎
+    // delta-census must equal the full-corpus rebuild CELL FOR CELL
+    // (Pca.secondMomentRaw scaladoc). The gate joins merged vs rebuilt
+    // and raise_errors on ANY differing cell; the emitted census checksum
+    // is hash-gated against the oracle's from-scratch replay.
+    "profile_cov_append" -> ((s, dir) => {
+      val pca = graft.operators.Pca
+      val delta = pca.secondMomentRaw(Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(10L)) === 3L), "embedding")
+      val merged = pca.m2FromRaw(pca.mergeRawCensus(pcaBaseRaw(s, dir), delta))
+      val full = pcaCensus(s, dir)
+      merged.select(col("dim_i"), col("dim_j"),
+          col("n").as("__nm"), col("m2_e9").as("__mm"))
+        .join(full.select(col("dim_i"), col("dim_j"),
+          col("n").as("__nf"), col("m2_e9").as("__mf")),
+          Seq("dim_i", "dim_j"), "full_outer")
+        .agg(count(lit(1)).as("n_cells"),
+          max(col("__nf")).as("n_rows"),
+          sum(col("__mf") * (col("dim_i") * lit(100L) + col("dim_j")))
+            .cast("long").as("m2_checksum"),
+          sum(when(col("__nm") === col("__nf") &&
+              col("__mm") === col("__mf"), lit(0L)).otherwise(lit(1L)))
+            .as("__mismatches"))
+        .select(col("n_cells"), col("n_rows"), col("m2_checksum"),
+          when(col("__mismatches") === 0L, lit(true))
+            .otherwise(raise_error(concat(
+              lit("profile_cov_append: merged census diverges from rebuild on "),
+              col("__mismatches").cast("string"), lit(" cells"))))
+            .as("merge_exact"))
+    }),
+    // The rebuild-scheduler signal for the PCA tier (assignmentDrift /
+    // codeDrift's sibling): how far the base-corpus principal axis has
+    // rotated from the full-corpus axis after ingest. Pinned as exact
+    // integers only — the e6-axis dot product and both squared norms (a
+    // consumer derives cos from them) — so no float parity is at stake;
+    // the oracle recomputes BOTH power iterations from scratch.
+    "pca_axis_drift" -> ((s, dir) => {
+      val pca = graft.operators.Pca
+      val baseAxis = pca.topAxisE6(pca.m2FromRaw(pcaBaseRaw(s, dir)))
+      val fullAxis = pca.topAxisE6(pcaCensus(s, dir))
+      val dot = baseAxis.zip(fullAxis)
+        .map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+      val na = baseAxis.map(a => BigInt(a) * BigInt(a)).sum
+      val nf = fullAxis.map(a => BigInt(a) * BigInt(a)).sum
+      s.range(1).select(
+        lit(dot.abs.toLong).as("dot_abs_e12"),
+        lit(na.toLong).as("norm_base_e12"),
+        lit(nf.toLong).as("norm_full_e12"))
+    }),
     // Per-dim whitening (standardize before quantization) pinned as ONE
     // exact integer per vector — μ/σ derive from the pinned integer census
     // by fixed single-IEEE-op sequences, so both engines carry identical
@@ -519,6 +570,14 @@ object VectorQueries extends graft.QueryModule {
     graft.Caches.memo(s, s"pca_sm:$dir")(
       graft.operators.Pca.secondMoment(Tables.embeddings(s, dir), "embedding"))
 
+  /** The BASE slice's raw census (vec_id % 10 ≠ 3 — the census-append
+    * fixture's stored side), shared by the merge gate and the axis-drift
+    * signal. */
+  private def pcaBaseRaw(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"pca_raw_base:$dir")(
+      graft.operators.Pca.secondMomentRaw(Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(10L)) =!= 3L), "embedding"))
+
   private val qCte = Fixtures.qCte
   private val cCte = Fixtures.cCte
   private val MrlDim = 16
@@ -602,6 +661,31 @@ object VectorQueries extends graft.QueryModule {
     "profile_embedding_cov" ->
       s"""WITH ${graft.operators.Pca.secondMomentSql(64)}
          |SELECT dim_i, dim_j, n, m2_e9 FROM sm""".stripMargin,
+    // The merge gate fired in-plan on the Spark side; the oracle pins the
+    // from-scratch full-census checksum the merged census must equal.
+    "profile_cov_append" ->
+      s"""WITH ${graft.operators.Pca.secondMomentSql(64)}
+         |SELECT count(*) AS n_cells, max(n) AS n_rows,
+         |  CAST(sum(m2_e9 * (dim_i * 100 + dim_j)) AS BIGINT) AS m2_checksum,
+         |  true AS merge_exact
+         |FROM sm""".stripMargin,
+    // BOTH power iterations recomputed from scratch (full corpus + the
+    // vec_id % 10 ≠ 3 base slice, prefix "bs"); the pinned integers are
+    // the e6-axis dot product and squared norms — no floats.
+    "pca_axis_drift" ->
+      s"""WITH RECURSIVE ${graft.operators.Pca.secondMomentSql(64)},
+         |${graft.operators.Pca.iterSql(64)},
+         |be AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 3),
+         |${graft.operators.Pca.secondMomentSql(64, "be", "bs")},
+         |${graft.operators.Pca.iterSql(64, "bs")}
+         |SELECT
+         |  CAST(abs(list_sum(list_transform(generate_series(1, 64),
+         |    i -> CAST(bsaxis.v[i] AS HUGEINT) * CAST(axis.v[i] AS HUGEINT)))) AS BIGINT) AS dot_abs_e12,
+         |  CAST(list_sum(list_transform(generate_series(1, 64),
+         |    i -> CAST(bsaxis.v[i] AS HUGEINT) * CAST(bsaxis.v[i] AS HUGEINT))) AS BIGINT) AS norm_base_e12,
+         |  CAST(list_sum(list_transform(generate_series(1, 64),
+         |    i -> CAST(axis.v[i] AS HUGEINT) * CAST(axis.v[i] AS HUGEINT))) AS BIGINT) AS norm_full_e12
+         |FROM axis, bsaxis""".stripMargin,
     "embed_whiten_checksum" ->
       s"""WITH ${graft.operators.Pca.secondMomentSql(64)},
          |md AS (SELECT CAST(i AS BIGINT) AS j,

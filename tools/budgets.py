@@ -1,0 +1,35 @@
+#!/usr/bin/env python3
+"""Regenerate graft.Budgets.perQuery from two full-bench logs.
+
+Usage: python3 tools/budgets.py <bench_a.log> <bench_b.log> [round_tag]
+Reads the per_query + total JSON lines from each log, normalizes every
+sample by that run's calibration factor, and prints the Scala map body:
+budget = max(1.5, ceil10(2.5 * max(a, b))) with both samples cited —
+the stated two-full-board-sample policy (VERDICT r7 "what's wrong" #3).
+"""
+import json, math, sys
+
+def load(path):
+    per, factor = None, None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith('{"metric":"per_query"'):
+                per = json.loads(line)["queries"]
+            elif line.startswith('{"metric":"total"'):
+                factor = json.loads(line)["budget_factor"]
+    if per is None or factor is None:
+        sys.exit(f"missing per_query/total record in {path}")
+    return {k: v / factor for k, v in per.items()}, factor
+
+a_path, b_path = sys.argv[1], sys.argv[2]
+tag = sys.argv[3] if len(sys.argv) > 3 else "r11"
+a, fa = load(a_path)
+b, fb = load(b_path)
+assert set(a) == set(b), sorted(set(a) ^ set(b))
+print(f"  // factors: a={fa} b={fb}")
+for q in sorted(a):
+    worst = max(a[q], b[q])
+    budget = max(1.5, math.ceil(2.5 * worst * 10) / 10)
+    print(f'    "{q}" -> {budget}, // {tag} full-bench samples '
+          f'{a[q]:.2f}/{b[q]:.2f} (calibration-normalized)')
