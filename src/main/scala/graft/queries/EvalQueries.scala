@@ -18,6 +18,9 @@ import Fixtures.{K, qCte, cCte}
 object EvalQueries extends graft.QueryModule {
 
   private val HalfDim = 32 // ANN stand-in: rank over the leading half of the 64 dims
+  private val Boot = 100 // bootstrap resamples for the recall CI
+  private val BootLoRank = 3 // order-statistic CI bounds over the sorted
+  private val BootHiRank = 98 // bootstrap means: the central 96% of B=100
 
   private def tops(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (q, c) = Fixtures.split(s, dir)
@@ -76,6 +79,44 @@ object EvalQueries extends graft.QueryModule {
     "eval_rank_summary" -> ((s, dir) => {
       val (cosTop, annTop, _) = tops(s, dir)
       Eval.rankSummary(Eval.rankMetrics(annTop, cosTop, "job_id", "skill_id", K))
+    }),
+    // Percentile-bootstrap confidence interval on the recall headline —
+    // the error bar a 20-query fixture needs before anyone compares two
+    // ANN tiers on it. RNG-free: resample b draws query slot
+    // md5("boot<b>:<i>") mod NQ (the engine's standard deterministic
+    // "random", so DuckDB replays every draw), each bootstrap mean is an
+    // exact integer rational, and the CI bounds are order statistics
+    // (ranks 3 and 98 of the 100 sorted means — the central 96%) rather
+    // than interpolated quantiles. Everything hash-gates.
+    "eval_recall_bootstrap" -> ((s, dir) => {
+      val (cosTop, annTop, _) = tops(s, dir)
+      val perq = Eval.recallAtK(annTop, cosTop, "job_id", "skill_id")
+      val NQ = Fixtures.NQ
+      val wq = org.apache.spark.sql.expressions.Window.orderBy("job_id")
+      val ranked = perq.select(col("job_id"), col("n_matches"))
+        .withColumn("__rn", row_number().over(wq).cast("long") - 1L)
+      val draws = s.range(Boot).select(col("id").as("__b"))
+        .crossJoin(s.range(NQ).select(col("id").as("__i")))
+        .select(col("__b"), pmod(graft.functions.TextFunctions.tokenHash(
+          concat(lit("boot"), col("__b").cast("string"), lit(":"),
+            col("__i").cast("string"))), lit(NQ.toLong)).as("__pick"))
+      val means = draws.join(ranked, col("__pick") === col("__rn"))
+        .groupBy("__b")
+        .agg(ExactRound.roundDiv(sum(col("n_matches")) * lit(1000000L),
+          lit((NQ * K).toLong)).as("__m"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__m"), col("__b"))
+      val rankedMeans = means.withColumn("__r", row_number().over(wr))
+      val lo = rankedMeans.filter(col("__r") === BootLoRank)
+        .select(col("__m").as("ci_lo_e6"))
+      val hi = rankedMeans.filter(col("__r") === BootHiRank)
+        .select(col("__m").as("ci_hi_e6"))
+      val overall = perq.agg(ExactRound.roundDiv(
+        sum(col("n_matches")) * lit(1000000L),
+        count(lit(1)) * lit(K.toLong)).as("mean_recall_e6"))
+      overall.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select(lit(Boot.toLong).as("n_boot"), col("mean_recall_e6"),
+          col("ci_lo_e6"), col("ci_hi_e6"))
     }),
     // R1 — the reference's wide per-job report over the deduped top-k.
     "report_job_skills_pivot" -> ((s, dir) => {
@@ -161,6 +202,29 @@ object EvalQueries extends graft.QueryModule {
          |SELECT ${ExactRound.ratioRound6IntSql(s"sum(${ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
          |  ${ExactRound.ratioRound6IntSql(s"sum(${ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
          |  count(*) AS n_queries FROM perq""".stripMargin,
+    // Every md5 draw, every resample mean, and both order-statistic
+    // bounds replayed; DuckDB's row_number windows mirror the Spark ones
+    // tie rule for tie rule.
+    "eval_recall_bootstrap" -> {
+      val NQ = Fixtures.NQ
+      s"""WITH $recallCte,
+         |rk AS (SELECT n_matches AS nm,
+         |    row_number() OVER (ORDER BY job_id) - 1 AS rn FROM perq),
+         |dr AS (SELECT b, ${graft.queries.DocSql.tokenHashSql(
+             "'boot' || CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % $NQ AS pick
+         |  FROM unnest(generate_series(0, ${Boot - 1})) t(b),
+         |    unnest(generate_series(0, $NQ - 1)) u(i)),
+         |bm AS (SELECT b, ${ExactRound.roundDivSql("sum(rk.nm) * 1000000",
+             s"${NQ * K}")} AS m
+         |  FROM dr JOIN rk ON rk.rn = dr.pick GROUP BY b),
+         |br AS (SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM bm),
+         |ov AS (SELECT ${ExactRound.roundDivSql("sum(nm) * 1000000",
+             s"count(*) * $K")} AS mean_recall_e6 FROM rk)
+         |SELECT CAST($Boot AS BIGINT) AS n_boot, ov.mean_recall_e6,
+         |  (SELECT m FROM br WHERE r = $BootLoRank) AS ci_lo_e6,
+         |  (SELECT m FROM br WHERE r = $BootHiRank) AS ci_hi_e6
+         |FROM ov""".stripMargin
+    },
     "eval_rank_metrics" ->
       s"WITH $rankMetricsCte\nSELECT job_id, n_hits, first_rank, rr, ndcg FROM perq",
     "eval_rank_summary" ->

@@ -127,6 +127,41 @@ object IoQueries extends graft.QueryModule {
         sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
         count_distinct(col("source")).as("n_sources"))
     }),
+    // WET-style multi-record TEXT stream roundtrip — the raw-crawl entry
+    // format: one header line + a (possibly multi-line) body per record,
+    // records framed by a separator char. The corpus serializes once as a
+    // text stream; spark.read.option("lineSep", RS).text does the record
+    // assembly (Spark's splittable text source, so a 100 TB dump reads in
+    // parallel), a regex pulls the header fields, and the census pins
+    // LOSSLESS reconstruction against the oracle's read of the source
+    // parquet. Production WET/WARC uses length-prefixed headers — the
+    // record-separator framing exercises the same Spark-side plumbing
+    // (custom lineSep, multi-line bodies, header parse) without a vendored
+    // parser.
+    "io_wet_roundtrip" -> ((s, dir) => {
+      val RS = "\u001e" // ASCII record separator — never in natural text
+      val hdr = "^WET-REC (\\d+) (\\S+) (\\S+)\n"
+      val path = graft.Layouts.once(s, s"wet:$dir") {
+        val p = s"/tmp/graft_wet/${graft.Layouts.tag(dir)}"
+        Tables.documents(s, dir)
+          .select(concat(lit("WET-REC "), col("doc_id").cast("string"),
+            lit(" "), col("lang"), lit(" "), col("source"), lit("\n"),
+            col("text")).as("value"))
+          .write.mode("overwrite").option("lineSep", RS).text(p)
+        p
+      }
+      val back = s.read.option("lineSep", RS).text(path)
+        .filter(length(col("value")) > 0)
+        .select(
+          regexp_extract(col("value"), hdr, 1).cast("long").as("doc_id"),
+          regexp_extract(col("value"), hdr, 2).as("lang"),
+          regexp_extract(col("value"), hdr, 3).as("source"),
+          regexp_replace(col("value"), "^WET-REC [^\n]*\n", "").as("text"))
+      back.agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
+        count_distinct(col("lang")).as("n_langs"))
+    }),
     // Hive-style partitioned layout + partition PRUNING: write the corpus
     // once partitioned by lang, read back with a lang predicate, and pin
     // the census of the pruned slice. At 100 TB this is THE data-skipping
@@ -228,6 +263,15 @@ object IoQueries extends graft.QueryModule {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
          |  count(DISTINCT source) AS n_sources
+         |FROM documents""".stripMargin,
+    // Same lossless-reconstruction pin as the jsonl roundtrip: equality
+    // against the source parquet proves the WET serialize + record
+    // assembly + header parse lost nothing.
+    "io_wet_roundtrip" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
+         |  count(DISTINCT lang) AS n_langs
          |FROM documents""".stripMargin,
     "io_partitioned_roundtrip" ->
       s"""SELECT count(*) AS n_rows,

@@ -26,10 +26,13 @@ a_path, b_path = sys.argv[1], sys.argv[2]
 tag = sys.argv[3] if len(sys.argv) > 3 else "r11"
 a, fa = load(a_path)
 b, fb = load(b_path)
-assert set(a) == set(b), sorted(set(a) ^ set(b))
-print(f"  // factors: a={fa} b={fb}")
-for q in sorted(a):
-    worst = max(a[q], b[q])
-    budget = max(1.5, math.ceil(2.5 * worst * 10) / 10)
+only_one = sorted(set(a) ^ set(b))
+print(f"  // factors: a={fa} b={fb}"
+      + (f"; single-sample (landed between runs): {only_one}" if only_one else ""))
+for q in sorted(set(a) | set(b)):
+    samples = [s[q] for s in (a, b) if q in s]
+    budget = max(1.5, math.ceil(2.5 * max(samples) * 10) / 10)
+    cite = "/".join(f"{s:.2f}" for s in samples)
+    note = "" if len(samples) == 2 else " — ONE sample, re-sample next round"
     print(f'    "{q}" -> {budget}, // {tag} full-bench samples '
-          f'{a[q]:.2f}/{b[q]:.2f} (calibration-normalized)')
+          f'{cite} (calibration-normalized){note}')
