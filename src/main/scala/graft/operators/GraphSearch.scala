@@ -63,21 +63,23 @@ object GraphSearch {
       col(cVec).as("__cv"))
     val e = edges.select(col("src").cast("long").as("__node"),
       col("dst").cast("long").as("__dst"))
-    // Per-hop frontier partitioning proportional to the query fleet: the
-    // frontier carries ≤ |Q|·beam rows per hop, so the NQ=20 fixture packs
-    // into one block (minimal per-hop task overhead), while a 10⁵-query
-    // production batch spreads across the cluster instead of serializing
-    // every hop through a single partition. |Q| is one count of the
-    // (broadcast-small by contract) query frame.
-    val fParts = frontierPartitions(queries.count(), beam,
-      queries.sparkSession.sparkContext.defaultParallelism)
     val entry = corpus.agg(min(col(cId)).cast("long").as("__node"))
-    val f0 = entries match {
+    val f0 = (entries match {
       case Some(ent) => ent.select(col(qId).as("__qid"),
         col(cId).cast("long").as("__node"))
       case None => q.select(col("__qid")).crossJoin(broadcast(entry))
-    }
-    var frontiers = Vector(f0.coalesce(fParts).localCheckpoint())
+    }).localCheckpoint()
+    // Per-hop frontier partitioning proportional to the query fleet: a
+    // frontier carries ≤ |Q|·beam rows per hop, so the NQ=20 fixture packs
+    // into one block (minimal per-hop task overhead), while a 10⁵-query
+    // production batch spreads across the cluster instead of serializing
+    // every hop through a single partition. |Q| comes from counting the
+    // ALREADY-materialized entry checkpoint (reads cached blocks — no
+    // second scan of the query table; with explicit entries the count is
+    // |Q|·nEntries, a harmless overestimate of the partition target).
+    val fParts = frontierPartitions(f0.count(), beam,
+      queries.sparkSession.sparkContext.defaultParallelism)
+    var frontiers = Vector(f0)
     def visited = frontiers.reduce(_ unionAll _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__qid").orderBy(col("__d"), col("__node"))

@@ -127,8 +127,6 @@ private[queries] object DocSql {
        |    list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) AS vec
        |  FROM v)""".stripMargin
 
-  /** Mirror of Embedder.hashTfEmbed at the given dim: ends in
-    * nv(doc_id, vec) with unit-norm doubles. Requires [[toksCte]]. */
   /** Per-language stopword-hit columns (`en_hits`, …) over a `toks` list —
     * mirror of TextFunctions.stopwordHits per langWords entry; the ONE
     * copy text_lang_id, text_lang_confusion and the dataset card share. */
@@ -149,6 +147,8 @@ private[queries] object DocSql {
        |    ELSE 'und' END""".stripMargin
   }
 
+  /** Mirror of Embedder.hashTfEmbed at the given dim: ends in
+    * nv(doc_id, vec) with unit-norm doubles. Requires [[toksCte]]. */
   def embedCte(dim: Int): String =
     s"""tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
        |b AS (SELECT doc_id,

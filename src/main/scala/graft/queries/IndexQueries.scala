@@ -756,7 +756,7 @@ object IndexQueries extends graft.QueryModule {
   private def pqSlice(v: String) = s"$v[mm.m*$SubD+1 : mm.m*$SubD+$SubD]"
   private val pqCtes: String =
     s"""$qCte, $cCte,
-       |${graft.operators.PqIndex.adcCtesSql("q", "c", 64, PqM, PqK)}""".stripMargin
+       |${graft.operators.PqIndex.adcCtesSql("q", "c", Dim, PqM, PqK)}""".stripMargin
 
   /** The refine pass in SQL: ADC top-(k·overfetch) candidates re-ranked by
     * exact L2 on the true vectors. Requires [[pqCtes]]; ends in

@@ -9,7 +9,8 @@ import graft.operators.{GraphSearch, KnnJoin, PageRank}
   * the flat NSW walk and (layerMod, upperDegree, upperHops, upperBeam,
   * nEntries) for the hierarchical walk, printing recall@K against the
   * exact ranking — the measurement behind the pinned operating point in
-  * VectorQueries (GsDegree/GsBeam/GsHops). Not part of the query board;
+  * VectorQueries (PrK — the shared census/search graph degree — GsBeam,
+  * GsHops). Not part of the query board;
   * run via `sbt "runMain graft.tools.GraphGrid"` with SPARK_GRAFT_SF_DIR.
   */
 object GraphGrid {
