@@ -14,6 +14,8 @@ import graft.functions.VectorFunctions.{L2, Metric}
   *    ([[IvfIndex]]) — the 100 TB path: candidates come from nProbe/lists
   *    of the corpus, and the index persists as a partitioned table.
   *  - [[Lsh]]: random-projection bucket join ([[LshIndex]]), L2 only.
+  *  - [[Graph]]: NSW beam search over the kNN edge list, optionally with
+  *    the HNSW hierarchy layer ([[GraphSearch]]).
   *
   * All strategies return the same shape: (queryIdCol, idCol, rank 1..k,
   * dist), ties broken on (dist, id).
@@ -27,6 +29,13 @@ object SimilaritySearch {
     extends Strategy
   /** `dim` = vector dimensionality (fixes the md5-derived plane literals). */
   case class Lsh(dim: Int, bucketLength: Double, numTables: Int = 3)
+    extends Strategy
+  /** NSW walk over a degree-`degree` kNN graph; `layerMod` > 1 turns on
+    * the HNSW hierarchy (1/layerMod upper-layer sample picks per-query
+    * entry points — [[GraphSearch.hierarchicalSearch]]). The edge build
+    * here is the exact generator; a deployment passes a STORED edge table
+    * through [[GraphSearch.beamSearchStored]] instead. */
+  case class Graph(degree: Int, hops: Int, beam: Int, layerMod: Int = 1)
     extends Strategy
 
   def topK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
@@ -45,6 +54,18 @@ object SimilaritySearch {
         require(metric == L2, "LSH strategy supports the L2 metric only")
         LshIndex.annTopK(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
           k, dim, bucketLength, tables)
+      case Graph(degree, hops, beam, layerMod) =>
+        val edges = PageRank.symmetrize(PageRank.directedKnnEdges(
+          corpus.select(corpus(idCol), corpus(vecCol)), idCol, vecCol,
+          degree, metric))
+        if (layerMod <= 1)
+          GraphSearch.beamSearch(queries, queryIdCol, queryVecCol, corpus,
+            idCol, vecCol, edges, hops, beam, k, metric)
+        else
+          GraphSearch.hierarchicalSearch(queries, queryIdCol, queryVecCol,
+            corpus, idCol, vecCol, edges, hops, beam, k, layerMod,
+            upperDegree = degree, upperHops = math.max(2, hops / 2),
+            upperBeam = math.max(4, beam / 4), nEntries = 4, metric = metric)
     }
 
   /** Streaming face: a stream of query vectors searched against the static

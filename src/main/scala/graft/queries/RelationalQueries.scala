@@ -319,6 +319,53 @@ object RelationalQueries extends graft.QueryModule {
     // winsorized sum assembled in ONE conditional aggregation
     // (mid-range sum + (klo-1)·lo + (n-khi)·hi) — no second join, no
     // doubles anywhere near the mean.
+    // TPC-H Q17's shape — a CORRELATED scalar subquery per fact row
+    // ("lineitems below 20% of their part's average quantity"): the pin
+    // that Catalyst DECORRELATES it into a keyed aggregate + join instead
+    // of re-running the subquery per row (PlanSpec asserts no cartesian).
+    // The 0.2·avg threshold is integer-exact: q < S/(5n) ⟺ 5·q·n < S on
+    // the e4-prescaled quantities, so no double division exists to
+    // diverge; revenue sums ride the same e4 integers.
+    "rel_small_quantity_revenue" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_q17_l")
+      Tables.part(s, dir).createOrReplaceTempView("graft_q17_p")
+      s.sql("""
+        |SELECT p_brand, count(*) AS n_small,
+        |  CAST(sum(p4) AS BIGINT) AS small_revenue_e4
+        |FROM (SELECT l_partkey,
+        |    CAST(floor(l_quantity * 1e4 + 0.5) AS BIGINT) AS q4,
+        |    CAST(floor(l_extendedprice * 1e4 + 0.5) AS BIGINT) AS p4
+        |  FROM graft_q17_l) l
+        |JOIN graft_q17_p ON p_partkey = l_partkey
+        |WHERE p_brand IN ('Brand#13', 'Brand#22')
+        |  AND 5 * l.q4 * (SELECT count(*) FROM graft_q17_l l2
+        |                  WHERE l2.l_partkey = l.l_partkey)
+        |    < (SELECT sum(CAST(floor(l2.l_quantity * 1e4 + 0.5) AS BIGINT))
+        |       FROM graft_q17_l l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand""".stripMargin)
+    }),
+    // TPC-H Q21's shape — EXISTS + doubly-correlated NOT EXISTS ("the only
+    // supplier who shipped late in a multi-supplier order", late = >60
+    // days after order date): the anti-join decorrelation pin. The NOT
+    // EXISTS references BOTH outer tables (l1's order key and o's order
+    // date), the form that breaks naive rewrites.
+    "rel_waiting_orders" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_q21_l")
+      Tables.orders(s, dir).createOrReplaceTempView("graft_q21_o")
+      Tables.supplier(s, dir).createOrReplaceTempView("graft_q21_s")
+      s.sql("""
+        |SELECT s.s_name, count(*) AS numwait
+        |FROM graft_q21_s s
+        |JOIN graft_q21_l l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN graft_q21_o o ON o.o_orderkey = l1.l_orderkey
+        |WHERE datediff(CAST(l1.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE)) > 60
+        |  AND EXISTS (SELECT 1 FROM graft_q21_l l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q21_l l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND datediff(CAST(l3.l_shipdate AS DATE), CAST(o.o_orderdate AS DATE)) > 60)
+        |GROUP BY s.s_name""".stripMargin)
+    }),
     "rel_winsorized_prices" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .select(col("o_orderpriority"), col("o_orderkey"),
@@ -718,6 +765,34 @@ object RelationalQueries extends graft.QueryModule {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_exact,
         |  TRUE AS approx_ok
         |FROM orders GROUP BY 1""".stripMargin,
+    // Same text modulo dialect: DuckDB runs the identical correlated
+    // subqueries and integer threshold.
+    "rel_small_quantity_revenue" ->
+      s"""SELECT p_brand, count(*) AS n_small,
+         |  CAST(sum(p4) AS BIGINT) AS small_revenue_e4
+         |FROM (SELECT l_partkey,
+         |    CAST(floor(l_quantity * 1e4 + 0.5) AS BIGINT) AS q4,
+         |    CAST(floor(l_extendedprice * 1e4 + 0.5) AS BIGINT) AS p4
+         |  FROM lineitem) l
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE p_brand IN ('Brand#13', 'Brand#22')
+         |  AND 5 * l.q4 * (SELECT count(*) FROM lineitem l2
+         |                  WHERE l2.l_partkey = l.l_partkey)
+         |    < (SELECT sum(CAST(floor(l2.l_quantity * 1e4 + 0.5) AS BIGINT))
+         |       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+         |GROUP BY p_brand""".stripMargin,
+    "rel_waiting_orders" ->
+      s"""SELECT s.s_name, count(*) AS numwait
+         |FROM supplier s
+         |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+         |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         |WHERE date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l1.l_shipdate AS DATE)) > 60
+         |  AND EXISTS (SELECT 1 FROM lineitem l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+         |      AND date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l3.l_shipdate AS DATE)) > 60)
+         |GROUP BY s.s_name""".stripMargin,
     "rel_winsorized_prices" ->
       s"""WITH p AS (SELECT o_orderpriority, o_orderkey,
          |    CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS pe4

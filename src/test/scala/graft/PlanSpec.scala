@@ -340,4 +340,49 @@ class PlanSpec extends SparkSpec {
       l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
     assert(nlj <= 2, s"only the 1-row summary attaches may nested-loop ($nlj):\n$plan")
   }
+
+  test("hierarchical walk never cross-products; hop work rides equi/anti joins") {
+    val plan = planOf("knn_graph_hier_topk").split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"the walk must expand via keyed joins only:\n$plan")
+    // the sole nested-loop join allowed is the 1-row broadcast entry
+    // attach of the UPPER walk (the lower walk enters from per-query
+    // entries, a keyed frame)
+    val nlj = plan.linesIterator.count(l => l.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"only the 1-row entry attach may nested-loop ($nlj):\n$plan")
+  }
+
+  test("OPQ permutation is applied as a pure projection; ADC side scans codes") {
+    val plan = planOf("pq_opq_recall").split("== Initial Plan ==").head
+    // the permutation is a literal 64-wide element_at projection — it must
+    // not introduce a join or extra exchange on the encode path; the only
+    // joins are the ADC/eval legs' keyed joins and bounded summary attaches
+    assert(!plan.contains("CartesianProduct"),
+      s"permutation/encode must never cross-product:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"ADC search must broadcast, never sort-merge the corpus:\n$plan")
+  }
+
+  test("correlated subqueries decorrelate to keyed joins — never per-row re-execution") {
+    val q17 = planOf("rel_small_quantity_revenue").split("== Initial Plan ==").head
+    assert(!q17.contains("CartesianProduct"),
+      s"the scalar subqueries must decorrelate to aggregate+join:\n$q17")
+    assert(q17.contains("HashAggregate"),
+      s"the per-part threshold should be a keyed aggregate:\n$q17")
+    val q21 = planOf("rel_waiting_orders").split("== Initial Plan ==").head
+    assert(q21.contains("LeftAnti") || q21.contains("ExistenceJoin") ||
+      q21.contains("LeftSemi"),
+      s"EXISTS/NOT EXISTS should become semi/anti joins:\n$q21")
+    assert(!q21.contains("CartesianProduct"),
+      s"the doubly-correlated NOT EXISTS must stay keyed:\n$q21")
+  }
+
+  test("WET roundtrip reads through the splittable text source") {
+    val plan = planOf("io_wet_roundtrip")
+    assert(plan.contains("FileScan text") || plan.contains("FileScan Text")
+      || plan.contains("text "),
+      s"record assembly should ride the text file source:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the census is one narrow aggregation over the records:\n$plan")
+  }
 }

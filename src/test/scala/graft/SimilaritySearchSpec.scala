@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.VectorFunctions.{Cosine, L2}
 import graft.operators.SimilaritySearch
-import graft.operators.SimilaritySearch.{BruteForce, Ivf, Lsh}
+import graft.operators.SimilaritySearch.{BruteForce, Graph, Ivf, Lsh}
 
 class SimilaritySearchSpec extends SparkSpec {
   import spark.implicits._
@@ -20,13 +20,27 @@ class SimilaritySearchSpec extends SparkSpec {
 
   test("every strategy returns k ranked rows per query in one shape") {
     for (s <- Seq[SimilaritySearch.Strategy](
-        BruteForce, Ivf(lists = 4, nProbe = 2), Lsh(dim = 64, bucketLength = 0.2))) {
+        BruteForce, Ivf(lists = 4, nProbe = 2), Lsh(dim = 64, bucketLength = 0.2),
+        Graph(degree = 4, hops = 4, beam = 8),
+        Graph(degree = 4, hops = 3, beam = 8, layerMod = 4))) {
       val metric = if (s.isInstanceOf[Lsh]) L2 else Cosine
       val df = run(s, metric)
       assert(df.columns.toSeq == Seq("qid", "cid", "rank", "dist"))
       val perQ = df.groupBy("qid").count().as[(Long, Long)].collect().toMap
       assert(perQ.size == 10 && perQ.values.forall(_ == 5), s"strategy $s")
     }
+  }
+
+  test("Graph strategy matches a direct GraphSearch walk") {
+    import graft.operators.{GraphSearch, PageRank}
+    val api = run(Graph(degree = 4, hops = 4, beam = 8))
+      .orderBy("qid", "rank").collect().map(_.toSeq)
+    val edges = PageRank.symmetrize(PageRank.directedKnnEdges(
+      c.select($"cid", $"v"), "cid", "v", 4))
+    val direct = GraphSearch.beamSearch(q, "qid", "v", c, "cid", "v",
+      edges, hops = 4, beam = 8, k = 5)
+      .orderBy("qid", "rank").collect().map(_.toSeq)
+    assert(api.toSeq == direct.toSeq)
   }
 
   test("IVF with full probing equals brute force") {
