@@ -162,6 +162,31 @@ object IoQueries extends graft.QueryModule {
         sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
         count_distinct(col("lang")).as("n_langs"))
     }),
+    // Schema EVOLUTION across ingest batches — the lakehouse reality that
+    // a 100 TB corpus accumulates files written under different schema
+    // versions: batch 1 lands (doc_id, text), batch 2 adds lang/source,
+    // and one mergeSchema read reconciles them (legacy rows surface the
+    // added columns as NULL — pinned, not silently dropped). Declared
+    // per-batch writes + one merged read; the census is checked against
+    // the oracle's reconstruction from the source table, so a lost legacy
+    // row, a misaligned column, or a non-null backfill turns the row red.
+    "io_schema_evolution" -> ((s, dir) => {
+      val path = graft.Layouts.once(s, s"schemaevo:$dir") {
+        val p = s"/tmp/graft_schemaevo/${graft.Layouts.tag(dir)}"
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$p/batch=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text", "lang", "source")
+          .write.mode("overwrite").parquet(s"$p/batch=2")
+        p
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_legacy_rows"),
+          count_distinct(col("lang")).as("n_langs"))
+    }),
     // Hive-style partitioned layout + partition PRUNING: write the corpus
     // once partitioned by lang, read back with a lang predicate, and pin
     // the census of the pruned slice. At 100 TB this is THE data-skipping
@@ -263,6 +288,14 @@ object IoQueries extends graft.QueryModule {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
          |  count(DISTINCT source) AS n_sources
+         |FROM documents""".stripMargin,
+    // Legacy (even doc_id) rows were written without lang/source, so they
+    // must read back NULL there; the odd rows carry the full schema.
+    "io_schema_evolution" ->
+      s"""SELECT count(*) AS n_rows,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy_rows,
+         |  count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_langs
          |FROM documents""".stripMargin,
     // Same lossless-reconstruction pin as the jsonl roundtrip: equality
     // against the source parquet proves the WET serialize + record

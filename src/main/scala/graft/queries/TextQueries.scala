@@ -217,6 +217,24 @@ object TextQueries extends graft.QueryModule {
     "text_bpe_encode" -> ((s, dir) =>
       graft.operators.Bpe.encodeCounts(Tables.documents(s, dir), "text",
         "doc_id", bpeMerges(s, dir))),
+    // The tokenizer as a STORED model — the lifecycle face every other
+    // trained artifact here has (IVF centroids, PQ codebooks, kNN graph):
+    // the learned merge table persists once, fingerprint-stamped with the
+    // training configuration, and encode runs from the read-back table.
+    // Shares text_bpe_encode's oracle VERBATIM — moving the tokenizer to
+    // storage must change no count a reader sees (the deployment story: a
+    // tokenizer trained once, loaded by every downstream job).
+    "text_bpe_stored_encode" -> ((s, dir) => {
+      val t = graft.Layouts.once(s, s"bpe_model:$dir") {
+        val name = s"graft_bpe_${graft.Layouts.tag(dir)}"
+        bpeMerges(s, dir).write.mode("overwrite").saveAsTable(name)
+        graft.Layouts.stampFingerprint(s, name, s"bpe|en|$BpeK")
+        name
+      }
+      graft.Layouts.checkFingerprint(s, t, s"bpe|en|$BpeK", "bpe encode")
+      graft.operators.Bpe.encodeCounts(Tables.documents(s, dir), "text",
+        "doc_id", s.table(t))
+    }),
     // Count-min-sketch heavy hitters gated against the exact top-20: the
     // fixed-size mergeable frequency sketch (Cormode & Muthukrishnan 2005)
     // every streaming/one-pass frequency monitor runs at 100 TB, checked
@@ -716,6 +734,26 @@ object TextQueries extends graft.QueryModule {
     * sentinel's empty-symbol pattern matches nothing and is filtered
     * from the merge-table output. The wrappers are the same /
     * control chars embedded raw in the SQL text. */
+  /** The BPE encode replay (training CTEs + fixed nested-replace scan) —
+    * ONE copy shared by the live-model and stored-model encode oracles. */
+  private lazy val bpeEncodeSql: String = {
+    val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)
+    val enc = (1 to BpeK).foldLeft(
+      s"regexp_replace(w, '(.)', '$wl\\1$wr', 'g')") { (acc, t) =>
+      s"replace($acc, '$wl' || bm$t.l || '$wr$wl' || bm$t.r || '$wr', '$wl' || bm$t.l || bm$t.r || '$wr')"
+    }
+    val crosses = (1 to BpeK).map(t => s"CROSS JOIN bm$t").mkString(" ")
+    s"""WITH ${bpeCtes(BpeK)},
+       |dtok AS (SELECT t.doc_id, unnest(t.toks) AS w FROM tokd t
+       |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
+       |dwt AS (SELECT doc_id, w FROM dtok WHERE regexp_full_match(w, '[a-z]+')),
+       |denc AS (SELECT doc_id,
+       |    len(string_split(substr(sym, 2, length(sym) - 2), '$wr$wl')) AS ns
+       |  FROM (SELECT doc_id, $enc AS sym FROM dwt $crosses))
+       |SELECT doc_id, count(*) AS n_tokens, CAST(sum(ns) AS BIGINT) AS n_symbols
+       |FROM denc GROUP BY 1""".stripMargin
+  }
+
   private def bpeCtes(k: Int): String = {
     val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)
     val head =
@@ -853,23 +891,10 @@ object TextQueries extends graft.QueryModule {
         s"SELECT $t AS step, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM bm$t WHERE l <> ''")
       s"WITH ${bpeCtes(BpeK)}\n" + rows.mkString("\nUNION ALL ")
     },
-    "text_bpe_encode" -> {
-      val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)
-      val enc = (1 to BpeK).foldLeft(
-        s"regexp_replace(w, '(.)', '$wl\\1$wr', 'g')") { (acc, t) =>
-        s"replace($acc, '$wl' || bm$t.l || '$wr$wl' || bm$t.r || '$wr', '$wl' || bm$t.l || bm$t.r || '$wr')"
-      }
-      val crosses = (1 to BpeK).map(t => s"CROSS JOIN bm$t").mkString(" ")
-      s"""WITH ${bpeCtes(BpeK)},
-         |dtok AS (SELECT t.doc_id, unnest(t.toks) AS w FROM tokd t
-         |  JOIN documents d USING (doc_id) WHERE d.lang = 'en'),
-         |dwt AS (SELECT doc_id, w FROM dtok WHERE regexp_full_match(w, '[a-z]+')),
-         |denc AS (SELECT doc_id,
-         |    len(string_split(substr(sym, 2, length(sym) - 2), '$wr$wl')) AS ns
-         |  FROM (SELECT doc_id, $enc AS sym FROM dwt $crosses))
-         |SELECT doc_id, count(*) AS n_tokens, CAST(sum(ns) AS BIGINT) AS n_symbols
-         |FROM denc GROUP BY 1""".stripMargin
-    },
+    "text_bpe_encode" -> bpeEncodeSql,
+    // The stored-model twin shares the live-model oracle verbatim: storage
+    // must change nothing a reader sees.
+    "text_bpe_stored_encode" -> bpeEncodeSql,
     "text_fertility_by_lang" ->
       s"""WITH $toksCte
          |SELECT d.lang, count(*) AS n_docs,
