@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition (coreness) of a symmetric edge list via the
+  * neighborhood H-index fixpoint (Lü, Chen, Ren, Zhang, Zhou & Stanley,
+  * "The H-index of a network node and its relation to degree and
+  * coreness", Nature Communications 2016): starting from c₀(v) = deg(v),
+  * each round replaces every node's value with the H-index of its
+  * neighbors' values, c_{t+1}(v) = H({c_t(u) : u ∈ N(v)}), and the
+  * sequence converges monotonically DOWN to coreness(v) — the largest k
+  * such that v belongs to a subgraph where every node has degree ≥ k.
+  * Coreness is the web-graph quality/spam prior (Kumar et al.'s dense
+  * bipartite cores; a crawl-curation pipeline keeps high-core pages and
+  * drops the degree-1 fringe) and, on a kNN similarity graph, separates
+  * tight semantic clusters (high core) from hub-and-spoke noise.
+  *
+  * Scale shape: each round is ONE keyed equi-join (edges × current
+  * values, |E| rows), ONE bounded window (per-node neighbor ranking —
+  * fanout is the node's degree, ≤ 2k on a symmetric kNN graph), and ONE
+  * keyed aggregate. Nothing all-pairs, nothing driver-side; rounds are
+  * `localCheckpoint`ed so the lineage stays flat like [[PageRank]]'s.
+  * The H-index per node is order-insensitive under value ties (the
+  * sorted-desc multiset determines max·min(cᵢ, i) regardless of how ties
+  * are broken), so the computation is deterministic and the oracle can
+  * replay it round for round in pure integers.
+  *
+  * Reference scope note: the reference engine has no graph census at all
+  * (its graph is a Milvus HNSW declaration, load_skill_vectors_milvus.py);
+  * this is engine-completeness machinery for the curation pipeline.
+  */
+object KCore {
+
+  /** H-index of each node's neighbor values: one join + one window + one
+    * keyed agg. `values` is (id, core); returns the same shape. */
+  private def hIndexRound(symEdges: DataFrame, values: DataFrame): DataFrame = {
+    val nb = symEdges.join(values, col("id") === col("dst"))
+      .select(col("src"), col("dst"), col("core"))
+    // dst tiebreak pins the row_number assignment; the aggregate is
+    // tie-insensitive anyway (see scaladoc) — the tiebreak is for replay
+    // hygiene, not correctness.
+    val w = Window.partitionBy("src").orderBy(col("core").desc, col("dst"))
+    nb.withColumn("__r", row_number().over(w).cast("long"))
+      .groupBy("src")
+      .agg(max(least(col("core"), col("__r"))).as("core"))
+      .select(col("src").as("id"), col("core"))
+  }
+
+  /** `iters` H-index rounds from the degree initialization. Returns
+    * (id, core, prev_core) where `prev_core` is round `iters − 1`'s value,
+    * so a caller can assert the fixpoint was reached in-plan (coreness is
+    * only exact at convergence; an unconverged run is an upper bound). */
+  def corenessWithPrev(symEdges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need at least one H-index round, got $iters")
+    val e = symEdges.select(col("src"), col("dst")).localCheckpoint()
+    var c = e.groupBy("src").agg(count(lit(1)).as("core"))
+      .select(col("src").as("id"), col("core")).localCheckpoint()
+    var prev = c
+    for (_ <- 1 to iters) {
+      prev = c
+      c = hIndexRound(e, c).localCheckpoint()
+    }
+    c.join(prev.select(col("id"), col("core").as("prev_core")), "id")
+  }
+
+  /** SQL mirror of [[corenessWithPrev]]'s rounds: CTE block over a
+    * symmetric-edge CTE `symCte(src, dst)`, ending in
+    * `kc$iters(id, core)`; `kc${iters - 1}` holds the previous round for
+    * the convergence check. MATERIALIZED per round — without it DuckDB
+    * re-expands the round-CTE prefix tree exponentially (the same
+    * pattern every iterative oracle here uses). */
+  def corenessCtesSql(symCte: String, iters: Int): String = {
+    require(iters >= 1)
+    val head =
+      s"""kc0 AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS core
+         |  FROM $symCte GROUP BY 1)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""kc$t AS MATERIALIZED (SELECT src AS id, max(least(core, r)) AS core
+         |  FROM (SELECT e.src, p.core,
+         |      CAST(row_number() OVER (PARTITION BY e.src
+         |        ORDER BY p.core DESC, e.dst) AS BIGINT) AS r
+         |    FROM $symCte e JOIN kc${t - 1} p ON p.id = e.dst)
+         |  GROUP BY 1)""".stripMargin
+    }
+    (Seq(head) ++ rounds).mkString(",\n")
+  }
+}

@@ -428,6 +428,41 @@ object VectorQueries extends graft.QueryModule {
       val edges = graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir))
       graft.operators.PageRank.triangleSummary(edges)
     }),
+    // k-core decomposition via the neighborhood H-index fixpoint (KCore
+    // scaladoc) — the web-graph quality prior a curation pipeline
+    // thresholds on (keep the dense cores, drop the fringe). Runs on the
+    // MUTUAL-kNN graph (reciprocal edges only — the strong-similarity
+    // graph; the symmetric union is 8-out-regular, which makes every
+    // coreness trivially 8): a self equi-join of the directed edge list on
+    // the reversed key, never all-pairs. Nodes with no mutual neighbor
+    // stay in the census at coreness 0 via the corpus left join. Per
+    // round: one |E| keyed join + one degree-bounded window + one keyed
+    // agg; the coreness histogram is hash-gated against the oracle's
+    // round-for-round replay, and convergence (round T == round T−1 for
+    // EVERY node — coreness is only exact at the fixpoint) is asserted
+    // in-plan, so an under-iterated run turns the row red instead of
+    // publishing an upper bound.
+    "rank_knn_kcore" -> ((s, dir) => {
+      val (_, corp) = split(s, dir)
+      val ed = knnEdgeCache(s, dir)
+      val mutual = ed.intersect(
+        ed.select(col("dst").as("src"), col("src").as("dst")))
+      val c = graft.operators.KCore.corenessWithPrev(mutual, KcIters)
+      val gate = c.agg(coalesce(sum(
+        when(col("core") === col("prev_core"), 0L).otherwise(1L)), lit(0L))
+        .as("__unconverged"))
+      corp.select(col("skill_id").as("id"))
+        .join(c, Seq("id"), "left")
+        .select(coalesce(col("core"), lit(0L)).as("coreness"))
+        .groupBy("coreness").agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(broadcast(gate))
+        .select(col("coreness"), col("n_nodes"),
+          when(col("__unconverged") === 0L, lit(true))
+            .otherwise(raise_error(concat(
+              lit("rank_knn_kcore: H-index fixpoint not reached on "),
+              col("__unconverged").cast("string"),
+              lit(s" nodes after $KcIters rounds")))).as("converged"))
+    }),
     // O(delta) census maintenance for the PCA/whitening tier — the same
     // rebuild-free ingest story the IVF/PQ/LSH/graph/CDC layouts have: the
     // RAW census cells are exact integer sums, so base-census ⊎
@@ -598,6 +633,10 @@ object VectorQueries extends graft.QueryModule {
   private val HierUpperBeam = 8 // coarse-walk beam
   private val HierEntries = 4 // entry points handed to layer 0 per query
   private val PrIters = 5
+  // H-index rounds for the k-core fixpoint; convergence at this depth is
+  // asserted IN-PLAN (rank_knn_kcore raise_errors on any unconverged
+  // node), so the constant is self-checking rather than trusted.
+  private val KcIters = 32
 
   /** Packed-sign-bit CTEs shared by the hamming oracles: qb(job_id,q0,q1) +
     * cb(skill_id,c0,c1) and the word-pair Hamming expression — one emitter
@@ -1059,6 +1098,19 @@ object VectorQueries extends graft.QueryModule {
          |    ELSE ${graft.functions.ExactRound.roundDivSql("tri.t * 3000000", "wg.w")}
          |  END AS global_cc_e6
          |FROM ne, wg, tri""".stripMargin,
+    // Round-for-round H-index replay over the same symmetric edges; the
+    // convergence literal mirrors the in-plan gate (which, having passed
+    // on the Spark side, pins `true`).
+    "rank_knn_kcore" ->
+      s"""WITH $cCte,
+         |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},
+         |sym AS (SELECT a.src, a.dst FROM e0 a
+         |  JOIN e0 b ON b.src = a.dst AND b.dst = a.src),
+         |${graft.operators.KCore.corenessCtesSql("sym", KcIters)}
+         |SELECT CAST(coalesce(k.core, 0) AS BIGINT) AS coreness,
+         |  count(*) AS n_nodes, true AS converged
+         |FROM c LEFT JOIN kc$KcIters k ON k.id = c.skill_id
+         |GROUP BY 1""".stripMargin,
     "mine_hard_negatives" ->
       s"""WITH $cCte,
          |a AS (SELECT skill_id AS anchor_id, svec AS avec, label AS albl
