@@ -166,6 +166,19 @@ object RelationalQueries extends graft.QueryModule {
           graft.functions.ExactRound.roundDiv(
             col("dau") * lit(1000000L), col("wau")).as("stickiness_e6"))
     }),
+    // Time-series densification (TimeSeries scaladoc): the irregular
+    // per-user event stream resampled onto each user's dense hourly grid,
+    // gap hours filled with zero counts, LOCF, and exact-integer linear
+    // interpolation — the preparation step before any rolling-window
+    // model reads telemetry. The grid is a per-key generator (explode of
+    // sequence(lo, hi)), never a calendar join; the deterministic
+    // user_id % 5 sample bounds the output at every scale while
+    // exercising spans end to end. Every filled value is an exact
+    // integer, so the whole dense frame is hash-gated.
+    "events_gapfill" -> ((s, dir) =>
+      graft.operators.TimeSeries.gapFillHourly(
+        Tables.events(s, dir).filter(pmod(col("user_id"), lit(5L)) === 0L),
+        "user_id", "ts", "value")),
     // Event-time bucketing: per-hour per-type counts over the events table —
     // the exact transform the streaming face applies behind a watermark
     // (graft.streaming.EventStreams.hourlyTypeCounts).
@@ -702,6 +715,13 @@ object RelationalQueries extends graft.QueryModule {
          |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
          |  ${graft.functions.ExactRound.roundDivSql("dau.dau * 1000000", "wau.wau")} AS stickiness_e6
          |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
+    "events_gapfill" ->
+      s"""WITH tsev AS (SELECT user_id AS k,
+         |    epoch_us(ts) // 3600000000 AS h_idx,
+         |    ${graft.functions.ExactRound.e6Sql("value")} AS v_e6
+         |  FROM events WHERE user_id % 5 = 0),
+         |${graft.operators.TimeSeries.gapFillCtesSql("tsev", "user_id")}
+         |SELECT * FROM tsout""".stripMargin,
     "profile_orders_histogram" ->
       """WITH p AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS pe4
         |  FROM orders),

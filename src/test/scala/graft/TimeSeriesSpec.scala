@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("gap fill: dense grid, zero counts, LOCF, and linear interpolation") {
+    // key 1: observations at hours 0 (v=2.0), 0 again (v=1.0), 3 (v=8.0)
+    //   → grid 0..3, gaps at 1 and 2; hourly sums e6: h0=3_000_000, h3=8_000_000
+    //   interp: h1 = 3M + (8M-3M)·1/3 ≈ 4_666_667, h2 ≈ 6_333_333
+    val ev = Seq((1L, ts(0, 10), 2.0), (1L, ts(0, 50), 1.0), (1L, ts(3), 8.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFillHourly(ev, "user_id", "ts", "value")
+      .orderBy("h_idx").collect()
+    assert(out.length === 4)
+    val base = out.head.getAs[Long]("h_idx")
+    assert(out.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 0L, 0L, 1L))
+    assert(out.map(_.getAs[Long]("is_gap")).toSeq === Seq(0L, 1L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("sum_value_e6")).toSeq ===
+      Seq(3000000L, 0L, 0L, 8000000L))
+    assert(out.map(_.getAs[Long]("locf_e6")).toSeq ===
+      Seq(3000000L, 3000000L, 3000000L, 8000000L))
+    assert(out.map(_.getAs[Long]("interp_e6")).toSeq ===
+      Seq(3000000L, 4666667L, 6333333L, 8000000L))
+    assert(out.forall(_.getAs[Long]("h_idx") - base < 4))
+  }
+
+  test("single-observation key: one-row grid, no gaps, interp = observed") {
+    val ev = Seq((7L, ts(5), 4.5)).toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFillHourly(ev, "user_id", "ts", "value").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("is_gap") === 0L)
+    assert(r.getAs[Long]("sum_value_e6") === 4500000L)
+    assert(r.getAs[Long]("interp_e6") === 4500000L)
+    assert(r.getAs[Long]("locf_e6") === 4500000L)
+  }
+
+  test("keys densify independently: no cross-key bleed in windows") {
+    val ev = Seq((1L, ts(0), 1.0), (1L, ts(2), 3.0),
+      (2L, ts(10), 100.0), (2L, ts(11), 200.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFillHourly(ev, "user_id", "ts", "value")
+    assert(out.count() === 5) // key 1: hours 0..2; key 2: hours 10..11
+    val k1gap = out.filter(col("user_id") === 1L && col("is_gap") === 1L)
+      .collect()
+    assert(k1gap.length === 1)
+    assert(k1gap.head.getAs[Long]("interp_e6") === 2000000L) // midpoint 1→3
+    assert(out.filter(col("user_id") === 2L && col("is_gap") === 1L).count() === 0)
+  }
+}
