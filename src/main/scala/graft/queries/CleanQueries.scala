@@ -186,7 +186,37 @@ object CleanQueries extends graft.QueryModule {
         .select(col("doc_id"), col("n_lines"),
           coalesce(col("__nk"), lit(0L)).as("n_kept"),
           coalesce(col("__kh"), md5(lit(""))).as("kept_hash"))
+    }),
+    // k-anonymity audit with one generalization level (Sweeney 2002 — the
+    // release gate a pipeline runs before user-derived records leave it):
+    // a row whose full quasi-identifier group (segment × nation) has ≥ k
+    // members publishes as-is; otherwise it falls back to the segment-only
+    // generalization if THAT group has ≥ k; otherwise it must be
+    // suppressed. Two keyed group-count aggregates joined back — the QI
+    // dimensions are bounded, so both count frames broadcast at any corpus
+    // scale; no window over the full table. The per-segment outcome census
+    // is exact integers, hash-pinned.
+    "clean_k_anonymity" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_nationkey"))
+      val pair = cust.groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("__np"))
+      val seg = cust.groupBy("c_mktsegment").agg(count(lit(1)).as("__ns"))
+      cust.join(broadcast(pair), Seq("c_mktsegment", "c_nationkey"))
+        .join(broadcast(seg), Seq("c_mktsegment"))
+        .select(col("c_mktsegment"),
+          when(col("__np") >= AnonK, lit(0L))
+            .when(col("__ns") >= AnonK, lit(1L))
+            .otherwise(lit(2L)).as("__lvl"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__lvl") === 0L, 1L).otherwise(0L)).as("n_full"),
+          sum(when(col("__lvl") === 1L, 1L).otherwise(0L)).as("n_generalized"),
+          sum(when(col("__lvl") === 2L, 1L).otherwise(0L)).as("n_suppressed"))
+        .withColumn("k", lit(AnonK))
     }))
+
+  private val AnonK = 10L // k-anonymity threshold (clean_k_anonymity)
 
   val oracles: Map[String, String] = Map(
     // Same messying (chr(9) = tab, chr(769) = U+0301 combining acute), then
@@ -306,5 +336,23 @@ object CleanQueries extends graft.QueryModule {
          |SELECT t.doc_id, t.n_lines,
          |  CAST(coalesce(ka.nk, 0) AS BIGINT) AS n_kept,
          |  coalesce(ka.kh, md5('')) AS kept_hash
-         |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin)
+         |FROM t LEFT JOIN ka USING (doc_id)""".stripMargin,
+    "clean_k_anonymity" ->
+      s"""WITH qi AS (SELECT c_mktsegment, c_nationkey FROM customer),
+         |pair AS (SELECT c_mktsegment, c_nationkey, count(*) AS np
+         |  FROM qi GROUP BY 1, 2),
+         |seg AS (SELECT c_mktsegment, count(*) AS ns FROM qi GROUP BY 1),
+         |lvl AS (SELECT qi.c_mktsegment,
+         |    CASE WHEN pair.np >= $AnonK THEN 0
+         |      WHEN seg.ns >= $AnonK THEN 1 ELSE 2 END AS l
+         |  FROM qi
+         |  JOIN pair ON pair.c_mktsegment = qi.c_mktsegment
+         |    AND pair.c_nationkey = qi.c_nationkey
+         |  JOIN seg ON seg.c_mktsegment = qi.c_mktsegment)
+         |SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_full,
+         |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_generalized,
+         |  CAST(sum(CASE WHEN l = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
+         |  CAST($AnonK AS BIGINT) AS k
+         |FROM lvl GROUP BY 1""".stripMargin)
 }

@@ -232,6 +232,56 @@ object RelationalQueries extends graft.QueryModule {
               lit("profile_sketch_gate: p50 drift "), col("__ap50").cast("string"),
               lit(" vs "), col("p50_price").cast("string")))).as("p50_ok"))
     }),
+    // Data-expectations card (Deequ's "unit tests for data", Schelter et
+    // al. VLDB'18): the constraint-validation pass a pipeline runs on
+    // every ingest batch before letting it reach training — completeness
+    // (null keys), uniqueness (duplicate primary keys), referential
+    // integrity (FK orphans via anti joins, never a full join), range
+    // bounds, and emptiness, across four tables in ONE row of exact
+    // violation counts. Each table contributes one conditional-aggregate
+    // scan; the two FK checks are keyed anti joins; everything is
+    // broadcast-attached 1-row frames, nothing driver-side. A pipeline
+    // alerts on any count moving; here the whole card is hash-pinned.
+    "profile_expectations" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val ev = Tables.events(s, dir)
+      val docs = Tables.documents(s, dir)
+      val oAgg = o.agg(
+        count(lit(1)).as("orders_rows"),
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("orders_dup_keys"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("orders_null_custkey"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("orders_nonpos_price"))
+      val oOrphans = o.select(col("o_custkey").as("c_custkey"))
+        .join(Tables.customer(s, dir).select("c_custkey"), Seq("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("orders_fk_orphans"))
+      val liAgg = li.agg(
+        count(lit(1)).as("lineitem_rows"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1L)
+          .otherwise(0L)).as("lineitem_discount_viol"),
+        sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L))
+          .as("lineitem_nonpos_qty"))
+      val liOrphans = li.select(col("l_orderkey").as("o_orderkey"))
+        .join(o.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("lineitem_fk_orphans"))
+      val evAgg = ev.agg(
+        count(lit(1)).as("events_rows"),
+        (count(lit(1)) - count_distinct(col("event_id"))).as("events_dup_ids"),
+        sum(when(col("ts") < to_timestamp(lit("2020-01-01")) ||
+          col("ts") >= to_timestamp(lit("2030-01-01")), 1L).otherwise(0L))
+          .as("events_ts_out_of_range"),
+        sum(when(col("value") < 0.0 || col("value").isNull, 1L).otherwise(0L))
+          .as("events_bad_value"))
+      val dAgg = docs.agg(
+        count(lit(1)).as("docs_rows"),
+        (count(lit(1)) - count_distinct(col("doc_id"))).as("docs_dup_ids"),
+        sum(when(col("text").isNull || length(trim(col("text"))) === 0, 1L)
+          .otherwise(0L)).as("docs_empty_text"))
+      oAgg.crossJoin(broadcast(oOrphans)).crossJoin(broadcast(liAgg))
+        .crossJoin(broadcast(liOrphans)).crossJoin(broadcast(evAgg))
+        .crossJoin(broadcast(dAgg))
+    }),
     // Z-order layout math over events (user × minute-of-day): the bucket
     // histogram of the interleaved key that ZOrder.writeZOrdered lays files
     // out on (the write itself is exercised in ZOrderSpec, which asserts
@@ -722,6 +772,40 @@ object RelationalQueries extends graft.QueryModule {
          |  FROM events WHERE user_id % 5 = 0),
          |${graft.operators.TimeSeries.gapFillCtesSql("tsev", "user_id")}
          |SELECT * FROM tsout""".stripMargin,
+    "profile_expectations" ->
+      """WITH oa AS (SELECT count(*) AS orders_rows,
+        |    count(*) - count(DISTINCT o_orderkey) AS orders_dup_keys,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS orders_null_custkey,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS orders_nonpos_price
+        |  FROM orders),
+        |oo AS (SELECT count(*) AS orders_fk_orphans FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey)),
+        |la AS (SELECT count(*) AS lineitem_rows,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS lineitem_discount_viol,
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS lineitem_nonpos_qty
+        |  FROM lineitem),
+        |lo AS (SELECT count(*) AS lineitem_fk_orphans FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey)),
+        |ea AS (SELECT count(*) AS events_rows,
+        |    count(*) - count(DISTINCT event_id) AS events_dup_ids,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2020-01-01'
+        |        OR ts >= TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS events_ts_out_of_range,
+        |    CAST(sum(CASE WHEN value < 0 OR value IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS events_bad_value
+        |  FROM events),
+        |da AS (SELECT count(*) AS docs_rows,
+        |    count(*) - count(DISTINCT doc_id) AS docs_dup_ids,
+        |    CAST(sum(CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS docs_empty_text
+        |  FROM documents)
+        |SELECT * FROM oa, oo, la, lo, ea, da""".stripMargin,
     "profile_orders_histogram" ->
       """WITH p AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS BIGINT) AS pe4
         |  FROM orders),
