@@ -195,20 +195,32 @@ object IoQueries extends graft.QueryModule {
     // scan), so the query's IO is proportional to the slice, not the
     // table.
     "io_partitioned_roundtrip" -> ((s, dir) => {
-      val path = graft.Layouts.once(s, s"partlang:$dir") {
-        val p = s"/tmp/graft_partlang/${graft.Layouts.tag(dir)}"
-        Tables.documents(s, dir).select("doc_id", "lang", "source", "text")
-          .write.mode("overwrite").partitionBy("lang").parquet(p)
-        p
-      }
-      s.read
-        .schema("doc_id LONG, source STRING, text STRING, lang STRING")
-        .parquet(path)
+      IoQueries.partitionedByLang(s, dir)
         .filter(col("lang") === "en")
         .agg(count(lit(1)).as("n_rows"),
           sum(col("doc_id")).as("id_sum"),
           sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
           count_distinct(col("source")).as("n_sources"))
+    }),
+    // DYNAMIC partition pruning — the star-schema data-skipping pattern
+    // (the date_dim.d_year = 2000 shape): the fact side is the
+    // lang-partitioned corpus, the dim side is a STORED language
+    // dimension carrying a script-family attribute, and the filter lives
+    // on the DIM attribute (family = 'latin'), so no static optimizer can
+    // fold it into the fact scan. Catalyst must instead inject the
+    // broadcast dim result as a DynamicPruningExpression into the fact
+    // scan's PartitionFilters (PlanSpec asserts it): at 100 TB the fact
+    // IO is proportional to the qualifying partitions, discovered from
+    // the dimension at EXECUTION time.
+    "join_dpp_pruned" -> ((s, dir) => {
+      val fact = IoQueries.partitionedByLang(s, dir)
+      val dim = s.read.schema("d_lang STRING, family STRING, n_docs LONG")
+        .parquet(IoQueries.langDim(s, dir))
+        .filter(col("family") === "latin")
+        .select(col("d_lang"))
+      fact.join(broadcast(dim), col("lang") === col("d_lang"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     }),
     "io_npy_shard_roundtrip" -> ((s, dir) => {
       val (out, parts) = Export.ensure(s, dir)
@@ -311,5 +323,50 @@ object IoQueries extends graft.QueryModule {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
          |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
          |  count(DISTINCT source) AS n_sources
-         |FROM documents WHERE lang = 'en'""".stripMargin)
+         |FROM documents WHERE lang = 'en'""".stripMargin,
+    // The layout's content ≡ the source table (pinned by
+    // io_partitioned_roundtrip), so the oracle replays the runtime-pruned
+    // join on the table directly.
+    "join_dpp_pruned" ->
+      """WITH dim AS (SELECT lang,
+        |    CASE WHEN lang = 'zh' THEN 'cjk' ELSE 'latin' END AS family
+        |  FROM documents GROUP BY 1)
+        |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+        |FROM documents d JOIN dim USING (lang)
+        |WHERE dim.family = 'latin'
+        |GROUP BY 1""".stripMargin)
+
+  /** The lang-partitioned corpus layout, written once per (session, scale)
+    * — the Hive-style directory layout both pruning queries read
+    * (`io_partitioned_roundtrip` statically, `join_dpp_pruned`
+    * dynamically). Declared read schema puts the partition column last. */
+  private[queries] def partitionedByLang(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Layouts.once(s, s"partlang:$dir") {
+      val p = s"/tmp/graft_partlang/${graft.Layouts.tag(dir)}"
+      Tables.documents(s, dir).select("doc_id", "lang", "source", "text")
+        .write.mode("overwrite").partitionBy("lang").parquet(p)
+      p
+    }
+    s.read
+      .schema("doc_id LONG, source STRING, text STRING, lang STRING")
+      .parquet(path)
+  }
+
+  /** The stored language dimension for the DPP star join: one row per
+    * language with its script family and doc count, derived once from the
+    * corpus and written as a parquet dim table (a dim must be a real
+    * stored relation — an in-memory aggregate's filter fails Spark's
+    * likely-selective test and DPP stays off). */
+  private[queries] def langDim(s: SparkSession, dir: String): String =
+    graft.Layouts.once(s, s"langdim:$dir") {
+      val p = s"/tmp/graft_langdim/${graft.Layouts.tag(dir)}"
+      Tables.documents(s, dir)
+        .groupBy(col("lang").as("d_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("d_lang"),
+          when(col("d_lang") === "zh", "cjk").otherwise("latin").as("family"),
+          col("n_docs"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
 }

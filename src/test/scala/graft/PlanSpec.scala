@@ -298,6 +298,15 @@ class PlanSpec extends SparkSpec {
       s"lang should be a partition column, not a data filter:\n$plan")
   }
 
+  test("dim-filtered star join prunes fact partitions DYNAMICALLY") {
+    val plan = planOf("join_dpp_pruned")
+    assert(plan.toLowerCase.contains("dynamicpruningexpression"),
+      s"the broadcast dim result must reach the fact scan's PartitionFilters " +
+        s"as a DynamicPruningExpression:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the language dim must broadcast:\n$plan")
+  }
+
   test("whitening is a broadcast-literal scan — no shuffle, no join") {
     val plan = planOf("embed_whiten_checksum")
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
