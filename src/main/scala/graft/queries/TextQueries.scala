@@ -27,6 +27,13 @@ object TextQueries extends graft.QueryModule {
   private val VocabV = 16       // top-V vocabulary (synthetic corpus has 31 distinct tokens)
   private val BpeK = 6          // BPE merge rounds (vocab never exhausts pairs at any SF)
   private val DomainCap = 10    // clean_domain_cap: max docs kept per source
+  // Quoted-query fixture for the positional-postings phrase search: mixed
+  // lengths (2/3/4) plus one phrase engineered to never occur, pinning
+  // the zero-hit path. Vocabulary from the corpus generator's word list.
+  private val PhraseFixture = Seq(
+    1L -> "data query", 2L -> "hash sort key",
+    3L -> "spark merge batch", 4L -> "table a big a join",
+    5L -> "query nevermatches sentinel")
   private val EnWords = langWords.head._2
   // Chunk/pack geometry from the pipelines' shared source (Pipeline
   // .ChunkPack) so the stage queries, both composed pipelines, and every
@@ -556,6 +563,15 @@ object TextQueries extends graft.QueryModule {
         .orderBy(col("n").desc, col("gram"))
         .limit(20)
     }),
+    // Exact phrase search over positional postings (PhraseSearch scaladoc):
+    // all phrases matched in ONE term-keyed join against the exploded
+    // postings — anchors vote per (phrase, doc, pos − offset), kept when
+    // the distinct-offset count equals the phrase length. The quoted-query
+    // primitive of the retrieval stack, next to BM25 and the RRF fusers;
+    // phrases with zero hits stay in the census at 0.
+    "text_phrase_match" -> ((s, dir) =>
+      graft.operators.PhraseSearch.matchCensus(s,
+        Tables.documents(s, dir), "doc_id", "text", PhraseFixture)),
     // Per-label centroid of the embedded documents via posexplode → per-dim
     // mean → re-reduce (the shuffle pattern behind a KMeans update step).
     "embed_label_centroids" -> ((s, dir) => {
@@ -1092,6 +1108,10 @@ object TextQueries extends graft.QueryModule {
          |${DocSql.shinglesCte(3)}
          |SELECT gram, count(*) AS n FROM shd
          |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+    "text_phrase_match" ->
+      s"""WITH $toksCte,
+         |${graft.operators.PhraseSearch.matchCensusCtesSql(PhraseFixture)}
+         |SELECT * FROM phout""".stripMargin,
     "embed_label_centroids" ->
       s"""WITH $embedCte,
          |pd AS (SELECT d.lang, i.pos, nv.vec[i.pos] AS v
