@@ -305,6 +305,68 @@ object RelationalQueries extends graft.QueryModule {
         ev.filter(col("event_type") === "purchase"),
         ev.filter(col("event_type") === "click"))
     }),
+    // Multi-touch attribution CREDIT: each purchase's value split across
+    // its attributed clicks (the events_attribution interval pairs) by
+    // exact pro-rata with largest-remainder assignment — click rank r of
+    // n gets value DIV n plus one extra e6 unit iff r ≤ value MOD n, so
+    // per-purchase credit conserves the purchase value EXACTLY (asserted
+    // in-plan; fractional credit schemes leak pennies at settlement).
+    // Windows partition by purchase (bounded by the 1h click horizon);
+    // the census is per user.
+    "events_multitouch_credit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("__pts"),
+          graft.functions.ExactRound.e6(col("value")).as("__v"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("__cu"),
+          col("ts").as("__cts"))
+      val pairs = p.join(c, col("user_id") === col("__cu") &&
+        col("__cts") <= col("__pts") &&
+        col("__cts") >= col("__pts") - expr("INTERVAL 60 MINUTES"))
+      val wr = Window.partitionBy("purchase_id")
+        .orderBy(col("__cts"), col("click_id"))
+      val wn = Window.partitionBy("purchase_id")
+      val credited = pairs
+        .withColumn("__rn", row_number().over(wr).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .withColumn("__credit", expr("__v DIV __n") +
+          when(col("__rn") <= pmod(col("__v"), col("__n")), 1L).otherwise(0L))
+      val perPurchase = credited
+        .groupBy("user_id", "purchase_id", "__v")
+        .agg(sum(col("__credit")).as("__sc"), count(lit(1)).as("__nc"))
+      perPurchase.groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("__nc")).as("n_credited_clicks"),
+          sum(col("__v")).as("total_credit_e6"),
+          min(when(col("__sc") === col("__v"), lit(true))
+            .otherwise(raise_error(concat(
+              lit("events_multitouch_credit: credit not conserved on purchase sum "),
+              col("__sc").cast("string"))))).as("conserved"))
+    }),
+    // Telemetry debounce (rate limiting): drop events closer than 5
+    // minutes to the PREVIOUS event of the same (user, type) — the
+    // lag-vs-previous-event form, one bounded window per (user, type),
+    // deterministic under the (ts, event_id) tie rule. (The
+    // compare-against-last-KEPT variant is an iterative chain; the lag
+    // form is the one-pass throttle gateways actually run.) Census per
+    // type with the kept-id checksum, all exact integers.
+    "events_debounce" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val ts = graft.streaming.EventStreams.tsMicros(col("ts"))
+      Tables.events(s, dir)
+        .withColumn("__gap", ts - lag(ts, 1).over(w))
+        .withColumn("__keep",
+          col("__gap").isNull || col("__gap") >= 300000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+          sum(when(col("__keep"), col("event_id")).otherwise(0L))
+            .as("kept_id_sum"))
+    }),
     // Running window frame: cumulative revenue per customer in order-date order.
     "rel_running_revenue" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -999,6 +1061,45 @@ object RelationalQueries extends graft.QueryModule {
         | AND c.ts <= p.ts
         | AND c.ts >= p.ts - INTERVAL 60 MINUTE
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    "events_multitouch_credit" -> {
+      val e6 = graft.functions.ExactRound.e6Sql("p.value")
+      s"""WITH pr AS (SELECT p.event_id AS purchase_id, p.user_id,
+         |    p.ts AS pts, $e6 AS v
+         |  FROM events p WHERE p.event_type = 'purchase'),
+         |pc AS (SELECT pr.purchase_id, pr.user_id, pr.v,
+         |    c.event_id AS click_id, c.ts AS cts
+         |  FROM pr JOIN events c ON c.user_id = pr.user_id
+         |    AND c.event_type = 'click'
+         |    AND c.ts <= pr.pts AND c.ts >= pr.pts - INTERVAL 60 MINUTE),
+         |r AS (SELECT *,
+         |    CAST(row_number() OVER (PARTITION BY purchase_id
+         |      ORDER BY cts, click_id) AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY purchase_id) AS n
+         |  FROM pc),
+         |cr AS (SELECT user_id, purchase_id, v,
+         |    v // n + CASE WHEN rn <= v % n THEN 1 ELSE 0 END AS credit
+         |  FROM r),
+         |pp AS (SELECT user_id, purchase_id, max(v) AS v,
+         |    sum(credit) AS sc, count(*) AS nc
+         |  FROM cr GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_purchases,
+         |  CAST(sum(nc) AS BIGINT) AS n_credited_clicks,
+         |  CAST(sum(v) AS BIGINT) AS total_credit_e6,
+         |  bool_and(sc = v) AS conserved
+         |FROM pp GROUP BY 1""".stripMargin
+    },
+    "events_debounce" ->
+      """WITH g AS (SELECT event_type, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |k AS (SELECT event_type, event_id,
+        |    (gap IS NULL OR gap >= 300000000) AS keep FROM g)
+        |SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN keep THEN event_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM k GROUP BY 1""".stripMargin,
     "events_session_stats" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
