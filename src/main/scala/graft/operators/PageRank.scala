@@ -108,6 +108,81 @@ object PageRank {
     r
   }
 
+  /** PERSONALIZED PageRank (Haveliwala WWW'02; the "seed-and-expand"
+    * selection prior): teleport mass returns only to the `seedIds` set —
+    * after convergence a node's score is its random-walk proximity to the
+    * trusted seeds, which is exactly the signal a curation pipeline uses
+    * to expand a small vetted corpus into a large training set (the
+    * crawl-frontier/harmonic-centrality pattern in Common Crawl
+    * curation). Same e9 integer fixed point, same O(|E|)-per-round plan
+    * as [[pagerank]]; non-seed nodes start at 0 and receive mass only
+    * through edges. The seed count is a 1-row broadcast, never a driver
+    * collect. Output: (id, ppr_e9). */
+  def personalizedPagerank(edges: DataFrame, seedIds: DataFrame, iters: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+      .join(seedIds.select(col("id").as("src"), lit(1L).as("__seed")),
+        Seq("src"), "left")
+      .select(col("src"), col("__deg"), coalesce(col("__seed"), lit(0L)).as("__seed"))
+      .localCheckpoint()
+    val ns = deg.agg(sum(col("__seed")).as("__ns"))
+    val teleport = (pct: Long) => ExactRound.roundDiv(
+      col("__seed") * lit(pct * 1000000000L), lit(100L) * col("__ns"))
+    var r = deg.crossJoin(broadcast(ns))
+      .select(col("src").as("id"), teleport(100L).cast("long").as("ppr_e9"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val share = r.join(deg, col("id") === col("src"))
+        .select(col("id").as("__u"),
+          ExactRound.roundDiv(col("ppr_e9"), col("__deg")).as("__share"))
+      val inflow = e.join(share, col("src") === col("__u"))
+        .groupBy(col("dst")).agg(sum(col("__share")).as("__inflow"))
+      r = deg.join(inflow, col("src") === col("dst"), "left")
+        .crossJoin(broadcast(ns))
+        .select(col("src").as("id"),
+          (teleport((100 - dampingPct).toLong) + ExactRound.roundDiv(
+            lit(dampingPct.toLong) * coalesce(col("__inflow"), lit(0L)),
+            lit(100L))).cast("long").as("ppr_e9"))
+        .localCheckpoint()
+    }
+    r
+  }
+
+  /** DuckDB twin of [[personalizedPagerank]] over the [[edgeCtesSql]]
+    * graph: `seedPred` is a SQL predicate over the corpus CTE `c` row
+    * (e.g. `c.label = 0`) defining the seed set. */
+  def personalizedPagerankSql(corpusCte: String, idCol: String,
+      vecCol: String, k: Int, seedPred: String, iters: Int,
+      dampingPct: Int = 85, outIdCol: String = "id"): String = {
+    val rd = ExactRound.roundDivSql _
+    val head =
+      s"""WITH $corpusCte,
+         |${edgeCtesSql(idCol, vecCol, k)},
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |sd AS (SELECT $idCol AS id, CASE WHEN $seedPred THEN 1 ELSE 0 END AS seed
+         |      FROM c),
+         |deg AS (SELECT e.src, count(*) AS deg, max(sd.seed) AS seed
+         |      FROM e JOIN sd ON sd.id = e.src GROUP BY 1),
+         |nn AS (SELECT sum(seed) AS ns FROM deg),
+         |r0 AS (SELECT src AS id, ${rd("seed * 100000000000", "100 * ns")} AS pr
+         |      FROM deg, nn)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""s$t AS (SELECT e.dst AS id, sum(sh.share) AS inflow
+         |  FROM (SELECT r${t - 1}.id AS uid, ${rd(s"r${t - 1}.pr", "deg.deg")} AS share
+         |        FROM r${t - 1} JOIN deg ON deg.src = r${t - 1}.id) sh
+         |  JOIN e ON e.src = sh.uid GROUP BY 1),
+         |r$t AS (SELECT d.src AS id,
+         |    ${rd(s"d.seed * ${(100 - dampingPct).toLong * 1000000000L}", "100 * nn.ns")} +
+         |    ${rd(s"$dampingPct * coalesce(s$t.inflow, 0)", "100")} AS pr
+         |  FROM deg d LEFT JOIN s$t ON s$t.id = d.src CROSS JOIN nn)""".stripMargin
+    }
+    val tail =
+      s"""SELECT id AS $outIdCol, CAST(pr AS BIGINT) AS ppr_e9 FROM r$iters"""
+    (Seq(head) ++ rounds).mkString(",\n") + "\n" + tail
+  }
+
   /** Triangle census of a symmetric edge list — exact triangle count plus
     * the global clustering coefficient, via DEGREE-ORDERED orientation
     * (Schank & Wagner 2005; the standard distributed-triangle trick, e.g.

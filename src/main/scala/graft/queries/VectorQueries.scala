@@ -316,6 +316,21 @@ object VectorQueries extends graft.QueryModule {
       graft.operators.PageRank.pagerank(edges, PrIters)
         .select(col("id").as("skill_id"), col("pr_e9"))
     }),
+    // PERSONALIZED PageRank from a trusted seed set (label 0) — the
+    // seed-and-expand selection prior (PageRank.personalizedPagerank
+    // scaladoc): teleport mass returns only to seeds, so a node's score
+    // is its random-walk proximity to the vetted slice; a curation
+    // pipeline thresholds it to expand a small trusted corpus. Same e9
+    // integer fixed point and O(|E|)-per-round plan as the global walk;
+    // the full per-node frame is hash-gated against the oracle's
+    // iteration-for-iteration replay.
+    "rank_knn_ppr" -> ((s, dir) => {
+      val (_, c) = split(s, dir)
+      val edges = graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir))
+      val seeds = c.filter(col("label") === 0L).select(col("skill_id").as("id"))
+      graft.operators.PageRank.personalizedPagerank(edges, seeds, PrIters)
+        .select(col("id").as("skill_id"), col("ppr_e9"))
+    }),
     // In-degree histogram of the DIRECTED k-NN graph: hub structure — the
     // SemDeDup-adjacent signal that a few items sit in everyone's
     // neighborhood (in-degree ≫ k) while isolated items are nobody's
@@ -957,6 +972,9 @@ object VectorQueries extends graft.QueryModule {
         |FROM embeddings""".stripMargin,
     "rank_knn_pagerank" -> graft.operators.PageRank.pagerankSql(
       cCte, "skill_id", "svec", PrK, PrIters, outIdCol = "skill_id"),
+    "rank_knn_ppr" -> graft.operators.PageRank.personalizedPagerankSql(
+      cCte, "skill_id", "svec", PrK, "c.label = 0", PrIters,
+      outIdCol = "skill_id"),
     "rank_knn_degree_hist" ->
       s"""WITH $cCte,
          |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},

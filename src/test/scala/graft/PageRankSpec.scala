@@ -26,6 +26,28 @@ class PageRankSpec extends SparkSpec {
       s"hub $hub not above leaf ${pr(l)}"))
   }
 
+  test("personalized PageRank: mass decays with distance from the seed; " +
+      "components unreachable from seeds score 0") {
+    // path 1-2-3-4-5 seeded at 1, plus a disconnected pair 6-7
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L))
+      .flatMap(p => Seq(p, (p._2, p._1))).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val ppr = PageRank.personalizedPagerank(edges, seeds, 5).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("ppr_e9"))).toMap
+    // a bipartite path oscillates between odd/even distances at finite
+    // iteration counts, so assert order-free proximity properties: the
+    // far end is the component minimum, the mass peak sits next to the
+    // seed, and total mass is conserved to rounding
+    val comp = Seq(1L, 2L, 3L, 4L, 5L).map(ppr)
+    assert(comp.forall(_ > ppr(5L) - 1) && ppr(5L) === comp.min,
+      s"the far end should hold the least mass: $ppr")
+    assert(Seq(1L, 2L).contains(
+      Seq(1L, 2L, 3L, 4L, 5L).maxBy(ppr)), s"peak should hug the seed: $ppr")
+    assert(math.abs(comp.sum - 1000000000L) <= 50, s"mass drifted: $ppr")
+    assert(ppr(6L) === 0L && ppr(7L) === 0L,
+      s"no teleport and no path from seeds → exactly zero: $ppr")
+  }
+
   test("knnEdges: symmetric, self-free, min-degree k") {
     val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val c = emb.filter(col("vec_id") >= 20)
