@@ -179,6 +179,28 @@ object RelationalQueries extends graft.QueryModule {
       graft.operators.TimeSeries.gapFillHourly(
         Tables.events(s, dir).filter(pmod(col("user_id"), lit(5L)) === 0L),
         "user_id", "ts", "value")),
+    // Rolling statistics over the DENSE series — the reason gap fill
+    // exists: a 24h trailing window (activity sum, exact roundDiv mean of
+    // the interpolated value, max) is only correct on a grid where silent
+    // hours are rows; on the raw irregular stream a rows-frame window
+    // would skip them and a range-frame window is unbounded state. The
+    // window is per user, 24 rows — bounded everywhere; counts shrink at
+    // the series head and the mean divides by the ACTUAL window size.
+    "events_rolling_stats" -> ((s, dir) => {
+      val dense = graft.operators.TimeSeries.gapFillHourly(
+        Tables.events(s, dir).filter(pmod(col("user_id"), lit(5L)) === 0L),
+        "user_id", "ts", "value")
+      val w = Window.partitionBy("user_id").orderBy("h_idx")
+        .rowsBetween(-23, Window.currentRow)
+      dense.select(col("user_id"), col("h_idx"),
+          col("n_events"), col("interp_e6"))
+        .withColumn("window_n", count(lit(1)).over(w))
+        .withColumn("act_sum", sum(col("n_events")).over(w))
+        .withColumn("avg_interp_e6", graft.functions.ExactRound.roundDiv(
+          sum(col("interp_e6")).over(w), col("window_n")))
+        .withColumn("max_interp_e6", max(col("interp_e6")).over(w))
+        .drop("n_events", "interp_e6")
+    }),
     // Event-time bucketing: per-hour per-type counts over the events table —
     // the exact transform the streaming face applies behind a watermark
     // (graft.streaming.EventStreams.hourlyTypeCounts).
@@ -834,6 +856,23 @@ object RelationalQueries extends graft.QueryModule {
          |  FROM events WHERE user_id % 5 = 0),
          |${graft.operators.TimeSeries.gapFillCtesSql("tsev", "user_id")}
          |SELECT * FROM tsout""".stripMargin,
+    "events_rolling_stats" ->
+      s"""WITH tsev AS (SELECT user_id AS k,
+         |    epoch_us(ts) // 3600000000 AS h_idx,
+         |    ${graft.functions.ExactRound.e6Sql("value")} AS v_e6
+         |  FROM events WHERE user_id % 5 = 0),
+         |${graft.operators.TimeSeries.gapFillCtesSql("tsev", "user_id")},
+         |r AS (SELECT user_id, h_idx,
+         |    CAST(count(*) OVER rw AS BIGINT) AS window_n,
+         |    CAST(sum(n_events) OVER rw AS BIGINT) AS act_sum,
+         |    CAST(sum(interp_e6) OVER rw AS BIGINT) AS si,
+         |    CAST(max(interp_e6) OVER rw AS BIGINT) AS max_interp_e6
+         |  FROM tsout WINDOW rw AS (PARTITION BY user_id ORDER BY h_idx
+         |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+         |SELECT user_id, h_idx, window_n, act_sum,
+         |  ${graft.functions.ExactRound.roundDivSql("si", "window_n")} AS avg_interp_e6,
+         |  max_interp_e6
+         |FROM r""".stripMargin,
     "profile_expectations" ->
       """WITH oa AS (SELECT count(*) AS orders_rows,
         |    count(*) - count(DISTINCT o_orderkey) AS orders_dup_keys,
