@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import graft.functions.VectorFunctions.{L2, Metric}
 
 /** Batch similarity search over any embedding column — one logical operation
-  * (top-k nearest per query), three physical strategies, mirroring how the
+  * (top-k nearest per query), five physical strategies, mirroring how the
   * reference exposes one search call per backend with different index types
   * behind it (`skills_for_jobs.py:73-173`).
   *
@@ -16,6 +16,8 @@ import graft.functions.VectorFunctions.{L2, Metric}
   *  - [[Lsh]]: random-projection bucket join ([[LshIndex]]), L2 only.
   *  - [[Graph]]: NSW beam search over the kNN edge list, optionally with
   *    the HNSW hierarchy layer ([[GraphSearch]]).
+  *  - [[Pq]]: product-quantized ADC scan, optionally exact-refined
+  *    ([[PqIndex]]), L2 only.
   *
   * All strategies return the same shape: (queryIdCol, idCol, rank 1..k,
   * dist), ties broken on (dist, id).
@@ -37,6 +39,12 @@ object SimilaritySearch {
     * through [[GraphSearch.beamSearchStored]] instead. */
   case class Graph(degree: Int, hops: Int, beam: Int, layerMod: Int = 1)
     extends Strategy
+  /** Product-quantized ADC scan ([[PqIndex]], L2 only): `m` subspaces ×
+    * `ksub` centroids, `overfetch` > 0 adds the exact re-rank of the
+    * k·overfetch ADC shortlist ([[PqIndex.searchRefined]]) — the
+    * memory-bound tier, where a corpus row costs m byte-code lookups
+    * instead of a d-dim scan. */
+  case class Pq(m: Int, ksub: Int, overfetch: Int = 0) extends Strategy
 
   def topK(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -54,6 +62,15 @@ object SimilaritySearch {
         require(metric == L2, "LSH strategy supports the L2 metric only")
         LshIndex.annTopK(queries, queryIdCol, queryVecCol, corpus, idCol, vecCol,
           k, dim, bucketLength, tables)
+      case Pq(m, ksub, overfetch) =>
+        require(metric == L2, "PQ strategy supports the L2 metric only")
+        val model = PqIndex.fitSeeds(corpus, idCol, vecCol, m, ksub)
+        val enc = PqIndex.encode(corpus, idCol, vecCol, model)
+        if (overfetch <= 0)
+          PqIndex.search(queries, queryIdCol, queryVecCol, enc, idCol, model, k)
+        else
+          PqIndex.searchRefined(queries, queryIdCol, queryVecCol, enc, corpus,
+            idCol, vecCol, model, k, overfetch)
       case Graph(degree, hops, beam, layerMod) =>
         val edges = PageRank.symmetrize(PageRank.directedKnnEdges(
           corpus.select(corpus(idCol), corpus(vecCol)), idCol, vecCol,

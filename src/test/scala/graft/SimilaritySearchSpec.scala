@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.VectorFunctions.{Cosine, L2}
 import graft.operators.SimilaritySearch
-import graft.operators.SimilaritySearch.{BruteForce, Graph, Ivf, Lsh}
+import graft.operators.SimilaritySearch.{BruteForce, Graph, Ivf, Lsh, Pq}
 
 class SimilaritySearchSpec extends SparkSpec {
   import spark.implicits._
@@ -22,8 +22,10 @@ class SimilaritySearchSpec extends SparkSpec {
     for (s <- Seq[SimilaritySearch.Strategy](
         BruteForce, Ivf(lists = 4, nProbe = 2), Lsh(dim = 64, bucketLength = 0.2),
         Graph(degree = 4, hops = 4, beam = 8),
-        Graph(degree = 4, hops = 3, beam = 8, layerMod = 4))) {
-      val metric = if (s.isInstanceOf[Lsh]) L2 else Cosine
+        Graph(degree = 4, hops = 3, beam = 8, layerMod = 4),
+        Pq(m = 8, ksub = 16), Pq(m = 8, ksub = 16, overfetch = 4))) {
+      val metric =
+        if (s.isInstanceOf[Lsh] || s.isInstanceOf[Pq]) L2 else Cosine
       val df = run(s, metric)
       assert(df.columns.toSeq == Seq("qid", "cid", "rank", "dist"))
       val perQ = df.groupBy("qid").count().as[(Long, Long)].collect().toMap
@@ -40,6 +42,17 @@ class SimilaritySearchSpec extends SparkSpec {
     val direct = GraphSearch.beamSearch(q, "qid", "v", c, "cid", "v",
       edges, hops = 4, beam = 8, k = 5)
       .orderBy("qid", "rank").collect().map(_.toSeq)
+    assert(api.toSeq == direct.toSeq)
+  }
+
+  test("Pq strategy matches the direct PqIndex encode+search pipeline") {
+    import graft.operators.PqIndex
+    val api = run(Pq(m = 8, ksub = 16, overfetch = 4), L2)
+      .orderBy("qid", "rank").collect().map(_.toSeq)
+    val model = PqIndex.fitSeeds(c, "cid", "v", 8, 16)
+    val enc = PqIndex.encode(c, "cid", "v", model)
+    val direct = PqIndex.searchRefined(q, "qid", "v", enc, c, "cid", "v",
+      model, 5, 4).orderBy("qid", "rank").collect().map(_.toSeq)
     assert(api.toSeq == direct.toSeq)
   }
 
