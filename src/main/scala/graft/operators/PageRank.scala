@@ -122,8 +122,10 @@ object PageRank {
       dampingPct: Int = 85): DataFrame = {
     require(iters >= 0 && dampingPct >= 0 && dampingPct <= 100)
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // distinct: a duplicated seed id would fan out the left join below,
+    // double-counting that node's degree row and inflating the seed count
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-      .join(seedIds.select(col("id").as("src"), lit(1L).as("__seed")),
+      .join(seedIds.select(col("id").as("src"), lit(1L).as("__seed")).distinct(),
         Seq("src"), "left")
       .select(col("src"), col("__deg"), coalesce(col("__seed"), lit(0L)).as("__seed"))
       .localCheckpoint()

@@ -27,11 +27,17 @@ import graft.functions.ExactRound
   */
 object TimeSeries {
 
-  /** Hour index of a timestamp column: epoch µs ÷ 3600·10⁶, floor — an
-    * exact long both engines compute identically (`// ` in DuckDB). */
-  def hourIndex(ts: Column): Column =
-    graft.streaming.EventStreams.tsMicros(ts).cast("long")
-      .divide(lit(3600000000L)).cast("long")
+  /** Hour index of a timestamp column: epoch µs ÷ 3600·10⁶, FLOOR — an
+    * exact long both engines compute identically (`//` in DuckDB floors;
+    * a plain divide-and-cast truncates toward zero and would diverge by
+    * one bucket on pre-1970 timestamps). `x − pmod(x, d)` is divisible by
+    * d and ≤ 2⁵³ in magnitude, so the intermediate double quotient is
+    * exact. */
+  def hourIndex(ts: Column): Column = {
+    val us = graft.streaming.EventStreams.tsMicros(ts).cast("long")
+    val d = lit(3600000000L)
+    ((us - pmod(us, d)) / d).cast("long")
+  }
 
   /** Dense hourly series per `keyCol` over `[min hour, max hour]` of each
     * key, from an event frame with `tsCol` and a non-negative double

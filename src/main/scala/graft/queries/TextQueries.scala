@@ -740,16 +740,6 @@ object TextQueries extends graft.QueryModule {
     graft.Caches.memo(s, s"bpe:$dir")(
       graft.operators.Bpe.learnMerges(Tables.documents(s, dir), "text", BpeK))
 
-  /** DuckDB twin of Bpe.learnMerges: word-freq head + every merge round
-    * unrolled (pair counts → argmax with the same tie-break → replace-
-    * applied vocabulary state). Ends with bm1..bm`k` (lhs l, rhs r, cnt)
-    * and bs`k` (final vocab state). A round with no remaining pair emits
-    * a no-op sentinel ('', '', 0) instead of an empty bm — Spark's
-    * learnMerges stops early, and an empty CTE would otherwise empty
-    * every downstream CROSS JOIN (state, encode, pipeline card); the
-    * sentinel's empty-symbol pattern matches nothing and is filtered
-    * from the merge-table output. The wrappers are the same /
-    * control chars embedded raw in the SQL text. */
   /** The BPE encode replay (training CTEs + fixed nested-replace scan) —
     * ONE copy shared by the live-model and stored-model encode oracles. */
   private lazy val bpeEncodeSql: String = {
@@ -770,6 +760,16 @@ object TextQueries extends graft.QueryModule {
        |FROM denc GROUP BY 1""".stripMargin
   }
 
+  /** DuckDB twin of Bpe.learnMerges: word-freq head + every merge round
+    * unrolled (pair counts → argmax with the same tie-break → replace-
+    * applied vocabulary state). Ends with bm1..bm`k` (lhs l, rhs r, cnt)
+    * and bs`k` (final vocab state). A round with no remaining pair emits
+    * a no-op sentinel ('', '', 0) instead of an empty bm — Spark's
+    * learnMerges stops early, and an empty CTE would otherwise empty
+    * every downstream CROSS JOIN (state, encode, pipeline card); the
+    * sentinel's empty-symbol pattern matches nothing and is filtered
+    * from the merge-table output. The wrappers are the same /
+    * control chars embedded raw in the SQL text. */
   private def bpeCtes(k: Int): String = {
     val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)
     val head =

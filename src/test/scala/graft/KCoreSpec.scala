@@ -41,11 +41,9 @@ class KCoreSpec extends SparkSpec {
       r.getAs[Long]("core") === r.getAs[Long]("prev_core")))
   }
 
-  test("SQL emitter replays the Spark fixpoint on the K4-with-tail graph") {
-    // corenessCtesSql is interpolated into the rank_knn_kcore oracle; here
-    // the round template itself is pinned against the Spark rounds by
-    // checking the same structure converges to the same histogram via the
-    // operator (the DuckDB side is exercised by the oracle gate).
+  test("SQL emitter emits the round structure; operator yields the known " +
+      "K4-with-tail histogram (the emitter's SEMANTICS are pinned by the " +
+      "rank_knn_kcore oracle gate, which executes it in DuckDB)") {
     val edges = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (4L, 5L), (5L, 6L))
     val sql = KCore.corenessCtesSql("sym", 4)
