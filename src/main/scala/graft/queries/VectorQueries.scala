@@ -331,6 +331,33 @@ object VectorQueries extends graft.QueryModule {
       graft.operators.PageRank.personalizedPagerank(edges, seeds, PrIters)
         .select(col("id").as("skill_id"), col("ppr_e9"))
     }),
+    // Semi-supervised label propagation (LabelProp scaladoc): ¼ of the
+    // corpus keeps its trusted label (clamped seeds), everyone else
+    // inherits the deterministic neighbor majority over the kNN graph —
+    // the weak-supervision move when human ratings cover a slice and the
+    // rest must be labeled by similarity. The census pins, per propagated
+    // label: node count, held-out (non-seed) count, and how many held-out
+    // nodes recovered their TRUE label — the propagation-accuracy eval
+    // the labels-for-free claim rests on. Fixed-round pin (LPA can
+    // oscillate; the PageRank convention).
+    "rank_knn_label_prop" -> ((s, dir) => {
+      val (_, c) = split(s, dir)
+      val edges = graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir))
+      val nodes = c.select(col("skill_id").as("id"))
+      val seeds = c.filter(pmod(col("skill_id"), lit(4L)) === 0L)
+        .select(col("skill_id").as("id"), col("label"))
+      val gold = c.select(col("skill_id").as("id"),
+        col("label").as("__gold"),
+        (pmod(col("skill_id"), lit(4L)) === 0L).as("__isSeed"))
+      graft.operators.LabelProp.propagate(edges, nodes, seeds, LpIters)
+        .join(gold, "id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("__isSeed"), 0L).otherwise(1L)).as("n_holdout"),
+          sum(when(!col("__isSeed") && col("label") === col("__gold"), 1L)
+            .otherwise(0L)).as("n_holdout_correct"),
+          sum(col("id")).as("id_checksum"))
+    }),
     // In-degree histogram of the DIRECTED k-NN graph: hub structure — the
     // SemDeDup-adjacent signal that a few items sit in everyone's
     // neighborhood (in-degree ≫ k) while isolated items are nobody's
@@ -652,6 +679,7 @@ object VectorQueries extends graft.QueryModule {
   // asserted IN-PLAN (rank_knn_kcore raise_errors on any unconverged
   // node), so the constant is self-checking rather than trusted.
   private val KcIters = 32
+  private val LpIters = 5 // label-propagation rounds (fixed-round pin)
 
   /** Packed-sign-bit CTEs shared by the hamming oracles: qb(job_id,q0,q1) +
     * cb(skill_id,c0,c1) and the word-pair Hamming expression — one emitter
@@ -975,6 +1003,22 @@ object VectorQueries extends graft.QueryModule {
     "rank_knn_ppr" -> graft.operators.PageRank.personalizedPagerankSql(
       cCte, "skill_id", "svec", PrK, "c.label = 0", PrIters,
       outIdCol = "skill_id"),
+    "rank_knn_label_prop" ->
+      s"""WITH $cCte,
+         |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},
+         |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |lpn AS (SELECT skill_id AS id FROM c),
+         |lps AS (SELECT skill_id AS id, label FROM c WHERE skill_id % 4 = 0),
+         |${graft.operators.LabelProp.propagateCtesSql("sym", "lpn", "lps", LpIters)},
+         |g AS (SELECT skill_id AS id, label AS gold,
+         |    skill_id % 4 = 0 AS is_seed FROM c)
+         |SELECT f.label, count(*) AS n_nodes,
+         |  CAST(sum(CASE WHEN g.is_seed THEN 0 ELSE 1 END) AS BIGINT) AS n_holdout,
+         |  CAST(sum(CASE WHEN NOT g.is_seed AND f.label = g.gold
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout_correct,
+         |  CAST(sum(f.id) AS BIGINT) AS id_checksum
+         |FROM lp$LpIters f JOIN g ON g.id = f.id
+         |GROUP BY 1""".stripMargin,
     "rank_knn_degree_hist" ->
       s"""WITH $cCte,
          |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},
