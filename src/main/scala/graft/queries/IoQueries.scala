@@ -222,6 +222,49 @@ object IoQueries extends graft.QueryModule {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     }),
+    // Versioned store + time-travel read (the MVCC snapshot-read pattern
+    // behind every lakehouse table format): writes append rows stamped
+    // with a version number, and an AS-OF-v reader resolves each key to
+    // its latest row with version ≤ v — ONE per-key argmax window over
+    // the version-filtered scan, so snapshot reads cost the key
+    // partitioning, never a log replay. Two commits here (v1 = base
+    // slice, v2 = upserts that update evens present in v1 AND insert
+    // evens that weren't); the query pins BOTH snapshots' censuses from
+    // one layout, so latest-wins resolution, non-destructive history, and
+    // insert-vs-update semantics are all hash-gated against the oracle's
+    // reconstruction from the source table.
+    "io_time_travel" -> ((s, dir) => {
+      val path = graft.Layouts.once(s, s"timetravel:$dir") {
+        val p = s"/tmp/graft_timetravel/${graft.Layouts.tag(dir)}"
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"),
+            lit(1L).as("__v"))
+          .write.mode("overwrite").parquet(p)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" [v2]")).as("text"),
+            lit(2L).as("__v"))
+          .write.mode("append").parquet(p)
+        p
+      }
+      val store = s.read.schema("doc_id LONG, text STRING, __v LONG")
+        .parquet(path)
+      def asOf(v: Long): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("__v").desc)
+        store.filter(col("__v") <= v)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(when(col("text").endsWith(" [v2]"), 1L).otherwise(0L))
+              .as("n_updated"),
+            sum(graft.functions.TextFunctions.tokenHash(col("text")))
+              .as("text_hash_sum"))
+          .withColumn("version", lit(v))
+      }
+      asOf(1L).unionByName(asOf(2L))
+        .select("version", "n_docs", "id_sum", "n_updated", "text_hash_sum")
+    }),
     "io_npy_shard_roundtrip" -> ((s, dir) => {
       val (out, parts) = Export.ensure(s, dir)
       import s.implicits._
@@ -324,6 +367,29 @@ object IoQueries extends graft.QueryModule {
          |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
          |  count(DISTINCT source) AS n_sources
          |FROM documents WHERE lang = 'en'""".stripMargin,
+    // Both snapshots reconstructed from the source table by the same
+    // commit rules: AS OF 1 = the base slice; AS OF 2 = every even id at
+    // its v2 text (update or insert) plus the odd base rows.
+    "io_time_travel" -> {
+      val th = (t: String) => DocSql.tokenHashSql(t)
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |v2 AS (SELECT doc_id, text || ' [v2]' AS text FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |a1 AS (SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_docs,
+         |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |    CAST(0 AS BIGINT) AS n_updated,
+         |    CAST(sum(${th("text")}) AS BIGINT) AS text_hash_sum
+         |  FROM v1),
+         |s2 AS (SELECT * FROM v2
+         |  UNION ALL SELECT * FROM v1 WHERE doc_id % 2 <> 0),
+         |a2 AS (SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_docs,
+         |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |    CAST(sum(CASE WHEN text LIKE '% [v2]' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_updated,
+         |    CAST(sum(${th("text")}) AS BIGINT) AS text_hash_sum
+         |  FROM s2)
+         |SELECT * FROM a1 UNION ALL SELECT * FROM a2""".stripMargin
+    },
     // The layout's content ≡ the source table (pinned by
     // io_partitioned_roundtrip), so the oracle replays the runtime-pruned
     // join on the table directly.
