@@ -380,8 +380,8 @@ object RelationalQueries extends graft.QueryModule {
       val ts = graft.streaming.EventStreams.tsMicros(col("ts"))
       Tables.events(s, dir)
         .withColumn("__gap", ts - lag(ts, 1).over(w))
-        .withColumn("__keep",
-          col("__gap").isNull || col("__gap") >= 300000000L)
+        .withColumn("__keep", col("__gap").isNull ||
+          col("__gap") >= graft.streaming.EventStreams.DebounceGapUs)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -16,6 +16,8 @@ object EventStreams {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class SessionAssign(user_id: Long, event_id: Long, session_id: Long)
+  case class DebounceAssign(user_id: Long, event_type: String,
+      event_id: Long, keep: Boolean)
 
   /** Session gap: events further apart than this start a new session. */
   val SessionGapUs: Long = 1800L * 1000000L // 30 min in microseconds
@@ -183,6 +185,39 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /** Streaming debounce — the stateful face of the batch lag-form rate
+    * limiter (`events_debounce`): per (user, type) the state is the last
+    * event's µs timestamp (kept OR dropped — the lag form compares
+    * against the previous EVENT, not the previous survivor), and an event
+    * is kept iff it is the group's first or ≥ `gapUs` after the previous
+    * one. Within a micro-batch the group's events fold in (ts, event_id)
+    * order, so replaying a batch through the stream matches the batch
+    * window when arrivals respect the watermark. State is one (Long) per
+    * live (user, type) key. */
+  def debounceStream(events: Dataset[Event],
+      gapUs: Long = DebounceGapUs): Dataset[DebounceAssign] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[Long, DebounceAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String), it: Iterator[Event], state: GroupState[Long]) =>
+          var lastUs = state.getOption.getOrElse(Long.MinValue)
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val us = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+            val keep = lastUs == Long.MinValue || us - lastUs >= gapUs
+            lastUs = us
+            DebounceAssign(key._1, key._2, e.event_id, keep)
+          }
+          state.update(lastUs)
+          out.iterator
+      }
+  }
+
+  /** The batch debounce's gap: events of the same (user, type) closer
+    * than this to their predecessor are dropped. */
+  val DebounceGapUs: Long = 300000000L // 5 minutes
 
   /** Native session windows (`session_window`, gap-merged event-time
     * windows — Spark's built-in streaming sessionization; the

@@ -110,6 +110,34 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful streaming debounce matches the batch lag form across batches") {
+    val input = MemoryStream[Event]
+    val query = EventStreams.debounceStream(input.toDS())
+      .writeStream.format("memory").queryName("debounce_t")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1); query.processAllAvailable()
+      // batch2's click (min 50) is 45 min after user 100's last click at
+      // min 5 → kept; state must have survived the batch boundary
+      input.addData(batch2); query.processAllAvailable()
+      val streamed = spark.table("debounce_t")
+        .select("event_id", "keep").as[(Long, Boolean)].collect().toMap
+      // batch twin: the exact lag-form expressions events_debounce uses
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy(col("ts"), col("event_id"))
+      val us = EventStreams.tsMicros(col("ts"))
+      val batch = (batch1 ++ batch2).toDF()
+        .withColumn("__gap", us - lag(us, 1).over(w))
+        .select(col("event_id"), (col("__gap").isNull ||
+          col("__gap") >= EventStreams.DebounceGapUs).as("keep"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(streamed == batch)
+      // the 5-min gap between events 1 and 2 sits exactly ON the
+      // threshold → kept (>=, both faces)
+      assert(streamed(1L) && streamed(2L))
+    } finally query.stop()
+  }
+
   test("stateful streaming funnel matches batch funnel across batches") {
     val input = MemoryStream[Event]
     val query = EventStreams.funnelStream(input.toDS())
