@@ -298,6 +298,41 @@ class PlanSpec extends SparkSpec {
       s"lang should be a partition column, not a data filter:\n$plan")
   }
 
+  test("gap fill generates each key's grid — never a calendar join, never a cross product") {
+    val plan = planOf("events_gapfill")
+    assert(plan.contains("Generate explode(sequence"),
+      s"the dense grid must come from a per-key sequence generator:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid × observations must stay a keyed join:\n$plan")
+  }
+
+  test("phrase match broadcasts the phrase terms; postings ride a hash join") {
+    val plan = planOf("text_phrase_match")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the phrase-terms side must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"postings must never cross-join the phrase set:\n$plan")
+  }
+
+  test("multitouch credit: interval pairs ride keyed joins, windows bounded by purchase") {
+    val plan = planOf("events_multitouch_credit")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the purchase×click interval join must key on user_id:\n$plan")
+    assert(plan.contains("windowspecdefinition(purchase_id#"),
+      s"credit windows must partition by purchase:\n$plan")
+  }
+
+  test("time-travel snapshot resolves via a per-key window — no self-join, no log replay") {
+    val plan = planOf("io_time_travel")
+    assert(plan.contains("Window"),
+      s"latest-wins must be a version-argmax window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+      s"snapshot reads must not join the store against itself:\n$plan")
+  }
+
   test("dim-filtered star join prunes fact partitions DYNAMICALLY") {
     val plan = planOf("join_dpp_pruned")
     assert(plan.toLowerCase.contains("dynamicpruningexpression"),
