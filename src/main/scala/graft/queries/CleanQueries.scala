@@ -214,6 +214,37 @@ object CleanQueries extends graft.QueryModule {
           sum(when(col("__lvl") === 1L, 1L).otherwise(0L)).as("n_generalized"),
           sum(when(col("__lvl") === 2L, 1L).otherwise(0L)).as("n_suppressed"))
         .withColumn("k", lit(AnonK))
+    }),
+    // Warner randomized response (JASA 1965) — the local-DP collection
+    // mechanism: each respondent reports the truth with p=1/2, else an
+    // independent fair coin, so no individual report reveals the
+    // sensitive bit, yet the population share debiases EXACTLY:
+    // E[reported] = p/2 + 1/4 ⇒ p̂ = (4·reported − n) / (2n). Both coins
+    // are md5-derived (the corpus randomness discipline — deterministic,
+    // so mechanism AND debias replay bit-for-bit in the oracle). Per
+    // nation: true share vs the estimate recovered from the noised
+    // reports, all exact e6 rationals.
+    "clean_randomized_response" -> ((s, dir) => {
+      val sensitive = col("c_mktsegment") === "BUILDING"
+      val coin1 = graft.operators.Sampling.hashBucket(
+        concat(lit("rr1:"), col("c_custkey").cast("string")), 2)
+      val coin2 = graft.operators.Sampling.hashBucket(
+        concat(lit("rr2:"), col("c_custkey").cast("string")), 2)
+      val reported = when(coin1 === 0L, sensitive).otherwise(coin2 === 0L)
+      Tables.customer(s, dir)
+        .select(col("c_nationkey"),
+          sensitive.cast("long").as("__t"), reported.cast("long").as("__r"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("__t")).as("true_cnt"),
+          sum(col("__r")).as("reported_cnt"))
+        .select(col("c_nationkey"), col("n"), col("true_cnt"),
+          col("reported_cnt"),
+          graft.functions.ExactRound.roundDiv(
+            col("true_cnt") * lit(1000000L), col("n")).as("true_share_e6"),
+          graft.functions.ExactRound.roundDiv(
+            (col("reported_cnt") * 4L - col("n")) * lit(1000000L),
+            col("n") * 2L).as("est_share_e6"))
     }))
 
   private val AnonK = 10L // k-anonymity threshold (clean_k_anonymity)
@@ -354,5 +385,24 @@ object CleanQueries extends graft.QueryModule {
          |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_generalized,
          |  CAST(sum(CASE WHEN l = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppressed,
          |  CAST($AnonK AS BIGINT) AS k
-         |FROM lvl GROUP BY 1""".stripMargin)
+         |FROM lvl GROUP BY 1""".stripMargin,
+    "clean_randomized_response" -> {
+      val rd = graft.functions.ExactRound.roundDivSql _
+      s"""WITH rr AS (SELECT c_nationkey,
+         |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+         |    CASE WHEN ('0x' || substr(md5('rr1:' || c_custkey), 1, 8))::BIGINT % 2 = 0
+         |      THEN CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+         |      ELSE CASE WHEN ('0x' || substr(md5('rr2:' || c_custkey), 1, 8))::BIGINT % 2 = 0
+         |        THEN 1 ELSE 0 END
+         |    END AS r
+         |  FROM customer),
+         |g AS (SELECT c_nationkey, count(*) AS n,
+         |    CAST(sum(t) AS BIGINT) AS true_cnt,
+         |    CAST(sum(r) AS BIGINT) AS reported_cnt
+         |  FROM rr GROUP BY 1)
+         |SELECT c_nationkey, n, true_cnt, reported_cnt,
+         |  ${rd("true_cnt * 1000000", "n")} AS true_share_e6,
+         |  ${rd("(reported_cnt * 4 - n) * 1000000", "n * 2")} AS est_share_e6
+         |FROM g""".stripMargin
+    })
 }
