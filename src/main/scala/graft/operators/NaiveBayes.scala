@@ -98,10 +98,22 @@ object NaiveBayes {
   /** Scoring tail: requires [[modelCtes]] + the same `tok` relation +
     * `docsRel(doc_id)`. */
   def scoreSql(docsRel: String): String =
-    s"""perdoc AS (SELECT doc_id, count(*) AS nt,
-       |    CAST(sum(w8) AS BIGINT) AS sw
-       |  FROM tok JOIN mdl USING (t) GROUP BY 1)
-       |SELECT d.doc_id,
+    s"$perdocCte\n${scoreSelect(docsRel)}"
+
+  /** [[scoreSql]] packaged as CTEs instead of a final select: ends in
+    * `outCte(doc_id, n_tokens, score_e8, pred_pos)` — for oracles that
+    * post-process the scores (threshold calibration). ONE shared select
+    * body, so the two forms can't drift. */
+  def scoreCtesSql(docsRel: String, outCte: String): String =
+    s"$perdocCte,\n$outCte AS (${scoreSelect(docsRel)})"
+
+  private val perdocCte: String =
+    """perdoc AS (SELECT doc_id, count(*) AS nt,
+      |    CAST(sum(w8) AS BIGINT) AS sw
+      |  FROM tok JOIN mdl USING (t) GROUP BY 1)""".stripMargin
+
+  private def scoreSelect(docsRel: String): String =
+    s"""SELECT d.doc_id,
        |  CAST(coalesce(perdoc.nt, 0) AS BIGINT) AS n_tokens,
        |  CAST(pri.prior8 + coalesce(perdoc.sw, 0) AS BIGINT) AS score_e8,
        |  (pri.prior8 + coalesce(perdoc.sw, 0)) > 0 AS pred_pos

@@ -353,6 +353,54 @@ object TextQueries extends graft.QueryModule {
           ExactRound.roundDiv(col("tp") * lit(2000000L),
             col("tp") * 2L + col("fp") + col("fn")).as("f1_e6"))
     }),
+    // Calibrated SELECTIVE prediction: instead of trusting score > 0, the
+    // decision threshold is set from the data — τ = the (k+1)-th highest
+    // NEGATIVE score with k = ⌊5%·n_neg⌋, so predicting positive only
+    // above τ guarantees FPR ≤ 5% BY CONSTRUCTION on the calibration set
+    // (the order-statistic threshold move behind conformal/selective
+    // classification). The guarantee is asserted in-plan: fp > k
+    // raise_errors the row. Pure integer rank selection (e8 scores,
+    // (score, doc_id) tie rule); the global negative sort is fine at
+    // fixture scale — the 100 TB path swaps it for an approx-quantile
+    // probe + exact recheck of the boundary bucket, same downstream.
+    "select_nb_calibrated" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), nbPos.as("gp"), tokens(col("text")).as("toks"))
+      val scored = graft.operators.NaiveBayes.scoreDocs(
+        d.select(col("doc_id"), col("gp")), "doc_id",
+        d.select(col("doc_id"), col("gp"), explode(col("toks")).as("t")))
+        .join(d.select(col("doc_id"), col("gp")), "doc_id")
+      val neg = scored.filter(!col("gp"))
+      val kRow = neg.agg(count(lit(1)).as("__nn"))
+        .select(col("__nn"), expr("__nn DIV 20").as("__k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_e8").desc, col("doc_id"))
+      val tau = neg.select(col("score_e8"), col("doc_id"))
+        .withColumn("__r", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(kRow))
+        .filter(col("__r") === col("__k") + 1L)
+        .select(col("score_e8").as("__tau"), col("__nn"), col("__k"))
+      scored.crossJoin(broadcast(tau))
+        .agg(
+          sum(when(col("gp"), 1L).otherwise(0L)).as("n_pos"),
+          max(col("__nn")).as("n_neg"), max(col("__k")).as("k"),
+          max(col("__tau")).as("tau_e8"),
+          sum(when(!col("gp") && col("score_e8") > col("__tau"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("gp") && col("score_e8") > col("__tau"), 1L)
+            .otherwise(0L)).as("tp"))
+        .select(col("n_pos"), col("n_neg"), col("k"), col("tau_e8"),
+          col("fp"), col("tp"),
+          ExactRound.roundDiv(col("fp") * lit(1000000L), col("n_neg"))
+            .as("fpr_e6"),
+          ExactRound.roundDiv(col("tp") * lit(1000000L), col("n_pos"))
+            .as("recall_e6"),
+          when(col("fp") <= col("k"), lit(true))
+            .otherwise(raise_error(concat(
+              lit("select_nb_calibrated: FPR guarantee violated: fp="),
+              col("fp").cast("string"), lit(" k="),
+              col("k").cast("string")))).as("fpr_ok"))
+    }),
     // Interpolated bigram LM scoring — the CCNet perplexity filter one
     // order up from the unigram query: p(t_i | t_{i-1}) = 0.7·c(prev,cur)/
     // c(prev) + 0.3·c(cur)/N over the corpus's own counts (KenLM's role,
@@ -881,6 +929,37 @@ object TextQueries extends graft.QueryModule {
          |  FROM tokd JOIN docs USING (doc_id)),
          |${graft.operators.NaiveBayes.modelCtes("docs")},
          |${graft.operators.NaiveBayes.scoreSql("docs")}""".stripMargin,
+    "select_nb_calibrated" -> {
+      val rd = (n: String, d: String) => ExactRound.roundDivSql(n, d)
+      s"""WITH $toksCte,
+         |docs AS (SELECT doc_id, source IN $nbSeedIn AS gp FROM documents),
+         |tok AS (SELECT tokd.doc_id, docs.gp, unnest(toks) AS t
+         |  FROM tokd JOIN docs USING (doc_id)),
+         |${graft.operators.NaiveBayes.modelCtes("docs")},
+         |${graft.operators.NaiveBayes.scoreCtesSql("docs", "scd")},
+         |j AS (SELECT s.doc_id, s.score_e8, d.gp
+         |  FROM scd s JOIN docs d USING (doc_id)),
+         |nn AS (SELECT count(*) AS n_neg, count(*) // 20 AS k
+         |  FROM j WHERE NOT gp),
+         |tau AS (SELECT score_e8 AS tau_e8 FROM (
+         |    SELECT score_e8, CAST(row_number() OVER (
+         |      ORDER BY score_e8 DESC, doc_id) AS BIGINT) AS r
+         |    FROM j WHERE NOT gp) x, nn WHERE x.r = nn.k + 1),
+         |cen AS (SELECT
+         |    CAST(sum(CASE WHEN gp THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(max(n_neg) AS BIGINT) AS n_neg, CAST(max(k) AS BIGINT) AS k,
+         |    CAST(max(tau_e8) AS BIGINT) AS tau_e8,
+         |    CAST(sum(CASE WHEN NOT gp AND score_e8 > tau_e8 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN gp AND score_e8 > tau_e8 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp
+         |  FROM j, nn, tau)
+         |SELECT n_pos, n_neg, k, tau_e8, fp, tp,
+         |  ${rd("fp * 1000000", "n_neg")} AS fpr_e6,
+         |  ${rd("tp * 1000000", "n_pos")} AS recall_e6,
+         |  true AS fpr_ok
+         |FROM cen""".stripMargin
+    },
     "text_zipf_slope" ->
       s"""WITH $toksCte,
          |tok AS (SELECT unnest(toks) AS t FROM tokd),
