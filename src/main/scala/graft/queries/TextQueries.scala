@@ -210,6 +210,60 @@ object TextQueries extends graft.QueryModule {
             col("n_vocab").cast("decimal(38,0)") * col("__sxx") -
               col("__sx") * col("__sx"), 0, 6).as("zipf_slope"))
     }),
+    // Heaps' law fit — vocabulary GROWTH (V(n) ≈ K·n^β), the projection a
+    // tokenizer/vocab plan needs before scaling a corpus 100×: how many
+    // new types another decade of tokens brings. The cumulative-vocab
+    // curve costs ONE keyed aggregate, not a per-checkpoint distinct:
+    // each type is charged to its FIRST document (min doc_id), so
+    // new-types-per-doc is a group count and both curve coordinates are
+    // running sums over doc order. Same exact-integer ln-e8 least-squares
+    // as text_zipf_slope. On natural text β sits in the textbook 0.4-0.6
+    // band; THIS corpus has a closed 31-token generator vocabulary, so
+    // the curve saturates in the first documents and the fitted β ≈ 0 —
+    // exactly Heaps' prediction for a finite vocabulary, and the pin
+    // still locks the whole first-occurrence/prefix-sum/regression
+    // machinery. (The global-order running sum is one partition at
+    // fixture scale — the 100 TB path is the standard two-pass
+    // distributed prefix sum, same downstream.)
+    "text_heaps_law" -> ((s, dir) => {
+      val toked = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      val perDoc = toked.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("__nt"))
+      val firstOcc = toked
+        .select(col("doc_id"), explode(col("__toks")).as("t"))
+        .groupBy("t").agg(min(col("doc_id")).as("__fd"))
+        .groupBy(col("__fd").as("doc_id"))
+        .agg(count(lit(1)).as("__nnew"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val curve = perDoc.join(firstOcc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("__nt"),
+          coalesce(col("__nnew"), lit(0L)).as("__nnew"))
+        .withColumn("__ct", sum(col("__nt")).over(w))
+        .withColumn("__cv", sum(col("__nnew")).over(w))
+        .filter(col("__ct") > 0L && col("__cv") > 0L)
+      val xy = curve.select(
+        ExactRound.eScaled(log(col("__ct").cast("double")), 8).cast("long")
+          .as("__x8"),
+        ExactRound.eScaled(log(col("__cv").cast("double")), 8).cast("long")
+          .as("__y8"))
+      xy.agg(count(lit(1)).as("n_points"),
+          sum(col("__x8").cast("decimal(38,0)")).as("__sx"),
+          sum(col("__y8").cast("decimal(38,0)")).as("__sy"),
+          sum((col("__x8") * col("__y8")).cast("decimal(38,0)")).as("__sxy"),
+          sum((col("__x8") * col("__x8")).cast("decimal(38,0)")).as("__sxx"))
+        .crossJoin(broadcast(curve.agg(max(col("__ct")).as("n_tokens"),
+          max(col("__cv")).as("n_vocab"))))
+        .select(col("n_points"), col("n_tokens"), col("n_vocab"),
+          ExactRound.ratioRoundInt(
+            col("n_points").cast("decimal(38,0)") * col("__sxy") -
+              col("__sx") * col("__sy"), 0,
+            col("n_points").cast("decimal(38,0)") * col("__sxx") -
+              col("__sx") * col("__sx"), 0, 6).as("heaps_beta"))
+    }),
     // Distributed BPE tokenizer training (Bpe scaladoc): the learned merge
     // table — k rounds of exact weighted pair counting over the en
     // word-frequency vocabulary, ties broken (count desc, pair asc). The
@@ -960,6 +1014,35 @@ object TextQueries extends graft.QueryModule {
          |  true AS fpr_ok
          |FROM cen""".stripMargin
     },
+    "text_heaps_law" ->
+      s"""WITH $toksCte,
+         |pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM tokd),
+         |fo AS (SELECT fd AS doc_id, count(*) AS nnew FROM (
+         |    SELECT min(doc_id) AS fd FROM (
+         |      SELECT doc_id, unnest(toks) AS t FROM tokd) GROUP BY t)
+         |  GROUP BY 1),
+         |curve AS (SELECT pd.doc_id,
+         |    sum(pd.nt) OVER wo AS ct,
+         |    sum(coalesce(fo.nnew, 0)) OVER wo AS cv
+         |  FROM pd LEFT JOIN fo USING (doc_id)
+         |  WINDOW wo AS (ORDER BY pd.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |pts AS (SELECT
+         |    ${ExactRound.eScaledSql("ln(CAST(ct AS DOUBLE))", 8)} AS x8,
+         |    ${ExactRound.eScaledSql("ln(CAST(cv AS DOUBLE))", 8)} AS y8
+         |  FROM curve WHERE ct > 0 AND cv > 0),
+         |sm AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(x8) AS HUGEINT) AS sx, CAST(sum(y8) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x8 AS HUGEINT) * y8) AS HUGEINT) AS sxy,
+         |    CAST(sum(CAST(x8 AS HUGEINT) * x8) AS HUGEINT) AS sxx
+         |  FROM pts),
+         |mx AS (SELECT CAST(max(ct) AS BIGINT) AS n_tokens,
+         |    CAST(max(cv) AS BIGINT) AS n_vocab FROM curve)
+         |SELECT CAST(sm.n AS BIGINT) AS n_points, mx.n_tokens, mx.n_vocab,
+         |  ${ExactRound.ratioRoundIntSql(
+              "sm.n * sm.sxy - sm.sx * sm.sy", 0,
+              "sm.n * sm.sxx - sm.sx * sm.sx", 0, 6)} AS heaps_beta
+         |FROM sm, mx""".stripMargin,
     "text_zipf_slope" ->
       s"""WITH $toksCte,
          |tok AS (SELECT unnest(toks) AS t FROM tokd),
