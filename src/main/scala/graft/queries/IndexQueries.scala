@@ -206,17 +206,25 @@ object IndexQueries extends graft.QueryModule {
     // scan ~nprobe/lists of the corpus; recall rises toward exact at
     // nprobe = lists). Each point is the same oracle-replayed exact-integer
     // summary as ivf_recall_summary.
-    "ivf_probe_curve" -> ((s, dir) => {
-      val (q, indexed, model) = ivfParts(s, dir)
-      val exact = Fixtures.exactTopK(s, dir)
-      ProbeCurve.map { np =>
-        val ann = IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id",
-          "svec", model, K, np, Cosine)
-        graft.operators.Eval.recallSummary(
-          graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
-          .select(lit(np.toLong).as("n_probe"), col("avg_matches"),
-            col("avg_recall"), col("n_queries"))
-      }.reduce(_ unionByName _)
+    "ivf_probe_curve" -> ((s, dir) => probeCurveFrame(s, dir)),
+    // AUTO-TUNING from the curve: the smallest nprobe whose measured
+    // recall clears the target — the choice an index operator makes
+    // mechanically instead of eyeballing the tuning table (FAISS's
+    // autotune criterion applied to our own curve). Chosen IN-PLAN: the
+    // argmin rides a 3-row broadcast join off the memoized curve, and if
+    // NO point clears the target the row raise_errors red instead of
+    // silently shipping the best-effort point.
+    "ivf_auto_probe" -> ((s, dir) => {
+      val curve = probeCurveFrame(s, dir)
+      val chosen = curve.filter(col("avg_recall") >= AutoProbeTarget)
+        .agg(min(col("n_probe")).as("__np"))
+        .select(when(col("__np").isNotNull, col("__np"))
+          .otherwise(raise_error(lit(
+            s"ivf_auto_probe: no probe point reaches recall $AutoProbeTarget")))
+          .as("__np"))
+      curve.join(broadcast(chosen), col("n_probe") === col("__np"))
+        .select(col("n_probe"), col("avg_recall"), col("n_queries"),
+          lit(AutoProbeTarget).as("target_recall"))
     }),
     // X2 — LSH bucket-join ANN on deterministic md5 planes (oracle-gated).
     "lsh_ann_topk" -> ((s, dir) => {
@@ -677,6 +685,25 @@ object IndexQueries extends graft.QueryModule {
        |FROM r WHERE rank <= $K""".stripMargin
 
   private val ProbeCurve = Seq(1, 2, 4)
+  private val AutoProbeTarget = 0.9 // ivf_auto_probe's recall floor
+
+  /** The IVF tuning curve, memoized per (session, dir) — ivf_probe_curve
+    * emits it and ivf_auto_probe reads its operating point off it, so
+    * the three per-point searches run once per session (keyed memo: the
+    * bounded-heap UDAF defeats plan equality). */
+  private def probeCurveFrame(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.memo(s, s"ivfcurve:$dir") {
+      val (q, indexed, model) = ivfParts(s, dir)
+      val exact = Fixtures.exactTopK(s, dir)
+      ProbeCurve.map { np =>
+        val ann = IvfIndex.search(q, "job_id", "qvec", indexed, "skill_id",
+          "svec", model, K, np, Cosine)
+        graft.operators.Eval.recallSummary(
+          graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+          .select(lit(np.toLong).as("n_probe"), col("avg_matches"),
+            col("avg_recall"), col("n_queries"))
+      }.reduce(_ unionByName _)
+    }
 
   /** One probe-curve point: the ivf ranking at `np` probes + the exact
     * ranking + the exact-integer recall summary, self-contained in a
@@ -1031,6 +1058,16 @@ object IndexQueries extends graft.QueryModule {
     "ivf_probe_all_exact" -> ivfSql(Lists),
     "lsh_ann_topk" -> lshAnnSql,
     "lsh_ann_stored_topk" -> lshAnnSql,
+    "ivf_auto_probe" -> {
+      val union = ProbeCurve
+        .map(np => s"SELECT * FROM ${probePointSql(np)}").mkString("\nUNION ALL ")
+      s"""WITH curve AS ($union),
+         |ch AS (SELECT min(n_probe) AS np FROM curve
+         |  WHERE avg_recall >= $AutoProbeTarget)
+         |SELECT c.n_probe, c.avg_recall, c.n_queries,
+         |  CAST($AutoProbeTarget AS DOUBLE) AS target_recall
+         |FROM curve c JOIN ch ON c.n_probe = ch.np""".stripMargin
+    },
     "ivf_probe_curve" -> ProbeCurve.map(np => s"SELECT * FROM ${probePointSql(np)}")
       .mkString("\nUNION ALL\n"),
     "lsh_multiprobe_topk" -> lshMultiSql,
