@@ -455,6 +455,31 @@ object TextQueries extends graft.QueryModule {
               col("fp").cast("string"), lit(" k="),
               col("k").cast("string")))).as("fpr_ok"))
     }),
+    // Reliability diagram for the NB scores (the calibration-CURVE
+    // companion to the threshold query): score deciles vs the empirical
+    // positive rate per decile — monotone rates mean the score RANKS
+    // well even where its absolute calibration is off, which is what the
+    // order-statistic threshold above actually relies on. One global
+    // ntile over the scored frame (fixture-scale; the 100 TB path bins on
+    // approx-quantile edges), exact-integer rates.
+    "select_nb_reliability" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), nbPos.as("gp"), tokens(col("text")).as("toks"))
+      val scored = graft.operators.NaiveBayes.scoreDocs(
+        d.select(col("doc_id"), col("gp")), "doc_id",
+        d.select(col("doc_id"), col("gp"), explode(col("toks")).as("t")))
+        .join(d.select(col("doc_id"), col("gp")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_e8"), col("doc_id"))
+      scored.withColumn("__bin", ntile(10).over(w).cast("long"))
+        .groupBy(col("__bin").as("score_decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("gp"), 1L).otherwise(0L)).as("n_pos"),
+          min(col("score_e8")).as("min_score_e8"),
+          max(col("score_e8")).as("max_score_e8"))
+        .withColumn("pos_rate_e6", ExactRound.roundDiv(
+          col("n_pos") * lit(1000000L), col("n")))
+    }),
     // Interpolated bigram LM scoring — the CCNet perplexity filter one
     // order up from the unigram query: p(t_i | t_{i-1}) = 0.7·c(prev,cur)/
     // c(prev) + 0.3·c(cur)/N over the corpus's own counts (KenLM's role,
@@ -1014,6 +1039,26 @@ object TextQueries extends graft.QueryModule {
          |  true AS fpr_ok
          |FROM cen""".stripMargin
     },
+    "select_nb_reliability" ->
+      s"""WITH $toksCte,
+         |docs AS (SELECT doc_id, source IN $nbSeedIn AS gp FROM documents),
+         |tok AS (SELECT tokd.doc_id, docs.gp, unnest(toks) AS t
+         |  FROM tokd JOIN docs USING (doc_id)),
+         |${graft.operators.NaiveBayes.modelCtes("docs")},
+         |${graft.operators.NaiveBayes.scoreCtesSql("docs", "scd")},
+         |j AS (SELECT s.doc_id, s.score_e8, d.gp
+         |  FROM scd s JOIN docs d USING (doc_id)),
+         |b AS (SELECT gp, score_e8,
+         |    CAST(ntile(10) OVER (ORDER BY score_e8, doc_id) AS BIGINT) AS bin
+         |  FROM j)
+         |SELECT bin AS score_decile, count(*) AS n,
+         |  CAST(sum(CASE WHEN gp THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(min(score_e8) AS BIGINT) AS min_score_e8,
+         |  CAST(max(score_e8) AS BIGINT) AS max_score_e8,
+         |  ${graft.functions.ExactRound.roundDivSql(
+             "sum(CASE WHEN gp THEN 1 ELSE 0 END) * 1000000", "count(*)")}
+         |    AS pos_rate_e6
+         |FROM b GROUP BY 1""".stripMargin,
     "text_heaps_law" ->
       s"""WITH $toksCte,
          |pd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM tokd),
