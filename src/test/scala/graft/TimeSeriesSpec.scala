@@ -31,6 +31,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("h_idx") - base < 4))
   }
 
+  test("hourIndex floors on pre-1970 timestamps (divide-and-cast would truncate)") {
+    // 1969-12-31 23:30 UTC-epoch-wise is -30 min → hour index -1, not 0
+    val df = Seq(Tuple1(Timestamp.valueOf("1969-12-31 23:30:00")))
+      .toDF("ts")
+      .select(TimeSeries.hourIndex(col("ts")).as("h"))
+    assert(df.collect().head.getAs[Long]("h") === -1L)
+    val pos = Seq(Tuple1(ts(1, 59))).toDF("ts")
+      .select(TimeSeries.hourIndex(col("ts")).as("h")).collect().head.getAs[Long]("h")
+    val pos2 = Seq(Tuple1(ts(2, 0))).toDF("ts")
+      .select(TimeSeries.hourIndex(col("ts")).as("h")).collect().head.getAs[Long]("h")
+    assert(pos2 === pos + 1, "hour boundary must advance the index by one")
+  }
+
   test("single-observation key: one-row grid, no gaps, interp = observed") {
     val ev = Seq((7L, ts(5), 4.5)).toDF("user_id", "ts", "value")
     val out = TimeSeries.gapFillHourly(ev, "user_id", "ts", "value").collect()
