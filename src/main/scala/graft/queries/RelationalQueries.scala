@@ -389,6 +389,51 @@ object RelationalQueries extends graft.QueryModule {
           sum(when(col("__keep"), col("event_id")).otherwise(0L))
             .as("kept_id_sum"))
     }),
+    // Usage concentration: EXACT Gini coefficient + top-decile share of
+    // per-user event counts — the who-generates-the-data census behind
+    // both capacity skew (a few hub users dominating shuffle keys) and
+    // product health reporting. Gini = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) over the
+    // rank-sorted counts is pure integer arithmetic, so the whole card
+    // pins exactly; the sort runs over USERS (≪ events at any scale —
+    // the vocab-window bound the RFM tertiles already use).
+    "events_concentration" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .groupBy("user_id").agg(count(lit(1)).as("__x"))
+      val w = Window.orderBy(col("__x"), col("user_id"))
+      val ranked = perUser
+        .withColumn("__i", row_number().over(w).cast("long"))
+      val tot = ranked.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__t"))
+      ranked.crossJoin(broadcast(tot))
+        .agg(max(col("__n")).as("n_users"), max(col("__t")).as("n_events"),
+          sum((col("__i") * 2L - col("__n") - 1L) * col("__x")).as("__g"),
+          sum(when(col("__i") * 10L > col("__n") * 9L, col("__x"))
+            .otherwise(0L)).as("__top"))
+        .select(col("n_users"), col("n_events"),
+          graft.functions.ExactRound.roundDiv(col("__g") * lit(1000000L),
+            col("n_users") * col("n_events")).as("gini_e6"),
+          graft.functions.ExactRound.roundDiv(col("__top") * lit(1000000L),
+            col("n_events")).as("top_decile_share_e6"))
+    }),
+    // Freshness card (the staleness SLA check an orchestrator gates
+    // downstream jobs on): per time-bearing table, the watermark (max
+    // event time), span, and row count — one conditional scan per table,
+    // 1-row frames broadcast-attached like the expectations card. Times
+    // pinned as epoch µs integers.
+    "profile_freshness" -> ((s, dir) => {
+      val us = (c: org.apache.spark.sql.Column) =>
+        graft.streaming.EventStreams.tsMicros(c)
+      val ev = Tables.events(s, dir).agg(
+        count(lit(1)).as("events_rows"),
+        max(us(col("ts"))).as("events_watermark_us"),
+        (max(us(col("ts"))) - min(us(col("ts")))).as("events_span_us"))
+      val o = Tables.orders(s, dir).agg(
+        count(lit(1)).as("orders_rows"),
+        max(us(col("o_orderdate"))).as("orders_watermark_us"))
+      val li = Tables.lineitem(s, dir).agg(
+        count(lit(1)).as("lineitem_rows"),
+        max(us(col("l_shipdate"))).as("lineitem_watermark_us"))
+      ev.crossJoin(broadcast(o)).crossJoin(broadcast(li))
+    }),
     // Running window frame: cumulative revenue per customer in order-date order.
     "rel_running_revenue" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -1100,6 +1145,34 @@ object RelationalQueries extends graft.QueryModule {
         | AND c.ts <= p.ts
         | AND c.ts >= p.ts - INTERVAL 60 MINUTE
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'""".stripMargin,
+    "events_concentration" -> {
+      val rd = graft.functions.ExactRound.roundDivSql _
+      """WITH pu AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |rk AS (SELECT x,
+        |    CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS i
+        |  FROM pu),
+        |tt AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS t FROM rk),
+        |ag AS (SELECT max(tt.n) AS n_users, max(tt.t) AS n_events,
+        |    CAST(sum((rk.i * 2 - tt.n - 1) * rk.x) AS BIGINT) AS g,
+        |    CAST(sum(CASE WHEN rk.i * 10 > tt.n * 9 THEN rk.x ELSE 0 END)
+        |      AS BIGINT) AS tp
+        |  FROM rk, tt)
+        |SELECT n_users, n_events,
+        |""".stripMargin +
+        s"""  ${rd("g * 1000000", "n_users * n_events")} AS gini_e6,
+           |  ${rd("tp * 1000000", "n_events")} AS top_decile_share_e6
+           |FROM ag""".stripMargin
+    },
+    "profile_freshness" ->
+      """WITH e AS (SELECT count(*) AS events_rows,
+        |    max(epoch_us(ts)) AS events_watermark_us,
+        |    max(epoch_us(ts)) - min(epoch_us(ts)) AS events_span_us
+        |  FROM events),
+        |o AS (SELECT count(*) AS orders_rows,
+        |    max(epoch_us(o_orderdate)) AS orders_watermark_us FROM orders),
+        |l AS (SELECT count(*) AS lineitem_rows,
+        |    max(epoch_us(l_shipdate)) AS lineitem_watermark_us FROM lineitem)
+        |SELECT * FROM e, o, l""".stripMargin,
     "events_multitouch_credit" -> {
       val e6 = graft.functions.ExactRound.e6Sql("p.value")
       s"""WITH pr AS (SELECT p.event_id AS purchase_id, p.user_id,
