@@ -29,6 +29,10 @@ object RelationalQueries extends graft.QueryModule {
   /** Decay retention horizon: weight 2^-age is exactly 0 past this age —
     * bounds the integer exponent (see events_decayed_value). */
   private val DecayHorizonDays = 30L
+  // Benford shares log₁₀(1+1/d), d=1..9, e6-scaled — ONE literal table
+  // interpolated into both engines (profile_benford).
+  private val BenfordE6: Seq[Long] = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-shaped pricing summary: filter → hash agg (partial+final).
@@ -413,6 +417,30 @@ object RelationalQueries extends graft.QueryModule {
             col("n_users") * col("n_events")).as("gini_e6"),
           graft.functions.ExactRound.roundDiv(col("__top") * lit(1000000L),
             col("n_events")).as("top_decile_share_e6"))
+    }),
+    // Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
+    // forensic screen auditors run on financial columns: fabricated or
+    // truncated numbers drift from the log₁₀(1+1/d) law). Per digit:
+    // exact count, observed share, the Benford expectation as a fixed e6
+    // literal (same constants both engines), and the absolute gap. The
+    // synthetic prices are NOT Benford-distributed — the audit REPORTS
+    // that deviation, which is exactly its job; the pin locks the
+    // digit-extraction + share arithmetic. One scan, 9 groups.
+    "profile_benford" -> ((s, dir) => {
+      val firstDigit = substring(
+        col("o_totalprice").cast("decimal(18,4)").cast("string"), 1, 1)
+        .cast("long")
+      val benford = typedlit(BenfordE6.toArray)
+      Tables.orders(s, dir)
+        .select(firstDigit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(Tables.orders(s, dir)
+          .agg(count(lit(1)).as("__t"))))
+        .select(col("digit"), col("n"),
+          graft.functions.ExactRound.roundDiv(col("n") * lit(1000000L),
+            col("__t")).as("share_e6"),
+          element_at(benford, col("digit").cast("int")).as("benford_e6"))
+        .withColumn("abs_gap_e6", abs(col("share_e6") - col("benford_e6")))
     }),
     // Freshness card (the staleness SLA check an orchestrator gates
     // downstream jobs on): per time-bearing table, the watermark (max
@@ -1162,6 +1190,22 @@ object RelationalQueries extends graft.QueryModule {
         s"""  ${rd("g * 1000000", "n_users * n_events")} AS gini_e6,
            |  ${rd("tp * 1000000", "n_events")} AS top_decile_share_e6
            |FROM ag""".stripMargin
+    },
+    "profile_benford" -> {
+      val tbl = BenfordE6.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      s"""WITH bf(digit, benford_e6) AS (SELECT * FROM (VALUES $tbl)),
+         |d AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,4))
+         |    AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         |t AS (SELECT count(*) AS tt FROM d)
+         |SELECT g.digit, g.n,
+         |  ${graft.functions.ExactRound.roundDivSql("g.n * 1000000", "t.tt")}
+         |    AS share_e6,
+         |  CAST(bf.benford_e6 AS BIGINT) AS benford_e6,
+         |  CAST(abs(${graft.functions.ExactRound.roundDivSql(
+             "g.n * 1000000", "t.tt")} - bf.benford_e6) AS BIGINT) AS abs_gap_e6
+         |FROM g JOIN bf USING (digit) CROSS JOIN t""".stripMargin
     },
     "profile_freshness" ->
       """WITH e AS (SELECT count(*) AS events_rows,
