@@ -172,6 +172,21 @@ object DedupQueries extends graft.QueryModule {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactAssign(Tables.documents(s, dir), "doc_id", "text")),
+    // Fuzzy entity resolution: all DISTINCT part-name pairs within
+    // Levenshtein distance 2, found via the Gravano q-gram length+count
+    // filters (EditJoin scaladoc) — candidate generation is one equi-join
+    // on bigram values over distinct names, so repeated names at corpus
+    // scale add zero join work; only filter survivors pay the O(|a|·|b|)
+    // levenshtein verify. n_row_pairs = how many ROW pairs each name pair
+    // would conflate (the merge-impact weight an ER pipeline ranks by).
+    // The oracle brute-forces the same distinct-name domain.
+    "dedup_edit_pairs" -> ((s, dir) => {
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      graft.operators.EditJoin.similarNamePairs(names, "p_name", "cnt", 2)
+        .select(col("a_name"), col("b_name"), col("edit_dist"),
+          (col("a_cnt") * col("b_cnt")).as("n_row_pairs"))
+    }),
     // CDC chunk-store build: recount invariants of the persisted census
     // (distinct hashes + total copies) vs the oracle's from-scratch census
     // over the same (non-delta) corpus.
@@ -673,6 +688,14 @@ object DedupQueries extends graft.QueryModule {
   }
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit_pairs" ->
+      """WITH n AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY 1)
+        |SELECT a.p_name AS a_name, b.p_name AS b_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist,
+        |  a.cnt * b.cnt AS n_row_pairs
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        | AND abs(len(a.p_name) - len(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2""".stripMargin,
     "dedup_cdc_index_build" ->
       s"""WITH ${cdcChunkCtesWhere("doc_id % 10 <> 0")}
          |SELECT count(DISTINCT chunk_hash) AS n_hashes,
