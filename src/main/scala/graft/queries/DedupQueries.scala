@@ -67,6 +67,16 @@ object DedupQueries extends graft.QueryModule {
     * near-dup structure produces them at every SF. */
   private val SpanK = 8
 
+  /** Winnowing window (gram positions per selection window) — guarantee
+    * threshold t = WinnowW + SpanK − 1 = 11 shared tokens; density ≈
+    * 2/(WinnowW+1) = 0.4 of gram count. */
+  private val WinnowW = 4
+  /** Pair-census boilerplate cap: fingerprints in more than this many docs
+    * generate no candidates (the bounded-fanout lever at corpus scale). */
+  private val WinnowMaxDf = 100
+  /** Pair census keeps pairs sharing at least this many fingerprints. */
+  private val WinnowMinShared = 2
+
   /** One persisted span-count index per (session, scale dir) over the
     * non-delta corpus, memoized like [[JidxLayout]]. */
   private object SpidxLayout {
@@ -187,6 +197,31 @@ object DedupQueries extends graft.QueryModule {
         .select(col("a_name"), col("b_name"), col("edit_dist"),
           (col("a_cnt") * col("b_cnt")).as("n_row_pairs"))
     }),
+    // Winnowing fingerprint census (Winnow scaladoc): per-doc gram count,
+    // selected-fingerprint count and position/hash checksums — a density
+    // drift (selection rule, tie-break, short-doc partial window) turns
+    // the row red even when the pair census below stays stable.
+    "dedup_winnow_census" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fp = graft.operators.Winnow.fingerprints(
+        docs, "doc_id", "text", SpanK, WinnowW)
+      val ng = graft.operators.SpanDedup.gramPositions(
+          docs, "doc_id", "text", SpanK)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      fp.groupBy("doc_id").agg(count(lit(1)).as("n_fp"),
+          sum(col("fp_hash")).as("fp_checksum"),
+          sum(col("fp_pos")).as("pos_checksum"))
+        .join(ng, "doc_id")
+        .select(col("doc_id"), col("n_grams"), col("n_fp"),
+          col("fp_checksum"), col("pos_checksum"))
+    }),
+    // MOSS pair census: doc pairs sharing >= WinnowMinShared winnowed
+    // fingerprints after the WinnowMaxDf boilerplate cap — the
+    // recall-guaranteed (>= W+K-1 shared tokens) sub-document overlap
+    // detector next to the whole-doc Jaccard/LSH family.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      graft.operators.Winnow.sharedFingerprintPairs(Tables.documents(s, dir),
+        "doc_id", "text", SpanK, WinnowW, WinnowMinShared, WinnowMaxDf)),
     // CDC chunk-store build: recount invariants of the persisted census
     // (distinct hashes + total copies) vs the oracle's from-scratch census
     // over the same (non-delta) corpus.
@@ -696,6 +731,27 @@ object DedupQueries extends graft.QueryModule {
         |FROM n a JOIN n b ON a.p_name < b.p_name
         | AND abs(len(a.p_name) - len(b.p_name)) <= 2
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2""".stripMargin,
+    "dedup_winnow_census" ->
+      s"""WITH $toksCte,
+         |${DocSql.winnowCte(SpanK, WinnowW)},
+         |ng AS (SELECT doc_id, count(*) AS n_grams FROM posg GROUP BY 1)
+         |SELECT f.doc_id, ng.n_grams, count(*) AS n_fp,
+         |  CAST(sum(fp_hash) AS BIGINT) AS fp_checksum,
+         |  CAST(sum(fp_pos) AS BIGINT) AS pos_checksum
+         |FROM wfp f JOIN ng USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH $toksCte,
+         |${DocSql.winnowCte(SpanK, WinnowW)},
+         |fph AS (SELECT DISTINCT doc_id, fp_hash FROM wfp),
+         |wkept AS (SELECT doc_id, fp_hash FROM (
+         |    SELECT doc_id, fp_hash,
+         |      count(*) OVER (PARTITION BY fp_hash) AS df FROM fph)
+         |  WHERE df <= $WinnowMaxDf)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         |FROM wkept a JOIN wkept b
+         |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin,
     "dedup_cdc_index_build" ->
       s"""WITH ${cdcChunkCtesWhere("doc_id % 10 <> 0")}
          |SELECT count(DISTINCT chunk_hash) AS n_hashes,

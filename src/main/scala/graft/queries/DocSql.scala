@@ -94,6 +94,27 @@ private[queries] object DocSql {
        |  FROM isl GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Mirror of [[graft.operators.Winnow.fingerprints]]: robust winnowing
+    * over [[gramPosCte]]'s windows — the (min-hash, rightmost-pos) argmin
+    * per w-window packed into `ghv·2³² + (2³²−1−pos)` so one `min()`
+    * window aggregate replays the Spark side's tie-break exactly. Ends in
+    * wfp(doc_id, fp_pos, fp_hash); includes [[gramPosCte]] (requires
+    * [[toksCte]]). */
+  def winnowCte(k: Int, w: Int): String =
+    s"""${gramPosCte(k)},
+       |wwk AS (SELECT doc_id, pos,
+       |    ghv * 4294967296 + (4294967295 - pos) AS wkey,
+       |    count(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM posg),
+       |wmw AS (SELECT doc_id, pos, n,
+       |    min(wkey) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk
+       |  FROM wwk),
+       |wfp AS (SELECT DISTINCT doc_id,
+       |    4294967295 - (mk % 4294967296) AS fp_pos,
+       |    mk // 4294967296 AS fp_hash
+       |  FROM wmw WHERE pos <= greatest(1, n - ${w - 1}))""".stripMargin
+
   /** Mirror of Dedup.simhashOf: ends in sh(doc_id, simhash). Requires
     * [[toksCte]]. */
   val simhashCte: String =
