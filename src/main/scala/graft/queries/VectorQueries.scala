@@ -373,6 +373,14 @@ object VectorQueries extends graft.QueryModule {
         .select(coalesce(col("__in"), lit(0L)).as("in_degree"))
         .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
     }),
+    // Resource-Allocation link prediction over the symmetric kNN graph
+    // (PageRank.linkPredictionRA scaladoc): top-50 non-adjacent pairs by
+    // Σ 1/deg(common neighbor) in exact e9 integer terms — the
+    // missing-edge recommender the similarity graph implies.
+    "rank_knn_link_pred" -> ((s, dir) =>
+      graft.operators.PageRank.linkPredictionRA(
+        graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir)),
+        RaTopN, RaMaxHub)),
     // The graph's shape card: node/edge counts, mutual-edge count (a self
     // equi-join of the edge list on the reversed key — never all-pairs),
     // exact-integer reciprocity, max in-degree.
@@ -675,6 +683,13 @@ object VectorQueries extends graft.QueryModule {
   private val HierUpperBeam = 8 // coarse-walk beam
   private val HierEntries = 4 // entry points handed to layer 0 per query
   private val PrIters = 5
+  private val RaTopN = 50 // link-prediction output size
+  // wedge-generation hub cap (PageRank.linkPredictionRA scaladoc): nodes
+  // above this degree emit no wedges — negligible 1/deg terms, quadratic
+  // fanout. 64 = 8× the out-degree; no fixture node reaches it, so the
+  // small-SF pin exercises the uncapped semantics while the lever stays
+  // in-plan for skewed corpora.
+  private val RaMaxHub = 64
   // H-index rounds for the k-core fixpoint; convergence at this depth is
   // asserted IN-PLAN (rank_knn_kcore raise_errors on any unconverged
   // node), so the constant is self-checking rather than trusted.
@@ -1027,6 +1042,12 @@ object VectorQueries extends graft.QueryModule {
          |  FROM c LEFT JOIN (SELECT dst, count(*) AS ind FROM e0 GROUP BY 1) d
          |    ON d.dst = c.skill_id)
          |SELECT in_degree, count(*) AS n_nodes FROM ind GROUP BY 1""".stripMargin,
+    "rank_knn_link_pred" ->
+      s"""WITH $cCte,
+         |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},
+         |sym AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |${graft.operators.PageRank.linkPredictionRASql(RaTopN, RaMaxHub)}
+         |SELECT a_id, b_id, n_common, ra_e9 FROM rap""".stripMargin,
     "rank_knn_graph_summary" ->
       s"""WITH $cCte,
          |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},

@@ -48,6 +48,24 @@ class PageRankSpec extends SparkSpec {
       s"no teleport and no path from seeds → exactly zero: $ppr")
   }
 
+  test("linkPredictionRA: exact RA terms, adjacency excluded, hub cap") {
+    // path 1-2-3 plus 3-4: candidates (1,3) via z=2 [deg 2], (2,4) via
+    // z=3 [deg 2], (1,... ) none else. Pair (1,2) adjacent → excluded.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap(p => Seq(p, (p._2, p._1))).toDF("src", "dst")
+    val got = PageRank.linkPredictionRA(edges, 10, 64).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("ra_e9"))).toSet
+    assert(got === Set((1L, 3L, 1L, 500000000L), (2L, 4L, 1L, 500000000L)))
+    // star 0-{1..5}: every leaf pair shares hub 0 (deg 5 → 200000000);
+    // capping maxHub below 5 removes the hub as a wedge generator
+    val star = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val open = PageRank.linkPredictionRA(star, 100, 64).collect()
+    assert(open.length === 10 &&
+      open.forall(_.getAs[Long]("ra_e9") === 200000000L))
+    assert(PageRank.linkPredictionRA(star, 100, 4).count() === 0L)
+  }
+
   test("knnEdges: symmetric, self-free, min-degree k") {
     val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val c = emb.filter(col("vec_id") >= 20)
