@@ -512,6 +512,30 @@ object RelationalQueries extends graft.QueryModule {
     // end = last event + gap).
     "events_session_windows" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionWindows(Tables.events(s, dir))),
+    // Cross-user session concurrency census via the bucketed interval-
+    // overlap join (IntervalJoin scaladoc — the range join Spark would
+    // otherwise plan as a nested loop): per user, how many OTHER users'
+    // sessions overlapped theirs, over how many session pairs, for how
+    // much total overlap time. 1h buckets ≈ the 30-min-gap session scale.
+    "events_session_overlap" -> ((s, dir) => {
+      val sw = graft.streaming.EventStreams.sessionWindows(Tables.events(s, dir))
+      val a = sw.select(col("user_id").as("a_user"),
+        col("start_us").as("a_start"), col("end_us").as("a_end"))
+      val b = sw.select(col("user_id").as("b_user"),
+        col("start_us").as("b_start"), col("end_us").as("b_end"))
+      val pairs = graft.operators.IntervalJoin.overlapJoin(
+          a, "a_start", "a_end", b, "b_start", "b_end", 3600000000L)
+        .filter(col("a_user") < col("b_user"))
+        .select(col("a_user"), col("b_user"),
+          (least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("ov_us"))
+      pairs.select(col("a_user").as("user_id"), col("b_user").as("other"), col("ov_us"))
+        .unionAll(pairs.select(col("b_user").as("user_id"), col("a_user").as("other"), col("ov_us")))
+        .groupBy("user_id")
+        .agg(count_distinct(col("other")).as("n_partners"),
+          count(lit(1)).as("n_overlaps"),
+          sum(col("ov_us")).as("overlap_us_sum"))
+    }),
     // Sliding 1h/15min activity windows (EventStreams.slidingActivityCounts
     // scaladoc): window assignment is a bounded generator, never a join.
     "events_sliding_windows" -> ((s, dir) =>
@@ -1284,6 +1308,30 @@ object RelationalQueries extends graft.QueryModule {
         |  max(epoch_us(ts)) + 1800000000 AS end_us,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "events_session_overlap" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |FROM o),
+        |sw AS (SELECT user_id, min(epoch_us(ts)) AS start_us,
+        |    max(epoch_us(ts)) + 1800000000 AS end_us
+        |  FROM s GROUP BY user_id, sid),
+        |ov AS (SELECT a.user_id AS a_user, b.user_id AS b_user,
+        |    least(a.end_us, b.end_us) - greatest(a.start_us, b.start_us) AS ov_us
+        |  FROM sw a JOIN sw b
+        |  ON a.user_id < b.user_id
+        |    AND a.start_us < b.end_us AND b.start_us < a.end_us),
+        |bdir AS (SELECT a_user AS user_id, b_user AS other, ov_us FROM ov
+        |  UNION ALL SELECT b_user, a_user, ov_us FROM ov)
+        |SELECT user_id, count(DISTINCT other) AS n_partners,
+        |  count(*) AS n_overlaps,
+        |  CAST(sum(ov_us) AS BIGINT) AS overlap_us_sum
+        |FROM bdir GROUP BY 1""".stripMargin,
     "events_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1_us
         |    FROM events WHERE event_type = 'view' GROUP BY 1),
