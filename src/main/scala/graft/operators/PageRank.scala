@@ -315,12 +315,22 @@ object PageRank {
   def pagerankSql(corpusCte: String, idCol: String, vecCol: String,
       k: Int, iters: Int, dampingPct: Int = 85,
       outIdCol: String = "id"): String = {
-    val rd = ExactRound.roundDivSql _
     val head =
       s"""WITH $corpusCte,
          |${edgeCtesSql(idCol, vecCol, k)},
-         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
-         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)""".stripMargin
+    head + ",\n" + pagerankRoundsSql(iters, dampingPct, outIdCol)
+  }
+
+  /** The iteration block of [[pagerankSql]] factored out for graphs that
+    * are NOT vector-kNN (TextRank's co-occurrence graph): requires a CTE
+    * `e(src, dst)`, symmetric and distinct; emits deg/nn/r0/…/r`iters`
+    * CTEs plus the final SELECT — append after your own WITH chain. */
+  def pagerankRoundsSql(iters: Int, dampingPct: Int = 85,
+      outIdCol: String = "id"): String = {
+    val rd = ExactRound.roundDivSql _
+    val head =
+      s"""deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
          |nn AS (SELECT count(*) AS n FROM deg),
          |r0 AS (SELECT src AS id, ${rd("1000000000", "n")} AS pr
          |      FROM deg, nn)""".stripMargin

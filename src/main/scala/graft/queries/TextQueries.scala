@@ -27,6 +27,9 @@ object TextQueries extends graft.QueryModule {
   private val VocabV = 16       // top-V vocabulary (synthetic corpus has 31 distinct tokens)
   private val BpeK = 6          // BPE merge rounds (vocab never exhausts pairs at any SF)
   private val DomainCap = 10    // clean_domain_cap: max docs kept per source
+  private val TrWindow = 2      // TextRank co-occurrence window (paper's default)
+  private val TrIters = 5       // TextRank walk rounds (fixed-round pin)
+  private val TrTopK = 20       // keywords emitted
   // Quoted-query fixture for the positional-postings phrase search: mixed
   // lengths (2/3/4) plus one phrase engineered to never occur, pinning
   // the zero-hit path. Vocabulary from the corpus generator's word list.
@@ -346,6 +349,12 @@ object TextQueries extends graft.QueryModule {
     // log is monotone in 1/df, so at equal tf the order is identical).
     // Two keyed aggs (tf, df) + one broadcast-shaped join + a per-doc
     // window bounded by the doc's distinct-token count.
+    // TextRank keywords (TextRank scaladoc): the graph-based, corpus-level
+    // twin of text_keywords_tfidf — PageRank over word co-occurrence in
+    // exact e9 integers, edges built with per-doc array zips (no join).
+    "text_textrank_keywords" -> ((s, dir) =>
+      graft.operators.TextRank.keywords(
+        Tables.documents(s, dir), "text", TrWindow, TrIters, TrTopK)),
     "text_keywords_tfidf" -> ((s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
@@ -1173,6 +1182,11 @@ object TextQueries extends graft.QueryModule {
              "c3.total_symbols * 1000000", "c2.total_chars")} AS compression_e6
          |FROM c1, c2, c3""".stripMargin
     },
+    "text_textrank_keywords" ->
+      s"""WITH $toksCte,
+         |${graft.operators.TextRank.cooccurrenceEdgesSql(TrWindow)},
+         |${graft.operators.PageRank.pagerankRoundsSql(TrIters, 85, "word")}
+         |ORDER BY pr_e9 DESC, word LIMIT $TrTopK""".stripMargin,
     "text_keywords_tfidf" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(toks) AS t FROM tokd),
