@@ -67,6 +67,28 @@ object RelationalQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_orders"),
           moneySum(col("o_totalprice")).as("revenue"))
     }),
+    // Incremental view maintenance (IncrementalAgg scaladoc): partial
+    // count/sum/min/max state per (returnflag, linestatus) is built once
+    // over the base slice and persisted; the delta batch merges in with
+    // one keyed agg over GROUPS — O(delta), no base rescan. The oracle
+    // recomputes from the FULL table, so a non-mergeable partial, a
+    // float-ordering drift, or a lost group turns the row red.
+    "agg_incremental_merge" -> ((s, dir) => {
+      val gs = Seq("l_returnflag", "l_linestatus")
+      val vs = Seq("l_quantity", "l_extendedprice")
+      val path = graft.Layouts.once(s, s"ivm:$dir") {
+        val p = s"/tmp/graft_ivm/${graft.Layouts.tag(dir)}"
+        graft.operators.IncrementalAgg.partials(
+            Tables.lineitem(s, dir).filter(col("l_orderkey") % 10 =!= 0),
+            gs, vs)
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      val delta = graft.operators.IncrementalAgg.partials(
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 10 === 0), gs, vs)
+      graft.operators.IncrementalAgg.merge(
+        Seq(s.read.parquet(path), delta), gs, vs)
+    }),
     // Skew-safe two-phase aggregation, driver-gated: lineitem has only a
     // handful of l_returnflag values, so a plain groupBy funnels the whole
     // table through 3 reducers at scale. Salt.saltedAgg splits each key over
@@ -321,6 +343,30 @@ object RelationalQueries extends graft.QueryModule {
         .groupBy(shiftright(col("zval"), 16).as("zbucket"))
         .agg(count(lit(1)).as("n"),
           min("zval").as("zmin"), max("zval").as("zmax"))
+    }),
+    // Zone-map data skipping (ZoneMap scaladoc): simulate the
+    // shipdate-sorted write at 4096 rows/zone, build the min/max skipping
+    // index, prune a one-year range scan, and compute the match count
+    // THROUGH the pruned scan — the oracle counts directly off the full
+    // table, so a zone map that prunes a matching row turns the row red.
+    "layout_zonemap_prune" -> ((s, dir) => {
+      val zm = graft.operators.ZoneMap
+      val lo = to_timestamp(lit("1995-01-01"))
+      val hi = to_timestamp(lit("1996-01-01"))
+      val zoned = zm.assignSortedZones(Tables.lineitem(s, dir), 4096L,
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val st = zm.stats(zoned, "l_shipdate")
+      val surv = zm.survivors(st, lo, hi)
+      val nMatch = zoned
+        .join(surv.select(col("zone")), Seq("zone"), "left_semi")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .agg(count(lit(1)).as("n_match"))
+      st.agg(count(lit(1)).as("n_zones"))
+        .crossJoin(broadcast(surv.agg(count(lit(1)).as("__n_surv"),
+          coalesce(sum(col("n_rows")), lit(0L)).as("n_rows_scanned"))))
+        .crossJoin(broadcast(nMatch))
+        .select(col("n_zones"), (col("n_zones") - col("__n_surv")).as("n_zones_pruned"),
+          col("n_rows_scanned"), col("n_match"))
     }),
     // Interval attribution (batch face of the watermarked stream-stream
     // join, EventStreams.attributeStream): every purchase joined to the
@@ -890,6 +936,33 @@ object RelationalQueries extends graft.QueryModule {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, c_mktsegment""".stripMargin,
+    "layout_zonemap_prune" ->
+      """WITH zoned AS (SELECT l_shipdate,
+        |    (row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1)
+        |      // 4096 AS zone
+        |  FROM lineitem),
+        |zs AS (SELECT zone, count(*) AS n_rows,
+        |    min(l_shipdate) AS zmin, max(l_shipdate) AS zmax
+        |  FROM zoned GROUP BY 1),
+        |surv AS (SELECT * FROM zs
+        |  WHERE zmax >= TIMESTAMP '1995-01-01' AND zmin < TIMESTAMP '1996-01-01')
+        |SELECT (SELECT count(*) FROM zs) AS n_zones,
+        |  (SELECT count(*) FROM zs) - (SELECT count(*) FROM surv) AS n_zones_pruned,
+        |  CAST((SELECT coalesce(sum(n_rows), 0) FROM surv) AS BIGINT) AS n_rows_scanned,
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |     AND l_shipdate < TIMESTAMP '1996-01-01') AS n_match""".stripMargin,
+    "agg_incremental_merge" -> {
+      val e2 = (x: String) => graft.functions.ExactRound.eScaledSql(x, 2)
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         |  CAST(sum(${e2("l_quantity")}) AS BIGINT) AS l_quantity_sum_e2,
+         |  min(${e2("l_quantity")}) AS l_quantity_min_e2,
+         |  max(${e2("l_quantity")}) AS l_quantity_max_e2,
+         |  CAST(sum(${e2("l_extendedprice")}) AS BIGINT) AS l_extendedprice_sum_e2,
+         |  min(${e2("l_extendedprice")}) AS l_extendedprice_min_e2,
+         |  max(${e2("l_extendedprice")}) AS l_extendedprice_max_e2
+         |FROM lineitem GROUP BY 1, 2""".stripMargin
+    },
     // The salt is invisible to the answer (exact decimal partials re-combine
     // associatively), so the oracle is the plain one-shuffle GROUP BY.
     "agg_skew_salted" ->
