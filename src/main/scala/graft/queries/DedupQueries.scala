@@ -197,6 +197,38 @@ object DedupQueries extends graft.QueryModule {
         .select(col("a_name"), col("b_name"), col("edit_dist"),
           (col("a_cnt") * col("b_cnt")).as("n_row_pairs"))
     }),
+    // Entity-resolution pipeline (one-row composition pin): fuzzy match
+    // (EditJoin's q-gram-filtered pairs) → transitive closure (the SAME
+    // pointer-doubling CC the near-dup family runs) → canonical-survivor
+    // election (max row count, ties lexicographic) — blocking, clustering,
+    // and survivorship composed end to end; the card turns red on a
+    // stage-order or policy drift even when each stage's own query stays
+    // green. rows_affected = rows whose name a merge would rewrite.
+    "pipeline_entity_resolution" -> ((s, dir) => {
+      val names = Tables.part(s, dir)
+        .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      val pairs = graft.operators.EditJoin
+        .similarNamePairs(names, "p_name", "cnt", 2)
+        .select(col("a_name").as("a_id"), col("b_name").as("b_id"))
+      val cc = Dedup.connectedComponents(
+        pairs, names.select(col("p_name")), "p_name")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("cnt").desc, col("p_name"))
+      val ranked = cc.join(names, "p_name")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("csz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      names.agg(count(lit(1)).as("n_names"))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .crossJoin(broadcast(cc.agg(
+          count_distinct(col("cluster_id")).as("n_clusters"))))
+        .crossJoin(broadcast(ranked.filter(col("rn") > 1).agg(
+          count(lit(1)).as("n_absorbed"),
+          coalesce(sum(col("cnt")), lit(0L)).as("rows_affected"))))
+        .crossJoin(broadcast(ranked.filter(col("rn") === 1 && col("csz") > 1)
+          .agg(coalesce(sum(graft.functions.TextFunctions.tokenHash(
+            col("p_name"))), lit(0L)).as("survivor_checksum"))))
+    }),
     // Winnowing fingerprint census (Winnow scaladoc): per-doc gram count,
     // selected-fingerprint count and position/hash checksums — a density
     // drift (selection rule, tie-break, short-doc partial window) turns
@@ -731,6 +763,32 @@ object DedupQueries extends graft.QueryModule {
         |FROM n a JOIN n b ON a.p_name < b.p_name
         | AND abs(len(a.p_name) - len(b.p_name)) <= 2
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2""".stripMargin,
+    "pipeline_entity_resolution" ->
+      s"""WITH RECURSIVE nm AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY 1),
+         |prs AS (SELECT a.p_name AS a_id, b.p_name AS b_id
+         |  FROM nm a JOIN nm b ON a.p_name < b.p_name
+         |    AND abs(len(a.p_name) - len(b.p_name)) <= 2
+         |  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2),
+         |eredges AS (SELECT a_id AS src, b_id AS dst FROM prs
+         |  UNION ALL SELECT b_id, a_id FROM prs),
+         |erreach(id, x) AS (
+         |  SELECT p_name, p_name FROM nm
+         |  UNION
+         |  SELECT r.id, e.dst FROM erreach r JOIN eredges e ON e.src = r.x),
+         |ercl AS (SELECT id AS p_name, min(x) AS cluster_id FROM erreach GROUP BY 1),
+         |errk AS (SELECT cl.p_name, cl.cluster_id, nm.cnt,
+         |    row_number() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY nm.cnt DESC, cl.p_name) AS rn,
+         |    count(*) OVER (PARTITION BY cl.cluster_id) AS csz
+         |  FROM ercl cl JOIN nm USING (p_name))
+         |SELECT (SELECT count(*) FROM nm) AS n_names,
+         |  (SELECT count(*) FROM prs) AS n_pairs,
+         |  (SELECT count(DISTINCT cluster_id) FROM ercl) AS n_clusters,
+         |  (SELECT count(*) FROM errk WHERE rn > 1) AS n_absorbed,
+         |  CAST((SELECT coalesce(sum(cnt), 0) FROM errk WHERE rn > 1) AS BIGINT)
+         |    AS rows_affected,
+         |  CAST((SELECT coalesce(sum(${tokenHashSql("p_name")}), 0)
+         |    FROM errk WHERE rn = 1 AND csz > 1) AS BIGINT) AS survivor_checksum""".stripMargin,
     "dedup_winnow_census" ->
       s"""WITH $toksCte,
          |${DocSql.winnowCte(SpanK, WinnowW)},

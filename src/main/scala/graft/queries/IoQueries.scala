@@ -19,6 +19,35 @@ object IoQueries extends graft.QueryModule {
 
   private val Shards = 4
 
+  /** The two-version append store behind io_time_travel and
+    * io_vacuum_retention: v1 = every doc except the 3-multiples, v2
+    * re-delivers the even docs revised. Built once per (session, sfDir). */
+  private object TimeTravel {
+    def path(s: SparkSession, dir: String): String =
+      graft.Layouts.once(s, s"timetravel:$dir") {
+        val p = s"/tmp/graft_timetravel/${graft.Layouts.tag(dir)}"
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"),
+            lit(1L).as("__v"))
+          .write.mode("overwrite").parquet(p)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" [v2]")).as("text"),
+            lit(2L).as("__v"))
+          .write.mode("append").parquet(p)
+        p
+      }
+    def store(s: SparkSession, dir: String): DataFrame =
+      s.read.schema("doc_id LONG, text STRING, __v LONG")
+        .parquet(path(s, dir))
+    /** Latest-version-per-key view of any (doc_id, __v) frame. */
+    def latest(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("__v").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
   private object Export {
     /** Export once per (session, sfDir) via [[graft.Layouts]]; returns
       * (outDir, shard summaries). */
@@ -234,20 +263,7 @@ object IoQueries extends graft.QueryModule {
     // insert-vs-update semantics are all hash-gated against the oracle's
     // reconstruction from the source table.
     "io_time_travel" -> ((s, dir) => {
-      val path = graft.Layouts.once(s, s"timetravel:$dir") {
-        val p = s"/tmp/graft_timetravel/${graft.Layouts.tag(dir)}"
-        val docs = Tables.documents(s, dir)
-        docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text"),
-            lit(1L).as("__v"))
-          .write.mode("overwrite").parquet(p)
-        docs.filter(col("doc_id") % 2 === 0)
-          .select(col("doc_id"), concat(col("text"), lit(" [v2]")).as("text"),
-            lit(2L).as("__v"))
-          .write.mode("append").parquet(p)
-        p
-      }
-      val store = s.read.schema("doc_id LONG, text STRING, __v LONG")
-        .parquet(path)
+      val store = TimeTravel.store(s, dir)
       def asOf(v: Long): DataFrame = {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("__v").desc)
@@ -264,6 +280,34 @@ object IoQueries extends graft.QueryModule {
       }
       asOf(1L).unionByName(asOf(2L))
         .select("version", "n_docs", "id_sum", "n_updated", "text_hash_sum")
+    }),
+    // VACUUM with retention: rewrite the versioned store keeping only the
+    // latest version per key (retention horizon = current), into a NEW
+    // layout — the compaction that bounds a merge-on-read store's read
+    // amplification. The card pins rows before/after/removed AND the
+    // latest-view invariants recomputed FROM THE VACUUMED FILES, which
+    // the oracle rebuilds from the source table: a vacuum that drops a
+    // live row or keeps resurrecting a superseded one turns the row red.
+    "io_vacuum_retention" -> ((s, dir) => {
+      val vp = graft.Layouts.once(s, s"vacuum:$dir") {
+        val p = s"/tmp/graft_vacuum/${graft.Layouts.tag(dir)}"
+        TimeTravel.latest(TimeTravel.store(s, dir))
+          .write.mode("overwrite").parquet(p)
+        p
+      }
+      val before = TimeTravel.store(s, dir).agg(count(lit(1)).as("n_rows_before"))
+      val after = s.read.schema("doc_id LONG, text STRING, __v LONG").parquet(vp)
+      before.crossJoin(broadcast(after.agg(
+          count(lit(1)).as("n_rows_after"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(when(col("text").endsWith(" [v2]"), 1L).otherwise(0L))
+            .as("n_updated"),
+          sum(graft.functions.TextFunctions.tokenHash(col("text")))
+            .as("text_hash_sum"))))
+        .select(col("n_rows_before"),
+          col("n_rows_after"),
+          (col("n_rows_before") - col("n_rows_after")).as("n_rows_removed"),
+          col("id_sum"), col("n_updated"), col("text_hash_sum"))
     }),
     "io_npy_shard_roundtrip" -> ((s, dir) => {
       val (out, parts) = Export.ensure(s, dir)
@@ -389,6 +433,21 @@ object IoQueries extends graft.QueryModule {
          |    CAST(sum(${th("text")}) AS BIGINT) AS text_hash_sum
          |  FROM s2)
          |SELECT * FROM a1 UNION ALL SELECT * FROM a2""".stripMargin
+    },
+    "io_vacuum_retention" -> {
+      val th = (t: String) => DocSql.tokenHashSql(t)
+      s"""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |v2 AS (SELECT doc_id, text || ' [v2]' AS text FROM documents
+         |  WHERE doc_id % 2 = 0),
+         |latest AS (SELECT * FROM v2
+         |  UNION ALL SELECT * FROM v1 WHERE doc_id % 2 <> 0)
+         |SELECT (SELECT count(*) FROM v1) + (SELECT count(*) FROM v2) AS n_rows_before,
+         |  (SELECT count(*) FROM latest) AS n_rows_after,
+         |  (SELECT count(*) FROM v1) + (SELECT count(*) FROM v2)
+         |    - (SELECT count(*) FROM latest) AS n_rows_removed,
+         |  CAST((SELECT sum(doc_id) FROM latest) AS BIGINT) AS id_sum,
+         |  (SELECT count(*) FROM latest WHERE text LIKE '% [v2]') AS n_updated,
+         |  CAST((SELECT sum(${th("text")}) FROM latest) AS BIGINT) AS text_hash_sum""".stripMargin
     },
     // The layout's content ≡ the source table (pinned by
     // io_partitioned_roundtrip), so the oracle replays the runtime-pruned
