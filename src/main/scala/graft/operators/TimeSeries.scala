@@ -116,4 +116,80 @@ object TimeSeries {
        |    CASE WHEN n IS NOT NULL THEN s ELSE $rd END AS interp_e6
        |  FROM tsw)""".stripMargin
   }
+
+  /** Day index — [[hourIndex]]'s daily sibling, same floor discipline. */
+  def dayIndex(ts: Column): Column = {
+    val us = graft.streaming.EventStreams.tsMicros(ts).cast("long")
+    val d = lit(86400000000L)
+    ((us - pmod(us, d)) / d).cast("long")
+  }
+
+  /** Holt double exponential smoothing (level + trend, Holt 1957) at
+    * α = β = ½ in exact e6 integers: each step halves with
+    * [[ExactRound.roundDiv]] (ties away from zero), so the smoothed state
+    * is an exact integer any engine reproduces — a float Holt fold would
+    * pin nothing. Power-of-two smoothing constants are the
+    * `events_decayed_value` discipline applied to a two-state recurrence.
+    *
+    * The fold is inherently sequential PER SERIES but embarrassingly
+    * parallel ACROSS series, so each key's ordered values are gathered
+    * into one array row (bounded by the series span — the same bound the
+    * gap-fill grid already imposes) and folded with the `aggregate` HOF
+    * inside codegen; no driver loop, no per-step shuffle. Init state:
+    * level = first value, trend = 0 — the DuckDB mirror gets this for
+    * free from `list_reduce`'s first-element seeding.
+    *
+    * Input: one row per (`keyCol`, `idxCol`) with an e6-scaled long
+    * `valE6Col` (dense grid — run gap fill first). Output per key:
+    * n_points, level_e6, trend_e6, forecast_e6 (= level + trend, the
+    * one-step-ahead forecast). */
+  def holtLinear(series: DataFrame, keyCol: String, idxCol: String,
+      valE6Col: String): DataFrame = {
+    val sorted = series
+      .groupBy(keyCol)
+      .agg(array_sort(collect_list(struct(col(idxCol).as("i"),
+        col(valE6Col).cast("long").as("v")))).as("__s"))
+    val half = (n: Column) => ExactRound.roundDiv(n, lit(2L))
+    sorted.select(col(keyCol),
+        size(col("__s")).cast("long").as("n_points"),
+        aggregate(
+          expr("slice(__s, 2, greatest(size(__s) - 1, 0))"),
+          struct(element_at(col("__s"), 1).getField("v").as("l"),
+            lit(0L).as("tr")),
+          (acc, x) => {
+            val newL = half(x.getField("v") + acc.getField("l") +
+              acc.getField("tr"))
+            val newTr = half(newL - acc.getField("l") + acc.getField("tr"))
+            struct(newL.as("l"), newTr.as("tr"))
+          }).as("__f"))
+      .select(col(keyCol), col("n_points"),
+        col("__f.l").as("level_e6"), col("__f.tr").as("trend_e6"),
+        (col("__f.l") + col("__f.tr")).as("forecast_e6"))
+  }
+
+  /** DuckDB twin of the [[holtLinear]] fold: a RECURSIVE CTE stepping the
+    * (level, trend) state down each series — NOT `list_reduce`, whose
+    * struct accumulator (DuckDB 1.0) updates in place between field
+    * evaluations, so a later field reading `a.l` sees the new level and
+    * the fold silently diverges (observed: `{'l','tr'}` lambdas give
+    * tr = 4 where the left fold gives 6). The caller's WITH must be
+    * RECURSIVE and provide `hser(event_type, ys)`; this block ends in
+    * `hfin(event_type, n_points, l, tr)`. */
+  def holtRecursiveCtesSql: String = {
+    def rdiv2(v: String): String =
+      s"(CASE WHEN ($v) < 0 THEN -(((-($v)) + 1) // 2) ELSE (($v) + 1) // 2 END)"
+    val newL = rdiv2("hser.ys[hst.i + 1] + hst.l + hst.tr")
+    s"""hst(event_type, i, l, tr) AS (
+       |  SELECT event_type, 1, ys[1], CAST(0 AS BIGINT) FROM hser
+       |  UNION ALL
+       |  SELECT hst.event_type, hst.i + 1,
+       |    $newL,
+       |    ${rdiv2(s"$newL - hst.l + hst.tr")}
+       |  FROM hst JOIN hser ON hser.event_type = hst.event_type
+       |  WHERE hst.i < len(hser.ys)),
+       |hfin AS (SELECT hst.event_type, CAST(len(hser.ys) AS BIGINT) AS n_points,
+       |    hst.l, hst.tr
+       |  FROM hst JOIN hser ON hser.event_type = hst.event_type
+       |  WHERE hst.i = len(hser.ys))""".stripMargin
+  }
 }

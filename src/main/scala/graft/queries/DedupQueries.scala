@@ -569,6 +569,30 @@ object DedupQueries extends graft.QueryModule {
     // structural invariant of verify-then-emit, not a live gate. Shares the
     // cached shingle index with the two member queries. Zero-pair corpora
     // report 0 ratios (guarded — the engines disagree on x/0).
+    // SimHash metrology twin of eval_dedup_lsh: recall/precision of the
+    // Hamming-banded pair family against the exact-Jaccard ground truth —
+    // the number that says what the 32-bit sketch buys and costs, pinned
+    // with the same census shape so the two gates stay comparable.
+    "eval_dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exact = Dedup.jaccardJoin(docs, "doc_id", "text", N, MinJ)
+        .select("a_id", "b_id")
+      val sim = Dedup.simhashPairs(docs, "doc_id", "text", MaxHamming)
+        .select("a_id", "b_id")
+      val hit = sim.join(exact, Seq("a_id", "b_id"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(sim.agg(count(lit(1)).as("n_simhash")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_simhash"), col("n_hit"),
+          when(col("n_exact") === 0, lit(0.0d))
+            .otherwise(graft.functions.ExactRound.ratioRound6(
+              col("n_hit"), 0, col("n_exact")))
+            .as("recall"),
+          when(col("n_simhash") === 0, lit(0.0d))
+            .otherwise(graft.functions.ExactRound.ratioRound6(
+              col("n_hit"), 0, col("n_simhash")))
+            .as("precision"))
+    }),
     "eval_dedup_lsh" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val exact = Dedup.jaccardJoin(docs, "doc_id", "text", N, MinJ)
@@ -685,6 +709,20 @@ object DedupQueries extends graft.QueryModule {
 
   /** Single sources of truth for the two pair queries, reused verbatim as
     * the member legs of the eval_dedup_lsh metrology oracle. */
+  /** Full dedup_simhash_pairs query — shared with the eval_dedup_simhash
+    * metrology oracle the way jaccardPairsSql/minhashLshSql are. */
+  private lazy val simhashPairsSql: String =
+    s"""WITH $toksCte,
+       |$simhashCte,
+       |bu AS ($simhashBandsSql),
+       |buc AS (SELECT * FROM bu
+       |  QUALIFY count(*) OVER (PARTITION BY band, bits) <= $Cap)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM buc a JOIN buc b ON a.band = b.band AND a.bits = b.bits
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin
+
   private lazy val jaccardPairsSql: String =
     s"""WITH $toksCte,
        |${DocSql.shingleHashCte(N)},
@@ -1076,17 +1114,20 @@ object DedupQueries extends graft.QueryModule {
     // Structural mirror of the banded plan (not the brute-force form): the
     // pigeonhole rewrite is lossless, so this equals all-pairs hamming while
     // no bucket exceeds the cap — and if one ever does, both engines drop it.
-    "dedup_simhash_pairs" ->
-      s"""WITH $toksCte,
-         |$simhashCte,
-         |bu AS ($simhashBandsSql),
-         |buc AS (SELECT * FROM bu
-         |  QUALIFY count(*) OVER (PARTITION BY band, bits) <= $Cap)
-         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM buc a JOIN buc b ON a.band = b.band AND a.bits = b.bits
-         |  AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming""".stripMargin,
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "eval_dedup_simhash" ->
+      s"""WITH ex AS (SELECT a_id, b_id FROM ($jaccardPairsSql)),
+         |sm AS (SELECT a_id, b_id FROM ($simhashPairsSql)),
+         |ns AS (SELECT
+         |    CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_exact,
+         |    CAST((SELECT count(*) FROM sm) AS BIGINT) AS n_simhash,
+         |    CAST((SELECT count(*) FROM sm JOIN ex USING (a_id, b_id)) AS BIGINT) AS n_hit)
+         |SELECT n_exact, n_simhash, n_hit,
+         |  CASE WHEN n_exact = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE ${graft.functions.ExactRound.ratioRound6IntSql("n_hit", 0, "n_exact")} END AS recall,
+         |  CASE WHEN n_simhash = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE ${graft.functions.ExactRound.ratioRound6IntSql("n_hit", 0, "n_simhash")} END AS precision
+         |FROM ns""".stripMargin,
     "dedup_embed_cos_pairs" ->
       s"""WITH $toksCte,
          |${DocSql.embedCte(Dim)}

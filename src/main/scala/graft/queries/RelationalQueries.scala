@@ -205,6 +205,24 @@ object RelationalQueries extends graft.QueryModule {
       graft.operators.TimeSeries.gapFillHourly(
         Tables.events(s, dir).filter(pmod(col("user_id"), lit(5L)) === 0L),
         "user_id", "ts", "value")),
+    // Holt level+trend forecast per event type (TimeSeries.holtLinear
+    // scaladoc): daily counts on the dense global day grid, smoothed at
+    // α=β=½ in exact e6 integers — the next-day volume forecast an
+    // ingestion-capacity planner reads, pinned bit-for-bit.
+    "events_holt_trend" -> ((s, dir) => {
+      val ts = graft.operators.TimeSeries
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"), ts.dayIndex(col("ts")).as("d"))
+        .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+      val grid = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      val dense = daily.select(col("event_type")).distinct()
+        .crossJoin(grid)
+        .join(daily, Seq("event_type", "d"), "left")
+        .select(col("event_type"), col("d"),
+          (coalesce(col("n"), lit(0L)) * 1000000L).as("y_e6"))
+      ts.holtLinear(dense, "event_type", "d", "y_e6")
+    }),
     // Rolling statistics over the DENSE series — the reason gap fill
     // exists: a 24h trailing window (activity sum, exact roundDiv mean of
     // the interpolated value, max) is only correct on a grid where silent
@@ -1019,6 +1037,23 @@ object RelationalQueries extends graft.QueryModule {
          |SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
          |  ${graft.functions.ExactRound.roundDivSql("dau.dau * 1000000", "wau.wau")} AS stickiness_e6
          |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
+    "events_holt_trend" ->
+      s"""WITH RECURSIVE hdaily AS (SELECT event_type,
+         |    epoch_us(ts) // 86400000000 AS d, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |hb AS (SELECT min(d) AS d0, max(d) AS d1 FROM hdaily),
+         |hgrid AS (SELECT unnest(generate_series(hb.d0, hb.d1)) AS d FROM hb),
+         |het AS (SELECT DISTINCT event_type FROM hdaily),
+         |hdense AS (SELECT het.event_type, hgrid.d,
+         |    coalesce(hdaily.n, 0) * 1000000 AS y_e6
+         |  FROM het CROSS JOIN hgrid
+         |  LEFT JOIN hdaily ON hdaily.event_type = het.event_type
+         |    AND hdaily.d = hgrid.d),
+         |hser AS (SELECT event_type, list(y_e6 ORDER BY d) AS ys
+         |  FROM hdense GROUP BY 1),
+         |${graft.operators.TimeSeries.holtRecursiveCtesSql}
+         |SELECT event_type, n_points, l AS level_e6, tr AS trend_e6,
+         |  l + tr AS forecast_e6 FROM hfin""".stripMargin,
     "events_gapfill" ->
       s"""WITH tsev AS (SELECT user_id AS k,
          |    epoch_us(ts) // 3600000000 AS h_idx,

@@ -67,4 +67,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(k1gap.head.getAs[Long]("interp_e6") === 2000000L) // midpoint 1→3
     assert(out.filter(col("user_id") === 2L && col("is_gap") === 1L).count() === 0)
   }
+
+  test("holtLinear: left fold with roundDiv halving, hand-computed") {
+    // ys = [10, 20, 30]: (l,tr) = (10,0) -> (15,3) -> (24,6); forecast 30
+    val ser = Seq(("a", 0L, 10L), ("a", 1L, 20L), ("a", 2L, 30L),
+      ("b", 0L, 7L)) // single point: level=first, trend=0
+      .toDF("k", "i", "v")
+    val got = TimeSeries.holtLinear(ser, "k", "i", "v").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got("a") === ((3L, 24L, 6L, 30L)))
+    assert(got("b") === ((1L, 7L, 0L, 7L)))
+  }
+
+  test("holtLinear: constant series pins level, zero trend; negative dips round away from zero") {
+    val const = (0L until 10L).map(i => ("c", i, 5000000L)).toDF("k", "i", "v")
+    val c = TimeSeries.holtLinear(const, "k", "i", "v").collect().head
+    assert(c.getAs[Long]("level_e6") === 5000000L)
+    assert(c.getAs[Long]("trend_e6") === 0L)
+    // decreasing series: trend strictly negative
+    val dec = (0L until 10L).map(i => ("d", i, 1000L - i * 100L)).toDF("k", "i", "v")
+    val d = TimeSeries.holtLinear(dec, "k", "i", "v").collect().head
+    assert(d.getAs[Long]("trend_e6") < 0L)
+    assert(d.getAs[Long]("forecast_e6") < d.getAs[Long]("level_e6"))
+  }
 }
