@@ -218,6 +218,63 @@ object Dedup {
     verifyByIntersect(docSets, cands, minJaccard)
   }
 
+  /** Containment similarity join — the ASYMMETRIC inclusion detector:
+    * pairs with |A∩B| / min(|A|,|B|) ≥ `minContain`. Whole-doc Jaccard
+    * misses exactly the cases a dedup pipeline most wants flagged — a
+    * 50-token quote inside a 5000-token page has J ≈ 0.01 but containment
+    * 1.0 (truncated copies, quoted boilerplate, page-in-page wrappers);
+    * [[SpanDedup]] catches them only when the inclusion is verbatim,
+    * this catches it under edits.
+    *
+    * Prefix rule, smaller-side probing: C ≥ t forces the SMALLER doc to
+    * share ≥ ⌈t·m⌉ grams, so its rarest-first (m − ⌈t·m⌉ + 1)-prefix
+    * provably intersects the pair. Every doc probes AS the potentially
+    * smaller side: its prefix joins the FULL gram index (not the other
+    * prefixes — the larger doc's prefix carries no guarantee). Rare-first
+    * df ordering keeps the probe fanout = Σ df(prefix grams), the same
+    * lever as [[jaccardJoin]]; verification is candidate-bounded exact
+    * intersection. `minContain` should be binary-exact (0.75, 0.5) so
+    * ⌈t·m⌉ is the mathematical ceiling on every engine.
+    *
+    * Output: (a_id, b_id, shared, containment), a_id < b_id,
+    * containment = round6(shared / min sizes). */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minContain: Double): DataFrame = {
+    require(minContain > 0 && minContain <= 1,
+      s"minContain $minContain outside (0, 1]")
+    val sh = shingleHashes(df, idCol, textCol, n)
+    val dfc = sh.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
+    // same plan as jaccardJoin's docSets → Caches shares the build
+    val ordered = sh.join(dfc, "__gh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__o"))
+    val docSets = Caches.cached(ordered.select(col(idCol),
+      transform(col("__o"), s => s.getField("__gh")).as("__g"),
+      size(col("__o")).as("__m")))
+    val m = col("__m")
+    val plen = (m - ceil(lit(minContain) * m) + 1).cast("int")
+    val prefix = docSets.select(col(idCol),
+      explode(slice(col("__g"), lit(1), plen)).as("__gh"))
+    val cands = prefix.select(col(idCol).as("__p"), col("__gh"))
+      .join(sh.select(col(idCol).as("__q"), col("__gh")), "__gh")
+      .filter(col("__p") =!= col("__q"))
+      .select(least(col("__p"), col("__q")).as("a_id"),
+        greatest(col("__p"), col("__q")).as("b_id"))
+    cands
+      .join(docSets.select(col(idCol).as("a_id"), col("__g").as("__ga"),
+        col("__m").as("__ma")), "a_id")
+      .join(docSets.select(col(idCol).as("b_id"), col("__g").as("__gb"),
+        col("__m").as("__mb")), "b_id")
+      .withColumn("shared",
+        size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .filter(graft.functions.ExactRound.round6GeLong(
+        col("shared"), least(col("__ma"), col("__mb")), minContain))
+      .withColumn("containment", graft.functions.ExactRound.ratioRound6PosLong(
+        col("shared"), least(col("__ma"), col("__mb"))))
+      .select(col("a_id"), col("b_id"), col("shared"), col("containment"))
+      .distinct()
+  }
+
   /** MinHash parameters: universal-hash family h_j(x) = (a_j·x + b_j) mod P
     * over the 32-bit shingle hash. Multipliers stay < 2^20 so a_j·x fits a
     * long. Fixed constants → fully deterministic, reproducible in SQL. */

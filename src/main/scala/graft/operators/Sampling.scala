@@ -157,4 +157,24 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Bottom-k (KMV) sample: the k keys with the smallest 32-bit salted
+    * md5 hashes — the MERGEABLE distributed reservoir (Beyer et al.
+    * SIGMOD'07): bottom-k(A ⊎ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)),
+    * so shards/partitions/days each keep k rows and any union re-merges
+    * exactly, where a true reservoir sample is not mergeable at all.
+    * The k-th smallest hash is simultaneously the KMV distinct-count
+    * estimator (k−1)·2³²/h₍ₖ₎. Plans as TakeOrderedAndProject — per-
+    * partition heaps, k rows to the driver side of the exchange, never a
+    * global sort. Output: (keyCol, __h), exactly k rows (fewer iff the
+    * input has fewer keys). */
+  def bottomK(df: DataFrame, keyCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(col(keyCol),
+        graft.functions.TextFunctions.tokenHash(
+          concat(lit(salt), col(keyCol).cast("string"))).as("__h"))
+      .orderBy(col("__h"), col(keyCol))
+      .limit(k)
+  }
 }

@@ -67,6 +67,10 @@ object DedupQueries extends graft.QueryModule {
     * near-dup structure produces them at every SF. */
   private val SpanK = 8
 
+  /** Containment threshold (Dedup.containmentJoin) — binary-exact so
+    * ⌈t·m⌉ is the mathematical ceiling on every engine. */
+  private val MinC = 0.75
+
   /** Winnowing window (gram positions per selection window) — guarantee
     * threshold t = WinnowW + SpanK − 1 = 11 shared tokens; density ≈
     * 2/(WinnowW+1) = 0.4 of gram count. */
@@ -197,6 +201,13 @@ object DedupQueries extends graft.QueryModule {
         .select(col("a_name"), col("b_name"), col("edit_dist"),
           (col("a_cnt") * col("b_cnt")).as("n_row_pairs"))
     }),
+    // Containment pairs (Dedup.containmentJoin scaladoc): inclusion under
+    // edits — the fuzzy sibling of the verbatim span detector, catching
+    // truncated copies and quoted boilerplate whose whole-doc Jaccard is
+    // far below any dedup threshold.
+    "dedup_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentJoin(Tables.documents(s, dir), "doc_id", "text",
+        N, MinC)),
     // Entity-resolution pipeline (one-row composition pin): fuzzy match
     // (EditJoin's q-gram-filtered pairs) → transitive closure (the SAME
     // pointer-doubling CC the near-dup family runs) → canonical-survivor
@@ -801,6 +812,29 @@ object DedupQueries extends graft.QueryModule {
         |FROM n a JOIN n b ON a.p_name < b.p_name
         | AND abs(len(a.p_name) - len(b.p_name)) <= 2
         |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2""".stripMargin,
+    "dedup_containment_pairs" ->
+      s"""WITH $toksCte,
+         |${DocSql.shingleHashCte(N)},
+         |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
+         |cpf AS (SELECT doc_id, ghv FROM (
+         |    SELECT g.doc_id, g.ghv,
+         |      row_number() OVER (PARTITION BY g.doc_id ORDER BY dfc.df, g.ghv) AS r,
+         |      count(*) OVER (PARTITION BY g.doc_id) AS m
+         |    FROM shd g JOIN dfc USING (ghv))
+         |  WHERE r <= m - ceil($MinC * m) + 1),
+         |cands AS (SELECT DISTINCT least(p.doc_id, g.doc_id) AS a_id,
+         |    greatest(p.doc_id, g.doc_id) AS b_id
+         |  FROM cpf p JOIN shd g ON p.ghv = g.ghv AND p.doc_id <> g.doc_id),
+         |gl AS (SELECT doc_id, list(ghv) AS g, count(*) AS m FROM shd GROUP BY 1),
+         |cj AS (SELECT c.a_id, c.b_id,
+         |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS shared,
+         |    ${graft.functions.ExactRound.ratioRound6IntSql(
+              "len(list_intersect(a.g, b.g))", 0, "least(a.m, b.m)")}
+         |      AS containment
+         |  FROM cands c JOIN gl a ON c.a_id = a.doc_id
+         |  JOIN gl b ON c.b_id = b.doc_id)
+         |SELECT DISTINCT a_id, b_id, shared, containment FROM cj
+         |WHERE containment >= $MinC""".stripMargin,
     "pipeline_entity_resolution" ->
       s"""WITH RECURSIVE nm AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY 1),
          |prs AS (SELECT a.p_name AS a_id, b.p_name AS b_id

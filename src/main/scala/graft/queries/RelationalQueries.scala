@@ -23,6 +23,40 @@ object RelationalQueries extends graft.QueryModule {
 
   /** Exact money aggregation: double → decimal(18,4) per row (deterministic
     * nearest rounding), exact decimal sum, back to double, rounded. */
+  /** Dense per-type daily count series (e6-scaled) on the global day
+    * grid — shared input of the Holt forecast and the CUSUM detector. */
+  private def dailyDense(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        graft.operators.TimeSeries.dayIndex(col("ts")).as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+    val grid = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    daily.select(col("event_type")).distinct()
+      .crossJoin(grid)
+      .join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"),
+        (coalesce(col("n"), lit(0L)) * 1000000L).as("y_e6"))
+  }
+
+  /** DuckDB mirror of [[dailyDense]] + per-type ordered list: ends in
+    * `hser(event_type, ys)` (and `hdense`) — shared by the Holt and
+    * CUSUM oracles. */
+  private val dailyDenseCtes: String =
+    s"""hdaily AS (SELECT event_type,
+       |    epoch_us(ts) // 86400000000 AS d, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |hb AS (SELECT min(d) AS d0, max(d) AS d1 FROM hdaily),
+       |hgrid AS (SELECT unnest(generate_series(hb.d0, hb.d1)) AS d FROM hb),
+       |het AS (SELECT DISTINCT event_type FROM hdaily),
+       |hdense AS (SELECT het.event_type, hgrid.d,
+       |    coalesce(hdaily.n, 0) * 1000000 AS y_e6
+       |  FROM het CROSS JOIN hgrid
+       |  LEFT JOIN hdaily ON hdaily.event_type = het.event_type
+       |    AND hdaily.d = hgrid.d),
+       |hser AS (SELECT event_type, list(y_e6 ORDER BY d) AS ys
+       |  FROM hdense GROUP BY 1)""".stripMargin
+
   private def moneySum(c: Column): Column =
     round(sum(c.cast("decimal(18,4)")).cast("double"), 2)
 
@@ -209,19 +243,49 @@ object RelationalQueries extends graft.QueryModule {
     // scaladoc): daily counts on the dense global day grid, smoothed at
     // α=β=½ in exact e6 integers — the next-day volume forecast an
     // ingestion-capacity planner reads, pinned bit-for-bit.
-    "events_holt_trend" -> ((s, dir) => {
-      val ts = graft.operators.TimeSeries
-      val daily = Tables.events(s, dir)
-        .select(col("event_type"), ts.dayIndex(col("ts")).as("d"))
-        .groupBy("event_type", "d").agg(count(lit(1)).as("n"))
-      val grid = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
-        .select(explode(sequence(col("d0"), col("d1"))).as("d"))
-      val dense = daily.select(col("event_type")).distinct()
-        .crossJoin(grid)
-        .join(daily, Seq("event_type", "d"), "left")
-        .select(col("event_type"), col("d"),
-          (coalesce(col("n"), lit(0L)) * 1000000L).as("y_e6"))
-      ts.holtLinear(dense, "event_type", "d", "y_e6")
+    "events_holt_trend" -> ((s, dir) =>
+      graft.operators.TimeSeries.holtLinear(
+        dailyDense(s, dir), "event_type", "d", "y_e6")),
+    // CUSUM level-shift detector (Page 1954) over the same dense daily
+    // series: reference = exact mean of the first 7 days, slack = ref/10,
+    // alarm threshold = 3·ref; S_t = max(0, S_{t-1} + y_t − ref − slack)
+    // folded per type in exact e6 integers (the Holt fold's one-sided
+    // sibling — the drift TRIGGER where profile_corpus_drift is the
+    // content-drift census). The card pins the full excursion shape
+    // (final, max) and the first alarm day (−1 = stationary, which the
+    // fixture is — the pin proves the detector stays quiet on it).
+    "events_cusum_shift" -> ((s, dir) => {
+      val dense = dailyDense(s, dir)
+      val refs = dense.groupBy("event_type")
+        .agg(min(col("d")).as("__d0"), sum(col("y_e6")).as("__tot"))
+      val ref7 = dense.join(refs, "event_type")
+        .filter(col("d") < col("__d0") + 7L)
+        .groupBy("event_type")
+        .agg(graft.functions.ExactRound.roundDiv(sum(col("y_e6")), lit(7L))
+          .as("ref_e6"))
+      val ser = dense.groupBy("event_type")
+        .agg(array_sort(collect_list(struct(col("d").as("i"),
+          col("y_e6").cast("long").as("v")))).as("__s"))
+        .join(ref7, "event_type")
+      val slack = expr("ref_e6 DIV 10")
+      val h = col("ref_e6") * 3L
+      ser.select(col("event_type"),
+          size(col("__s")).cast("long").as("n_points"), col("ref_e6"),
+          aggregate(col("__s"),
+            struct(lit(0L).as("cs"), lit(0L).as("mx"), lit(-1L).as("al"),
+              lit(0L).as("i")),
+            (acc, x) => {
+              val s2 = greatest(lit(0L),
+                acc.getField("cs") + x.getField("v") - col("ref_e6") - slack)
+              struct(s2.as("cs"),
+                greatest(acc.getField("mx"), s2).as("mx"),
+                when(acc.getField("al") === -1L && s2 > h,
+                  acc.getField("i") + 1L).otherwise(acc.getField("al")).as("al"),
+                (acc.getField("i") + 1L).as("i"))
+            }).as("__f"))
+        .select(col("event_type"), col("n_points"), col("ref_e6"),
+          col("__f.cs").as("final_cusum_e6"), col("__f.mx").as("max_cusum_e6"),
+          col("__f.al").as("first_alarm_idx"))
     }),
     // Rolling statistics over the DENSE series — the reason gap fill
     // exists: a 24h trailing window (activity sum, exact roundDiv mean of
@@ -1038,22 +1102,39 @@ object RelationalQueries extends graft.QueryModule {
          |  ${graft.functions.ExactRound.roundDivSql("dau.dau * 1000000", "wau.wau")} AS stickiness_e6
          |FROM dau JOIN wau ON dau.d = wau.d""".stripMargin,
     "events_holt_trend" ->
-      s"""WITH RECURSIVE hdaily AS (SELECT event_type,
-         |    epoch_us(ts) // 86400000000 AS d, count(*) AS n
-         |  FROM events GROUP BY 1, 2),
-         |hb AS (SELECT min(d) AS d0, max(d) AS d1 FROM hdaily),
-         |hgrid AS (SELECT unnest(generate_series(hb.d0, hb.d1)) AS d FROM hb),
-         |het AS (SELECT DISTINCT event_type FROM hdaily),
-         |hdense AS (SELECT het.event_type, hgrid.d,
-         |    coalesce(hdaily.n, 0) * 1000000 AS y_e6
-         |  FROM het CROSS JOIN hgrid
-         |  LEFT JOIN hdaily ON hdaily.event_type = het.event_type
-         |    AND hdaily.d = hgrid.d),
-         |hser AS (SELECT event_type, list(y_e6 ORDER BY d) AS ys
-         |  FROM hdense GROUP BY 1),
+      s"""WITH RECURSIVE $dailyDenseCtes,
          |${graft.operators.TimeSeries.holtRecursiveCtesSql}
          |SELECT event_type, n_points, l AS level_e6, tr AS trend_e6,
          |  l + tr AS forecast_e6 FROM hfin""".stripMargin,
+    "events_cusum_shift" -> {
+      val rd = graft.functions.ExactRound.roundDivSql _
+      s"""WITH RECURSIVE $dailyDenseCtes,
+         |cref AS (SELECT hdense.event_type,
+         |    ${rd("sum(y_e6)", "7")} AS ref_e6
+         |  FROM hdense JOIN hb ON true
+         |  WHERE hdense.d < hb.d0 + 7 GROUP BY 1),
+         |cst(event_type, i, cs, mx, al) AS (
+         |  SELECT event_type, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(-1 AS BIGINT) FROM hser
+         |  UNION ALL
+         |  SELECT c.event_type, c.i + 1,
+         |    greatest(0, c.cs + hser.ys[c.i + 1] - r.ref_e6 - r.ref_e6 // 10),
+         |    greatest(c.mx,
+         |      greatest(0, c.cs + hser.ys[c.i + 1] - r.ref_e6 - r.ref_e6 // 10)),
+         |    CASE WHEN c.al = -1 AND
+         |        greatest(0, c.cs + hser.ys[c.i + 1] - r.ref_e6 - r.ref_e6 // 10)
+         |          > 3 * r.ref_e6
+         |      THEN c.i + 1 ELSE c.al END
+         |  FROM cst c JOIN hser ON hser.event_type = c.event_type
+         |  JOIN cref r ON r.event_type = c.event_type
+         |  WHERE c.i < len(hser.ys))
+         |SELECT cst.event_type, CAST(len(hser.ys) AS BIGINT) AS n_points,
+         |  cref.ref_e6, cst.cs AS final_cusum_e6, cst.mx AS max_cusum_e6,
+         |  cst.al AS first_alarm_idx
+         |FROM cst JOIN hser ON hser.event_type = cst.event_type
+         |JOIN cref ON cref.event_type = cst.event_type
+         |WHERE cst.i = len(hser.ys)""".stripMargin
+    },
     "events_gapfill" ->
       s"""WITH tsev AS (SELECT user_id AS k,
          |    epoch_us(ts) // 3600000000 AS h_idx,

@@ -28,6 +28,40 @@ object SampleQueries extends graft.QueryModule {
     "sample_docs_stratified" -> ((s, dir) =>
       Sampling.stratifiedSample(Tables.documents(s, dir), "lang", "doc_id", 20)
         .select("doc_id", "lang")),
+    // Bottom-k (KMV) mergeable sample (Sampling.bottomK scaladoc): the
+    // card pins the global sample checksum, the KMV distinct estimate
+    // with its accuracy gate, AND the merge law — re-merging per-source
+    // bottom-k sketches reproduces the global sample EXACTLY (n_diff = 0),
+    // the property that lets every shard keep k rows at 100 TB.
+    "sample_bottomk_merge" -> ((s, dir) => {
+      val k = 64
+      val docs = Tables.documents(s, dir)
+      val global = Sampling.bottomK(docs, "doc_id", k, "kmv")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("__h"), col("doc_id"))
+      val perSource = docs.select(col("source"), col("doc_id"),
+          graft.functions.TextFunctions.tokenHash(
+            concat(lit("kmv"), col("doc_id").cast("string"))).as("__h"))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      val merged = perSource.orderBy(col("__h"), col("doc_id")).limit(k)
+      val nDiff = global.select("doc_id")
+        .unionAll(merged.select("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") =!= 2)
+        .agg(count(lit(1)).as("n_diff"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(global.agg(max(col("__h")).as("kth_hash"),
+          sum(col("doc_id")).as("sample_checksum"))))
+        .crossJoin(broadcast(nDiff))
+        .select(col("n_docs"), col("kth_hash"),
+          ExactRound.roundDiv(lit((k - 1L) * 4294967296L), col("kth_hash"))
+            .as("est_distinct"),
+          (ExactRound.roundDiv(lit((k - 1L) * 4294967296L), col("kth_hash"))
+            * 10L >= col("n_docs") * 7L &&
+           ExactRound.roundDiv(lit((k - 1L) * 4294967296L), col("kth_hash"))
+            * 10L <= col("n_docs") * 13L).as("gate_ok"),
+          col("sample_checksum"), (col("n_diff") === 0L).as("merge_exact"))
+    }),
     // 50 docs weighted by token count (A-Res without replacement): longer
     // docs proportionally likelier, md5-uniform draws — the "random" sample
     // and its scores hash-match the oracle.
@@ -239,6 +273,28 @@ object SampleQueries extends graft.QueryModule {
          |  max(target_tokens) AS target_tokens,
          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
          |FROM k GROUP BY 1""".stripMargin,
+    "sample_bottomk_merge" -> {
+      val rd = graft.functions.ExactRound.roundDivSql("63 * 4294967296", "kth_hash")
+      s"""WITH bh AS (SELECT doc_id, source,
+         |    ('0x' || substr(md5('kmv' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+         |  FROM documents),
+         |gk AS (SELECT doc_id, hh FROM bh ORDER BY hh, doc_id LIMIT 64),
+         |ps AS (SELECT doc_id, hh FROM (
+         |    SELECT doc_id, hh, row_number() OVER (PARTITION BY source
+         |      ORDER BY hh, doc_id) AS rn FROM bh) WHERE rn <= 64),
+         |mg AS (SELECT doc_id FROM ps ORDER BY hh, doc_id LIMIT 64),
+         |bkd AS (SELECT count(*) AS nd FROM (
+         |  SELECT doc_id FROM (SELECT doc_id FROM gk UNION ALL SELECT doc_id FROM mg)
+         |  GROUP BY doc_id HAVING count(*) <> 2)),
+         |card AS (SELECT (SELECT count(*) FROM bh) AS n_docs,
+         |  (SELECT max(hh) FROM gk) AS kth_hash,
+         |  (SELECT CAST(sum(doc_id) AS BIGINT) FROM gk) AS sample_checksum,
+         |  (SELECT nd FROM bkd) AS nd)
+         |SELECT n_docs, kth_hash, $rd AS est_distinct,
+         |  ($rd * 10 >= n_docs * 7 AND $rd * 10 <= n_docs * 13) AS gate_ok,
+         |  sample_checksum, nd = 0 AS merge_exact
+         |FROM card""".stripMargin
+    },
     "sample_docs_hash" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE $bucketSql < 1000""".stripMargin,

@@ -261,4 +261,24 @@ class DedupSpec extends SparkSpec {
         s"missing=${want -- got}\nextra=${got -- want}")
     }
   }
+
+  test("containmentJoin: finds a quote inside a long page that Jaccard misses") {
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler $quote"),          // long page containing the quote
+      (2L, s"$quote extra"),            // the quote + one token: 7 grams, 6 shared
+      (3L, "unrelated content entirely different words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+    // same pair is far below any whole-doc Jaccard threshold
+    val j = Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5).count()
+    assert(j === 0L)
+    // 6 of doc2's 7 grams land in doc1: containment = round6(6/7)
+    val c = Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.75)
+      .collect().head.getAs[Double]("containment")
+    assert(c === 0.857143)
+  }
 }
