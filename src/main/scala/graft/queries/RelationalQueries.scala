@@ -372,6 +372,28 @@ object RelationalQueries extends graft.QueryModule {
     // scan; the two FK checks are keyed anti joins; everything is
     // broadcast-attached 1-row frames, nothing driver-side. A pipeline
     // alerts on any count moving; here the whole card is hash-pinned.
+    // Optimizer-statistics join-size card: predict |orders ⋈ lineitem| from
+    // the two key HISTOGRAMS alone (Σ_k n_o(k)·n_l(k) — the exact identity
+    // CBO estimators approximate from NDV/MCV), then execute the join and
+    // pin prediction = actual. The prediction side never shuffles a fact
+    // row: two keyed counts plus a histogram-sized join — at 100 TB this
+    // is the "should I even run this join / which side to broadcast"
+    // answer for the price of two aggregates.
+    "profile_join_size" -> ((s, dir) => {
+      val oh = Tables.orders(s, dir).groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_o"))
+      val lh = Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_l"))
+      val pred = oh.join(lh, "k")
+        .agg(coalesce(sum(col("n_o") * col("n_l")), lit(0L)).as("predicted_rows"),
+          count(lit(1)).as("n_join_keys"))
+      val actual = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("actual_rows"))
+      pred.crossJoin(broadcast(actual))
+        .select(col("n_join_keys"), col("predicted_rows"), col("actual_rows"),
+          (col("predicted_rows") === col("actual_rows")).as("prediction_exact"))
+    }),
     "profile_expectations" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val li = Tables.lineitem(s, dir)
@@ -1347,6 +1369,17 @@ object RelationalQueries extends graft.QueryModule {
     // driver's type-sensitive hash then sees "0.0" vs Spark's "0" and fails
     // on that column alone while any value-compare passes. This (an uncast
     // `sum(CASE …) AS n_null`) — not the arithmetic — was the r5/r6
+    "profile_join_size" ->
+      """WITH oh AS (SELECT o_orderkey AS k, count(*) AS n_o FROM orders GROUP BY 1),
+        |lh AS (SELECT l_orderkey AS k, count(*) AS n_l FROM lineitem GROUP BY 1),
+        |pr AS (SELECT CAST(coalesce(sum(n_o * n_l), 0) AS BIGINT) AS predicted_rows,
+        |    count(*) AS n_join_keys
+        |  FROM oh JOIN lh USING (k)),
+        |ac AS (SELECT count(*) AS actual_rows
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+        |SELECT n_join_keys, predicted_rows, actual_rows,
+        |  predicted_rows = actual_rows AS prediction_exact
+        |FROM pr, ac""".stripMargin,
     // hash-only fail on this query.
     "profile_lineitem_numeric" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>

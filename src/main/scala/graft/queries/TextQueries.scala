@@ -349,6 +349,38 @@ object TextQueries extends graft.QueryModule {
     // log is monotone in 1/df, so at equal tf the order is identical).
     // Two keyed aggs (tf, df) + one broadcast-shaped join + a per-doc
     // window bounded by the doc's distinct-token count.
+    // Collocation mining: ordered adjacent bigrams scored by exact lift
+    // P(ab)/(P(a)P(b)) = c_ab·T²/(B·c_a·c_b) — PMI's log-free twin, so the
+    // score is one roundDiv over decimal/HUGEINT products instead of a
+    // float log that would never hash-gate. Bigram extraction is per-doc
+    // array zips (TextRank's d=1 slice, duplicates KEPT — occurrence
+    // counts are the signal); min support 5 kills noise pairs.
+    "text_collocations" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(tokens(col("text")).as("__t"))
+      val bg = docs.select(explode(expr(
+          """zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)),
+            |         slice(__t, 2, greatest(size(__t) - 1, 0)),
+            |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("__p"))
+        .select(col("__p.w1"), col("__p.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5L)
+      val uni = docs.select(explode(col("__t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val tots = docs.agg(
+        sum(size(col("__t"))).cast("long").as("tt"),
+        sum(greatest(size(col("__t")) - 1, lit(0))).cast("long").as("bb"))
+      bg.join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(broadcast(tots))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          graft.functions.ExactRound.roundDiv(
+            col("c_ab").cast("decimal(38,0)") * col("tt") * col("tt") * lit(1000000L),
+            col("bb").cast("decimal(38,0)") * col("c_a") * col("c_b"))
+            .as("lift_e6"))
+        .orderBy(col("lift_e6").desc, col("c_ab").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
     // TextRank keywords (TextRank scaladoc): the graph-based, corpus-level
     // twin of text_keywords_tfidf — PageRank over word co-occurrence in
     // exact e9 integers, edges built with per-doc array zips (no join).
@@ -1182,6 +1214,23 @@ object TextQueries extends graft.QueryModule {
              "c3.total_symbols * 1000000", "c2.total_chars")} AS compression_e6
          |FROM c1, c2, c3""".stripMargin
     },
+    "text_collocations" ->
+      s"""WITH $toksCte,
+         |ctp AS (SELECT doc_id, unnest(toks) AS tok,
+         |    unnest(generate_series(1, len(toks))) AS pos FROM tokd),
+         |cbg AS (SELECT a.tok AS w1, b.tok AS w2, count(*) AS c_ab
+         |  FROM ctp a JOIN ctp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |cu AS (SELECT tok AS w, count(*) AS c FROM ctp GROUP BY 1),
+         |ctot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS tt,
+         |    CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS bb FROM tokd)
+         |SELECT w1, w2, c_ab,
+         |  ${graft.functions.ExactRound.roundDivSql(
+            "CAST(c_ab AS HUGEINT) * tt * tt * 1000000",
+            "CAST(bb AS HUGEINT) * a.c * b.c")} AS lift_e6
+         |FROM cbg JOIN cu a ON a.w = cbg.w1 JOIN cu b ON b.w = cbg.w2
+         |CROSS JOIN ctot
+         |ORDER BY lift_e6 DESC, c_ab DESC, w1, w2 LIMIT 20""".stripMargin,
     "text_textrank_keywords" ->
       s"""WITH $toksCte,
          |${graft.operators.TextRank.cooccurrenceEdgesSql(TrWindow)},
