@@ -73,6 +73,27 @@ object HybridSearch {
       corpus: DataFrame, idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       maxDf: Int = Int.MaxValue): DataFrame = {
+    val fr = bm25Frames(corpus, idCol, textCol, maxDf)
+    bm25FromTerms(tokenTerms(queries, queryIdCol, queryTextCol),
+      queryIdCol, fr, idCol, k, k1, b)
+  }
+
+  /** Distinct token-hash terms of a text column: (queryIdCol, __h). */
+  private def tokenTerms(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol),
+        explode(transform(TextFunctions.tokens(col(queryTextCol)),
+          TextFunctions.tokenHash(_))).as("__h"))
+      .distinct()
+
+  /** The corpus-side BM25 state, built once and Caches-shared: tf
+    * postings, doc lengths, 1-row stats, rounded-8 idf, df-capped
+    * postings. */
+  private case class Bm25Frames(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, idf: DataFrame, postings: DataFrame)
+
+  private def bm25Frames(corpus: DataFrame, idCol: String, textCol: String,
+      maxDf: Int): Bm25Frames = {
     val ctok = corpus.select(col(idCol),
       explode(transform(TextFunctions.tokens(col(textCol)),
         TextFunctions.tokenHash(_))).as("__h"))
@@ -86,21 +107,25 @@ object HybridSearch {
     val postings =
       if (maxDf == Int.MaxValue) tf
       else Salt.capBuckets(tf, Seq("__h"), maxDf.toLong)
-    val qtok = queries.select(col(queryIdCol),
-        explode(transform(TextFunctions.tokens(col(queryTextCol)),
-          TextFunctions.tokenHash(_))).as("__h"))
-      .distinct()
     // idf rounded at 8 immediately (both engines), THEN used — never a raw
     // transcendental feeding the integer pin.
     val idf = dfs.crossJoin(broadcast(stats))
       .select(col("__h"), round(
         log((col("__n").cast("double") - col("__df").cast("double") + lit(0.5d))
           / (col("__df").cast("double") + lit(0.5d)) + lit(1.0d)), 8).as("__idf"))
-    val contrib = qtok
-      .join(postings, "__h")
-      .join(idf, "__h")
-      .join(dl, idCol)
-      .crossJoin(broadcast(stats))
+    Bm25Frames(tf, dl, stats, idf, postings)
+  }
+
+  /** Score a (queryIdCol, __h) term frame against prebuilt corpus state —
+    * the from-terms face [[bm25PrfTopK]]'s second pass needs. */
+  private def bm25FromTerms(qterms: DataFrame, queryIdCol: String,
+      fr: Bm25Frames, idCol: String, k: Int, k1: Double,
+      b: Double): DataFrame = {
+    val contrib = qterms
+      .join(fr.postings, "__h")
+      .join(fr.idf, "__h")
+      .join(fr.dl, idCol)
+      .crossJoin(broadcast(fr.stats))
       .withColumn("__c", col("__idf") *
         (col("tf").cast("double") * lit(k1 + 1.0d) /
           (col("tf").cast("double") + lit(k1) * (lit(1.0d) - lit(b) +
@@ -115,6 +140,46 @@ object HybridSearch {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("rank"), col("bm25_e9"))
+  }
+
+  /** BM25 with RM3-style pseudo-relevance feedback (Lavrenko & Croft
+    * SIGIR'01; the Rocchio-simplified form): rank once, treat the top
+    * `fbDocs` hits per query as relevant, score every term they contain
+    * by Σ tf·idf₈ (e9-integerized — the same exact-sum discipline as the
+    * BM25 score itself), adjoin the top `fbTerms` NEW terms to the query
+    * term set unweighted, and rank again. The classic fix for vocabulary
+    * mismatch: a query using none of a relevant doc's words still finds
+    * its neighbors through the feedback docs' vocabulary.
+    *
+    * Both passes share one corpus state (postings/idf are Caches-shared),
+    * so the incremental cost is the expansion agg (fbDocs·|doc| rows per
+    * query) plus one more posting join — query-bounded, corpus-scan-free.
+    * Interpolation weight λ is intentionally absent (documented): binary
+    * term-set expansion keeps every score an exact integer. */
+  def bm25PrfTopK(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, fbDocs: Int, fbTerms: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, s"need fbDocs/fbTerms >= 1")
+    val fr = bm25Frames(corpus, idCol, textCol, maxDf)
+    val qtok = tokenTerms(queries, queryIdCol, queryTextCol)
+    val fb = bm25FromTerms(qtok, queryIdCol, fr, idCol, fbDocs, k1, b)
+      .select(col(queryIdCol), col(idCol))
+    val expw = fb.join(fr.tf, idCol).join(fr.idf, "__h")
+      .select(col(queryIdCol), col("__h"),
+        graft.functions.ExactRound.eScaled(
+          col("__idf") * col("tf").cast("double"), 9).as("__w9"))
+      .groupBy(col(queryIdCol), col("__h"))
+      .agg(sum(col("__w9")).as("__w9"))
+      .join(qtok, Seq(queryIdCol, "__h"), "left_anti")
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__w9").desc, col("__h"))
+    val expt = expw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= fbTerms)
+      .select(col(queryIdCol), col("__h"))
+    bm25FromTerms(qtok.unionAll(expt).distinct(), queryIdCol, fr, idCol,
+      k, k1, b)
   }
 
   /** RRF fusion of two ranked lists (queryIdCol, idCol, rank): score =

@@ -24,6 +24,8 @@ object TextQueries extends graft.QueryModule {
   private val HybridMaxDf = 40  // stopdrop lever: corpus df cap on the inverted index
   private val BmK1 = 1.2        // BM25 tf saturation
   private val BmB = 0.75        // BM25 length normalization
+  private val PrfDocs = 3       // pseudo-relevance feedback depth
+  private val PrfTerms = 3      // expansion terms adjoined per query
   private val VocabV = 16       // top-V vocabulary (synthetic corpus has 31 distinct tokens)
   private val BpeK = 6          // BPE merge rounds (vocab never exhausts pairs at any SF)
   private val DomainCap = 10    // clean_domain_cap: max docs kept per source
@@ -800,6 +802,19 @@ object TextQueries extends graft.QueryModule {
     // on either engine. Queries = doc_id < 10, corpus = the rest, as in
     // the other hybrid queries.
     "hybrid_bm25_topk" -> ((s, dir) => bm25Leg(s, dir, HybridK)),
+    // RM3-style pseudo-relevance feedback on the BM25 leg
+    // (HybridSearch.bm25PrfTopK scaladoc): top-3 feedback docs contribute
+    // their top-3 new terms, and the second pass is pinned end to end —
+    // the vocabulary-mismatch fix of the retrieval stack, next to the
+    // fusion endpoints.
+    "hybrid_bm25_prf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.HybridSearch.bm25PrfTopK(
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id").as("nbr_id"), col("text")),
+        "nbr_id", "text", HybridK, PrfDocs, PrfTerms, BmK1, BmB)
+    }),
     // The production hybrid: dense cosine leg fused with the BM25 leg by
     // RRF — what a vector store's hybrid endpoint actually ships (overlap
     // counting above is the teaching form). Same fusion operator, so the
@@ -1451,6 +1466,42 @@ object TextQueries extends graft.QueryModule {
       s"""WITH $toksCte,
          |$bm25Ctes
          |SELECT doc_id, nbr_id, rank, bm25_e9 FROM br WHERE rank <= $HybridK""".stripMargin,
+    // RM3 second pass: pass-1 br feeds the feedback docs; expansion
+    // weights use the SAME rounded-8 idf and e9 integerization; the second
+    // scoring chain re-instantiates sc/br over the expanded term set.
+    "hybrid_bm25_prf" -> {
+      val k1p1 = BmK1 + 1.0d
+      val avgdl = "(CAST(st.sl AS DOUBLE) / CAST(st.n AS DOUBLE))"
+      val denom = s"(CAST(c.tf AS DOUBLE) + $BmK1 * (1.0 - $BmB + $BmB * (CAST(dl.dl AS DOUBLE) / $avgdl)))"
+      val contrib = s"i.idf * (CAST(c.tf AS DOUBLE) * $k1p1 / $denom)"
+      s"""WITH $toksCte,
+         |$bm25Ctes,
+         |fbd AS (SELECT doc_id, nbr_id FROM br WHERE rank <= $PrfDocs),
+         |expw AS (SELECT f.doc_id, c.h,
+         |    CAST(sum(${ExactRound.eScaledSql("i.idf * CAST(c.tf AS DOUBLE)", 9)}) AS BIGINT) AS w9
+         |  FROM fbd f JOIN ctf c ON c.nbr_id = f.nbr_id
+         |  JOIN idfs i ON i.h = c.h
+         |  WHERE NOT EXISTS (SELECT 1 FROM qtok q
+         |    WHERE q.doc_id = f.doc_id AND q.h = c.h)
+         |  GROUP BY 1, 2),
+         |expt AS (SELECT doc_id, h FROM (
+         |    SELECT doc_id, h,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY w9 DESC, h) AS rn
+         |    FROM expw) WHERE rn <= $PrfTerms),
+         |q2 AS (SELECT doc_id, h FROM qtok UNION SELECT doc_id, h FROM expt),
+         |sc2 AS (SELECT q.doc_id, c.nbr_id,
+         |    CAST(sum(${ExactRound.eScaledSql(contrib, 9)}) AS BIGINT) AS bm25_e9
+         |  FROM q2 q JOIN ctf c ON q.h = c.h
+         |  JOIN idfs i ON c.h = i.h
+         |  JOIN dl ON c.nbr_id = dl.nbr_id
+         |  CROSS JOIN st
+         |  GROUP BY 1, 2),
+         |br2 AS (SELECT doc_id, nbr_id, bm25_e9,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25_e9 DESC, nbr_id) AS BIGINT) AS rank
+         |  FROM sc2)
+         |SELECT doc_id, nbr_id, rank, bm25_e9 FROM br2
+         |WHERE rank <= $HybridK""".stripMargin
+    },
     // Dense cosine leg (embedCte replay) at HybridInnerK + the BM25 leg at
     // HybridInnerK, RRF-fused exactly as hybridSql fuses the overlap leg.
     "hybrid_bm25_rrf" ->
