@@ -137,6 +137,33 @@ object IoQueries extends graft.QueryModule {
         sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
         count_distinct(col("lang")).as("n_langs"))
     }),
+    // Quoted-CSV roundtrip — the parser-seam pin the plain report sink
+    // (K2) never exercises: text is made ADVERSARIAL for CSV (embedded
+    // commas, double quotes, and a literal newline appended per row) so
+    // the write must quote/escape and the read must reassemble multi-line
+    // records (multiLine=true — without it a quoted newline splits the
+    // record and the census reddens). The oracle recomputes the census
+    // from the source table OVER THE SAME mutated text, so equality
+    // proves escape → parse is lossless.
+    "io_csv_quoted_roundtrip" -> ((s, dir) => {
+      def mutate(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        col("lang"),
+        concat(lit("a,\"b\" "), col("text"), lit(",\ntail")).as("text"))
+      val path = graft.Layouts.once(s, s"csvq:$dir") {
+        val p = s"/tmp/graft_csvq/${graft.Layouts.tag(dir)}"
+        mutate(Tables.documents(s, dir))
+          .write.mode("overwrite").option("header", "true").csv(p)
+        p
+      }
+      val back = s.read.schema("doc_id LONG, lang STRING, text STRING")
+        .option("header", "true").option("multiLine", "true").csv(path)
+      back.agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(graft.functions.TextFunctions.tokenHash(col("text")))
+          .as("text_hash_sum"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        count_distinct(col("lang")).as("n_langs"))
+    }),
     // ORC columnar roundtrip (the other splittable columnar format Spark
     // ships a vectorized reader for): write once per sfDir, read back with
     // a DECLARED schema, pin the content census. The oracle reads the
@@ -376,6 +403,16 @@ object IoQueries extends graft.QueryModule {
     // Direct recomputation from parquet: equality pins the JSONL write+read
     // as content-preserving (md5 over the full text catches any escaping
     // or truncation defect).
+    "io_csv_quoted_roundtrip" -> {
+      val mut = """'a,"b" ' || text || ',' || chr(10) || 'tail'"""
+      s"""WITH m AS (SELECT doc_id, lang, $mut AS text FROM documents)
+         |SELECT count(*) AS n_rows,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
+         |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM m""".stripMargin
+    },
     "io_jsonl_roundtrip" ->
       s"""SELECT count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,

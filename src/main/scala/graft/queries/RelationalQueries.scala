@@ -101,6 +101,40 @@ object RelationalQueries extends graft.QueryModule {
         .agg(count(lit(1)).as("n_orders"),
           moneySum(col("o_totalprice")).as("revenue"))
     }),
+    // Ranking-window suite over a TIE-RICH numeric key (price in whole
+    // thousands): rank/dense_rank with shared ranks, a RANGE frame
+    // (peers-inclusive cumulative count — the frame kind ROWS can't
+    // express), and lag/lead on the fully-ordered twin. percent_rank and
+    // cume_dist are derived in exact integer space (roundDiv over
+    // rank/count) rather than pinned as engine floats.
+    "rel_window_rank_suite" -> ((s, dir) => {
+      val tpk = expr("CAST(floor(o_totalprice / 1000) AS BIGINT)")
+      val byC = Window.partitionBy("o_custkey")
+      val rkW = byC.orderBy(col("__tpk"))
+      val rangeW = byC.orderBy(col("__tpk"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val seqW = byC.orderBy(col("__tpk"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), tpk.as("__tpk"),
+          graft.functions.ExactRound.eScaled(col("o_totalprice"), 2)
+            .cast("long").as("__p2"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("__tpk").as("price_k"),
+          rank().over(rkW).cast("long").as("rnk"),
+          dense_rank().over(rkW).cast("long").as("drnk"),
+          count(lit(1)).over(byC).as("__n"),
+          count(lit(1)).over(rangeW).as("__le"),
+          coalesce(lag(col("__p2"), 1).over(seqW), lit(-1L)).as("prev_price_e2"),
+          coalesce(lead(col("__p2"), 1).over(seqW), lit(-1L)).as("next_price_e2"))
+        .select(col("o_custkey"), col("o_orderkey"), col("price_k"),
+          col("rnk"), col("drnk"),
+          when(col("__n") === 1L, lit(0L)).otherwise(
+            graft.functions.ExactRound.roundDiv(
+              (col("rnk") - 1L) * 1000000L, col("__n") - 1L)).as("pct_rank_e6"),
+          graft.functions.ExactRound.roundDiv(
+            col("__le") * 1000000L, col("__n")).as("cume_dist_e6"),
+          col("prev_price_e2"), col("next_price_e2"))
+    }),
     // Incremental view maintenance (IncrementalAgg scaladoc): partial
     // count/sum/min/max state per (returnflag, linestatus) is built once
     // over the base slice and persisted; the delta batch merges in with
@@ -1040,6 +1074,31 @@ object RelationalQueries extends graft.QueryModule {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, c_mktsegment""".stripMargin,
+    "rel_window_rank_suite" -> {
+      val pr = graft.functions.ExactRound.roundDivSql(
+        "(rnk - 1) * 1000000", "n - 1")
+      val cd = graft.functions.ExactRound.roundDivSql("le * 1000000", "n")
+      val p2 = graft.functions.ExactRound.eScaledSql("o_totalprice", 2)
+      s"""WITH w AS (SELECT o_custkey, o_orderkey,
+         |    CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+         |    $p2 AS p2
+         |  FROM orders),
+         |r AS (SELECT o_custkey, o_orderkey, price_k,
+         |    CAST(rank() OVER pk AS BIGINT) AS rnk,
+         |    CAST(dense_rank() OVER pk AS BIGINT) AS drnk,
+         |    count(*) OVER (PARTITION BY o_custkey) AS n,
+         |    count(*) OVER (PARTITION BY o_custkey ORDER BY price_k
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,
+         |    coalesce(lag(p2) OVER sq, -1) AS prev_price_e2,
+         |    coalesce(lead(p2) OVER sq, -1) AS next_price_e2
+         |  FROM w WINDOW
+         |    pk AS (PARTITION BY o_custkey ORDER BY price_k),
+         |    sq AS (PARTITION BY o_custkey ORDER BY price_k, o_orderkey))
+         |SELECT o_custkey, o_orderkey, price_k, rnk, drnk,
+         |  CASE WHEN n = 1 THEN CAST(0 AS BIGINT) ELSE $pr END AS pct_rank_e6,
+         |  $cd AS cume_dist_e6, prev_price_e2, next_price_e2
+         |FROM r""".stripMargin
+    },
     "layout_zonemap_prune" ->
       """WITH zoned AS (SELECT l_shipdate,
         |    (row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1)

@@ -802,6 +802,42 @@ object TextQueries extends graft.QueryModule {
     // on either engine. Queries = doc_id < 10, corpus = the rest, as in
     // the other hybrid queries.
     "hybrid_bm25_topk" -> ((s, dir) => bm25Leg(s, dir, HybridK)),
+    // Kendall-tau agreement between the dense and lexical rankings over
+    // their COMMON candidates: concordant/discordant pair counts are
+    // exact integers (both lists rank by row_number — no ties), so the
+    // leg-agreement metric hash-gates where a float rank correlation
+    // never would. Per query ≤ k² pairs — bounded at any corpus size.
+    // The metrology row a hybrid-fusion decision actually reads: low tau
+    // = the legs disagree = fusion has something to add.
+    "eval_rank_tau" -> ((s, dir) => {
+      val d = denseLeg(s, dir).select(col("doc_id"), col("nbr_id"),
+        col("rank").as("__ra"))
+      val l = bm25Leg(s, dir, HybridInnerK).select(col("doc_id"),
+        col("nbr_id"), col("rank").as("__rb"))
+      val common = d.join(l, Seq("doc_id", "nbr_id"))
+      val pairs = common.select(col("doc_id"), col("nbr_id").as("__i"),
+          col("__ra").as("__ra1"), col("__rb").as("__rb1"))
+        .join(common.select(col("doc_id"), col("nbr_id").as("__j"),
+          col("__ra").as("__ra2"), col("__rb").as("__rb2")), "doc_id")
+        .filter(col("__i") < col("__j"))
+        .select(col("doc_id"),
+          (((col("__ra1") - col("__ra2")) * (col("__rb1") - col("__rb2"))) > 0L)
+            .as("__conc"))
+      val byQ = pairs.groupBy("doc_id").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("__conc"), 1L).otherwise(0L)).as("concordant"))
+      common.groupBy("doc_id").agg(count(lit(1)).as("n_common"))
+        .join(byQ, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_common"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("concordant"), lit(0L)).as("concordant"),
+          (coalesce(col("n_pairs"), lit(0L)) -
+            coalesce(col("concordant"), lit(0L))).as("discordant"),
+          when(coalesce(col("n_pairs"), lit(0L)) === 0L, lit(0L))
+            .otherwise(graft.functions.ExactRound.roundDiv(
+              (col("concordant") * 2L - col("n_pairs")) * 1000000L,
+              col("n_pairs"))).as("tau_e6"))
+    }),
     // RM3-style pseudo-relevance feedback on the BM25 leg
     // (HybridSearch.bm25PrfTopK scaladoc): top-3 feedback docs contribute
     // their top-3 new terms, and the second pass is pinned end to end —
@@ -1466,6 +1502,38 @@ object TextQueries extends graft.QueryModule {
       s"""WITH $toksCte,
          |$bm25Ctes
          |SELECT doc_id, nbr_id, rank, bm25_e9 FROM br WHERE rank <= $HybridK""".stripMargin,
+    "eval_rank_tau" -> {
+      val rd = graft.functions.ExactRound.roundDivSql(
+        "(concordant * 2 - n_pairs) * 1000000", "n_pairs")
+      s"""WITH $embedCte,
+         |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),
+         |cv AS (SELECT doc_id AS nbr_id, vec FROM nv WHERE doc_id >= 10),
+         |vd AS (SELECT qv.doc_id, cv.nbr_id,
+         |    1.0 - list_cosine_similarity(qv.vec, cv.vec) AS dist
+         |  FROM qv CROSS JOIN cv),
+         |vr AS (SELECT doc_id, nbr_id, rank AS ra FROM (
+         |    SELECT doc_id, nbr_id,
+         |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist, nbr_id) AS BIGINT) AS rank
+         |    FROM vd) WHERE rank <= $HybridInnerK),
+         |$bm25Ctes,
+         |lr AS (SELECT doc_id, nbr_id, rank AS rb FROM br
+         |  WHERE rank <= $HybridInnerK),
+         |cm AS (SELECT vr.doc_id, vr.nbr_id, vr.ra, lr.rb
+         |  FROM vr JOIN lr ON vr.doc_id = lr.doc_id AND vr.nbr_id = lr.nbr_id),
+         |pp AS (SELECT a.doc_id,
+         |    CASE WHEN (a.ra - b.ra) * (a.rb - b.rb) > 0 THEN 1 ELSE 0 END AS conc
+         |  FROM cm a JOIN cm b ON a.doc_id = b.doc_id AND a.nbr_id < b.nbr_id),
+         |bq AS (SELECT doc_id, count(*) AS n_pairs,
+         |    CAST(sum(conc) AS BIGINT) AS concordant FROM pp GROUP BY 1),
+         |nc AS (SELECT doc_id, count(*) AS n_common FROM cm GROUP BY 1)
+         |SELECT nc.doc_id, nc.n_common,
+         |  coalesce(bq.n_pairs, 0) AS n_pairs,
+         |  coalesce(bq.concordant, 0) AS concordant,
+         |  coalesce(bq.n_pairs, 0) - coalesce(bq.concordant, 0) AS discordant,
+         |  CASE WHEN coalesce(bq.n_pairs, 0) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE $rd END AS tau_e6
+         |FROM nc LEFT JOIN bq ON bq.doc_id = nc.doc_id""".stripMargin
+    },
     // RM3 second pass: pass-1 br feeds the feedback docs; expansion
     // weights use the SAME rounded-8 idf and e9 integerization; the second
     // scoring chain re-instantiates sc/br over the expanded term set.
