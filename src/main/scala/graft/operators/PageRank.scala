@@ -232,6 +232,89 @@ object PageRank {
             col("n_wedges"))))
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM'99) over the DIRECTED edge
+    * list in L1-normalized exact e9 fixed point: auth ← Σ_{u→v} hub(u),
+    * hub ← Σ_{u→v} auth(v), each vector renormalized to Σ = 10⁹ with
+    * [[ExactRound.roundDiv]]. Kleinberg's L2 normalization is a sqrt —
+    * not exactly representable; L1 preserves the RANKING, which is the
+    * deliverable (the hub/authority asymmetry PageRank's single score
+    * cannot see: a node everyone points AT vs a node that points at all
+    * the right places). Per iteration: two keyed aggs + two 1-row
+    * broadcast normalizer attaches — O(|E|), never all-pairs; frames
+    * localCheckpoint per round like [[pagerank]]. Output:
+    * (id, hub_e9, auth_e9). */
+  def hitsL1(directed: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = directed.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("__n"))
+    def normalized(raw: DataFrame, vc: String): DataFrame = {
+      val tot = raw.agg(sum(col(vc)).as("__tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("id"), ExactRound.roundDiv(
+          col(vc).cast("decimal(38,0)") * lit(1000000000L), col("__tot"))
+          .as(vc))
+    }
+    var hub = nodes.crossJoin(broadcast(nn))
+      .select(col("id"), ExactRound.roundDiv(lit(1000000000L), col("__n"))
+        .as("hub")).localCheckpoint()
+    var auth = hub.select(col("id"), col("hub").as("auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub, col("src") === col("id"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("auth"))
+        .select(col("dst").as("__d"), col("auth"))
+      auth = normalized(nodes.join(aRaw, col("id") === col("__d"), "left")
+        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth")), "auth")
+        .localCheckpoint()
+      val hRaw = e.join(auth, col("dst") === col("id"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hub"))
+        .select(col("src").as("__s"), col("hub"))
+      hub = normalized(nodes.join(hRaw, col("id") === col("__s"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub")), "hub")
+        .localCheckpoint()
+    }
+    hub.join(auth.select(col("id").as("__i"), col("auth")),
+        col("id") === col("__i"))
+      .select(col("id"), col("hub").as("hub_e9"), col("auth").as("auth_e9"))
+  }
+
+  /** DuckDB twin of [[hitsL1]]: unrolled rounds over a directed CTE
+    * `e0(src, dst)`; ends in `hits(id, hub_e9, auth_e9)`. */
+  def hitsRoundsSql(iters: Int): String = {
+    val rd = ExactRound.roundDivSql _
+    // MATERIALIZED: DuckDB inlines plain CTEs, and each round referencing
+    // the previous twice (values + normalizer sum) would re-expand the
+    // O(n²) edge chain exponentially (the GraphSearch-oracle lesson).
+    val head =
+      s"""he AS MATERIALIZED (SELECT src, dst FROM e0),
+         |hn AS MATERIALIZED (SELECT src AS id FROM he UNION SELECT dst FROM he),
+         |hcnt AS (SELECT count(*) AS n FROM hn),
+         |h0 AS MATERIALIZED (SELECT id, ${rd("1000000000", "n")} AS hub FROM hn, hcnt),
+         |a0 AS (SELECT id, hub AS auth FROM h0)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""ar$t AS MATERIALIZED (SELECT hn.id, coalesce(x.v, 0) AS v FROM hn
+         |  LEFT JOIN (SELECT he.dst AS id, sum(h.hub) AS v
+         |    FROM he JOIN h${t - 1} h ON h.id = he.src GROUP BY 1) x
+         |    ON x.id = hn.id),
+         |ast$t AS (SELECT sum(v) AS s FROM ar$t),
+         |a$t AS MATERIALIZED (SELECT id, ${rd("v * 1000000000", s"ast$t.s")}
+         |  AS auth FROM ar$t, ast$t),
+         |hr$t AS MATERIALIZED (SELECT hn.id, coalesce(x.v, 0) AS v FROM hn
+         |  LEFT JOIN (SELECT he.src AS id, sum(a.auth) AS v
+         |    FROM he JOIN a$t a ON a.id = he.dst GROUP BY 1) x
+         |    ON x.id = hn.id),
+         |hst$t AS (SELECT sum(v) AS s FROM hr$t),
+         |h$t AS MATERIALIZED (SELECT id, ${rd("v * 1000000000", s"hst$t.s")}
+         |  AS hub FROM hr$t, hst$t)""".stripMargin
+    }
+    val tail =
+      s"""hits AS (SELECT h$iters.id, h$iters.hub AS hub_e9,
+         |  a$iters.auth AS auth_e9
+         |  FROM h$iters JOIN a$iters ON a$iters.id = h$iters.id)""".stripMargin
+    (Seq(head) ++ rounds :+ tail).mkString(",\n")
+  }
+
   /** Resource-Allocation link prediction (Zhou, Lü & Zhang, Eur. Phys.
     * J. B 2009) over a symmetric edge list: for every NON-adjacent pair
     * (a, b) with at least one common neighbor, RA(a,b) = Σ_z 1/deg(z)

@@ -6,7 +6,7 @@ import graft.functions.ExactRound
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions.Cosine
 import graft.io.Tables
-import graft.operators.{Embedder, KnnJoin, Sequencer}
+import graft.operators.{Dedup, Embedder, KnnJoin, Sequencer}
 
 /** Text-analysis + embedding-pipeline queries over `documents.parquet`
   * (BASELINE.json north star; SURVEY.md §2.8 F6/F10, §3.1 entry point A).
@@ -351,6 +351,22 @@ object TextQueries extends graft.QueryModule {
     // log is monotone in 1/df, so at equal tf the order is identical).
     // Two keyed aggs (tf, df) + one broadcast-shaped join + a per-doc
     // window bounded by the doc's distinct-token count.
+    // Per-doc n-gram novelty: the share of a doc's distinct 3-gram hashes
+    // seen NOWHERE else in the corpus (df = 1) — the memorization/novelty
+    // signal a data-mixing policy reads (all-novel = fresh content;
+    // zero-novel = fully templated). One pass over the shared shingle
+    // frame + its df census; exact integers end to end.
+    "text_ngram_novelty" -> ((s, dir) => {
+      val sh = Dedup.shingleHashes(Tables.documents(s, dir), "doc_id",
+        "text", 3)
+      val dfc = sh.groupBy("__gh").agg(count(lit(1)).as("__df"))
+      sh.join(dfc, "__gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_e6", graft.functions.ExactRound.roundDiv(
+          col("n_novel") * 1000000L, col("n_grams")))
+    }),
     // Collocation mining: ordered adjacent bigrams scored by exact lift
     // P(ab)/(P(a)P(b)) = c_ab·T²/(B·c_a·c_b) — PMI's log-free twin, so the
     // score is one roundDiv over decimal/HUGEINT products instead of a
@@ -1264,6 +1280,17 @@ object TextQueries extends graft.QueryModule {
          |  ${graft.functions.ExactRound.roundDivSql(
              "c3.total_symbols * 1000000", "c2.total_chars")} AS compression_e6
          |FROM c1, c2, c3""".stripMargin
+    },
+    "text_ngram_novelty" -> {
+      val rd = graft.functions.ExactRound.roundDivSql(
+        "n_novel * 1000000", "n_grams")
+      s"""WITH $toksCte,
+         |${DocSql.shingleHashCte(3)},
+         |ndf AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
+         |nper AS (SELECT doc_id, count(*) AS n_grams,
+         |    CAST(sum(CASE WHEN ndf.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM shd JOIN ndf USING (ghv) GROUP BY 1)
+         |SELECT doc_id, n_grams, n_novel, $rd AS novelty_e6 FROM nper""".stripMargin
     },
     "text_collocations" ->
       s"""WITH $toksCte,

@@ -373,6 +373,12 @@ object VectorQueries extends graft.QueryModule {
         .select(coalesce(col("__in"), lit(0L)).as("in_degree"))
         .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
     }),
+    // HITS hubs/authorities over the DIRECTED kNN edges (PageRank.hitsL1
+    // scaladoc): the asymmetry PageRank's single score can't see —
+    // authorities are in everyone's top-k, hubs point at the right
+    // neighborhoods; exact L1-normalized e9 fixed point, hash-gated.
+    "rank_knn_hits" -> ((s, dir) =>
+      graft.operators.PageRank.hitsL1(knnEdgeCache(s, dir), PrIters)),
     // Resource-Allocation link prediction over the symmetric kNN graph
     // (PageRank.linkPredictionRA scaladoc): top-50 non-adjacent pairs by
     // Σ 1/deg(common neighbor) in exact e9 integer terms — the
@@ -1042,6 +1048,11 @@ object VectorQueries extends graft.QueryModule {
          |  FROM c LEFT JOIN (SELECT dst, count(*) AS ind FROM e0 GROUP BY 1) d
          |    ON d.dst = c.skill_id)
          |SELECT in_degree, count(*) AS n_nodes FROM ind GROUP BY 1""".stripMargin,
+    "rank_knn_hits" ->
+      s"""WITH $cCte,
+         |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},
+         |${graft.operators.PageRank.hitsRoundsSql(PrIters)}
+         |SELECT id, hub_e9, auth_e9 FROM hits""".stripMargin,
     "rank_knn_link_pred" ->
       s"""WITH $cCte,
          |${graft.operators.PageRank.edgeCtesSql("skill_id", "svec", PrK)},
