@@ -40,9 +40,15 @@ object IntervalJoin {
       right: DataFrame, rStart: String, rEnd: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
-    val lb = left.withColumn("__lb", explode(expr(
+    // Empty intervals (end == start) overlap nothing under half-open
+    // semantics, and an inverted end < start would make sequence() count
+    // DOWN, exploding bucket ids the interval never touches — both are
+    // dropped up front rather than mis-joined.
+    val lv = left.filter(col(lEnd) > col(lStart))
+    val rv = right.filter(col(rEnd) > col(rStart))
+    val lb = lv.withColumn("__lb", explode(expr(
       s"sequence($lStart DIV $bucketWidth, ($lEnd - 1) DIV $bucketWidth)")))
-    val rb = right.withColumn("__rb", explode(expr(
+    val rb = rv.withColumn("__rb", explode(expr(
       s"sequence($rStart DIV $bucketWidth, ($rEnd - 1) DIV $bucketWidth)")))
     lb.join(rb,
         col("__lb") === col("__rb") &&

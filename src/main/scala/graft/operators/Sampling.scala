@@ -166,12 +166,17 @@ object Sampling {
     * The k-th smallest hash is simultaneously the KMV distinct-count
     * estimator (k−1)·2³²/h₍ₖ₎. Plans as TakeOrderedAndProject — per-
     * partition heaps, k rows to the driver side of the exchange, never a
-    * global sort. Output: (keyCol, __h), exactly k rows (fewer iff the
-    * input has fewer keys). */
+    * global sort. Keys are deduplicated first (the KMV contract — the
+    * sample, the estimator's k-th distinct hash, and the merge law are
+    * all over DISTINCT keys; a duplicated key would occupy two slots and
+    * break all three): one keyed shuffle, the same cost class as the
+    * per-source sketches the merge law exists for. Output: (keyCol, __h),
+    * exactly k rows (fewer iff the input has fewer distinct keys). */
   def bottomK(df: DataFrame, keyCol: String, k: Int,
       salt: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    df.select(col(keyCol),
+    df.select(col(keyCol)).dropDuplicates(keyCol)
+      .select(col(keyCol),
         graft.functions.TextFunctions.tokenHash(
           concat(lit(salt), col(keyCol).cast("string"))).as("__h"))
       .orderBy(col("__h"), col(keyCol))

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Over the non-distinct k-gram rolling hashes of [[SpanDedup.gramPositions]],
   * slide a window of `w` consecutive gram positions and select each window's
-  * MINIMUM hash, rightmost position on ties (the paper's robust winnowing
-  * rule); the distinct selected (position, hash) pairs are the document's
+  * MINIMUM hash, rightmost position on ties (the paper's winnowing rule —
+  * NOT its stateful 'robust' variant, which prefers the previously
+  * selected fingerprint on ties); the distinct selected (position, hash) pairs are the document's
   * fingerprints. Guarantees (paper §2): any shared token run of length
   * ≥ w + k − 1 contributes at least one shared fingerprint, and no run
   * shorter than k is ever matched — so the pair census below is a

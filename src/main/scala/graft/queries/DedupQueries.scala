@@ -218,9 +218,13 @@ object DedupQueries extends graft.QueryModule {
     "pipeline_entity_resolution" -> ((s, dir) => {
       val names = Tables.part(s, dir)
         .groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+      // localCheckpoint: both the CC edge build and the n_pairs census
+      // read this frame — without it each re-runs the q-gram join +
+      // levenshtein verify (the card's dominant cost)
       val pairs = graft.operators.EditJoin
         .similarNamePairs(names, "p_name", "cnt", 2)
         .select(col("a_name").as("a_id"), col("b_name").as("b_id"))
+        .localCheckpoint()
       val cc = Dedup.connectedComponents(
         pairs, names.select(col("p_name")), "p_name")
       val w = org.apache.spark.sql.expressions.Window

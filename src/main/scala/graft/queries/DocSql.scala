@@ -94,7 +94,7 @@ private[queries] object DocSql {
        |  FROM isl GROUP BY 1, 2)""".stripMargin
   }
 
-  /** Mirror of [[graft.operators.Winnow.fingerprints]]: robust winnowing
+  /** Mirror of [[graft.operators.Winnow.fingerprints]]: winnowing
     * over [[gramPosCte]]'s windows — the (min-hash, rightmost-pos) argmin
     * per w-window packed into `ghv·2³² + (2³²−1−pos)` so one `min()`
     * window aggregate replays the Spark side's tie-break exactly. Ends in

@@ -40,6 +40,15 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got === Set(2L, 3L)) // [10,20) touches only; [9,10) and [2,3) overlap
   }
 
+  test("empty and inverted intervals are dropped, not mis-joined") {
+    val l = Seq((1L, 10L, 10L), (2L, 30L, 20L), (3L, 0L, 5L))
+      .toDF("l_id", "l_s", "l_e") // empty, inverted, valid
+    val r = Seq((9L, 0L, 100L)).toDF("r_id", "r_s", "r_e")
+    val got = IntervalJoin.overlapJoin(l, "l_s", "l_e", r, "r_s", "r_e", 5L)
+      .select("l_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(3L))
+  }
+
   test("plans as a hash join on the bucket, not a nested loop") {
     val l = left.toDF("l_id", "l_s", "l_e")
     val r = right.toDF("r_id", "r_s", "r_e")
