@@ -157,6 +157,37 @@ object RelationalQueries extends graft.QueryModule {
       graft.operators.IncrementalAgg.merge(
         Seq(s.read.parquet(path), delta), gs, vs)
     }),
+    // TPC-H Q7 shape (volume shipping): the 6-table star-chain join —
+    // lineitem ⋈ supplier ⋈ orders ⋈ customer with BOTH nation legs —
+    // grouped by (supplier nation, customer nation, ship year). The two
+    // nation dims and supplier broadcast; orders/customer ride keyed
+    // joins; at 100 TB only lineitem's shuffle is material and AQE picks
+    // the fact-side build. All nation PAIRS kept (the fixture has no
+    // FRANCE/GERMANY filter to take).
+    "rel_nation_trade_volume" -> ((s, dir) => {
+      val nat1 = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__sn"), col("n_name").as("supp_nation")))
+      val nat2 = broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey").as("__cn"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(nat1, col("s_nationkey") === col("__sn"))
+        .join(nat2, col("c_nationkey") === col("__cn"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(count(lit(1)).as("n_items"),
+          // volume pinned as exact e4 integer cents-of-cents: the per-row
+          // product has exactly 4 decimals, so eScaled is exact and the
+          // sum is engine-proof — the sparse (25 nation-pair × year)
+          // groups hit round()'s double-tie divergence that the fat
+          // pricing-summary groups dodge (measured: 4 cells)
+          sum(graft.functions.ExactRound.eScaled(
+            col("l_extendedprice") * (lit(1.0d) - col("l_discount")), 4)
+            .cast("long")).as("volume_e4"))
+    }),
     // Skew-safe two-phase aggregation, driver-gated: lineitem has only a
     // handful of l_returnflag values, so a plain groupBy funnels the whole
     // table through 3 reducers at scale. Salt.saltedAgg splits each key over
@@ -406,6 +437,40 @@ object RelationalQueries extends graft.QueryModule {
     // scan; the two FK checks are keyed anti joins; everything is
     // broadcast-attached 1-row frames, nothing driver-side. A pipeline
     // alerts on any count moving; here the whole card is hash-pinned.
+    // Column-correlation statistics (the optimizer's correlated-columns
+    // signal, and the mergeable moment card a profiler persists): per
+    // return flag, the EXACT integer sufficient statistics (n, Σq, Σp,
+    // Σq², Σp², Σqp over unit-rounded values) plus the derived r² — the
+    // one float, computed from two big exact integers with one IEEE
+    // divide both engines perform identically. The moments merge like
+    // IncrementalAgg's state; r² is always re-derived, never stored.
+    "profile_column_corr" -> ((s, dir) => {
+      val q = graft.functions.ExactRound.eScaled(col("l_quantity"), 0)
+        .cast("long")
+      val p = graft.functions.ExactRound.eScaled(col("l_extendedprice"), 0)
+        .cast("long")
+      val m = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), q.as("__q"), p.as("__p"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("__q")).as("sum_q"), sum(col("__p")).as("sum_p"),
+          sum(col("__q") * col("__q")).as("sum_qq"),
+          sum(col("__p") * col("__p")).as("sum_pp"),
+          sum(col("__q") * col("__p")).as("sum_qp"))
+      val d = (c: Column) => c.cast("decimal(38,0)")
+      val covN = d(col("n_rows")) * d(col("sum_qp")) -
+        d(col("sum_q")) * d(col("sum_p"))
+      val vq = d(col("n_rows")) * d(col("sum_qq")) -
+        d(col("sum_q")) * d(col("sum_q"))
+      val vp = d(col("n_rows")) * d(col("sum_pp")) -
+        d(col("sum_p")) * d(col("sum_p"))
+      m.select(col("l_returnflag"), col("n_rows"), col("sum_q"),
+        col("sum_p"), col("sum_qq"), col("sum_pp"), col("sum_qp"),
+        when(covN > 0, 1L).when(covN < 0, -1L).otherwise(0L).as("cov_sign"),
+        when(vq === 0 || vp === 0, lit(0.0d)).otherwise(
+          round((covN * covN).cast("double") / (vq * vp).cast("double"), 6))
+          .as("r2"))
+    }),
     // Optimizer-statistics join-size card: predict |orders ⋈ lineitem| from
     // the two key HISTOGRAMS alone (Σ_k n_o(k)·n_l(k) — the exact identity
     // CBO estimators approximate from NDV/MCV), then execute the join and
@@ -481,6 +546,32 @@ object RelationalQueries extends graft.QueryModule {
         .groupBy(shiftright(col("zval"), 16).as("zbucket"))
         .agg(count(lit(1)).as("n"),
           min("zval").as("zmin"), max("zval").as("zmax"))
+    }),
+    // Small-file compaction plan (the lakehouse OPTIMIZE planner): treat
+    // each (source, lang) slice's byte mass as one file, order files
+    // deterministically, and assign bins by running-total DIV target —
+    // the ordered first-fit plan a compaction job executes. The card pins
+    // the full bin census (count, fill, spill) so the planner's
+    // arithmetic — not just "some bins" — is oracle-gated. At 100 TB the
+    // input is the file MANIFEST (one row per file), never the data.
+    "layout_compaction_plan" -> ((s, dir) => {
+      val target = 65536L
+      val files = Tables.documents(s, dir)
+        .groupBy("source", "lang")
+        .agg(sum(length(col("text"))).cast("long").as("bytes"))
+      val w = Window.orderBy(col("source"), col("lang"))
+      val planned = files
+        .withColumn("__cum", sum(col("bytes")).over(w) - col("bytes"))
+        .withColumn("bin", expr(s"__cum DIV $target"))
+      planned.groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bin_bytes"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_files")).as("n_files"),
+          max(col("bin_bytes")).as("max_bin_bytes"),
+          min(col("bin_bytes")).as("min_bin_bytes"),
+          graft.functions.ExactRound.roundDiv(
+            sum(col("bin_bytes")) * 1000000L, count(lit(1)) * target)
+            .as("avg_fill_e6"))
     }),
     // Zone-map data skipping (ZoneMap scaladoc): simulate the
     // shipdate-sorted write at 4096 rows/zone, build the min/max skipping
@@ -1099,6 +1190,24 @@ object RelationalQueries extends graft.QueryModule {
          |  $cd AS cume_dist_e6, prev_price_e2, next_price_e2
          |FROM r""".stripMargin
     },
+    "layout_compaction_plan" -> {
+      val rd = graft.functions.ExactRound.roundDivSql(
+        "sum(bin_bytes) * 1000000", "count(*) * 65536")
+      s"""WITH cf AS (SELECT source, lang,
+         |    CAST(sum(len(text)) AS BIGINT) AS bytes
+         |  FROM documents GROUP BY 1, 2),
+         |cpl AS (SELECT source, lang, bytes,
+         |    (sum(bytes) OVER (ORDER BY source, lang) - bytes) // 65536 AS bin
+         |  FROM cf),
+         |cb AS (SELECT bin, count(*) AS n_files,
+         |    CAST(sum(bytes) AS BIGINT) AS bin_bytes FROM cpl GROUP BY 1)
+         |SELECT count(*) AS n_bins,
+         |  CAST(sum(n_files) AS BIGINT) AS n_files,
+         |  max(bin_bytes) AS max_bin_bytes,
+         |  min(bin_bytes) AS min_bin_bytes,
+         |  $rd AS avg_fill_e6
+         |FROM cb""".stripMargin
+    },
     "layout_zonemap_prune" ->
       """WITH zoned AS (SELECT l_shipdate,
         |    (row_number() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1)
@@ -1126,6 +1235,20 @@ object RelationalQueries extends graft.QueryModule {
          |  max(${e2("l_extendedprice")}) AS l_extendedprice_max_e2
          |FROM lineitem GROUP BY 1, 2""".stripMargin
     },
+    "rel_nation_trade_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         |  count(*) AS n_items,
+         |  CAST(sum(${graft.functions.ExactRound.eScaledSql(
+              "l_extendedprice * (1.0 - l_discount)", 4)}) AS BIGINT)
+         |    AS volume_e4
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |GROUP BY 1, 2, 3""".stripMargin,
     // The salt is invisible to the answer (exact decimal partials re-combine
     // associatively), so the oracle is the plain one-shuffle GROUP BY.
     "agg_skew_salted" ->
@@ -1428,6 +1551,32 @@ object RelationalQueries extends graft.QueryModule {
     // driver's type-sensitive hash then sees "0.0" vs Spark's "0" and fails
     // on that column alone while any value-compare passes. This (an uncast
     // `sum(CASE …) AS n_null`) — not the arithmetic — was the r5/r6
+    "profile_column_corr" -> {
+      val q = graft.functions.ExactRound.eScaledSql("l_quantity", 0)
+      val p = graft.functions.ExactRound.eScaledSql("l_extendedprice", 0)
+      s"""WITH cm AS (SELECT l_returnflag, $q AS q, $p AS p FROM lineitem),
+         |ms AS (SELECT l_returnflag, count(*) AS n_rows,
+         |    CAST(sum(q) AS BIGINT) AS sum_q, CAST(sum(p) AS BIGINT) AS sum_p,
+         |    CAST(sum(q * q) AS BIGINT) AS sum_qq,
+         |    CAST(sum(p * p) AS BIGINT) AS sum_pp,
+         |    CAST(sum(q * p) AS BIGINT) AS sum_qp
+         |  FROM cm GROUP BY 1),
+         |dx AS (SELECT *,
+         |    CAST(n_rows AS HUGEINT) * sum_qp
+         |      - CAST(sum_q AS HUGEINT) * sum_p AS covn,
+         |    CAST(n_rows AS HUGEINT) * sum_qq
+         |      - CAST(sum_q AS HUGEINT) * sum_q AS vq,
+         |    CAST(n_rows AS HUGEINT) * sum_pp
+         |      - CAST(sum_p AS HUGEINT) * sum_p AS vp
+         |  FROM ms)
+         |SELECT l_returnflag, n_rows, sum_q, sum_p, sum_qq, sum_pp, sum_qp,
+         |  CAST(CASE WHEN covn > 0 THEN 1 WHEN covn < 0 THEN -1 ELSE 0 END
+         |    AS BIGINT) AS cov_sign,
+         |  CASE WHEN vq = 0 OR vp = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE round(CAST(covn * covn AS DOUBLE) / CAST(vq * vp AS DOUBLE), 6)
+         |  END AS r2
+         |FROM dx""".stripMargin
+    },
     "profile_join_size" ->
       """WITH oh AS (SELECT o_orderkey AS k, count(*) AS n_o FROM orders GROUP BY 1),
         |lh AS (SELECT l_orderkey AS k, count(*) AS n_l FROM lineitem GROUP BY 1),
