@@ -183,6 +183,24 @@ object IndexQueries extends graft.QueryModule {
         model, K, Probes, Cosine)
         .withColumn("dist", round(col("dist"), 6))
     }),
+    // IVF list-balance card — the re-clustering trigger an index operator
+    // watches: per-list population from the live assignment, the skew
+    // ratio max·lists/n (1e6 = perfectly balanced), and the empty-list
+    // count (probes into empties are wasted nprobe budget; a dominant
+    // list degrades search toward brute force over that list).
+    "ivf_balance" -> ((s, dir) => {
+      val (_, indexed, _) = ivfParts(s, dir)
+      val sizes = indexed.groupBy("list_id").agg(count(lit(1)).as("n_vecs"))
+      sizes.agg(count(lit(1)).as("n_lists"),
+          sum(col("n_vecs")).as("n_vecs"),
+          max(col("n_vecs")).as("max_list"),
+          min(col("n_vecs")).as("min_list"))
+        .select(col("n_lists"), col("n_vecs"), col("max_list"), col("min_list"),
+          (lit(Lists.toLong) - col("n_lists")).as("n_empty"),
+          graft.functions.ExactRound.roundDiv(
+            col("max_list") * Lists.toLong * 1000000L, col("n_vecs"))
+            .as("imbalance_e6"))
+    }),
     // X1 invariant — probing every list must reproduce exact search.
     "ivf_probe_all_exact" -> ((s, dir) => {
       val (q, indexed, model) = ivfParts(s, dir)
@@ -1056,6 +1074,25 @@ object IndexQueries extends graft.QueryModule {
     },
     "ivf_ann_topk" -> ivfSql(Probes),
     "ivf_probe_all_exact" -> ivfSql(Lists),
+    "ivf_balance" -> {
+      val rd = graft.functions.ExactRound.roundDivSql(
+        s"max_list * $Lists * 1000000", "n_vecs")
+      s"""WITH $qCte, $cCte,
+         |cent AS (SELECT CAST(row_number() OVER (ORDER BY skill_id) AS INT) - 1 AS list_id,
+         |    svec AS centroid
+         |  FROM (SELECT skill_id, svec FROM c ORDER BY skill_id LIMIT $Lists)),
+         |asg AS (SELECT skill_id, list_id FROM (
+         |    SELECT c.skill_id, cent.list_id,
+         |      row_number() OVER (PARTITION BY c.skill_id
+         |        ORDER BY 1.0 - list_cosine_similarity(c.svec, cent.centroid), cent.list_id) AS pick
+         |    FROM c CROSS JOIN cent) WHERE pick = 1),
+         |ls AS (SELECT list_id, count(*) AS n_vecs FROM asg GROUP BY 1),
+         |agg AS (SELECT count(*) AS n_lists, CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+         |    max(n_vecs) AS max_list, min(n_vecs) AS min_list FROM ls)
+         |SELECT n_lists, n_vecs, max_list, min_list,
+         |  $Lists - n_lists AS n_empty, $rd AS imbalance_e6
+         |FROM agg""".stripMargin
+    },
     "lsh_ann_topk" -> lshAnnSql,
     "lsh_ann_stored_topk" -> lshAnnSql,
     "ivf_auto_probe" -> {

@@ -787,6 +787,13 @@ object RelationalQueries extends graft.QueryModule {
     // end = last event + gap).
     "events_session_windows" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionWindows(Tables.events(s, dir))),
+    // Dynamic-gap sessionization (EventStreams.sessionWindowsDynamicGap
+    // scaladoc): per-event gaps make the merge rule union-of-intervals,
+    // which the oracle replays with a running-max-of-reach — the pin
+    // catches exactly the bridge case a lag-only replay gets wrong.
+    "events_session_dynamic" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionWindowsDynamicGap(
+        Tables.events(s, dir))),
     // Cross-user session concurrency census via the bucketed interval-
     // overlap join (IntervalJoin scaladoc — the range join Spark would
     // otherwise plan as a nested loop): per user, how many OTHER users'
@@ -1738,6 +1745,23 @@ object RelationalQueries extends graft.QueryModule {
         |  max(epoch_us(ts)) + 1800000000 AS end_us,
         |  count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "events_session_dynamic" ->
+      """WITH dg AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN event_type = 'purchase' THEN 3600000000
+        |      ELSE 1800000000 END AS gap
+        |  FROM events),
+        |drm AS (SELECT user_id, event_id, us, gap,
+        |    max(us + gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+        |  FROM dg),
+        |ds AS (SELECT user_id, us, gap,
+        |    sum(CASE WHEN reach IS NULL OR us >= reach THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM drm)
+        |SELECT user_id, min(us) AS start_us, max(us + gap) AS end_us,
+        |  count(*) AS n_events
+        |FROM ds GROUP BY user_id, sid""".stripMargin,
     "events_session_overlap" ->
       """WITH o AS (SELECT user_id, event_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts

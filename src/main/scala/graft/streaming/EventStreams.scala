@@ -235,6 +235,24 @@ object EventStreams {
         tsMicros(col("__w.end")).as("end_us"),
         col("n_events"))
 
+  /** [[sessionWindows]] with a PER-EVENT gap (Spark's dynamic
+    * session_window): purchases hold the session open for 60 minutes,
+    * everything else 30. The semantics are union-of-intervals — each
+    * event contributes [t, t+gap), overlapping intervals merge — so an
+    * early long-gap event can bridge PAST a later short-gap one; the
+    * oracle replays exactly that with a running max of reach
+    * (break ⟺ t ≥ max of previous t+gap, half-open). */
+  def sessionWindowsDynamicGap(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"),
+        when(col("event_type") === "purchase", lit("60 minutes"))
+          .otherwise(lit("30 minutes"))).as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        tsMicros(col("__w.start")).as("start_us"),
+        tsMicros(col("__w.end")).as("end_us"),
+        col("n_events"))
+
   /** Funnel steps in order; a step counts only at-or-after the previous
     * step's first completion. */
   val FunnelSteps: Seq[String] = Seq("view", "click", "purchase")
