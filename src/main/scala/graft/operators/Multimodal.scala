@@ -186,6 +186,38 @@ object Multimodal {
         length(col(payloadCol)).cast("long").as("n_bytes"),
         md5(col(payloadCol)).as("checksum")).as("meta"))
 
+  /** Average-hash (aHash) perceptual fingerprint — the image-dedup
+    * primitive (identical hashes = the first near-dup tier; quantization
+    * makes visually-close images collide): 32 samples at a fixed stride
+    * over the decoded byte stream (production: the 8×8 downsampled gray
+    * raster after the real decode; here the same mapPartitions codec
+    * seam over the payload bytes, which the oracle replays byte for byte
+    * on the ASCII fixture). Bit i is set iff sample_i · n_samples >
+    * Σ samples — the mean compare cross-multiplied so no division ever
+    * happens; 32 bits keep the hash a positive BIGINT on every engine.
+    * Output: (idCol, phash, n_samples). */
+  def aHash(media: DataFrame, idCol: String): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val n = payload.length
+          val stride = math.max(n / 32, 1)
+          val samples = (0 until 32).map(_ * stride).filter(_ < n)
+            .map(p => (payload(p) & 0xff).toLong)
+          val total = samples.sum
+          val cnt = samples.length.toLong
+          val hash = samples.zipWithIndex.foldLeft(0L) {
+            case (acc, (s, i)) => if (s * cnt > total) acc | (1L << i) else acc
+          }
+          (id, hash, cnt)
+        }
+      }
+      .toDF(idCol, "phash", "n_samples")
+  }
+
   /** Batched image "decode" + feature extraction over payloads.
     * mapPartitions amortizes per-partition codec setup (the reference
     * amortizes its HTTP client the same way, `create_skill_embeddings.py:27-28`);

@@ -35,6 +35,22 @@ object MediaQueries extends graft.QueryModule {
     "media_image_features" -> ((s, dir) =>
       Multimodal.extractImageFeatures(media(s, dir), "doc_id")
         .withColumn("mean_luma", round(col("mean_luma"), 6))),
+    // Image near-dup census by perceptual hash (Multimodal.aHash
+    // scaladoc): identical aHashes are the first dedup tier; the card
+    // pins hash distribution + duplicate-bucket shape so the sampling
+    // stride, mean compare, and bit packing are all oracle-gated.
+    "media_phash_dedup" -> ((s, dir) => {
+      val ph = Multimodal.aHash(media(s, dir), "doc_id")
+      val groups = ph.groupBy("phash").agg(count(lit(1)).as("__g"))
+      ph.agg(count(lit(1)).as("n_docs"),
+          sum(col("phash")).as("phash_checksum"),
+          min(col("n_samples")).as("min_samples"))
+        .crossJoin(broadcast(groups.agg(
+          count(lit(1)).as("n_distinct_hash"),
+          sum(when(col("__g") > 1L, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(when(col("__g") > 1L, col("__g")).otherwise(0L))
+            .as("n_dup_docs"))))
+    }),
     // Batched audio decode: text payloads take the deterministic stub path
     // (real WAV decode is exercised on planted fixtures in MultimodalSpec —
     // the JDK ships no codec for the synthetic corpus's "audio").
@@ -93,6 +109,31 @@ object MediaQueries extends graft.QueryModule {
          |  CAST(1 + (h // 1048576) % 3 AS INT) AS n_channels,
          |  round(((h // 4194304) % 256) / 255.0, 6) AS mean_luma
          |FROM h""".stripMargin,
+    "media_phash_dedup" ->
+      """WITH ms AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n,
+        |    greatest(CAST(len(text) AS BIGINT) // 32, 1) AS stride
+        |  FROM documents),
+        |sm AS (SELECT doc_id, i,
+        |    CAST(ord(substr(text, CAST(i * stride + 1 AS INT), 1)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, text, n, stride,
+        |      unnest(generate_series(0, 31)) AS i FROM ms)
+        |  WHERE i * stride < n),
+        |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS cnt FROM sm GROUP BY 1),
+        |hs AS (SELECT sm.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN sm.s * tot.cnt > tot.total
+        |      THEN (CAST(1 AS BIGINT) << CAST(sm.i AS INT)) ELSE 0 END), 0)
+        |      AS BIGINT) AS phash,
+        |    tot.cnt AS n_samples
+        |  FROM sm JOIN tot USING (doc_id) GROUP BY sm.doc_id, tot.cnt),
+        |g AS (SELECT phash, count(*) AS gg FROM hs GROUP BY 1)
+        |SELECT (SELECT count(*) FROM hs) AS n_docs,
+        |  (SELECT CAST(sum(phash) AS BIGINT) FROM hs) AS phash_checksum,
+        |  (SELECT min(n_samples) FROM hs) AS min_samples,
+        |  (SELECT count(*) FROM g) AS n_distinct_hash,
+        |  (SELECT count(*) FROM g WHERE gg > 1) AS n_dup_groups,
+        |  CAST((SELECT coalesce(sum(gg), 0) FROM g WHERE gg > 1) AS BIGINT)
+        |    AS n_dup_docs""".stripMargin,
     // duration divides the PAYLOAD's byte length — octet_length(encode()),
     // not len(): a non-ASCII character would make char count and UTF-8 byte
     // count diverge and split the engines.
