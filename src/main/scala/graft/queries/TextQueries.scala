@@ -818,6 +818,41 @@ object TextQueries extends graft.QueryModule {
     // on either engine. Queries = doc_id < 10, corpus = the rest, as in
     // the other hybrid queries.
     "hybrid_bm25_topk" -> ((s, dir) => bm25Leg(s, dir, HybridK)),
+    // Retrieval-stack composition card (one row): top-10 overlap counts
+    // among the three base rankings — dense, BM25, and PRF-expanded BM25 —
+    // plus each list's positional checksum. The cross-leg numbers a
+    // fusion/expansion decision reads, pinned END TO END so a drift in
+    // any leg (embedder, idf, expansion) reddens this row even when each
+    // leg's own query stays green.
+    "pipeline_retrieval_stack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val d = denseLeg(s, dir).filter(col("rank") <= HybridK)
+        .select(col("doc_id"), col("nbr_id"), col("rank"))
+      val l = bm25Leg(s, dir, HybridK)
+        .select(col("doc_id"), col("nbr_id"), col("rank"))
+      val p = graft.Caches.cached(graft.operators.HybridSearch.bm25PrfTopK(
+          docs.filter(col("doc_id") < 10), "doc_id", "text",
+          docs.filter(col("doc_id") >= 10)
+            .select(col("doc_id").as("nbr_id"), col("text")),
+          "nbr_id", "text", HybridK, PrfDocs, PrfTerms, BmK1, BmB))
+        .select(col("doc_id"), col("nbr_id"), col("rank"))
+      def ck(x: DataFrame) = x.agg(count(lit(1)).as("n"),
+        sum(col("doc_id") * 100000L + col("nbr_id") * 100L + col("rank"))
+          .as("ck"))
+      def ov(a: DataFrame, b: DataFrame) =
+        a.select("doc_id", "nbr_id")
+          .join(b.select("doc_id", "nbr_id"), Seq("doc_id", "nbr_id"),
+            "left_semi")
+          .agg(count(lit(1)).as("n"))
+      ck(d).select(col("n").as("n_dense"), col("ck").as("dense_ck"))
+        .crossJoin(broadcast(ck(l).select(col("n").as("n_bm25"),
+          col("ck").as("bm25_ck"))))
+        .crossJoin(broadcast(ck(p).select(col("n").as("n_prf"),
+          col("ck").as("prf_ck"))))
+        .crossJoin(broadcast(ov(d, l).select(col("n").as("dense_bm25_overlap"))))
+        .crossJoin(broadcast(ov(d, p).select(col("n").as("dense_prf_overlap"))))
+        .crossJoin(broadcast(ov(l, p).select(col("n").as("bm25_prf_overlap"))))
+    }),
     // Kendall-tau agreement between the dense and lexical rankings over
     // their COMMON candidates: concordant/discordant pair counts are
     // exact integers (both lists rank by row_number — no ties), so the
@@ -1564,39 +1599,42 @@ object TextQueries extends graft.QueryModule {
     // RM3 second pass: pass-1 br feeds the feedback docs; expansion
     // weights use the SAME rounded-8 idf and e9 integerization; the second
     // scoring chain re-instantiates sc/br over the expanded term set.
-    "hybrid_bm25_prf" -> {
-      val k1p1 = BmK1 + 1.0d
-      val avgdl = "(CAST(st.sl AS DOUBLE) / CAST(st.n AS DOUBLE))"
-      val denom = s"(CAST(c.tf AS DOUBLE) + $BmK1 * (1.0 - $BmB + $BmB * (CAST(dl.dl AS DOUBLE) / $avgdl)))"
-      val contrib = s"i.idf * (CAST(c.tf AS DOUBLE) * $k1p1 / $denom)"
+    "hybrid_bm25_prf" ->
       s"""WITH $toksCte,
          |$bm25Ctes,
-         |fbd AS (SELECT doc_id, nbr_id FROM br WHERE rank <= $PrfDocs),
-         |expw AS (SELECT f.doc_id, c.h,
-         |    CAST(sum(${ExactRound.eScaledSql("i.idf * CAST(c.tf AS DOUBLE)", 9)}) AS BIGINT) AS w9
-         |  FROM fbd f JOIN ctf c ON c.nbr_id = f.nbr_id
-         |  JOIN idfs i ON i.h = c.h
-         |  WHERE NOT EXISTS (SELECT 1 FROM qtok q
-         |    WHERE q.doc_id = f.doc_id AND q.h = c.h)
-         |  GROUP BY 1, 2),
-         |expt AS (SELECT doc_id, h FROM (
-         |    SELECT doc_id, h,
-         |      row_number() OVER (PARTITION BY doc_id ORDER BY w9 DESC, h) AS rn
-         |    FROM expw) WHERE rn <= $PrfTerms),
-         |q2 AS (SELECT doc_id, h FROM qtok UNION SELECT doc_id, h FROM expt),
-         |sc2 AS (SELECT q.doc_id, c.nbr_id,
-         |    CAST(sum(${ExactRound.eScaledSql(contrib, 9)}) AS BIGINT) AS bm25_e9
-         |  FROM q2 q JOIN ctf c ON q.h = c.h
-         |  JOIN idfs i ON c.h = i.h
-         |  JOIN dl ON c.nbr_id = dl.nbr_id
-         |  CROSS JOIN st
-         |  GROUP BY 1, 2),
-         |br2 AS (SELECT doc_id, nbr_id, bm25_e9,
-         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25_e9 DESC, nbr_id) AS BIGINT) AS rank
-         |  FROM sc2)
+         |$prfCtes
          |SELECT doc_id, nbr_id, rank, bm25_e9 FROM br2
-         |WHERE rank <= $HybridK""".stripMargin
-    },
+         |WHERE rank <= $HybridK""".stripMargin,
+    "pipeline_retrieval_stack" ->
+      s"""WITH $embedCte,
+         |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),
+         |cv AS (SELECT doc_id AS nbr_id, vec FROM nv WHERE doc_id >= 10),
+         |vd AS (SELECT qv.doc_id, cv.nbr_id,
+         |    1.0 - list_cosine_similarity(qv.vec, cv.vec) AS dist
+         |  FROM qv CROSS JOIN cv),
+         |vr AS (SELECT doc_id, nbr_id, rank FROM (
+         |    SELECT doc_id, nbr_id,
+         |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist, nbr_id) AS BIGINT) AS rank
+         |    FROM vd) WHERE rank <= $HybridK),
+         |$bm25Ctes,
+         |$prfCtes,
+         |lr AS (SELECT doc_id, nbr_id, rank FROM br WHERE rank <= $HybridK),
+         |pr2 AS (SELECT doc_id, nbr_id, rank FROM br2 WHERE rank <= $HybridK),
+         |cd AS (SELECT count(*) AS n_dense,
+         |    CAST(sum(doc_id * 100000 + nbr_id * 100 + rank) AS BIGINT) AS dense_ck FROM vr),
+         |cl AS (SELECT count(*) AS n_bm25,
+         |    CAST(sum(doc_id * 100000 + nbr_id * 100 + rank) AS BIGINT) AS bm25_ck FROM lr),
+         |cp AS (SELECT count(*) AS n_prf,
+         |    CAST(sum(doc_id * 100000 + nbr_id * 100 + rank) AS BIGINT) AS prf_ck FROM pr2),
+         |odl AS (SELECT count(*) AS dense_bm25_overlap FROM vr
+         |  JOIN lr USING (doc_id, nbr_id)),
+         |odp AS (SELECT count(*) AS dense_prf_overlap FROM vr
+         |  JOIN pr2 USING (doc_id, nbr_id)),
+         |olp AS (SELECT count(*) AS bm25_prf_overlap FROM lr
+         |  JOIN pr2 USING (doc_id, nbr_id))
+         |SELECT n_dense, dense_ck, n_bm25, bm25_ck, n_prf, prf_ck,
+         |  dense_bm25_overlap, dense_prf_overlap, bm25_prf_overlap
+         |FROM cd, cl, cp, odl, odp, olp""".stripMargin,
     // Dense cosine leg (embedCte replay) at HybridInnerK + the BM25 leg at
     // HybridInnerK, RRF-fused exactly as hybridSql fuses the overlap leg.
     "hybrid_bm25_rrf" ->
@@ -1653,6 +1691,39 @@ object TextQueries extends graft.QueryModule {
     * callers apply their own depth. Every float literal is interpolated
     * from the very Scala double the operator uses; per-token contributions
     * are integerized at e9 before the sum (exact integer aggregation). */
+  /** RM3 second-pass chain (requires [[bm25Ctes]] in scope): feedback
+    * docs -> expansion weights -> expanded term set -> re-scored br2 —
+    * ONE emitter shared by the PRF query and the stack card. */
+  private lazy val prfCtes: String = {
+    val k1p1 = BmK1 + 1.0d
+    val avgdl = "(CAST(st.sl AS DOUBLE) / CAST(st.n AS DOUBLE))"
+    val denom = s"(CAST(c.tf AS DOUBLE) + $BmK1 * (1.0 - $BmB + $BmB * (CAST(dl.dl AS DOUBLE) / $avgdl)))"
+    val contrib = s"i.idf * (CAST(c.tf AS DOUBLE) * $k1p1 / $denom)"
+    s"""fbd AS (SELECT doc_id, nbr_id FROM br WHERE rank <= $PrfDocs),
+       |expw AS (SELECT f.doc_id, c.h,
+       |    CAST(sum(${ExactRound.eScaledSql("i.idf * CAST(c.tf AS DOUBLE)", 9)}) AS BIGINT) AS w9
+       |  FROM fbd f JOIN ctf c ON c.nbr_id = f.nbr_id
+       |  JOIN idfs i ON i.h = c.h
+       |  WHERE NOT EXISTS (SELECT 1 FROM qtok q
+       |    WHERE q.doc_id = f.doc_id AND q.h = c.h)
+       |  GROUP BY 1, 2),
+       |expt AS (SELECT doc_id, h FROM (
+       |    SELECT doc_id, h,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY w9 DESC, h) AS rn
+       |    FROM expw) WHERE rn <= $PrfTerms),
+       |q2 AS (SELECT doc_id, h FROM qtok UNION SELECT doc_id, h FROM expt),
+       |sc2 AS (SELECT q.doc_id, c.nbr_id,
+       |    CAST(sum(${ExactRound.eScaledSql(contrib, 9)}) AS BIGINT) AS bm25_e9
+       |  FROM q2 q JOIN ctf c ON q.h = c.h
+       |  JOIN idfs i ON c.h = i.h
+       |  JOIN dl ON c.nbr_id = dl.nbr_id
+       |  CROSS JOIN st
+       |  GROUP BY 1, 2),
+       |br2 AS (SELECT doc_id, nbr_id, bm25_e9,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25_e9 DESC, nbr_id) AS BIGINT) AS rank
+       |  FROM sc2)""".stripMargin
+  }
+
   private lazy val bm25Ctes: String = {
     val k1p1 = BmK1 + 1.0d
     val avgdl = "(CAST(st.sl AS DOUBLE) / CAST(st.n AS DOUBLE))"

@@ -472,6 +472,33 @@ object VectorQueries extends graft.QueryModule {
               col("hier_recall").cast("string"), lit(" flat="),
               col("flat_recall").cast("string")))).as("recall_ok"))
     }),
+    // Paired sign test between the hierarchical and flat walks at equal
+    // hop budget — the significance gate behind "hier ≥ flat": per-query
+    // match counts vs the exact ranking, wins/losses/ties, and the EXACT
+    // one-sided binomial tail P(X ≥ wins | non-tie trials, ½) looked up
+    // from the BigInt-precomputed table — a 20-query fixture needs the
+    // exact tail, not a normal approximation, and it hash-gates where a
+    // float CDF never would.
+    "eval_sign_test" -> ((s, dir) => {
+      val exact = Fixtures.exactTopK(s, dir)
+      val h = graft.operators.Eval.recallAtK(hierWalkCache(s, dir), exact,
+        "job_id", "skill_id").select(col("job_id"), col("n_matches").as("__h"))
+      val f = graft.operators.Eval.recallAtK(
+          stagedWalkCache(s, dir).filter(col("hops") === HierHops), exact,
+          "job_id", "skill_id")
+        .select(col("job_id"), col("n_matches").as("__f"))
+      val tbl = array(signTailE6.map(r => array(r.map(lit): _*)): _*)
+      h.join(f, "job_id").agg(
+          count(lit(1)).as("n_queries"),
+          sum(when(col("__h") > col("__f"), 1L).otherwise(0L)).as("wins"),
+          sum(when(col("__h") < col("__f"), 1L).otherwise(0L)).as("losses"),
+          sum(when(col("__h") === col("__f"), 1L).otherwise(0L)).as("ties"))
+        .withColumn("n_trials", col("wins") + col("losses"))
+        .withColumn("p_e6", element_at(
+          element_at(tbl, (col("n_trials") + 1L).cast("int")),
+          (col("wins") + 1L).cast("int")))
+        .withColumn("significant", col("p_e6") <= 50000L)
+    }),
     // Triangle census of the symmetric kNN graph: exact triangle count +
     // global clustering coefficient via degree-ordered orientation
     // (PageRank.triangleSummary scaladoc) — the neighborhood-coherence
@@ -688,6 +715,23 @@ object VectorQueries extends graft.QueryModule {
   private val HierUpperHops = 3 // coarse-walk depth on the upper layer
   private val HierUpperBeam = 8 // coarse-walk beam
   private val HierEntries = 4 // entry points handed to layer 0 per query
+
+  /** Exact one-sided sign-test tail table: signTailE6(n)(w) = e6-scaled
+    * P(X ≥ w | n trials, p=½), BigInt-exact with half-away rounding —
+    * ONE Scala computation interpolated into BOTH engines (the Benford
+    * literal-table pattern), so the p-value is engine-proof. Rows cover
+    * every possible non-tie trial count 0..NQ. */
+  private lazy val signTailE6: IndexedSeq[IndexedSeq[Long]] = {
+    def choose(n: Int, k: Int): BigInt =
+      (1 to k).foldLeft(BigInt(1))((a, i) => a * (n - i + 1) / i)
+    (0 to Fixtures.NQ).map { n =>
+      val den = BigInt(1) << n
+      (0 to n).map { w =>
+        val s = (w to n).map(j => choose(n, j)).sum
+        ((s * 1000000 * 2 + den) / (den * 2)).toLong
+      }
+    }
+  }
   private val PrIters = 5
   private val RaTopN = 50 // link-prediction output size
   // wedge-generation hub cap (PageRank.linkPredictionRA scaladoc): nodes
@@ -1140,6 +1184,45 @@ object VectorQueries extends graft.QueryModule {
          |  FROM perqf)
          |SELECT sh.hier_recall, sf.flat_recall, sh.n_queries,
          |  true AS recall_ok FROM sh, sf""".stripMargin
+    },
+    "eval_sign_test" -> {
+      val gs = graft.operators.GraphSearch
+      val hier = gs.hierSearchCtes(qCte, cCte, PrK, HierLayerMod,
+        HierUpperDegree, HierUpperHops, HierUpperBeam, HierEntries,
+        HierHops, GsBeam, K)
+      val flat = gs.walkBodyCtes(HierHops, GsBeam, "f", "c", "es") + ",\n" +
+        gs.rankTail(HierHops, K, "f", "f")
+      def leg(top: String, pq: String) =
+        s"""m$pq AS (SELECT g.job_id, count(*) AS n FROM $top g
+           |  JOIN etop e ON e.job_id = g.job_id AND e.skill_id = g.skill_id
+           |  GROUP BY 1),
+           |perq$pq AS (SELECT q2.job_id, CAST(coalesce(m.n, 0) AS BIGINT) AS nm
+           |  FROM (SELECT DISTINCT job_id FROM etop) q2 LEFT JOIN m$pq m USING (job_id))""".stripMargin
+      val tblSql = signTailE6.map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+      s"""WITH $hier,
+         |$flat,
+         |ed AS (SELECT q.job_id, c.skill_id,
+         |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
+         |  FROM q CROSS JOIN c),
+         |etop AS (SELECT job_id, skill_id FROM (
+         |    SELECT job_id, skill_id,
+         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
+         |    FROM ed) WHERE rn <= $K),
+         |${leg("gtop", "h")},
+         |${leg("gtopf", "f")},
+         |st AS (SELECT count(*) AS n_queries,
+         |    CAST(sum(CASE WHEN h.nm > f.nm THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+         |    CAST(sum(CASE WHEN h.nm < f.nm THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+         |    CAST(sum(CASE WHEN h.nm = f.nm THEN 1 ELSE 0 END) AS BIGINT) AS ties
+         |  FROM perqh h JOIN perqf f USING (job_id))
+         |SELECT n_queries, wins, losses, ties,
+         |  wins + losses AS n_trials,
+         |  CAST(($tblSql)[CAST(wins + losses + 1 AS INT)][CAST(wins + 1 AS INT)]
+         |    AS BIGINT) AS p_e6,
+         |  ($tblSql)[CAST(wins + losses + 1 AS INT)][CAST(wins + 1 AS INT)]
+         |    <= 50000 AS significant
+         |FROM st""".stripMargin
     },
     "eval_graph_hops_curve" -> {
       val e6 = (x: String) => graft.functions.ExactRound.e6Sql(x)
