@@ -429,4 +429,43 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"the census is one narrow aggregation over the records:\n$plan")
   }
+
+  test("winnowing selects inside per-doc windows; the pair census joins on the fingerprint key") {
+    val census = planOf("dedup_winnow_census")
+    assert(!census.contains("CartesianProduct") && !census.contains("BroadcastNestedLoopJoin"),
+      s"winnow census must stay keyed:\n$census")
+    val pairs = planOf("dedup_winnow_pairs")
+    assert(pairs.contains("HashJoin") || pairs.contains("SortMergeJoin"),
+      s"pair census should equi-join on fp_hash:\n$pairs")
+    assert(!pairs.contains("CartesianProduct") && !pairs.contains("BroadcastNestedLoopJoin"),
+      s"pair census must never go all-pairs:\n$pairs")
+  }
+
+  test("TextRank builds edges with array zips — no join before the pair distinct") {
+    val plan = planOf("text_textrank_keywords")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"co-occurrence extraction must stay narrow:\n$plan")
+  }
+
+  test("link prediction and HITS stay keyed on the graph, never all-pairs over nodes") {
+    for (q <- Seq("rank_knn_link_pred", "rank_knn_hits")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"),
+        s"$q must not cross-product (1-row broadcast attaches aside):\n$plan")
+    }
+  }
+
+  test("IVM merge reads the stored partials, never the base fact slice") {
+    val plan = planOf("agg_incremental_merge")
+    assert(plan.contains("graft_ivm"), s"merge should scan the persisted state:\n$plan")
+    // the only lineitem scan allowed is the DELTA slice (pushed % filter)
+    assert(plan.contains("PushedFilters") || plan.contains("lineitem"),
+      s"delta side should scan lineitem with its filter:\n$plan")
+  }
+
+  test("session overlap rides the bucketed equi-join (no NLJ range join)") {
+    val plan = planOf("events_session_overlap")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must stay bucketed:\n$plan")
+  }
 }
