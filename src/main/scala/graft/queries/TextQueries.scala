@@ -825,17 +825,11 @@ object TextQueries extends graft.QueryModule {
     // any leg (embedder, idf, expansion) reddens this row even when each
     // leg's own query stays green.
     "pipeline_retrieval_stack" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
       val d = denseLeg(s, dir).filter(col("rank") <= HybridK)
         .select(col("doc_id"), col("nbr_id"), col("rank"))
       val l = bm25Leg(s, dir, HybridK)
         .select(col("doc_id"), col("nbr_id"), col("rank"))
-      val p = graft.Caches.cached(graft.operators.HybridSearch.bm25PrfTopK(
-          docs.filter(col("doc_id") < 10), "doc_id", "text",
-          docs.filter(col("doc_id") >= 10)
-            .select(col("doc_id").as("nbr_id"), col("text")),
-          "nbr_id", "text", HybridK, PrfDocs, PrfTerms, BmK1, BmB))
-        .select(col("doc_id"), col("nbr_id"), col("rank"))
+      val p = prfLeg(s, dir).select(col("doc_id"), col("nbr_id"), col("rank"))
       def ck(x: DataFrame) = x.agg(count(lit(1)).as("n"),
         sum(col("doc_id") * 100000L + col("nbr_id") * 100L + col("rank"))
           .as("ck"))
@@ -894,14 +888,7 @@ object TextQueries extends graft.QueryModule {
     // their top-3 new terms, and the second pass is pinned end to end —
     // the vocabulary-mismatch fix of the retrieval stack, next to the
     // fusion endpoints.
-    "hybrid_bm25_prf" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.operators.HybridSearch.bm25PrfTopK(
-        docs.filter(col("doc_id") < 10), "doc_id", "text",
-        docs.filter(col("doc_id") >= 10)
-          .select(col("doc_id").as("nbr_id"), col("text")),
-        "nbr_id", "text", HybridK, PrfDocs, PrfTerms, BmK1, BmB)
-    }),
+    "hybrid_bm25_prf" -> ((s, dir) => prfLeg(s, dir)),
     // The production hybrid: dense cosine leg fused with the BM25 leg by
     // RRF — what a vector store's hybrid endpoint actually ships (overlap
     // counting above is the teaching form). Same fusion operator, so the
@@ -939,6 +926,18 @@ object TextQueries extends graft.QueryModule {
         .select(col("doc_id").as("nbr_id"), col("text")),
       "nbr_id", "text", math.max(HybridK, HybridInnerK), BmK1, BmB))
       .filter(col("rank") <= k)
+  }
+
+  /** The PRF-expanded BM25 leg — Caches-registered so the pinned query
+    * and the retrieval-stack card share ONE two-pass build (the bm25Leg
+    * discipline; measured 5.9 s -> leg-read for the card). */
+  private def prfLeg(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.Caches.cached(graft.operators.HybridSearch.bm25PrfTopK(
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("nbr_id"), col("text")),
+      "nbr_id", "text", HybridK, PrfDocs, PrfTerms, BmK1, BmB))
   }
 
   private def hybridRrf(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
