@@ -190,20 +190,26 @@ object Dedup {
     * not a row_number window — no per-doc sort exchange; the prefix is a
     * `slice` of the sorted array. Output: (a_id, b_id, shared, jaccard) for
     * pairs with jaccard ≥ minJaccard, a_id < b_id. */
+  /** One aggregation builds the df-rank-ordered per-doc hash array
+    * (idCol, __g, __m): the prefix is a slice of it, the set size its
+    * length, and the verification sets the very same arrays — no second
+    * pass over the inverted index. Caches-shared by the Jaccard AND
+    * containment joins (identical plan). */
+  private def orderedDocSets(sh: DataFrame, idCol: String): DataFrame = {
+    val dfc = sh.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
+    val ordered = sh.join(dfc, "__gh")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__o"))
+    Caches.cached(ordered.select(col(idCol),
+      transform(col("__o"), s => s.getField("__gh")).as("__g"),
+      size(col("__o")).as("__m")))
+  }
+
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard $minJaccard outside (0, 1]")
     val sh = shingleHashes(df, idCol, textCol, n)
-    val dfc = sh.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
-    // One aggregation builds the df-rank-ordered per-doc hash array; the
-    // prefix is a slice of it, the set size its length, and the verification
-    // sets the very same arrays — no second pass over the inverted index.
-    val ordered = sh.join(dfc, "__gh")
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__o"))
-    val docSets = Caches.cached(ordered.select(col(idCol),
-      transform(col("__o"), s => s.getField("__gh")).as("__g"),
-      size(col("__o")).as("__m")))
+    val docSets = orderedDocSets(sh, idCol)
     val m = col("__m")
     val plen = (m - ceil(lit(minJaccard) * m) + 1).cast("int")
     val prefix = docSets.select(col(idCol), m,
@@ -243,14 +249,7 @@ object Dedup {
     require(minContain > 0 && minContain <= 1,
       s"minContain $minContain outside (0, 1]")
     val sh = shingleHashes(df, idCol, textCol, n)
-    val dfc = sh.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
-    // same plan as jaccardJoin's docSets → Caches shares the build
-    val ordered = sh.join(dfc, "__gh")
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__gh")))).as("__o"))
-    val docSets = Caches.cached(ordered.select(col(idCol),
-      transform(col("__o"), s => s.getField("__gh")).as("__g"),
-      size(col("__o")).as("__m")))
+    val docSets = orderedDocSets(sh, idCol)
     val m = col("__m")
     val plen = (m - ceil(lit(minContain) * m) + 1).cast("int")
     val prefix = docSets.select(col(idCol),

@@ -161,7 +161,8 @@ object HybridSearch {
       textCol: String, k: Int, fbDocs: Int, fbTerms: Int,
       k1: Double = 1.2, b: Double = 0.75,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    require(fbDocs >= 1 && fbTerms >= 1, s"need fbDocs/fbTerms >= 1")
+    require(fbDocs >= 1 && fbTerms >= 1,
+      s"need fbDocs/fbTerms >= 1; got $fbDocs, $fbTerms")
     val fr = bm25Frames(corpus, idCol, textCol, maxDf)
     val qtok = tokenTerms(queries, queryIdCol, queryTextCol)
     val fb = bm25FromTerms(qtok, queryIdCol, fr, idCol, fbDocs, k1, b)

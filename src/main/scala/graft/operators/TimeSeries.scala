@@ -33,11 +33,7 @@ object TimeSeries {
     * one bucket on pre-1970 timestamps). `x − pmod(x, d)` is divisible by
     * d and ≤ 2⁵³ in magnitude, so the intermediate double quotient is
     * exact. */
-  def hourIndex(ts: Column): Column = {
-    val us = graft.streaming.EventStreams.tsMicros(ts).cast("long")
-    val d = lit(3600000000L)
-    ((us - pmod(us, d)) / d).cast("long")
-  }
+  def hourIndex(ts: Column): Column = floorIndex(ts, 3600000000L)
 
   /** Dense hourly series per `keyCol` over `[min hour, max hour]` of each
     * key, from an event frame with `tsCol` and a non-negative double
@@ -118,9 +114,11 @@ object TimeSeries {
   }
 
   /** Day index — [[hourIndex]]'s daily sibling, same floor discipline. */
-  def dayIndex(ts: Column): Column = {
+  def dayIndex(ts: Column): Column = floorIndex(ts, 86400000000L)
+
+  private def floorIndex(ts: Column, unitUs: Long): Column = {
     val us = graft.streaming.EventStreams.tsMicros(ts).cast("long")
-    val d = lit(86400000000L)
+    val d = lit(unitUs)
     ((us - pmod(us, d)) / d).cast("long")
   }
 
