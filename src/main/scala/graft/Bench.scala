@@ -5,6 +5,11 @@ object Bench {
   // Locale-pinned formatting: f"%.3f" follows the default locale, and a
   // comma decimal separator (de_DE etc.) would emit invalid JSON.
   private def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+  /** Upper median (deterministic for even n) of the measured/sample
+    * ratios — the run's own like-for-like drift reading; 1.0 when no
+    * unfloored budgeted query ran. */
+  private[graft] def driftMedian(ratios: Seq[Double]): Double =
+    if (ratios.isEmpty) 1.0 else ratios.sorted.apply(ratios.size / 2)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -123,9 +128,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Measured-drift fallback (r8 verdict "next round" #1c): the synthetic
+    // calibration can under-read a slow driver box — the r8 record ran the
+    // whole board 1.15-1.3x slower than the budget samples while the
+    // synthetic factor read 1.058, and four healthy plans "breached". The
+    // run's own like-for-like evidence is the direct reading of the same
+    // drift: the median ratio of measured time to the budget sample
+    // (budget / 2.5, Budgets.sampleSec) over every UNFLOORED budgeted
+    // query this run executed. When that exceeds the synthetic factor,
+    // the larger applies (clamped to the same [1, 3]). A median over
+    // dozens of unrelated queries is robust to any one plan regression —
+    // a broken query still breaches, because hiding would require slowing
+    // the MAJORITY of the board, at which point the box IS slow.
+    val drift = driftMedian(results.flatMap { case (n, t) =>
+      Budgets.sampleSec.get(n).map(t / _) })
+    val effFactor = math.max(factor, math.min(3.0, drift))
     // Budget check (sf0.1 budgets — only meaningful at the driver's SF).
     val breaches = results.collect {
-      case (n, t) if Budgets.perQuery.get(n).exists(t > _ * factor) => "\"" + n + "\""
+      case (n, t) if Budgets.perQuery.get(n).exists(t > _ * effFactor) => "\"" + n + "\""
     }.mkString("[", ",", "]")
     // Per-query detail first, compact headline LAST: the round driver
     // captures the TAIL of stdout, and in r5 the long per-query map pushed
@@ -133,7 +153,15 @@ object Bench {
     // (BENCH_r05.json parsed: null). The last line must always be the one
     // the driver parses.
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib_sec":${fmt(calib)},"budget_factor":${fmt(factor)},"budget_breaches":$breaches}""")
+    // Compact duplicate of the per-query record (r8 verdict missing #3:
+    // the ~3.5 KB tail the driver keeps truncated all but 64 of 287 names
+    // from the map above). Entry i is the i-th query in ALPHABETICAL
+    // order over this run's query names — the keys of the full map, which
+    // any SparkEntry.queries listing reproduces — so ~1.6 KB carries all
+    // 287 times inside the captured tail.
+    val msAlpha = results.sortBy(_._1).map { case (_, t) => math.round(t * 1000) }
+    println(s"""{"metric":"per_query_ms_alpha","keys":"this run's query names, sorted","n":${results.size},"ms":[${msAlpha.mkString(",")}]}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib_sec":${fmt(calib)},"budget_factor":${fmt(factor)},"drift_median":${fmt(drift)},"effective_factor":${fmt(effFactor)},"budget_breaches":$breaches}""")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 /** Per-query wall-time budgets: 2.5x the slower of TWO round-13 closing
   * full-board sf0.1 bench samples (same code, same box, back to back —
   * the 280.8 s / 275.9 s pair at calibration factors 1.000/1.047, zero
-  * breaches in both), calibration-normalized and floored at 1.5 s. Every
+  * breaches in both), calibration-normalized and floored at 3 s. Every
   * entry cites both samples — the r7 verdict's budget-policy item:
   * single-sample budgets were where both breach rounds came from. [[Bench]]
   * multiplies each budget by the run's calibration factor (see
@@ -12,13 +12,30 @@ package graft
   * the round's BENCH file instead of waiting for a human diff against
   * BASELINE.md.
   *
+  * Why the 3 s floor (r8 verdict, "next round" #1a — it was 1.5 s through
+  * round 13): a query whose samples are 0.2-0.8 s is dominated by
+  * scheduler/GC/IO noise at driver scale — a transient stall 3-7x-es a
+  * 0.2 s query without any plan change, and three of the four r8 driver
+  * breaches were exactly this class (plans audited healthy). Below the
+  * floor the budget measures the OS, not the plan; a plan regression on a
+  * sub-second query still trips the floor long before it matters at
+  * 100 TB, where that query class is nowhere near the critical path.
+  *
   * Why 2.5x of FULL-BENCH samples (not isolated runs): position effects
   * are real — a query late in a 232-query pass can pay GC/heap pressure
   * its isolated run never sees — and the budget must cover both
-  * positions. Machine SPEED is handled by the calibration factor, so
-  * these numbers stay sized to a clean box instead of the slowest
-  * observed one. A query missing here (newly added, not yet measured)
-  * is simply unbudgeted for that round. */
+  * positions. Machine SPEED is handled by the calibration factor plus
+  * [[Bench]]'s measured-drift fallback (the run's own like-for-like
+  * median ratio vs these samples, used when it exceeds the synthetic
+  * factor — the r8 driver box ran 1.15-1.3x slower than the samples
+  * while the synthetic factor read 1.058), so these numbers stay sized
+  * to a clean box instead of the slowest observed one. A query missing
+  * here (newly added, not yet measured) is simply unbudgeted for that
+  * round.
+  *
+  * [[sampleSec]] (the slower normalized sample, budget/2.5) is what the
+  * drift fallback compares against; entries AT the floor are excluded
+  * there because their budget no longer encodes the sample. */
 object Budgets {
   /** Wall time of [[Bench]]'s calibration workload (min of two timed runs
     * after one warm-up) on the box that produced the budget samples, in
@@ -32,294 +49,308 @@ object Budgets {
     * genuinely loaded or slower machine raises the envelope via its own
     * calibration. Bench clamps the factor to [1, 3]. */
   val CalibRef: Double = 0.85
+
+  /** The metrology floor (sec): no budget below this, whatever the
+    * samples said (scaladoc above). tools/budgets.py applies the same
+    * constant when regenerating the table. */
+  val Floor: Double = 3.0
+
+  /** The slower calibration-normalized sample behind each UNFLOORED
+    * budget (= budget / 2.5) — what [[Bench]]'s measured-drift fallback
+    * compares the run's own times against. Floored entries are excluded:
+    * their budget no longer encodes the sample, so a ratio against
+    * budget/2.5 would understate drift exactly where noise dominates. */
+  lazy val sampleSec: Map[String, Double] =
+    perQuery.collect { case (q, b) if b > Floor => q -> b / 2.5 }
+
   val perQuery: Map[String, Double] = Map(
     // factors: a=1.0 b=1.047 — round-13 FINAL pair 280.8/275.9 s, zero breaches, all 287 queries two-sample
-    "agg_distinct_sketch" -> 1.5, // r13f full-bench samples 0.28/0.22 (calibration-normalized)
-    "agg_incremental_merge" -> 2.6, // r13f full-bench samples 1.00/0.77 (calibration-normalized)
-    "agg_price_quantiles" -> 1.5, // r13f full-bench samples 0.15/0.11 (calibration-normalized)
-    "agg_quantile_sketch" -> 1.8, // r13f full-bench samples 0.70/0.56 (calibration-normalized)
-    "agg_skew_salted" -> 1.5, // r13f full-bench samples 0.17/0.15 (calibration-normalized)
-    "clean_boilerplate" -> 1.5, // r13f full-bench samples 0.35/0.28 (calibration-normalized)
-    "clean_c4_line_dedup" -> 1.5, // r13f full-bench samples 0.34/0.24 (calibration-normalized)
-    "clean_c4_lines" -> 1.5, // r13f full-bench samples 0.18/0.10 (calibration-normalized)
+    "agg_distinct_sketch" -> 3.0, // r13f full-bench samples 0.28/0.22 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "agg_incremental_merge" -> 3.0, // r13f full-bench samples 1.00/0.77 (calibration-normalized) [raw 2.5x budget 2.6, raised to the 3 s metrology floor]
+    "agg_price_quantiles" -> 3.0, // r13f full-bench samples 0.15/0.11 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "agg_quantile_sketch" -> 3.0, // r13f full-bench samples 0.70/0.56 (calibration-normalized) [raw 2.5x budget 1.8, raised to the 3 s metrology floor]
+    "agg_skew_salted" -> 3.0, // r13f full-bench samples 0.17/0.15 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "clean_boilerplate" -> 3.0, // r13f full-bench samples 0.35/0.28 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "clean_c4_line_dedup" -> 3.0, // r13f full-bench samples 0.34/0.24 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "clean_c4_lines" -> 3.0, // r13f full-bench samples 0.18/0.10 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "clean_ccnet_buckets" -> 3.6, // r13f full-bench samples 1.42/1.15 (calibration-normalized)
-    "clean_contamination" -> 2.9, // r13f full-bench samples 1.13/0.83 (calibration-normalized)
-    "clean_domain_cap" -> 1.7, // r13f full-bench samples 0.68/0.52 (calibration-normalized)
-    "clean_gopher_rules" -> 1.5, // r13f full-bench samples 0.13/0.12 (calibration-normalized)
-    "clean_k_anonymity" -> 1.5, // r13f full-bench samples 0.40/0.44 (calibration-normalized)
-    "clean_normalize" -> 1.5, // r13f full-bench samples 0.11/0.09 (calibration-normalized)
-    "clean_pii_redact" -> 1.5, // r13f full-bench samples 0.11/0.09 (calibration-normalized)
-    "clean_quality_floor" -> 1.5, // r13f full-bench samples 0.58/0.45 (calibration-normalized)
-    "clean_randomized_response" -> 1.5, // r13f full-bench samples 0.26/0.21 (calibration-normalized)
-    "clean_repetition" -> 1.5, // r13f full-bench samples 0.12/0.11 (calibration-normalized)
-    "dedup_cdc_chunks" -> 1.5, // r13f full-bench samples 0.40/0.36 (calibration-normalized)
+    "clean_contamination" -> 3.0, // r13f full-bench samples 1.13/0.83 (calibration-normalized) [raw 2.5x budget 2.9, raised to the 3 s metrology floor]
+    "clean_domain_cap" -> 3.0, // r13f full-bench samples 0.68/0.52 (calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
+    "clean_gopher_rules" -> 3.0, // r13f full-bench samples 0.13/0.12 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "clean_k_anonymity" -> 3.0, // r13f full-bench samples 0.40/0.44 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "clean_normalize" -> 3.0, // r13f full-bench samples 0.11/0.09 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "clean_pii_redact" -> 3.0, // r13f full-bench samples 0.11/0.09 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "clean_quality_floor" -> 3.0, // r13f full-bench samples 0.58/0.45 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "clean_randomized_response" -> 3.0, // r13f full-bench samples 0.26/0.21 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "clean_repetition" -> 3.0, // r13f full-bench samples 0.12/0.11 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "dedup_cdc_chunks" -> 3.0, // r13f full-bench samples 0.40/0.36 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "dedup_cdc_incremental" -> 5.0, // r13f full-bench samples 1.96/1.90 (calibration-normalized)
     "dedup_cdc_index_append" -> 5.0, // r13f full-bench samples 2.00/1.68 (calibration-normalized)
-    "dedup_cdc_index_build" -> 1.5, // r13f full-bench samples 0.07/0.05 (calibration-normalized)
-    "dedup_cdc_index_compact" -> 1.7, // r13f full-bench samples 0.67/0.53 (calibration-normalized)
-    "dedup_cdc_stats" -> 1.5, // r13f full-bench samples 0.31/0.27 (calibration-normalized)
+    "dedup_cdc_index_build" -> 3.0, // r13f full-bench samples 0.07/0.05 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "dedup_cdc_index_compact" -> 3.0, // r13f full-bench samples 0.67/0.53 (calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
+    "dedup_cdc_stats" -> 3.0, // r13f full-bench samples 0.31/0.27 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "dedup_clusters" -> 7.8, // r13f full-bench samples 3.09/2.20 (calibration-normalized)
     "dedup_clusters_star" -> 5.1, // r13f full-bench samples 2.04/1.82 (calibration-normalized)
     "dedup_containment_pairs" -> 6.8, // r13f full-bench samples 2.41/2.70 (calibration-normalized)
-    "dedup_edit_pairs" -> 1.5, // r13f full-bench samples 0.55/0.59 (calibration-normalized)
+    "dedup_edit_pairs" -> 3.0, // r13f full-bench samples 0.55/0.59 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "dedup_embed_cos_lsh" -> 4.6, // r13f full-bench samples 1.81/1.67 (calibration-normalized)
     "dedup_embed_cos_pairs" -> 4.4, // r13f full-bench samples 1.60/1.74 (calibration-normalized)
-    "dedup_exact" -> 1.5, // r13f full-bench samples 0.20/0.15 (calibration-normalized)
+    "dedup_exact" -> 3.0, // r13f full-bench samples 0.20/0.15 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "dedup_jaccard_incremental" -> 4.8, // r13f full-bench samples 1.90/1.73 (calibration-normalized)
     "dedup_jaccard_incremental_indexed" -> 5.2, // r13f full-bench samples 2.06/1.78 (calibration-normalized)
     "dedup_jaccard_index_build" -> 7.2, // r13f full-bench samples 2.88/2.66 (calibration-normalized)
     "dedup_jaccard_pairs" -> 5.9, // r13f full-bench samples 2.33/2.15 (calibration-normalized)
-    "dedup_keep_best" -> 1.7, // r13f full-bench samples 0.65/0.50 (calibration-normalized)
+    "dedup_keep_best" -> 3.0, // r13f full-bench samples 0.65/0.50 (calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
     "dedup_minhash_lsh" -> 4.4, // r13f full-bench samples 1.73/1.70 (calibration-normalized)
     "dedup_semantic" -> 3.2, // r13f full-bench samples 1.27/1.20 (calibration-normalized)
-    "dedup_simhash" -> 1.5, // r13f full-bench samples 0.18/0.16 (calibration-normalized)
+    "dedup_simhash" -> 3.0, // r13f full-bench samples 0.18/0.16 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "dedup_simhash_pairs" -> 5.5, // r13f full-bench samples 2.18/2.00 (calibration-normalized)
-    "dedup_span_clean" -> 1.5, // r13f full-bench samples 0.17/0.16 (calibration-normalized)
-    "dedup_span_incremental" -> 1.5, // r13f full-bench samples 0.39/0.32 (calibration-normalized)
+    "dedup_span_clean" -> 3.0, // r13f full-bench samples 0.17/0.16 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "dedup_span_incremental" -> 3.0, // r13f full-bench samples 0.39/0.32 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "dedup_span_index_append" -> 5.7, // r13f full-bench samples 2.26/1.94 (calibration-normalized)
     "dedup_span_index_build" -> 4.3, // r13f full-bench samples 1.71/1.24 (calibration-normalized)
-    "dedup_span_index_compact" -> 1.9, // r13f full-bench samples 0.73/0.59 (calibration-normalized)
-    "dedup_span_stats" -> 1.5, // r13f full-bench samples 0.15/0.12 (calibration-normalized)
-    "dedup_winnow_census" -> 2.9, // r13f full-bench samples 1.13/0.84 (calibration-normalized)
+    "dedup_span_index_compact" -> 3.0, // r13f full-bench samples 0.73/0.59 (calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
+    "dedup_span_stats" -> 3.0, // r13f full-bench samples 0.15/0.12 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "dedup_winnow_census" -> 3.0, // r13f full-bench samples 1.13/0.84 (calibration-normalized) [raw 2.5x budget 2.9, raised to the 3 s metrology floor]
     "dedup_winnow_pairs" -> 4.6, // r13f full-bench samples 1.83/1.39 (calibration-normalized)
     "embed_hash_tf" -> 4.2, // r13f full-bench samples 1.68/1.32 (calibration-normalized)
-    "embed_knn_docs" -> 2.3, // r13f full-bench samples 0.88/0.73 (calibration-normalized)
-    "embed_label_centroids" -> 1.5, // r13f full-bench samples 0.55/0.47 (calibration-normalized)
-    "embed_pca_project" -> 2.4, // r13f full-bench samples 0.95/0.78 (calibration-normalized)
-    "embed_project_jl" -> 1.5, // r13f full-bench samples 0.15/0.11 (calibration-normalized)
-    "embed_quantize_binary" -> 1.5, // r13f full-bench samples 0.16/0.09 (calibration-normalized)
-    "embed_quantize_int8" -> 1.5, // r13f full-bench samples 0.27/0.17 (calibration-normalized)
+    "embed_knn_docs" -> 3.0, // r13f full-bench samples 0.88/0.73 (calibration-normalized) [raw 2.5x budget 2.3, raised to the 3 s metrology floor]
+    "embed_label_centroids" -> 3.0, // r13f full-bench samples 0.55/0.47 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "embed_pca_project" -> 3.0, // r13f full-bench samples 0.95/0.78 (calibration-normalized) [raw 2.5x budget 2.4, raised to the 3 s metrology floor]
+    "embed_project_jl" -> 3.0, // r13f full-bench samples 0.15/0.11 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "embed_quantize_binary" -> 3.0, // r13f full-bench samples 0.16/0.09 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "embed_quantize_int8" -> 3.0, // r13f full-bench samples 0.27/0.17 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "embed_tfidf" -> 3.5, // r13f full-bench samples 1.40/1.21 (calibration-normalized)
-    "embed_whiten_checksum" -> 1.5, // r13f full-bench samples 0.47/0.37 (calibration-normalized)
-    "eval_ann_recall" -> 1.5, // r13f full-bench samples 0.45/0.36 (calibration-normalized)
-    "eval_best_sim" -> 2.5, // r13f full-bench samples 0.99/0.77 (calibration-normalized)
-    "eval_best_sim_summary" -> 1.5, // r13f full-bench samples 0.43/0.41 (calibration-normalized)
-    "eval_binary_recall" -> 1.5, // r13f full-bench samples 0.37/0.30 (calibration-normalized)
+    "embed_whiten_checksum" -> 3.0, // r13f full-bench samples 0.47/0.37 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_ann_recall" -> 3.0, // r13f full-bench samples 0.45/0.36 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_best_sim" -> 3.0, // r13f full-bench samples 0.99/0.77 (calibration-normalized) [raw 2.5x budget 2.5, raised to the 3 s metrology floor]
+    "eval_best_sim_summary" -> 3.0, // r13f full-bench samples 0.43/0.41 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_binary_recall" -> 3.0, // r13f full-bench samples 0.37/0.30 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "eval_dedup_lsh" -> 5.6, // r13f full-bench samples 2.20/1.83 (calibration-normalized)
-    "eval_dedup_simhash" -> 2.1, // r13f full-bench samples 0.84/0.61 (calibration-normalized)
+    "eval_dedup_simhash" -> 3.0, // r13f full-bench samples 0.84/0.61 (calibration-normalized) [raw 2.5x budget 2.1, raised to the 3 s metrology floor]
     "eval_graph_hier_recall" -> 28.9, // r13f full-bench samples 11.55/9.10 (calibration-normalized)
-    "eval_graph_hops_curve" -> 1.5, // r13f full-bench samples 0.45/0.50 (calibration-normalized)
+    "eval_graph_hops_curve" -> 3.0, // r13f full-bench samples 0.45/0.50 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "eval_graph_recall" -> 20.2, // r13f full-bench samples 8.05/7.16 (calibration-normalized)
-    "eval_int8_recall" -> 2.0, // r13f full-bench samples 0.75/0.80 (calibration-normalized)
-    "eval_mrl_recall" -> 1.5, // r13f full-bench samples 0.21/0.45 (calibration-normalized)
-    "eval_multiprobe_recall" -> 1.5, // r13f full-bench samples 0.30/0.39 (calibration-normalized)
-    "eval_pca_recall" -> 1.5, // r13f full-bench samples 0.27/0.31 (calibration-normalized)
-    "eval_pq_recall" -> 1.5, // r13f full-bench samples 0.58/0.52 (calibration-normalized)
-    "eval_rank_metrics" -> 1.5, // r13f full-bench samples 0.34/0.34 (calibration-normalized)
-    "eval_rank_summary" -> 1.5, // r13f full-bench samples 0.27/0.25 (calibration-normalized)
+    "eval_int8_recall" -> 3.0, // r13f full-bench samples 0.75/0.80 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "eval_mrl_recall" -> 3.0, // r13f full-bench samples 0.21/0.45 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_multiprobe_recall" -> 3.0, // r13f full-bench samples 0.30/0.39 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_pca_recall" -> 3.0, // r13f full-bench samples 0.27/0.31 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_pq_recall" -> 3.0, // r13f full-bench samples 0.58/0.52 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_rank_metrics" -> 3.0, // r13f full-bench samples 0.34/0.34 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_rank_summary" -> 3.0, // r13f full-bench samples 0.27/0.25 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "eval_rank_tau" -> 3.2, // r13f full-bench samples 1.23/1.27 (calibration-normalized)
-    "eval_recall_bootstrap" -> 2.2, // r13f full-bench samples 0.84/0.78 (calibration-normalized)
-    "eval_recall_summary" -> 1.5, // r13f full-bench samples 0.25/0.23 (calibration-normalized)
-    "eval_sign_test" -> 1.5, // r13f full-bench samples 0.52/0.48 (calibration-normalized)
-    "eval_split_leakage_naive" -> 1.5, // r13f full-bench samples 0.34/0.32 (calibration-normalized)
-    "events_anomaly_days" -> 1.5, // r13f full-bench samples 0.60/0.56 (calibration-normalized)
-    "events_attribution" -> 1.5, // r13f full-bench samples 0.29/0.26 (calibration-normalized)
-    "events_concentration" -> 1.5, // r13f full-bench samples 0.24/0.23 (calibration-normalized)
-    "events_cusum_shift" -> 1.5, // r13f full-bench samples 0.47/0.47 (calibration-normalized)
+    "eval_recall_bootstrap" -> 3.0, // r13f full-bench samples 0.84/0.78 (calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
+    "eval_recall_summary" -> 3.0, // r13f full-bench samples 0.25/0.23 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_sign_test" -> 3.0, // r13f full-bench samples 0.52/0.48 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_split_leakage_naive" -> 3.0, // r13f full-bench samples 0.34/0.32 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_anomaly_days" -> 3.0, // r13f full-bench samples 0.60/0.56 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_attribution" -> 3.0, // r13f full-bench samples 0.29/0.26 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_concentration" -> 3.0, // r13f full-bench samples 0.24/0.23 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_cusum_shift" -> 3.0, // r13f full-bench samples 0.47/0.47 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "events_dau_wau" -> 3.0, // r13f full-bench samples 1.18/1.02 (calibration-normalized)
-    "events_debounce" -> 1.5, // r13f full-bench samples 0.24/0.24 (calibration-normalized)
-    "events_decayed_value" -> 1.5, // r13f full-bench samples 0.54/0.50 (calibration-normalized)
-    "events_enriched" -> 1.5, // r13f full-bench samples 0.23/0.24 (calibration-normalized)
-    "events_funnel" -> 1.5, // r13f full-bench samples 0.24/0.24 (calibration-normalized)
-    "events_funnel_timing" -> 1.5, // r13f full-bench samples 0.16/0.18 (calibration-normalized)
-    "events_gapfill" -> 1.5, // r13f full-bench samples 0.28/0.27 (calibration-normalized)
-    "events_holt_trend" -> 1.5, // r13f full-bench samples 0.31/0.36 (calibration-normalized)
-    "events_json_stats" -> 1.5, // r13f full-bench samples 0.15/0.13 (calibration-normalized)
-    "events_multitouch_credit" -> 1.5, // r13f full-bench samples 0.42/0.35 (calibration-normalized)
-    "events_retention" -> 2.1, // r13f full-bench samples 0.80/0.48 (calibration-normalized)
-    "events_rfm_segments" -> 1.5, // r13f full-bench samples 0.57/0.47 (calibration-normalized)
-    "events_rolling_stats" -> 1.5, // r13f full-bench samples 0.30/0.28 (calibration-normalized)
-    "events_session_dynamic" -> 1.9, // r13f full-bench samples 0.74/0.64 (calibration-normalized)
+    "events_debounce" -> 3.0, // r13f full-bench samples 0.24/0.24 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_decayed_value" -> 3.0, // r13f full-bench samples 0.54/0.50 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_enriched" -> 3.0, // r13f full-bench samples 0.23/0.24 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_funnel" -> 3.0, // r13f full-bench samples 0.24/0.24 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_funnel_timing" -> 3.0, // r13f full-bench samples 0.16/0.18 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_gapfill" -> 3.0, // r13f full-bench samples 0.28/0.27 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_holt_trend" -> 3.0, // r13f full-bench samples 0.31/0.36 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_json_stats" -> 3.0, // r13f full-bench samples 0.15/0.13 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_multitouch_credit" -> 3.0, // r13f full-bench samples 0.42/0.35 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_retention" -> 3.0, // r13f full-bench samples 0.80/0.48 (calibration-normalized) [raw 2.5x budget 2.1, raised to the 3 s metrology floor]
+    "events_rfm_segments" -> 3.0, // r13f full-bench samples 0.57/0.47 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_rolling_stats" -> 3.0, // r13f full-bench samples 0.30/0.28 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_session_dynamic" -> 3.0, // r13f full-bench samples 0.74/0.64 (calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
     "events_session_overlap" -> 6.4, // r13f full-bench samples 2.54/2.03 (calibration-normalized)
-    "events_session_stats" -> 1.9, // r13f full-bench samples 0.73/0.61 (calibration-normalized)
-    "events_session_windows" -> 1.5, // r13f full-bench samples 0.43/0.36 (calibration-normalized)
-    "events_sessionized" -> 1.5, // r13f full-bench samples 0.15/0.12 (calibration-normalized)
-    "events_sliding_windows" -> 1.5, // r13f full-bench samples 0.34/0.33 (calibration-normalized)
-    "events_top_paths" -> 2.0, // r13f full-bench samples 0.80/0.69 (calibration-normalized)
-    "events_transition_matrix" -> 1.5, // r13f full-bench samples 0.57/0.49 (calibration-normalized)
+    "events_session_stats" -> 3.0, // r13f full-bench samples 0.73/0.61 (calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
+    "events_session_windows" -> 3.0, // r13f full-bench samples 0.43/0.36 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_sessionized" -> 3.0, // r13f full-bench samples 0.15/0.12 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_sliding_windows" -> 3.0, // r13f full-bench samples 0.34/0.33 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "events_top_paths" -> 3.0, // r13f full-bench samples 0.80/0.69 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "events_transition_matrix" -> 3.0, // r13f full-bench samples 0.57/0.49 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "graph_index_append" -> 15.9, // r13f full-bench samples 6.35/5.20 (calibration-normalized)
-    "graph_index_compact" -> 1.5, // r13f full-bench samples 0.36/0.33 (calibration-normalized)
+    "graph_index_compact" -> 3.0, // r13f full-bench samples 0.36/0.33 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "hybrid_bm25_prf" -> 11.3, // r13f full-bench samples 4.49/4.07 (calibration-normalized)
     "hybrid_bm25_rrf" -> 3.1, // r13f full-bench samples 1.19/1.22 (calibration-normalized)
     "hybrid_bm25_topk" -> 8.6, // r13f full-bench samples 3.43/3.02 (calibration-normalized)
-    "hybrid_borda_topk" -> 2.4, // r13f full-bench samples 0.93/0.81 (calibration-normalized)
+    "hybrid_borda_topk" -> 3.0, // r13f full-bench samples 0.93/0.81 (calibration-normalized) [raw 2.5x budget 2.4, raised to the 3 s metrology floor]
     "hybrid_rrf_stopdrop" -> 3.9, // r13f full-bench samples 1.44/1.54 (calibration-normalized)
     "hybrid_rrf_topk" -> 3.9, // r13f full-bench samples 1.55/1.46 (calibration-normalized)
-    "io_csv_quoted_roundtrip" -> 1.5, // r13f full-bench samples 0.33/0.30 (calibration-normalized)
-    "io_jsonl_roundtrip" -> 1.5, // r13f full-bench samples 0.28/0.30 (calibration-normalized)
-    "io_npy_shard_roundtrip" -> 1.5, // r13f full-bench samples 0.53/0.50 (calibration-normalized)
-    "io_orc_roundtrip" -> 1.5, // r13f full-bench samples 0.29/0.29 (calibration-normalized)
-    "io_partitioned_roundtrip" -> 1.5, // r13f full-bench samples 0.47/0.36 (calibration-normalized)
-    "io_schema_evolution" -> 1.5, // r13f full-bench samples 0.47/0.45 (calibration-normalized)
-    "io_time_travel" -> 1.5, // r13f full-bench samples 0.56/0.59 (calibration-normalized)
-    "io_vacuum_retention" -> 1.5, // r13f full-bench samples 0.34/0.32 (calibration-normalized)
-    "io_wet_roundtrip" -> 1.5, // r13f full-bench samples 0.28/0.28 (calibration-normalized)
-    "ivf_ann_topk" -> 2.2, // r13f full-bench samples 0.85/0.71 (calibration-normalized)
+    "io_csv_quoted_roundtrip" -> 3.0, // r13f full-bench samples 0.33/0.30 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "io_jsonl_roundtrip" -> 3.0, // r13f full-bench samples 0.28/0.30 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "io_npy_shard_roundtrip" -> 3.0, // r13f full-bench samples 0.53/0.50 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "io_orc_roundtrip" -> 3.0, // r13f full-bench samples 0.29/0.29 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "io_partitioned_roundtrip" -> 3.0, // r13f full-bench samples 0.47/0.36 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "io_schema_evolution" -> 3.0, // r13f full-bench samples 0.47/0.45 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "io_time_travel" -> 3.0, // r13f full-bench samples 0.56/0.59 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "io_vacuum_retention" -> 3.0, // r13f full-bench samples 0.34/0.32 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "io_wet_roundtrip" -> 3.0, // r13f full-bench samples 0.28/0.28 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "ivf_ann_topk" -> 3.0, // r13f full-bench samples 0.85/0.71 (calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
     "ivf_auto_probe" -> 5.0, // r13f full-bench samples 1.97/1.83 (calibration-normalized)
-    "ivf_balance" -> 1.5, // r13f full-bench samples 0.23/0.23 (calibration-normalized)
-    "ivf_drift_summary" -> 1.5, // r13f full-bench samples 0.51/0.41 (calibration-normalized)
+    "ivf_balance" -> 3.0, // r13f full-bench samples 0.23/0.23 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "ivf_drift_summary" -> 3.0, // r13f full-bench samples 0.51/0.41 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "ivf_kmeans_recall" -> 4.0, // r13f full-bench samples 1.56/1.52 (calibration-normalized)
-    "ivf_probe_all_exact" -> 2.0, // r13f full-bench samples 0.77/0.67 (calibration-normalized)
-    "ivf_probe_curve" -> 1.5, // r13f full-bench samples 0.11/0.09 (calibration-normalized)
-    "ivf_recall_summary" -> 1.5, // r13f full-bench samples 0.30/0.27 (calibration-normalized)
+    "ivf_probe_all_exact" -> 3.0, // r13f full-bench samples 0.77/0.67 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "ivf_probe_curve" -> 3.0, // r13f full-bench samples 0.11/0.09 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "ivf_recall_summary" -> 3.0, // r13f full-bench samples 0.30/0.27 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "ivfpq_ann_topk" -> 3.5, // r13f full-bench samples 1.31/1.38 (calibration-normalized)
     "ivfpq_appended_topk" -> 5.5, // r13f full-bench samples 2.17/2.15 (calibration-normalized)
     "ivfpq_kmeans_recall" -> 19.4, // r13f full-bench samples 7.12/7.75 (calibration-normalized)
-    "ivfpq_stored_topk" -> 2.0, // r13f full-bench samples 0.55/0.78 (calibration-normalized)
-    "join_anti_unshipped_parts" -> 1.5, // r13f full-bench samples 0.29/0.32 (calibration-normalized)
-    "join_asof_purchase_click" -> 1.5, // r13f full-bench samples 0.16/0.21 (calibration-normalized)
-    "join_bloom_pruned" -> 1.9, // r13f full-bench samples 0.66/0.75 (calibration-normalized)
+    "ivfpq_stored_topk" -> 3.0, // r13f full-bench samples 0.55/0.78 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "join_anti_unshipped_parts" -> 3.0, // r13f full-bench samples 0.29/0.32 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "join_asof_purchase_click" -> 3.0, // r13f full-bench samples 0.16/0.21 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "join_bloom_pruned" -> 3.0, // r13f full-bench samples 0.66/0.75 (calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
     "join_bucketed_build" -> 6.3, // r13f full-bench samples 2.49/2.22 (calibration-normalized)
-    "join_bucketed_colocated" -> 1.6, // r13f full-bench samples 0.56/0.63 (calibration-normalized)
-    "join_dpp_pruned" -> 1.5, // r13f full-bench samples 0.41/0.48 (calibration-normalized)
-    "join_outer_nation_counts" -> 1.5, // r13f full-bench samples 0.35/0.38 (calibration-normalized)
-    "join_range_followup_orders" -> 1.5, // r13f full-bench samples 0.51/0.57 (calibration-normalized)
-    "join_semi_urgent_customers" -> 1.5, // r13f full-bench samples 0.23/0.28 (calibration-normalized)
-    "join_skew_salted" -> 1.8, // r13f full-bench samples 0.70/0.67 (calibration-normalized)
-    "knn_cosine_topk" -> 1.5, // r13f full-bench samples 0.56/0.55 (calibration-normalized)
-    "knn_dedup_label_topk" -> 2.1, // r13f full-bench samples 0.82/0.68 (calibration-normalized)
-    "knn_filtered_topk" -> 2.0, // r13f full-bench samples 0.32/0.78 (calibration-normalized)
-    "knn_graph_hier_topk" -> 1.5, // r13f full-bench samples 0.41/0.49 (calibration-normalized)
+    "join_bucketed_colocated" -> 3.0, // r13f full-bench samples 0.56/0.63 (calibration-normalized) [raw 2.5x budget 1.6, raised to the 3 s metrology floor]
+    "join_dpp_pruned" -> 3.0, // r13f full-bench samples 0.41/0.48 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "join_outer_nation_counts" -> 3.0, // r13f full-bench samples 0.35/0.38 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "join_range_followup_orders" -> 3.0, // r13f full-bench samples 0.51/0.57 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "join_semi_urgent_customers" -> 3.0, // r13f full-bench samples 0.23/0.28 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "join_skew_salted" -> 3.0, // r13f full-bench samples 0.70/0.67 (calibration-normalized) [raw 2.5x budget 1.8, raised to the 3 s metrology floor]
+    "knn_cosine_topk" -> 3.0, // r13f full-bench samples 0.56/0.55 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "knn_dedup_label_topk" -> 3.0, // r13f full-bench samples 0.82/0.68 (calibration-normalized) [raw 2.5x budget 2.1, raised to the 3 s metrology floor]
+    "knn_filtered_topk" -> 3.0, // r13f full-bench samples 0.32/0.78 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "knn_graph_hier_topk" -> 3.0, // r13f full-bench samples 0.41/0.49 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "knn_graph_stored_topk" -> 15.5, // r13f full-bench samples 5.93/6.19 (calibration-normalized)
-    "knn_graph_topk" -> 1.5, // r13f full-bench samples 0.52/0.56 (calibration-normalized)
-    "knn_hamming_refine" -> 1.5, // r13f full-bench samples 0.57/0.52 (calibration-normalized)
-    "knn_hamming_topk" -> 1.5, // r13f full-bench samples 0.32/0.37 (calibration-normalized)
-    "knn_int8_adc" -> 1.5, // r13f full-bench samples 0.41/0.59 (calibration-normalized)
-    "knn_ip_topk" -> 1.5, // r13f full-bench samples 0.46/0.45 (calibration-normalized)
-    "knn_l2_topk" -> 1.5, // r13f full-bench samples 0.49/0.42 (calibration-normalized)
+    "knn_graph_topk" -> 3.0, // r13f full-bench samples 0.52/0.56 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "knn_hamming_refine" -> 3.0, // r13f full-bench samples 0.57/0.52 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "knn_hamming_topk" -> 3.0, // r13f full-bench samples 0.32/0.37 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "knn_int8_adc" -> 3.0, // r13f full-bench samples 0.41/0.59 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "knn_ip_topk" -> 3.0, // r13f full-bench samples 0.46/0.45 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "knn_l2_topk" -> 3.0, // r13f full-bench samples 0.49/0.42 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "knn_mmr_diverse" -> 9.6, // r13f full-bench samples 3.15/3.82 (calibration-normalized)
     "knn_mmr_lambda1" -> 7.7, // r13f full-bench samples 2.60/3.08 (calibration-normalized)
-    "knn_mrl_topk" -> 1.5, // r13f full-bench samples 0.41/0.58 (calibration-normalized)
-    "knn_radius_cosine" -> 1.5, // r13f full-bench samples 0.22/0.28 (calibration-normalized)
-    "layout_compaction_plan" -> 1.5, // r13f full-bench samples 0.12/0.16 (calibration-normalized)
+    "knn_mrl_topk" -> 3.0, // r13f full-bench samples 0.41/0.58 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "knn_radius_cosine" -> 3.0, // r13f full-bench samples 0.22/0.28 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "layout_compaction_plan" -> 3.0, // r13f full-bench samples 0.12/0.16 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "layout_zonemap_prune" -> 6.1, // r13f full-bench samples 2.16/2.42 (calibration-normalized)
-    "layout_zorder" -> 2.0, // r13f full-bench samples 0.70/0.76 (calibration-normalized)
+    "layout_zorder" -> 3.0, // r13f full-bench samples 0.70/0.76 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
     "lsh_ann_appended_topk" -> 3.7, // r13f full-bench samples 1.48/1.37 (calibration-normalized)
-    "lsh_ann_stored_topk" -> 1.5, // r13f full-bench samples 0.49/0.53 (calibration-normalized)
-    "lsh_ann_topk" -> 2.0, // r13f full-bench samples 0.77/0.73 (calibration-normalized)
-    "lsh_index_append" -> 1.5, // r13f full-bench samples 0.14/0.13 (calibration-normalized)
-    "lsh_index_build" -> 2.2, // r13f full-bench samples 0.85/0.69 (calibration-normalized)
-    "lsh_index_compact" -> 1.5, // r13f full-bench samples 0.36/0.35 (calibration-normalized)
-    "lsh_multiprobe_topk" -> 1.7, // r13f full-bench samples 0.61/0.67 (calibration-normalized)
-    "media_audio_features" -> 1.5, // r13f full-bench samples 0.24/0.18 (calibration-normalized)
-    "media_frame_sample" -> 1.5, // r13f full-bench samples 0.15/0.13 (calibration-normalized)
-    "media_image_features" -> 1.5, // r13f full-bench samples 0.13/0.11 (calibration-normalized)
-    "media_meta" -> 1.5, // r13f full-bench samples 0.10/0.11 (calibration-normalized)
-    "media_phash_dedup" -> 1.5, // r13f full-bench samples 0.17/0.16 (calibration-normalized)
-    "media_resize" -> 1.5, // r13f full-bench samples 0.10/0.09 (calibration-normalized)
-    "media_video_meta" -> 1.5, // r13f full-bench samples 0.24/0.20 (calibration-normalized)
-    "merge_delete_docs" -> 1.5, // r13f full-bench samples 0.18/0.17 (calibration-normalized)
-    "merge_scd2_history" -> 1.9, // r13f full-bench samples 0.75/0.69 (calibration-normalized)
-    "merge_upsert_docs" -> 1.5, // r13f full-bench samples 0.27/0.27 (calibration-normalized)
-    "mine_hard_negatives" -> 1.5, // r13f full-bench samples 0.55/0.48 (calibration-normalized)
-    "pca_axis_drift" -> 2.0, // r13f full-bench samples 0.78/0.78 (calibration-normalized)
-    "pipeline_crawl_ingest" -> 2.8, // r13f full-bench samples 1.12/0.96 (calibration-normalized)
+    "lsh_ann_stored_topk" -> 3.0, // r13f full-bench samples 0.49/0.53 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "lsh_ann_topk" -> 3.0, // r13f full-bench samples 0.77/0.73 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "lsh_index_append" -> 3.0, // r13f full-bench samples 0.14/0.13 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "lsh_index_build" -> 3.0, // r13f full-bench samples 0.85/0.69 (calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
+    "lsh_index_compact" -> 3.0, // r13f full-bench samples 0.36/0.35 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "lsh_multiprobe_topk" -> 3.0, // r13f full-bench samples 0.61/0.67 (calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
+    "media_audio_features" -> 3.0, // r13f full-bench samples 0.24/0.18 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "media_frame_sample" -> 3.0, // r13f full-bench samples 0.15/0.13 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "media_image_features" -> 3.0, // r13f full-bench samples 0.13/0.11 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "media_meta" -> 3.0, // r13f full-bench samples 0.10/0.11 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "media_phash_dedup" -> 3.0, // r13f full-bench samples 0.17/0.16 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "media_resize" -> 3.0, // r13f full-bench samples 0.10/0.09 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "media_video_meta" -> 3.0, // r13f full-bench samples 0.24/0.20 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "merge_delete_docs" -> 3.0, // r13f full-bench samples 0.18/0.17 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "merge_scd2_history" -> 3.0, // r13f full-bench samples 0.75/0.69 (calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
+    "merge_upsert_docs" -> 3.0, // r13f full-bench samples 0.27/0.27 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "mine_hard_negatives" -> 3.0, // r13f full-bench samples 0.55/0.48 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "pca_axis_drift" -> 3.0, // r13f full-bench samples 0.78/0.78 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "pipeline_crawl_ingest" -> 3.0, // r13f full-bench samples 1.12/0.96 (calibration-normalized) [raw 2.5x budget 2.8, raised to the 3 s metrology floor]
     "pipeline_dsir_select" -> 14.8, // r13f full-bench samples 5.89/4.90 (calibration-normalized)
     "pipeline_entity_resolution" -> 4.9, // r13f full-bench samples 1.95/1.74 (calibration-normalized)
-    "pipeline_eval_set" -> 2.4, // r13f full-bench samples 0.84/0.96 (calibration-normalized)
+    "pipeline_eval_set" -> 3.0, // r13f full-bench samples 0.84/0.96 (calibration-normalized) [raw 2.5x budget 2.4, raised to the 3 s metrology floor]
     "pipeline_retrieval_stack" -> 16.9, // r13f full-bench samples 5.92/6.75 (calibration-normalized)
     "pipeline_skills_for_jobs" -> 12.7, // r13f full-bench samples 5.05/4.75 (calibration-normalized)
-    "pipeline_tokenizer_train" -> 1.5, // r13f full-bench samples 0.43/0.35 (calibration-normalized)
+    "pipeline_tokenizer_train" -> 3.0, // r13f full-bench samples 0.43/0.35 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "pipeline_training_data" -> 20.0, // r13f full-bench samples 6.75/7.96 (calibration-normalized)
-    "pq_ann_stored_topk" -> 1.9, // r13f full-bench samples 0.61/0.73 (calibration-normalized)
+    "pq_ann_stored_topk" -> 3.0, // r13f full-bench samples 0.61/0.73 (calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
     "pq_ann_topk" -> 6.2, // r13f full-bench samples 1.32/2.47 (calibration-normalized)
-    "pq_drift_summary" -> 1.5, // r13f full-bench samples 0.32/0.32 (calibration-normalized)
-    "pq_index_append" -> 1.5, // r13f full-bench samples 0.08/0.06 (calibration-normalized)
+    "pq_drift_summary" -> 3.0, // r13f full-bench samples 0.32/0.32 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "pq_index_append" -> 3.0, // r13f full-bench samples 0.08/0.06 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "pq_index_build" -> 4.4, // r13f full-bench samples 1.72/1.39 (calibration-normalized)
-    "pq_index_compact" -> 1.5, // r13f full-bench samples 0.39/0.37 (calibration-normalized)
-    "pq_kmeans_recall" -> 1.5, // r13f full-bench samples 0.46/0.48 (calibration-normalized)
+    "pq_index_compact" -> 3.0, // r13f full-bench samples 0.39/0.37 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "pq_kmeans_recall" -> 3.0, // r13f full-bench samples 0.46/0.48 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "pq_opq_recall" -> 4.0, // r13f full-bench samples 1.54/1.59 (calibration-normalized)
     "pq_refine_topk" -> 4.0, // r13f full-bench samples 1.52/1.56 (calibration-normalized)
-    "profile_benford" -> 1.5, // r13f full-bench samples 0.36/0.39 (calibration-normalized)
-    "profile_column_corr" -> 1.5, // r13f full-bench samples 0.23/0.28 (calibration-normalized)
-    "profile_corpus_drift" -> 1.5, // r13f full-bench samples 0.36/0.37 (calibration-normalized)
-    "profile_cov_append" -> 1.5, // r13f full-bench samples 0.42/0.48 (calibration-normalized)
-    "profile_drift_tokens" -> 1.5, // r13f full-bench samples 0.45/0.60 (calibration-normalized)
-    "profile_embedding_cov" -> 1.5, // r13f full-bench samples 0.07/0.10 (calibration-normalized)
-    "profile_embedding_dims" -> 1.5, // r13f full-bench samples 0.20/0.22 (calibration-normalized)
-    "profile_expectations" -> 1.9, // r13f full-bench samples 0.76/0.51 (calibration-normalized)
-    "profile_freshness" -> 1.5, // r13f full-bench samples 0.54/0.22 (calibration-normalized)
+    "profile_benford" -> 3.0, // r13f full-bench samples 0.36/0.39 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_column_corr" -> 3.0, // r13f full-bench samples 0.23/0.28 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_corpus_drift" -> 3.0, // r13f full-bench samples 0.36/0.37 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_cov_append" -> 3.0, // r13f full-bench samples 0.42/0.48 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_drift_tokens" -> 3.0, // r13f full-bench samples 0.45/0.60 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_embedding_cov" -> 3.0, // r13f full-bench samples 0.07/0.10 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_embedding_dims" -> 3.0, // r13f full-bench samples 0.20/0.22 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_expectations" -> 3.0, // r13f full-bench samples 0.76/0.51 (calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
+    "profile_freshness" -> 3.0, // r13f full-bench samples 0.54/0.22 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "profile_join_size" -> 3.8, // r13f full-bench samples 1.49/0.81 (calibration-normalized)
-    "profile_lineitem_numeric" -> 1.5, // r13f full-bench samples 0.18/0.19 (calibration-normalized)
-    "profile_orders_histogram" -> 1.5, // r13f full-bench samples 0.59/0.51 (calibration-normalized)
-    "profile_sketch_gate" -> 1.5, // r13f full-bench samples 0.28/0.26 (calibration-normalized)
+    "profile_lineitem_numeric" -> 3.0, // r13f full-bench samples 0.18/0.19 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_orders_histogram" -> 3.0, // r13f full-bench samples 0.59/0.51 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_sketch_gate" -> 3.0, // r13f full-bench samples 0.28/0.26 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "rank_knn_degree_hist" -> 15.6, // r13f full-bench samples 6.19/6.23 (calibration-normalized)
-    "rank_knn_graph_summary" -> 1.5, // r13f full-bench samples 0.41/0.36 (calibration-normalized)
+    "rank_knn_graph_summary" -> 3.0, // r13f full-bench samples 0.41/0.36 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "rank_knn_hits" -> 6.6, // r13f full-bench samples 2.61/2.52 (calibration-normalized)
     "rank_knn_kcore" -> 10.8, // r13f full-bench samples 4.29/4.09 (calibration-normalized)
     "rank_knn_label_prop" -> 5.9, // r13f full-bench samples 2.35/2.02 (calibration-normalized)
     "rank_knn_link_pred" -> 5.2, // r13f full-bench samples 2.07/1.97 (calibration-normalized)
     "rank_knn_pagerank" -> 5.4, // r13f full-bench samples 2.12/2.06 (calibration-normalized)
     "rank_knn_ppr" -> 5.5, // r13f full-bench samples 1.84/2.17 (calibration-normalized)
-    "rank_knn_triangles" -> 2.2, // r13f full-bench samples 0.81/0.87 (calibration-normalized)
+    "rank_knn_triangles" -> 3.0, // r13f full-bench samples 0.81/0.87 (calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
     "rel_basket_pairs" -> 5.0, // r13f full-bench samples 1.70/1.96 (calibration-normalized)
-    "rel_cube_flags" -> 1.5, // r13f full-bench samples 0.50/0.47 (calibration-normalized)
-    "rel_events_hourly" -> 1.5, // r13f full-bench samples 0.28/0.29 (calibration-normalized)
-    "rel_grouping_sets" -> 1.5, // r13f full-bench samples 0.34/0.41 (calibration-normalized)
+    "rel_cube_flags" -> 3.0, // r13f full-bench samples 0.50/0.47 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_events_hourly" -> 3.0, // r13f full-bench samples 0.28/0.29 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_grouping_sets" -> 3.0, // r13f full-bench samples 0.34/0.41 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "rel_nation_trade_volume" -> 3.2, // r13f full-bench samples 1.06/1.27 (calibration-normalized)
-    "rel_nations_both" -> 1.5, // r13f full-bench samples 0.42/0.47 (calibration-normalized)
-    "rel_order_deciles" -> 1.5, // r13f full-bench samples 0.42/0.52 (calibration-normalized)
-    "rel_part_name_edits" -> 1.5, // r13f full-bench samples 0.16/0.17 (calibration-normalized)
-    "rel_pricing_summary" -> 1.5, // r13f full-bench samples 0.36/0.33 (calibration-normalized)
-    "rel_priority_stats" -> 1.5, // r13f full-bench samples 0.21/0.24 (calibration-normalized)
-    "rel_region_revenue" -> 1.5, // r13f full-bench samples 0.46/0.51 (calibration-normalized)
-    "rel_rollup_flags" -> 1.5, // r13f full-bench samples 0.35/0.37 (calibration-normalized)
-    "rel_running_revenue" -> 1.5, // r13f full-bench samples 0.12/0.13 (calibration-normalized)
-    "rel_small_quantity_revenue" -> 1.8, // r13f full-bench samples 0.60/0.71 (calibration-normalized)
-    "rel_top20_parts" -> 1.5, // r13f full-bench samples 0.12/0.15 (calibration-normalized)
-    "rel_top_orders_per_cust" -> 1.5, // r13f full-bench samples 0.42/0.50 (calibration-normalized)
-    "rel_unpivot_measures" -> 1.5, // r13f full-bench samples 0.37/0.47 (calibration-normalized)
-    "rel_urgent_only_customers" -> 1.8, // r13f full-bench samples 0.72/0.59 (calibration-normalized)
+    "rel_nations_both" -> 3.0, // r13f full-bench samples 0.42/0.47 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_order_deciles" -> 3.0, // r13f full-bench samples 0.42/0.52 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_part_name_edits" -> 3.0, // r13f full-bench samples 0.16/0.17 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_pricing_summary" -> 3.0, // r13f full-bench samples 0.36/0.33 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_priority_stats" -> 3.0, // r13f full-bench samples 0.21/0.24 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_region_revenue" -> 3.0, // r13f full-bench samples 0.46/0.51 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_rollup_flags" -> 3.0, // r13f full-bench samples 0.35/0.37 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_running_revenue" -> 3.0, // r13f full-bench samples 0.12/0.13 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_small_quantity_revenue" -> 3.0, // r13f full-bench samples 0.60/0.71 (calibration-normalized) [raw 2.5x budget 1.8, raised to the 3 s metrology floor]
+    "rel_top20_parts" -> 3.0, // r13f full-bench samples 0.12/0.15 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_top_orders_per_cust" -> 3.0, // r13f full-bench samples 0.42/0.50 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_unpivot_measures" -> 3.0, // r13f full-bench samples 0.37/0.47 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_urgent_only_customers" -> 3.0, // r13f full-bench samples 0.72/0.59 (calibration-normalized) [raw 2.5x budget 1.8, raised to the 3 s metrology floor]
     "rel_waiting_orders" -> 3.8, // r13f full-bench samples 1.28/1.50 (calibration-normalized)
-    "rel_window_rank_suite" -> 1.5, // r13f full-bench samples 0.14/0.12 (calibration-normalized)
-    "rel_winsorized_prices" -> 1.5, // r13f full-bench samples 0.14/0.20 (calibration-normalized)
-    "report_dataset_card" -> 1.7, // r13f full-bench samples 0.48/0.66 (calibration-normalized)
-    "report_job_skills_pivot" -> 1.9, // r13f full-bench samples 0.74/0.65 (calibration-normalized)
-    "report_source_quality" -> 1.5, // r13f full-bench samples 0.13/0.13 (calibration-normalized)
-    "sample_bottomk_merge" -> 1.5, // r13f full-bench samples 0.37/0.41 (calibration-normalized)
-    "sample_docs_curriculum" -> 1.5, // r13f full-bench samples 0.12/0.14 (calibration-normalized)
-    "sample_docs_hash" -> 1.5, // r13f full-bench samples 0.12/0.14 (calibration-normalized)
-    "sample_docs_shuffle" -> 1.5, // r13f full-bench samples 0.10/0.10 (calibration-normalized)
-    "sample_docs_split" -> 1.5, // r13f full-bench samples 0.10/0.09 (calibration-normalized)
-    "sample_docs_stratified" -> 1.5, // r13f full-bench samples 0.24/0.24 (calibration-normalized)
-    "sample_docs_weighted" -> 1.5, // r13f full-bench samples 0.31/0.29 (calibration-normalized)
-    "sample_epoch_plan" -> 1.5, // r13f full-bench samples 0.36/0.38 (calibration-normalized)
-    "sample_length_buckets" -> 1.5, // r13f full-bench samples 0.29/0.30 (calibration-normalized)
-    "sample_mixture_temperature" -> 1.6, // r13f full-bench samples 0.64/0.60 (calibration-normalized)
-    "sample_split_dedup_aware" -> 1.5, // r13f full-bench samples 0.42/0.36 (calibration-normalized)
-    "sample_token_budget" -> 2.2, // r13f full-bench samples 0.88/0.65 (calibration-normalized)
+    "rel_window_rank_suite" -> 3.0, // r13f full-bench samples 0.14/0.12 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "rel_winsorized_prices" -> 3.0, // r13f full-bench samples 0.14/0.20 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "report_dataset_card" -> 3.0, // r13f full-bench samples 0.48/0.66 (calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
+    "report_job_skills_pivot" -> 3.0, // r13f full-bench samples 0.74/0.65 (calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
+    "report_source_quality" -> 3.0, // r13f full-bench samples 0.13/0.13 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_bottomk_merge" -> 3.0, // r13f full-bench samples 0.37/0.41 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_docs_curriculum" -> 3.0, // r13f full-bench samples 0.12/0.14 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_docs_hash" -> 3.0, // r13f full-bench samples 0.12/0.14 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_docs_shuffle" -> 3.0, // r13f full-bench samples 0.10/0.10 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_docs_split" -> 3.0, // r13f full-bench samples 0.10/0.09 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_docs_stratified" -> 3.0, // r13f full-bench samples 0.24/0.24 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_docs_weighted" -> 3.0, // r13f full-bench samples 0.31/0.29 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_epoch_plan" -> 3.0, // r13f full-bench samples 0.36/0.38 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_length_buckets" -> 3.0, // r13f full-bench samples 0.29/0.30 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_mixture_temperature" -> 3.0, // r13f full-bench samples 0.64/0.60 (calibration-normalized) [raw 2.5x budget 1.6, raised to the 3 s metrology floor]
+    "sample_split_dedup_aware" -> 3.0, // r13f full-bench samples 0.42/0.36 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "sample_token_budget" -> 3.0, // r13f full-bench samples 0.88/0.65 (calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
     "select_dsir_sample" -> 10.0, // r13f full-bench samples 4.00/3.80 (calibration-normalized)
-    "select_dsir_weights" -> 1.5, // r13f full-bench samples 0.22/0.27 (calibration-normalized)
+    "select_dsir_weights" -> 3.0, // r13f full-bench samples 0.22/0.27 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "select_nb_calibrated" -> 3.7, // r13f full-bench samples 1.47/1.21 (calibration-normalized)
-    "select_nb_confusion" -> 1.5, // r13f full-bench samples 0.32/0.23 (calibration-normalized)
-    "select_nb_quality" -> 1.5, // r13f full-bench samples 0.42/0.20 (calibration-normalized)
+    "select_nb_confusion" -> 3.0, // r13f full-bench samples 0.32/0.23 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "select_nb_quality" -> 3.0, // r13f full-bench samples 0.42/0.20 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "select_nb_reliability" -> 5.7, // r13f full-bench samples 2.28/1.00 (calibration-normalized)
     "sql_knn_topk" -> 3.1, // r13f full-bench samples 1.21/0.54 (calibration-normalized)
-    "sql_text_pipeline" -> 1.5, // r13f full-bench samples 0.46/0.18 (calibration-normalized)
+    "sql_text_pipeline" -> 3.0, // r13f full-bench samples 0.46/0.18 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "text_bigram_logprob" -> 5.0, // r13f full-bench samples 1.97/1.29 (calibration-normalized)
-    "text_bpe_encode" -> 1.5, // r13f full-bench samples 0.50/0.41 (calibration-normalized)
+    "text_bpe_encode" -> 3.0, // r13f full-bench samples 0.50/0.41 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "text_bpe_merges" -> 3.0, // r13f full-bench samples 1.18/0.92 (calibration-normalized)
-    "text_bpe_stored_encode" -> 1.5, // r13f full-bench samples 0.51/0.59 (calibration-normalized)
-    "text_chunk_windows" -> 1.5, // r13f full-bench samples 0.25/0.24 (calibration-normalized)
-    "text_cms_heavyhitters" -> 2.0, // r13f full-bench samples 0.78/0.63 (calibration-normalized)
-    "text_collocations" -> 2.0, // r13f full-bench samples 0.76/0.65 (calibration-normalized)
-    "text_fertility_by_lang" -> 1.5, // r13f full-bench samples 0.25/0.21 (calibration-normalized)
-    "text_fingerprint" -> 1.5, // r13f full-bench samples 0.12/0.11 (calibration-normalized)
-    "text_heaps_law" -> 2.2, // r13f full-bench samples 0.85/0.82 (calibration-normalized)
+    "text_bpe_stored_encode" -> 3.0, // r13f full-bench samples 0.51/0.59 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_chunk_windows" -> 3.0, // r13f full-bench samples 0.25/0.24 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_cms_heavyhitters" -> 3.0, // r13f full-bench samples 0.78/0.63 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "text_collocations" -> 3.0, // r13f full-bench samples 0.76/0.65 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "text_fertility_by_lang" -> 3.0, // r13f full-bench samples 0.25/0.21 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_fingerprint" -> 3.0, // r13f full-bench samples 0.12/0.11 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_heaps_law" -> 3.0, // r13f full-bench samples 0.85/0.82 (calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
     "text_keywords_tfidf" -> 4.0, // r13f full-bench samples 1.60/1.38 (calibration-normalized)
-    "text_lang_confusion" -> 1.5, // r13f full-bench samples 0.48/0.44 (calibration-normalized)
-    "text_lang_id" -> 1.5, // r13f full-bench samples 0.12/0.09 (calibration-normalized)
-    "text_ngram_novelty" -> 1.5, // r13f full-bench samples 0.51/0.44 (calibration-normalized)
-    "text_pack_shards" -> 1.5, // r13f full-bench samples 0.12/0.10 (calibration-normalized)
-    "text_phrase_match" -> 1.5, // r13f full-bench samples 0.15/0.11 (calibration-normalized)
-    "text_quality" -> 1.5, // r13f full-bench samples 0.11/0.10 (calibration-normalized)
-    "text_stats" -> 1.5, // r13f full-bench samples 0.11/0.10 (calibration-normalized)
+    "text_lang_confusion" -> 3.0, // r13f full-bench samples 0.48/0.44 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_lang_id" -> 3.0, // r13f full-bench samples 0.12/0.09 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_ngram_novelty" -> 3.0, // r13f full-bench samples 0.51/0.44 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_pack_shards" -> 3.0, // r13f full-bench samples 0.12/0.10 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_phrase_match" -> 3.0, // r13f full-bench samples 0.15/0.11 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_quality" -> 3.0, // r13f full-bench samples 0.11/0.10 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_stats" -> 3.0, // r13f full-bench samples 0.11/0.10 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "text_textrank_keywords" -> 5.4, // r13f full-bench samples 2.12/1.70 (calibration-normalized)
-    "text_top_ngrams" -> 2.1, // r13f full-bench samples 0.81/0.62 (calibration-normalized)
-    "text_unigram_logprob" -> 2.3, // r13f full-bench samples 0.72/0.91 (calibration-normalized)
-    "text_vocab_coverage" -> 1.5, // r13f full-bench samples 0.35/0.32 (calibration-normalized)
-    "text_zipf_slope" -> 1.5, // r13f full-bench samples 0.25/0.22 (calibration-normalized)
-    "vec_scalar_pairs" -> 1.5, // r13f full-bench samples 0.18/0.16 (calibration-normalized)
-    "vec_text_roundtrip" -> 1.5, // r13f full-bench samples 0.12/0.10 (calibration-normalized)
+    "text_top_ngrams" -> 3.0, // r13f full-bench samples 0.81/0.62 (calibration-normalized) [raw 2.5x budget 2.1, raised to the 3 s metrology floor]
+    "text_unigram_logprob" -> 3.0, // r13f full-bench samples 0.72/0.91 (calibration-normalized) [raw 2.5x budget 2.3, raised to the 3 s metrology floor]
+    "text_vocab_coverage" -> 3.0, // r13f full-bench samples 0.35/0.32 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "text_zipf_slope" -> 3.0, // r13f full-bench samples 0.25/0.22 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "vec_scalar_pairs" -> 3.0, // r13f full-bench samples 0.18/0.16 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "vec_text_roundtrip" -> 3.0, // r13f full-bench samples 0.12/0.10 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
   )
 }

@@ -4,10 +4,14 @@
 Usage: python3 tools/budgets.py <bench_a.log> <bench_b.log> [round_tag]
 Reads the per_query + total JSON lines from each log, normalizes every
 sample by that run's calibration factor, and prints the Scala map body:
-budget = max(1.5, ceil10(2.5 * max(a, b))) with both samples cited —
+budget = max(FLOOR, ceil10(2.5 * max(a, b))) with both samples cited —
 the stated two-full-board-sample policy (VERDICT r7 "what's wrong" #3).
+FLOOR = 3.0 (Budgets.Floor): sub-second-sample queries measure scheduler
+noise, not plans, below it (VERDICT r8 "next round" #1a).
 """
 import json, math, sys
+
+FLOOR = 3.0  # keep in sync with graft.Budgets.Floor
 
 def load(path):
     per, factor = None, None
@@ -31,8 +35,11 @@ print(f"  // factors: a={fa} b={fb}"
       + (f"; single-sample (landed between runs): {only_one}" if only_one else ""))
 for q in sorted(set(a) | set(b)):
     samples = [s[q] for s in (a, b) if q in s]
-    budget = max(1.5, math.ceil(2.5 * max(samples) * 10) / 10)
+    raw = math.ceil(2.5 * max(samples) * 10) / 10
+    budget = max(FLOOR, raw)
     cite = "/".join(f"{s:.2f}" for s in samples)
     note = "" if len(samples) == 2 else " — ONE sample, re-sample next round"
+    floor = (f" [raw 2.5x budget {raw}, raised to the 3 s metrology floor]"
+             if raw < FLOOR else "")
     print(f'    "{q}" -> {budget}, // {tag} full-bench samples '
-          f'{cite} (calibration-normalized){note}')
+          f'{cite} (calibration-normalized){note}{floor}')
