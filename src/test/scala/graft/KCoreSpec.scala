@@ -41,6 +41,23 @@ class KCoreSpec extends SparkSpec {
       r.getAs[Long]("core") === r.getAs[Long]("prev_core")))
   }
 
+  test("early exit: rounds are data-dependent, never the cap, and the " +
+      "result equals the capped form's") {
+    // 5-cycle: c0 = degree 2 everywhere = coreness — converged after ONE
+    // verification round, so a 10-round cap must run far fewer.
+    val cyc = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    val (cdf, crounds) = KCore.corenessWithRounds(cyc, 10)
+    assert(crounds < 10 && crounds >= 1, s"rounds=$crounds")
+    assert(cdf.collect().forall(_.getAs[Long]("core") == 2L))
+    // path graph: needs real peeling rounds but still exits before an
+    // absurd cap, with values identical to a tight cap's fixpoint.
+    val path = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val (pdf, prounds) = KCore.corenessWithRounds(path, 100)
+    assert(prounds < 100, s"rounds=$prounds")
+    assert(pdf.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("core")))
+      .toMap === coreMap(path, 8))
+  }
+
   test("SQL emitter emits the round structure; operator yields the known " +
       "K4-with-tail histogram (the emitter's SEMANTICS are pinned by the " +
       "rank_knn_kcore oracle gate, which executes it in DuckDB)") {
