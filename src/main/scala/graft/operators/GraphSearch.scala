@@ -157,38 +157,131 @@ object GraphSearch {
     * (the edge list is fully determined by them given the corpus). */
   def graphFingerprint(k: Int): String = s"knngraph|cosine|$k"
 
+  /** The ANN-built layout's identity: the IVF model that generated the
+    * build candidates and the probe width join degree + metric — an
+    * append against a different quantizer or probe budget is a different
+    * graph and must rebuild, exactly the [[IvfIndex.append]] invariant. */
+  def graphAnnFingerprint(k: Int, model: IvfIndex.Model, nProbe: Int,
+      metric: Metric): String =
+    s"knngraph-ann|$metric|$k|${IvfIndex.modelFingerprint(model, metric)}|p$nProbe"
+
+  /** ANN-candidate DIRECTED top-`k` edge build — the scale replacement
+    * for [[PageRank.directedKnnEdges]]'s brute construction (the r8
+    * verdict's one remaining quadratic-compute maintenance path):
+    * candidates for each node are the corpus vectors sharing one of its
+    * `nProbe` nearest IVF lists ([[IvfIndex.probeAssign]], a zero-shuffle
+    * literal-centroid projection), exact-scored and bounded-heap top-k'd
+    * per source. Compute is O(n · nProbe · avg-list) instead of O(n²);
+    * the one shuffle is the list-keyed equi-join. The candidate side uses
+    * the SINGLE-list assignment, so a (src, cand) pair meets at most once
+    * and the heap never sees duplicates. Deterministic end to end (seed
+    * quantizer + (dist, id) ties) — the DuckDB oracle replays the whole
+    * construction ([[ivfEdgeCtesSql]]). A node whose true neighbor hides
+    * in an unprobed list misses that edge; the stored-walk recall gate
+    * (eval_graph_stored_recall's 0.9 floor) is what prices that
+    * approximation. The brute form stays as the oracle twin for the
+    * in-memory census graph ([[PageRank.directedKnnEdges]]). */
+  def ivfCandidateEdges(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, model: IvfIndex.Model, nProbe: Int,
+      metric: Metric = Cosine): DataFrame = {
+    val probes = IvfIndex.probeAssign(
+      corpus.select(col(idCol).as("__src"), col(vecCol).as("__avec")),
+      "__avec", model, nProbe, metric)
+    val (keyCol, isString) = KnnJoin.keyColumn(corpus, idCol)
+    val cands = IvfIndex.assign(
+      corpus.select(keyCol, col(vecCol).as("__cvec")),
+      "__cid", "__cvec", model, metric)
+    val scored = probes.join(cands, "list_id")
+      .filter(col("__cid") =!= col("__src"))
+      .select(col("__src"),
+        metric.dist(col("__avec"), col("__cvec")).as("dist"), col("__cid"))
+    KnnJoin.topkOfCandidates(scored, "__src", "dst", k, isString)
+      .select(col("__src").as("src"), col("dst"))
+  }
+
   /** Persist the DIRECTED top-`k` edge list as a src-bucketed table — the
     * stored face of the graph tier (build once, walk many), the same
     * write-side contract as the LSH/PQ layouts: bucketed by the probe key,
-    * fingerprint-stamped. */
-  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      tableName: String, path: String, numBuckets: Int): Unit = {
+    * fingerprint-stamped. Edges come from [[ivfCandidateEdges]] — the
+    * stored tier's build must never pay the O(n²) brute construction. */
+  def writeIndexIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, model: IvfIndex.Model, nProbe: Int, tableName: String,
+      path: String, numBuckets: Int, metric: Metric = Cosine): Unit = {
     Bucketed.writeBucketedKeys(
-      PageRank.directedKnnEdges(corpus, idCol, vecCol, k),
+      ivfCandidateEdges(corpus, idCol, vecCol, k, model, nProbe, metric),
       tableName, path, Seq("src"), numBuckets)
     graft.Layouts.stampFingerprint(corpus.sparkSession, tableName,
-      graphFingerprint(k))
+      graphAnnFingerprint(k, model, nProbe, metric))
   }
 
-  /** O(delta) append: each delta node's directed top-`k` among the FULL
-    * corpus (base ∪ delta, self excluded) is appended; base nodes' stored
-    * edge lists are left as built — NSW-style insertion without back-link
-    * repair. The symmetric search view still gains delta↔base connectivity
-    * through the delta's own out-edges (symmetrize reverses them), which
-    * is what makes flat-NSW insert-only maintenance usable between
-    * rebuilds; the drift metrics (assignmentDrift's pattern) tell a
-    * deployment when to rebuild. Delta is broadcast against one corpus
-    * scan — never corpus×corpus. */
-  def appendToIndex(delta: DataFrame, fullCorpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, tableName: String, numBuckets: Int): Unit = {
+  /** The edge frame a beam-insert append writes: each delta node runs the
+    * stored graph's own beam search (entry = min base id, the walk's
+    * standard determinism) and keeps the exact top-`k` of its VISITED
+    * set — Malkov & Yashunin's insert algorithm, O(Δ·hops·beam·degree)
+    * compute instead of the old delta-broadcast full-corpus scan's
+    * O(Δ·n). Candidates are exact-scored base vectors probed BY ID
+    * through the walk's keyed joins; the corpus is never scanned per
+    * delta row. Base nodes' stored lists stay as built (insert-only NSW
+    * maintenance — the symmetric read view restores delta↔base
+    * connectivity); the drift metrics schedule the rebuild. The delta
+    * must be DISJOINT from the indexed base (the append contract every
+    * layout here shares) — a node already in the graph would rank itself
+    * at distance 0 and burn an edge slot on a self-loop. */
+  def appendEdgesBeam(delta: DataFrame, baseCorpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, tableName: String, hops: Int,
+      beam: Int, metric: Metric = Cosine): DataFrame = {
+    val baseEdges = PageRank.symmetrize(
+      delta.sparkSession.table(tableName).select("src", "dst"))
+    beamSearch(
+      delta.select(col(idCol).as("__did"), col(vecCol).as("__dvec")),
+      "__did", "__dvec", baseCorpus, idCol, vecCol, baseEdges, hops, beam,
+      k, metric)
+      .select(col("__did").as("src"), col(idCol).as("dst"))
+  }
+
+  /** O(Δ·hops·beam·degree) append of [[appendEdgesBeam]]'s edges into a
+    * [[writeIndexIvf]] layout, fingerprint-enforced like every other
+    * appendable index. */
+  def appendToIndexBeam(delta: DataFrame, baseCorpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, model: IvfIndex.Model,
+      nProbe: Int, tableName: String, numBuckets: Int, hops: Int,
+      beam: Int, metric: Metric = Cosine): Unit = {
     graft.Layouts.checkFingerprint(delta.sparkSession, tableName,
-      graphFingerprint(k), "graph append")
+      graphAnnFingerprint(k, model, nProbe, metric), "graph append")
     Bucketed.appendBucketedKeys(
-      PageRank.directedKnnEdgesFrom(delta, fullCorpus, idCol, vecCol, k),
+      appendEdgesBeam(delta, baseCorpus, idCol, vecCol, k, tableName,
+        hops, beam, metric),
       tableName, Seq("src"), numBuckets)
   }
 
-  /** [[beamSearch]] over a stored ([[writeIndex]] + appends) edge table:
+  /** DuckDB twin of [[ivfCandidateEdges]] (cosine, ties (dist, dst)):
+    * seed centroids = the `lists` lowest-id rows of `corpusName`
+    * (IvfIndex.fitSeeds), one shared ranking CTE feeds the single-list
+    * assignment (pick = 1) and the `nProbe`-wide probe side, candidates
+    * meet on list_id with self excluded, per-src top-`k`. Ends in
+    * `${prefix}e0(src, dst)` — the ANN sibling of
+    * [[PageRank.edgeCtesFromSql]]. */
+  def ivfEdgeCtesSql(corpusName: String, idCol: String, vecCol: String,
+      k: Int, lists: Int, nProbe: Int, prefix: String): String =
+    s"""${prefix}cent AS (SELECT CAST(row_number() OVER (ORDER BY $idCol) AS INT) - 1 AS list_id,
+       |    $vecCol AS centroid
+       |  FROM (SELECT $idCol, $vecCol FROM $corpusName ORDER BY $idCol LIMIT $lists)),
+       |${prefix}pk AS MATERIALIZED (SELECT t.$idCol, t.$vecCol, ${prefix}cent.list_id,
+       |    row_number() OVER (PARTITION BY t.$idCol
+       |      ORDER BY 1.0 - list_cosine_similarity(t.$vecCol, ${prefix}cent.centroid),
+       |        ${prefix}cent.list_id) AS pick
+       |  FROM $corpusName t CROSS JOIN ${prefix}cent),
+       |${prefix}nd AS (SELECT p.$idCol AS src, a.$idCol AS dst,
+       |      1.0 - list_cosine_similarity(p.$vecCol, a.$vecCol) AS dist
+       |    FROM (SELECT * FROM ${prefix}pk WHERE pick <= $nProbe) p
+       |    JOIN (SELECT * FROM ${prefix}pk WHERE pick = 1) a USING (list_id)
+       |    WHERE a.$idCol <> p.$idCol),
+       |${prefix}e0 AS (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+       |    FROM ${prefix}nd) WHERE rn <= $k)""".stripMargin
+
+  /** [[beamSearch]] over a stored ([[writeIndexIvf]] + appends) edge table:
     * the index supplies the (symmetrized) edges, the corpus frame supplies
     * vectors for scoring — identical walk semantics. */
   def beamSearchStored(queries: DataFrame, qId: String, qVec: String,
@@ -224,11 +317,12 @@ object GraphSearch {
     * `walkSuffix` points at a suffixed walk's visited set (the hierarchy's
     * upper layer). */
   def rankTail(h: Int, k: Int, suffix: String = "",
-      walkSuffix: String = ""): String =
+      walkSuffix: String = "", qName: String = "q",
+      corpusName: String = "c"): String =
     s"""gsc$suffix AS (SELECT v.job_id, v.node AS skill_id,
        |    1.0 - list_cosine_similarity(q.qvec, cv.svec) AS dist
-       |  FROM v$h$walkSuffix v JOIN q ON q.job_id = v.job_id
-       |  JOIN c cv ON cv.skill_id = v.node),
+       |  FROM v$h$walkSuffix v JOIN $qName q ON q.job_id = v.job_id
+       |  JOIN $corpusName cv ON cv.skill_id = v.node),
        |gtop$suffix AS (SELECT job_id, skill_id, CAST(rn AS BIGINT) AS rank, dist
        |  FROM (SELECT job_id, skill_id, dist,
        |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
@@ -247,17 +341,20 @@ object GraphSearch {
     * query. CTE names carry `suffix`; candidates expand over `esName`
     * (src, dst, both directions); scores and the default min-id entry read
     * `corpusName`(skill_id, svec); `v0Sql` overrides the entry frontier
-    * with a caller-supplied (job_id, node) SELECT (per-query entries). */
+    * with a caller-supplied (job_id, node) SELECT (per-query entries);
+    * `qName` points at the walk's own (job_id, qvec) query CTE — the
+    * beam-insert append oracle walks the DELTA as queries next to the
+    * fleet's real `q` in one chain. */
   def walkBodyCtes(hops: Int, beam: Int, suffix: String = "",
       corpusName: String = "c", esName: String = "es",
-      v0Sql: Option[String] = None): String = {
+      v0Sql: Option[String] = None, qName: String = "q"): String = {
     val head = v0Sql match {
       case Some(sql) =>
         s"""v0$suffix AS ($sql),
            |f0$suffix AS (SELECT * FROM v0$suffix)""".stripMargin
       case None =>
         s"""en$suffix AS (SELECT min(skill_id) AS node FROM $corpusName),
-           |v0$suffix AS (SELECT q.job_id, en$suffix.node FROM q CROSS JOIN en$suffix),
+           |v0$suffix AS (SELECT q.job_id, en$suffix.node FROM $qName q CROSS JOIN en$suffix),
            |f0$suffix AS (SELECT * FROM v0$suffix)""".stripMargin
     }
     val hopCtes = (1 to hops).map { t =>
@@ -268,7 +365,7 @@ object GraphSearch {
          |  WHERE v.node IS NULL),
          |s$t$suffix AS (SELECT a.job_id, a.node,
          |    1.0 - list_cosine_similarity(q.qvec, cv.svec) AS d
-         |  FROM a$t$suffix a JOIN q ON q.job_id = a.job_id
+         |  FROM a$t$suffix a JOIN $qName q ON q.job_id = a.job_id
          |  JOIN $corpusName cv ON cv.skill_id = a.node),
          |f$t$suffix AS MATERIALIZED (SELECT job_id, node FROM (
          |    SELECT job_id, node,

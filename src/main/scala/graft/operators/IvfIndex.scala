@@ -95,6 +95,32 @@ object IvfIndex {
       element_at(array_sort(array(scored.toSeq: _*)), 1).getField("list_id"))
   }
 
+  /** [[assign]]'s multi-probe sibling: each row exploded to its `nProbe`
+    * NEAREST centroids' list_ids (ties → lowest list_id, the same
+    * (dist, list_id) struct order). Same zero-shuffle shape — the model is
+    * a literal array and the top-`nProbe` pick is
+    * `slice(array_sort(...), 1, nProbe)` fused into the scan; only the
+    * explode's nProbe× row amplification leaves the projection. This is
+    * the probe side of source-side IVF jobs where the "queries" ARE the
+    * corpus (the ANN kNN-graph build): a per-row window over a
+    * corpus×lists join would shuffle the whole amplified corpus just to
+    * rank ≤ `lists` literals. */
+  def probeAssign(df: DataFrame, vecCol: String, model: Model, nProbe: Int,
+      metric: Metric): DataFrame = {
+    require(nProbe >= 1, s"IvfIndex.probeAssign: nProbe must be >= 1, got $nProbe")
+    val cents = model.centroids
+      .select(col("list_id").cast("int"), col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "IvfIndex.probeAssign: model has no centroids")
+    val scored = cents.map { case (i, c) =>
+      struct(metric.dist(col(vecCol), lit(c.toArray)).as("d"), lit(i).as("list_id"))
+    }
+    df.withColumn("list_id", explode(
+      slice(array_sort(array(scored.toSeq: _*)), 1, nProbe).getField("list_id")))
+  }
+
   /** Canonical serialization of a centroid table — the ONE implementation
     * both this module's and [[PqIndex]]'s fingerprints build on, so the
     * two stamp formats cannot drift apart. */

@@ -16,20 +16,102 @@ class GraphSearchSpec extends SparkSpec {
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("svec"))
   }
 
-  test("append with a different degree than the build is rejected") {
+  test("probe-ALL IVF edge build degrades to the exact brute construction") {
+    // nProbe = lists ⇒ every node's candidate set is the full corpus minus
+    // itself — the ANN build must then equal the brute oracle twin edge
+    // for edge (the IvfIndex "probes=lists degrades to exact" identity,
+    // graph-build form).
+    val model = graft.operators.IvfIndex.fitSeeds(corpus, "skill_id", "svec", 4)
+    val ann = GraphSearch.ivfCandidateEdges(corpus, "skill_id", "svec", 3,
+        model, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = PageRank.directedKnnEdges(corpus, "skill_id", "svec", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann == brute)
+  }
+
+  test("probe-pruned edges stay inside each source's probed lists") {
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFunctions.Cosine
+    val model = IvfIndex.fitSeeds(corpus, "skill_id", "svec", 4)
+    val edges = GraphSearch.ivfCandidateEdges(corpus, "skill_id", "svec", 3,
+      model, nProbe = 2)
+    // recompute the probe/assign frames and anti-join: an edge whose dst
+    // lives outside its src's probed lists cannot exist
+    val probes = IvfIndex.probeAssign(
+      corpus.select(col("skill_id").as("src"), col("svec").as("__v")),
+      "__v", model, 2, Cosine).select("src", "list_id")
+    val asg = IvfIndex.assign(
+      corpus.select(col("skill_id").as("dst"), col("svec").as("__v")),
+      "dst", "__v", model, Cosine).select("dst", "list_id")
+    val escaped = edges.join(
+      probes.join(asg, "list_id").select("src", "dst"),
+      Seq("src", "dst"), "left_anti")
+    assert(escaped.isEmpty)
+    // and per-src degree is exactly k (candidate pools ≫ k here)
+    val degs = edges.groupBy("src").count().select("count")
+      .collect().map(_.getLong(0)).toSet
+    assert(degs == Set(3L))
+  }
+
+  test("beam-insert append: fingerprint enforced, delta edges land, base untouched") {
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFunctions.Cosine
     val tag = s"gs_${System.nanoTime()}"
-    GraphSearch.writeIndex(corpus, "skill_id", "svec", 3,
+    val ids = corpus.orderBy("skill_id").select("skill_id")
+      .collect().map(_.getLong(0))
+    val cut = ids(54)
+    val base = corpus.filter(col("skill_id") <= cut)   // 55 nodes
+    val delta = corpus.filter(col("skill_id") > cut)   // 5 disjoint nodes
+    val model = IvfIndex.fitSeeds(base, "skill_id", "svec", 4)
+    GraphSearch.writeIndexIvf(base, "skill_id", "svec", 3, model, 2,
       s"graft_test_$tag", s"/tmp/graft_test_graph/$tag", 4)
-    val delta = corpus.limit(5)
-    val ex = intercept[IllegalArgumentException] {
-      GraphSearch.appendToIndex(delta, corpus, "skill_id", "svec", 4,
-        s"graft_test_$tag", 4)
+    val baseCount = spark.table(s"graft_test_$tag").count()
+    // a different degree or probe width is a different graph — rejected
+    val exK = intercept[IllegalArgumentException] {
+      GraphSearch.appendToIndexBeam(delta, base, "skill_id", "svec", 4,
+        model, 2, s"graft_test_$tag", 4, hops = 3, beam = 4)
     }
-    assert(ex.getMessage.contains("fingerprint"))
-    // matching degree appends cleanly
-    GraphSearch.appendToIndex(delta, corpus, "skill_id", "svec", 3,
-      s"graft_test_$tag", 4)
-    assert(spark.table(s"graft_test_$tag").count() == 60L * 3 + 5 * 3)
+    assert(exK.getMessage.contains("fingerprint"))
+    val exP = intercept[IllegalArgumentException] {
+      GraphSearch.appendToIndexBeam(delta, base, "skill_id", "svec", 3,
+        model, 3, s"graft_test_$tag", 4, hops = 3, beam = 4)
+    }
+    assert(exP.getMessage.contains("fingerprint"))
+    // matching config appends cleanly: k edges per delta node, all into
+    // the base (the insert walk can only visit indexed nodes), no self
+    GraphSearch.appendToIndexBeam(delta, base, "skill_id", "svec", 3,
+      model, 2, s"graft_test_$tag", 4, hops = 3, beam = 4)
+    val t = spark.table(s"graft_test_$tag")
+    assert(t.count() == baseCount + 5 * 3)
+    val deltaEdges = t.filter(col("src") > cut)
+    assert(deltaEdges.count() == 5 * 3)
+    assert(deltaEdges.filter(col("dst") > cut).isEmpty, "dst must be base nodes")
+    assert(deltaEdges.filter(col("src") === col("dst")).isEmpty)
+  }
+
+  test("ANN build/append plans: no corpus scan per row (the brute path's NLJ)") {
+    import graft.operators.IvfIndex
+    val model = IvfIndex.fitSeeds(corpus, "skill_id", "svec", 4)
+    val build = GraphSearch.ivfCandidateEdges(corpus, "skill_id", "svec", 3,
+      model, nProbe = 2)
+    build.collect()
+    val bp = build.queryExecution.executedPlan.toString
+    assert(!bp.contains("CartesianProduct") && !bp.contains("BroadcastNestedLoopJoin"),
+      s"IVF candidate generation must ride the list_id equi-join:\n$bp")
+    // append: the only nested loop allowed is the walk's 1-row entry attach
+    val tag = s"gsp_${System.nanoTime()}"
+    GraphSearch.writeIndexIvf(corpus, "skill_id", "svec", 3, model, 2,
+      s"graft_test_$tag", s"/tmp/graft_test_graph/$tag", 4)
+    val delta = corpus.limit(3).select(
+      (col("skill_id") + 1000000L).as("skill_id"), col("svec"))
+    val app = GraphSearch.appendEdgesBeam(delta, corpus, "skill_id", "svec",
+      3, s"graft_test_$tag", hops = 2, beam = 4)
+    app.collect()
+    val ap = app.queryExecution.executedPlan.toString
+    assert(!ap.contains("CartesianProduct"), s"insert walk cross-products:\n$ap")
+    val nlj = ap.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nlj <= 1, s"only the 1-row entry attach may nested-loop ($nlj):\n$ap")
   }
 
   test("the beam walk is deterministic run to run") {
