@@ -39,8 +39,19 @@ object MediaQueries extends graft.QueryModule {
     // scaladoc): identical aHashes are the first dedup tier; the card
     // pins hash distribution + duplicate-bucket shape so the sampling
     // stride, mean compare, and bit packing are all oracle-gated.
+    // Seam guards (ADVICE r8): empty payloads are filtered on BOTH
+    // engines (Spark would emit (phash=0, n_samples=0) where the
+    // oracle's sample join drops the doc), and the stub codec's
+    // byte-stream == character-code-stream identity — true only for
+    // ASCII text — is asserted in-plan, so a non-ASCII corpus raises
+    // loudly on the Spark side instead of silently splitting from the
+    // oracle's character sampling.
     "media_phash_dedup" -> ((s, dir) => {
-      val ph = Multimodal.aHash(media(s, dir), "doc_id")
+      val ascii = Tables.documents(s, dir).agg(coalesce(sum(
+          when(octet_length(col("text")) =!= length(col("text")), 1L)
+            .otherwise(0L)), lit(0L)).as("__non_ascii"))
+      val ph = Multimodal.aHash(
+        media(s, dir).filter(length(col("payload")) > 0), "doc_id")
       val groups = ph.groupBy("phash").agg(count(lit(1)).as("__g"))
       ph.agg(count(lit(1)).as("n_docs"),
           sum(col("phash")).as("phash_checksum"),
@@ -50,6 +61,14 @@ object MediaQueries extends graft.QueryModule {
           sum(when(col("__g") > 1L, 1L).otherwise(0L)).as("n_dup_groups"),
           sum(when(col("__g") > 1L, col("__g")).otherwise(0L))
             .as("n_dup_docs"))))
+        .crossJoin(broadcast(ascii))
+        .select(col("n_docs"), col("phash_checksum"), col("min_samples"),
+          col("n_distinct_hash"), col("n_dup_groups"), col("n_dup_docs"),
+          when(col("__non_ascii") === 0L, lit(true))
+            .otherwise(raise_error(concat(
+              lit("media_phash_dedup: stub codec requires ASCII text; "),
+              col("__non_ascii").cast("string"),
+              lit(" docs have UTF-8 bytes != chars")))).as("ascii_ok"))
     }),
     // Batched audio decode: text payloads take the deterministic stub path
     // (real WAV decode is exercised on planted fixtures in MultimodalSpec —
@@ -112,7 +131,7 @@ object MediaQueries extends graft.QueryModule {
     "media_phash_dedup" ->
       """WITH ms AS (SELECT doc_id, text, CAST(len(text) AS BIGINT) AS n,
         |    greatest(CAST(len(text) AS BIGINT) // 32, 1) AS stride
-        |  FROM documents),
+        |  FROM documents WHERE len(text) > 0),
         |sm AS (SELECT doc_id, i,
         |    CAST(ord(substr(text, CAST(i * stride + 1 AS INT), 1)) AS BIGINT) AS s
         |  FROM (SELECT doc_id, text, n, stride,
@@ -133,7 +152,8 @@ object MediaQueries extends graft.QueryModule {
         |  (SELECT count(*) FROM g) AS n_distinct_hash,
         |  (SELECT count(*) FROM g WHERE gg > 1) AS n_dup_groups,
         |  CAST((SELECT coalesce(sum(gg), 0) FROM g WHERE gg > 1) AS BIGINT)
-        |    AS n_dup_docs""".stripMargin,
+        |    AS n_dup_docs,
+        |  true AS ascii_ok""".stripMargin,
     // duration divides the PAYLOAD's byte length — octet_length(encode()),
     // not len(): a non-ASCII character would make char count and UTF-8 byte
     // count diverge and split the engines.

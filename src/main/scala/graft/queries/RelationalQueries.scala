@@ -458,18 +458,33 @@ object RelationalQueries extends graft.QueryModule {
           sum(col("__p") * col("__p")).as("sum_pp"),
           sum(col("__q") * col("__p")).as("sum_qp"))
       val d = (c: Column) => c.cast("decimal(38,0)")
+      // Overflow seam made LOUD (ADVICE r8): the r² squares live in
+      // decimal(38,0), where a product past 38 digits diverges by engine
+      // (Spark non-ANSI nulls, ANSI throws mid-plan, DuckDB HUGEINT
+      // raises its own error). One gate covers both squares: by
+      // Cauchy-Schwarz covN² ≤ vq·vp, so vq·vp < 9·10³⁷ (checked in
+      // DOUBLE space, which cannot overflow) bounds every decimal
+      // product inside precision 38 — measured 8·10³¹ at sf0.1, so the
+      // boundary sits ~10³ of corpus growth away and an out-of-range
+      // corpus gets a named raise_error on the Spark side instead of an
+      // engine-dependent failure shape. Rescaling moments before
+      // squaring remains the 100 TB fix; this pins the boundary.
       val covN = d(col("n_rows")) * d(col("sum_qp")) -
         d(col("sum_q")) * d(col("sum_p"))
       val vq = d(col("n_rows")) * d(col("sum_qq")) -
         d(col("sum_q")) * d(col("sum_q"))
       val vp = d(col("n_rows")) * d(col("sum_pp")) -
         d(col("sum_p")) * d(col("sum_p"))
+      val inRange = abs(vq.cast("double")) * abs(vp.cast("double")) < lit(9e37)
       m.select(col("l_returnflag"), col("n_rows"), col("sum_q"),
         col("sum_p"), col("sum_qq"), col("sum_pp"), col("sum_qp"),
         when(covN > 0, 1L).when(covN < 0, -1L).otherwise(0L).as("cov_sign"),
-        when(vq === 0 || vp === 0, lit(0.0d)).otherwise(
-          round((covN * covN).cast("double") / (vq * vp).cast("double"), 6))
-          .as("r2"))
+        when(vq === 0 || vp === 0, lit(0.0d))
+          .when(inRange,
+            round((covN * covN).cast("double") / (vq * vp).cast("double"), 6))
+          .otherwise(raise_error(lit("profile_column_corr: vq*vp >= 9e37 " +
+            "would overflow the exact decimal(38,0) squares — rescale the " +
+            "moments before squaring"))).as("r2"))
     }),
     // Optimizer-statistics join-size card: predict |orders ⋈ lineitem| from
     // the two key HISTOGRAMS alone (Σ_k n_o(k)·n_l(k) — the exact identity
