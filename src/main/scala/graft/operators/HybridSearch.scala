@@ -183,6 +183,57 @@ object HybridSearch {
       k, k1, b)
   }
 
+  /** Cross-encoder-style EXACT re-rank of a bounded candidate list — the
+    * second stage of the modern retrieval stack (Nogueira & Cho's
+    * monoBERT shape: a cheap corpus-wide first stage proposes, an
+    * expensive PAIRWISE scorer that sees query and document together
+    * disposes). A real cross-encoder is a learned model; zero-egress
+    * stands it in with a deterministic TERM-INTERACTION scorer no
+    * factorized leg can reproduce: score(q, d) = Σ_{t ∈ q ∩ d}
+    * idf₈(t)² · tf_q(t) · tf_d(t), each term e9-integerized BEFORE the
+    * sum (the BM25 discipline — exact integer aggregation, engine- and
+    * order-proof), ties → lowest id. The tf_q·tf_d product is the
+    * "cross" part: it is a function of the pair, not of either side
+    * alone, so it reorders the first-stage list exactly where
+    * independent leg scores cannot. Candidates missing every query term
+    * keep their slot at score 0.
+    *
+    * Scale shape — the whole reason two-stage retrieval exists at
+    * 100 TB: the scorer touches only the |Q|·k CANDIDATES
+    * (candidates ⋈ query-tf on the query key, ⋈ corpus-tf on the
+    * (doc, token) key, ⋈ idf on the token key — all bounded keyed
+    * joins), never a corpus rescan; the corpus-side tf/idf state is the
+    * same Caches-shared frame set the BM25 leg already built. */
+  def crossRerank(candidates: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    val qtf = queries.select(col(queryIdCol),
+        explode(transform(TextFunctions.tokens(col(queryTextCol)),
+          TextFunctions.tokenHash(_))).as("__h"))
+      .groupBy(col(queryIdCol), col("__h"))
+      .agg(count(lit(1)).as("__tfq"))
+    val fr = bm25Frames(corpus, idCol, textCol, Int.MaxValue)
+    val cand = candidates.select(col(queryIdCol), col(idCol))
+    val scored = cand
+      .join(qtf, queryIdCol)
+      .join(fr.tf, Seq(idCol, "__h"))
+      .join(fr.idf, "__h")
+      .select(col(queryIdCol), col(idCol),
+        graft.functions.ExactRound.eScaled(
+          col("__idf") * col("__idf") *
+            (col("__tfq") * col("tf")).cast("double"), 9).as("__c9"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__c9")).as("xenc_e9"))
+    val full = cand.join(scored, Seq(queryIdCol, idCol), "left")
+      .select(col(queryIdCol), col(idCol),
+        coalesce(col("xenc_e9"), lit(0L)).as("xenc_e9"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("xenc_e9").desc, col(idCol))
+    full.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rank"), col("xenc_e9"))
+  }
+
   /** RRF fusion of two ranked lists (queryIdCol, idCol, rank): score =
     * Σ 1/(rrfK + rank) over the lists a hit appears in, re-ranked to `k`
     * (ties → lowest id). Output: (queryIdCol, idCol, rank, rrf_score

@@ -820,16 +820,25 @@ object TextQueries extends graft.QueryModule {
     "hybrid_bm25_topk" -> ((s, dir) => bm25Leg(s, dir, HybridK)),
     // Retrieval-stack composition card (one row): top-10 overlap counts
     // among the three base rankings — dense, BM25, and PRF-expanded BM25 —
-    // plus each list's positional checksum. The cross-leg numbers a
-    // fusion/expansion decision reads, pinned END TO END so a drift in
-    // any leg (embedder, idf, expansion) reddens this row even when each
-    // leg's own query stays green.
+    // plus each list's positional checksum, AND the cross-encoder second
+    // stage's checksum + how many fused slots it moved (the modern
+    // stack's retrieve → fuse → re-rank spine, end to end). A drift in
+    // any leg (embedder, idf, expansion, pair scorer) reddens this row
+    // even when each leg's own query stays green.
     "pipeline_retrieval_stack" -> ((s, dir) => {
       val d = denseLeg(s, dir).filter(col("rank") <= HybridK)
         .select(col("doc_id"), col("nbr_id"), col("rank"))
       val l = bm25Leg(s, dir, HybridK)
         .select(col("doc_id"), col("nbr_id"), col("rank"))
       val p = prfLeg(s, dir).select(col("doc_id"), col("nbr_id"), col("rank"))
+      val fused = graft.operators.HybridSearch.fuse(denseLeg(s, dir),
+        bm25Leg(s, dir, HybridInnerK), "doc_id", "nbr_id", HybridK, RrfK)
+        .select(col("doc_id"), col("nbr_id"), col("rank").as("__rf"))
+      val rr = rerankLeg(s, dir)
+        .select(col("doc_id"), col("nbr_id"), col("rank"))
+      val moved = rr.join(fused, Seq("doc_id", "nbr_id"))
+        .agg(coalesce(sum(when(col("rank") =!= col("__rf"), 1L)
+          .otherwise(0L)), lit(0L)).as("n"))
       def ck(x: DataFrame) = x.agg(count(lit(1)).as("n"),
         sum(col("doc_id") * 100000L + col("nbr_id") * 100L + col("rank"))
           .as("ck"))
@@ -846,6 +855,9 @@ object TextQueries extends graft.QueryModule {
         .crossJoin(broadcast(ov(d, l).select(col("n").as("dense_bm25_overlap"))))
         .crossJoin(broadcast(ov(d, p).select(col("n").as("dense_prf_overlap"))))
         .crossJoin(broadcast(ov(l, p).select(col("n").as("bm25_prf_overlap"))))
+        .crossJoin(broadcast(ck(rr).select(col("n").as("n_rerank"),
+          col("ck").as("rerank_ck"))))
+        .crossJoin(broadcast(moved.select(col("n").as("rerank_moved"))))
     }),
     // Kendall-tau agreement between the dense and lexical rankings over
     // their COMMON candidates: concordant/discordant pair counts are
@@ -898,6 +910,12 @@ object TextQueries extends graft.QueryModule {
       graft.operators.HybridSearch.fuse(denseLeg(s, dir),
         bm25Leg(s, dir, HybridInnerK), "doc_id", "nbr_id", HybridK, RrfK)
     }),
+    // Cross-encoder-style second stage over the fused list
+    // (HybridSearch.crossRerank scaladoc): the term-INTERACTION scorer
+    // (idf₈²·tf_q·tf_d, e9-exact) re-orders the RRF top-10 — the full
+    // re-ranked output is hash-gated, so the candidate cut, the pair
+    // scoring, and the zero-overlap fallback all replay in the oracle.
+    "hybrid_rerank_topk" -> ((s, dir) => rerankLeg(s, dir)),
     // Borda-count fusion of the same two legs — the ALL-INTEGER fusion
     // (m+1−rank points per leg, 0 when absent): rank arithmetic only, so
     // the fused ordering is engine-proof by construction. Pins that the
@@ -938,6 +956,21 @@ object TextQueries extends graft.QueryModule {
       docs.filter(col("doc_id") >= 10)
         .select(col("doc_id").as("nbr_id"), col("text")),
       "nbr_id", "text", HybridK, PrfDocs, PrfTerms, BmK1, BmB))
+  }
+
+  /** The cross-encoder-style re-rank of the fused (dense ⊕ BM25) list —
+    * Caches-registered: the pinned query and the retrieval-stack card
+    * share one build, and the corpus tf/idf state inside is already the
+    * BM25 leg's shared frame set. */
+  private def rerankLeg(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val fused = graft.operators.HybridSearch.fuse(denseLeg(s, dir),
+      bm25Leg(s, dir, HybridInnerK), "doc_id", "nbr_id", HybridK, RrfK)
+    graft.Caches.cached(graft.operators.HybridSearch.crossRerank(fused,
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("nbr_id"), col("text")),
+      "nbr_id", "text", HybridK))
   }
 
   private def hybridRrf(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
@@ -1617,6 +1650,7 @@ object TextQueries extends graft.QueryModule {
          |    FROM vd) WHERE rank <= $HybridK),
          |$bm25Ctes,
          |$prfCtes,
+         |$xencCtes,
          |lr AS (SELECT doc_id, nbr_id, rank FROM br WHERE rank <= $HybridK),
          |pr2 AS (SELECT doc_id, nbr_id, rank FROM br2 WHERE rank <= $HybridK),
          |cd AS (SELECT count(*) AS n_dense,
@@ -1630,10 +1664,15 @@ object TextQueries extends graft.QueryModule {
          |odp AS (SELECT count(*) AS dense_prf_overlap FROM vr
          |  JOIN pr2 USING (doc_id, nbr_id)),
          |olp AS (SELECT count(*) AS bm25_prf_overlap FROM lr
-         |  JOIN pr2 USING (doc_id, nbr_id))
+         |  JOIN pr2 USING (doc_id, nbr_id)),
+         |crr AS (SELECT count(*) AS n_rerank,
+         |    CAST(sum(doc_id * 100000 + nbr_id * 100 + rank) AS BIGINT) AS rerank_ck FROM xr),
+         |mv AS (SELECT CAST(coalesce(sum(CASE WHEN rank <> fused_rank
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS rerank_moved FROM xr)
          |SELECT n_dense, dense_ck, n_bm25, bm25_ck, n_prf, prf_ck,
-         |  dense_bm25_overlap, dense_prf_overlap, bm25_prf_overlap
-         |FROM cd, cl, cp, odl, odp, olp""".stripMargin,
+         |  dense_bm25_overlap, dense_prf_overlap, bm25_prf_overlap,
+         |  n_rerank, rerank_ck, rerank_moved
+         |FROM cd, cl, cp, odl, odp, olp, crr, mv""".stripMargin,
     // Dense cosine leg (embedCte replay) at HybridInnerK + the BM25 leg at
     // HybridInnerK, RRF-fused exactly as hybridSql fuses the overlap leg.
     "hybrid_bm25_rrf" ->
@@ -1660,6 +1699,20 @@ object TextQueries extends graft.QueryModule {
          |  FROM f)
          |SELECT doc_id, nbr_id, rank, round(score, 6) AS rrf_score
          |FROM fr WHERE rank <= $HybridK""".stripMargin,
+    // Cross-encoder second stage: the fused list + pair-interaction
+    // re-score replayed from the same ctf/idfs state the BM25 oracle
+    // builds (xencCtes scaladoc).
+    "hybrid_rerank_topk" ->
+      s"""WITH $embedCte,
+         |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),
+         |cv AS (SELECT doc_id AS nbr_id, vec FROM nv WHERE doc_id >= 10),
+         |vd AS (SELECT qv.doc_id, cv.nbr_id,
+         |    1.0 - list_cosine_similarity(qv.vec, cv.vec) AS dist
+         |  FROM qv CROSS JOIN cv),
+         |$bm25Ctes,
+         |$xencCtes
+         |SELECT doc_id, nbr_id, rank, xenc_e9 FROM xr
+         |WHERE rank <= $HybridK""".stripMargin,
     "hybrid_borda_topk" ->
       s"""WITH $embedCte,
          |qv AS (SELECT doc_id, vec FROM nv WHERE doc_id < 10),
@@ -1751,6 +1804,46 @@ object TextQueries extends graft.QueryModule {
        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY bm25_e9 DESC, nbr_id) AS BIGINT) AS rank
        |  FROM sc)""".stripMargin
   }
+
+  /** The fused (dense ⊕ BM25 RRF) candidate list + the cross-encoder
+    * re-rank, shared by the rerank oracle and the stack card. Requires
+    * `vd` (dense pair distances), [[bm25Ctes]] (ctf/idfs/br), and tokd;
+    * ends in xr(doc_id, nbr_id, xenc_e9, rank, fused_rank). The
+    * interaction contribution mirrors the operator exactly: rounded-8
+    * idf squared × the INTEGER tf product cast to double, e9-integerized
+    * before the sum. */
+  private lazy val xencCtes: String =
+    s"""vri AS (SELECT doc_id, nbr_id, rank FROM (
+       |    SELECT doc_id, nbr_id,
+       |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY dist, nbr_id) AS BIGINT) AS rank
+       |    FROM vd) WHERE rank <= $HybridInnerK),
+       |blri AS (SELECT doc_id, nbr_id, rank FROM br WHERE rank <= $HybridInnerK),
+       |fi AS (SELECT coalesce(v.doc_id, l.doc_id) AS doc_id,
+       |    coalesce(v.nbr_id, l.nbr_id) AS nbr_id,
+       |    coalesce(CAST(1 AS DOUBLE) / ($RrfK + v.rank), 0)
+       |      + coalesce(CAST(1 AS DOUBLE) / ($RrfK + l.rank), 0) AS score
+       |  FROM vri v FULL OUTER JOIN blri l
+       |    ON v.doc_id = l.doc_id AND v.nbr_id = l.nbr_id),
+       |fc AS (SELECT doc_id, nbr_id, rank FROM (
+       |    SELECT doc_id, nbr_id,
+       |      CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, nbr_id) AS BIGINT) AS rank
+       |    FROM fi) WHERE rank <= $HybridK),
+       |qtf AS (SELECT doc_id, h, count(*) AS tfq FROM (
+       |  SELECT doc_id, unnest(list_transform(toks, t -> ${DocSql.tokenHashSql("t")})) AS h
+       |  FROM tokd WHERE doc_id < 10) GROUP BY 1, 2),
+       |xs AS (SELECT f.doc_id, f.nbr_id,
+       |    CAST(sum(${ExactRound.eScaledSql(
+                "i.idf * i.idf * CAST(q.tfq * c.tf AS DOUBLE)", 9)}) AS BIGINT) AS xenc_e9
+       |  FROM fc f JOIN qtf q ON q.doc_id = f.doc_id
+       |  JOIN ctf c ON c.nbr_id = f.nbr_id AND c.h = q.h
+       |  JOIN idfs i ON i.h = q.h
+       |  GROUP BY 1, 2),
+       |xr AS (SELECT f.doc_id, f.nbr_id,
+       |    coalesce(xs.xenc_e9, 0) AS xenc_e9,
+       |    CAST(row_number() OVER (PARTITION BY f.doc_id
+       |      ORDER BY coalesce(xs.xenc_e9, 0) DESC, f.nbr_id) AS BIGINT) AS rank,
+       |    f.rank AS fused_rank
+       |  FROM fc f LEFT JOIN xs ON xs.doc_id = f.doc_id AND xs.nbr_id = f.nbr_id)""".stripMargin
 
   /** Both hybrid legs + the fusion in SQL; `maxDf` mirrors the stopdrop
     * lever with a QUALIFY over the same distinct postings the Spark side

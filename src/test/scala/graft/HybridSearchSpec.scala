@@ -68,4 +68,29 @@ class HybridSearchSpec extends SparkSpec {
     // 100 (dense rank 1) beats 102 (lexical rank 2): 1/61 > 1/62.
     assert(f(1)._1 == 100L && f(2)._1 == 102L)
   }
+
+  test("crossRerank: the tf interaction reorders what factorized legs cannot") {
+    // One query repeating 'zeta' twice. Candidate 10 also repeats it twice
+    // (interaction 2*2=4 on the rare term); candidate 11 holds one 'zeta'
+    // plus common filler (interaction 2*1=2). A factorized DISTINCT-term
+    // leg sees both as "has zeta" - only the pair scorer separates them.
+    val q = Seq((1L, "zeta zeta")).toDF("qid", "text")
+    val c = Seq(
+      (10L, "zeta zeta"),
+      (11L, "zeta common common"),
+      (12L, "common common only")
+    ).toDF("cid", "text")
+    val cand = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("qid", "cid", "rank")
+    val r = HybridSearch.crossRerank(cand, q, "qid", "text", c, "cid",
+      "text", 10)
+      .select($"cid", $"rank", $"xenc_e9").as[(Long, Long, Long)]
+      .collect().sortBy(_._2)
+    assert(r.map(_._1).toSeq == Seq(10L, 11L, 12L), r.mkString(","))
+    // zero-overlap candidate keeps its slot at score 0
+    assert(r.last._3 == 0L)
+    // interaction doubling: cand 10's score is 2x cand 11's up to the
+    // independent e9 rounding of each contribution (±1 on the integer)
+    assert(math.abs(r(0)._3 - 2L * r(1)._3) <= 1L && r(1)._3 > 0L)
+  }
 }
