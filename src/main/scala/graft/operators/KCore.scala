@@ -51,19 +51,21 @@ object KCore {
   /** Up to `maxIters` H-index rounds from the degree initialization, with
     * EARLY EXIT at the fixpoint (the r8 verdict's "wrong" #2: the fixed
     * 32-round form paid 4 dead rounds of join+window+agg+checkpoint after
-    * the measured 28-round convergence — and the dead-round count was
-    * whatever the graph didn't need). The H-index sequence is monotone
-    * non-increasing, so the first unchanged round IS the fixpoint — no
-    * oscillation exists to re-check. The convergence probe follows the CC
-    * loops' pattern ([[Dedup.connectedComponents]]): each round's
-    * (core, prev_core) join is `localCheckpoint`ed as the ONE real job,
-    * and the probe is a flag-only scan of the stored blocks, not a second
-    * shuffle.
+    * the measured 28-29-round convergence — and the dead-round count was
+    * whatever the graph didn't need). The convergence probe rides the
+    * sequence's MONOTONICITY: every node's value is non-increasing round
+    * over round (the H-index of a pointwise-smaller multiset is never
+    * larger), so Σcore strictly decreases until the fixpoint and "sum
+    * unchanged" ⇔ "every node unchanged" — the probe is ONE 1-value
+    * aggregate over the round's already-checkpointed blocks, no extra
+    * join, no per-node compare (the CC loops' flag-probe shape, cheaper).
     *
     * Returns (id, core, prev_core) where `prev_core` is the previous
     * round's value, so a caller can assert the fixpoint was reached
     * in-plan (coreness is only exact at convergence; an unconverged run
-    * at `maxIters` is an upper bound and the caller's gate reddens it). */
+    * at `maxIters` is an upper bound and the caller's gate reddens it) —
+    * the per-node gate stays the independent check on top of the sum
+    * probe. */
   def corenessWithPrev(symEdges: DataFrame, maxIters: Int): DataFrame =
     corenessWithRounds(symEdges, maxIters)._1
 
@@ -76,24 +78,21 @@ object KCore {
     val e = symEdges.select(col("src"), col("dst")).localCheckpoint()
     var cur = e.groupBy("src").agg(count(lit(1)).as("core"))
       .select(col("src").as("id"), col("core")).localCheckpoint()
-    // Seed with a self-join so an (unused) maxIters=1 caller still gets
-    // the documented (id, core, prev_core) shape from the loop below.
-    var joined = cur.select(col("id"), col("core"),
-      col("core").as("prev_core"))
+    var prev = cur
+    def coreSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("core")), lit(0L))).head.getLong(0)
+    var prevSum = coreSum(cur)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val prev = cur
-      joined = hIndexRound(e, prev)
-        .join(prev.select(col("id"), col("core").as("prev_core")), "id")
-        .localCheckpoint()
-      // Flag-only probe of the blocks just materialized (no second job
-      // pipeline): monotone sequence ⇒ unchanged round = fixpoint.
-      converged = joined.filter(col("core") =!= col("prev_core")).isEmpty
-      cur = joined.select(col("id"), col("core"))
+      prev = cur
+      cur = hIndexRound(e, prev).localCheckpoint()
+      val s = coreSum(cur)
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
-    (joined, i)
+    (cur.join(prev.select(col("id"), col("core").as("prev_core")), "id"), i)
   }
 
   /** SQL mirror of [[corenessWithPrev]]'s rounds: CTE block over a
