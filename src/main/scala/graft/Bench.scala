@@ -144,8 +144,19 @@ object Bench {
     // dozens of unrelated queries is robust to any one plan regression —
     // a broken query still breaches, because hiding would require slowing
     // the MAJORITY of the board, at which point the box IS slow.
-    val drift = driftMedian(results.flatMap { case (n, t) =>
-      Budgets.sampleSec.get(n).map(t / _) })
+    // The fallback needs a POPULATION to be evidence of box drift rather
+    // than a self-excusal: in a SPARK_GRAFT_ONLY subset run the "median"
+    // would be the regressed query's own ratio, raising its own envelope.
+    // Below MinDriftQueries unfloored samples the synthetic factor stands
+    // alone (the full board carries ~68). A board-WIDE code regression can
+    // still hide under the fallback's [1,3] clamp — accepted by design:
+    // that signal is indistinguishable from a slow box from inside one
+    // run, and the round-over-round total in BENCH_r{N} is what catches
+    // it.
+    val ratios = results.flatMap { case (n, t) =>
+      Budgets.sampleSec.get(n).map(t / _) }
+    val MinDriftQueries = 20
+    val drift = if (ratios.size >= MinDriftQueries) driftMedian(ratios) else 1.0
     val effFactor = math.max(factor, math.min(3.0, drift))
     // Budget check (sf0.1 budgets — only meaningful at the driver's SF).
     val breaches = results.collect {

@@ -59,7 +59,11 @@ object Budgets {
     * budget (= budget / 2.5) — what [[Bench]]'s measured-drift fallback
     * compares the run's own times against. Floored entries are excluded:
     * their budget no longer encodes the sample, so a ratio against
-    * budget/2.5 would understate drift exactly where noise dominates. */
+    * budget/2.5 would understate drift exactly where noise dominates.
+    * A budget landing EXACTLY on the floor (raw sample exactly 1.2 s) is
+    * conservatively treated as floored — it carries a valid sample, but
+    * the value alone can't distinguish it from a raised one, and losing
+    * a boundary entry from a ~68-strong median costs nothing. */
   lazy val sampleSec: Map[String, Double] =
     perQuery.collect { case (q, b) if b > Floor => q -> b / 2.5 }
 

@@ -153,10 +153,6 @@ object GraphSearch {
       metric, entries = Some(entries))
   }
 
-  /** The graph-model identity stamped on a stored index: degree + metric
-    * (the edge list is fully determined by them given the corpus). */
-  def graphFingerprint(k: Int): String = s"knngraph|cosine|$k"
-
   /** The ANN-built layout's identity: the IVF model that generated the
     * build candidates and the probe width join degree + metric — an
     * append against a different quantizer or probe budget is a different
@@ -397,6 +393,39 @@ object GraphSearch {
       Some("SELECT job_id, skill_id AS node FROM gtopu"))
     Seq(s"$qCte, $cCte", cu, upperEdges, upperWalk, entryTail, esCtes,
       lowerWalk, rankTail(hops, k)).mkString(",\n")
+  }
+
+  /** Exact-top-`k` + recall-summary SQL tail shared by the single-leg
+    * walk recall gates (eval_graph_recall, eval_graph_stored_recall —
+    * the hier gate's two-leg compare keeps its own form): requires
+    * q(job_id, qvec) / c(skill_id, svec) CTEs and a ranked
+    * `topCte`(job_id, skill_id); emits the exact ranking, per-query
+    * match counts, and the final one-row summary SELECT with the
+    * in-plan-mirrored floor column. ONE copy so the recall-metrology
+    * contract (e6 integerization, ratio scales, the k denominator, the
+    * DISTINCT query universe) cannot drift between gates. */
+  def recallSummarySql(topCte: String, k: Int, floor: Double): String = {
+    val er = graft.functions.ExactRound
+    val e6 = (x: String) => er.e6Sql(x)
+    val rr = (n: String, d: String) => er.ratioRound6IntSql(n, 6, d)
+    s"""ed AS (SELECT q.job_id, c.skill_id,
+       |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
+       |  FROM q CROSS JOIN c),
+       |etop AS (SELECT job_id, skill_id FROM (
+       |    SELECT job_id, skill_id,
+       |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
+       |    FROM ed) WHERE rn <= $k),
+       |m AS (SELECT g.job_id, count(*) AS n FROM $topCte g
+       |  JOIN etop e ON e.job_id = g.job_id AND e.skill_id = g.skill_id
+       |  GROUP BY 1),
+       |perq AS (SELECT q2.job_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+       |    ${er.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$k")} AS recall
+       |  FROM (SELECT DISTINCT job_id FROM etop) q2 LEFT JOIN m USING (job_id))
+       |SELECT ${rr(s"sum(${e6("n_matches")})", "count(*)")} AS avg_matches,
+       |  ${rr(s"sum(${e6("recall")})", "count(*)")} AS avg_recall,
+       |  count(*) AS n_queries,
+       |  CAST($floor AS DOUBLE) AS min_recall,
+       |  true AS recall_ok FROM perq""".stripMargin
   }
 
   /** [[hierSearchCtesWithEdges]] with the standard degree-`gk` layer-0

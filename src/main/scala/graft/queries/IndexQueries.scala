@@ -94,11 +94,15 @@ object IndexQueries extends graft.QueryModule {
     * fit on the base therefore equal full-corpus fits, which is exactly the
     * append-mode contract: deltas are encoded against the STORED models,
     * and the oracle replays the full-corpus build. */
-  /** (Its SQL twin is [[sqlDeltaPred]] — change both together.) */
-  private def appendSplit(c: DataFrame): (DataFrame, DataFrame) = {
-    val isDelta = pmod(col("skill_id"), lit(10L)) === 7L && col("skill_id") >= 36L
-    (c.filter(!isDelta), c.filter(isDelta))
-  }
+  /** (Its SQL twin is [[sqlDeltaPred]] — change both together.) The ONE
+    * Column form of the delta predicate, parametrized by the id column so
+    * [[appendSplit]] (on skill_id) and the build-slice census filter (on
+    * the stored table's src) cannot drift apart. */
+  private def isDeltaId(id: org.apache.spark.sql.Column) =
+    pmod(id, lit(10L)) === 7L && id >= 36L
+
+  private def appendSplit(c: DataFrame): (DataFrame, DataFrame) =
+    (c.filter(!isDeltaId(col("skill_id"))), c.filter(isDeltaId(col("skill_id"))))
 
   private val GraphK = 8     // stored-graph out-degree (matches the census/search graph's M)
   private val GraphHops = 6  // stored-walk depth (mirrors knn_graph_topk)
@@ -539,8 +543,7 @@ object IndexQueries extends graft.QueryModule {
     // the census is one filtered scan.
     "graph_index_build_ann" -> ((s, dir) => {
       val t = GraphLayout.ensure(s, dir)
-      edgeCensus(s.table(t).filter(
-        !(pmod(col("src"), lit(10L)) === 7L && col("src") >= 36L)))
+      edgeCensus(s.table(t).filter(!isDeltaId(col("src"))))
     }),
     // The approximation's price tag (r8 verdict: "an eval_* recall row
     // pinning ANN-built-graph walk recall ≥ 0.9"): recall@k of the
@@ -1009,35 +1012,14 @@ object IndexQueries extends graft.QueryModule {
          |  CAST(sum(src * 100003 + dst) AS BIGINT) AS edge_checksum
          |FROM be0""".stripMargin,
     // Full replay of the stored-recall gate: ANN edges → insert walk →
-    // recall-grade fleet walk over the union → exact top-k → the
-    // exact-integer recall summary (the eval_graph_recall tail).
-    "eval_graph_stored_recall" -> {
-      val e6 = (x: String) => graft.functions.ExactRound.e6Sql(x)
-      val rr = (n: String, d: String) =>
-        graft.functions.ExactRound.ratioRound6IntSql(n, 6, d)
+    // recall-grade fleet walk over the union → exact top-k → the shared
+    // exact-integer recall summary (GraphSearch.recallSummarySql).
+    "eval_graph_stored_recall" ->
       s"""WITH ${graft.operators.GraphSearch.beamSearchCtesWithEdges(qCte, cCte,
              graphEdgeCtes + ",\n" +
                "es AS MATERIALIZED (SELECT src, dst FROM ae UNION SELECT dst, src FROM ae)",
              GraphHops, GraphRecallBeam, K)},
-         |ed AS (SELECT q.job_id, c.skill_id,
-         |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
-         |  FROM q CROSS JOIN c),
-         |etop AS (SELECT job_id, skill_id FROM (
-         |    SELECT job_id, skill_id,
-         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
-         |    FROM ed) WHERE rn <= $K),
-         |m AS (SELECT g.job_id, count(*) AS n FROM gtop g
-         |  JOIN etop e ON e.job_id = g.job_id AND e.skill_id = g.skill_id
-         |  GROUP BY 1),
-         |perq AS (SELECT q2.job_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
-         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
-         |  FROM (SELECT DISTINCT job_id FROM etop) q2 LEFT JOIN m USING (job_id))
-         |SELECT ${rr(s"sum(${e6("n_matches")})", "count(*)")} AS avg_matches,
-         |  ${rr(s"sum(${e6("recall")})", "count(*)")} AS avg_recall,
-         |  count(*) AS n_queries,
-         |  CAST($GraphStoredRecallFloor AS DOUBLE) AS min_recall,
-         |  true AS recall_ok FROM perq""".stripMargin
-    },
+         |${graft.operators.GraphSearch.recallSummarySql("gtop", K, GraphStoredRecallFloor)}""".stripMargin,
     "knn_graph_stored_topk" ->
       s"""WITH ${graft.operators.GraphSearch.beamSearchCtesWithEdges(qCte, cCte,
            graphEdgeCtes + ",\n" +

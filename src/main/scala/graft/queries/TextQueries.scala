@@ -831,8 +831,7 @@ object TextQueries extends graft.QueryModule {
       val l = bm25Leg(s, dir, HybridK)
         .select(col("doc_id"), col("nbr_id"), col("rank"))
       val p = prfLeg(s, dir).select(col("doc_id"), col("nbr_id"), col("rank"))
-      val fused = graft.operators.HybridSearch.fuse(denseLeg(s, dir),
-        bm25Leg(s, dir, HybridInnerK), "doc_id", "nbr_id", HybridK, RrfK)
+      val fused = fusedLeg(s, dir)
         .select(col("doc_id"), col("nbr_id"), col("rank").as("__rf"))
       val rr = rerankLeg(s, dir)
         .select(col("doc_id"), col("nbr_id"), col("rank"))
@@ -906,10 +905,7 @@ object TextQueries extends graft.QueryModule {
     // counting above is the teaching form). Same fusion operator, so the
     // oracle pins that swapping the lexical leg reorders the fused list
     // exactly as BM25 says it should.
-    "hybrid_bm25_rrf" -> ((s, dir) => {
-      graft.operators.HybridSearch.fuse(denseLeg(s, dir),
-        bm25Leg(s, dir, HybridInnerK), "doc_id", "nbr_id", HybridK, RrfK)
-    }),
+    "hybrid_bm25_rrf" -> ((s, dir) => fusedLeg(s, dir)),
     // Cross-encoder-style second stage over the fused list
     // (HybridSearch.crossRerank scaladoc): the term-INTERACTION scorer
     // (idf₈²·tf_q·tf_d, e9-exact) re-orders the RRF top-10 — the full
@@ -958,15 +954,23 @@ object TextQueries extends graft.QueryModule {
       "nbr_id", "text", HybridK, PrfDocs, PrfTerms, BmK1, BmB))
   }
 
+  /** The fused (dense ⊕ BM25 RRF) list — Caches-registered: THREE
+    * consumers read it (the pinned fusion endpoint, the cross-encoder
+    * re-rank's candidate cut, and the stack card's moved-slot compare),
+    * and rebuilding it per consumer would re-pay the full-outer join +
+    * window the fusion costs. */
+  private def fusedLeg(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.cached(graft.operators.HybridSearch.fuse(denseLeg(s, dir),
+      bm25Leg(s, dir, HybridInnerK), "doc_id", "nbr_id", HybridK, RrfK))
+
   /** The cross-encoder-style re-rank of the fused (dense ⊕ BM25) list —
     * Caches-registered: the pinned query and the retrieval-stack card
     * share one build, and the corpus tf/idf state inside is already the
     * BM25 leg's shared frame set. */
   private def rerankLeg(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val fused = graft.operators.HybridSearch.fuse(denseLeg(s, dir),
-      bm25Leg(s, dir, HybridInnerK), "doc_id", "nbr_id", HybridK, RrfK)
-    graft.Caches.cached(graft.operators.HybridSearch.crossRerank(fused,
+    graft.Caches.cached(graft.operators.HybridSearch.crossRerank(
+      fusedLeg(s, dir),
       docs.filter(col("doc_id") < 10), "doc_id", "text",
       docs.filter(col("doc_id") >= 10)
         .select(col("doc_id").as("nbr_id"), col("text")),

@@ -1123,30 +1123,9 @@ object VectorQueries extends graft.QueryModule {
     "knn_graph_topk" ->
       s"""WITH ${graft.operators.GraphSearch.beamSearchCtes(qCte, cCte, PrK, GsHops, GsBeam, K)}
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist FROM gtop""".stripMargin,
-    "eval_graph_recall" -> {
-      val e6 = (x: String) => graft.functions.ExactRound.e6Sql(x)
-      val rr = (n: String, d: String) =>
-        graft.functions.ExactRound.ratioRound6IntSql(n, 6, d)
+    "eval_graph_recall" ->
       s"""WITH ${graft.operators.GraphSearch.beamSearchCtes(qCte, cCte, PrK, GsHops, GsBeam, K)},
-         |ed AS (SELECT q.job_id, c.skill_id,
-         |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
-         |  FROM q CROSS JOIN c),
-         |etop AS (SELECT job_id, skill_id FROM (
-         |    SELECT job_id, skill_id,
-         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rn
-         |    FROM ed) WHERE rn <= $K),
-         |m AS (SELECT g.job_id, count(*) AS n FROM gtop g
-         |  JOIN etop e ON e.job_id = g.job_id AND e.skill_id = g.skill_id
-         |  GROUP BY 1),
-         |perq AS (SELECT q2.job_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
-         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
-         |  FROM (SELECT DISTINCT job_id FROM etop) q2 LEFT JOIN m USING (job_id))
-         |SELECT ${rr(s"sum(${e6("n_matches")})", "count(*)")} AS avg_matches,
-         |  ${rr(s"sum(${e6("recall")})", "count(*)")} AS avg_recall,
-         |  count(*) AS n_queries,
-         |  CAST($GsRecallFloor AS DOUBLE) AS min_recall,
-         |  true AS recall_ok FROM perq""".stripMargin
-    },
+         |${graft.operators.GraphSearch.recallSummarySql("gtop", K, GsRecallFloor)}""".stripMargin,
     "knn_graph_hier_topk" ->
       s"""WITH ${graft.operators.GraphSearch.hierSearchCtes(qCte, cCte, PrK,
              HierLayerMod, HierUpperDegree, HierUpperHops, HierUpperBeam,
