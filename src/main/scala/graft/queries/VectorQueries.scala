@@ -39,6 +39,42 @@ object VectorQueries extends graft.QueryModule {
       |  FROM (SELECT skill_id, svec,
       |      list_max(list_transform(svec, x -> abs(x))) AS scale FROM c))""".stripMargin
 
+  private val KmClusters = 4       // exact-kmeans cluster count (Lists-sized)
+  private val KmRounds = 3         // fixed Lloyd rounds (the LPA convention)
+  private val KmBalanceCap = 50    // per-cluster keep cap for the balanced sample
+
+  /** The exact-kmeans centroids, fit once per (session, dir) — the census
+    * and the balanced sample share one Lloyd run (each round is a corpus
+    * scan; the model is k·d longs). */
+  private def kmeansCents(s: SparkSession, dir: String): Array[Array[Long]] =
+    graft.Layouts.once(s, s"kmexact:$dir") {
+      val (_, c) = split(s, dir)
+      graft.operators.KMeansExact.fit(c, "skill_id", "svec", KmClusters, KmRounds)
+    }
+
+  /** Final exact-kmeans assignment of the corpus: (skill_id, __cid, __d). */
+  private def kmeansAssigned(s: SparkSession, dir: String): DataFrame = {
+    val (_, c) = split(s, dir)
+    val km = graft.operators.KMeansExact
+    km.assign(km.scaledVectors(c, "skill_id", "svec"), kmeansCents(s, dir))
+  }
+
+  /** Shared oracle head for the exact-kmeans queries: e6-scaled vectors,
+    * the unrolled Lloyd rounds ending in ct`KmRounds`, and the final
+    * assignment af(skill_id, cid, d). Requires cCte. */
+  private lazy val kmeansCtes: String = {
+    val km = graft.operators.KMeansExact
+    val d = km.distSql("s.v", "ct.v")
+    s"""sv AS MATERIALIZED (SELECT skill_id,
+       |    list_transform(svec, x -> ${graft.functions.ExactRound.eScaledSql("x", 6)}) AS v
+       |  FROM c),
+       |${km.fitCtesSql("sv", "skill_id", KmClusters, KmRounds)},
+       |af AS MATERIALIZED (SELECT skill_id, cid, d FROM (
+       |    SELECT s.skill_id, ct.cid, $d AS d,
+       |      row_number() OVER (PARTITION BY s.skill_id ORDER BY $d, ct.cid) AS pick
+       |    FROM sv s CROSS JOIN ct$KmRounds ct) WHERE pick = 1)""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J2 — flagship: top-10 cosine k-NN per query (skills_for_jobs.py:416-433).
     "knn_cosine_topk" -> ((s, dir) => {
@@ -510,6 +546,39 @@ object VectorQueries extends graft.QueryModule {
     "rank_knn_triangles" -> ((s, dir) => {
       val edges = graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir))
       graft.operators.PageRank.triangleSummary(edges)
+    }),
+    // Exact-integer Lloyd k-means over the corpus embeddings
+    // (KMeansExact scaladoc — the SemDeDup/DoReMi cluster-then-balance
+    // primitive): per-cluster census after 3 fixed rounds, every number
+    // an exact integer (sizes, Σ squared-L2 inertia on e6 coordinates,
+    // the position-weighted centroid checksum), so seeds, every round's
+    // assignment + roundDiv means, and the final argmin all replay in
+    // the oracle — a float k-means could never hash-gate this.
+    "embed_kmeans_census" -> ((s, dir) => {
+      import s.implicits._
+      val cents = kmeansCents(s, dir)
+      val ck = cents.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.zipWithIndex.map { case (x, d) => x * (d + 1) }.sum) }
+      kmeansAssigned(s, dir)
+        .groupBy(col("__cid").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("__d")).as("inertia"))
+        .join(broadcast(ck.toSeq.toDF("cluster_id", "centroid_checksum")),
+          "cluster_id")
+    }),
+    // The balancing read of the clustering: keep at most KmBalanceCap
+    // corpus rows per cluster (deterministic id order), so a dense
+    // embedding region can't dominate the training mix — per-cluster
+    // totals, kept counts, and the kept-id checksum pinned exactly.
+    "sample_cluster_balanced" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__cid").orderBy("skill_id")
+      kmeansAssigned(s, dir)
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .groupBy(col("__cid").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("__rn") <= KmBalanceCap, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__rn") <= KmBalanceCap, col("skill_id"))
+            .otherwise(0L)).as("kept_id_checksum"))
     }),
     // k-core decomposition via the neighborhood H-index fixpoint (KCore
     // scaladoc) — the web-graph quality prior a curation pipeline
@@ -1126,6 +1195,31 @@ object VectorQueries extends graft.QueryModule {
     "eval_graph_recall" ->
       s"""WITH ${graft.operators.GraphSearch.beamSearchCtes(qCte, cCte, PrK, GsHops, GsBeam, K)},
          |${graft.operators.GraphSearch.recallSummarySql("gtop", K, GsRecallFloor)}""".stripMargin,
+    // Seeds → 3 unrolled Lloyd rounds → final assignment, all exact
+    // integers (kmeansCtes); the checksum weights each centroid
+    // coordinate by its 1-based dimension.
+    "embed_kmeans_census" ->
+      s"""WITH $cCte,
+         |$kmeansCtes,
+         |cck AS (SELECT cid, CAST(sum(x * dim) AS BIGINT) AS ck
+         |  FROM (SELECT cid, unnest(v) AS x,
+         |      unnest(range(1, len(v) + 1)) AS dim FROM ct$KmRounds)
+         |  GROUP BY 1)
+         |SELECT CAST(af.cid AS BIGINT) AS cluster_id, count(*) AS n_vecs,
+         |  CAST(sum(af.d) AS BIGINT) AS inertia,
+         |  max(cck.ck) AS centroid_checksum
+         |FROM af JOIN cck ON cck.cid = af.cid
+         |GROUP BY 1""".stripMargin,
+    "sample_cluster_balanced" ->
+      s"""WITH $cCte,
+         |$kmeansCtes,
+         |rn AS (SELECT cid, skill_id,
+         |    CAST(row_number() OVER (PARTITION BY cid ORDER BY skill_id) AS BIGINT) AS rn
+         |  FROM af)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN rn <= $KmBalanceCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN rn <= $KmBalanceCap THEN skill_id ELSE 0 END) AS BIGINT) AS kept_id_checksum
+         |FROM rn GROUP BY 1""".stripMargin,
     "knn_graph_hier_topk" ->
       s"""WITH ${graft.operators.GraphSearch.hierSearchCtes(qCte, cCte, PrK,
              HierLayerMod, HierUpperDegree, HierUpperHops, HierUpperBeam,
