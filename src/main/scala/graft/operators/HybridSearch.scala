@@ -214,9 +214,13 @@ object HybridSearch {
       .agg(count(lit(1)).as("__tfq"))
     val fr = bm25Frames(corpus, idCol, textCol, Int.MaxValue)
     val cand = candidates.select(col(queryIdCol), col(idCol))
-    val scored = cand
-      .join(qtf, queryIdCol)
-      .join(fr.tf, Seq(idCol, "__h"))
+    // The pair side is bounded by construction (|Q|·k candidates ×
+    // per-query vocabulary), so it BROADCASTS against the corpus-sized
+    // tf/idf frames at any scale — without the hints Spark sort-merges,
+    // i.e. shuffles the whole postings table to meet a few thousand rows.
+    val pairTerms = cand.join(broadcast(qtf), queryIdCol)
+    val scored = broadcast(broadcast(pairTerms)
+        .join(fr.tf, Seq(idCol, "__h")))
       .join(fr.idf, "__h")
       .select(col(queryIdCol), col(idCol),
         graft.functions.ExactRound.eScaled(
@@ -224,7 +228,7 @@ object HybridSearch {
             (col("__tfq") * col("tf")).cast("double"), 9).as("__c9"))
       .groupBy(col(queryIdCol), col(idCol))
       .agg(sum(col("__c9")).as("xenc_e9"))
-    val full = cand.join(scored, Seq(queryIdCol, idCol), "left")
+    val full = cand.join(broadcast(scored), Seq(queryIdCol, idCol), "left")
       .select(col(queryIdCol), col(idCol),
         coalesce(col("xenc_e9"), lit(0L)).as("xenc_e9"))
     val w = Window.partitionBy(col(queryIdCol))

@@ -468,4 +468,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"interval join must stay bucketed:\n$plan")
   }
+
+  test("exact-kmeans: literal-centroid assignment, k·d-cell shuffle only") {
+    val census = planOf("embed_kmeans_census").split("== Initial Plan ==").head
+    // the assignment is a literal projection — the corpus must never join
+    // or cross against a centroid table; the only join is the k-row
+    // checksum broadcast attach
+    assert(!census.contains("CartesianProduct") && !census.contains("SortMergeJoin"),
+      s"kmeans census must not sort-merge or cross-product the corpus:\n$census")
+    val balanced = planOf("sample_cluster_balanced")
+    assert(!balanced.contains("Join"),
+      s"the balanced sample is one assignment scan + window + agg, no join:\n$balanced")
+  }
+
+  test("cross-encoder rerank touches candidates through keyed joins only") {
+    val plan = planOf("hybrid_rerank_topk").split("== Initial Plan ==").head
+    // the dense first-stage leg is the documented brute exact twin (one
+    // NLJ); the rerank stage itself must add keyed joins only
+    assert(!plan.contains("CartesianProduct"),
+      s"rerank must never cross-product:\n$plan")
+    // the RRF fusion's full-outer join of two |Q|·k lists is structurally
+    // sort-merge (Spark has no broadcast full-outer) and is fine — the
+    // guard is that NO corpus-sized frame sort-merges: every other join
+    // (pair terms × tf/idf) must broadcast the bounded candidate side
+    val smj = plan.linesIterator.filter(_.contains("SortMergeJoin"))
+      .filterNot(_.contains("FullOuter")).toSeq
+    assert(smj.isEmpty,
+      s"candidate-bounded joins should broadcast, never sort-merge: $smj\n$plan")
+  }
 }
