@@ -11,7 +11,11 @@ import graft.queries.{CleanQueries, DedupQueries, EvalQueries, IndexQueries, IoQ
   */
 object SparkEntry {
 
-  private val modules: Seq[QueryModule] = Seq(
+  /** The contributing modules — package-visible so SparkEntrySpec's
+    * cross-module duplicate-name guard iterates THIS list instead of its
+    * own copy (a module added here but not there would silently escape
+    * the guard). */
+  private[graft] val modules: Seq[QueryModule] = Seq(
     VectorQueries, RelationalQueries, EvalQueries, TextQueries, DedupQueries,
     IndexQueries, MediaQueries, JoinQueries, SampleQueries, CleanQueries,
     IoQueries, PipelineQueries)

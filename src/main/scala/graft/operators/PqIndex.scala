@@ -76,7 +76,18 @@ object PqIndex {
     * [[IvfIndex.fitKMeans]] the result is gated by recall floor, not by
     * oracle hash. Empty clusters keep their previous codeword. */
   def fitKMeans(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, maxIter: Int = 10, trainCap: Int = 65536): Model = {
+      m: Int, k: Int, maxIter: Int = 10, trainCap: Int = 65536): Model =
+    fitKMeansRounds(corpus, idCol, vecCol, m, k, maxIter, trainCap)._1
+
+  /** [[fitKMeans]] plus the number of Lloyd rounds actually executed —
+    * observable so the fixpoint early-exit (the whole point of the e6
+    * re-quantization below) can be asserted rather than assumed: rounds <
+    * maxIter means the exact-equality convergence fired and the remaining
+    * sequential jobs were never launched. */
+  private[graft] def fitKMeansRounds(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, k: Int, maxIter: Int = 10,
+      trainCap: Int = 65536): (Model, Int) = {
+    var rounds = 0
     var model = fitSeeds(corpus, idCol, vecCol, m, k)
     val train = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
@@ -88,6 +99,7 @@ object PqIndex {
     try {
       var converged = false
       for (_ <- 1 to maxIter if !converged) {
+        rounds += 1
         val books = typedlit(model.codebooks)
         val means = train
           .withColumn("code",
@@ -100,20 +112,31 @@ object PqIndex {
           .collect()
           .groupBy(r => (r.getInt(0), r.getInt(1)))
           .map { case (key, rows) =>
-            key -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+            // Codeword means re-quantized to the e6 grid (the Pca power-
+            // iteration / KMeansExact discipline): raw floating-point means
+            // carry a last-ulp wobble from distributed summation order, so
+            // the exact-equality fixpoint below could never fire and every
+            // fit paid the full maxIter budget of sequential jobs (the r9
+            // ivfpq_kmeans_recall breach mechanism). On the grid, identical
+            // assignments ⇒ identical quantized means, the fixpoint is
+            // reachable, and the trained model replays bit-for-bit across
+            // runs. e6 is far below any codeword-separation scale that
+            // could move an assignment, so recall is unaffected.
+            key -> rows.sortBy(_.getInt(2))
+              .map(r => math.rint(r.getDouble(3) * 1e6) / 1e6).toSeq
           }
         val next = Model(model.dim, model.subDim,
           (0 until m).map(s => (0 until k).map(kk =>
             means.getOrElse((s, kk), model.codebooks(s)(kk)))))
         // Lloyd fixpoint: identical codebooks ⇒ identical assignments ⇒
-        // every later iteration is a no-op — stop paying for them. (A
-        // last-ulp wobble in the distributed means just misses the early
-        // exit and runs the full budget; correctness is unaffected.)
+        // every later iteration is a no-op — stop paying for them. The e6
+        // re-quantization above is what makes this exact equality
+        // reachable in floating point.
         converged = next.codebooks == model.codebooks
         model = next
       }
     } finally train.unpersist()
-    model
+    (model, rounds)
   }
 
   /** OPQ-lite pre-rotation (Ge, He, Ke & Sun, "Optimized Product

@@ -559,11 +559,27 @@ object VectorQueries extends graft.QueryModule {
       val cents = kmeansCents(s, dir)
       val ck = cents.zipWithIndex.map { case (v, i) =>
         (i.toLong, v.zipWithIndex.map { case (x, d) => x * (d + 1) }.sum) }
+      // Inertia sums in DECIMAL(38,0) with an explicit BIGINT-range guard
+      // (r9 advice): one squared-L2 distance on e6 coordinates is bounded
+      // by dim·(2e6)² ≈ 2.6e14 (KMeansExact scaladoc), so a cluster of n
+      // rows can reach n·2.6e14 — past 2^63 at roughly 3.5e4 max-separation
+      // rows, far below the target scale. A plain Long sum would wrap (or
+      // throw an opaque ANSI overflow) while the DuckDB twin sums into
+      // HUGEINT and raises at the BIGINT cast; the decimal sum + raise
+      // makes the seam loud and engine-consistent at the same boundary.
       kmeansAssigned(s, dir)
         .groupBy(col("__cid").cast("long").as("cluster_id"))
-        .agg(count(lit(1)).as("n_vecs"), sum(col("__d")).as("inertia"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("__d").cast("decimal(38,0)")).as("__is"))
         .join(broadcast(ck.toSeq.toDF("cluster_id", "centroid_checksum")),
           "cluster_id")
+        .select(col("cluster_id"), col("n_vecs"),
+          when(col("__is").between(lit(Long.MinValue), lit(Long.MaxValue)),
+            col("__is").cast("long"))
+            .otherwise(raise_error(concat(
+              lit("embed_kmeans_census: inertia overflows BIGINT: "),
+              col("__is").cast("string")))).as("inertia"),
+          col("centroid_checksum"))
     }),
     // The balancing read of the clustering: keep at most KmBalanceCap
     // corpus rows per cluster (deterministic id order), so a dense

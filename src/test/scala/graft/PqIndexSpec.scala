@@ -90,4 +90,23 @@ class PqIndexSpec extends SparkSpec {
     // recall margin is driver-gated at fixture scale by pq_kmeans_recall's
     // in-plan raise_error (seed→kmeans gains of +0.09..+0.13 across SFs).
   }
+
+  test("quantized Lloyd reaches its fixpoint early and replays bit-for-bit") {
+    val m = 4; val k = 8
+    // The e6 re-quantization of codeword means exists so the exact-equality
+    // convergence check can actually fire (raw FP means carry a last-ulp
+    // wobble that ran every fit to maxIter — the r9 bench-breach
+    // mechanism). Generous cap: the assertion is that the loop STOPPED
+    // well short of it, i.e. the early exit is reachable, not decorative.
+    val (a, roundsA) = PqIndex.fitKMeansRounds(corpus, "id", "vec", m, k,
+      maxIter = 30)
+    assert(roundsA < 30, s"Lloyd ran all $roundsA rounds — fixpoint never fired")
+    // On-grid models replay exactly: same data, same seeds, same rounds ⇒
+    // the identical codebooks, which is what makes the trained quantizer
+    // rebuild-reproducible (and its stored-layout fingerprint stable).
+    val (b, roundsB) = PqIndex.fitKMeansRounds(corpus, "id", "vec", m, k,
+      maxIter = 30)
+    assert(roundsB == roundsA && b == a,
+      s"re-fit diverged: rounds $roundsA vs $roundsB, models equal=${b == a}")
+  }
 }

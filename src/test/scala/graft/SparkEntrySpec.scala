@@ -17,13 +17,10 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("no query or oracle name is claimed by two modules") {
-    val modules = Seq(
-      graft.queries.VectorQueries, graft.queries.RelationalQueries,
-      graft.queries.EvalQueries, graft.queries.TextQueries,
-      graft.queries.DedupQueries, graft.queries.IndexQueries,
-      graft.queries.MediaQueries, graft.queries.JoinQueries,
-      graft.queries.SampleQueries, graft.queries.CleanQueries,
-      graft.queries.IoQueries, graft.queries.PipelineQueries)
+    // Iterates SparkEntry's OWN module list (r9 advice): a module added to
+    // SparkEntry.modules is automatically covered here; a hardcoded copy
+    // would let it escape the duplicate-name guard this test exists for.
+    val modules = SparkEntry.modules
     val dupQ = modules.flatMap(_.defs.keys).groupBy(identity)
       .collect { case (k, v) if v.size > 1 => k }
     val dupO = modules.flatMap(_.oracles.keys).groupBy(identity)
