@@ -10,6 +10,27 @@ object Bench {
     * unfloored budgeted query ran. */
   private[graft] def driftMedian(ratios: Seq[Double]): Double =
     if (ratios.isEmpty) 1.0 else ratios.sorted.apply(ratios.size / 2)
+  /** The adjudication rule for a provisional breach after the isolated
+    * re-measure: the breach STANDS when the adjudicated time `iso` still
+    * exceeds the scaled budget — and unconditionally when `iso` < 0, the
+    * sentinel for a rerun that FAILED (threw) rather than ran (r10
+    * verdict "what's wrong" #3: a crash must not masquerade as a fast
+    * rerun and silently clear the breach; the failure is surfaced as -1
+    * in the headline's `isolated_reruns` record). Producers never reach
+    * the rerun at all — see the producer-skip note at the call site. */
+  private[graft] def breachStands(scaledBudget: Double, iso: Double): Boolean =
+    iso < 0 || iso > scaledBudget
+  /** The producer list (measured first, in declared order — chains like
+    * rank_knn_degree_hist → eval_graph_recall depend on it); object-level
+    * so the isolated-rerun adjudication and BenchSpec share the one
+    * copy. Per-query rationale is documented at the ordering site in
+    * [[main]]. */
+  private[graft] val producers = Seq("embed_hash_tf", "join_bucketed_build",
+    "dedup_jaccard_index_build", "dedup_jaccard_pairs", "lsh_index_build",
+    "pq_index_build", "pq_train_build", "dedup_span_index_build",
+    "select_dsir_sample", "select_dsir_weights", "hybrid_bm25_topk",
+    "text_bpe_merges", "rank_knn_degree_hist", "eval_graph_recall",
+    "graph_index_append", "ivf_auto_probe")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -82,12 +103,7 @@ object Bench {
     // the memoized 3-point curve build that ivf_probe_curve then reads —
     // declared so the attribution is explicit and the row is budgeted as
     // a build (r9 verdict "what's wrong" #3).
-    val producers = Seq("embed_hash_tf", "join_bucketed_build",
-      "dedup_jaccard_index_build", "dedup_jaccard_pairs", "lsh_index_build",
-      "pq_index_build", "pq_train_build", "dedup_span_index_build",
-      "select_dsir_sample", "select_dsir_weights", "hybrid_bm25_topk",
-      "text_bpe_merges", "rank_knn_degree_hist", "eval_graph_recall",
-      "graph_index_append", "ivf_auto_probe")
+    val producers = Bench.producers
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Producers run in DECLARED order (not alphabetical): chains like
@@ -186,18 +202,35 @@ object Bench {
     // BOX LOAD, not attribution. A genuine plan regression re-runs just as
     // slow alone and still breaches; both times are recorded in the
     // headline so the adjudication is auditable.
+    // PRODUCERS are excluded from rerun adjudication (r10 advice, high):
+    // their expensive build is memoized per (session, dir) — Layouts.once /
+    // Caches.memo — so a solo rerun hits the warm memo and measures ~0 s,
+    // and a genuinely slow one-time build could never sustain a breach.
+    // For a producer the MEASURED time stands as the adjudicated time (the
+    // isolated_reruns record repeats it, so the skip is auditable). A
+    // rerun that THROWS records the -1 failure sentinel and the breach
+    // stands (breachStands — a crash must not clear a breach).
     val isolated = provisional.map { case (n, t) =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(n)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      Caches.sweepCheckpoints(spark.sparkContext)
-      (n, t, dt)
+      val iso =
+        if (Bench.producers.contains(n)) t
+        else {
+          val t0 = System.nanoTime()
+          val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          Caches.sweepCheckpoints(spark.sparkContext)
+          if (ok) dt else -1.0
+        }
+      (n, t, iso)
     }
+    // JSON shape: {"name":[measured_sec, adjudicated_sec]} — adjudicated
+    // equals measured for a producer (rerun skipped), -1 for a failed
+    // rerun, else the solo rerun's time.
     val isoJson = isolated.map { case (n, m, i) =>
       "\"" + n + "\":[" + fmt(m) + "," + fmt(i) + "]" }.mkString("{", ",", "}")
     val breaches = isolated.collect {
-      case (n, _, iso) if Budgets.perQuery.get(n).exists(iso > _ * effFactor) => "\"" + n + "\""
+      case (n, _, iso) if Budgets.perQuery.get(n)
+        .exists(b => Bench.breachStands(b * effFactor, iso)) => "\"" + n + "\""
     }.mkString("[", ",", "]")
     Caches.clear() // release operator-internal caches registered during the run
     Caches.sweepCheckpoints(spark.sparkContext)

@@ -25,6 +25,40 @@ class BudgetsSpec extends AnyFunSuite {
       Budgets.perQuery.filter(_._2 <= Budgets.Floor).keySet)
   }
 
+  test("breach adjudication: failed rerun sustains, fast rerun clears, slow rerun stands") {
+    // iso < 0 is the failed-rerun sentinel: the breach MUST stand — a
+    // crash in the solo rerun cannot masquerade as a fast rerun (r10
+    // verdict "what's wrong" #3).
+    assert(Bench.breachStands(10.0, -1.0))
+    // a genuine load artifact: solo rerun comfortably inside the envelope
+    assert(!Bench.breachStands(10.0, 2.5))
+    // a genuine regression: still slow alone
+    assert(Bench.breachStands(10.0, 12.0))
+    // boundary: exactly at the scaled budget is NOT a breach (check is >)
+    assert(!Bench.breachStands(10.0, 10.0))
+  }
+
+  test("producers skip the rerun: the measured time stands, so a provisional producer breach is final") {
+    // The producer list is the adjudication's skip set — a memoized build
+    // re-runs warm (~0 s) and could never sustain a breach via a rerun.
+    // Pin the queries whose one-time builds the list exists to attribute.
+    for (p <- Seq("pq_train_build", "ivf_auto_probe", "eval_graph_recall"))
+      assert(Bench.producers.contains(p), s"$p missing from Bench.producers")
+    // For a producer the adjudicated time IS the measured time: a
+    // provisional breach (measured > scaled budget) therefore stands.
+    val measured = 30.0
+    assert(Bench.breachStands(25.0, measured))
+  }
+
+  test("every producer has a budget entry — a producer regression must stay inside the breach gate") {
+    // r10 advice (medium): pq_train_build carried the ~50 s double Lloyd
+    // fit OUT of budgeted ivfpq_kmeans_recall and into an unbudgeted row,
+    // leaving training-time regressions ungated. Every declared producer
+    // must be budgeted.
+    val unbudgeted = Bench.producers.filterNot(Budgets.perQuery.contains)
+    assert(unbudgeted.isEmpty, s"producers without a budget: $unbudgeted")
+  }
+
   test("drift median: empty -> 1.0, odd -> middle, even -> upper middle") {
     assert(Bench.driftMedian(Nil) == 1.0)
     assert(Bench.driftMedian(Seq(1.3)) == 1.3)
