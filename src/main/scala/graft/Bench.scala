@@ -27,7 +27,7 @@ object Bench {
     * [[main]]. */
   private[graft] val producers = Seq("embed_hash_tf", "join_bucketed_build",
     "dedup_jaccard_index_build", "dedup_jaccard_pairs", "lsh_index_build",
-    "pq_index_build", "pq_train_build", "dedup_span_index_build",
+    "ivf_index_build", "pq_index_build", "pq_train_build", "dedup_span_index_build",
     "select_dsir_sample", "select_dsir_weights", "hybrid_bm25_topk",
     "text_bpe_merges", "rank_knn_degree_hist", "eval_graph_recall",
     "graph_index_append", "ivf_auto_probe")

@@ -207,6 +207,7 @@ object Budgets {
     "ivf_auto_probe" -> 4.9, // r14f samples 1.93/1.88 + driver r10 1.68 (all calibration-normalized)
     "ivf_balance" -> 3.0, // r14f samples 0.26/0.23 + driver r10 0.17 (all calibration-normalized) [raw 2.5x budget 0.7, raised to the 3 s metrology floor]
     "ivf_drift_summary" -> 3.0, // r14f samples 0.47/0.41 + driver r10 0.39 (all calibration-normalized) [raw 2.5x budget 1.2, raised to the 3 s metrology floor]
+    "ivf_index_build" -> 6.0, // provisional (new this round): sized from the lsh_index_build/pq_index_build write analogs; resample with the closing local pair
     "ivf_kmeans_recall" -> 4.4, // r14f samples 1.74/1.51 + driver r10 1.43 (all calibration-normalized)
     "ivf_probe_all_exact" -> 3.0, // r14f samples 0.73/0.76 + driver r10 0.41 (all calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
     "ivf_probe_curve" -> 3.0, // r14f samples 0.10/0.10 + driver r10 0.09 (all calibration-normalized) [raw 2.5x budget 0.3, raised to the 3 s metrology floor]

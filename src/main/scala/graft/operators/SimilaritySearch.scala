@@ -85,6 +85,33 @@ object SimilaritySearch {
             upperBeam = math.max(4, beam / 4), nEntries = 4, metric = metric)
     }
 
+  /** Filtered search over a STORED IVF layout — the metadata predicate
+    * rides WITH the index instead of post-filtering results or falling
+    * back to a brute corpus scan (the "filtered ANN" API of the vector
+    * stores; the reference's Qdrant surface imports
+    * `Filter`/`FieldCondition`/`MatchValue` for exactly this,
+    * `skills_for_jobs.py:20`). `stored` must be the list-partitioned
+    * read of an [[IvfIndex.write]] layout (carrying the metadata
+    * columns the predicate reads) and `model` the layout's build model.
+    *
+    * Scale shape, in order: (1) the probe ranking keeps nProbe lists per
+    * query; (2) the probes' list_ids reach the parquet scan as a
+    * DynamicPruningExpression on the `list_id` partition column
+    * (broadcast-reuse DPP — PlanSpec-guarded), so only the probed
+    * partitions' FILES are read; (3) `pred` prunes rows inside those
+    * partitions before any distance work; (4) ranking over the survivors
+    * is exact (plain IVF stores full vectors — the distance IS the true
+    * distance, no separate refine pass needed). Top-k quality therefore
+    * degrades only by probe choice, never by the filter: a match in a
+    * probed list is never lost to pre-k truncation, the failure mode of
+    * filter-AFTER-search at low k. */
+  def topKFilteredIvf(queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      stored: DataFrame, idCol: String, vecCol: String,
+      model: IvfIndex.Model, k: Int, nProbe: Int, metric: Metric,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    IvfIndex.search(queries, queryIdCol, queryVecCol, stored.filter(pred),
+      idCol, vecCol, model, k, nProbe, metric)
+
   /** Streaming face: a stream of query vectors searched against the static
     * corpus per micro-batch — the serving half of the reference's
     * request/response search loop expressed as Structured Streaming (the

@@ -65,6 +65,32 @@ class IvfLshSpec extends SparkSpec {
     assertNear(recallOf(viaIndex), 1.0)
   }
 
+  test("filtered stored-IVF search: probe-all equals the brute filtered exact; predicate rides the index") {
+    val model = IvfIndex.fitSeeds(corpus, "cid", "cvec", 4)
+    val path = java.nio.file.Files.createTempDirectory("ivffilt").toString + "/idx"
+    IvfIndex.write(IvfIndex.assign(corpus, "cid", "cvec", model, Cosine), path,
+      model, Cosine)
+    val stored = spark.read.parquet(path)
+      .withColumn("cvec", $"cvec".cast("array<double>"))
+    val pred = $"cid" % 2 === 0
+    // probe-all degrades to exact search over the FILTERED corpus: the
+    // filtered tier and the brute filtered baseline must answer identically
+    val all = graft.operators.SimilaritySearch.topKFilteredIvf(queries, "qid",
+      "qvec", stored, "cid", "cvec", model, 10, 4, Cosine, pred)
+    val brute = KnnJoin.exact(queries, "qid", "qvec", corpus.filter(pred),
+      "cid", "cvec", 10, Cosine)
+    assert(all.collect().map(_.toSeq).toSet == brute.collect().map(_.toSeq).toSet)
+    // probe-pruned: every hit satisfies the predicate, and the stored tier
+    // answers exactly like the same search over the in-memory assignment
+    val pruned = graft.operators.SimilaritySearch.topKFilteredIvf(queries,
+      "qid", "qvec", stored, "cid", "cvec", model, 10, 2, Cosine, pred)
+    assert(pruned.filter($"cid" % 2 =!= 0).isEmpty)
+    val inMem = IvfIndex.search(queries, "qid", "qvec",
+      IvfIndex.assign(corpus, "cid", "cvec", model, Cosine).filter(pred),
+      "cid", "cvec", model, 10, 2, Cosine)
+    assert(pruned.collect().map(_.toSeq).toSet == inMem.collect().map(_.toSeq).toSet)
+  }
+
   test("IVF append against the stored model equals a from-scratch assign of the union") {
     val isDelta = $"cid" % 7 === 3 && $"cid" >= 110L
     val (base, delta) = (corpus.filter(!isDelta), corpus.filter(isDelta))

@@ -342,6 +342,26 @@ class PlanSpec extends SparkSpec {
       s"the language dim must broadcast:\n$plan")
   }
 
+  test("filtered IVF search reads only the probed list partitions; the predicate prunes inside them") {
+    val plan = planOf("knn_filtered_ivf")
+    // (1) only probed partitions are read: the probes' list_ids reach the
+    // stored layout's scan as a DynamicPruningExpression on the list_id
+    // partition column (broadcast-reuse DPP off the probe join)
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("list_id"))
+    assert(scanLine.exists(_.toLowerCase.contains("dynamicpruningexpression")),
+      s"the probed list_ids must prune the stored scan's partitions dynamically:\n$plan")
+    assert(plan.contains("graft_ivfidx"),
+      s"the search must read the STORED layout, not re-assign the corpus:\n$plan")
+    // (2) the metadata predicate applies at the scan stage (a Filter over
+    // label inside the probed partitions), never after the ranking
+    assert(plan.contains("(label"),
+      s"the label predicate must prune rows before distance work:\n$plan")
+    // (3) the probe side broadcasts; the corpus is never sort-merged
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"probed candidates must ride a broadcast hash join:\n$plan")
+  }
+
   test("whitening is a broadcast-literal scan — no shuffle, no join") {
     val plan = planOf("embed_whiten_checksum")
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
