@@ -110,4 +110,38 @@ class PipelineSpec extends SparkSpec {
     val r = res.recall.head().getAs[Double]("avg_recall")
     assert(r >= 0.0 && r <= 1.0)
   }
+
+  test("rebuildOnDrift: identical re-fit keeps the stored layout; a moved quantizer rebuilds into the new path") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" >= 20)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cvec"))
+    val base = java.nio.file.Files.createTempDirectory("reb").toString
+    val stored = IvfIndex.fitSeeds(corpus, "cid", "cvec", 4)
+    IvfIndex.write(IvfIndex.assign(corpus, "cid", "cvec", stored, Cosine),
+      s"$base/idx", stored, Cosine)
+    // zero drift (candidate == stored fit): the scheduler must NOT rebuild
+    // and the serving pointer must stay on the stored layout
+    val same = Pipeline.rebuildOnDrift(corpus, "cid", "cvec", stored,
+      IvfIndex.fitSeeds(corpus, "cid", "cvec", 4), Cosine,
+      s"$base/idx", s"$base/idx2", thresholdE6 = 1L)
+    assert(!same.rebuilt && same.servingPath == s"$base/idx")
+    assert(same.drift.head().getAs[Long]("drift_e6") == 0L)
+    assert(!new java.io.File(s"$base/idx2").exists())
+    // a genuinely moved quantizer (fit excludes the two lowest ids —
+    // ivf_drift_summary's scenario): drift above threshold ⇒ rebuild,
+    // serve the NEW layout, old layout untouched on disk
+    val moved = IvfIndex.fitSeeds(corpus.filter($"cid" >= 22L), "cid", "cvec", 4)
+    val reb = Pipeline.rebuildOnDrift(corpus, "cid", "cvec", moved, // stored-era model
+      IvfIndex.fitSeeds(corpus, "cid", "cvec", 4), Cosine,
+      s"$base/idx", s"$base/idx3", thresholdE6 = 100000L)
+    assert(reb.rebuilt && reb.servingPath == s"$base/idx3")
+    assert(new java.io.File(s"$base/idx3").listFiles()
+      .exists(_.getName.startsWith("list_id=")))
+    // the rebuilt layout serves the candidate model's assignment exactly
+    val back = spark.read.parquet(s"$base/idx3")
+    val want = IvfIndex.assign(corpus, "cid", "cvec", reb.servingModel, Cosine)
+    assert(back.select($"cid", $"list_id".cast("int")).as[(Long, Int)].collect().toSet ==
+      want.select($"cid", $"list_id".cast("int")).as[(Long, Int)].collect().toSet)
+  }
 }
