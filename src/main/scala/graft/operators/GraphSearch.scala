@@ -51,7 +51,8 @@ object GraphSearch {
   def beamSearchAtStages(queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String, edges: DataFrame,
       stages: Seq[Int], beam: Int, k: Int,
-      metric: Metric = Cosine, entries: Option[DataFrame] = None): DataFrame = {
+      metric: Metric = Cosine, entries: Option[DataFrame] = None,
+      rankPred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(stages.nonEmpty && stages.forall(_ >= 1) && beam >= 1 && k >= 1)
     // A duplicated depth would silently duplicate that stage's ranked rows
     // in the unioned output.
@@ -96,10 +97,21 @@ object GraphSearch {
         .filter(col("__rn") <= beam).select("__qid", "__node")
         .coalesce(fParts).localCheckpoint()
     }
+    // `rankPred` = filtered-ANN semantics: the WALK above traverses the
+    // FULL graph (pruning edges by a predicate can disconnect it — the
+    // classic filtered-graph-search failure), and only the final ranking
+    // restricts to visited nodes satisfying the predicate. The filter is
+    // a row prune on the bounded visited set (≤ |Q|·(1 + hops·beam)),
+    // never a corpus rescan.
+    val rankVecs = rankPred match {
+      case Some(p) => corpus.filter(p).select(col(cId).cast("long").as("__vid"),
+        col(cVec).as("__cv"))
+      case None => vecs
+    }
     stages.map { h =>
       val vh = frontiers.take(h + 1).reduce(_ unionAll _)
       val cands = vh
-        .join(vecs, col("__node") === col("__vid"))
+        .join(rankVecs, col("__node") === col("__vid"))
         .join(q, "__qid")
         .select(col("__qid").as(qId),
           metric.dist(col("__qv"), col("__cv")).as("dist"),
@@ -287,6 +299,26 @@ object GraphSearch {
       queries.sparkSession.table(indexTable).select("src", "dst"))
     beamSearch(queries, qId, qVec, corpus, cId, cVec, edges, hops, beam, k,
       metric)
+  }
+
+  /** Filtered-ANN over the stored graph — [[SimilaritySearch
+    * .topKFilteredIvf]]'s graph-tier sibling (filtered HNSW in the vector
+    * stores): the walk traverses the FULL stored graph — pruning edges by
+    * the predicate would disconnect it and strand whole filtered regions,
+    * the documented failure mode of naive filtered graph search — and the
+    * top-k then ranks only VISITED nodes satisfying `pred` (a row prune
+    * over the bounded visited set, ≤ |Q|·(1 + hops·beam) rows — never a
+    * corpus rescan). `corpus` must carry the predicate's metadata
+    * columns. Queries whose visited∩pred set is smaller than k return
+    * fewer rows, exactly like a filtered store. */
+  def beamSearchStoredFiltered(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String, indexTable: String,
+      hops: Int, beam: Int, k: Int, metric: Metric,
+      pred: org.apache.spark.sql.Column): DataFrame = {
+    val edges = PageRank.symmetrize(
+      queries.sparkSession.table(indexTable).select("src", "dst"))
+    beamSearchAtStages(queries, qId, qVec, corpus, cId, cVec, edges,
+      Seq(hops), beam, k, metric, None, rankPred = Some(pred)).drop("hops")
   }
 
   /** DuckDB twin: the walk unrolled hop for hop. `qCte`/`cCte` must define

@@ -671,6 +671,22 @@ object IndexQueries extends graft.QueryModule {
         GraphHops, GraphBeam, K)
         .withColumn("dist", round(col("dist"), 6))
     }),
+    // Filtered-ANN at the GRAPH tier — knn_filtered_ivf's sibling over the
+    // stored ANN-built graph (filtered HNSW): the walk traverses the FULL
+    // graph (predicate-pruned edges would disconnect it and strand whole
+    // filtered regions), and the top-k ranks only VISITED nodes satisfying
+    // the predicate — a row prune over the bounded visited set, never a
+    // corpus rescan. Walk + filter + ranking all deterministic, so the
+    // oracle replays the stored graph's construction AND the walk hop for
+    // hop, then ranks over the filtered corpus view.
+    "knn_graph_filtered_topk" -> ((s, dir) => {
+      val t = GraphLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      graft.operators.GraphSearch.beamSearchStoredFiltered(q, "job_id",
+        "qvec", c.select(col("skill_id"), col("svec"), col("label")),
+        "skill_id", "svec", t, GraphHops, GraphBeam, K, Cosine, filterPred)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
     // Graph compaction: each append adds a file per bucket; re-writing
     // through the same layout (dedup on (src, dst) — identical re-appends
     // collapse) must leave the edge SET, and therefore the census,
@@ -1169,6 +1185,16 @@ object IndexQueries extends graft.QueryModule {
            graphEdgeCtes + ",\n" +
              "es AS MATERIALIZED (SELECT src, dst FROM ae UNION SELECT dst, src FROM ae)",
            GraphHops, GraphBeam, K)}
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist FROM gtop""".stripMargin,
+    // The filtered twin: the SAME walk replay (full graph), with the
+    // ranked tail reading the filtered corpus view — visited ∩ predicate.
+    "knn_graph_filtered_topk" ->
+      s"""WITH ${graft.operators.GraphSearch.walkCtes(qCte, cCte,
+           graphEdgeCtes + ",\n" +
+             "es AS MATERIALIZED (SELECT src, dst FROM ae UNION SELECT dst, src FROM ae)",
+           GraphHops, GraphBeam)},
+         |cf AS (SELECT * FROM c WHERE label % 2 = 0),
+         |${graft.operators.GraphSearch.rankTail(GraphHops, K, corpusName = "cf")}
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist FROM gtop""".stripMargin,
     "pq_drift_summary" -> pqDriftSql,
     "ivfpq_ann_topk" -> ivfpqSql,

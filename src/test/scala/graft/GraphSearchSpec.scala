@@ -125,6 +125,37 @@ class GraphSearchSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("filtered walk: full-graph traversal, predicate restricts the ranking only") {
+    val q = corpus.limit(4).select(col("skill_id").as("job_id"),
+      col("svec").as("qvec"))
+    val edges = PageRank.symmetrize(
+      PageRank.directedKnnEdges(corpus, "skill_id", "svec", 3))
+    val pred = col("skill_id") % 2 === 0
+    val filtered = GraphSearch.beamSearchAtStages(q, "job_id", "qvec", corpus,
+      "skill_id", "svec", edges, Seq(3), beam = 4, k = 5,
+      rankPred = Some(pred)).drop("hops")
+    // every hit satisfies the predicate
+    assert(filtered.filter(col("skill_id") % 2 =!= 0).isEmpty)
+    // the WALK is unchanged by the predicate: filtered results are exactly
+    // the unfiltered walk's visited ranking re-ranked over matching nodes —
+    // equivalently, a trivial predicate reproduces the unfiltered walk
+    val trivial = GraphSearch.beamSearchAtStages(q, "job_id", "qvec", corpus,
+      "skill_id", "svec", edges, Seq(3), beam = 4, k = 5,
+      rankPred = Some(lit(true))).drop("hops")
+    val plain = GraphSearch.beamSearch(q, "job_id", "qvec", corpus,
+      "skill_id", "svec", edges, hops = 3, beam = 4, k = 5)
+    assert(trivial.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+    // filtered hits ⊆ the unfiltered walk's VISITED set (rank over a deep
+    // unfiltered ranking as a visited-set proxy at k = corpus size)
+    val visited = GraphSearch.beamSearch(q, "job_id", "qvec", corpus,
+      "skill_id", "svec", edges, hops = 3, beam = 4, k = 1000)
+      .select("job_id", "skill_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(filtered.select("job_id", "skill_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(visited))
+  }
+
   test("duplicate stage depths are rejected") {
     val q = corpus.limit(2).select(col("skill_id").as("job_id"),
       col("svec").as("qvec"))
