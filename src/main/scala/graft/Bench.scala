@@ -30,7 +30,7 @@ object Bench {
     "ivf_index_build", "pq_index_build", "pq_train_build", "dedup_span_index_build",
     "select_dsir_sample", "select_dsir_weights", "hybrid_bm25_topk",
     "text_bpe_merges", "rank_knn_degree_hist", "eval_graph_recall",
-    "graph_index_append", "ivf_auto_probe")
+    "graph_index_append", "graph_walk_build", "ivf_auto_probe")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

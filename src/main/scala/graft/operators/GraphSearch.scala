@@ -58,6 +58,45 @@ object GraphSearch {
     // in the unioned output.
     require(stages.distinct.size == stages.size,
       s"beamSearchAtStages: duplicate depths in $stages")
+    val frontiers = walkFrontiers(queries, qId, qVec, corpus, cId, cVec,
+      edges, stages.max, beam, metric, entries)
+    val q = broadcast(queries.select(col(qId).as("__qid"),
+      col(qVec).as("__qv")))
+    val vecs = corpus.select(col(cId).cast("long").as("__vid"),
+      col(cVec).as("__cv"))
+    // `rankPred` = filtered-ANN semantics: the WALK above traverses the
+    // FULL graph (pruning edges by a predicate can disconnect it — the
+    // classic filtered-graph-search failure), and only the final ranking
+    // restricts to visited nodes satisfying the predicate. The filter is
+    // a row prune on the bounded visited set (≤ |Q|·(1 + hops·beam)),
+    // never a corpus rescan.
+    val rankVecs = rankPred match {
+      case Some(p) => corpus.filter(p).select(col(cId).cast("long").as("__vid"),
+        col(cVec).as("__cv"))
+      case None => vecs
+    }
+    stages.map { h =>
+      val vh = frontiers.take(h + 1).reduce(_ unionAll _)
+      val cands = vh
+        .join(rankVecs, col("__node") === col("__vid"))
+        .join(q, "__qid")
+        .select(col("__qid").as(qId),
+          metric.dist(col("__qv"), col("__cv")).as("dist"),
+          col("__node").as("__cid"))
+      KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
+        .withColumn("hops", lit(h.toLong))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The walk itself — hop frontiers f0..f`hops`, each localCheckpointed —
+    * extracted so rankings of the SAME traversal (staged depths, the
+    * filtered/unfiltered stored twins) share one walk. Returned element i
+    * is hop i's frontier; the visited set at depth h is the union of the
+    * first h+1. */
+  private[operators] def walkFrontiers(queries: DataFrame, qId: String,
+      qVec: String, corpus: DataFrame, cId: String, cVec: String,
+      edges: DataFrame, hops: Int, beam: Int, metric: Metric,
+      entries: Option[DataFrame]): Vector[DataFrame] = {
     val q = broadcast(queries.select(col(qId).as("__qid"),
       col(qVec).as("__qv")))
     val vecs = corpus.select(col(cId).cast("long").as("__vid"),
@@ -84,7 +123,7 @@ object GraphSearch {
     def visited = frontiers.reduce(_ unionAll _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__qid").orderBy(col("__d"), col("__node"))
-    for (_ <- 1 to stages.max) {
+    for (_ <- 1 to hops) {
       val cand = frontiers.last.join(e, "__node")
         .select(col("__qid"), col("__dst").as("__node")).distinct()
         .join(visited, Seq("__qid", "__node"), "left_anti")
@@ -97,28 +136,44 @@ object GraphSearch {
         .filter(col("__rn") <= beam).select("__qid", "__node")
         .coalesce(fParts).localCheckpoint()
     }
-    // `rankPred` = filtered-ANN semantics: the WALK above traverses the
-    // FULL graph (pruning edges by a predicate can disconnect it — the
-    // classic filtered-graph-search failure), and only the final ranking
-    // restricts to visited nodes satisfying the predicate. The filter is
-    // a row prune on the bounded visited set (≤ |Q|·(1 + hops·beam)),
-    // never a corpus rescan.
-    val rankVecs = rankPred match {
-      case Some(p) => corpus.filter(p).select(col(cId).cast("long").as("__vid"),
-        col(cVec).as("__cv"))
-      case None => vecs
-    }
-    stages.map { h =>
-      val vh = frontiers.take(h + 1).reduce(_ unionAll _)
-      val cands = vh
-        .join(rankVecs, col("__node") === col("__vid"))
-        .join(q, "__qid")
-        .select(col("__qid").as(qId),
-          metric.dist(col("__qv"), col("__cv")).as("dist"),
-          col("__node").as("__cid"))
-      KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
-        .withColumn("hops", lit(h.toLong))
-    }.reduce(_ unionAll _)
+    frontiers
+  }
+
+  /** The visited set of one stored-graph walk — (`qId`, `__node`) rows —
+    * for consumers that rank the SAME traversal several ways (the
+    * filtered/unfiltered stored twins): the walk is the expensive part
+    * (hops sequential rounds), the ranking a cheap bounded join, so
+    * twins memoize this frame and pay one traversal. */
+  def visitedStored(queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String, indexTable: String,
+      hops: Int, beam: Int, metric: Metric = Cosine): DataFrame = {
+    val edges = PageRank.symmetrize(
+      queries.sparkSession.table(indexTable).select("src", "dst"))
+    walkFrontiers(queries, qId, qVec, corpus, cId, cVec, edges, hops, beam,
+      metric, None).reduce(_ unionAll _)
+  }
+
+  /** Exact top-`k` ranking over a walk's visited set, optionally
+    * restricted to nodes satisfying `pred` (filtered-ANN semantics: the
+    * traversal saw the full graph; only the ranking filters). The work is
+    * a join of the bounded visited set against the corpus vectors —
+    * O(|Q|·(1 + hops·beam)) rows, never a corpus scan. */
+  def rankVisited(visited: DataFrame, queries: DataFrame, qId: String,
+      qVec: String, corpus: DataFrame, cId: String, cVec: String, k: Int,
+      metric: Metric = Cosine,
+      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("__qid"),
+      col(qVec).as("__qv")))
+    val rc = pred.map(corpus.filter).getOrElse(corpus)
+    val vecs = rc.select(col(cId).cast("long").as("__vid"),
+      col(cVec).as("__cv"))
+    val cands = visited
+      .join(vecs, col("__node") === col("__vid"))
+      .join(q, "__qid")
+      .select(col("__qid").as(qId),
+        metric.dist(col("__qv"), col("__cv")).as("dist"),
+        col("__node").as("__cid"))
+    KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
   }
 
   /** Frontier partition target for a walk: ~4096 (query, node) rows per

@@ -219,6 +219,23 @@ object IndexQueries extends graft.QueryModule {
     (q, indexed, model)
   }
 
+  /** ONE (GraphHops, GraphBeam) walk over the stored graph serving both
+    * stored-search twins — knn_graph_stored_topk ranks it unfiltered,
+    * knn_graph_filtered_topk ranks visited ∩ predicate (the walk is the
+    * expensive part, hops sequential rounds; the rankings are bounded
+    * joins). Keyed memo: the per-hop localCheckpoints defeat plan
+    * equality. graph_index_append (the layout's Bench producer) still
+    * pays the stored-graph DDL; the walk lands on the alphabetically
+    * first twin. */
+  private def storedWalkVisited(s: SparkSession, dir: String): DataFrame = {
+    val t = GraphLayout.ensure(s, dir)
+    val (q, c) = Fixtures.split(s, dir)
+    graft.Caches.memo(s, s"gstwalk:$dir")(
+      graft.operators.GraphSearch.visitedStored(q, "job_id", "qvec",
+        c.select(col("skill_id"), col("svec")), "skill_id", "svec", t,
+        GraphHops, GraphBeam, Cosine))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // X1 — IVF build + probe-pruned ANN search (probes < lists: approximate).
     "ivf_ann_topk" -> ((s, dir) => {
@@ -664,13 +681,22 @@ object IndexQueries extends graft.QueryModule {
     // edges per query — the ranked output is hash-gated against the
     // oracle's replay of the same base∪delta edge set walked hop for hop.
     "knn_graph_stored_topk" -> ((s, dir) => {
-      val t = GraphLayout.ensure(s, dir)
       val (q, c) = Fixtures.split(s, dir)
-      graft.operators.GraphSearch.beamSearchStored(q, "job_id", "qvec",
-        c.select(col("skill_id"), col("svec")), "skill_id", "svec", t,
-        GraphHops, GraphBeam, K)
+      graft.operators.GraphSearch.rankVisited(storedWalkVisited(s, dir),
+        q, "job_id", "qvec", c.select(col("skill_id"), col("svec")),
+        "skill_id", "svec", K, Cosine)
         .withColumn("dist", round(col("dist"), 6))
     }),
+    // The stored walk's own census (a Bench producer — it materializes the
+    // memoized visited set both stored-search twins rank): row count,
+    // query count, and a position-weighted (query, node) checksum, all
+    // replayed by the oracle's hop-for-hop walk — a walk that drops a
+    // frontier, revisits a node, or beams wrong turns red HERE,
+    // independent of any ranking.
+    "graph_walk_build" -> ((s, dir) =>
+      storedWalkVisited(s, dir).agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("__qid")).as("n_queries"),
+        sum(col("__qid") * lit(100003L) + col("__node")).as("visit_checksum"))),
     // Filtered-ANN at the GRAPH tier — knn_filtered_ivf's sibling over the
     // stored ANN-built graph (filtered HNSW): the walk traverses the FULL
     // graph (predicate-pruned edges would disconnect it and strand whole
@@ -680,11 +706,11 @@ object IndexQueries extends graft.QueryModule {
     // oracle replays the stored graph's construction AND the walk hop for
     // hop, then ranks over the filtered corpus view.
     "knn_graph_filtered_topk" -> ((s, dir) => {
-      val t = GraphLayout.ensure(s, dir)
       val (q, c) = Fixtures.split(s, dir)
-      graft.operators.GraphSearch.beamSearchStoredFiltered(q, "job_id",
-        "qvec", c.select(col("skill_id"), col("svec"), col("label")),
-        "skill_id", "svec", t, GraphHops, GraphBeam, K, Cosine, filterPred)
+      graft.operators.GraphSearch.rankVisited(storedWalkVisited(s, dir),
+        q, "job_id", "qvec",
+        c.select(col("skill_id"), col("svec"), col("label")),
+        "skill_id", "svec", K, Cosine, Some(filterPred))
         .withColumn("dist", round(col("dist"), 6))
     }),
     // Graph compaction: each append adds a file per bucket; re-writing
@@ -1186,6 +1212,16 @@ object IndexQueries extends graft.QueryModule {
              "es AS MATERIALIZED (SELECT src, dst FROM ae UNION SELECT dst, src FROM ae)",
            GraphHops, GraphBeam, K)}
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist FROM gtop""".stripMargin,
+    // The visited-set census: the same walk replay, aggregated at the
+    // final visited CTE — no ranking involved.
+    "graph_walk_build" ->
+      s"""WITH ${graft.operators.GraphSearch.walkCtes(qCte, cCte,
+           graphEdgeCtes + ",\n" +
+             "es AS MATERIALIZED (SELECT src, dst FROM ae UNION SELECT dst, src FROM ae)",
+           GraphHops, GraphBeam)}
+         |SELECT count(*) AS n_rows, count(DISTINCT job_id) AS n_queries,
+         |  CAST(sum(job_id * 100003 + node) AS BIGINT) AS visit_checksum
+         |FROM v$GraphHops""".stripMargin,
     // The filtered twin: the SAME walk replay (full graph), with the
     // ranked tail reading the filtered corpus view — visited ∩ predicate.
     "knn_graph_filtered_topk" ->
