@@ -143,7 +143,7 @@ object Budgets {
     "eval_binary_recall" -> 3.0, // r14f samples 0.24/0.25 + driver r10 0.26 (all calibration-normalized) [raw 2.5x budget 0.7, raised to the 3 s metrology floor]
     "eval_dedup_lsh" -> 4.5, // r14f samples 1.79/1.59 + driver r10 1.67 (all calibration-normalized)
     "eval_dedup_simhash" -> 3.0, // r14f samples 0.78/0.78 + driver r10 0.60 (all calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
-    "eval_filtered_ivf_recall" -> 3.0, // r15 clean-pair samples 0.78/0.76 (calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "eval_filtered_ivf_recall" -> 3.0, // r15 closing clean-pair samples 0.63/0.88 (calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
     "eval_graph_hier_recall" -> 25.6, // r14f samples 9.33/10.24 + driver r10 8.28 (all calibration-normalized)
     "eval_graph_hops_curve" -> 3.0, // r14f samples 0.43/0.50 + driver r10 0.44 (all calibration-normalized) [raw 2.5x budget 1.3, raised to the 3 s metrology floor]
     "eval_graph_recall" -> 19.7, // r14f samples 7.85/7.45 + driver r10 6.81 (all calibration-normalized)
@@ -188,7 +188,7 @@ object Budgets {
     "graph_index_append" -> 22.0, // r14f samples 8.80/7.89 + driver r10 7.38 (all calibration-normalized)
     "graph_index_build_ann" -> 3.0, // r14f samples 0.09/0.10 + driver r10 0.09 (all calibration-normalized) [raw 2.5x budget 0.3, raised to the 3 s metrology floor]
     "graph_index_compact" -> 3.0, // r14f samples 0.47/0.42 + driver r10 0.42 (all calibration-normalized) [raw 2.5x budget 1.2, raised to the 3 s metrology floor]
-    "graph_walk_build" -> 15.0, // provisional (new this round): the stored walk producer, isolated sample 5.98 at sf0.1; resample with the closing clean pair
+    "graph_walk_build" -> 12.5, // r15 closing clean-pair samples 4.97/4.22 (calibration-normalized; the stored-walk producer both stored-search twins read)
     "hybrid_bm25_prf" -> 11.6, // r14f samples 4.62/4.41 + driver r10 4.03 (all calibration-normalized)
     "hybrid_bm25_rrf" -> 3.3, // r14f samples 1.25/1.29 + driver r10 1.10 (all calibration-normalized)
     "hybrid_bm25_topk" -> 9.0, // r14f samples 2.79/3.59 + driver r10 2.81 (all calibration-normalized)
@@ -209,7 +209,7 @@ object Budgets {
     "ivf_auto_probe" -> 4.9, // r14f samples 1.93/1.88 + driver r10 1.68 (all calibration-normalized)
     "ivf_balance" -> 3.0, // r14f samples 0.26/0.23 + driver r10 0.17 (all calibration-normalized) [raw 2.5x budget 0.7, raised to the 3 s metrology floor]
     "ivf_drift_summary" -> 3.0, // r14f samples 0.47/0.41 + driver r10 0.39 (all calibration-normalized) [raw 2.5x budget 1.2, raised to the 3 s metrology floor]
-    "ivf_index_build" -> 3.0, // r15 clean-pair samples 0.68/0.59 + floor (calibration-normalized; stored plain-IVF layout write, a producer) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
+    "ivf_index_build" -> 3.0, // r15 closing clean-pair samples 0.75/0.53 (calibration-normalized; stored plain-IVF layout write, a producer) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
     "ivf_kmeans_recall" -> 4.4, // r14f samples 1.74/1.51 + driver r10 1.43 (all calibration-normalized)
     "ivf_probe_all_exact" -> 3.0, // r14f samples 0.73/0.76 + driver r10 0.41 (all calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
     "ivf_probe_curve" -> 3.0, // r14f samples 0.10/0.10 + driver r10 0.09 (all calibration-normalized) [raw 2.5x budget 0.3, raised to the 3 s metrology floor]
@@ -230,11 +230,11 @@ object Budgets {
     "join_skew_salted" -> 3.0, // r14f samples 0.54/0.65 + driver r10 0.56 (all calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
     "knn_cosine_topk" -> 3.0, // r14f samples 0.43/0.40 + driver r10 0.48 (all calibration-normalized) [raw 2.5x budget 1.2, raised to the 3 s metrology floor]
     "knn_dedup_label_topk" -> 3.0, // r14f samples 0.64/0.48 + driver r10 0.53 (all calibration-normalized) [raw 2.5x budget 1.6, raised to the 3 s metrology floor]
-    "knn_filtered_ivf" -> 3.0, // r15 clean-pair samples 0.65/0.50 (calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
+    "knn_filtered_ivf" -> 3.0, // r15 closing clean-pair samples 0.66/0.63 (calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
     "knn_filtered_topk" -> 3.0, // r14f samples 0.33/0.33 + driver r10 0.35 (all calibration-normalized) [raw 2.5x budget 0.9, raised to the 3 s metrology floor]
-    "knn_graph_filtered_topk" -> 11.6, // r15 clean-pair samples 4.64/4.50 (calibration-normalized; a full recall-grade walk precedes the filtered ranking)
+    "knn_graph_filtered_topk" -> 3.0, // r15 closing clean-pair samples 0.33/0.38 (calibration-normalized; ranking only — the walk is paid by graph_walk_build) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
     "knn_graph_hier_topk" -> 3.0, // r14f samples 0.36/0.39 + driver r10 0.39 (all calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
-    "knn_graph_stored_topk" -> 12.7, // r14f samples 5.01/5.06 + driver r10 4.43 (all calibration-normalized)
+    "knn_graph_stored_topk" -> 3.0, // r15 closing clean-pair samples 0.28/0.29 (calibration-normalized; ranking only — the walk is paid by graph_walk_build) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]
     "knn_graph_topk" -> 3.0, // r14f samples 0.50/0.61 + driver r10 0.44 (all calibration-normalized) [raw 2.5x budget 1.6, raised to the 3 s metrology floor]
     "knn_hamming_refine" -> 3.0, // r14f samples 0.59/0.56 + driver r10 0.58 (all calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "knn_hamming_topk" -> 3.0, // r14f samples 0.32/0.37 + driver r10 0.34 (all calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
@@ -271,7 +271,7 @@ object Budgets {
     "pipeline_dsir_select" -> 16.9, // r14f samples 5.27/5.65 + driver r10 6.74 (all calibration-normalized)
     "pipeline_entity_resolution" -> 5.7, // r14f samples 1.91/2.11 + driver r10 2.25 (all calibration-normalized)
     "pipeline_eval_set" -> 3.0, // r14f samples 0.83/1.00 + driver r10 1.14 (all calibration-normalized) [raw 2.5x budget 2.9, raised to the 3 s metrology floor]
-    "pipeline_index_rebuild" -> 3.7, // r15 clean-pair samples 1.46/1.47 (calibration-normalized; the composition pays its own era-1 build + append + rebuild)
+    "pipeline_index_rebuild" -> 4.5, // r15 closing clean-pair samples 1.77/1.56 (calibration-normalized; the composition pays its own era-1 build + append + rebuild)
     "pipeline_retrieval_stack" -> 17.3, // r14f samples 5.80/6.64 + driver r10 6.90 (all calibration-normalized)
     "pipeline_skills_for_jobs" -> 13.6, // r14f samples 4.96/4.87 + driver r10 5.43 (all calibration-normalized)
     "pipeline_tokenizer_train" -> 3.0, // r14f samples 0.35/0.47 + driver r10 0.43 (all calibration-normalized) [raw 2.5x budget 1.2, raised to the 3 s metrology floor]
@@ -285,7 +285,7 @@ object Budgets {
     "pq_kmeans_recall" -> 3.0, // r14f samples 0.45/0.57 + driver r10 0.43 (all calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "pq_opq_recall" -> 4.2, // r14f samples 1.45/1.68 + driver r10 1.40 (all calibration-normalized)
     "pq_refine_topk" -> 4.1, // r14f samples 1.59/1.63 + driver r10 1.53 (all calibration-normalized)
-    "pq_train_build" -> 16.9, // r15 clean-pair samples 6.19/6.75 (calibration-normalized; the producer paying both trained-quantizer Lloyd fits; driver r10 sample 6.30 agrees)
+    "pq_train_build" -> 17.1, // r15 closing clean-pair samples 6.83/6.60 (calibration-normalized; the producer paying both trained-quantizer Lloyd fits; driver r10 sample 6.30 agrees)
     "profile_benford" -> 3.0, // r14f samples 0.39/0.43 + driver r10 0.34 (all calibration-normalized) [raw 2.5x budget 1.1, raised to the 3 s metrology floor]
     "profile_column_corr" -> 3.0, // r14f samples 0.29/0.31 + driver r10 0.24 (all calibration-normalized) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]
     "profile_corpus_drift" -> 3.0, // r14f samples 0.37/0.40 + driver r10 0.35 (all calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
