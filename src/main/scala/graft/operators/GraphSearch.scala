@@ -167,7 +167,12 @@ object GraphSearch {
     val rc = pred.map(corpus.filter).getOrElse(corpus)
     val vecs = rc.select(col(cId).cast("long").as("__vid"),
       col(cVec).as("__cv"))
-    val cands = visited
+    // The visited set is the bounded side (≤ |Q|·(1 + hops·beam) rows) —
+    // pin it as the broadcast build side so the corpus-vector join is a
+    // map-side lookup over the corpus scan, never a corpus shuffle (at
+    // tiny test SFs the optimizer happily broadcasts the corpus instead,
+    // which inverts at 100 TB).
+    val cands = broadcast(visited)
       .join(vecs, col("__node") === col("__vid"))
       .join(q, "__qid")
       .select(col("__qid").as(qId),

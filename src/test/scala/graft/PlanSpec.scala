@@ -362,6 +362,16 @@ class PlanSpec extends SparkSpec {
       s"probed candidates must ride a broadcast hash join:\n$plan")
   }
 
+  test("stored-walk twins rank by broadcasting the bounded visited set onto the corpus scan") {
+    for (qn <- Seq("knn_graph_stored_topk", "knn_graph_filtered_topk")) {
+      val plan = planOf(qn).split("== Initial Plan ==").head
+      assert(!plan.contains("SortMergeJoin"),
+        s"$qn: the visited-set join must never sort-merge the corpus:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$qn: the bounded visited set must broadcast:\n$plan")
+    }
+  }
+
   test("whitening is a broadcast-literal scan — no shuffle, no join") {
     val plan = planOf("embed_whiten_checksum")
     assert(!plan.contains("Exchange") && !plan.contains("Join"),
