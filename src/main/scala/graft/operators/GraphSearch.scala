@@ -60,31 +60,16 @@ object GraphSearch {
       s"beamSearchAtStages: duplicate depths in $stages")
     val frontiers = walkFrontiers(queries, qId, qVec, corpus, cId, cVec,
       edges, stages.max, beam, metric, entries)
-    val q = broadcast(queries.select(col(qId).as("__qid"),
-      col(qVec).as("__qv")))
-    val vecs = corpus.select(col(cId).cast("long").as("__vid"),
-      col(cVec).as("__cv"))
     // `rankPred` = filtered-ANN semantics: the WALK above traverses the
     // FULL graph (pruning edges by a predicate can disconnect it — the
     // classic filtered-graph-search failure), and only the final ranking
-    // restricts to visited nodes satisfying the predicate. The filter is
-    // a row prune on the bounded visited set (≤ |Q|·(1 + hops·beam)),
-    // never a corpus rescan.
-    val rankVecs = rankPred match {
-      case Some(p) => corpus.filter(p).select(col(cId).cast("long").as("__vid"),
-        col(cVec).as("__cv"))
-      case None => vecs
-    }
+    // restricts to visited nodes satisfying the predicate ([[rankVisited]],
+    // the ONE ranking tail — each depth's visited prefix rides the same
+    // broadcast-pinned bounded join).
     stages.map { h =>
       val vh = frontiers.take(h + 1).reduce(_ unionAll _)
-      val cands = vh
-        .join(rankVecs, col("__node") === col("__vid"))
-        .join(q, "__qid")
-        .select(col("__qid").as(qId),
-          metric.dist(col("__qv"), col("__cv")).as("dist"),
-          col("__node").as("__cid"))
-      KnnJoin.topkOfCandidates(cands, qId, cId, k, isString = false)
-        .withColumn("hops", lit(h.toLong))
+      rankVisited(vh, queries, qId, qVec, corpus, cId, cVec, k, metric,
+        rankPred).withColumn("hops", lit(h.toLong))
     }.reduce(_ unionAll _)
   }
 
@@ -143,7 +128,14 @@ object GraphSearch {
     * for consumers that rank the SAME traversal several ways (the
     * filtered/unfiltered stored twins): the walk is the expensive part
     * (hops sequential rounds), the ranking a cheap bounded join, so
-    * twins memoize this frame and pay one traversal. */
+    * twins memoize this frame and pay one traversal. Filtered-ANN over
+    * the stored graph ([[SimilaritySearch.topKFilteredIvf]]'s graph-tier
+    * sibling — filtered HNSW in the vector stores) IS the composition
+    * `rankVisited(visitedStored(...), ..., pred = Some(...))`: the walk
+    * traverses the FULL graph (predicate-pruned edges would disconnect
+    * it and strand whole filtered regions, the documented failure mode
+    * of naive filtered graph search), and only the ranking restricts to
+    * predicate-matching visited nodes. */
   def visitedStored(queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String, indexTable: String,
       hops: Int, beam: Int, metric: Metric = Cosine): DataFrame = {
@@ -359,26 +351,6 @@ object GraphSearch {
       queries.sparkSession.table(indexTable).select("src", "dst"))
     beamSearch(queries, qId, qVec, corpus, cId, cVec, edges, hops, beam, k,
       metric)
-  }
-
-  /** Filtered-ANN over the stored graph — [[SimilaritySearch
-    * .topKFilteredIvf]]'s graph-tier sibling (filtered HNSW in the vector
-    * stores): the walk traverses the FULL stored graph — pruning edges by
-    * the predicate would disconnect it and strand whole filtered regions,
-    * the documented failure mode of naive filtered graph search — and the
-    * top-k then ranks only VISITED nodes satisfying `pred` (a row prune
-    * over the bounded visited set, ≤ |Q|·(1 + hops·beam) rows — never a
-    * corpus rescan). `corpus` must carry the predicate's metadata
-    * columns. Queries whose visited∩pred set is smaller than k return
-    * fewer rows, exactly like a filtered store. */
-  def beamSearchStoredFiltered(queries: DataFrame, qId: String, qVec: String,
-      corpus: DataFrame, cId: String, cVec: String, indexTable: String,
-      hops: Int, beam: Int, k: Int, metric: Metric,
-      pred: org.apache.spark.sql.Column): DataFrame = {
-    val edges = PageRank.symmetrize(
-      queries.sparkSession.table(indexTable).select("src", "dst"))
-    beamSearchAtStages(queries, qId, qVec, corpus, cId, cVec, edges,
-      Seq(hops), beam, k, metric, None, rankPred = Some(pred)).drop("hops")
   }
 
   /** DuckDB twin: the walk unrolled hop for hop. `qCte`/`cCte` must define

@@ -224,9 +224,10 @@ object IndexQueries extends graft.QueryModule {
     * knn_graph_filtered_topk ranks visited ∩ predicate (the walk is the
     * expensive part, hops sequential rounds; the rankings are bounded
     * joins). Keyed memo: the per-hop localCheckpoints defeat plan
-    * equality. graph_index_append (the layout's Bench producer) still
-    * pays the stored-graph DDL; the walk lands on the alphabetically
-    * first twin. */
+    * equality. Bench attribution: graph_index_append (the layout's
+    * producer) pays the stored-graph DDL, and the declared
+    * graph_walk_build producer materializes THIS memo, so both twins
+    * time ranking only. */
   private def storedWalkVisited(s: SparkSession, dir: String): DataFrame = {
     val t = GraphLayout.ensure(s, dir)
     val (q, c) = Fixtures.split(s, dir)
@@ -857,9 +858,14 @@ object IndexQueries extends graft.QueryModule {
       r.drift.crossJoin(rec)
         .select(col("n_vectors"), col("n_changed"), col("drift_e6"),
           lit(RebuildDriftE6).as("threshold_e6"),
-          when(lit(r.rebuilt) && col("drift_e6") >= RebuildDriftE6, lit(true))
+          // the pin is an IFF: the scheduler's driver-side decision must
+          // equal the in-plan threshold comparison — a rebuild skipped on
+          // drift AND a spurious rebuild without drift both raise
+          when(lit(r.rebuilt) === (col("drift_e6") >= RebuildDriftE6),
+              lit(r.rebuilt))
             .otherwise(raise_error(concat(
-              lit("pipeline_index_rebuild: drifted index not rebuilt: drift_e6="),
+              lit("pipeline_index_rebuild: decision/threshold mismatch: rebuilt="),
+              lit(r.rebuilt.toString), lit(" drift_e6="),
               col("drift_e6").cast("string")))).as("rebuilt"),
           col("avg_matches"), col("avg_recall"), col("n_queries"))
     }),
@@ -932,6 +938,40 @@ object IndexQueries extends graft.QueryModule {
        |  FROM d)
        |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
        |FROM r WHERE rank <= $K""".stripMargin
+
+  /** The exact-cosine recall replay shared by the IVF-family recall
+    * oracles (ivf_recall_summary, eval_filtered_ivf_recall,
+    * pipeline_index_rebuild): exact top-K over q × c[`candFilter`]
+    * compared against the ann CTE `r`'s top-K, per-query exact-integer
+    * recall ending in perq — ONE emitter, so a change to the recall
+    * convention (rounding, the LEFT-JOIN n_queries base) moves all three
+    * oracles together. */
+  private def ivfRecallCtes(candFilter: String = ""): String = {
+    val er = graft.functions.ExactRound
+    s"""exd AS (SELECT q.job_id, c.skill_id,
+       |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
+       |  FROM q CROSS JOIN c$candFilter),
+       |exr AS (SELECT job_id, skill_id FROM (
+       |    SELECT job_id, skill_id,
+       |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
+       |    FROM exd) WHERE rank <= $K),
+       |ann AS (SELECT job_id, skill_id FROM r WHERE rank <= $K),
+       |m AS (SELECT a.job_id, count(*) AS n FROM ann a
+       |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
+       |    GROUP BY 1),
+       |perq AS (SELECT q2.job_id,
+       |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
+       |    ${er.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
+       |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))""".stripMargin
+  }
+
+  /** The exact-integer summary select over [[ivfRecallCtes]]' perq. */
+  private lazy val ivfRecallSummarySql: String = {
+    val er = graft.functions.ExactRound
+    s"""SELECT ${er.ratioRound6IntSql(s"sum(${er.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
+       |  ${er.ratioRound6IntSql(s"sum(${er.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
+       |  count(*) AS n_queries FROM perq""".stripMargin
+  }
 
   private val ProbeCurve = Seq(1, 2, 4)
   private val AutoProbeTarget = 0.9 // ivf_auto_probe's recall floor
@@ -1371,24 +1411,8 @@ object IndexQueries extends graft.QueryModule {
     // exact ranking (knn_filtered_topk's candidate set) — full replay.
     "eval_filtered_ivf_recall" ->
       s"""WITH ${ivfCtes(Probes, FilterPredSql)},
-         |exd AS (SELECT q.job_id, c.skill_id,
-         |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
-         |  FROM q CROSS JOIN c WHERE c.label % 2 = 0),
-         |exr AS (SELECT job_id, skill_id FROM (
-         |    SELECT job_id, skill_id,
-         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
-         |    FROM exd) WHERE rank <= $K),
-         |ann AS (SELECT job_id, skill_id FROM r WHERE rank <= $K),
-         |m AS (SELECT a.job_id, count(*) AS n FROM ann a
-         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
-         |    GROUP BY 1),
-         |perq AS (SELECT q2.job_id,
-         |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
-         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
-         |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
-         |SELECT ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
-         |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
-         |  count(*) AS n_queries FROM perq""".stripMargin,
+         |${ivfRecallCtes(" WHERE c.label % 2 = 0")}
+         |$ivfRecallSummarySql""".stripMargin,
     "ivf_balance" -> {
       val rd = graft.functions.ExactRound.roundDivSql(
         s"max_list * $Lists * 1000000", "n_vecs")
@@ -1487,24 +1511,8 @@ object IndexQueries extends graft.QueryModule {
          |    CAST(sum(chg) AS BIGINT) AS n_changed,
          |    ${er.roundDivSql("sum(chg) * 1000000", "count(*)")} AS drift_e6
          |  FROM jd),
-         |exd AS (SELECT q.job_id, c.skill_id,
-         |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist
-         |  FROM q CROSS JOIN c),
-         |exr AS (SELECT job_id, skill_id FROM (
-         |    SELECT job_id, skill_id,
-         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
-         |    FROM exd) WHERE rank <= $K),
-         |ann AS (SELECT job_id, skill_id FROM r WHERE rank <= $K),
-         |m AS (SELECT a.job_id, count(*) AS n FROM ann a
-         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
-         |    GROUP BY 1),
-         |perq AS (SELECT q2.job_id,
-         |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
-         |    ${er.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
-         |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id)),
-         |rs AS (SELECT ${er.ratioRound6IntSql(s"sum(${er.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
-         |    ${er.ratioRound6IntSql(s"sum(${er.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
-         |    count(*) AS n_queries FROM perq)
+         |${ivfRecallCtes()},
+         |rs AS ($ivfRecallSummarySql)
          |SELECT dr.n_vectors, dr.n_changed, dr.drift_e6,
          |  CAST($RebuildDriftE6 AS BIGINT) AS threshold_e6,
          |  TRUE AS rebuilt,
@@ -1513,21 +1521,6 @@ object IndexQueries extends graft.QueryModule {
     },
     "ivf_recall_summary" ->
       s"""WITH ${ivfCtes(Probes)},
-         |exd AS (SELECT q.job_id, c.skill_id,
-         |    1.0 - list_cosine_similarity(q.qvec, c.svec) AS dist FROM q CROSS JOIN c),
-         |exr AS (SELECT job_id, skill_id FROM (
-         |    SELECT job_id, skill_id,
-         |      row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS rank
-         |    FROM exd) WHERE rank <= $K),
-         |ann AS (SELECT job_id, skill_id FROM r WHERE rank <= $K),
-         |m AS (SELECT a.job_id, count(*) AS n FROM ann a
-         |    JOIN exr o ON a.job_id = o.job_id AND a.skill_id = o.skill_id
-         |    GROUP BY 1),
-         |perq AS (SELECT q2.job_id,
-         |    CAST(coalesce(m.n, 0) AS BIGINT) AS n_matches,
-         |    ${graft.functions.ExactRound.ratioRound6IntSql("coalesce(m.n, 0)", 0, s"$K")} AS recall
-         |  FROM (SELECT DISTINCT job_id FROM exr) q2 LEFT JOIN m USING (job_id))
-         |SELECT ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("n_matches")})", 6, "count(*)")} AS avg_matches,
-         |  ${graft.functions.ExactRound.ratioRound6IntSql(s"sum(${graft.functions.ExactRound.e6Sql("recall")})", 6, "count(*)")} AS avg_recall,
-         |  count(*) AS n_queries FROM perq""".stripMargin)
+         |${ivfRecallCtes()}
+         |$ivfRecallSummarySql""".stripMargin)
 }
