@@ -238,6 +238,79 @@ object HybridSearch {
       .select(col(queryIdCol), col(idCol), col("rank"), col("xenc_e9"))
   }
 
+  /** ColBERT-style LATE-INTERACTION re-rank (Khattab & Zaharia,
+    * SIGIR'20) — the third member of the second-stage family next to
+    * [[crossRerank]]: instead of one score per pair (cross-encoder) or
+    * one vector per text (bi-encoder), every TOKEN keeps a vector and
+    * score(q, d) = Σ_{i ∈ toks(q)} max_{j ∈ toks(d)} cos(vᵢ, vⱼ) —
+    * each query token finds its best-matching document token and the
+    * per-token maxima sum (MaxSim). Learned token embeddings stand in
+    * as deterministic char-3-gram hashing-TF vectors at `dim`
+    * (sub-3-char tokens are their own gram): morphology-sharing tokens
+    * genuinely score high, so the matrix is soft — the INTERACTION
+    * structure is the operator under test, and every arithmetic step
+    * replays in the oracle. Each side is capped at its first `maxToks`
+    * tokens, deduplicated (ColBERT's document truncation; Σ runs over
+    * DISTINCT query tokens). A candidate with no tokens drops out.
+    *
+    * Determinism: cosine on raw integer-count gram vectors (the F1
+    * bit-identical Spark/DuckDB pair), max is order-free, and the Σ
+    * over query tokens runs in decimal(30,18) exactly like
+    * [[PqIndex]]'s ADC sums — no float-order hazard in either engine.
+    *
+    * Scale shape — the two-stage contract at 100 TB: only the |Q|·k
+    * candidate pairs are scored, the token matrix is ≤ maxToks² rows
+    * per pair, the token-vector table covers only the BOUNDED query +
+    * candidate token prefixes (never the corpus vocabulary), and every
+    * join is broadcast — the corpus is not rescanned. */
+  def maxSimRerank(candidates: DataFrame, queries: DataFrame,
+      queryIdCol: String, queryTextCol: String, corpus: DataFrame,
+      idCol: String, textCol: String, k: Int, dim: Int,
+      maxToks: Int): DataFrame = {
+    def tokenPrefix(df: DataFrame, id: String, text: String) =
+      df.select(col(id), explode(array_distinct(slice(
+        TextFunctions.tokens(col(text)), 1, maxToks))).as("__t"))
+    val cand = candidates.select(col(queryIdCol), col(idCol))
+    val qt = tokenPrefix(queries, queryIdCol, queryTextCol)
+    // candidate docs only: the corpus cuts to the bounded candidate set
+    // BEFORE any tokenization
+    val dt = tokenPrefix(
+      corpus.join(cand.select(col(idCol)).distinct(), idCol), idCol, textCol)
+    val grams = qt.select(col("__t")).unionAll(dt.select(col("__t"))).distinct()
+      .select(col("__t"),
+        explode(when(length(col("__t")) < 3, array(col("__t")))
+          .otherwise(transform(sequence(lit(1), length(col("__t")) - 2),
+            i => col("__t").substr(i, lit(3))))).as("__g"))
+    val tv = grams
+      .select(col("__t"),
+        pmod(TextFunctions.tokenHash(col("__g")), lit(dim.toLong)).cast("int").as("__b"))
+      .groupBy(col("__t"), col("__b")).agg(count(lit(1)).cast("double").as("__cnt"))
+      .groupBy(col("__t"))
+      .agg(map_from_entries(collect_list(struct(col("__b"), col("__cnt")))).as("__m"))
+      .select(col("__t"), transform(sequence(lit(0), lit(dim - 1)),
+        i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__v"))
+    // tv covers only the query+candidate token prefixes — bounded at any
+    // corpus scale, so it broadcasts (unhinted, Spark sort-merges it)
+    val qtv = qt.join(broadcast(tv), "__t")
+      .select(col(queryIdCol), col("__t").as("__qt"), col("__v").as("__qv"))
+    val dtv = dt.join(broadcast(tv), "__t")
+      .select(col(idCol), col("__v").as("__dv"))
+    val mx = broadcast(cand)
+      .join(broadcast(qtv), queryIdCol)
+      .join(broadcast(dtv), idCol)
+      .groupBy(col(queryIdCol), col(idCol), col("__qt"))
+      .agg(max(graft.functions.VectorFunctions.cosineSimilarity(
+        col("__qv"), col("__dv"))).as("__mx"))
+    val sc = mx.groupBy(col(queryIdCol), col(idCol))
+      .agg(sum(col("__mx").cast("decimal(30,18)")).cast("double").as("maxsim"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("maxsim").desc, col(idCol))
+    sc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("rank"),
+        round(col("maxsim"), 6).as("maxsim"))
+  }
+
   /** RRF fusion of two ranked lists (queryIdCol, idCol, rank): score =
     * Σ 1/(rrfK + rank) over the lists a hit appears in, re-ranked to `k`
     * (ties → lowest id). Output: (queryIdCol, idCol, rank, rrf_score

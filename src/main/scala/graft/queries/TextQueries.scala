@@ -22,6 +22,8 @@ object TextQueries extends graft.QueryModule {
   private val HybridK = 10      // fused list depth
   private val RrfK = 60         // RRF smoothing constant (Cormack et al.)
   private val HybridMaxDf = 40  // stopdrop lever: corpus df cap on the inverted index
+  private val MaxSimDim = 16    // char-3-gram token-embedding dim (late interaction)
+  private val MaxSimToks = 32   // per-side distinct-token prefix cap (ColBERT truncation)
   private val BmK1 = 1.2        // BM25 tf saturation
   private val BmB = 0.75        // BM25 length normalization
   private val PrfDocs = 3       // pseudo-relevance feedback depth
@@ -912,6 +914,24 @@ object TextQueries extends graft.QueryModule {
     // re-ranked output is hash-gated, so the candidate cut, the pair
     // scoring, and the zero-overlap fallback all replay in the oracle.
     "hybrid_rerank_topk" -> ((s, dir) => rerankLeg(s, dir)),
+    // Late-interaction second stage (HybridSearch.maxSimRerank scaladoc —
+    // the ColBERT MaxSim shape): every token keeps a char-3-gram vector,
+    // each query token finds its best-matching candidate-doc token, the
+    // maxima sum in exact decimal. Completes the second-stage family:
+    // bi-encoder (dense leg) / cross-encoder (hybrid_rerank_topk) /
+    // late-interaction (this row). Re-ranks the Caches-shared BM25 leg's
+    // top-10; the full re-ranked output is hash-gated, so the token
+    // caps, the gram embedding, the MaxSim matrix, and the decimal sum
+    // all replay in the oracle.
+    "hybrid_maxsim_rerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.HybridSearch.maxSimRerank(
+        bm25Leg(s, dir, HybridK).select(col("doc_id"), col("nbr_id")),
+        docs.filter(col("doc_id") < 10), "doc_id", "text",
+        docs.filter(col("doc_id") >= 10)
+          .select(col("doc_id").as("nbr_id"), col("text")),
+        "nbr_id", "text", HybridK, MaxSimDim, MaxSimToks)
+    }),
     // Borda-count fusion of the same two legs — the ALL-INTEGER fusion
     // (m+1−rank points per leg, 0 when absent): rank arithmetic only, so
     // the fused ordering is engine-proof by construction. Pins that the
@@ -1591,6 +1611,43 @@ object TextQueries extends graft.QueryModule {
     // division would diverge from Spark's double arithmetic).
     "hybrid_rrf_topk" -> hybridSql(None),
     "hybrid_rrf_stopdrop" -> hybridSql(Some(HybridMaxDf)),
+    // MaxSim replay: BM25 top-k candidates → distinct token prefixes per
+    // side → char-3-gram hashing-TF vectors over the bounded vocabulary →
+    // per-(pair, query-token) max cosine → decimal(30,18) sum (the
+    // PqIndex ADC convention) → re-rank. m-prefixed CTEs: bm25Ctes owns
+    // the generic names.
+    "hybrid_maxsim_rerank" ->
+      s"""WITH ${DocSql.toksCte},
+         |$bm25Ctes,
+         |mcand AS (SELECT doc_id, nbr_id FROM br WHERE rank <= $HybridK),
+         |mq AS (SELECT doc_id, unnest(list_distinct(toks[1:$MaxSimToks])) AS t
+         |  FROM tokd WHERE doc_id < 10),
+         |md0 AS (SELECT doc_id AS nbr_id, unnest(list_distinct(toks[1:$MaxSimToks])) AS t
+         |  FROM tokd WHERE doc_id IN (SELECT DISTINCT nbr_id FROM mcand)),
+         |mvoc AS (SELECT DISTINCT t FROM (SELECT t FROM mq UNION ALL SELECT t FROM md0)),
+         |mgr AS (SELECT t, unnest(CASE WHEN len(t) < 3 THEN [t]
+         |    ELSE list_transform(generate_series(1, len(t) - 2), i -> substr(t, i, 3)) END) AS g
+         |  FROM mvoc),
+         |mgb AS (SELECT t, CAST(${DocSql.tokenHashSql("g")} % $MaxSimDim AS INT) AS bkt,
+         |    CAST(count(*) AS DOUBLE) AS cnt FROM mgr GROUP BY 1, 2),
+         |mtv AS (SELECT t, list_transform(generate_series(0, ${MaxSimDim - 1}),
+         |    i -> coalesce(map_extract(mm, CAST(i AS INT))[1], 0.0)) AS vec
+         |  FROM (SELECT t, map(list(bkt), list(cnt)) AS mm FROM mgb GROUP BY 1)),
+         |mmx AS (SELECT mcand.doc_id, mcand.nbr_id, mq.t,
+         |    max(list_cosine_similarity(qv.vec, dv.vec)) AS mx
+         |  FROM mcand JOIN mq ON mq.doc_id = mcand.doc_id
+         |  JOIN md0 ON md0.nbr_id = mcand.nbr_id
+         |  JOIN mtv qv ON qv.t = mq.t
+         |  JOIN mtv dv ON dv.t = md0.t
+         |  GROUP BY 1, 2, 3),
+         |msc AS (SELECT doc_id, nbr_id,
+         |    CAST(sum(CAST(mx AS DECIMAL(30,18))) AS DOUBLE) AS maxsim
+         |  FROM mmx GROUP BY 1, 2),
+         |mrr AS (SELECT doc_id, nbr_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY maxsim DESC, nbr_id) AS BIGINT) AS rank,
+         |    maxsim FROM msc)
+         |SELECT doc_id, nbr_id, rank, round(maxsim, 6) AS maxsim
+         |FROM mrr WHERE rank <= $HybridK""".stripMargin,
     // BM25 mirror: same tf/df/dl/avgdl pipeline, idf rounded at 8 the
     // moment ln is computed, per-token contributions integerized at e9
     // BEFORE the sum (exact integer aggregation — no float-order hazard),

@@ -93,4 +93,31 @@ class HybridSearchSpec extends SparkSpec {
     // independent e9 rounding of each contribution (±1 on the integer)
     assert(math.abs(r(0)._3 - 2L * r(1)._3) <= 1L && r(1)._3 > 0L)
   }
+
+  test("maxSimRerank: exact token match maxes at 1, char-gram softness beats disjoint, caps hold") {
+    val q = Seq((1L, "retrieval engines")).toDF("qid", "text")
+    val c = Seq(
+      (10L, "retrieval engines"),   // both tokens exact: maxsim = 2
+      (11L, "retrieving engine"),   // morphology-sharing: soft > disjoint
+      (12L, "zzz qqq www")          // no shared grams: near-noise score
+    ).toDF("cid", "text")
+    val cand = Seq((1L, 10L), (1L, 11L), (1L, 12L)).toDF("qid", "cid")
+    val r = HybridSearch.maxSimRerank(cand, q, "qid", "text", c, "cid",
+      "text", 10, dim = 16, maxToks = 32)
+      .select($"cid", $"rank", $"maxsim").as[(Long, Long, Double)]
+      .collect().sortBy(_._2)
+    assert(r.map(_._1).toSeq == Seq(10L, 11L, 12L), r.mkString(","))
+    // every query token's best match in the identical doc is itself: cos=1
+    assert(math.abs(r(0)._3 - 2.0) < 1e-9)
+    // soft string similarity: shared 3-grams put 11 strictly between
+    assert(r(1)._3 > r(2)._3 && r(1)._3 < 2.0)
+    // maxToks cap: a doc whose matching tokens sit BEYOND the prefix cap
+    // scores as if they were absent
+    val longDoc = Seq((20L, (1 to 40).map(i => s"filler$i").mkString(" ")
+      + " retrieval engines")).toDF("cid", "text")
+    val r2 = HybridSearch.maxSimRerank(Seq((1L, 20L)).toDF("qid", "cid"),
+      q, "qid", "text", longDoc, "cid", "text", 10, dim = 16, maxToks = 32)
+      .select($"maxsim").as[Double].head()
+    assert(r2 < 1.0, s"tokens beyond the cap must not contribute: $r2")
+  }
 }

@@ -362,6 +362,19 @@ class PlanSpec extends SparkSpec {
       s"probed candidates must ride a broadcast hash join:\n$plan")
   }
 
+  test("late-interaction rerank: the bounded token matrix rides broadcast equi-joins only") {
+    val plan = planOf("hybrid_maxsim_rerank").split("== Initial Plan ==").head
+    // the BM25 candidate leg keeps its documented 1-row NLJ attaches
+    // (avgdl/N); the rerank stage itself must add keyed joins only
+    assert(!plan.contains("CartesianProduct"),
+      s"the MaxSim matrix must expand through keyed joins, never a cross product:\n$plan")
+    // every rerank-side join (token prefixes × token vectors × candidate
+    // pairs) is bounded and must broadcast, never sort-merge
+    val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.isEmpty,
+      s"bounded token joins should broadcast, never sort-merge: $smj\n$plan")
+  }
+
   test("stored-walk twins rank by broadcasting the bounded visited set onto the corpus scan") {
     for (qn <- Seq("knn_graph_stored_topk", "knn_graph_filtered_topk")) {
       val plan = planOf(qn).split("== Initial Plan ==").head
