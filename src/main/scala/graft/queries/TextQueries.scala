@@ -840,6 +840,14 @@ object TextQueries extends graft.QueryModule {
       val moved = rr.join(fused, Seq("doc_id", "nbr_id"))
         .agg(coalesce(sum(when(col("rank") =!= col("__rf"), 1L)
           .otherwise(0L)), lit(0L)).as("n"))
+      // the late-interaction second stage re-ranks the BM25 list: its
+      // checksum + moved-slot count pin the MaxSim stage next to the
+      // cross-encoder's, completing the second-stage family in one card
+      val ms = maxsimLeg(s, dir).select(col("doc_id"), col("nbr_id"), col("rank"))
+      val msMoved = ms.join(l.select(col("doc_id"), col("nbr_id"),
+          col("rank").as("__rb")), Seq("doc_id", "nbr_id"))
+        .agg(coalesce(sum(when(col("rank") =!= col("__rb"), 1L)
+          .otherwise(0L)), lit(0L)).as("n"))
       def ck(x: DataFrame) = x.agg(count(lit(1)).as("n"),
         sum(col("doc_id") * 100000L + col("nbr_id") * 100L + col("rank"))
           .as("ck"))
@@ -859,6 +867,9 @@ object TextQueries extends graft.QueryModule {
         .crossJoin(broadcast(ck(rr).select(col("n").as("n_rerank"),
           col("ck").as("rerank_ck"))))
         .crossJoin(broadcast(moved.select(col("n").as("rerank_moved"))))
+        .crossJoin(broadcast(ck(ms).select(col("n").as("n_maxsim"),
+          col("ck").as("maxsim_ck"))))
+        .crossJoin(broadcast(msMoved.select(col("n").as("maxsim_moved"))))
     }),
     // Kendall-tau agreement between the dense and lexical rankings over
     // their COMMON candidates: concordant/discordant pair counts are
@@ -923,15 +934,7 @@ object TextQueries extends graft.QueryModule {
     // top-10; the full re-ranked output is hash-gated, so the token
     // caps, the gram embedding, the MaxSim matrix, and the decimal sum
     // all replay in the oracle.
-    "hybrid_maxsim_rerank" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      graft.operators.HybridSearch.maxSimRerank(
-        bm25Leg(s, dir, HybridK).select(col("doc_id"), col("nbr_id")),
-        docs.filter(col("doc_id") < 10), "doc_id", "text",
-        docs.filter(col("doc_id") >= 10)
-          .select(col("doc_id").as("nbr_id"), col("text")),
-        "nbr_id", "text", HybridK, MaxSimDim, MaxSimToks)
-    }),
+    "hybrid_maxsim_rerank" -> ((s, dir) => maxsimLeg(s, dir)),
     // Borda-count fusion of the same two legs — the ALL-INTEGER fusion
     // (m+1−rank points per leg, 0 when absent): rank arithmetic only, so
     // the fused ordering is engine-proof by construction. Pins that the
@@ -995,6 +998,19 @@ object TextQueries extends graft.QueryModule {
       docs.filter(col("doc_id") >= 10)
         .select(col("doc_id").as("nbr_id"), col("text")),
       "nbr_id", "text", HybridK))
+  }
+
+  /** The late-interaction (MaxSim) re-rank of the BM25 leg's top-k —
+    * Caches-registered: the pinned query and the retrieval-stack card
+    * share one build (the rerankLeg discipline). */
+  private def maxsimLeg(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.Caches.cached(graft.operators.HybridSearch.maxSimRerank(
+      bm25Leg(s, dir, HybridK).select(col("doc_id"), col("nbr_id")),
+      docs.filter(col("doc_id") < 10), "doc_id", "text",
+      docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("nbr_id"), col("text")),
+      "nbr_id", "text", HybridK, MaxSimDim, MaxSimToks))
   }
 
   private def hybridRrf(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
@@ -1619,33 +1635,7 @@ object TextQueries extends graft.QueryModule {
     "hybrid_maxsim_rerank" ->
       s"""WITH ${DocSql.toksCte},
          |$bm25Ctes,
-         |mcand AS (SELECT doc_id, nbr_id FROM br WHERE rank <= $HybridK),
-         |mq AS (SELECT doc_id, unnest(list_distinct(toks[1:$MaxSimToks])) AS t
-         |  FROM tokd WHERE doc_id < 10),
-         |md0 AS (SELECT doc_id AS nbr_id, unnest(list_distinct(toks[1:$MaxSimToks])) AS t
-         |  FROM tokd WHERE doc_id IN (SELECT DISTINCT nbr_id FROM mcand)),
-         |mvoc AS (SELECT DISTINCT t FROM (SELECT t FROM mq UNION ALL SELECT t FROM md0)),
-         |mgr AS (SELECT t, unnest(CASE WHEN len(t) < 3 THEN [t]
-         |    ELSE list_transform(generate_series(1, len(t) - 2), i -> substr(t, i, 3)) END) AS g
-         |  FROM mvoc),
-         |mgb AS (SELECT t, CAST(${DocSql.tokenHashSql("g")} % $MaxSimDim AS INT) AS bkt,
-         |    CAST(count(*) AS DOUBLE) AS cnt FROM mgr GROUP BY 1, 2),
-         |mtv AS (SELECT t, list_transform(generate_series(0, ${MaxSimDim - 1}),
-         |    i -> coalesce(map_extract(mm, CAST(i AS INT))[1], 0.0)) AS vec
-         |  FROM (SELECT t, map(list(bkt), list(cnt)) AS mm FROM mgb GROUP BY 1)),
-         |mmx AS (SELECT mcand.doc_id, mcand.nbr_id, mq.t,
-         |    max(list_cosine_similarity(qv.vec, dv.vec)) AS mx
-         |  FROM mcand JOIN mq ON mq.doc_id = mcand.doc_id
-         |  JOIN md0 ON md0.nbr_id = mcand.nbr_id
-         |  JOIN mtv qv ON qv.t = mq.t
-         |  JOIN mtv dv ON dv.t = md0.t
-         |  GROUP BY 1, 2, 3),
-         |msc AS (SELECT doc_id, nbr_id,
-         |    CAST(sum(CAST(mx AS DECIMAL(30,18))) AS DOUBLE) AS maxsim
-         |  FROM mmx GROUP BY 1, 2),
-         |mrr AS (SELECT doc_id, nbr_id,
-         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY maxsim DESC, nbr_id) AS BIGINT) AS rank,
-         |    maxsim FROM msc)
+         |$maxsimCtes
          |SELECT doc_id, nbr_id, rank, round(maxsim, 6) AS maxsim
          |FROM mrr WHERE rank <= $HybridK""".stripMargin,
     // BM25 mirror: same tf/df/dl/avgdl pipeline, idf rounded at 8 the
@@ -1729,11 +1719,19 @@ object TextQueries extends graft.QueryModule {
          |crr AS (SELECT count(*) AS n_rerank,
          |    CAST(sum(doc_id * 100000 + nbr_id * 100 + rank) AS BIGINT) AS rerank_ck FROM xr),
          |mv AS (SELECT CAST(coalesce(sum(CASE WHEN rank <> fused_rank
-         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS rerank_moved FROM xr)
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS rerank_moved FROM xr),
+         |$maxsimCtes,
+         |cms AS (SELECT count(*) AS n_maxsim,
+         |    CAST(sum(doc_id * 100000 + nbr_id * 100 + rank) AS BIGINT) AS maxsim_ck
+         |  FROM mrr WHERE rank <= $HybridK),
+         |mmv AS (SELECT CAST(coalesce(sum(CASE WHEN m.rank <> lr.rank
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS maxsim_moved
+         |  FROM mrr m JOIN lr ON lr.doc_id = m.doc_id AND lr.nbr_id = m.nbr_id
+         |  WHERE m.rank <= $HybridK)
          |SELECT n_dense, dense_ck, n_bm25, bm25_ck, n_prf, prf_ck,
          |  dense_bm25_overlap, dense_prf_overlap, bm25_prf_overlap,
-         |  n_rerank, rerank_ck, rerank_moved
-         |FROM cd, cl, cp, odl, odp, olp, crr, mv""".stripMargin,
+         |  n_rerank, rerank_ck, rerank_moved, n_maxsim, maxsim_ck, maxsim_moved
+         |FROM cd, cl, cp, odl, odp, olp, crr, mv, cms, mmv""".stripMargin,
     // Dense cosine leg (embedCte replay) at HybridInnerK + the BM25 leg at
     // HybridInnerK, RRF-fused exactly as hybridSql fuses the overlap leg.
     "hybrid_bm25_rrf" ->
@@ -1905,6 +1903,42 @@ object TextQueries extends graft.QueryModule {
        |      ORDER BY coalesce(xs.xenc_e9, 0) DESC, f.nbr_id) AS BIGINT) AS rank,
        |    f.rank AS fused_rank
        |  FROM fc f LEFT JOIN xs ON xs.doc_id = f.doc_id AND xs.nbr_id = f.nbr_id)""".stripMargin
+
+  /** MaxSim replay (HybridSearch.maxSimRerank): BM25 top-k candidates →
+    * distinct token prefixes per side → char-3-gram hashing-TF vectors
+    * over the bounded vocabulary → per-(pair, query-token) max cosine →
+    * decimal(30,18) sum (the PqIndex ADC convention) → re-rank. Requires
+    * tokd (toksCte) and br (bm25Ctes); m-prefixed CTE names — bm25Ctes
+    * owns the generic ones. Ends in mrr(doc_id, nbr_id, rank, maxsim).
+    * ONE emitter shared by the pinned query and the stack card. */
+  private lazy val maxsimCtes: String =
+    s"""mcand AS (SELECT doc_id, nbr_id FROM br WHERE rank <= $HybridK),
+       |mq AS (SELECT doc_id, unnest(list_distinct(toks[1:$MaxSimToks])) AS t
+       |  FROM tokd WHERE doc_id < 10),
+       |md0 AS (SELECT doc_id AS nbr_id, unnest(list_distinct(toks[1:$MaxSimToks])) AS t
+       |  FROM tokd WHERE doc_id IN (SELECT DISTINCT nbr_id FROM mcand)),
+       |mvoc AS (SELECT DISTINCT t FROM (SELECT t FROM mq UNION ALL SELECT t FROM md0)),
+       |mgr AS (SELECT t, unnest(CASE WHEN len(t) < 3 THEN [t]
+       |    ELSE list_transform(generate_series(1, len(t) - 2), i -> substr(t, i, 3)) END) AS g
+       |  FROM mvoc),
+       |mgb AS (SELECT t, CAST(${DocSql.tokenHashSql("g")} % $MaxSimDim AS INT) AS bkt,
+       |    CAST(count(*) AS DOUBLE) AS cnt FROM mgr GROUP BY 1, 2),
+       |mtv AS (SELECT t, list_transform(generate_series(0, ${MaxSimDim - 1}),
+       |    i -> coalesce(map_extract(mm, CAST(i AS INT))[1], 0.0)) AS vec
+       |  FROM (SELECT t, map(list(bkt), list(cnt)) AS mm FROM mgb GROUP BY 1)),
+       |mmx AS (SELECT mcand.doc_id, mcand.nbr_id, mq.t,
+       |    max(list_cosine_similarity(qv.vec, dv.vec)) AS mx
+       |  FROM mcand JOIN mq ON mq.doc_id = mcand.doc_id
+       |  JOIN md0 ON md0.nbr_id = mcand.nbr_id
+       |  JOIN mtv qv ON qv.t = mq.t
+       |  JOIN mtv dv ON dv.t = md0.t
+       |  GROUP BY 1, 2, 3),
+       |msc AS (SELECT doc_id, nbr_id,
+       |    CAST(sum(CAST(mx AS DECIMAL(30,18))) AS DOUBLE) AS maxsim
+       |  FROM mmx GROUP BY 1, 2),
+       |mrr AS (SELECT doc_id, nbr_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY maxsim DESC, nbr_id) AS BIGINT) AS rank,
+       |    maxsim FROM msc)""".stripMargin
 
   /** Both hybrid legs + the fusion in SQL; `maxDf` mirrors the stopdrop
     * lever with a QUALIFY over the same distinct postings the Spark side
