@@ -193,7 +193,7 @@ object Budgets {
     "hybrid_bm25_rrf" -> 3.3, // r14f samples 1.25/1.29 + driver r10 1.10 (all calibration-normalized)
     "hybrid_bm25_topk" -> 9.0, // r14f samples 2.79/3.59 + driver r10 2.81 (all calibration-normalized)
     "hybrid_borda_topk" -> 3.0, // r14f samples 0.88/0.81 + driver r10 0.73 (all calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
-    "hybrid_maxsim_rerank" -> 6.1, // provisional (new this round): isolated sf0.1 sample 2.41 behind the warm BM25 leg; resample with the closing clean pair
+    "hybrid_maxsim_rerank" -> 5.4, // r15 closing-pair samples 1.87/2.16 (calibration-normalized; re-ranks the warm BM25 leg)
     "hybrid_rerank_topk" -> 5.3, // r14f samples 2.11/1.99 + driver r10 1.67 (all calibration-normalized)
     "hybrid_rrf_stopdrop" -> 5.2, // r14f samples 1.73/2.04 + driver r10 1.61 (all calibration-normalized)
     "hybrid_rrf_topk" -> 4.3, // r14f samples 1.65/1.71 + driver r10 1.34 (all calibration-normalized)
