@@ -122,6 +122,28 @@ object SimilaritySearch {
     * micro-batch latency tracks batch size, not corpus size, under IVF/LSH.
     * Results for each micro-batch equal the batch [[topK]] of the same rows
     * (asserted in SimilaritySearchSpec). */
+  /** Streaming face of [[topKFilteredIvf]]: a stream of query vectors
+    * searched per micro-batch against the STORED filtered IVF tier — the
+    * serving loop of a filtered vector store (same batch-operator-behind-
+    * foreachBatch bridge as [[topKStream]]: top-k needs batch-only
+    * operators). Per batch the probes prune the layout's partitions
+    * exactly like the batch face, so micro-batch latency tracks batch
+    * size and probed-partition size, never corpus size; results per
+    * micro-batch equal the batch [[topKFilteredIvf]] of the same rows
+    * (asserted in SimilaritySearchSpec). */
+  def topKFilteredIvfStream(queryStream: DataFrame, queryIdCol: String,
+      queryVecCol: String, stored: DataFrame, idCol: String, vecCol: String,
+      model: IvfIndex.Model, k: Int, nProbe: Int, metric: Metric,
+      pred: org.apache.spark.sql.Column)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(topKFilteredIvf(batch, queryIdCol, queryVecCol, stored, idCol,
+          vecCol, model, k, nProbe, metric, pred), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   def topKStream(queryStream: DataFrame, queryIdCol: String, queryVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, metric: Metric, strategy: Strategy = BruteForce)(

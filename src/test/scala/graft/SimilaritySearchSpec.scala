@@ -88,4 +88,38 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got(0L).toSeq == batchOf(b1).toSeq)
     assert(got(1L).toSeq == batchOf(b2).toSeq)
   }
+
+  test("streaming filtered-IVF: micro-batch results equal the batch filtered tier") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.IvfIndex
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val model = IvfIndex.fitSeeds(c, "cid", "v", 4)
+    val path = java.nio.file.Files.createTempDirectory("ivfstream").toString + "/idx"
+    IvfIndex.write(IvfIndex.assign(c, "cid", "v", model, Cosine), path,
+      model, Cosine)
+    val stored = spark.read.parquet(path)
+      .withColumn("v", $"v".cast("array<double>"))
+    val pred = $"cid" % 2 === 0
+    val qRows = q.select($"qid", $"v").as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = qRows.splitAt(4)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Map[Long, Array[(Long, Long, Long, Double)]]()
+    val query = SimilaritySearch.topKFilteredIvfStream(
+      input.toDF().toDF("qid", "v"), "qid", "v", stored, "cid", "v",
+      model, 5, 2, Cosine, pred)(
+      (df, id) => got(id) = df.orderBy("qid", "rank")
+        .as[(Long, Long, Long, Double)].collect())
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    def batchOf(rows: Seq[(Long, Seq[Double])]) =
+      SimilaritySearch.topKFilteredIvf(rows.toDF("qid", "v"), "qid", "v",
+        stored, "cid", "v", model, 5, 2, Cosine, pred)
+        .orderBy("qid", "rank").as[(Long, Long, Long, Double)].collect()
+    assert(got(0L).toSeq == batchOf(b1).toSeq)
+    assert(got(1L).toSeq == batchOf(b2).toSeq)
+    // every streamed hit satisfies the predicate
+    assert(got.values.flatten.forall(_._2 % 2 == 0))
+  }
 }
