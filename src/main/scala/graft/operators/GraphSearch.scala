@@ -153,18 +153,25 @@ object GraphSearch {
   def rankVisited(visited: DataFrame, queries: DataFrame, qId: String,
       qVec: String, corpus: DataFrame, cId: String, cVec: String, k: Int,
       metric: Metric = Cosine,
-      pred: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      pred: Option[org.apache.spark.sql.Column] = None,
+      hintBroadcastVisited: Boolean = false): DataFrame = {
     val q = broadcast(queries.select(col(qId).as("__qid"),
       col(qVec).as("__qv")))
     val rc = pred.map(corpus.filter).getOrElse(corpus)
     val vecs = rc.select(col(cId).cast("long").as("__vid"),
       col(cVec).as("__cv"))
-    // The visited set is the bounded side (≤ |Q|·(1 + hops·beam) rows) —
-    // pin it as the broadcast build side so the corpus-vector join is a
-    // map-side lookup over the corpus scan, never a corpus shuffle (at
-    // tiny test SFs the optimizer happily broadcasts the corpus instead,
-    // which inverts at 100 TB).
-    val cands = broadcast(visited)
+    // `hintBroadcastVisited` pins the visited set as the broadcast build
+    // side so the corpus-vector join is a map-side lookup over the corpus
+    // scan — right when the QUERY BATCH is bounded (the stored-serving
+    // twins: visited is |Q|·(1 + hops·beam) rows and the corpus dwarfs
+    // it; at tiny test SFs the optimizer inverts and broadcasts the
+    // corpus, which PlanSpec forbids for that path). Left OFF for the
+    // general walk path: |visited| grows linearly with the fleet, and a
+    // 10⁶-query batch's visited set must be allowed to shuffle instead
+    // of blowing the broadcast limit — there the optimizer/AQE pick by
+    // actual sizes.
+    val vh = if (hintBroadcastVisited) broadcast(visited) else visited
+    val cands = vh
       .join(vecs, col("__node") === col("__vid"))
       .join(q, "__qid")
       .select(col("__qid").as(qId),

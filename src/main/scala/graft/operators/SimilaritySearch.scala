@@ -122,6 +122,18 @@ object SimilaritySearch {
     * micro-batch latency tracks batch size, not corpus size, under IVF/LSH.
     * Results for each micro-batch equal the batch [[topK]] of the same rows
     * (asserted in SimilaritySearchSpec). */
+  def topKStream(queryStream: DataFrame, queryIdCol: String, queryVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, metric: Metric, strategy: Strategy = BruteForce)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(topK(batch, queryIdCol, queryVecCol, corpus, idCol, vecCol,
+          k, metric, strategy), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Streaming face of [[topKFilteredIvf]]: a stream of query vectors
     * searched per micro-batch against the STORED filtered IVF tier — the
     * serving loop of a filtered vector store (same batch-operator-behind-
@@ -140,18 +152,6 @@ object SimilaritySearch {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         sink(topKFilteredIvf(batch, queryIdCol, queryVecCol, stored, idCol,
           vecCol, model, k, nProbe, metric, pred), batchId)
-      }
-      .outputMode("append")
-      .start()
-
-  def topKStream(queryStream: DataFrame, queryIdCol: String, queryVecCol: String,
-      corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, metric: Metric, strategy: Strategy = BruteForce)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    queryStream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(topK(batch, queryIdCol, queryVecCol, corpus, idCol, vecCol,
-          k, metric, strategy), batchId)
       }
       .outputMode("append")
       .start()

@@ -685,7 +685,7 @@ object IndexQueries extends graft.QueryModule {
       val (q, c) = Fixtures.split(s, dir)
       graft.operators.GraphSearch.rankVisited(storedWalkVisited(s, dir),
         q, "job_id", "qvec", c.select(col("skill_id"), col("svec")),
-        "skill_id", "svec", K, Cosine)
+        "skill_id", "svec", K, Cosine, None, hintBroadcastVisited = true)
         .withColumn("dist", round(col("dist"), 6))
     }),
     // The stored walk's own census (a Bench producer — it materializes the
@@ -711,7 +711,8 @@ object IndexQueries extends graft.QueryModule {
       graft.operators.GraphSearch.rankVisited(storedWalkVisited(s, dir),
         q, "job_id", "qvec",
         c.select(col("skill_id"), col("svec"), col("label")),
-        "skill_id", "svec", K, Cosine, Some(filterPred))
+        "skill_id", "svec", K, Cosine, Some(filterPred),
+        hintBroadcastVisited = true)
         .withColumn("dist", round(col("dist"), 6))
     }),
     // Graph compaction: each append adds a file per bucket; re-writing
