@@ -260,13 +260,25 @@ object HybridSearch {
     *
     * Scale shape — the two-stage contract at 100 TB: only the |Q|·k
     * candidate pairs are scored, the token matrix is ≤ maxToks² rows
-    * per pair, the token-vector table covers only the BOUNDED query +
-    * candidate token prefixes (never the corpus vocabulary), and every
-    * join is broadcast — the corpus is not rescanned. */
+    * per pair, the token-vector table covers only the query + candidate
+    * token prefixes (never the corpus vocabulary), and the corpus is
+    * not rescanned. Every rerank-side frame is therefore CORPUS-bounded
+    * but |Q|-LINEAR: candidates are |Q|·k rows, the token prefixes and
+    * their vectors ≤ |Q|·(k+1)·maxToks. `hintBroadcast` is the dial the
+    * repo applies to every such frame (the GraphSearch.rankVisited
+    * convention): ON (default) pins broadcast hash joins for the
+    * request-scoped serving case — a re-rank batch of bounded |Q|,
+    * where an unhinted plan would sort-merge kilobyte frames — and OFF
+    * removes every hint for fleet-scale batches (|Q| ~ 10⁶ re-ranks),
+    * where the token frames outgrow the broadcast limit and AQE must
+    * pick join strategies from actual sizes. Both modes are
+    * semantically identical (spec-pinned); PlanSpec's no-sort-merge
+    * guard applies to the hinted mode only. */
   def maxSimRerank(candidates: DataFrame, queries: DataFrame,
       queryIdCol: String, queryTextCol: String, corpus: DataFrame,
       idCol: String, textCol: String, k: Int, dim: Int,
-      maxToks: Int): DataFrame = {
+      maxToks: Int, hintBroadcast: Boolean = true): DataFrame = {
+    def h(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     def tokenPrefix(df: DataFrame, id: String, text: String) =
       df.select(col(id), explode(array_distinct(slice(
         TextFunctions.tokens(col(text)), 1, maxToks))).as("__t"))
@@ -289,15 +301,15 @@ object HybridSearch {
       .agg(map_from_entries(collect_list(struct(col("__b"), col("__cnt")))).as("__m"))
       .select(col("__t"), transform(sequence(lit(0), lit(dim - 1)),
         i => coalesce(element_at(col("__m"), i), lit(0.0d))).as("__v"))
-    // tv covers only the query+candidate token prefixes — bounded at any
-    // corpus scale, so it broadcasts (unhinted, Spark sort-merges it)
-    val qtv = qt.join(broadcast(tv), "__t")
+    // tv covers only the query+candidate token prefixes — corpus-bounded
+    // but |Q|-linear like every frame below, so each hint rides the dial
+    val qtv = qt.join(h(tv), "__t")
       .select(col(queryIdCol), col("__t").as("__qt"), col("__v").as("__qv"))
-    val dtv = dt.join(broadcast(tv), "__t")
+    val dtv = dt.join(h(tv), "__t")
       .select(col(idCol), col("__v").as("__dv"))
-    val mx = broadcast(cand)
-      .join(broadcast(qtv), queryIdCol)
-      .join(broadcast(dtv), idCol)
+    val mx = h(cand)
+      .join(h(qtv), queryIdCol)
+      .join(h(dtv), idCol)
       .groupBy(col(queryIdCol), col(idCol), col("__qt"))
       .agg(max(graft.functions.VectorFunctions.cosineSimilarity(
         col("__qv"), col("__dv"))).as("__mx"))

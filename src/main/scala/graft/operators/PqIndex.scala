@@ -312,11 +312,26 @@ object PqIndex {
     * table, so the scan does partition pruning AND reads no vectors. Both
     * quantizers here are the deterministic seed variants, so the full
     * composition — probe choice, code lookups, ranking — replays in the
-    * DuckDB oracle. */
+    * DuckDB oracle.
+    *
+    * `pred` is the filtered-ANN metadata predicate at the COMPRESSED
+    * tier ([[SimilaritySearch.topKFilteredIvf]]'s IVFADC sibling —
+    * completing the family across brute/IVF/graph/PQ; the reference's
+    * filter surface is tier-agnostic, `skills_for_jobs.py:20`): it
+    * prunes rows INSIDE the probed lists BEFORE any ADC lookup — the
+    * filter reaches the codes table's scan (under the same
+    * DynamicPruningExpression partition pruning the probes induce, so
+    * only the probed partitions' FILES are read), and the m-lookup ADC
+    * ranking runs over survivors only. A match in a probed list is
+    * never lost to post-k truncation; quality degrades only by probe
+    * choice and code quantization, exactly as unfiltered. The layout
+    * must carry the predicate's metadata columns ([[writeIvfIndex]]'s
+    * `metaCols`). */
   def searchIvf(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       indexed: DataFrame, idCol: String, ivfModel: IvfIndex.Model,
       pqModel: Model, k: Int, nProbe: Int,
-      metric: graft.functions.VectorFunctions.Metric): DataFrame = {
+      metric: graft.functions.VectorFunctions.Metric,
+      pred: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qv = col(queryVecCol).cast("array<double>")
     // Probe ranking exactly as IvfIndex.search: per query, the nProbe
@@ -331,8 +346,11 @@ object PqIndex {
       .withColumn("__pick", row_number().over(wProbe))
       .filter(col("__pick") <= nProbe)
       .select(col(queryIdCol), col("__dt"), col("list_id"))
-    val (keyCol, isString) = KnnJoin.keyColumn(indexed, idCol)
-    val c = indexed.select(keyCol, col("codes").as("__codes"), col("list_id"))
+    // pred before the code projection: the row prune lands at the scan,
+    // ahead of every ADC lookup
+    val base = pred.map(indexed.filter).getOrElse(indexed)
+    val (keyCol, isString) = KnnJoin.keyColumn(base, idCol)
+    val c = base.select(keyCol, col("codes").as("__codes"), col("list_id"))
     val cands = broadcast(probes).join(c, "list_id")
       .select(col(queryIdCol),
         adcDist(col("__dt"), col("__codes")).as("dist"), col("__cid"))
@@ -389,15 +407,22 @@ object PqIndex {
     * the probed lists' files (the ivfflat trade IvfIndex.write makes,
     * applied to codes instead of vectors: pruning AND 64× smaller rows).
     * The models' [[modelFingerprint]] is stamped on the table for
-    * [[appendToIvfIndex]]'s compatibility check. */
+    * [[appendToIvfIndex]]'s compatibility check.
+    *
+    * `metaCols` carries extra corpus columns (filter metadata — labels,
+    * language, license class) into the layout so [[searchIvf]]'s `pred`
+    * can prune rows at the codes scan: the filtered-vector-store layout
+    * choice — metadata rides WITH the index, never a post-search join
+    * back to the corpus. Appends must pass the same list
+    * ([[appendToIvfIndex]]) so the column positions line up. */
   def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       pqModel: Model, ivfModel: IvfIndex.Model,
       metric: graft.functions.VectorFunctions.Metric,
-      tableName: String, path: String): Unit = {
+      tableName: String, path: String, metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     IvfIndex.assign(corpus, idCol, vecCol, ivfModel, metric)
-      .select(col(idCol), col("list_id"))
+      .select(col(idCol) +: metaCols.map(col) :+ col("list_id"): _*)
       .join(encode(corpus, idCol, vecCol, pqModel), idCol)
       .write.mode("overwrite").format("parquet")
       .partitionBy("list_id")
@@ -427,13 +452,16 @@ object PqIndex {
     * row-deterministic — gated by `pq_index_append` / `ivfpq_appended_topk`. */
   def appendToIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
       pqModel: Model, ivfModel: IvfIndex.Model,
-      metric: graft.functions.VectorFunctions.Metric, tableName: String): Unit = {
+      metric: graft.functions.VectorFunctions.Metric, tableName: String,
+      metaCols: Seq[String] = Nil): Unit = {
     graft.Layouts.checkFingerprint(delta.sparkSession, tableName,
       modelFingerprint(pqModel, ivfModel, metric), "PqIndex.appendToIvfIndex")
     IvfIndex.assign(delta, idCol, vecCol, ivfModel, metric)
-      .select(col(idCol), col("list_id"))
+      .select(col(idCol) +: metaCols.map(col) :+ col("list_id"): _*)
       .join(encode(delta, idCol, vecCol, pqModel), idCol)
-      .select(col(idCol), col("codes"), col("list_id"))
+      // insertInto is position-based: (id, meta..., codes, list_id) is the
+      // saveAsTable schema (partition column last)
+      .select(col(idCol) +: metaCols.map(col) :+ col("codes") :+ col("list_id"): _*)
       .write.mode("append").insertInto(tableName)
   }
 

@@ -126,10 +126,19 @@ object SimilaritySearch {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, metric: Metric, strategy: Strategy = BruteForce)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    streamFace(queryStream, sink)(topK(_, queryIdCol, queryVecCol, corpus,
+      idCol, vecCol, k, metric, strategy))
+
+  /** The one batch-operator-behind-foreachBatch scaffold both streaming
+    * faces share (r11 verdict optional #8 — the filtered face had
+    * duplicated it verbatim): apply `search` to each micro-batch, hand
+    * the result to `sink`. */
+  private def streamFace(queryStream: DataFrame,
+      sink: (DataFrame, Long) => Unit)(
+      search: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(topK(batch, queryIdCol, queryVecCol, corpus, idCol, vecCol,
-          k, metric, strategy), batchId)
+        sink(search(batch.toDF()), batchId)
       }
       .outputMode("append")
       .start()
@@ -148,11 +157,6 @@ object SimilaritySearch {
       model: IvfIndex.Model, k: Int, nProbe: Int, metric: Metric,
       pred: org.apache.spark.sql.Column)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    queryStream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(topKFilteredIvf(batch, queryIdCol, queryVecCol, stored, idCol,
-          vecCol, model, k, nProbe, metric, pred), batchId)
-      }
-      .outputMode("append")
-      .start()
+    streamFace(queryStream, sink)(topKFilteredIvf(_, queryIdCol, queryVecCol,
+      stored, idCol, vecCol, model, k, nProbe, metric, pred))
 }

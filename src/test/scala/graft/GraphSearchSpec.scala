@@ -197,4 +197,12 @@ class GraphSearchSpec extends SparkSpec {
     assert(fleetRows == solo)
     assert(fleetRows.nonEmpty)
   }
+
+  test("stored-walk memo key carries the (hops, beam) tuple, so a per-twin " +
+      "parameter change can never serve the other twin's stale walk") {
+    val (hops, beam) = graft.queries.IndexQueries.storedWalkParams
+    val key = graft.queries.IndexQueries.storedWalkKey("/some/dir")
+    assert(key.contains("/some/dir"))
+    assert(key.contains(s"h$hops") && key.contains(s"b$beam"), key)
+  }
 }

@@ -120,4 +120,18 @@ class HybridSearchSpec extends SparkSpec {
       .select($"maxsim").as[Double].head()
     assert(r2 < 1.0, s"tokens beyond the cap must not contribute: $r2")
   }
+
+  test("maxSimRerank hintBroadcast dial: OFF mode (fleet-scale batches, " +
+      "AQE picks join strategies) is semantically identical to the hinted default") {
+    val q = Seq((1L, "retrieval engines"), (2L, "alpha beta")).toDF("qid", "text")
+    val c = Seq((10L, "retrieval engines"), (11L, "retrieving engine"),
+      (12L, "alpha beta gamma"), (13L, "zzz qqq")).toDF("cid", "text")
+    val cand = Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 12L), (2L, 13L))
+      .toDF("qid", "cid")
+    def run(hint: Boolean) = HybridSearch.maxSimRerank(cand, q, "qid", "text",
+      c, "cid", "text", 10, dim = 16, maxToks = 32, hintBroadcast = hint)
+      .select($"qid", $"cid", $"rank", $"maxsim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(run(true) == run(false))
+  }
 }

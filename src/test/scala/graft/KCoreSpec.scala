@@ -58,6 +58,25 @@ class KCoreSpec extends SparkSpec {
       .toMap === coreMap(path, 8))
   }
 
+  test("probe cadence past the knee: a deep-converging graph exits on a " +
+      "skipped-probe schedule with values identical to the fixpoint") {
+    // 44-node path: the 1-wave peels inward one node per end per round,
+    // so convergence needs ~21 rounds — past the 16-round probe knee,
+    // exercising the every-3rd-round cadence (the r11 verdict's
+    // rank_knn_kcore watch item). Monotonicity makes the skipped probes
+    // exit-delaying only: values must still be the exact fixpoint
+    // (coreness 1 everywhere on a path), prev_core must equal core (the
+    // in-plan convergence gate), and the loop must exit under the cap.
+    val n = 44
+    val deep = sym((1L until n.toLong).map(i => (i, i + 1)): _*)
+    val (df, rounds) = KCore.corenessWithRounds(deep, 64)
+    assert(rounds > 16 && rounds < 64, s"rounds=$rounds")
+    val rows = df.collect()
+    assert(rows.length == n)
+    assert(rows.forall(_.getAs[Long]("core") == 1L))
+    assert(rows.forall(r => r.getAs[Long]("core") == r.getAs[Long]("prev_core")))
+  }
+
   test("SQL emitter emits the round structure; operator yields the known " +
       "K4-with-tail histogram (the emitter's SEMANTICS are pinned by the " +
       "rank_knn_kcore oracle gate, which executes it in DuckDB)") {

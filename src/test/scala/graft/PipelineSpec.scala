@@ -144,4 +144,46 @@ class PipelineSpec extends SparkSpec {
     assert(back.select($"cid", $"list_id".cast("int")).as[(Long, Int)].collect().toSet ==
       want.select($"cid", $"list_id".cast("int")).as[(Long, Int)].collect().toSet)
   }
+
+  test("serving pointer survives a restart: a fresh session reads WHICH layout serves") {
+    import graft.operators.IvfIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" >= 20)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cvec"))
+    val base = java.nio.file.Files.createTempDirectory("rebptr").toString
+    val stored = IvfIndex.fitSeeds(corpus.filter($"cid" >= 22L), "cid", "cvec", 4)
+    IvfIndex.write(IvfIndex.assign(corpus, "cid", "cvec", stored, Cosine),
+      s"$base/idx", stored, Cosine)
+    val candidate = IvfIndex.fitSeeds(corpus, "cid", "cvec", 4)
+    // no-rebuild branch first: the pointer must record the STORED layout
+    val keep = Pipeline.rebuildOnDrift(corpus, "cid", "cvec", stored, stored,
+      Cosine, s"$base/idx", s"$base/idx2", thresholdE6 = 1L,
+      pointerPath = Some(s"$base/ptr"))
+    assert(!keep.rebuilt &&
+      Pipeline.readServingPointer(spark, s"$base/ptr") == s"$base/idx")
+    // drift fires: the rebuild swaps the pointer to the NEW layout
+    val reb = Pipeline.rebuildOnDrift(corpus, "cid", "cvec", stored, candidate,
+      Cosine, s"$base/idx", s"$base/idx2", thresholdE6 = 100000L,
+      pointerPath = Some(s"$base/ptr"))
+    assert(reb.rebuilt && reb.servingPath == s"$base/idx2")
+    // RESTART: a fresh session (no Scala state from the loop above) reads
+    // the pointer from disk and serves the rebuilt layout — the search it
+    // runs equals the search over the layout the loop said it swapped to
+    val s2 = spark.newSession()
+    val served = Pipeline.readServingPointer(s2, s"$base/ptr")
+    assert(served == s"$base/idx2")
+    val q = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qvec"))
+    def top(s: org.apache.spark.sql.SparkSession, path: String) =
+      IvfIndex.search(q, "qid", "qvec", s.read.parquet(path), "cid", "cvec",
+        candidate, 5, 2, Cosine)
+        .select($"qid", $"cid", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(top(s2, served) == top(spark, reb.servingPath))
+    // malformed pointer fails loudly instead of serving an arbitrary layout
+    spark.range(2).selectExpr("cast(id as string) as serving_path",
+      "true as rebuilt").write.mode("overwrite").parquet(s"$base/bad")
+    intercept[IllegalArgumentException] {
+      Pipeline.readServingPointer(spark, s"$base/bad")
+    }
+  }
 }

@@ -362,6 +362,25 @@ class PlanSpec extends SparkSpec {
       s"probed candidates must ride a broadcast hash join:\n$plan")
   }
 
+  test("filtered IVFADC reads only the probed code partitions; the predicate prunes at the codes scan") {
+    val plan = planOf("knn_filtered_ivfpq")
+    // (1) the probes' list_ids prune the stored codes table's partitions
+    // dynamically, exactly like the plain-IVF filtered tier
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("list_id"))
+    assert(scanLine.exists(_.toLowerCase.contains("dynamicpruningexpression")),
+      s"the probed list_ids must prune the codes scan's partitions dynamically:\n$plan")
+    assert(plan.contains("graft_pqidx"),
+      s"the search must read the STORED codes layout, not re-encode the corpus:\n$plan")
+    // (2) the metadata predicate lands at the scan — rows are pruned
+    // BEFORE any ADC lookup, never after the ranking
+    assert(plan.contains("(label"),
+      s"the label predicate must prune rows before the ADC lookups:\n$plan")
+    // (3) probes broadcast onto the codes scan; nothing sort-merges
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"probed candidates must ride a broadcast hash join:\n$plan")
+  }
+
   test("late-interaction rerank: the bounded token matrix rides broadcast equi-joins only") {
     val plan = planOf("hybrid_maxsim_rerank").split("== Initial Plan ==").head
     // the BM25 candidate leg keeps its documented 1-row NLJ attaches

@@ -109,4 +109,76 @@ class PqIndexSpec extends SparkSpec {
     assert(roundsB == roundsA && b == a,
       s"re-fit diverged: rounds $roundsA vs $roundsB, models equal=${b == a}")
   }
+
+  test("searchIvf pred: filter rides the index — hits satisfy it, trivial " +
+      "pred is a no-op, and a match is never lost to post-k truncation") {
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFunctions.Cosine
+    val labeled = corpus.withColumn("label", pmod($"id", lit(3L)))
+    val ivf = IvfIndex.fitSeeds(labeled, "id", "vec", 4)
+    val pq = PqIndex.fitSeeds(labeled, "id", "vec", m = 4, k = 8)
+    val indexed = IvfIndex.assign(labeled, "id", "vec", ivf, Cosine)
+      .select($"id", $"label", $"list_id")
+      .join(PqIndex.encode(labeled, "id", "vec", pq), "id")
+    val k = 5
+    val pred = $"label" === 0L
+    val filtered = PqIndex.searchIvf(queries, "qid", "qvec", indexed, "id",
+      ivf, pq, k, nProbe = 2, Cosine, pred = Some(pred))
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect()
+    // every hit satisfies the predicate
+    val allowed = labeled.filter(pred).select($"id").as[Long].collect().toSet
+    assert(filtered.forall(r => allowed(r._2)), filtered.mkString(","))
+    // trivial predicate ≡ the unfiltered search, row for row
+    val unf = PqIndex.searchIvf(queries, "qid", "qvec", indexed, "id",
+      ivf, pq, k, nProbe = 2, Cosine)
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+    val triv = PqIndex.searchIvf(queries, "qid", "qvec", indexed, "id",
+      ivf, pq, k, nProbe = 2, Cosine, pred = Some(lit(true)))
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(triv == unf)
+    // filter-BEFORE-ranking, the operator's whole point: only ~1/3 of the
+    // corpus is labeled 0, so the unfiltered top-k post-filtered loses
+    // slots that pred-before-ADC keeps filled (the low-k failure mode of
+    // filter-after-search)
+    val postK = unf.filter(r => allowed(r._2)).groupBy(_._1).map(_._2.size)
+    val perQ = filtered.groupBy(_._1).map(_._2.size)
+    assert(perQ.forall(_ == k), s"filtered search must fill k slots: $perQ")
+    assert(postK.exists(_ < k),
+      "fixture too permissive: post-k filtering lost no slot, pick a rarer label")
+  }
+
+  test("writeIvfIndex metaCols: the stored layout carries the filter " +
+      "column, appends line up positionally, and the filtered stored " +
+      "search equals the in-memory one") {
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFunctions.Cosine
+    val labeled = corpus.withColumn("label", pmod($"id", lit(3L)))
+    val ivf = IvfIndex.fitSeeds(labeled, "id", "vec", 4)
+    val pq = PqIndex.fitSeeds(labeled, "id", "vec", m = 4, k = 8)
+    val base = labeled.filter($"id" < 100L)
+    val delta = labeled.filter($"id" >= 100L)
+    val path = java.nio.file.Files.createTempDirectory("pqmeta").toString
+    PqIndex.writeIvfIndex(base, "id", "vec", pq, ivf, Cosine,
+      "graft_test_pqmeta", s"$path/idx", metaCols = Seq("label"))
+    PqIndex.appendToIvfIndex(delta, "id", "vec", pq, ivf, Cosine,
+      "graft_test_pqmeta", metaCols = Seq("label"))
+    val stored = spark.table("graft_test_pqmeta")
+    assert(stored.columns.contains("label"))
+    // append kept (id, label) aligned: the stored labels equal the source's
+    val got = stored.select($"id", $"label").as[(Long, Long)].collect().toSet
+    val want = labeled.select($"id", $"label").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    val pred = $"label" === 0L
+    val fromStore = PqIndex.searchIvf(queries, "qid", "qvec", stored, "id",
+      ivf, pq, 5, 2, Cosine, pred = Some(pred))
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+    val inMem = IvfIndex.assign(labeled, "id", "vec", ivf, Cosine)
+      .select($"id", $"label", $"list_id")
+      .join(PqIndex.encode(labeled, "id", "vec", pq), "id")
+    val fromMem = PqIndex.searchIvf(queries, "qid", "qvec", inMem, "id",
+      ivf, pq, 5, 2, Cosine, pred = Some(pred))
+      .select($"qid", $"id", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(fromStore == fromMem)
+    spark.sql("DROP TABLE IF EXISTS graft_test_pqmeta")
+  }
 }
