@@ -414,6 +414,39 @@ object IndexQueries extends graft.QueryModule {
         K, Dim, LshBucketLen, LshTables, LshPlanes)
         .withColumn("dist", round(col("dist"), 6))
     }),
+    // Filtered search at the HASH-TABLE tier — completes the filtered-ANN
+    // family at every stored tier (brute / stored-IVF / stored-graph /
+    // IVFADC landed rounds 15-16; the reference's filter surface is
+    // tier-agnostic, skills_for_jobs.py:20). The stored bucket index stays
+    // predicate-free — ONE layout serves every filter — so the metadata
+    // predicate lands at the corpus VECTOR scan: bucket-colliding
+    // candidates that fail it drop out of the vector-lookup join before
+    // any distance work, and the exact-L2 ranking runs over survivors
+    // only. Quality degrades only by hash-collision recall, never by
+    // post-k filter truncation.
+    "knn_filtered_lsh" -> ((s, dir) => {
+      val t = LshLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      LshIndex.annTopKStored(q, "job_id", "qvec", c, "skill_id", "svec", t,
+        K, Dim, LshBucketLen, LshTables, LshPlanes, pred = Some(filterPred))
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // The hash-table filtered tier's price tag: recall@k of the filtered
+    // bucket search against the brute filtered exact L2 ranking (the LSH
+    // tier's metric) — separating "the filter broke retrieval" from "the
+    // buckets missed" (eval_filtered_ivf_recall's convention; both sides
+    // replay in the oracle, exact-integer summary).
+    "eval_filtered_lsh_recall" -> ((s, dir) => {
+      val t = LshLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      val ann = LshIndex.annTopKStored(q, "job_id", "qvec", c, "skill_id",
+        "svec", t, K, Dim, LshBucketLen, LshTables, LshPlanes,
+        pred = Some(filterPred))
+      val exact = graft.operators.KnnJoin.exact(q, "job_id", "qvec",
+        c.filter(filterPred), "skill_id", "svec", K, L2)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+    }),
     // Product quantization + ADC search (Jégou et al. 2011): 64-dim float64
     // vectors → 8 int codes (64x smaller scan side); the query carries its
     // per-subspace distance tables and each corpus row costs 8 lookups.
@@ -988,10 +1021,16 @@ object IndexQueries extends graft.QueryModule {
        |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
        |  FROM d)""".stripMargin
 
-  /** Shared by lsh_ann_topk and its stored twin — the persisted index must
-    * answer identically to the on-the-fly bucketization. */
-  private val lshAnnSql =
-    s"""WITH $qCte, $cCte,
+  /** The LSH replay's CTE chain, ending in the ranked `r` — shared by
+    * [[lshAnnSql]] and the filtered-tier consumers. `candPred`: optional
+    * SQL predicate over the corpus rows at the vector-lookup join (alias
+    * `c` — e.g. " WHERE c.label % 2 = 0"), the oracle twin of
+    * [[LshIndex.annTopKStored]]'s `pred`: bucket-colliding candidates that
+    * fail it drop before any distance work, exactly where the Spark side
+    * applies it. Empty = the unfiltered search every pre-existing consumer
+    * replays. */
+  private def lshCtes(candPred: String = ""): String =
+    s"""$qCte, $cCte,
        |qb AS (${graft.operators.RpLsh.bucketsSql("q", "job_id", "qvec", Dim, LshBucketLen, LshTables, LshPlanes)}),
        |cb AS (${graft.operators.RpLsh.bucketsSql("c", "skill_id", "svec", Dim, LshBucketLen, LshTables, LshPlanes)}),
        |cbc AS (SELECT * FROM cb
@@ -999,12 +1038,21 @@ object IndexQueries extends graft.QueryModule {
        |cand AS (SELECT DISTINCT qb.job_id, cbc.skill_id
        |  FROM qb JOIN cbc ON qb.tbl = cbc.tbl AND qb.bucket = cbc.bucket),
        |d AS (SELECT cand.job_id, cand.skill_id, list_distance(q.qvec, c.svec) AS dist
-       |  FROM cand JOIN q USING (job_id) JOIN c USING (skill_id)),
+       |  FROM cand JOIN q USING (job_id) JOIN c USING (skill_id)$candPred),
        |r AS (SELECT job_id, skill_id, dist,
        |    CAST(row_number() OVER (PARTITION BY job_id ORDER BY dist, skill_id) AS BIGINT) AS rank
-       |  FROM d)
+       |  FROM d)""".stripMargin
+
+  /** Shared by lsh_ann_topk and its stored twin — the persisted index must
+    * answer identically to the on-the-fly bucketization. */
+  private val lshAnnSql =
+    s"""WITH ${lshCtes()}
        |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
        |FROM r WHERE rank <= $K""".stripMargin
+
+  /** [[FilterPredSql]] re-aliased to the LSH vector-lookup join's corpus
+    * side. */
+  private val FilterPredLshSql = " WHERE c.label % 2 = 0"
 
   /** The exact-ranking recall replay shared by the ANN-family recall
     * oracles (ivf_recall_summary, eval_filtered_ivf_recall,
@@ -1524,6 +1572,15 @@ object IndexQueries extends graft.QueryModule {
     },
     "lsh_ann_topk" -> lshAnnSql,
     "lsh_ann_stored_topk" -> lshAnnSql,
+    "knn_filtered_lsh" ->
+      s"""WITH ${lshCtes(FilterPredLshSql)}
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "eval_filtered_lsh_recall" ->
+      s"""WITH ${lshCtes(FilterPredLshSql)},
+         |${ivfRecallCtes(" WHERE c.label % 2 = 0",
+            distSql = "list_distance(q.qvec, c.svec)")}
+         |$ivfRecallSummarySql""".stripMargin,
     "ivf_auto_probe" -> {
       val union = ProbeCurve
         .map(np => s"SELECT * FROM ${probePointSql(np)}").mkString("\nUNION ALL ")

@@ -112,6 +112,33 @@ class IvfLshSpec extends SparkSpec {
     }
   }
 
+  test("filtered stored-LSH search: hits satisfy the predicate; the predicate-free index serves every filter") {
+    val t = s"graft_test_lshfilt_${ProcessHandle.current().pid()}"
+    LshIndex.writeIndex(corpus, "cid", "cvec", 64, 0.2, 3, 1,
+      t, s"/tmp/graft_test_lshfilt/${ProcessHandle.current().pid()}", 4)
+    val pred = $"cid" % 2 === 0
+    val filt = LshIndex.annTopKStored(queries, "qid", "qvec", corpus, "cid",
+      "cvec", t, 10, 64, 0.2, 3, 1, pred = Some(pred))
+    // every hit satisfies the predicate
+    assert(filt.filter($"cid" % 2 =!= 0).isEmpty)
+    assert(filt.count() > 0, "filtered LSH returned nothing at all")
+    // a trivial predicate answers exactly like the unfiltered stored search
+    val trivial = LshIndex.annTopKStored(queries, "qid", "qvec", corpus, "cid",
+      "cvec", t, 10, 64, 0.2, 3, 1, pred = Some(lit(true)))
+    val plain = LshIndex.annTopKStored(queries, "qid", "qvec", corpus, "cid",
+      "cvec", t, 10, 64, 0.2, 3, 1)
+    assert(trivial.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+    // the ONE stored (predicate-free) index answers like an on-the-fly
+    // search over the pre-filtered corpus: filtering at the vector lookup
+    // loses nothing vs filtering before bucketization (no bucket here
+    // exceeds the cap, so the cap census difference cannot bite)
+    val rebuilt = LshIndex.annTopK(queries, "qid", "qvec",
+      corpus.filter(pred), "cid", "cvec", 10, 64, 0.2, 3, 1)
+    assert(filt.collect().map(_.toSeq).toSet ==
+      rebuilt.collect().map(_.toSeq).toSet)
+  }
+
   test("LSH ANN is deterministic across runs and finds real neighbors") {
     val a = LshIndex.annTopK(queries, "qid", "qvec", corpus, "cid", "cvec", 10,
       dim = 64, bucketLength = 0.2, numTables = 3)

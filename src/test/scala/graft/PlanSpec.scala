@@ -381,6 +381,22 @@ class PlanSpec extends SparkSpec {
       s"probed candidates must ride a broadcast hash join:\n$plan")
   }
 
+  test("filtered stored-LSH search reads the predicate-free index; the predicate prunes at the vector scan") {
+    val plan = planOf("knn_filtered_lsh")
+    // (1) the search probes the STORED bucket table (one predicate-free
+    // layout serves every filter), never re-bucketizes the corpus
+    assert(plan.contains("graft_lshidx"),
+      s"the search must read the STORED bucket layout:\n$plan")
+    // (2) the metadata predicate lands at the corpus VECTOR scan — bucket
+    // candidates failing it drop before any distance work, never after
+    // the ranking
+    assert(plan.contains("(label"),
+      s"the label predicate must prune rows before distance work:\n$plan")
+    // (3) candidates stay bucket-bounded: keyed joins only
+    assert(!plan.contains("CartesianProduct"),
+      s"bucket-collision candidates must ride keyed joins, never a cross product:\n$plan")
+  }
+
   test("late-interaction rerank: the bounded token matrix rides broadcast equi-joins only") {
     val plan = planOf("hybrid_maxsim_rerank").split("== Initial Plan ==").head
     // the BM25 candidate leg keeps its documented 1-row NLJ attaches
