@@ -141,6 +141,20 @@ object IvfIndex {
   private def fpPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_model_fp")
 
+  private def readFpSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] =
+    if (fs.exists(fpPath(path))) {
+      val in = fs.open(fpPath(path))
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close())
+    } else None
+
+  private def writeFpSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, fp: String): Unit = {
+    val out = fs.create(fpPath(path), true)
+    try out.write(fp.getBytes("UTF-8")) finally out.close()
+  }
+
   /** K3-style index materialization: overwrite, partitioned by list_id —
     * `spark.read.parquet(path)` + a `list_id` filter then prunes partitions
     * exactly like ivfflat probes. */
@@ -156,9 +170,7 @@ object IvfIndex {
     write(indexed, path)
     val fs = fpPath(path).getFileSystem(
       indexed.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(fpPath(path), true)
-    try out.write(modelFingerprint(model, metric).getBytes("UTF-8"))
-    finally out.close()
+    writeFpSidecar(fs, path, modelFingerprint(model, metric))
   }
 
   /** O(delta) ingest for a [[write]] layout: assign ONLY the delta against
@@ -174,18 +186,53 @@ object IvfIndex {
       metric: Metric, path: String): Unit = {
     val fs = fpPath(path).getFileSystem(
       delta.sparkSession.sparkContext.hadoopConfiguration)
-    if (fs.exists(fpPath(path))) {
-      val in = fs.open(fpPath(path))
-      val stored = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
+    readFpSidecar(fs, path).foreach { stored =>
       val fp = modelFingerprint(model, metric)
       require(stored == fp,
         s"IvfIndex.append: model does not match the stored layout's build " +
           s"(stored fingerprint $stored, append $fp) — re-fitting requires " +
           "a rebuild, not an append")
     }
+    // Tombstone-collision guard: exclusion is BY ID ([[Tombstones]]), so a
+    // delta row re-using a tombstoned id would land in the files and then
+    // be hidden by the very tombstone that killed its predecessor — a
+    // silent lost insert. Id-level tombstones cannot express
+    // "resurrect" (clearing the marker would revive the OLD resident row
+    // too); re-inserting a deleted id requires [[compact]] first, and this
+    // guard makes the ordering mistake loud. The probe is one bounded
+    // semi-join of the delta against the compact-bounded store.
+    Tombstones.read(delta.sparkSession, path).foreach { t =>
+      val clash = delta.join(t.select(col("id").as("__tomb_id")),
+        col(idCol) === col("__tomb_id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        "IvfIndex.append: delta contains tombstoned ids — they would stay " +
+          "hidden behind their tombstones (a silent lost insert); compact " +
+          "the layout first")
+    }
     assign(delta, idCol, vecCol, model, metric)
       .write.mode("append").partitionBy("list_id").parquet(path)
+  }
+
+  /** Physically purge the layout's tombstoned rows ([[Tombstones]] — the
+    * delete face: ids marked deleted, data files untouched) and clear the
+    * tombstone store, in one rewrite: read the layout, drop tombstoned
+    * ids, materialize OFF the layout (`localCheckpoint` — an overwrite of
+    * a path while scanning it would read-while-truncate, the
+    * [[Bucketed.compactTable]] pattern), rewrite through the same
+    * list-partitioned form, and carry the build's model fingerprint
+    * across — compaction changes layout, never identity. The overwrite
+    * deletes the old data files AND the tombstone side store together, so
+    * the cleared-tombstone state can never ship without the purge that
+    * justifies it. Searches before compact (anti-join exclusion) and
+    * after (purged files) answer identically — pinned by
+    * `pipeline_forget` and TombstonesSpec. */
+  def compact(spark: SparkSession, path: String, idCol: String): Unit = {
+    val fs = fpPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = readFpSidecar(fs, path)
+    val live = Tombstones.excludeDeleted(
+      spark.read.parquet(path), idCol, spark, path).localCheckpoint()
+    live.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    fp.foreach(writeFpSidecar(fs, path, _))
   }
 
   /** Quantizer-drift metric — the signal a deployment schedules index
@@ -226,10 +273,22 @@ object IvfIndex {
   }
 
   /** Probe-pruned ANN top-k. `indexed` must already carry `list_id`
-    * (from [[assign]] or a partitioned read). */
+    * (from [[assign]] or a partitioned read).
+    *
+    * `excludeIds`: optional tombstone set ([[Tombstones.read]]) whose ids
+    * are dropped from the candidates — the delete-aware serving face. The
+    * anti-join sits AFTER the probe join, not on the scan side: an
+    * anti-join directly above the list-partitioned scan would break the
+    * DynamicPruningExpression partition pruning the probe join induces
+    * (DPP's scan-side pattern sees through filters and projects only,
+    * never joins), while here the scan stays DPP-pruned and the
+    * compact-bounded tombstone side rides a broadcast anti-join over the
+    * already-pruned candidate stream — deleted rows drop BEFORE any
+    * distance work. */
   def search(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       indexed: DataFrame, idCol: String, vecCol: String,
-      model: Model, k: Int, nProbe: Int, metric: Metric): DataFrame = {
+      model: Model, k: Int, nProbe: Int, metric: Metric,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     val cents = broadcast(model.centroids)
     val wProbe = Window.partitionBy(col(queryIdCol)).orderBy(col("__cdist"), col("list_id"))
     val probes = queries.select(col(queryIdCol), col(queryVecCol).as("__qvec"))
@@ -240,7 +299,12 @@ object IvfIndex {
       .select(col(queryIdCol), col("__qvec"), col("list_id"))
     val (keyCol, isString) = KnnJoin.keyColumn(indexed, idCol)
     val c = indexed.select(keyCol, col(vecCol).as("__cvec"), col("list_id"))
-    val cands = broadcast(probes).join(c, "list_id")
+    val joined = broadcast(probes).join(c, "list_id")
+    val live = excludeIds.map(t => joined.join(
+        t.select(col("id").as("__tomb_id")),
+        col("__cid") === col("__tomb_id"), "left_anti"))
+      .getOrElse(joined)
+    val cands = live
       .select(col(queryIdCol),
         metric.dist(col("__qvec"), col("__cvec")).as("dist"),
         col("__cid"))

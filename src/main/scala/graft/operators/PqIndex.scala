@@ -326,12 +326,20 @@ object PqIndex {
     * never lost to post-k truncation; quality degrades only by probe
     * choice and code quantization, exactly as unfiltered. The layout
     * must carry the predicate's metadata columns ([[writeIvfIndex]]'s
-    * `metaCols`). */
+    * `metaCols`).
+    *
+    * `excludeIds` is the delete-aware serving face ([[Tombstones]]): the
+    * tombstone set anti-joins the candidate stream AFTER the probe join —
+    * the same placement as [[IvfIndex.search]], for the same reason (an
+    * anti-join above the partitioned codes scan would break the
+    * DynamicPruningExpression partition pruning) — so deleted rows drop
+    * before any ADC lookup while the scan stays probe-pruned. */
   def searchIvf(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       indexed: DataFrame, idCol: String, ivfModel: IvfIndex.Model,
       pqModel: Model, k: Int, nProbe: Int,
       metric: graft.functions.VectorFunctions.Metric,
-      pred: Option[Column] = None): DataFrame = {
+      pred: Option[Column] = None,
+      excludeIds: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qv = col(queryVecCol).cast("array<double>")
     // Probe ranking exactly as IvfIndex.search: per query, the nProbe
@@ -351,7 +359,12 @@ object PqIndex {
     val base = pred.map(indexed.filter).getOrElse(indexed)
     val (keyCol, isString) = KnnJoin.keyColumn(base, idCol)
     val c = base.select(keyCol, col("codes").as("__codes"), col("list_id"))
-    val cands = broadcast(probes).join(c, "list_id")
+    val joined = broadcast(probes).join(c, "list_id")
+    val liveRows = excludeIds.map(t => joined.join(
+        t.select(col("id").as("__tomb_id")),
+        col("__cid") === col("__tomb_id"), "left_anti"))
+      .getOrElse(joined)
+    val cands = liveRows
       .select(col(queryIdCol),
         adcDist(col("__dt"), col("__codes")).as("dist"), col("__cid"))
     KnnJoin.topkOfCandidates(cands, queryIdCol, idCol, k, isString)

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Point deletes for stored index layouts — the lifecycle verb the tiers'
+  * build / O(delta)-append / compact / rebuild faces were missing. Every
+  * vector store behind the reference exposes it (pgvector rows are plain
+  * SQL `DELETE`s on the table `load_skill_vectors_pg.py` creates; Milvus
+  * and Qdrant both serve `delete(ids)` on the collections
+  * `load_skill_vectors_milvus.py:40-50` builds), and a training-data
+  * deployment needs it independently: right-to-be-forgotten takedowns must
+  * remove documents from every serving index without a full rebuild.
+  *
+  * Design — tombstones, never in-place rewrites (the Lucene/FAISS
+  * `remove_ids` trade): at 100 TB a delete of k rows must not rewrite
+  * multi-TB layouts, so [[add]] appends the ids to a tiny side store and
+  * the DATA FILES ARE NEVER TOUCHED. Readers drop deleted rows with an
+  * anti-join ([[excludeDeleted]] / the search faces' `excludeIds`);
+  * compaction ([[IvfIndex.compact]]) physically purges them and clears the
+  * side store in one rewrite. Between delete and compact the tombstone set
+  * is O(deletes since last compact) — small by the same argument as any
+  * LSM delete marker — so the anti-join's build side broadcasts under AQE
+  * and exclusion costs no extra shuffle.
+  *
+  * The side store is a parquet directory named [[SideDir]] INSIDE the
+  * layout path. The underscore prefix makes it invisible to every
+  * pre-existing reader of the layout (Spark's file index skips `_`/`.`
+  * paths), so stamping tombstones onto a live layout changes nothing for
+  * consumers that don't opt in — and a layout rebuild/overwrite deletes
+  * the directory with the stale data files, which is exactly the right
+  * lifetime (tombstones against a layout die with the layout).
+  *
+  * Contract: a tombstoned id stays dead until compaction physically purges
+  * it. Id-level markers cannot express "resurrect" — clearing a marker
+  * would revive the OLD resident row alongside any re-insert — so
+  * re-inserting a deleted id requires compacting first
+  * ([[IvfIndex.append]] guards the ordering mistake loudly), and row-level
+  * UPDATE is not this module's verb: vector updates ride the
+  * compact/rebuild cycle (or a latest-wins snapshot layout like
+  * [[Cdc]]'s, where the version-argmax window is the native upsert).
+  */
+object Tombstones {
+
+  /** The tombstone store's directory name under the layout path. */
+  val SideDir = "_graft_tombstones"
+
+  private def sidePath(layoutPath: String) =
+    new org.apache.hadoop.fs.Path(layoutPath, SideDir)
+
+  /** Delete `ids` from the layout at `layoutPath`: append one tombstone row
+    * per id (column `id`, the input's `idCol` type preserved). Idempotent
+    * for readers — [[excludeDeleted]] is an anti-join, so duplicate
+    * tombstones and ids absent from the layout are both harmless no-ops. */
+  def add(ids: DataFrame, idCol: String, layoutPath: String): Unit =
+    ids.select(col(idCol).as("id"))
+      .write.mode("append").parquet(sidePath(layoutPath).toString)
+
+  /** The layout's current tombstone set as (id), or None if nothing was
+    * ever deleted (no side store). The read enumerates the store's part
+    * files and passes them explicitly: the directory's underscore prefix
+    * is what hides it from LAYOUT readers, and Spark's hidden-path filter
+    * must not be given the chance to hide it from THIS reader too (an
+    * ignored store would silently serve deleted rows as live). */
+  def read(spark: SparkSession, layoutPath: String): Option[DataFrame] = {
+    val p = sidePath(layoutPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val files = fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files.map(_.toString).toIndexedSeq: _*))
+    }
+  }
+
+  /** Drop the side store — called by compaction AFTER the purge rewrite
+    * lands (a compact that cleared tombstones first would serve deleted
+    * rows if the rewrite failed midway). */
+  def clear(spark: SparkSession, layoutPath: String): Unit = {
+    val p = sidePath(layoutPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** `df` minus the layout's tombstoned ids — identity when nothing was
+    * ever deleted. The anti-join's tombstone side is bounded by the
+    * delete-since-compact volume, so AQE broadcasts it; use this at the
+    * VECTOR/candidate lookup (LSH, graph ranking), or pass [[read]] to the
+    * probe-pruned searches' `excludeIds` (IVF, IVFADC) where exclusion
+    * must not sit between the partitioned scan and the probe join (an
+    * anti-join there would break DynamicPruningExpression partition
+    * pruning — see [[IvfIndex.search]]). */
+  def excludeDeleted(df: DataFrame, idCol: String, spark: SparkSession,
+      layoutPath: String): DataFrame =
+    read(spark, layoutPath) match {
+      case Some(t) =>
+        df.join(t.select(col("id").as("__tomb_id")),
+          df(idCol) === col("__tomb_id"), "left_anti")
+      case None => df
+    }
+}

@@ -55,13 +55,14 @@ object IndexQueries extends graft.QueryModule {
   /** Stored LSH index per (session, dir) via [[graft.Layouts]];
     * `lsh_index_build` pays the write as a Bench producer. */
   private object LshLayout {
+    def path(dir: String): String = s"/tmp/graft_lshidx/${graft.Layouts.tag(dir)}"
     def ensure(s: SparkSession, dir: String): String =
       graft.Layouts.once(s, s"lshidx:$dir") {
         val tag = graft.Layouts.tag(dir)
         val name = s"graft_lshidx_$tag"
         val (_, c) = Fixtures.split(s, dir)
         LshIndex.writeIndex(c, "skill_id", "svec", Dim, LshBucketLen,
-          LshTables, LshPlanes, name, s"/tmp/graft_lshidx/$tag", 8)
+          LshTables, LshPlanes, name, path(dir), 8)
         name
       }
   }
@@ -77,6 +78,7 @@ object IndexQueries extends graft.QueryModule {
     * fits are deterministic and cost one tiny TakeOrderedAndProject
     * each. */
   private object PqLayout {
+    def path(dir: String): String = s"/tmp/graft_pqidx/${graft.Layouts.tag(dir)}"
     def ensure(s: SparkSession, dir: String): String =
       graft.Layouts.once(s, s"pqidx:$dir") {
         val tag = graft.Layouts.tag(dir)
@@ -85,7 +87,7 @@ object IndexQueries extends graft.QueryModule {
         val pqModel = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
         val ivfModel = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
         PqIndex.writeIvfIndex(c, "skill_id", "svec", pqModel, ivfModel,
-          Cosine, name, s"/tmp/graft_pqidx/$tag", metaCols = Seq("label"))
+          Cosine, name, path(dir), metaCols = Seq("label"))
         name
       }
   }
@@ -130,6 +132,7 @@ object IndexQueries extends graft.QueryModule {
     * construction survives only as the in-memory census graph's oracle
     * twin ([[graft.operators.PageRank.directedKnnEdges]]). */
   private object GraphLayout {
+    def path(dir: String): String = s"/tmp/graft_graphidx/${graft.Layouts.tag(dir)}"
     def ensure(s: SparkSession, dir: String): String =
       graft.Layouts.once(s, s"graphidx:$dir") {
         val tag = graft.Layouts.tag(dir)
@@ -138,7 +141,7 @@ object IndexQueries extends graft.QueryModule {
         val (base, delta) = appendSplit(c)
         val model = IvfIndex.fitSeeds(base, "skill_id", "svec", Lists)
         graft.operators.GraphSearch.writeIndexIvf(base, "skill_id", "svec",
-          GraphK, model, GraphProbes, name, s"/tmp/graft_graphidx/$tag", 8)
+          GraphK, model, GraphProbes, name, path(dir), 8)
         graft.operators.GraphSearch.appendToIndexBeam(delta, base,
           "skill_id", "svec", GraphK, model, GraphProbes, name, 8,
           GraphHops, GraphBeam)
@@ -214,6 +217,46 @@ object IndexQueries extends graft.QueryModule {
     * the same question. */
   private def filterPred = col("label") % 2 === 0
   private val FilterPredSql = " WHERE a.label % 2 = 0"
+
+  /** The delete fixture, Spark form; its SQL twins are [[DeletedIvfSql]] /
+    * [[DeletedLshSql]] / [[DeletedIvfpqSql]] / [[DeletedGraphSql]] (change
+    * all together): every ninth corpus id is tombstoned
+    * ([[graft.operators.Tombstones]]). Deliberately overlaps the seed
+    * range (id 22 is deleted AND a centroid/codeword seed) — deletes mark
+    * rows dead without re-fitting models, and the oracle replays exactly
+    * that: full-corpus fits, exclusion only at the candidate rows. */
+  private def deletedPred(id: org.apache.spark.sql.Column) = id % 9 === 4
+  private val DeletedIvfSql = " WHERE NOT (a.skill_id % 9 = 4)"
+  private val DeletedLshSql = " WHERE NOT (c.skill_id % 9 = 4)"
+  private val DeletedIvfpqSql = " WHERE NOT (xasg.skill_id % 9 = 4)"
+  private val DeletedGraphSql = "NOT (skill_id % 9 = 4)"
+
+  /** Stamp the delete fixture's tombstones onto `layoutPath`, once per
+    * (session, family, dir), and return the stored tombstone set. The
+    * family layout's `ensure` MUST have run first (ensure overwrites the
+    * layout directory, side store included — the correct lifetime: stale
+    * tombstones die with stale data files; every call site ensures then
+    * stamps). */
+  private def tombsFor(s: SparkSession, dir: String, family: String,
+      layoutPath: String): DataFrame = {
+    def stamp(): String = {
+      val (_, c) = Fixtures.split(s, dir)
+      graft.operators.Tombstones.add(
+        c.filter(deletedPred(col("skill_id"))), "skill_id", layoutPath)
+      layoutPath
+    }
+    graft.Layouts.once(s, s"tombs:$family:$dir")(stamp())
+    // A sibling rewrite of the layout (graph_index_compact's compactTable,
+    // a cross-session re-ensure) legitimately deletes the side store with
+    // the files it replaces — re-stamp the deterministic fixture set
+    // instead of serving an unfiltered search as "deleted".
+    graft.operators.Tombstones.read(s, layoutPath).getOrElse {
+      stamp()
+      graft.operators.Tombstones.read(s, layoutPath).getOrElse(
+        throw new IllegalStateException(
+          s"tombsFor: no tombstone store at $layoutPath after add"))
+    }
+  }
 
   private def ivfParts(s: SparkSession, dir: String) = {
     val (q, c) = Fixtures.split(s, dir)
@@ -319,6 +362,48 @@ object IndexQueries extends graft.QueryModule {
         Cosine, filterPred)
       val exact = graft.operators.KnnJoin.exact(q, "job_id", "qvec",
         c.filter(filterPred), "skill_id", "svec", K, Cosine)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+    }),
+    // Delete-aware serving at the INDEXED tier — the lifecycle verb the
+    // stored tiers' build/append/compact/rebuild faces lacked (pgvector
+    // deletes are plain SQL DELETEs on the reference's table; Milvus and
+    // Qdrant both serve delete(ids) on the reference's collections; a
+    // training-data deployment needs it for right-to-be-forgotten
+    // takedowns): every ninth corpus id is tombstoned against the stored
+    // IVF layout (Tombstones — a tiny side store; NO data file is
+    // rewritten, the 100 TB constraint) and search drops them via a
+    // broadcast anti-join AFTER the probe join, so the scan stays
+    // DPP-pruned (PlanSpec-guarded) and deleted rows drop before any
+    // distance work. Deletes never re-fit models — a tombstoned seed
+    // vector stays a centroid — and the oracle replays exactly that:
+    // full-corpus fit, exclusion only at the candidate rows.
+    "knn_deleted_ivf" -> ((s, dir) => {
+      val path = IvfLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      val model = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+      val tombs = tombsFor(s, dir, "ivf", path)
+      IvfIndex.search(q, "job_id", "qvec", s.read.parquet(path), "skill_id",
+        "svec", model, K, Probes, Cosine, excludeIds = Some(tombs))
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // The delete face's price tag: recall@k of the tombstone-excluding
+    // probe-pruned search against the exact ranking over the LIVE corpus
+    // (the set a user expects to search after a takedown) — separates
+    // "deletes broke retrieval" from "the probes missed". The exact side
+    // defines liveness by the fixture predicate itself, independent of
+    // the tombstone store, so a store that dropped or mangled ids shows
+    // up here as a recall/hash break instead of cancelling out.
+    "eval_deleted_ivf_recall" -> ((s, dir) => {
+      val path = IvfLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      val model = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+      val tombs = tombsFor(s, dir, "ivf", path)
+      val ann = IvfIndex.search(q, "job_id", "qvec", s.read.parquet(path),
+        "skill_id", "svec", model, K, Probes, Cosine,
+        excludeIds = Some(tombs))
+      val exact = graft.operators.KnnJoin.exact(q, "job_id", "qvec",
+        c.filter(!deletedPred(col("skill_id"))), "skill_id", "svec", K, Cosine)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
     }),
@@ -446,6 +531,23 @@ object IndexQueries extends graft.QueryModule {
         c.filter(filterPred), "skill_id", "svec", K, L2)
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+    }),
+    // Delete-aware serving at the HASH-TABLE tier (knn_deleted_ivf's
+    // sibling): the stored bucket index keeps the deleted ids' entries —
+    // the same one-layout-serves-all trade as the filtered face, and the
+    // Lucene delete model: markers now, physical purge at the next
+    // compaction — while the tombstones drop matching candidates at the
+    // vector-lookup join, before any distance work. Exact-L2 ranking over
+    // live survivors only; no data file rewritten.
+    "knn_deleted_lsh" -> ((s, dir) => {
+      val t = LshLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      tombsFor(s, dir, "lsh", LshLayout.path(dir))
+      val live = graft.operators.Tombstones.excludeDeleted(c, "skill_id",
+        s, LshLayout.path(dir))
+      LshIndex.annTopKStored(q, "job_id", "qvec", live, "skill_id", "svec",
+        t, K, Dim, LshBucketLen, LshTables, LshPlanes)
+        .withColumn("dist", round(col("dist"), 6))
     }),
     // Product quantization + ADC search (Jégou et al. 2011): 64-dim float64
     // vectors → 8 int codes (64x smaller scan side); the query carries its
@@ -626,6 +728,24 @@ object IndexQueries extends graft.QueryModule {
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
     }),
+    // Delete-aware serving at the COMPRESSED tier (FAISS remove_ids'
+    // semantics on IVFADC, expressed as tombstones): the codes table is
+    // untouched — at the memory-bound tier a point delete must not
+    // re-encode anything — and the tombstone set anti-joins the candidate
+    // stream after the probe join (the knn_deleted_ivf placement: the
+    // codes scan stays DPP-pruned), so deleted rows drop before any ADC
+    // lookup. Codebooks/centroids unchanged by deletes, exactly as the
+    // oracle replays.
+    "knn_deleted_ivfpq" -> ((s, dir) => {
+      val t = PqLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      val ivfModel = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+      val pqModel = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      val tombs = tombsFor(s, dir, "pq", PqLayout.path(dir))
+      PqIndex.searchIvf(q, "job_id", "qvec", s.table(t), "skill_id",
+        ivfModel, pqModel, K, Probes, Cosine, excludeIds = Some(tombs))
+        .withColumn("dist", round(col("dist"), 6))
+    }),
     // X1 stretch — the Lloyd-refined quantizer the scale story recommends
     // (IvfIndex.fitKMeans), driver-exercised: recall@k of probes=2 retrieval
     // against exact search. KMeans centroids aren't SQL-expressible, so the
@@ -795,6 +915,28 @@ object IndexQueries extends graft.QueryModule {
         q, "job_id", "qvec",
         c.select(col("skill_id"), col("svec"), col("label")),
         "skill_id", "svec", K, Cosine, Some(filterPred),
+        hintBroadcastVisited = true)
+        .withColumn("dist", round(col("dist"), 6))
+    }),
+    // Delete-aware serving at the GRAPH tier — the Lucene-HNSW delete
+    // model made explicit: deleted nodes STAY IN THE GRAPH (pruning their
+    // edges would disconnect regions and strand live neighbors reachable
+    // only through them — the same argument as the filtered walk) and
+    // keep routing the walk; only the ranking drops them, via the stored
+    // tombstones at the bounded visited∩corpus join. Physical purge is
+    // the rebuild loop's job (pipeline_index_rebuild), exactly as Lucene
+    // defers to segment merges. Shares the ONE memoized stored-graph walk
+    // with both search twins — deletes don't change the traversal, so the
+    // walk is reusable by construction, and this row times ranking only.
+    "knn_graph_deleted_topk" -> ((s, dir) => {
+      GraphLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      tombsFor(s, dir, "graph", GraphLayout.path(dir))
+      val live = graft.operators.Tombstones.excludeDeleted(
+        c.select(col("skill_id"), col("svec")), "skill_id", s,
+        GraphLayout.path(dir))
+      graft.operators.GraphSearch.rankVisited(storedWalkVisited(s, dir),
+        q, "job_id", "qvec", live, "skill_id", "svec", K, Cosine, None,
         hintBroadcastVisited = true)
         .withColumn("dist", round(col("dist"), 6))
     }),
@@ -968,6 +1110,62 @@ object IndexQueries extends graft.QueryModule {
               col("__ptr"), lit(" but the loop served "),
               lit(r.servingPath)))).as("pointer_ok"),
           col("avg_matches"), col("avg_recall"), col("n_queries"))
+    }),
+    // The right-to-be-forgotten loop as ONE composition pin (the delete
+    // family's pipeline_index_rebuild): build a fresh IVF layout → delete
+    // the takedown set (tombstones only — data files untouched) → SERVE
+    // immediately with tombstone exclusion (the result is materialized
+    // before the purge, so it genuinely reads the tombstoned state) →
+    // compact (the purge rewrite: tombstoned rows leave the files, the
+    // side store clears with them, the model fingerprint carries across)
+    // → re-serve from the purged files → census. The pin is the forget
+    // invariant itself, in-plan: tombstone-serving ≡ purged-serving
+    // (serve_match raise_errors on any divergence), zero deleted rows
+    // resident (a compact that missed rows), zero tombstones left (a
+    // clear without purge can't happen — the overwrite deletes both
+    // together — but a failed clear still reddens), and n_vectors +
+    // search_checksum recounted from scratch by the oracle's live-corpus
+    // replay (a compact that dropped LIVE rows breaks both).
+    "pipeline_forget" -> ((s, dir) => {
+      val (q, c) = Fixtures.split(s, dir)
+      val path = s"/tmp/graft_forget/${graft.Layouts.tag(dir)}"
+      val model = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+      IvfIndex.write(IvfIndex.assign(c, "skill_id", "svec", model, Cosine),
+        path, model, Cosine)
+      graft.operators.Tombstones.add(
+        c.filter(deletedPred(col("skill_id"))), "skill_id", path)
+      def serve(excl: Option[DataFrame]) =
+        IvfIndex.search(q, "job_id", "qvec", s.read.parquet(path),
+          "skill_id", "svec", model, K, Probes, Cosine, excludeIds = excl)
+      val checksum = sum(col("job_id") * lit(100003L) + col("skill_id"))
+      val pre = serve(graft.operators.Tombstones.read(s, path))
+        .localCheckpoint() // materialize BEFORE compact rewrites the path
+      IvfIndex.compact(s, path, "skill_id")
+      val census = s.read.parquet(path).agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(deletedPred(col("skill_id")), 1L).otherwise(0L)).as("__resid"))
+      val ntFrame = graft.operators.Tombstones.read(s, path) match {
+        case Some(t) => t.agg(count(lit(1)).as("__nt"))
+        case None => s.range(1).select(lit(0L).as("__nt"))
+      }
+      census.crossJoin(ntFrame)
+        .crossJoin(pre.agg(checksum.as("__pre")))
+        .crossJoin(serve(None).agg(checksum.as("search_checksum")))
+        .select(col("n_vectors"),
+          when(col("__resid") === 0L, lit(0L))
+            .otherwise(raise_error(concat(
+              lit("pipeline_forget: deleted rows survived the purge: "),
+              col("__resid").cast("string")))).as("n_deleted_resident"),
+          when(col("__nt") === 0L, lit(0L))
+            .otherwise(raise_error(concat(
+              lit("pipeline_forget: tombstones outlived the compact: "),
+              col("__nt").cast("string")))).as("n_tombstones"),
+          when(col("__pre") === col("search_checksum"), lit(true))
+            .otherwise(raise_error(concat(
+              lit("pipeline_forget: tombstone-serving and purged-serving "),
+              lit("diverge: "), col("__pre").cast("string"), lit(" vs "),
+              col("search_checksum").cast("string")))).as("serve_match"),
+          col("search_checksum"))
     }),
     "ivf_kmeans_recall" -> ((s, dir) => {
       val (q, c) = Fixtures.split(s, dir)
@@ -1399,6 +1597,17 @@ object IndexQueries extends graft.QueryModule {
          |cf AS (SELECT * FROM c WHERE label % 2 = 0),
          |${graft.operators.GraphSearch.rankTail(GraphHops, K, corpusName = "cf")}
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist FROM gtop""".stripMargin,
+    // The delete-aware graph tier: the SAME full-graph walk replay (a
+    // deleted node keeps routing — Lucene-HNSW semantics), with the
+    // ranked tail reading the live corpus view only.
+    "knn_graph_deleted_topk" ->
+      s"""WITH ${graft.operators.GraphSearch.walkCtes(qCte, cCte,
+           graphEdgeCtes + ",\n" +
+             "es AS MATERIALIZED (SELECT src, dst FROM ae UNION SELECT dst, src FROM ae)",
+           GraphHops, GraphBeam)},
+         |cf AS (SELECT * FROM c WHERE $DeletedGraphSql),
+         |${graft.operators.GraphSearch.rankTail(GraphHops, K, corpusName = "cf")}
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist FROM gtop""".stripMargin,
     "pq_drift_summary" -> pqDriftSql,
     "ivfpq_ann_topk" -> ivfpqSql(),
     "ivfpq_stored_topk" -> ivfpqSql(),
@@ -1406,6 +1615,10 @@ object IndexQueries extends graft.QueryModule {
     // metadata predicate pruning the assigned candidates inside the
     // probed lists — exactly where the Spark side prunes the codes scan.
     "knn_filtered_ivfpq" -> ivfpqSql(FilterPredIvfpqSql),
+    // The delete-aware compressed tier: the same IVFADC replay with the
+    // tombstoned ids excluded from the probed candidates before the ADC
+    // join — exactly where the Spark side's anti-join drops them.
+    "knn_deleted_ivfpq" -> ivfpqSql(DeletedIvfpqSql),
     // recall@k of the filtered IVFADC vs the brute filtered exact L2
     // ranking — full replay, exact-integer summary.
     "eval_filtered_pq_recall" ->
@@ -1551,6 +1764,21 @@ object IndexQueries extends graft.QueryModule {
       s"""WITH ${ivfCtes(Probes, FilterPredSql)},
          |${ivfRecallCtes(" WHERE c.label % 2 = 0")}
          |$ivfRecallSummarySql""".stripMargin,
+    // The delete-aware tier: the same seed-IVF replay with the tombstoned
+    // ids excluded from the probed candidates — exactly where the Spark
+    // side's anti-join drops them. Models fit over the FULL corpus (a
+    // delete never re-fits; id 22 stays a centroid), exclusion only at
+    // the candidate rows.
+    "knn_deleted_ivf" ->
+      s"""WITH ${ivfCtes(Probes, DeletedIvfSql)}
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
+    // recall@k of the tombstone-excluding search vs the exact ranking
+    // over the live corpus — full replay, exact-integer summary.
+    "eval_deleted_ivf_recall" ->
+      s"""WITH ${ivfCtes(Probes, DeletedIvfSql)},
+         |${ivfRecallCtes(" WHERE NOT (c.skill_id % 9 = 4)")}
+         |$ivfRecallSummarySql""".stripMargin,
     "ivf_balance" -> {
       val rd = graft.functions.ExactRound.roundDivSql(
         s"max_list * $Lists * 1000000", "n_vecs")
@@ -1581,6 +1809,13 @@ object IndexQueries extends graft.QueryModule {
          |${ivfRecallCtes(" WHERE c.label % 2 = 0",
             distSql = "list_distance(q.qvec, c.svec)")}
          |$ivfRecallSummarySql""".stripMargin,
+    // The delete-aware hash-table tier: the same bucket replay with the
+    // tombstoned ids dropped at the vector-lookup join — exactly where
+    // the Spark side's anti-joined live corpus drops them.
+    "knn_deleted_lsh" ->
+      s"""WITH ${lshCtes(DeletedLshSql)}
+         |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
+         |FROM r WHERE rank <= $K""".stripMargin,
     "ivf_auto_probe" -> {
       val union = ProbeCurve
         .map(np => s"SELECT * FROM ${probePointSql(np)}").mkString("\nUNION ALL ")
@@ -1667,6 +1902,21 @@ object IndexQueries extends graft.QueryModule {
          |  rs.avg_matches, rs.avg_recall, rs.n_queries
          |FROM dr CROSS JOIN rs""".stripMargin
     },
+    // The forget loop recounted from scratch: the live-corpus census and
+    // the deleted-excluding search replay define what a correct
+    // delete→serve→purge→serve must leave behind; the zero/TRUE columns
+    // are the pinned outputs of the in-plan raise_error guards (the
+    // ivf_kmeans_recall convention — they can only hash-match if no
+    // guard fired).
+    "pipeline_forget" ->
+      s"""WITH ${ivfCtes(Probes, DeletedIvfSql)},
+         |tk AS (SELECT job_id, skill_id FROM r WHERE rank <= $K)
+         |SELECT CAST((SELECT count(*) FROM c WHERE NOT (skill_id % 9 = 4)) AS BIGINT) AS n_vectors,
+         |  CAST(0 AS BIGINT) AS n_deleted_resident,
+         |  CAST(0 AS BIGINT) AS n_tombstones,
+         |  TRUE AS serve_match,
+         |  CAST(sum(job_id * 100003 + skill_id) AS BIGINT) AS search_checksum
+         |FROM tk""".stripMargin,
     "ivf_recall_summary" ->
       s"""WITH ${ivfCtes(Probes)},
          |${ivfRecallCtes()}

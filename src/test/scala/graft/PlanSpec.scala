@@ -362,6 +362,26 @@ class PlanSpec extends SparkSpec {
       s"probed candidates must ride a broadcast hash join:\n$plan")
   }
 
+  test("delete-aware IVF search keeps DPP partition pruning; tombstones ride a broadcast anti-join") {
+    val plan = planOf("knn_deleted_ivf")
+    // (1) the tombstone anti-join must NOT sit between the partitioned
+    // scan and the probe join — the probes' list_ids still reach the
+    // stored scan as a DynamicPruningExpression (the placement argument
+    // in IvfIndex.search's scaladoc)
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("list_id"))
+    assert(scanLine.exists(_.toLowerCase.contains("dynamicpruningexpression")),
+      s"the probed list_ids must prune the stored scan's partitions dynamically:\n$plan")
+    assert(plan.contains("graft_ivfidx"),
+      s"the search must read the STORED layout:\n$plan")
+    // (2) deleted rows drop via a broadcast ANTI-join over the candidate
+    // stream — before distance work, never a sort-merge of the corpus
+    assert(plan.contains("LeftAnti"),
+      s"tombstone exclusion must be an anti-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the compact-bounded tombstone side must broadcast:\n$plan")
+  }
+
   test("filtered IVFADC reads only the probed code partitions; the predicate prunes at the codes scan") {
     val plan = planOf("knn_filtered_ivfpq")
     // (1) the probes' list_ids prune the stored codes table's partitions

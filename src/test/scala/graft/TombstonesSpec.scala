@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.Cosine
+import graft.operators.{IvfIndex, KnnJoin, Tombstones}
+
+/** The delete lifecycle over stored layouts: tombstone add/read/clear,
+  * reader exclusion, the search faces' `excludeIds`, and the compact purge
+  * — including the forget invariant (tombstone-serving ≡ purged-serving ≡
+  * search over the live corpus). */
+class TombstonesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val K = 10
+  private val Lists = 4
+  private val Probes = 2
+
+  private lazy val (queries, corpus) = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qvec"))
+    val c = emb.filter($"vec_id" >= 20)
+      .select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cvec"))
+    (q.cache(), c.cache())
+  }
+
+  private def deleted = $"cid" % 9 === 4
+
+  private def freshLayout(name: String): (String, IvfIndex.Model) = {
+    val path = s"/tmp/graft_tombspec_$name"
+    val model = IvfIndex.fitSeeds(corpus, "cid", "cvec", Lists)
+    IvfIndex.write(IvfIndex.assign(corpus, "cid", "cvec", model, Cosine),
+      path, model, Cosine)
+    (path, model)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select($"qid".cast("long"), $"cid".cast("long"), $"rank".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("add/read/clear roundtrip; absent store reads as None; exclusion is identity without deletes") {
+    val (path, _) = freshLayout("roundtrip")
+    assert(Tombstones.read(spark, path).isEmpty)
+    assert(Tombstones.excludeDeleted(corpus, "cid", spark, path).count()
+      == corpus.count())
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    val t = Tombstones.read(spark, path)
+    assert(t.nonEmpty)
+    val expected = corpus.filter(deleted).count()
+    assert(t.get.count() == expected)
+    // layout readers don't see the side store
+    assert(spark.read.parquet(path).count() == corpus.count())
+    Tombstones.clear(spark, path)
+    assert(Tombstones.read(spark, path).isEmpty)
+  }
+
+  test("double-delete and unknown ids are no-ops for readers") {
+    val (path, _) = freshLayout("noop")
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    Tombstones.add(corpus.filter(deleted), "cid", path) // duplicate markers
+    Tombstones.add(Seq(999999L).toDF("cid"), "cid", path) // id not in layout
+    val live = Tombstones.excludeDeleted(spark.read.parquet(path), "cid",
+      spark, path)
+    assert(live.count() == corpus.filter(!deleted).count())
+    assert(live.filter(deleted).count() == 0)
+  }
+
+  test("search with excludeIds equals search over the live corpus; deleted ids never surface") {
+    val (path, model) = freshLayout("search")
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    val tombed = IvfIndex.search(queries, "qid", "qvec",
+      spark.read.parquet(path), "cid", "cvec", model, K, Probes, Cosine,
+      excludeIds = Tombstones.read(spark, path))
+    // truth: the same probe-pruned search over a corpus that never held
+    // the deleted rows (model unchanged — deletes don't re-fit)
+    val liveIndexed = IvfIndex.assign(corpus.filter(!deleted), "cid", "cvec",
+      model, Cosine)
+    val truth = IvfIndex.search(queries, "qid", "qvec", liveIndexed, "cid",
+      "cvec", model, K, Probes, Cosine)
+    assert(rows(tombed) == rows(truth))
+    assert(tombed.filter($"cid" % 9 === 4).count() == 0)
+  }
+
+  test("compact purges tombstoned rows, clears the store, and preserves the model fingerprint") {
+    val (path, model) = freshLayout("compact")
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    val pre = IvfIndex.search(queries, "qid", "qvec",
+      spark.read.parquet(path), "cid", "cvec", model, K, Probes, Cosine,
+      excludeIds = Tombstones.read(spark, path)).localCheckpoint()
+    IvfIndex.compact(spark, path, "cid")
+    val after = spark.read.parquet(path)
+    assert(after.count() == corpus.filter(!deleted).count())
+    assert(after.filter(deleted).count() == 0)
+    assert(Tombstones.read(spark, path).isEmpty)
+    // the forget invariant: tombstone-serving ≡ purged-serving
+    val post = IvfIndex.search(queries, "qid", "qvec", after, "cid", "cvec",
+      model, K, Probes, Cosine)
+    assert(rows(pre) == rows(post))
+    // identity carried across the rewrite: a delta append against the
+    // build's model still passes the fingerprint gate
+    IvfIndex.append(Seq((999999L, Seq.fill(64)(0.01)))
+      .toDF("cid", "cvec").select($"cid", $"cvec".cast("array<double>")),
+      "cid", "cvec", model, Cosine, path)
+    assert(spark.read.parquet(path).count()
+      == corpus.filter(!deleted).count() + 1)
+  }
+
+  test("appending a tombstoned id fails loudly; the same append passes after compact") {
+    val (path, model) = freshLayout("resurrect")
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    val deadId = corpus.filter(deleted).select(min($"cid")).head().getLong(0)
+    val delta = Seq((deadId, Seq.fill(64)(0.01))).toDF("cid", "cvec")
+      .select($"cid", $"cvec".cast("array<double>"))
+    // exclusion is by id: the re-insert would stay hidden behind its own
+    // tombstone — a silent lost insert the append guard turns loud
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(delta, "cid", "cvec", model, Cosine, path)
+    }
+    assert(e.getMessage.contains("tombstoned ids"))
+    IvfIndex.compact(spark, path, "cid")
+    IvfIndex.append(delta, "cid", "cvec", model, Cosine, path)
+    val served = IvfIndex.search(queries, "qid", "qvec",
+      spark.read.parquet(path), "cid", "cvec", model, K, Probes, Cosine,
+      excludeIds = Tombstones.read(spark, path))
+    // the re-inserted id is live again (and unique) after compact → append
+    assert(spark.read.parquet(path).filter($"cid" === deadId).count() == 1)
+    assert(served.count() > 0)
+  }
+
+  test("metadata filter and tombstones compose: serving equals search over pred ∩ live") {
+    val (path, model) = freshLayout("compose")
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    val pred = $"cid" % 2 === 0
+    val served = IvfIndex.search(queries, "qid", "qvec",
+      spark.read.parquet(path).filter(pred), "cid", "cvec", model, K,
+      Probes, Cosine, excludeIds = Tombstones.read(spark, path))
+    val truth = IvfIndex.search(queries, "qid", "qvec",
+      IvfIndex.assign(corpus.filter(pred && !deleted), "cid", "cvec", model,
+        Cosine), "cid", "cvec", model, K, Probes, Cosine)
+    assert(rows(served) == rows(truth))
+  }
+
+  test("compact on a layout with no tombstones is a pure rewrite") {
+    val (path, model) = freshLayout("nochange")
+    IvfIndex.compact(spark, path, "cid")
+    assert(spark.read.parquet(path).count() == corpus.count())
+    val s1 = IvfIndex.search(queries, "qid", "qvec", spark.read.parquet(path),
+      "cid", "cvec", model, K, Probes, Cosine)
+    val s2 = IvfIndex.search(queries, "qid", "qvec",
+      IvfIndex.assign(corpus, "cid", "cvec", model, Cosine), "cid", "cvec",
+      model, K, Probes, Cosine)
+    assert(rows(s1) == rows(s2))
+  }
+}
