@@ -65,17 +65,37 @@ object Bucketed {
     * materialize `merge` of the live table OFF the table (a bucketed
     * overwrite of its own scan would read-while-truncate), rewrite through
     * the same bucketed layout at the same location, and carry the build's
-    * fingerprint across — compaction changes layout, never identity. One
-    * definition for the span-count, LSH-bucket, and CDC-chunk stores
-    * (each previously hand-copied the 10-line dance). */
+    * fingerprint across — compaction changes layout, never identity.
+    * "Identity" includes the layout's [[Tombstones]] side store: the
+    * rewrite deletes the location's contents, and silently dropping
+    * delete markers while their rows survive would RESURRECT deleted
+    * rows — so the markers are restored across the rewrite by default.
+    * Pass `purgeIdCol` to make the compaction a physical purge instead:
+    * tombstoned ids are anti-joined out of the merged rows and the
+    * markers die WITH the rewrite (cleared tombstones can never ship
+    * without the purge that justifies them — [[IvfIndex.compact]]'s
+    * invariant). One definition for the span-count, LSH-bucket,
+    * CDC-chunk, and graph-edge stores. */
   def compactTable(spark: SparkSession, tableName: String, keys: Seq[String],
-      numBuckets: Int)(merge: DataFrame => DataFrame): Unit = {
+      numBuckets: Int, purgeIdCol: Option[String] = None)(
+      merge: DataFrame => DataFrame): Unit = {
     val fp = graft.Layouts.readFingerprint(spark, tableName)
-    val merged = merge(spark.table(tableName)).localCheckpoint()
     val loc = spark.sql(s"DESCRIBE FORMATTED $tableName")
       .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
       .select("data_type").head().getString(0)
+    val tombs = Tombstones.read(spark, loc).map(_.localCheckpoint())
+    val base = spark.table(tableName)
+    val rows = purgeIdCol match {
+      case Some(idCol) if tombs.nonEmpty =>
+        base.join(tombs.get.select(org.apache.spark.sql.functions
+            .col("id").as("__tomb_id")),
+          base(idCol) === org.apache.spark.sql.functions.col("__tomb_id"),
+          "left_anti")
+      case _ => base
+    }
+    val merged = merge(rows).localCheckpoint()
     writeBucketedKeys(merged, tableName, loc, keys, numBuckets)
+    if (purgeIdCol.isEmpty) tombs.foreach(Tombstones.add(_, "id", loc))
     fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
   }
 

@@ -167,6 +167,17 @@ object LshIndex {
     Bucketed.compactTable(spark, tableName, Seq("tbl", "bucket"),
       numBuckets)(identity)
 
+  /** Physical purge of tombstoned ids ([[Tombstones]] — the delete face):
+    * drop the deleted ids' bucket entries and clear the markers in one
+    * rewrite, [[IvfIndex.compact]]'s hash-table sibling. Until this runs,
+    * delete-aware serving passes the live (anti-joined) corpus as
+    * [[annTopKStored]]'s vector side — markers now, purge at compaction,
+    * the Lucene delete model. */
+  def purgeDeleted(spark: SparkSession, tableName: String, idCol: String,
+      numBuckets: Int): Unit =
+    Bucketed.compactTable(spark, tableName, Seq("tbl", "bucket"),
+      numBuckets, purgeIdCol = Some(idCol))(identity)
+
   /** Multi-probe variant of [[annTopK]]: the query side probes its own
     * grid cell plus every single-coordinate ±1 neighbor
     * ([[RpLsh.bucketizeProbes]]), recovering near-boundary misses without

@@ -483,17 +483,35 @@ object PqIndex {
     * fingerprint across the rewrite (the [[SpanDedup.compactIndex]]
     * pattern — every append adds a file per touched partition, and a long
     * append history degrades probe scan efficiency; compaction bounds it
-    * while changing nothing a reader sees, gated by `pq_index_compact`). */
+    * while changing nothing a reader sees, gated by `pq_index_compact`).
+    * "Nothing a reader sees" includes the layout's [[Tombstones]]: the
+    * rewrite deletes the location's contents, so delete markers are
+    * restored across it by default (dropping them while their rows
+    * survive would resurrect deleted rows); `purgeIdCol` turns the
+    * compaction into the physical purge instead — tombstoned rows leave
+    * the files and the markers die WITH the rewrite,
+    * [[IvfIndex.compact]]'s compressed-tier sibling. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      tableName: String): Unit = {
+      tableName: String, purgeIdCol: Option[String] = None): Unit = {
     val fp = graft.Layouts.readFingerprint(spark, tableName)
-    val rows = spark.table(tableName).localCheckpoint()
     val loc = spark.sql(s"DESCRIBE FORMATTED $tableName")
       .filter(col("col_name") === "Location")
       .select("data_type").head().getString(0)
+    val tombs = graft.operators.Tombstones.read(spark, loc)
+      .map(_.localCheckpoint())
+    val base = spark.table(tableName)
+    val live = purgeIdCol match {
+      case Some(idCol) if tombs.nonEmpty =>
+        base.join(tombs.get.select(col("id").as("__tomb_id")),
+          base(idCol) === col("__tomb_id"), "left_anti")
+      case _ => base
+    }
+    val rows = live.localCheckpoint()
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     rows.write.mode("overwrite").format("parquet")
       .partitionBy("list_id").option("path", loc).saveAsTable(tableName)
+    if (purgeIdCol.isEmpty)
+      tombs.foreach(graft.operators.Tombstones.add(_, "id", loc))
     fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
   }
 

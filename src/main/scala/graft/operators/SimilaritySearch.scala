@@ -104,13 +104,20 @@ object SimilaritySearch {
     * distance, no separate refine pass needed). Top-k quality therefore
     * degrades only by probe choice, never by the filter: a match in a
     * probed list is never lost to pre-k truncation, the failure mode of
-    * filter-AFTER-search at low k. */
+    * filter-AFTER-search at low k.
+    *
+    * `excludeIds` composes the delete face into the same serving call
+    * ([[Tombstones.read]] of the layout's side store): deleted rows drop
+    * via the post-probe-join anti-join ([[IvfIndex.search]]'s placement —
+    * the scan stays DPP-pruned), so one call serves the full vector-store
+    * contract: predicate ∩ live, ranked exactly. */
   def topKFilteredIvf(queries: DataFrame, queryIdCol: String, queryVecCol: String,
       stored: DataFrame, idCol: String, vecCol: String,
       model: IvfIndex.Model, k: Int, nProbe: Int, metric: Metric,
-      pred: org.apache.spark.sql.Column): DataFrame =
+      pred: org.apache.spark.sql.Column,
+      excludeIds: Option[DataFrame] = None): DataFrame =
     IvfIndex.search(queries, queryIdCol, queryVecCol, stored.filter(pred),
-      idCol, vecCol, model, k, nProbe, metric)
+      idCol, vecCol, model, k, nProbe, metric, excludeIds)
 
   /** Streaming face: a stream of query vectors searched against the static
     * corpus per micro-batch — the serving half of the reference's
@@ -155,8 +162,9 @@ object SimilaritySearch {
   def topKFilteredIvfStream(queryStream: DataFrame, queryIdCol: String,
       queryVecCol: String, stored: DataFrame, idCol: String, vecCol: String,
       model: IvfIndex.Model, k: Int, nProbe: Int, metric: Metric,
-      pred: org.apache.spark.sql.Column)(
+      pred: org.apache.spark.sql.Column,
+      excludeIds: Option[DataFrame] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     streamFace(queryStream, sink)(topKFilteredIvf(_, queryIdCol, queryVecCol,
-      stored, idCol, vecCol, model, k, nProbe, metric, pred))
+      stored, idCol, vecCol, model, k, nProbe, metric, pred, excludeIds))
 }

@@ -122,4 +122,41 @@ class SimilaritySearchSpec extends SparkSpec {
     // every streamed hit satisfies the predicate
     assert(got.values.flatten.forall(_._2 % 2 == 0))
   }
+
+  test("streaming serving respects tombstones: filtered+deleted micro-batches equal the batch face") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{IvfIndex, Tombstones}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val model = IvfIndex.fitSeeds(c, "cid", "v", 4)
+    val path = java.nio.file.Files.createTempDirectory("ivfdelstream").toString + "/idx"
+    IvfIndex.write(IvfIndex.assign(c, "cid", "v", model, Cosine), path,
+      model, Cosine)
+    Tombstones.add(c.filter($"cid" % 9 === 4), "cid", path)
+    val stored = spark.read.parquet(path)
+      .withColumn("v", $"v".cast("array<double>"))
+    val pred = $"cid" % 2 === 0
+    val tombs = Tombstones.read(spark, path)
+    val qRows = q.select($"qid", $"v").as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = qRows.splitAt(4)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.Map[Long, Array[(Long, Long, Long, Double)]]()
+    val query = SimilaritySearch.topKFilteredIvfStream(
+      input.toDF().toDF("qid", "v"), "qid", "v", stored, "cid", "v",
+      model, 5, 2, Cosine, pred, excludeIds = tombs)(
+      (df, id) => got(id) = df.orderBy("qid", "rank")
+        .as[(Long, Long, Long, Double)].collect())
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    def batchOf(rows: Seq[(Long, Seq[Double])]) =
+      SimilaritySearch.topKFilteredIvf(rows.toDF("qid", "v"), "qid", "v",
+        stored, "cid", "v", model, 5, 2, Cosine, pred, excludeIds = tombs)
+        .orderBy("qid", "rank").as[(Long, Long, Long, Double)].collect()
+    assert(got(0L).toSeq == batchOf(b1).toSeq)
+    assert(got(1L).toSeq == batchOf(b2).toSeq)
+    // every streamed hit is live AND satisfies the predicate
+    assert(got.values.flatten.forall(r => r._2 % 2 == 0 && r._2 % 9 != 4))
+    assert(got.values.flatten.nonEmpty)
+  }
 }

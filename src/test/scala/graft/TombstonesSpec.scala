@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.Cosine
-import graft.operators.{IvfIndex, KnnJoin, Tombstones}
+import graft.operators.{IvfIndex, KnnJoin, LshIndex, PqIndex, Tombstones}
 
 /** The delete lifecycle over stored layouts: tombstone add/read/clear,
   * reader exclusion, the search faces' `excludeIds`, and the compact purge
@@ -139,6 +139,46 @@ class TombstonesSpec extends SparkSpec {
       IvfIndex.assign(corpus.filter(pred && !deleted), "cid", "cvec", model,
         Cosine), "cid", "cvec", model, K, Probes, Cosine)
     assert(rows(served) == rows(truth))
+  }
+
+  test("table compaction preserves delete markers; purge drops entries and markers together") {
+    val path = "/tmp/graft_tombspec_lshtab"
+    val table = "tombspec_lsh"
+    LshIndex.writeIndex(corpus, "cid", "cvec", 64, 0.4, 3, 2, table, path, 4)
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    val entriesBefore = spark.table(table)
+      .select($"tbl", $"bucket", $"cid").as[(Int, String, Long)].collect().toSet
+    // plain compaction is layout-only: markers are reader-visible state
+    // and must survive the rewrite (dropping them would resurrect rows)
+    LshIndex.compactIndex(spark, table, 4)
+    assert(Tombstones.read(spark, path).nonEmpty)
+    assert(spark.table(table).select($"tbl", $"bucket", $"cid")
+      .as[(Int, String, Long)].collect().toSet == entriesBefore)
+    // purge: tombstoned entries leave the files, markers die with them
+    LshIndex.purgeDeleted(spark, table, "cid", 4)
+    assert(Tombstones.read(spark, path).isEmpty)
+    val after = spark.table(table).select($"tbl", $"bucket", $"cid")
+      .as[(Int, String, Long)].collect().toSet
+    assert(after == entriesBefore.filterNot(_._3 % 9 == 4))
+    assert(after.nonEmpty)
+  }
+
+  test("codes-table compaction preserves markers; purge variant drops tombstoned codes") {
+    val path = "/tmp/graft_tombspec_pqtab"
+    val table = "tombspec_pq"
+    val pqModel = PqIndex.fitSeeds(corpus, "cid", "cvec", 8, 16)
+    val ivfModel = IvfIndex.fitSeeds(corpus, "cid", "cvec", Lists)
+    PqIndex.writeIvfIndex(corpus, "cid", "cvec", pqModel, ivfModel, Cosine,
+      table, path)
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    val n = corpus.count()
+    PqIndex.compactIvfIndex(spark, table)
+    assert(Tombstones.read(spark, path).nonEmpty)
+    assert(spark.table(table).count() == n)
+    PqIndex.compactIvfIndex(spark, table, purgeIdCol = Some("cid"))
+    assert(Tombstones.read(spark, path).isEmpty)
+    assert(spark.table(table).count() == corpus.filter(!deleted).count())
+    assert(spark.table(table).filter($"cid" % 9 === 4).count() == 0)
   }
 
   test("compact on a layout with no tombstones is a pure rewrite") {
