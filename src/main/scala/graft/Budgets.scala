@@ -23,7 +23,11 @@ package graft
   * nothing was lowered. Where
   * the driver's measured pass was itself driver-adjudicated a load
   * artifact (BENCH_r10 `isolated_reruns`), the isolated-rerun time is
-  * the driver sample — budgets stay sized to a clean box. Every
+  * the driver sample — budgets stay sized to a clean box. Round 17
+  * added the delete-family and r16 filtered-tier entries from its own
+  * closing clean pair (327.3 s at factor 1.286 / 302.5 s at 1.041, both
+  * breach-free over the full 310-query board) and recorded the
+  * graph-iterative adjudication inline on the two watch rows. Every
   * entry cites all samples — the r7 verdict's budget-policy item:
   * single-sample budgets were where both breach rounds came from. [[Bench]]
   * multiplies each budget by the run's calibration factor (see
@@ -153,7 +157,10 @@ object Budgets {
     "eval_binary_recall" -> 3.0, // r14f samples 0.24/0.25 + driver r10 0.26 + driver r11 0.23 (all calibration-normalized) [raw 2.5x budget 0.7, raised to the 3 s metrology floor]
     "eval_dedup_lsh" -> 4.5, // r14f samples 1.79/1.59 + driver r10 1.67 + driver r11 1.53 (all calibration-normalized)
     "eval_dedup_simhash" -> 3.0, // r14f samples 0.78/0.78 + driver r10 0.60 + driver r11 0.58 (all calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
+    "eval_deleted_ivf_recall" -> 3.0, // r17 closing clean-pair samples 1.03/0.91 (calibration-normalized; the exact side re-ranks the live corpus) [raw 2.5x budget 2.6, raised to the 3 s metrology floor]
     "eval_filtered_ivf_recall" -> 3.0, // r15 closing clean-pair samples 0.63/0.88 + driver r11 0.66 (all calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
+    "eval_filtered_lsh_recall" -> 3.0, // r17 closing clean-pair samples 0.41/0.42 (calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
+    "eval_filtered_pq_recall" -> 3.0, // r17 closing clean-pair samples 0.42/0.42 (calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
     "eval_graph_hier_recall" -> 25.6, // r14f samples 9.33/10.24 + driver r10 8.28 + driver r11 8.84 (all calibration-normalized)
     "eval_graph_hops_curve" -> 3.0, // r14f samples 0.43/0.50 + driver r10 0.44 + driver r11 0.47 (all calibration-normalized) [raw 2.5x budget 1.3, raised to the 3 s metrology floor]
     "eval_graph_recall" -> 19.7, // r14f samples 7.85/7.45 + driver r10 6.81 + driver r11 7.03 (all calibration-normalized)
@@ -241,8 +248,14 @@ object Budgets {
     "join_skew_salted" -> 3.0, // r14f samples 0.54/0.65 + driver r10 0.56 + driver r11 0.54 (all calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
     "knn_cosine_topk" -> 3.0, // r14f samples 0.43/0.40 + driver r10 0.48 + driver r11 0.41 (all calibration-normalized) [raw 2.5x budget 1.2, raised to the 3 s metrology floor]
     "knn_dedup_label_topk" -> 3.0, // r14f samples 0.64/0.48 + driver r10 0.53 + driver r11 0.46 (all calibration-normalized) [raw 2.5x budget 1.6, raised to the 3 s metrology floor]
+    "knn_deleted_ivf" -> 3.0, // r17 closing clean-pair samples 0.56/0.72 (calibration-normalized) [raw 2.5x budget 1.8, raised to the 3 s metrology floor]
+    "knn_deleted_ivfpq" -> 3.0, // r17 closing clean-pair samples 0.68/1.00 (calibration-normalized) [raw 2.5x budget 2.5, raised to the 3 s metrology floor]
+    "knn_deleted_lsh" -> 3.0, // r17 closing clean-pair samples 0.74/0.78 (calibration-normalized) [raw 2.5x budget 1.9, raised to the 3 s metrology floor]
     "knn_filtered_ivf" -> 3.0, // r15 closing clean-pair samples 0.66/0.63 + driver r11 0.63 (all calibration-normalized) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
+    "knn_filtered_ivfpq" -> 3.0, // r17 closing clean-pair samples 0.40/0.63 (calibration-normalized) [raw 2.5x budget 1.6, raised to the 3 s metrology floor]
+    "knn_filtered_lsh" -> 3.0, // r17 closing clean-pair samples 0.37/0.73 (calibration-normalized) [raw 2.5x budget 1.8, raised to the 3 s metrology floor]
     "knn_filtered_topk" -> 3.0, // r14f samples 0.33/0.33 + driver r10 0.35 + driver r11 0.28 (all calibration-normalized) [raw 2.5x budget 0.9, raised to the 3 s metrology floor]
+    "knn_graph_deleted_topk" -> 3.0, // r17 closing clean-pair samples 0.56/0.66 (calibration-normalized; ranking only — the walk is paid by graph_walk_build) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
     "knn_graph_filtered_topk" -> 3.0, // r15 closing clean-pair samples 0.33/0.38 + driver r11 0.29 (all calibration-normalized; ranking only — the walk is paid by graph_walk_build) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
     "knn_graph_hier_topk" -> 3.0, // r14f samples 0.36/0.39 + driver r10 0.39 + driver r11 0.29 (all calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
     "knn_graph_stored_topk" -> 3.0, // r15 closing clean-pair samples 0.28/0.29 + driver r11 0.24 (all calibration-normalized; ranking only — the walk is paid by graph_walk_build) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]
@@ -282,6 +295,7 @@ object Budgets {
     "pipeline_dsir_select" -> 16.9, // r14f samples 5.27/5.65 + driver r10 6.74 + driver r11 4.68 (all calibration-normalized)
     "pipeline_entity_resolution" -> 5.7, // r14f samples 1.91/2.11 + driver r10 2.25 + driver r11 1.58 (all calibration-normalized)
     "pipeline_eval_set" -> 3.0, // r14f samples 0.83/1.00 + driver r10 1.14 + driver r11 0.79 (all calibration-normalized) [raw 2.5x budget 2.9, raised to the 3 s metrology floor]
+    "pipeline_forget" -> 5.9, // r17 closing clean-pair samples 1.92/2.35 (calibration-normalized; the composition pays its own build + delete + compact + two serves)
     "pipeline_index_rebuild" -> 4.5, // r15 closing clean-pair samples 1.77/1.56 + driver r11 1.49 (all calibration-normalized; the composition pays its own era-1 build + append + rebuild)
     "pipeline_retrieval_stack" -> 17.3, // r14f samples 5.80/6.64 + driver r10 6.90 + driver r11 5.38 (all calibration-normalized)
     "pipeline_skills_for_jobs" -> 13.6, // r14f samples 4.96/4.87 + driver r10 5.43 + driver r11 4.29 (all calibration-normalized)
@@ -313,8 +327,8 @@ object Budgets {
     "rank_knn_degree_hist" -> 17.9, // r14f samples 6.56/7.13 + driver r10 5.56 + driver r11 5.79 (all calibration-normalized)
     "rank_knn_graph_summary" -> 3.0, // r14f samples 0.33/0.40 + driver r10 0.33 + driver r11 0.31 (all calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
     "rank_knn_hits" -> 7.5, // r14f samples 2.78/2.99 + driver r10 2.29 + driver r11 2.35 (all calibration-normalized)
-    "rank_knn_kcore" -> 23.3, // r14f samples 5.31/5.86 + driver r10 5.17 + driver r11 9.30 (all calibration-normalized) — r11 ratchet governs (2.5x 9.30)
-    "rank_knn_label_prop" -> 11.1, // r14f samples 2.26/2.45 + driver r10 2.01 + driver r11 4.41 (all calibration-normalized) — r11 ratchet governs (2.5x 4.41)
+    "rank_knn_kcore" -> 23.3, // r14f samples 5.31/5.86 + driver r10 5.17 + driver r11 9.30 (all calibration-normalized) — r11 ratchet governs (2.5x 9.30). ADJUDICATED box noise (r11 verdict watch #2): the r17 closing clean pair ran 3.99/5.22 normalized — back inside the r10 envelope, with the probe-cadence reduction (KCore.ProbeKnee) live; the 9.30 stands only as the ratchet sample
+    "rank_knn_label_prop" -> 11.1, // r14f samples 2.26/2.45 + driver r10 2.01 + driver r11 4.41 (all calibration-normalized) — r11 ratchet governs (2.5x 4.41). ADJUDICATED box noise (r11 verdict watch #2): the r17 closing clean pair ran 1.56/2.21 normalized — back at the r10 level, code untouched; the 4.41 stands only as the ratchet sample
     "rank_knn_link_pred" -> 6.0, // r14f samples 1.86/2.40 + driver r10 2.04 + driver r11 1.84 (all calibration-normalized)
     "rank_knn_pagerank" -> 5.9, // r14f samples 1.95/2.34 + driver r10 1.98 + driver r11 2.03 (all calibration-normalized)
     "rank_knn_ppr" -> 5.5, // r14f samples 1.71/2.17 + driver r10 1.83 + driver r11 1.83 (all calibration-normalized)
