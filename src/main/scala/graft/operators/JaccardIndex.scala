@@ -81,10 +81,22 @@ object JaccardIndex {
 
   /** Near-dups of `delta` against the indexed corpus: (a_id = delta doc,
     * b_id = indexed doc, shared, jaccard ≥ minJaccard). `n` and `minJaccard`
-    * must match the values the index was built with. */
+    * must match the values the index was built with.
+    *
+    * `excludeIds` is the delete face ([[Tombstones]] — a takedown's
+    * shingle data persists in the index until [[purgeDeleted]], and until
+    * then serving must not MATCH against it): tombstoned doc ids
+    * anti-join the stored prefix table before the candidate join, so dead
+    * docs generate no candidates and never reach verification. The
+    * broadcast anti-join preserves the bucketed prefix scan's
+    * HashPartitioning, so the candidate join still runs exchange-free on
+    * the corpus side. Verified pairs equal an index built over the live
+    * corpus exactly: prefix filtering is lossless under ANY consistent
+    * order (the module contract), and stale df from dead docs shifts only
+    * selectivity, never the verified answer. */
   def incrementalJoin(spark: SparkSession, tables: IndexTables,
       delta: DataFrame, idCol: String, textCol: String, n: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, excludeIds: Option[DataFrame] = None): DataFrame = {
     require(minJaccard > 0 && minJaccard <= 1, s"minJaccard $minJaccard outside (0, 1]")
     // Uncached: each ingest batch has a fresh plan, and the delta's shingle
     // stream is consumed once — a Caches entry per micro-batch would grow
@@ -109,8 +121,13 @@ object JaccardIndex {
     val plen = (m - ceil(lit(minJaccard) * m) + 1).cast("int")
     val prefixD = docSetsD.select(col(idCol), m,
       explode(slice(col("__g"), lit(1), plen)).as("__gh"))
-    val stored = spark.table(tables.prefix)
-    val storedId = stored.columns.head // (id, __m, __gh)
+    val stored0 = spark.table(tables.prefix)
+    val storedId0 = stored0.columns.head // (id, __m, __gh)
+    val stored = excludeIds.map(t => stored0.join(
+        t.select(col("id").as("__tomb_id")),
+        col(storedId0) === col("__tomb_id"), "left_anti"))
+      .getOrElse(stored0)
+    val storedId = storedId0
     val cands = prefixD
       .select(col(idCol).as("a_id"), col("__m").as("__ma"), col("__gh"))
       .join(stored.select(col(storedId).as("b_id"), col("__m").as("__mb"),
@@ -121,6 +138,28 @@ object JaccardIndex {
     Dedup.verifyByIntersect2(docSetsD, spark.table(tables.docsets), cands,
       minJaccard)
   }
+
+  /** Physical purge of tombstoned docs ([[Tombstones]] stamped at the
+    * index's `basePath`): rewrite the per-doc gram sets and prefix entries
+    * minus the dead ids through their bucketed layouts and clear the
+    * markers — the dedup index's [[IvfIndex.compact]]. The df table stays:
+    * dead docs' gram counts go stale exactly like any post-build corpus
+    * shift, which the module contract already allows (selectivity only,
+    * never the verified answer); the rebuild cadence refreshes it. Until
+    * this runs, serving passes the tombstones to [[incrementalJoin]]'s
+    * `excludeIds` — markers now, purge at compaction. */
+  def purgeDeleted(spark: SparkSession, tables: IndexTables,
+      basePath: String, numBuckets: Int): Unit =
+    Tombstones.read(spark, basePath).foreach { t0 =>
+      val t = t0.localCheckpoint()
+      def anti(df: DataFrame) = df.join(t.select(col("id").as("__tomb_id")),
+        df(df.columns.head) === col("__tomb_id"), "left_anti")
+      Bucketed.compactTable(spark, tables.prefix, Seq("__gh"), numBuckets)(anti)
+      val docsetsKey = spark.table(tables.docsets).columns.head
+      Bucketed.compactTable(spark, tables.docsets, Seq(docsetsKey),
+        numBuckets)(anti)
+      Tombstones.clear(spark, basePath)
+    }
 
   /** Streaming face of [[incrementalJoin]] — the deployed shape of daily
     * ingest: each micro-batch of arriving documents probes the persisted

@@ -400,6 +400,27 @@ object DedupQueries extends graft.QueryModule {
     "dedup_jaccard_incremental_indexed" -> ((s, dir) =>
       JaccardIndex.incrementalJoin(s, JidxLayout.ensure(s, dir),
         Tables.documents(s, dir).filter(deltaPred), "doc_id", "text", N, MinJ)),
+    // Delete-aware dedup serving — the forget loop reaches the DEDUP index
+    // too (a takedown's shingle data persists in the stored prefix/docset
+    // tables until purge, and matching against it would resurface the dead
+    // document): every even doc id is tombstoned against the stored index
+    // (Tombstones at the index's basePath) and the incremental join drops
+    // their candidates BEFORE verification via a partitioning-preserving
+    // anti-join on the prefix table. Verified pairs equal an index built
+    // over the live corpus exactly — prefix filtering is lossless under
+    // any consistent df order, so exclusion at candidates is exclusion
+    // from the answer, nothing else shifts. Physical purge
+    // (JaccardIndex.purgeDeleted) is spec-pinned; the one oracle-gated
+    // purge pin of the delete family is pipeline_forget.
+    "dedup_jaccard_deleted" -> ((s, dir) => {
+      val t = JidxLayout.ensure(s, dir)
+      val tombs = Fixtures.tombsAt(s, s"jidxtombs:$dir",
+        s"/tmp/graft_jidx/${graft.Layouts.tag(dir)}", "doc_id")(
+        Tables.documents(s, dir).filter(col("doc_id") % 2 === 0))
+      JaccardIndex.incrementalJoin(s, t,
+        Tables.documents(s, dir).filter(deltaPred), "doc_id", "text", N, MinJ,
+        excludeIds = Some(tombs))
+    }),
     // Pairs → clusters: the keep/drop decision of the dedup pipeline. Every
     // doc gets the min id reachable through the verified near-dup pairs as
     // its cluster id; is_rep marks the one document of each cluster a
@@ -705,9 +726,13 @@ object DedupQueries extends graft.QueryModule {
       s"SELECT doc_id, simhash, $k AS band, (simhash >> $off) & ${(1L << w) - 1L} AS bits FROM sh"
     }.mkString("\n  UNION ALL ")
 
-  /** Shared by dedup_jaccard_incremental and its indexed twin — see the
-    * oracle map entries. */
-  private val incrementalSql =
+  /** Shared by dedup_jaccard_incremental, its indexed twin, and the
+    * delete-aware face — see the oracle map entries. `extraB`: optional
+    * predicate appended to the candidate b (indexed) side, the oracle twin
+    * of [[graft.operators.JaccardIndex.incrementalJoin]]'s `excludeIds` —
+    * exclusion at candidate generation, exactly where the Spark side
+    * anti-joins the stored prefix table. */
+  private def incrementalSqlWith(extraB: String = "") =
     s"""WITH $toksCte,
        |${DocSql.shingleHashCte(N)},
        |dfc AS (SELECT ghv, count(*) AS df FROM shd GROUP BY 1),
@@ -719,8 +744,9 @@ object DedupQueries extends graft.QueryModule {
        |  WHERE r <= m - ceil($MinJ * m) + 1),
        |cands AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM pf a JOIN pf b ON a.ghv = b.ghv
-       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0$extraB),
        |$intersectTail""".stripMargin
+  private val incrementalSql = incrementalSqlWith()
 
   /** Single sources of truth for the two pair queries, reused verbatim as
     * the member legs of the eval_dedup_lsh metrology oracle. */
@@ -1031,6 +1057,10 @@ object DedupQueries extends graft.QueryModule {
     // incremental oracle verbatim — the strongest possible pin that moving
     // the index to storage changed nothing.
     "dedup_jaccard_incremental_indexed" -> incrementalSql,
+    // The delete-aware face: the same replay with tombstoned docs excluded
+    // from the candidate b side — exactly where the Spark side's prefix
+    // anti-join drops them.
+    "dedup_jaccard_deleted" -> incrementalSqlWith(" AND NOT (b.doc_id % 2 = 0)"),
     // From-scratch recount of the persisted index's shape: corpus-only df
     // ranks, prefix rule r ≤ m − ceil(J·m) + 1 — the same constants the
     // builder interpolates.

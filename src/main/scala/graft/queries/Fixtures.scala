@@ -39,6 +39,28 @@ private[queries] object Fixtures {
         q, "job_id", "qvec", c, "skill_id", "svec", K, metric))
   }
 
+  /** Stamp `ids` as tombstones at `layoutPath` once per (session, key) and
+    * return the stored set. Resilient to sibling layout rewrites: a
+    * compaction or cross-session re-ensure legitimately deletes the side
+    * store with the files it replaces — the deterministic fixture set is
+    * re-stamped instead of serving an unfiltered search as "deleted". The
+    * layout's own ensure MUST have run first (ensure overwrites the layout
+    * directory, side store included — the correct lifetime). */
+  def tombsAt(s: SparkSession, key: String, layoutPath: String,
+      idCol: String)(ids: => DataFrame): DataFrame = {
+    def stamp(): String = {
+      graft.operators.Tombstones.add(ids, idCol, layoutPath)
+      layoutPath
+    }
+    graft.Layouts.once(s, key)(stamp())
+    graft.operators.Tombstones.read(s, layoutPath).getOrElse {
+      stamp()
+      graft.operators.Tombstones.read(s, layoutPath).getOrElse(
+        throw new IllegalStateException(
+          s"tombsAt: no tombstone store at $layoutPath after add"))
+    }
+  }
+
   val qCte: String =
     s"q AS (SELECT vec_id AS job_id, embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id < $NQ)"
   val cCte: String =

@@ -238,25 +238,11 @@ object IndexQueries extends graft.QueryModule {
     * tombstones die with stale data files; every call site ensures then
     * stamps). */
   private def tombsFor(s: SparkSession, dir: String, family: String,
-      layoutPath: String): DataFrame = {
-    def stamp(): String = {
+      layoutPath: String): DataFrame =
+    Fixtures.tombsAt(s, s"tombs:$family:$dir", layoutPath, "skill_id") {
       val (_, c) = Fixtures.split(s, dir)
-      graft.operators.Tombstones.add(
-        c.filter(deletedPred(col("skill_id"))), "skill_id", layoutPath)
-      layoutPath
+      c.filter(deletedPred(col("skill_id")))
     }
-    graft.Layouts.once(s, s"tombs:$family:$dir")(stamp())
-    // A sibling rewrite of the layout (graph_index_compact's compactTable,
-    // a cross-session re-ensure) legitimately deletes the side store with
-    // the files it replaces — re-stamp the deterministic fixture set
-    // instead of serving an unfiltered search as "deleted".
-    graft.operators.Tombstones.read(s, layoutPath).getOrElse {
-      stamp()
-      graft.operators.Tombstones.read(s, layoutPath).getOrElse(
-        throw new IllegalStateException(
-          s"tombsFor: no tombstone store at $layoutPath after add"))
-    }
-  }
 
   private def ivfParts(s: SparkSession, dir: String) = {
     val (q, c) = Fixtures.split(s, dir)

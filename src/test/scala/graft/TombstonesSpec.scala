@@ -181,6 +181,37 @@ class TombstonesSpec extends SparkSpec {
     assert(spark.table(table).filter($"cid" % 9 === 4).count() == 0)
   }
 
+  test("dedup index: excluded docs match nothing; purge equals marker-exclusion; live-built index agrees") {
+    import graft.operators.JaccardIndex
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus0 = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0)
+    val dead = $"doc_id" % 2 === 0
+    val base = "/tmp/graft_tombspec_jidx"
+    val t = JaccardIndex.build(corpus0, "doc_id", "text", 3, 0.5,
+      "tombspec", base, 4)
+    Tombstones.add(corpus0.filter(dead), "doc_id", base)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"a_id".cast("long"), $"b_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val excl = pairs(JaccardIndex.incrementalJoin(spark, t, delta, "doc_id",
+      "text", 3, 0.5, excludeIds = Tombstones.read(spark, base)))
+    assert(excl.forall(_._2 % 2 != 0))
+    assert(excl.nonEmpty)
+    // truth: an index that never held the dead docs — verified pairs are
+    // order-independent, so the two answers are exactly equal
+    val tLive = JaccardIndex.build(corpus0.filter(!dead), "doc_id", "text",
+      3, 0.5, "tombspeclive", base + "_live", 4)
+    assert(excl == pairs(JaccardIndex.incrementalJoin(spark, tLive, delta,
+      "doc_id", "text", 3, 0.5)))
+    // physical purge: same answer with no markers left
+    JaccardIndex.purgeDeleted(spark, t, base, 4)
+    assert(Tombstones.read(spark, base).isEmpty)
+    assert(excl == pairs(JaccardIndex.incrementalJoin(spark, t, delta,
+      "doc_id", "text", 3, 0.5)))
+  }
+
   test("compact on a layout with no tombstones is a pure rewrite") {
     val (path, model) = freshLayout("nochange")
     IvfIndex.compact(spark, path, "cid")
