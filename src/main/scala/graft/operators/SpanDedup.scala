@@ -163,7 +163,36 @@ object SpanDedup {
   def compactIndex(spark: SparkSession, table: IndexTable,
       numBuckets: Int): Unit =
     Bucketed.compactTable(spark, table.counts, Seq("__gh"), numBuckets)(
-      _.groupBy(col("__gh")).agg(sum(col("__c")).as("__c")))
+      _.groupBy(col("__gh")).agg(sum(col("__c")).as("__c"))
+        // hashes whose net count fell to zero ([[deleteFromIndex]]
+        // decrements) are dead — the compact IS their physical purge
+        .filter(col("__c") > 0L))
+
+  /** Delete documents from the count index by EXACT DECREMENT — the
+    * count-store's delete mechanic (the tombstone anti-join of the row
+    * stores has nothing to anti-join here: counts are aggregated, a doc's
+    * contribution is not a row but an addend). Re-hash ONLY the deleted
+    * docs' windows and append their counts NEGATED; probes read net
+    * presence (sum > 0 — [[incrementalSpans]]), so a hash whose every
+    * occurrence was deleted stops matching immediately, and
+    * [[compactIndex]] physically purges net-zero rows. O(|deleted docs|)
+    * per takedown, the base corpus never re-read — the same O(delta)
+    * contract as [[appendToIndex]], which this is the exact inverse of
+    * (delete ∘ append ≡ id, spec-pinned). The caller passes the documents
+    * being taken down (a takedown request carries them by definition);
+    * decrementing docs never indexed leaves net-negative rows, which
+    * presence reads as absent and compact drops — harmless, but it means
+    * "delete twice" is NOT idempotent here the way tombstones are:
+    * decrement exactly once per indexed doc. */
+  def deleteFromIndex(table: IndexTable, docs: DataFrame, idCol: String,
+      textCol: String, k: Int, numBuckets: Int): Unit = {
+    graft.Layouts.checkFingerprint(docs.sparkSession, table.counts,
+      s"span|$k", "SpanDedup.deleteFromIndex")
+    Bucketed.appendBucketedKeys(
+      gramPositionsUncached(docs, idCol, textCol, k)
+        .groupBy(col("__gh")).agg((-count(lit(1))).as("__c")),
+      table.counts, Seq("__gh"), numBuckets)
+  }
 
   /** Duplicated spans of DELTA documents against corpus ∪ delta, with the
     * corpus appearing ONLY through index probes: a delta window is
@@ -180,7 +209,16 @@ object SpanDedup {
     // for the two probes, and its blocks free with the batch — unlike a
     // Caches entry, which a stream would accumulate per micro-batch.
     val pos = gramPositionsUncached(delta, idCol, textCol, k).localCheckpoint()
-    val inCorpus = pos.join(spark.table(table.counts), Seq("__gh"), "left_semi")
+    // Presence = NET count > 0, not row existence: the stored counts are
+    // split across ingest batches (positive parts — splitting preserves
+    // existence) AND may carry [[deleteFromIndex]]'s negative decrements
+    // (a hash whose occurrences were all deleted nets to ≤ 0 and must stop
+    // matching). The aggregation groups on the bucketed key, so it reuses
+    // the stored HashPartitioning — no exchange touches the index side.
+    val present = spark.table(table.counts)
+      .groupBy(col("__gh")).agg(sum(col("__c")).as("__net"))
+      .filter(col("__net") > 0L).select("__gh")
+    val inCorpus = pos.join(present, Seq("__gh"), "left_semi")
     val inDelta = pos.join(
       pos.groupBy(col("__gh")).agg(count(lit(1)).as("__c"))
         .filter(col("__c") >= 2L).select("__gh"), Seq("__gh"))

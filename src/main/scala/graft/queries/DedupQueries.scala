@@ -93,6 +93,28 @@ object DedupQueries extends graft.QueryModule {
       }
   }
 
+  /** The delete fixture's own span index (the shared [[SpidxLayout]] must
+    * keep its full counts — its recount gates would turn red): built over
+    * the non-delta corpus, then the even-id docs are deleted by EXACT
+    * DECREMENT ([[graft.operators.SpanDedup.deleteFromIndex]] — the
+    * count-store's delete mechanic; nothing to tombstone, a doc's
+    * contribution is an addend, not a row) and compacted, so the store
+    * physically holds the live corpus's net counts. */
+  private object SpidxDeleteLayout {
+    def ensure(s: SparkSession, dir: String): graft.operators.SpanDedup.IndexTable =
+      graft.Layouts.once(s, s"spidxdel:$dir") {
+        val tag = graft.Layouts.tag(dir) + "del"
+        val t = graft.operators.SpanDedup.buildIndex(
+          Tables.documents(s, dir).filter(!deltaPred), "doc_id", "text",
+          SpanK, tag, s"/tmp/graft_spidxdel/$tag", 8)
+        graft.operators.SpanDedup.deleteFromIndex(t,
+          Tables.documents(s, dir).filter(!deltaPred && col("doc_id") % 2 === 0),
+          "doc_id", "text", SpanK, 8)
+        graft.operators.SpanDedup.compactIndex(s, t, 8)
+        t
+      }
+  }
+
   /** The append-ingest twin of [[SpidxLayout]]: base build over the
     * non-delta corpus, then the delta's counts appended O(delta)
     * ([[graft.operators.SpanDedup.appendToIndex]]) — the table ends up
@@ -372,6 +394,20 @@ object DedupQueries extends graft.QueryModule {
     // pins the equivalence, not just plumbing.
     "dedup_span_incremental" -> ((s, dir) =>
       graft.operators.SpanDedup.incrementalSpanStats(s, SpidxLayout.ensure(s, dir),
+        Tables.documents(s, dir).filter(deltaPred), "doc_id", "text", SpanK)),
+    // Forget at the COUNT store — the delete family's third mechanic
+    // (tombstones anti-join rows; a count store has no row per doc, so a
+    // takedown DECREMENTS the deleted docs' window counts exactly and the
+    // probe reads net presence): the even-id corpus docs are deleted from
+    // a dedicated span index, the store compacted (net-zero hashes
+    // physically purged), and the delta batch's span accounting re-runs —
+    // spans that only matched deleted docs unmark, everything else holds.
+    // The oracle replays the one-shot marking with the duplicate pool
+    // restricted to delta ∪ live corpus, pinning the decrement arithmetic
+    // end to end.
+    "dedup_span_deleted" -> ((s, dir) =>
+      graft.operators.SpanDedup.incrementalSpanStats(s,
+        SpidxDeleteLayout.ensure(s, dir),
         Tables.documents(s, dir).filter(deltaPred), "doc_id", "text", SpanK)),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardJoin(Tables.documents(s, dir), "doc_id", "text", N, MinJ)),
@@ -1020,6 +1056,24 @@ object DedupQueries extends graft.QueryModule {
          |${DocSql.gramPosCte(SpanK)},
          |delpos AS (SELECT doc_id, pos, ghv FROM posg WHERE doc_id % 10 = 0),
          |${DocSql.spanCtes(SpanK, "delpos", "posg")},
+         |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  coalesce(st.n_spans, 0) AS n_spans,
+         |  coalesce(st.dup_tokens, 0) AS dup_tokens
+         |FROM documents d JOIN tokd t USING (doc_id)
+         |LEFT JOIN st USING (doc_id)
+         |WHERE d.doc_id % 10 = 0""".stripMargin,
+    // The deleted twin: the same one-shot marking with the duplicate pool
+    // restricted to delta ∪ live corpus (delta ids OR odd non-delta ids) —
+    // exactly the net-presence the decremented store serves.
+    "dedup_span_deleted" ->
+      s"""WITH $toksCte,
+         |${DocSql.gramPosCte(SpanK)},
+         |delpos AS (SELECT doc_id, pos, ghv FROM posg WHERE doc_id % 10 = 0),
+         |livpos AS (SELECT doc_id, pos, ghv FROM posg
+         |  WHERE doc_id % 10 = 0 OR doc_id % 2 <> 0),
+         |${DocSql.spanCtes(SpanK, "delpos", "livpos")},
          |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
          |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens FROM sp GROUP BY 1)
          |SELECT d.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,

@@ -212,6 +212,37 @@ class TombstonesSpec extends SparkSpec {
       "doc_id", "text", 3, 0.5)))
   }
 
+  test("count store: delete is an exact decrement, probes read net presence, compact purges net-zero") {
+    import graft.operators.SpanDedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus0 = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0)
+    val dead = corpus0.filter($"doc_id" % 2 === 0)
+    def stats(t: SpanDedup.IndexTable): Seq[(Long, Long, Long, Long)] =
+      SpanDedup.incrementalSpanStats(spark, t, delta, "doc_id", "text", 8)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    val t = SpanDedup.buildIndex(corpus0, "doc_id", "text", 8,
+      "tombspecspan", "/tmp/graft_tombspec_span", 4)
+    val full = stats(t)
+    SpanDedup.deleteFromIndex(t, dead, "doc_id", "text", 8, 4)
+    val afterDelete = stats(t)
+    // truth: an index that never held the dead docs
+    val tLive = SpanDedup.buildIndex(corpus0.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", 8, "tombspecspanlive", "/tmp/graft_tombspec_spanlive", 4)
+    assert(afterDelete == stats(tLive))
+    assert(afterDelete != full) // the fixture actually unmarks something
+    // compact physically purges net-zero hashes; the answer is unchanged
+    SpanDedup.compactIndex(spark, t, 4)
+    assert(spark.table(t.counts).filter($"__c" <= 0L).count() == 0)
+    assert(stats(t) == afterDelete)
+    // delete ∘ append ≡ id: decrement arithmetic is exact, so re-ingesting
+    // the same docs restores the original answer (the count store CAN
+    // resurrect — the honest contrast with id-tombstones, which cannot)
+    SpanDedup.appendToIndex(t, dead, "doc_id", "text", 8, 4)
+    assert(stats(t) == full)
+  }
+
   test("compact on a layout with no tombstones is a pure rewrite") {
     val (path, model) = freshLayout("nochange")
     IvfIndex.compact(spark, path, "cid")
