@@ -124,6 +124,7 @@ object Budgets {
     "dedup_embed_cos_lsh" -> 3.8, // r14f samples 1.43/1.51 + driver r10 1.32 + driver r11 1.35 (all calibration-normalized)
     "dedup_embed_cos_pairs" -> 4.7, // r14f samples 1.46/1.86 + driver r10 1.39 + driver r11 1.44 (all calibration-normalized)
     "dedup_exact" -> 3.0, // r14f samples 0.16/0.14 + driver r10 0.13 + driver r11 0.12 (all calibration-normalized) [raw 2.5x budget 0.4, raised to the 3 s metrology floor]
+    "dedup_jaccard_deleted" -> 5.2, // r17 closing pair samples 2.08/1.71 (calibration-normalized; the indexed incremental join + the prefix anti-join + first-touch tombstone stamp)
     "dedup_jaccard_incremental" -> 4.0, // r14f samples 1.52/1.53 + driver r10 1.51 + driver r11 1.60 (all calibration-normalized) — r11 ratchet governs (2.5x 1.60)
     "dedup_jaccard_incremental_indexed" -> 4.6, // r14f samples 1.66/1.81 + driver r10 1.66 + driver r11 1.52 (all calibration-normalized)
     "dedup_jaccard_index_build" -> 8.8, // r14f samples 3.17/3.51 + driver r10 2.90 + driver r11 2.92 (all calibration-normalized)
@@ -134,6 +135,7 @@ object Budgets {
     "dedup_simhash" -> 3.0, // r14f samples 0.13/0.15 + driver r10 0.13 + driver r11 0.11 (all calibration-normalized) [raw 2.5x budget 0.4, raised to the 3 s metrology floor]
     "dedup_simhash_pairs" -> 5.2, // r14f samples 2.06/1.91 + driver r10 2.08 + driver r11 1.69 (all calibration-normalized)
     "dedup_span_clean" -> 3.0, // r14f samples 0.13/0.14 + driver r10 0.14 + driver r11 0.13 (all calibration-normalized) [raw 2.5x budget 0.4, raised to the 3 s metrology floor]
+    "dedup_span_deleted" -> 8.6, // r17 closing pair samples 3.43/3.25 (calibration-normalized; the row pays its own dedicated layout: build + exact-decrement delete + compact)
     "dedup_span_incremental" -> 3.0, // r14f samples 0.34/0.31 + driver r10 0.34 + driver r11 0.29 (all calibration-normalized) [raw 2.5x budget 0.9, raised to the 3 s metrology floor]
     "dedup_span_index_append" -> 4.9, // r14f samples 1.96/1.81 + driver r10 1.83 + driver r11 1.83 (all calibration-normalized)
     "dedup_span_index_build" -> 3.9, // r14f samples 1.36/1.56 + driver r10 1.27 + driver r11 1.29 (all calibration-normalized)

@@ -167,7 +167,15 @@ object Pipeline {
     * (write-then-swap — a crash mid-rebuild leaves the pointer on the
     * stored layout, never on a half-written one), so a restarted driver
     * re-reads WHICH layout serves via [[readServingPointer]] instead of
-    * trusting a lost in-memory value. */
+    * trusting a lost in-memory value.
+    *
+    * Composition with deletes ([[graft.operators.Tombstones]]): pass the
+    * LIVE corpus view (`Tombstones.excludeDeleted` of the stored layout,
+    * or the upstream live table) — the rebuilt layout then starts at a
+    * fresh path with no markers and no dead rows, so the pointer swap IS
+    * the forget path's bulk purge, the same role segment merges play for
+    * Lucene deletes. Rebuilding from a corpus that still carries deleted
+    * rows would resurrect them: the new path has no tombstone store. */
   def rebuildOnDrift(corpus: DataFrame, idCol: String, vecCol: String,
       storedModel: IvfIndex.Model, candidate: IvfIndex.Model, metric: Metric,
       storedPath: String, rebuildPath: String, thresholdE6: Long,
