@@ -104,13 +104,38 @@ object Cdc {
     * the build fingerprint across (compaction changes layout, never
     * identity — the SpanDedup.compactIndex contract). Bounds the file and
     * row growth of a long append history; reads only the store, never the
-    * corpus. */
+    * corpus. Hashes whose net count fell to zero ([[deleteFromStore]]
+    * decrements) are physically purged here. */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
       table: StoreTable, numBuckets: Int): Unit =
     Bucketed.compactTable(spark, table.chunks, Seq("chunk_hash"), numBuckets)(
       _.groupBy(col("chunk_hash"))
         .agg(sum(col("__c")).cast("long").as("__c"),
-          min(col("__nt")).as("__nt")))
+          min(col("__nt")).as("__nt"))
+        .filter(col("__c") > 0L))
+
+  /** Delete documents from the chunk store by EXACT DECREMENT —
+    * [[SpanDedup.deleteFromIndex]]'s CDC sibling (the store aggregates
+    * counts, so a takedown's contribution is an addend, not a row to
+    * tombstone): re-chunk ONLY the deleted docs and append their counts
+    * NEGATED. `__nt` rides along non-negated (copies of one chunk share a
+    * length, so the min stays append-invariant whether the row adds or
+    * removes copies). Probes read net presence ([[probeStore]]), so a
+    * chunk whose every copy was deleted stops counting as known
+    * immediately; [[compactStore]] purges net-zero rows. O(|deleted
+    * docs|), the store never rebuilt; delete ∘ append ≡ id
+    * (spec-pinned). Decrement exactly once per ingested doc — the
+    * [[SpanDedup.deleteFromIndex]] contract. */
+  def deleteFromStore(table: StoreTable, docs: DataFrame, idCol: String,
+      textCol: String, modulus: Int, numBuckets: Int): Unit = {
+    graft.Layouts.checkFingerprint(docs.sparkSession, table.chunks,
+      s"cdc|$modulus", "Cdc.deleteFromStore")
+    Bucketed.appendBucketedKeys(
+      chunks(docs, idCol, textCol, modulus)
+        .groupBy(col("chunk_hash"))
+        .agg((-count(lit(1))).as("__c"), min(col("n_tokens")).as("__nt")),
+      table.chunks, Seq("chunk_hash"), numBuckets)
+  }
 
   /** Ingest-batch dedup hit rate: per delta document, how many of its
     * chunks (and tokens) the store already holds — the number that decides
@@ -122,8 +147,15 @@ object Cdc {
     graft.Layouts.checkFingerprint(spark, table.chunks,
       s"cdc|$modulus", "Cdc.probeStore")
     val dch = chunks(delta, idCol, textCol, modulus).localCheckpoint()
-    val known = dch.join(spark.table(table.chunks).select(col("chunk_hash")),
-        Seq("chunk_hash"), "left_semi")
+    // Presence = NET count > 0 (the SpanDedup.incrementalSpans argument):
+    // split positive counts preserve existence, and deleteFromStore's
+    // negative decrements must make a fully-deleted chunk stop matching.
+    // The aggregation groups on the bucketed key — no exchange on the
+    // store side.
+    val present = spark.table(table.chunks)
+      .groupBy(col("chunk_hash")).agg(sum(col("__c")).as("__net"))
+      .filter(col("__net") > 0L).select("chunk_hash")
+    val known = dch.join(present, Seq("chunk_hash"), "left_semi")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__nk"), sum(col("n_tokens")).as("__kt"))
     dch.groupBy(col(idCol))

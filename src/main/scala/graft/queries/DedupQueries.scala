@@ -146,6 +146,25 @@ object DedupQueries extends graft.QueryModule {
           graft.operators.Cdc.DefaultModulus, tag, s"/tmp/graft_cdc/$tag", 8)
       }
   }
+  /** The delete fixture's own chunk store ([[SpidxDeleteLayout]]'s CDC
+    * sibling — the shared [[CdcLayout]] must keep its full census): built
+    * over the non-delta corpus, even-id docs deleted by exact decrement
+    * ([[graft.operators.Cdc.deleteFromStore]]) and compacted, so the
+    * store physically holds the live corpus's net chunk counts. */
+  private object CdcDeleteLayout {
+    def ensure(s: SparkSession, dir: String): graft.operators.Cdc.StoreTable =
+      graft.Layouts.once(s, s"cdcstoredel:$dir") {
+        val tag = graft.Layouts.tag(dir) + "del"
+        val t = graft.operators.Cdc.buildStore(
+          Tables.documents(s, dir).filter(!deltaPred), "doc_id", "text",
+          graft.operators.Cdc.DefaultModulus, tag, s"/tmp/graft_cdcdel/$tag", 8)
+        graft.operators.Cdc.deleteFromStore(t,
+          Tables.documents(s, dir).filter(!deltaPred && col("doc_id") % 2 === 0),
+          "doc_id", "text", graft.operators.Cdc.DefaultModulus, 8)
+        graft.operators.Cdc.compactStore(s, t, 8)
+        t
+      }
+  }
   private object CdcAppendLayout {
     def ensure(s: SparkSession, dir: String): graft.operators.Cdc.StoreTable =
       graft.Layouts.once(s, s"cdcstoreapp:$dir") {
@@ -327,6 +346,17 @@ object DedupQueries extends graft.QueryModule {
     // stored census — per new doc, how much the store already holds.
     "dedup_cdc_incremental" -> ((s, dir) =>
       graft.operators.Cdc.probeStore(s, CdcLayout.ensure(s, dir),
+        Tables.documents(s, dir).filter(deltaPred), "doc_id", "text",
+        graft.operators.Cdc.DefaultModulus)),
+    // Forget at the CHUNK store (dedup_span_deleted's CDC sibling — the
+    // same exact-decrement mechanic on the third count-keyed structure):
+    // even-id corpus docs decremented out of a dedicated store and
+    // compacted; the delta batch's hit rates re-probe — chunks held only
+    // by deleted docs stop counting as known. The oracle restricts the
+    // known-chunk base to the live corpus, pinning the decrement + the
+    // net-presence probe end to end.
+    "dedup_cdc_deleted" -> ((s, dir) =>
+      graft.operators.Cdc.probeStore(s, CdcDeleteLayout.ensure(s, dir),
         Tables.documents(s, dir).filter(deltaPred), "doc_id", "text",
         graft.operators.Cdc.DefaultModulus)),
     // Content-defined chunking (LBFS rolling-hash boundaries): per-doc
@@ -964,6 +994,24 @@ object DedupQueries extends graft.QueryModule {
          |  count(*) AS n_copies,
          |  count(DISTINCT chunk_hash) AS n_rows
          |FROM chk""".stripMargin,
+    // The deleted twin: the same probe replay with the known-chunk base
+    // restricted to the LIVE corpus (odd non-delta ids) — exactly the
+    // net-presence the decremented store serves.
+    "dedup_cdc_deleted" ->
+      s"""WITH ${cdcChunkCtesWhere("TRUE")},
+         |base AS (SELECT DISTINCT chunk_hash FROM chk
+         |  WHERE doc_id % 10 <> 0 AND doc_id % 2 <> 0),
+         |d AS (SELECT * FROM chk WHERE doc_id % 10 = 0),
+         |kn AS (SELECT d.doc_id, count(*) AS nk,
+         |    CAST(sum(d.n_tokens) AS BIGINT) AS kt
+         |  FROM d JOIN base USING (chunk_hash) GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_chunks, tot.n_tokens,
+         |  CAST(coalesce(kn.nk, 0) AS BIGINT) AS n_known_chunks,
+         |  CAST(coalesce(kn.kt, 0) AS BIGINT) AS known_tokens
+         |FROM tot LEFT JOIN kn USING (doc_id)""".stripMargin,
     "dedup_cdc_incremental" ->
       s"""WITH ${cdcChunkCtesWhere("TRUE")},
          |base AS (SELECT DISTINCT chunk_hash FROM chk WHERE doc_id % 10 <> 0),

@@ -243,6 +243,33 @@ class TombstonesSpec extends SparkSpec {
     assert(stats(t) == full)
   }
 
+  test("chunk store: decrement delete, net-presence probe, delete-then-reingest restores") {
+    import graft.operators.Cdc
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val corpus0 = docs.filter($"doc_id" % 10 =!= 0)
+    val delta = docs.filter($"doc_id" % 10 === 0)
+    val dead = corpus0.filter($"doc_id" % 2 === 0)
+    val mod = Cdc.DefaultModulus
+    def probe(t: Cdc.StoreTable): Seq[(Long, Long, Long, Long, Long)] =
+      Cdc.probeStore(spark, t, delta, "doc_id", "text", mod)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val t = Cdc.buildStore(corpus0, "doc_id", "text", mod,
+      "tombspeccdc", "/tmp/graft_tombspec_cdc", 4)
+    val full = probe(t)
+    Cdc.deleteFromStore(t, dead, "doc_id", "text", mod, 4)
+    val afterDelete = probe(t)
+    val tLive = Cdc.buildStore(corpus0.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", mod, "tombspeccdclive", "/tmp/graft_tombspec_cdclive", 4)
+    assert(afterDelete == probe(tLive))
+    assert(afterDelete != full)
+    Cdc.compactStore(spark, t, 4)
+    assert(spark.table(t.chunks).filter($"__c" <= 0L).count() == 0)
+    assert(probe(t) == afterDelete)
+    Cdc.appendToStore(t, dead, "doc_id", "text", mod, 4)
+    assert(probe(t) == full)
+  }
+
   test("compact on a layout with no tombstones is a pure rewrite") {
     val (path, model) = freshLayout("nochange")
     IvfIndex.compact(spark, path, "cid")
