@@ -112,6 +112,7 @@ object Budgets {
     "clean_randomized_response" -> 3.0, // r14f samples 0.29/0.25 + driver r10 0.23 + driver r11 0.19 (all calibration-normalized) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]
     "clean_repetition" -> 3.0, // r14f samples 0.12/0.13 + driver r10 0.11 + driver r11 0.10 (all calibration-normalized) [raw 2.5x budget 0.4, raised to the 3 s metrology floor]
     "dedup_cdc_chunks" -> 3.0, // r14f samples 0.36/0.46 + driver r10 0.37 + driver r11 0.33 (all calibration-normalized) [raw 2.5x budget 1.2, raised to the 3 s metrology floor]
+    "dedup_cdc_deleted" -> 8.3, // r17 final-pair samples 2.53/3.30 (calibration-normalized; the row pays its own dedicated store: build + exact-decrement delete + compact)
     "dedup_cdc_incremental" -> 5.0, // r14f samples 1.93/1.97 + driver r10 1.78 + driver r11 1.69 (all calibration-normalized)
     "dedup_cdc_index_append" -> 4.9, // r14f samples 1.61/1.92 + driver r10 1.52 + driver r11 1.79 (all calibration-normalized)
     "dedup_cdc_index_build" -> 3.0, // r14f samples 0.05/0.05 + driver r10 0.05 + driver r11 0.05 (all calibration-normalized) [raw 2.5x budget 0.2, raised to the 3 s metrology floor]
