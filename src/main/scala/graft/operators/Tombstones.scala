@@ -74,6 +74,26 @@ object Tombstones {
     }
   }
 
+  /** Streaming takedown ingestion — the deployed shape of a
+    * right-to-be-forgotten queue: each micro-batch of delete requests
+    * (rows carrying `idCol`) is appended to the layout's side store, so
+    * serving paths that read the store per request (or per serving batch)
+    * observe each takedown after its batch commits. The per-batch work is
+    * one tiny append — [[add]] behind the same foreachBatch bridge every
+    * index-maintenance stream face here uses; ordering within the stream
+    * is immaterial (the store is a set under anti-join semantics, and
+    * duplicate requests are no-ops for readers). Batch-parity is pinned
+    * in TombstonesSpec: after any prefix of batches, serving equals the
+    * batch [[add]] of the same ids. */
+  def addStream(idStream: DataFrame, idCol: String, layoutPath: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    idStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        add(batch.toDF(), idCol, layoutPath)
+      }
+      .outputMode("append")
+      .start()
+
   /** Drop the side store — called by compaction AFTER the purge rewrite
     * lands (a compact that cleared tombstones first would serve deleted
     * rows if the rewrite failed midway). */

@@ -401,6 +401,36 @@ class PlanSpec extends SparkSpec {
       s"probed candidates must ride a broadcast hash join:\n$plan")
   }
 
+  test("delete-aware IVFADC keeps DPP on the codes scan; tombstones anti-join before ADC") {
+    val plan = planOf("knn_deleted_ivfpq")
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("list_id"))
+    assert(scanLine.exists(_.toLowerCase.contains("dynamicpruningexpression")),
+      s"the probed list_ids must still prune the codes scan's partitions dynamically:\n$plan")
+    assert(plan.contains("graft_pqidx"),
+      s"the search must read the STORED codes layout:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"tombstone exclusion must be an anti-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"the compact-bounded tombstone side must broadcast:\n$plan")
+  }
+
+  test("delete-aware dedup keeps the O(delta) index-probe shape; dead docs anti-join the stored prefix table") {
+    val plan = planOf("dedup_jaccard_deleted")
+    assert(plan.contains("graft_jidx_prefix_"),
+      s"the candidate join must still probe the persisted prefix table:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"tombstone exclusion must be an anti-join on the prefix side:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"index probes must keep the bucketed layout:\n$plan")
+    // O(delta): every raw documents scan is the delta slice — the
+    // tombstone set comes from its own side store, never a corpus rescan
+    val unfiltered = plan.linesIterator
+      .filter(_.contains("documents.parquet")).filterNot(_.contains("% 10"))
+    assert(unfiltered.isEmpty,
+      s"only the delta may scan the raw documents table:\n$plan")
+  }
+
   test("filtered stored-LSH search reads the predicate-free index; the predicate prunes at the vector scan") {
     val plan = planOf("knn_filtered_lsh")
     // (1) the search probes the STORED bucket table (one predicate-free

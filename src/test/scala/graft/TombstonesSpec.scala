@@ -270,6 +270,30 @@ class TombstonesSpec extends SparkSpec {
     assert(probe(t) == full)
   }
 
+  test("streaming takedowns: each micro-batch's deletes are served after its commit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (path, model) = freshLayout("stream")
+    val deadIds = corpus.filter(deleted).select($"cid").as[Long].collect().toSeq
+    val (b1, b2) = deadIds.splitAt(deadIds.size / 2)
+    val input = MemoryStream[Long]
+    val query = Tombstones.addStream(input.toDF().toDF("cid"), "cid", path)
+    def served() = IvfIndex.search(queries, "qid", "qvec",
+      spark.read.parquet(path), "cid", "cvec", model, K, Probes, Cosine,
+      excludeIds = Tombstones.read(spark, path))
+    try {
+      input.addData(b1); query.processAllAvailable()
+      // batch-parity after the first prefix: only b1 is dead
+      val liveIndexed1 = IvfIndex.assign(
+        corpus.filter(!$"cid".isin(b1: _*)), "cid", "cvec", model, Cosine)
+      assert(rows(served()) == rows(IvfIndex.search(queries, "qid", "qvec",
+        liveIndexed1, "cid", "cvec", model, K, Probes, Cosine)))
+      input.addData(b2); query.processAllAvailable()
+      assert(Tombstones.read(spark, path).get.count() == deadIds.size)
+      assert(served().filter(deleted).count() == 0)
+    } finally query.stop()
+  }
+
   test("compact on a layout with no tombstones is a pure rewrite") {
     val (path, model) = freshLayout("nochange")
     IvfIndex.compact(spark, path, "cid")
