@@ -161,6 +161,8 @@ object Budgets {
     "eval_dedup_lsh" -> 4.5, // r14f samples 1.79/1.59 + driver r10 1.67 + driver r11 1.53 (all calibration-normalized)
     "eval_dedup_simhash" -> 3.0, // r14f samples 0.78/0.78 + driver r10 0.60 + driver r11 0.58 (all calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]
     "eval_deleted_ivf_recall" -> 3.0, // r17 closing clean-pair samples 1.03/0.91 (calibration-normalized; the exact side re-ranks the live corpus) [raw 2.5x budget 2.6, raised to the 3 s metrology floor]
+    "eval_deleted_lsh_recall" -> 3.0, // r17 final-pair samples 0.53/0.58 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "eval_deleted_pq_recall" -> 3.0, // r17 final-pair samples 0.53/0.59 (calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "eval_filtered_ivf_recall" -> 3.0, // r15 closing clean-pair samples 0.63/0.88 + driver r11 0.66 (all calibration-normalized) [raw 2.5x budget 2.2, raised to the 3 s metrology floor]
     "eval_filtered_lsh_recall" -> 3.0, // r17 closing clean-pair samples 0.41/0.42 (calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]
     "eval_filtered_pq_recall" -> 3.0, // r17 closing clean-pair samples 0.42/0.42 (calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]

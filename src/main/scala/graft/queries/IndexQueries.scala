@@ -714,6 +714,24 @@ object IndexQueries extends graft.QueryModule {
       graft.operators.Eval.recallSummary(
         graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
     }),
+    // The hash-table delete face's price tag: recall@k of the
+    // tombstone-excluding bucket search against the brute exact L2 ranking
+    // over the live corpus (eval_filtered_lsh_recall's convention with the
+    // delete fixture) — separates "deletes broke retrieval" from "the
+    // buckets missed".
+    "eval_deleted_lsh_recall" -> ((s, dir) => {
+      val t = LshLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      tombsFor(s, dir, "lsh", LshLayout.path(dir))
+      val live = graft.operators.Tombstones.excludeDeleted(c, "skill_id",
+        s, LshLayout.path(dir))
+      val ann = LshIndex.annTopKStored(q, "job_id", "qvec", live, "skill_id",
+        "svec", t, K, Dim, LshBucketLen, LshTables, LshPlanes)
+      val exact = graft.operators.KnnJoin.exact(q, "job_id", "qvec",
+        c.filter(!deletedPred(col("skill_id"))), "skill_id", "svec", K, L2)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
+    }),
     // Delete-aware serving at the COMPRESSED tier (FAISS remove_ids'
     // semantics on IVFADC, expressed as tombstones): the codes table is
     // untouched — at the memory-bound tier a point delete must not
@@ -731,6 +749,23 @@ object IndexQueries extends graft.QueryModule {
       PqIndex.searchIvf(q, "job_id", "qvec", s.table(t), "skill_id",
         ivfModel, pqModel, K, Probes, Cosine, excludeIds = Some(tombs))
         .withColumn("dist", round(col("dist"), 6))
+    }),
+    // The compressed delete face's price tag: recall@k of the
+    // tombstone-excluding IVFADC against the brute exact L2 ranking over
+    // the live corpus (ADC approximates L2 — eval_filtered_pq_recall's
+    // convention with the delete fixture).
+    "eval_deleted_pq_recall" -> ((s, dir) => {
+      val t = PqLayout.ensure(s, dir)
+      val (q, c) = Fixtures.split(s, dir)
+      val ivfModel = IvfIndex.fitSeeds(c, "skill_id", "svec", Lists)
+      val pqModel = PqIndex.fitSeeds(c, "skill_id", "svec", PqM, PqK)
+      val tombs = tombsFor(s, dir, "pq", PqLayout.path(dir))
+      val ann = PqIndex.searchIvf(q, "job_id", "qvec", s.table(t), "skill_id",
+        ivfModel, pqModel, K, Probes, Cosine, excludeIds = Some(tombs))
+      val exact = graft.operators.KnnJoin.exact(q, "job_id", "qvec",
+        c.filter(!deletedPred(col("skill_id"))), "skill_id", "svec", K, L2)
+      graft.operators.Eval.recallSummary(
+        graft.operators.Eval.recallAtK(ann, exact, "job_id", "skill_id"))
     }),
     // X1 stretch — the Lloyd-refined quantizer the scale story recommends
     // (IvfIndex.fitKMeans), driver-exercised: recall@k of probes=2 retrieval
@@ -1605,6 +1640,13 @@ object IndexQueries extends graft.QueryModule {
     // tombstoned ids excluded from the probed candidates before the ADC
     // join — exactly where the Spark side's anti-join drops them.
     "knn_deleted_ivfpq" -> ivfpqSql(DeletedIvfpqSql),
+    // recall@k of the tombstone-excluding IVFADC vs exact L2 over the
+    // live corpus — full replay, exact-integer summary.
+    "eval_deleted_pq_recall" ->
+      s"""WITH ${ivfpqCtes(DeletedIvfpqSql)},
+         |${ivfRecallCtes(" WHERE NOT (c.skill_id % 9 = 4)", annCte = "xr",
+             distSql = "list_distance(q.qvec, c.svec)")}
+         |$ivfRecallSummarySql""".stripMargin,
     // recall@k of the filtered IVFADC vs the brute filtered exact L2
     // ranking — full replay, exact-integer summary.
     "eval_filtered_pq_recall" ->
@@ -1802,6 +1844,13 @@ object IndexQueries extends graft.QueryModule {
       s"""WITH ${lshCtes(DeletedLshSql)}
          |SELECT job_id, skill_id, rank, round(dist, 6) AS dist
          |FROM r WHERE rank <= $K""".stripMargin,
+    // recall@k of the tombstone-excluding bucket search vs exact L2 over
+    // the live corpus — full replay, exact-integer summary.
+    "eval_deleted_lsh_recall" ->
+      s"""WITH ${lshCtes(DeletedLshSql)},
+         |${ivfRecallCtes(" WHERE NOT (c.skill_id % 9 = 4)",
+            distSql = "list_distance(q.qvec, c.svec)")}
+         |$ivfRecallSummarySql""".stripMargin,
     "ivf_auto_probe" -> {
       val union = ProbeCurve
         .map(np => s"SELECT * FROM ${probePointSql(np)}").mkString("\nUNION ALL ")
