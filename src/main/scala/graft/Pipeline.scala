@@ -115,25 +115,69 @@ object Pipeline {
       servingPath: String,        // the layout searches run against after the loop
       servingModel: IvfIndex.Model)
 
+  /** The committed versions of a serving pointer: `v=<n>` subdirs of
+    * `pointerPath` that carry Spark's `_SUCCESS` commit marker. Versions
+    * are what make the swap atomic for readers and crash-safe for the
+    * writer — see [[writeServingPointer]]. */
+  private def pointerVersions(spark: SparkSession, pointerPath: String)
+      : Seq[(Int, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(pointerPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toIndexedSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix("v=").toIntOption
+          .filter(_ => fs.exists(
+            new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          .map(_ -> s.getPath)
+      }
+  }
+
   /** Persist WHICH layout is serving — the restart-durability half of the
     * rebuild loop (r11 verdict "missing" #2: [[rebuildOnDrift]] returned
     * the pointer as a Scala value only, so a driver restart forgot the
-    * swap). One-row parquet at `pointerPath`: (serving_path, rebuilt).
-    * Overwrite is the swap — readers pick up the new pointer on their
-    * next [[readServingPointer]]; the layouts themselves are never
-    * touched in place, so a reader mid-scan of the old layout is safe. */
+    * swap). One-row parquet, VERSIONED: each swap writes a NEW
+    * `v=<n+1>` subdir (committed when Spark lands `_SUCCESS`) and only
+    * then retires older versions — a plain `mode("overwrite")` of one
+    * path would be delete-then-write, leaving a window where a
+    * concurrent [[readServingPointer]] finds NO pointer and a crash
+    * mid-write loses the pointer entirely. Here a reader always resolves
+    * the highest COMMITTED version: during a swap it sees old-or-new,
+    * never nothing; a crash mid-write leaves an uncommitted v-dir the
+    * next read skips and the next write supersedes. The layouts
+    * themselves are never touched in place, so a reader mid-scan of the
+    * old layout is safe. Single maintenance writer per pointer (the
+    * rebuild loop), like every other maintenance face here. */
   def writeServingPointer(spark: SparkSession, pointerPath: String,
       servingPath: String, rebuilt: Boolean): Unit = {
     import spark.implicits._
+    val versions = pointerVersions(spark, pointerPath)
+    val next = versions.map(_._1).maxOption.getOrElse(0) + 1
     Seq((servingPath, rebuilt)).toDF("serving_path", "rebuilt")
-      .coalesce(1).write.mode("overwrite").parquet(pointerPath)
+      .coalesce(1).write.mode("overwrite").parquet(s"$pointerPath/v=$next")
+    // retire superseded versions only AFTER the new one is committed
+    val fs = new org.apache.hadoop.fs.Path(pointerPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    versions.foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** The latest committed serving pointer as a 1-row frame — the form the
+    * composition pins read in-plan. Fails loudly when no committed
+    * version exists rather than serving an arbitrary layout. */
+  def servingPointerFrame(spark: SparkSession,
+      pointerPath: String): org.apache.spark.sql.DataFrame = {
+    val versions = pointerVersions(spark, pointerPath)
+    require(versions.nonEmpty,
+      s"no committed serving pointer at $pointerPath")
+    spark.read.parquet(versions.maxBy(_._1)._2.toString)
   }
 
   /** Read the stored serving pointer back — the search path's first call
     * after any (re)start. Fails loudly on a malformed pointer (zero or
     * multiple rows) rather than serving an arbitrary layout. */
   def readServingPointer(spark: SparkSession, pointerPath: String): String = {
-    val rows = spark.read.parquet(pointerPath)
+    val rows = servingPointerFrame(spark, pointerPath)
       .select(col("serving_path")).collect()
     require(rows.length == 1,
       s"serving pointer at $pointerPath has ${rows.length} rows, want 1")

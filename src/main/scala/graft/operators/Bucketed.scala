@@ -75,7 +75,16 @@ object Bucketed {
     * markers die WITH the rewrite (cleared tombstones can never ship
     * without the purge that justifies them — [[IvfIndex.compact]]'s
     * invariant). One definition for the span-count, LSH-bucket,
-    * CDC-chunk, and graph-edge stores. */
+    * CDC-chunk, and graph-edge stores.
+    *
+    * SINGLE MAINTENANCE WRITER: like every maintenance face here, the
+    * rewrite assumes no concurrent mutation of the same layout — an
+    * append (bucketed rows) or a takedown ([[Tombstones.add]] /
+    * `addStream`) committed between this method's snapshot reads and its
+    * rewrite is lost with the files the rewrite replaces. Quiesce
+    * ingestion and takedown streams for the layout across a compaction
+    * window; crash-safety WITHIN the single writer is what
+    * [[Tombstones.preserveAcrossRewrite]] provides, not concurrency. */
   def compactTable(spark: SparkSession, tableName: String, keys: Seq[String],
       numBuckets: Int, purgeIdCol: Option[String] = None)(
       merge: DataFrame => DataFrame): Unit = {
@@ -87,15 +96,23 @@ object Bucketed {
     val base = spark.table(tableName)
     val rows = purgeIdCol match {
       case Some(idCol) if tombs.nonEmpty =>
-        base.join(tombs.get.select(org.apache.spark.sql.functions
-            .col("id").as("__tomb_id")),
-          base(idCol) === org.apache.spark.sql.functions.col("__tomb_id"),
-          "left_anti")
+        Tombstones.excludeIds(base, base(idCol), tombs.get)
       case _ => base
     }
     val merged = merge(rows).localCheckpoint()
-    writeBucketedKeys(merged, tableName, loc, keys, numBuckets)
-    if (purgeIdCol.isEmpty) tombs.foreach(Tombstones.add(_, "id", loc))
+    purgeIdCol match {
+      case None =>
+        // layout-only compaction: the markers ride the crash-safe
+        // backup/restore protocol — a kill at any point between the
+        // rewrite's commit and the restore must not resurrect rows
+        Tombstones.preserveAcrossRewrite(spark, loc)(
+          writeBucketedKeys(merged, tableName, loc, keys, numBuckets))
+      case Some(_) =>
+        writeBucketedKeys(merged, tableName, loc, keys, numBuckets)
+        // purge: markers die WITH the rewrite; clear also removes any
+        // stale sibling backup a crashed earlier cycle left behind
+        Tombstones.clear(spark, loc)
+    }
     fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
   }
 

@@ -141,18 +141,36 @@ object IvfIndex {
   private def fpPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_model_fp")
 
-  private def readFpSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Option[String] =
-    if (fs.exists(fpPath(path))) {
-      val in = fs.open(fpPath(path))
+  /** Sibling crash net for the fingerprint across [[compact]]'s rewrite
+    * (the rewrite deletes the in-layout sidecar with the data files; a
+    * kill before the re-write would otherwise leave the layout intact but
+    * UNSTAMPED, silently disabling [[append]]'s stale-model guard). */
+  private def fpBackupPath(path: String) =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__fp_backup")
+
+  private def readFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (fs.exists(p)) {
+      val in = fs.open(p)
       Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close())
     } else None
 
+  private def readFpSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Option[String] =
+    readFile(fs, fpPath(path)).orElse(readFile(fs, fpBackupPath(path)))
+
+  private def writeFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
   private def writeFpSidecar(fs: org.apache.hadoop.fs.FileSystem,
       path: String, fp: String): Unit = {
-    val out = fs.create(fpPath(path), true)
-    try out.write(fp.getBytes("UTF-8")) finally out.close()
+    writeFile(fs, fpPath(path), fp)
+    // the in-layout stamp is authoritative again — retire the crash net
+    if (fs.exists(fpBackupPath(path))) fs.delete(fpBackupPath(path), false)
   }
 
   /** K3-style index materialization: overwrite, partitioned by list_id —
@@ -229,9 +247,19 @@ object IvfIndex {
   def compact(spark: SparkSession, path: String, idCol: String): Unit = {
     val fs = fpPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fp = readFpSidecar(fs, path)
+    // stamp the crash net BEFORE the rewrite deletes the in-layout
+    // sidecar: a kill in the window re-reads identity from the backup
+    // (readFpSidecar's fallback) instead of silently skipping append's
+    // stale-model guard
+    fp.foreach(writeFile(fs, fpBackupPath(path), _))
     val live = Tombstones.excludeDeleted(
       spark.read.parquet(path), idCol, spark, path).localCheckpoint()
     live.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // the purge IS the marker clear (the overwrite deleted the side
+    // store); clear() also removes any stale sibling backup a crashed
+    // earlier preserve cycle left, which would otherwise resurrect
+    // markers whose rows this purge just removed
+    Tombstones.clear(spark, path)
     fp.foreach(writeFpSidecar(fs, path, _))
   }
 
@@ -300,9 +328,7 @@ object IvfIndex {
     val (keyCol, isString) = KnnJoin.keyColumn(indexed, idCol)
     val c = indexed.select(keyCol, col(vecCol).as("__cvec"), col("list_id"))
     val joined = broadcast(probes).join(c, "list_id")
-    val live = excludeIds.map(t => joined.join(
-        t.select(col("id").as("__tomb_id")),
-        col("__cid") === col("__tomb_id"), "left_anti"))
+    val live = excludeIds.map(Tombstones.excludeIds(joined, col("__cid"), _))
       .getOrElse(joined)
     val cands = live
       .select(col(queryIdCol),

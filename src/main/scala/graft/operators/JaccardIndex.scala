@@ -122,12 +122,9 @@ object JaccardIndex {
     val prefixD = docSetsD.select(col(idCol), m,
       explode(slice(col("__g"), lit(1), plen)).as("__gh"))
     val stored0 = spark.table(tables.prefix)
-    val storedId0 = stored0.columns.head // (id, __m, __gh)
-    val stored = excludeIds.map(t => stored0.join(
-        t.select(col("id").as("__tomb_id")),
-        col(storedId0) === col("__tomb_id"), "left_anti"))
+    val storedId = stored0.columns.head // (id, __m, __gh)
+    val stored = excludeIds.map(Tombstones.excludeIds(stored0, col(storedId), _))
       .getOrElse(stored0)
-    val storedId = storedId0
     val cands = prefixD
       .select(col(idCol).as("a_id"), col("__m").as("__ma"), col("__gh"))
       .join(stored.select(col(storedId).as("b_id"), col("__m").as("__mb"),
@@ -152,8 +149,8 @@ object JaccardIndex {
       basePath: String, numBuckets: Int): Unit =
     Tombstones.read(spark, basePath).foreach { t0 =>
       val t = t0.localCheckpoint()
-      def anti(df: DataFrame) = df.join(t.select(col("id").as("__tomb_id")),
-        df(df.columns.head) === col("__tomb_id"), "left_anti")
+      def anti(df: DataFrame) =
+        Tombstones.excludeIds(df, df(df.columns.head), t)
       Bucketed.compactTable(spark, tables.prefix, Seq("__gh"), numBuckets)(anti)
       val docsetsKey = spark.table(tables.docsets).columns.head
       Bucketed.compactTable(spark, tables.docsets, Seq(docsetsKey),

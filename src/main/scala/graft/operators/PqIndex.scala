@@ -360,9 +360,7 @@ object PqIndex {
     val (keyCol, isString) = KnnJoin.keyColumn(base, idCol)
     val c = base.select(keyCol, col("codes").as("__codes"), col("list_id"))
     val joined = broadcast(probes).join(c, "list_id")
-    val liveRows = excludeIds.map(t => joined.join(
-        t.select(col("id").as("__tomb_id")),
-        col("__cid") === col("__tomb_id"), "left_anti"))
+    val liveRows = excludeIds.map(Tombstones.excludeIds(joined, col("__cid"), _))
       .getOrElse(joined)
     val cands = liveRows
       .select(col(queryIdCol),
@@ -502,16 +500,24 @@ object PqIndex {
     val base = spark.table(tableName)
     val live = purgeIdCol match {
       case Some(idCol) if tombs.nonEmpty =>
-        base.join(tombs.get.select(col("id").as("__tomb_id")),
-          base(idCol) === col("__tomb_id"), "left_anti")
+        graft.operators.Tombstones.excludeIds(base, base(idCol), tombs.get)
       case _ => base
     }
     val rows = live.localCheckpoint()
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    rows.write.mode("overwrite").format("parquet")
-      .partitionBy("list_id").option("path", loc).saveAsTable(tableName)
-    if (purgeIdCol.isEmpty)
-      tombs.foreach(graft.operators.Tombstones.add(_, "id", loc))
+    def rewrite(): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      rows.write.mode("overwrite").format("parquet")
+        .partitionBy("list_id").option("path", loc).saveAsTable(tableName)
+    }
+    purgeIdCol match {
+      case None =>
+        // layout-only: markers ride the crash-safe backup/restore
+        // protocol (Bucketed.compactTable's argument)
+        graft.operators.Tombstones.preserveAcrossRewrite(spark, loc)(rewrite())
+      case Some(_) =>
+        rewrite()
+        graft.operators.Tombstones.clear(spark, loc)
+    }
     fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
   }
 

@@ -48,6 +48,13 @@ object Tombstones {
   private def sidePath(layoutPath: String) =
     new org.apache.hadoop.fs.Path(layoutPath, SideDir)
 
+  /** Sibling backup dir OUTSIDE the layout path — the crash-safety net of
+    * [[preserveAcrossRewrite]] (a layout rewrite truncates the location,
+    * side store included; the backup is what survives a crash between the
+    * rewrite's commit and the marker restore). */
+  private def backupPath(layoutPath: String) =
+    new org.apache.hadoop.fs.Path(layoutPath.stripSuffix("/") + "__tombs_backup")
+
   /** Delete `ids` from the layout at `layoutPath`: append one tombstone row
     * per id (column `id`, the input's `idCol` type preserved). Idempotent
     * for readers — [[excludeDeleted]] is an anti-join, so duplicate
@@ -57,21 +64,26 @@ object Tombstones {
       .write.mode("append").parquet(sidePath(layoutPath).toString)
 
   /** The layout's current tombstone set as (id), or None if nothing was
-    * ever deleted (no side store). The read enumerates the store's part
-    * files and passes them explicitly: the directory's underscore prefix
-    * is what hides it from LAYOUT readers, and Spark's hidden-path filter
-    * must not be given the chance to hide it from THIS reader too (an
-    * ignored store would silently serve deleted rows as live). */
+    * ever deleted. The read is the UNION of the side store and the
+    * sibling backup ([[preserveAcrossRewrite]] — after a crash
+    * mid-restore the backup is the only copy, and when both exist they
+    * hold the same set, so duplicate rows are harmless under anti-join
+    * semantics). Each store's part files are enumerated and passed
+    * explicitly: the side dir's underscore prefix is what hides it from
+    * LAYOUT readers, and Spark's hidden-path filter must not be given the
+    * chance to hide it from THIS reader too (an ignored store would
+    * silently serve deleted rows as live). */
   def read(spark: SparkSession, layoutPath: String): Option[DataFrame] = {
-    val p = sidePath(layoutPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val files = fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-      if (files.isEmpty) None
-      else Some(spark.read.parquet(files.map(_.toString).toIndexedSeq: _*))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = Seq(sidePath(layoutPath), backupPath(layoutPath)).flatMap { p =>
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p))
+        fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          .toIndexedSeq
+      else IndexedSeq.empty[org.apache.hadoop.fs.Path]
     }
+    if (files.isEmpty) None
+    else Some(spark.read.parquet(files.map(_.toString): _*))
   }
 
   /** Streaming takedown ingestion — the deployed shape of a
@@ -84,7 +96,13 @@ object Tombstones {
     * is immaterial (the store is a set under anti-join semantics, and
     * duplicate requests are no-ops for readers). Batch-parity is pinned
     * in TombstonesSpec: after any prefix of batches, serving equals the
-    * batch [[add]] of the same ids. */
+    * batch [[add]] of the same ids.
+    *
+    * Quiesce this stream across a compaction/purge of the same layout
+    * (the single-maintenance-writer contract — see
+    * [[Bucketed.compactTable]]): a takedown committed between the
+    * compaction's marker snapshot and its rewrite would be destroyed
+    * with the replaced files while its row survives. */
   def addStream(idStream: DataFrame, idCol: String, layoutPath: String):
       org.apache.spark.sql.streaming.StreamingQuery =
     idStream.writeStream
@@ -94,14 +112,53 @@ object Tombstones {
       .outputMode("append")
       .start()
 
-  /** Drop the side store — called by compaction AFTER the purge rewrite
-    * lands (a compact that cleared tombstones first would serve deleted
-    * rows if the rewrite failed midway). */
+  /** Drop the side store AND the sibling backup — called by the purge
+    * rewrites AFTER they land (a purge that cleared markers first would
+    * serve deleted rows if the rewrite failed midway; a stale backup left
+    * behind would resurrect markers whose rows the purge just removed). */
   def clear(spark: SparkSession, layoutPath: String): Unit = {
-    val p = sidePath(layoutPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(sidePath(layoutPath), backupPath(layoutPath)).foreach { p =>
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
   }
+
+  /** Run `rewrite` — an operation that truncates the layout location,
+    * side store included (a compaction, or any `mode("overwrite")` of the
+    * path) — with the delete markers crash-safe at EVERY point:
+    * (1) snapshot the current marker set to the sibling backup (outside
+    * the layout, untouchable by the rewrite); (2) rewrite; (3) re-add the
+    * markers into the fresh layout; (4) drop the backup. [[read]] unions
+    * the backup with the main store, so a crash after (2) still serves
+    * every marker from the backup, and a crash during (1) or after (3)
+    * leaves at worst duplicate rows (reader no-ops); the next cycle's
+    * snapshot re-converges the copies. Without this protocol a crash
+    * between the rewrite's commit and the restore silently RESURRECTS
+    * every deleted row — the failure mode the side-store design must
+    * never allow. */
+  def preserveAcrossRewrite[T](spark: SparkSession, layoutPath: String)(
+      rewrite: => T): T = {
+    val markers = read(spark, layoutPath).map(_.localCheckpoint())
+    markers.foreach(_.select(col("id"))
+      .write.mode("overwrite").parquet(backupPath(layoutPath).toString))
+    val r = rewrite
+    markers.foreach(add(_, "id", layoutPath))
+    val bp = backupPath(layoutPath)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bp)) fs.delete(bp, true)
+    r
+  }
+
+  /** `df` minus the ids in a tombstone frame — the ONE anti-join every
+    * exclusion site shares (`__tomb_id` naming, join semantics, and any
+    * future type normalization live here). `key` is the df-side join key
+    * as a Column so callers can pass either a raw column or a derived one
+    * (e.g. KnnJoin's widened `__cid`). */
+  def excludeIds(df: DataFrame, key: org.apache.spark.sql.Column,
+      tombs: DataFrame): DataFrame =
+    df.join(tombs.select(col("id").as("__tomb_id")),
+      key === col("__tomb_id"), "left_anti")
 
   /** `df` minus the layout's tombstoned ids — identity when nothing was
     * ever deleted. The anti-join's tombstone side is bounded by the
@@ -114,9 +171,7 @@ object Tombstones {
   def excludeDeleted(df: DataFrame, idCol: String, spark: SparkSession,
       layoutPath: String): DataFrame =
     read(spark, layoutPath) match {
-      case Some(t) =>
-        df.join(t.select(col("id").as("__tomb_id")),
-          df(idCol) === col("__tomb_id"), "left_anti")
+      case Some(t) => excludeIds(df, df(idCol), t)
       case None => df
     }
 }

@@ -1110,8 +1110,9 @@ object IndexQueries extends graft.QueryModule {
         graft.operators.Eval.recallAtK(ann, Fixtures.exactTopK(s, dir),
           "job_id", "skill_id"))
       // the 1-row stored pointer rides the plan so the path equality is
-      // re-pinned IN-PLAN on top of the driver-side read above
-      val ptr = s.read.parquet(pointer)
+      // re-pinned IN-PLAN on top of the driver-side read above (resolved
+      // to the latest COMMITTED version — the atomic-swap form)
+      val ptr = graft.Pipeline.servingPointerFrame(s, pointer)
         .select(col("serving_path").as("__ptr"))
       r.drift.crossJoin(rec).crossJoin(broadcast(ptr))
         .select(col("n_vectors"), col("n_changed"), col("drift_e6"),

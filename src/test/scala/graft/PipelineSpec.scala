@@ -179,11 +179,26 @@ class PipelineSpec extends SparkSpec {
         candidate, 5, 2, Cosine)
         .select($"qid", $"cid", $"rank").as[(Long, Long, Long)].collect().toSet
     assert(top(s2, served) == top(spark, reb.servingPath))
-    // malformed pointer fails loudly instead of serving an arbitrary layout
+    // malformed pointer (committed version with 2 rows) fails loudly
+    // instead of serving an arbitrary layout
     spark.range(2).selectExpr("cast(id as string) as serving_path",
-      "true as rebuilt").write.mode("overwrite").parquet(s"$base/bad")
+      "true as rebuilt").write.mode("overwrite").parquet(s"$base/bad/v=1")
     intercept[IllegalArgumentException] {
       Pipeline.readServingPointer(spark, s"$base/bad")
+    }
+    // an UNCOMMITTED version (no _SUCCESS — a crashed swap) is invisible:
+    // readers keep resolving the last committed pointer, never nothing
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/ptr"))
+      .filter(_.getPath.getName.startsWith("v=")).map(_.getPath)
+    val next = vs.map(_.getName.stripPrefix("v=").toInt).max + 1
+    val crashed = new org.apache.hadoop.fs.Path(s"$base/ptr/v=$next")
+    fs.mkdirs(crashed) // a torn write: directory exists, no commit marker
+    assert(Pipeline.readServingPointer(spark, s"$base/ptr") == s"$base/idx2")
+    // and a pointer path with NO committed version at all fails loudly
+    intercept[IllegalArgumentException] {
+      Pipeline.readServingPointer(spark, s"$base/never")
     }
   }
 }

@@ -294,6 +294,29 @@ class TombstonesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a crashed compaction's sibling backup still serves every marker; clear retires both") {
+    val (path, _) = freshLayout("crashwin")
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    val n = corpus.filter(deleted).count()
+    // simulate the crash window preserveAcrossRewrite protects: markers
+    // snapshotted to the sibling backup, the rewrite committed (the
+    // in-layout side store destroyed with the old files), restore never ran
+    Tombstones.read(spark, path).get.select($"id")
+      .write.mode("overwrite").parquet(path + "__tombs_backup")
+    val sp = new org.apache.hadoop.fs.Path(path, Tombstones.SideDir)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(sp, true)
+    // the union read finds the backup — no marker is lost, serving still
+    // excludes every deleted id
+    val t = Tombstones.read(spark, path)
+    assert(t.nonEmpty && t.get.select($"id").distinct().count() == n)
+    assert(Tombstones.excludeDeleted(spark.read.parquet(path), "cid",
+      spark, path).filter(deleted).count() == 0)
+    // a purge's clear retires the backup too — no stale resurrection
+    Tombstones.clear(spark, path)
+    assert(Tombstones.read(spark, path).isEmpty)
+  }
+
   test("compact on a layout with no tombstones is a pure rewrite") {
     val (path, model) = freshLayout("nochange")
     IvfIndex.compact(spark, path, "cid")
