@@ -113,4 +113,45 @@ object Caches {
 
   /** Number of live registered caches (test/diagnostic surface). */
   def size: Int = synchronized(reg.size)
+
+  /** Whether a [[memo]] entry is live for (session, key) — test surface for
+    * the cold-rerun invalidation pins. */
+  def hasMemo(s: org.apache.spark.sql.SparkSession, key: String): Boolean =
+    synchronized(keyed.exists { case (sess, k, _) => (sess eq s) && k == key })
+
+  /** Invalidation token over the registry entries created inside one
+    * [[mark]]/[[createdSince]] bracket — what [[graft.Bench]] captures per
+    * measured query so a breach rerun can drop EXACTLY the memoized state
+    * that query's measured pass built (cold for its own builds, warm for
+    * everything it inherited — the measured condition replayed; r12 verdict
+    * "what's wrong" #1/#2: the producer-skip rule could never clear a load
+    * artifact on a producer, and a lazily-memoized consumer re-ran against
+    * a warm memo forever). Entries are held by reference: the registries
+    * only append between a mark and its invalidate (clear() runs at
+    * end-of-run only), but other queries append too, so a watermark alone
+    * could not name the victim set after the fact. */
+  final class Entries private[Caches] (
+      private[Caches] val planDfs: Seq[DataFrame],
+      private[Caches] val keyNames: Seq[(org.apache.spark.sql.SparkSession, String)]) {
+    def isEmpty: Boolean = planDfs.isEmpty && keyNames.isEmpty
+  }
+
+  /** Registry watermark — pair with [[createdSince]]. */
+  def mark(): (Int, Int) = synchronized((reg.size, keyed.size))
+
+  /** The entries registered after `m`, as an invalidation token. */
+  def createdSince(m: (Int, Int)): Entries = synchronized(
+    new Entries(reg.drop(m._1).map(_._2).toSeq,
+      keyed.drop(m._2).map { case (s, k, _) => (s, k) }.toSeq))
+
+  /** Unpersist and forget exactly the entries in `e`: the next [[cached]]/
+    * [[memo]] touching the same plan/key re-runs its builder from scratch.
+    * Non-cascading (like [[clear]]): frames OTHER queries registered on top
+    * keep their materialized buffers. */
+  def invalidate(e: Entries): Unit = synchronized {
+    e.planDfs.foreach(_.unpersist(false))
+    reg.filterInPlace { case (_, df) => !e.planDfs.exists(_ eq df) }
+    keyed.filterInPlace { case (s, k, _) =>
+      !e.keyNames.exists { case (es, ek) => (es eq s) && ek == k } }
+  }
 }

@@ -30,6 +30,29 @@ object Layouts {
     }
   }
 
+  /** Whether a [[once]] entry is live for (session, key) — test surface for
+    * the cold-rerun invalidation pins. */
+  def has(s: SparkSession, key: String): Boolean =
+    synchronized(reg.exists { case (sess, k, _) => (sess eq s) && k == key })
+
+  /** Registry watermark — pair with [[createdSince]]; the [[Caches.mark]]
+    * twin for the DDL-ish builds (every build here is overwrite-shaped —
+    * DROP TABLE IF EXISTS / mode("overwrite") — so re-running one after
+    * [[invalidate]] is safe and re-pays the one-time cost, which is exactly
+    * what [[graft.Bench]]'s cold breach rerun needs). */
+  def mark(): Int = synchronized(reg.size)
+
+  /** The (session, key) pairs registered after `m`. */
+  def createdSince(m: Int): Seq[(SparkSession, String)] =
+    synchronized(reg.drop(m).map { case (s, k, _) => (s, k) }.toSeq)
+
+  /** Forget exactly the entries named in `keys`: the next [[once]] on the
+    * same (session, key) re-runs its builder. */
+  def invalidate(keys: Seq[(SparkSession, String)]): Unit = synchronized {
+    reg.filterInPlace { case (s, k, _) =>
+      !keys.exists { case (es, ek) => (es eq s) && ek == k } }
+  }
+
   private val FpKey = "graft.model.fingerprint"
 
   /** MD5 hex of a fingerprint payload — ONE digest implementation for

@@ -156,10 +156,19 @@ object Pipeline {
     val next = versions.map(_._1).maxOption.getOrElse(0) + 1
     Seq((servingPath, rebuilt)).toDF("serving_path", "rebuilt")
       .coalesce(1).write.mode("overwrite").parquet(s"$pointerPath/v=$next")
-    // retire superseded versions only AFTER the new one is committed
+    // Retire superseded versions only AFTER the new one is committed —
+    // and RETAIN the newest of them for one more swap: a concurrent
+    // reader that listed versions just before this commit resolved the
+    // old max and may not have executed its parquet read yet; deleting
+    // it immediately would turn "old-or-new, never nothing" into a
+    // FileNotFoundException mid-read. One retained version per swap
+    // covers that window (a reader older than a full swap cycle has no
+    // liveness claim); everything older goes.
     val fs = new org.apache.hadoop.fs.Path(pointerPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    versions.foreach { case (_, p) => fs.delete(p, true) }
+    val newestOld = versions.map(_._1).maxOption
+    versions.filterNot { case (v, _) => newestOld.contains(v) }
+      .foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** The latest committed serving pointer as a 1-row frame — the form the

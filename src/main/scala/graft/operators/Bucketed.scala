@@ -84,7 +84,10 @@ object Bucketed {
     * rewrite is lost with the files the rewrite replaces. Quiesce
     * ingestion and takedown streams for the layout across a compaction
     * window; crash-safety WITHIN the single writer is what
-    * [[Tombstones.preserveAcrossRewrite]] provides, not concurrency. */
+    * [[Tombstones.preserveAcrossRewrite]] provides, not concurrency.
+    * Since r13 the TAKEDOWN half is fenced ([[Tombstones.fencedRewrite]]
+    * brackets this whole body, marker read included): a takedown racing
+    * the window raises instead of being silently destroyed. */
   def compactTable(spark: SparkSession, tableName: String, keys: Seq[String],
       numBuckets: Int, purgeIdCol: Option[String] = None)(
       merge: DataFrame => DataFrame): Unit = {
@@ -92,28 +95,31 @@ object Bucketed {
     val loc = spark.sql(s"DESCRIBE FORMATTED $tableName")
       .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
       .select("data_type").head().getString(0)
-    val tombs = Tombstones.read(spark, loc).map(_.localCheckpoint())
-    val base = spark.table(tableName)
-    val rows = purgeIdCol match {
-      case Some(idCol) if tombs.nonEmpty =>
-        Tombstones.excludeIds(base, base(idCol), tombs.get)
-      case _ => base
+    Tombstones.fencedRewrite(spark, loc) {
+      val tombs = Tombstones.read(spark, loc).map(_.localCheckpoint())
+      val base = spark.table(tableName)
+      val rows = purgeIdCol match {
+        case Some(idCol) if tombs.nonEmpty =>
+          Tombstones.excludeIds(base, base(idCol), tombs.get)
+        case _ => base
+      }
+      val merged = merge(rows).localCheckpoint()
+      purgeIdCol match {
+        case None =>
+          // layout-only compaction: the markers ride the crash-safe
+          // backup/restore protocol — a kill at any point between the
+          // rewrite's commit and the restore must not resurrect rows
+          // (unfenced form: this body already holds the layout's fence)
+          Tombstones.preserveUnfenced(spark, loc)(
+            writeBucketedKeys(merged, tableName, loc, keys, numBuckets))
+        case Some(_) =>
+          writeBucketedKeys(merged, tableName, loc, keys, numBuckets)
+          // purge: markers die WITH the rewrite; clear also removes any
+          // stale sibling backup a crashed earlier cycle left behind
+          Tombstones.clear(spark, loc)
+      }
+      fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
     }
-    val merged = merge(rows).localCheckpoint()
-    purgeIdCol match {
-      case None =>
-        // layout-only compaction: the markers ride the crash-safe
-        // backup/restore protocol — a kill at any point between the
-        // rewrite's commit and the restore must not resurrect rows
-        Tombstones.preserveAcrossRewrite(spark, loc)(
-          writeBucketedKeys(merged, tableName, loc, keys, numBuckets))
-      case Some(_) =>
-        writeBucketedKeys(merged, tableName, loc, keys, numBuckets)
-        // purge: markers die WITH the rewrite; clear also removes any
-        // stale sibling backup a crashed earlier cycle left behind
-        Tombstones.clear(spark, loc)
-    }
-    fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
   }
 
   /** Equi-join two tables bucketed on `key` with the same bucket count:

@@ -150,9 +150,15 @@ object Cdc {
     // Presence = NET count > 0 (the SpanDedup.incrementalSpans argument):
     // split positive counts preserve existence, and deleteFromStore's
     // negative decrements must make a fully-deleted chunk stop matching.
-    // The aggregation groups on the bucketed key — no exchange on the
+    // Semi-join the store to the DELTA's hashes FIRST, then net only the
+    // matched groups (r12 advice): without the restriction every probe
+    // batch paid a full-store aggregation — per-batch cost growing with
+    // total distinct hashes instead of delta-matched hashes. The semi-join
+    // preserves the store scan's bucketed HashPartitioning (left side of a
+    // broadcast semi), so the aggregation still runs exchange-free on the
     // store side.
     val present = spark.table(table.chunks)
+      .join(dch.select("chunk_hash").distinct(), Seq("chunk_hash"), "left_semi")
       .groupBy(col("chunk_hash")).agg(sum(col("__c")).as("__net"))
       .filter(col("__net") > 0L).select("chunk_hash")
     val known = dch.join(present, Seq("chunk_hash"), "left_semi")

@@ -176,8 +176,15 @@ object IvfIndex {
   /** K3-style index materialization: overwrite, partitioned by list_id —
     * `spark.read.parquet(path)` + a `list_id` filter then prunes partitions
     * exactly like ivfflat probes. */
-  def write(indexed: DataFrame, path: String): Unit =
+  def write(indexed: DataFrame, path: String): Unit = {
+    // a fresh build supersedes the path's delete history — including a
+    // stale sibling backup from a CRASHED earlier compaction, which the
+    // overwrite below cannot reach (it sits outside the layout path) and
+    // which Tombstones.read would otherwise union in against the NEW
+    // build's live rows
+    Tombstones.clearForRebuild(indexed.sparkSession, path)
     indexed.write.mode("overwrite").partitionBy("list_id").parquet(path)
+  }
 
   /** [[write]] with the assignment model's fingerprint stamped as a
     * sidecar — the append-able form: [[append]] requires the stamp (when
@@ -244,24 +251,38 @@ object IvfIndex {
     * justifies it. Searches before compact (anti-join exclusion) and
     * after (purged files) answer identically — pinned by
     * `pipeline_forget` and TombstonesSpec. */
-  def compact(spark: SparkSession, path: String, idCol: String): Unit = {
-    val fs = fpPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fp = readFpSidecar(fs, path)
-    // stamp the crash net BEFORE the rewrite deletes the in-layout
-    // sidecar: a kill in the window re-reads identity from the backup
-    // (readFpSidecar's fallback) instead of silently skipping append's
-    // stale-model guard
-    fp.foreach(writeFile(fs, fpBackupPath(path), _))
-    val live = Tombstones.excludeDeleted(
-      spark.read.parquet(path), idCol, spark, path).localCheckpoint()
-    live.write.mode("overwrite").partitionBy("list_id").parquet(path)
-    // the purge IS the marker clear (the overwrite deleted the side
-    // store); clear() also removes any stale sibling backup a crashed
-    // earlier preserve cycle left, which would otherwise resurrect
-    // markers whose rows this purge just removed
-    Tombstones.clear(spark, path)
-    fp.foreach(writeFpSidecar(fs, path, _))
-  }
+  def compact(spark: SparkSession, path: String, idCol: String): Unit =
+    // fence the whole window, marker read included: a takedown racing the
+    // rewrite raises (Tombstones.add's check) instead of being destroyed
+    Tombstones.fencedRewrite(spark, path) {
+      val fs = fpPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fp = readFpSidecar(fs, path)
+      val live = Tombstones.excludeDeleted(
+        spark.read.parquet(path), idCol, spark, path).localCheckpoint()
+      // an all-tombstoned layout would compact to an EMPTY partitioned
+      // write, which spark.read.parquet cannot infer a schema from — a
+      // stamped but unreadable layout. Fail loudly BEFORE touching any
+      // file (LayoutUntouched completes the fence: nothing changed, the
+      // layout keeps serving and accepting takedowns): deleting the last
+      // row is a rebuild/decommission decision, not a compaction.
+      if (live.limit(1).count() == 0)
+        throw new Tombstones.LayoutUntouched(
+          s"IvfIndex.compact: every row of $path is tombstoned — an empty " +
+            "rewrite would leave an unreadable layout; rebuild (or retire) " +
+            "the layout instead of compacting it")
+      // stamp the crash net BEFORE the rewrite deletes the in-layout
+      // sidecar: a kill in the window re-reads identity from the backup
+      // (readFpSidecar's fallback) instead of silently skipping append's
+      // stale-model guard
+      fp.foreach(writeFile(fs, fpBackupPath(path), _))
+      live.write.mode("overwrite").partitionBy("list_id").parquet(path)
+      // the purge IS the marker clear (the overwrite deleted the side
+      // store); clear() also removes any stale sibling backup a crashed
+      // earlier preserve cycle left, which would otherwise resurrect
+      // markers whose rows this purge just removed
+      Tombstones.clear(spark, path)
+      fp.foreach(writeFpSidecar(fs, path, _))
+    }
 
   /** Quantizer-drift metric — the signal a deployment schedules index
     * rebuilds by (the append-ingest invariant: deltas encode against the

@@ -73,6 +73,9 @@ object JaccardIndex {
       explode(slice(col("__g"), lit(1), plen)).as("__gh"))
     val t = IndexTables(s"graft_jidx_docsets_$tag", s"graft_jidx_prefix_$tag",
       s"graft_jidx_df_$tag")
+    // a fresh build supersedes basePath's delete history — including a
+    // stale sibling backup from a CRASHED earlier purge cycle
+    Tombstones.clearForRebuild(corpus.sparkSession, basePath)
     Bucketed.writeBucketed(dfc, t.dfc, s"$basePath/df", "__gh", numBuckets)
     Bucketed.writeBucketed(prefix, t.prefix, s"$basePath/prefix", "__gh", numBuckets)
     Bucketed.writeBucketed(docSets, t.docsets, s"$basePath/docsets", idCol, numBuckets)
@@ -147,15 +150,22 @@ object JaccardIndex {
     * `excludeIds` — markers now, purge at compaction. */
   def purgeDeleted(spark: SparkSession, tables: IndexTables,
       basePath: String, numBuckets: Int): Unit =
-    Tombstones.read(spark, basePath).foreach { t0 =>
-      val t = t0.localCheckpoint()
-      def anti(df: DataFrame) =
-        Tombstones.excludeIds(df, df(df.columns.head), t)
-      Bucketed.compactTable(spark, tables.prefix, Seq("__gh"), numBuckets)(anti)
-      val docsetsKey = spark.table(tables.docsets).columns.head
-      Bucketed.compactTable(spark, tables.docsets, Seq(docsetsKey),
-        numBuckets)(anti)
-      Tombstones.clear(spark, basePath)
+    // fence at basePath (where this index's takedowns are stamped): a
+    // Tombstones.add racing the purge raises instead of being cleared
+    // below while its doc's entries survive the rewrites. The inner
+    // compactTable calls fence their own TABLE locations — different
+    // sibling files, no nesting on one fence.
+    Tombstones.fencedRewrite(spark, basePath) {
+      Tombstones.read(spark, basePath).foreach { t0 =>
+        val t = t0.localCheckpoint()
+        def anti(df: DataFrame) =
+          Tombstones.excludeIds(df, df(df.columns.head), t)
+        Bucketed.compactTable(spark, tables.prefix, Seq("__gh"), numBuckets)(anti)
+        val docsetsKey = spark.table(tables.docsets).columns.head
+        Bucketed.compactTable(spark, tables.docsets, Seq(docsetsKey),
+          numBuckets)(anti)
+        Tombstones.clear(spark, basePath)
+      }
     }
 
   /** Streaming face of [[incrementalJoin]] — the deployed shape of daily

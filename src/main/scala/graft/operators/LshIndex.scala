@@ -57,6 +57,10 @@ object LshIndex {
       bucketLength: Double, numTables: Int, numPlanes: Int,
       tableName: String, path: String, numBuckets: Int,
       maxBucket: Long = Dedup.DefaultMaxBucket): Unit = {
+    // a fresh build supersedes the path's delete history — including a
+    // stale sibling backup from a CRASHED earlier compaction, which would
+    // otherwise resurrect markers against the new build's live rows
+    Tombstones.clearForRebuild(corpus.sparkSession, path)
     Bucketed.writeBucketedKeys(
       Salt.capBuckets(
         RpLsh.bucketize(corpus, idCol, vecCol, dim, bucketLength, numTables, numPlanes),

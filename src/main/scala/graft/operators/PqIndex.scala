@@ -431,6 +431,9 @@ object PqIndex {
       metric: graft.functions.VectorFunctions.Metric,
       tableName: String, path: String, metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
+    // a fresh build supersedes the path's delete history — including a
+    // stale sibling backup from a CRASHED earlier compaction
+    graft.operators.Tombstones.clearForRebuild(spark, path)
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
     IvfIndex.assign(corpus, idCol, vecCol, ivfModel, metric)
       .select(col(idCol) +: metaCols.map(col) :+ col("list_id"): _*)
@@ -495,30 +498,35 @@ object PqIndex {
     val loc = spark.sql(s"DESCRIBE FORMATTED $tableName")
       .filter(col("col_name") === "Location")
       .select("data_type").head().getString(0)
-    val tombs = graft.operators.Tombstones.read(spark, loc)
-      .map(_.localCheckpoint())
-    val base = spark.table(tableName)
-    val live = purgeIdCol match {
-      case Some(idCol) if tombs.nonEmpty =>
-        graft.operators.Tombstones.excludeIds(base, base(idCol), tombs.get)
-      case _ => base
+    // fence the whole window, marker read included: a takedown racing the
+    // rewrite raises (Tombstones.add's check) instead of being destroyed
+    graft.operators.Tombstones.fencedRewrite(spark, loc) {
+      val tombs = graft.operators.Tombstones.read(spark, loc)
+        .map(_.localCheckpoint())
+      val base = spark.table(tableName)
+      val live = purgeIdCol match {
+        case Some(idCol) if tombs.nonEmpty =>
+          graft.operators.Tombstones.excludeIds(base, base(idCol), tombs.get)
+        case _ => base
+      }
+      val rows = live.localCheckpoint()
+      def rewrite(): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $tableName")
+        rows.write.mode("overwrite").format("parquet")
+          .partitionBy("list_id").option("path", loc).saveAsTable(tableName)
+      }
+      purgeIdCol match {
+        case None =>
+          // layout-only: markers ride the crash-safe backup/restore
+          // protocol (Bucketed.compactTable's argument); unfenced form —
+          // this body already holds the layout's fence
+          graft.operators.Tombstones.preserveUnfenced(spark, loc)(rewrite())
+        case Some(_) =>
+          rewrite()
+          graft.operators.Tombstones.clear(spark, loc)
+      }
+      fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
     }
-    val rows = live.localCheckpoint()
-    def rewrite(): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $tableName")
-      rows.write.mode("overwrite").format("parquet")
-        .partitionBy("list_id").option("path", loc).saveAsTable(tableName)
-    }
-    purgeIdCol match {
-      case None =>
-        // layout-only: markers ride the crash-safe backup/restore
-        // protocol (Bucketed.compactTable's argument)
-        graft.operators.Tombstones.preserveAcrossRewrite(spark, loc)(rewrite())
-      case Some(_) =>
-        rewrite()
-        graft.operators.Tombstones.clear(spark, loc)
-    }
-    fp.foreach(graft.Layouts.stampFingerprint(spark, tableName, _))
   }
 
   /** ADC + refine (the "IVFADC+R" production shape): [[search]] overfetches

@@ -213,9 +213,15 @@ object SpanDedup {
     // split across ingest batches (positive parts — splitting preserves
     // existence) AND may carry [[deleteFromIndex]]'s negative decrements
     // (a hash whose occurrences were all deleted nets to ≤ 0 and must stop
-    // matching). The aggregation groups on the bucketed key, so it reuses
-    // the stored HashPartitioning — no exchange touches the index side.
+    // matching). Semi-join the store to the DELTA's hashes FIRST, then net
+    // only the matched groups (r12 advice): without the restriction every
+    // probe batch paid a full-store aggregation — per-batch cost growing
+    // with total distinct hashes instead of delta-matched hashes. The
+    // semi-join preserves the store scan's bucketed HashPartitioning (left
+    // side of a broadcast semi), so the aggregation still reuses it — no
+    // exchange touches the index side.
     val present = spark.table(table.counts)
+      .join(pos.select("__gh").distinct(), Seq("__gh"), "left_semi")
       .groupBy(col("__gh")).agg(sum(col("__c")).as("__net"))
       .filter(col("__net") > 0L).select("__gh")
     val inCorpus = pos.join(present, Seq("__gh"), "left_semi")

@@ -38,16 +38,17 @@ class BudgetsSpec extends AnyFunSuite {
     assert(!Bench.breachStands(10.0, 10.0))
   }
 
-  test("producers skip the rerun: the measured time stands, so a provisional producer breach is final") {
-    // The producer list is the adjudication's skip set — a memoized build
-    // re-runs warm (~0 s) and could never sustain a breach via a rerun.
-    // Pin the queries whose one-time builds the list exists to attribute.
-    for (p <- Seq("pq_train_build", "ivf_auto_probe", "eval_graph_recall"))
+  test("producers order the run and attribute builds — they no longer skip the rerun") {
+    // Since the round-13 cold-rerun fix (r12 verdict "what's wrong" #1)
+    // the producer list is ORDERING + attribution only: a breached
+    // producer gets the same invalidate-then-remeasure adjudication as
+    // everyone else (BenchSpec pins the mechanism), instead of its
+    // measured time standing unappealably. Pin the queries whose one-time
+    // builds the list exists to attribute.
+    for (p <- Seq("pq_train_build", "ivf_auto_probe", "eval_graph_recall",
+        "select_dsir_sample", "hybrid_bm25_topk", "text_bpe_merges",
+        "rank_knn_degree_hist"))
       assert(Bench.producers.contains(p), s"$p missing from Bench.producers")
-    // For a producer the adjudicated time IS the measured time: a
-    // provisional breach (measured > scaled budget) therefore stands.
-    val measured = 30.0
-    assert(Bench.breachStands(25.0, measured))
   }
 
   test("every producer has a budget entry — a producer regression must stay inside the breach gate") {

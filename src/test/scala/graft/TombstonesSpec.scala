@@ -317,6 +317,87 @@ class TombstonesSpec extends SparkSpec {
     assert(Tombstones.read(spark, path).isEmpty)
   }
 
+  test("a takedown racing a maintenance rewrite raises instead of being silently destroyed") {
+    // the single-maintenance-writer contract, now FENCED (r12 verdict
+    // "what's missing" #2): a Tombstones.add landing inside a
+    // compaction/purge window would be lost with the files the rewrite
+    // replaces — the fence turns that into a loud failure
+    val (path, _) = freshLayout("fence")
+    val dead = corpus.filter(deleted)
+    Tombstones.fencedRewrite(spark, path) {
+      val e = intercept[IllegalArgumentException] {
+        Tombstones.add(dead, "cid", path)
+      }
+      assert(e.getMessage.contains("in progress"))
+    }
+    // the window closed — the same takedown now lands
+    Tombstones.add(dead, "cid", path)
+    assert(Tombstones.read(spark, path).nonEmpty)
+  }
+
+  test("a crashed rewrite leaves the fence raised; a fresh rebuild heals it") {
+    val (path, _) = freshLayout("fencecrash")
+    intercept[RuntimeException] {
+      Tombstones.fencedRewrite(spark, path) {
+        throw new RuntimeException("simulated mid-rewrite crash")
+      }
+    }
+    // the layout may be torn — takedowns must stay loud, not silently
+    // accept markers whose durability nothing can promise
+    val e = intercept[IllegalArgumentException] {
+      Tombstones.add(corpus.filter(deleted), "cid", path)
+    }
+    assert(e.getMessage.contains("in progress"))
+    // the rebuild IS the repair: a fresh build completes the fence
+    val (_, _) = freshLayout("fencecrash")
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    assert(Tombstones.read(spark, path).nonEmpty)
+  }
+
+  test("compacting an all-tombstoned layout refuses loudly and leaves everything serving") {
+    val (path, model) = freshLayout("alldead")
+    Tombstones.add(corpus, "cid", path) // every row dead
+    val e = intercept[graft.operators.Tombstones.LayoutUntouched] {
+      IvfIndex.compact(spark, path, "cid")
+    }
+    assert(e.getMessage.contains("every row"))
+    // LayoutUntouched completed the fence: the layout is unchanged,
+    // still readable, markers intact, and still accepts takedowns
+    assert(spark.read.parquet(path).count() == corpus.count())
+    assert(Tombstones.read(spark, path).nonEmpty)
+    Tombstones.add(Seq(999999L).toDF("cid"), "cid", path)
+    // and exclusion still serves the (empty) live set, not an error
+    assert(IvfIndex.search(queries, "qid", "qvec", spark.read.parquet(path),
+      "cid", "cvec", model, K, Probes, Cosine,
+      excludeIds = Tombstones.read(spark, path)).count() == 0)
+  }
+
+  test("a stale backup from a crashed layout-only compaction dies with a fresh rebuild") {
+    // r12 advice (medium): backup written, restore never ran, then a FULL
+    // REBUILD at the same path — without the build-face clear the stale
+    // backup would survive (it sits outside the layout), be unioned in by
+    // read(), and kill live rows of the NEW build
+    val (path, _) = freshLayout("stalebak")
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    intercept[RuntimeException] {
+      Tombstones.preserveAcrossRewrite(spark, path) {
+        throw new RuntimeException("simulated crash after the backup snapshot")
+      }
+    }
+    // rebuild at the same path: clearForRebuild retires markers, the
+    // stale backup AND the crashed fence
+    val (_, model) = freshLayout("stalebak")
+    assert(Tombstones.read(spark, path).isEmpty,
+      "a fresh build must not inherit the crashed cycle's markers/backup")
+    assert(Tombstones.excludeDeleted(spark.read.parquet(path), "cid",
+      spark, path).count() == corpus.count())
+    // the healed fence accepts takedowns again
+    Tombstones.add(corpus.filter(deleted), "cid", path)
+    assert(IvfIndex.search(queries, "qid", "qvec", spark.read.parquet(path),
+      "cid", "cvec", model, K, Probes, Cosine,
+      excludeIds = Tombstones.read(spark, path)).filter(deleted).count() == 0)
+  }
+
   test("compact on a layout with no tombstones is a pure rewrite") {
     val (path, model) = freshLayout("nochange")
     IvfIndex.compact(spark, path, "cid")
