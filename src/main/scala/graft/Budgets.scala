@@ -316,7 +316,7 @@ object Budgets {
     "pipeline_dsir_select" -> 17.6, // r14f samples 5.27/5.65 + driver r10 6.74 + driver r11 4.68 (all calibration-normalized) + driver r12 7.02 — r12 ratchet governs (2.5x 7.02)
     "pipeline_entity_resolution" -> 5.7, // r14f samples 1.91/2.11 + driver r10 2.25 + driver r11 1.58 (all calibration-normalized); driver r12 1.91 folds below the ratchet
     "pipeline_eval_set" -> 4.5, // r14f samples 0.83/1.00 + driver r10 1.14 + driver r11 0.79 (all calibration-normalized) + driver r12 1.77 — r12 ratchet governs (2.5x 1.77)
-    "pipeline_forget" -> 7.8, // r17 closing clean-pair samples 1.92/2.35 (calibration-normalized; the composition pays its own build + delete + compact + two serves) + driver r12 3.08 — r12 ratchet governs (2.5x 3.08)
+    "pipeline_forget" -> 11.4, // r17 closing clean-pair samples 1.92/2.35 (calibration-normalized; the composition pays its own build + delete + compact + two serves) + driver r12 3.08 + r18 closing pair 2.22/4.55 (the r18 debt-census decision added a layout scan + 1-row control read; the 4.55 sample ran at drift 1.170) — r18 ratchet governs (2.5x 4.55)
     "pipeline_index_rebuild" -> 5.6, // r15 closing clean-pair samples 1.77/1.56 + driver r11 1.49 (all calibration-normalized; the composition pays its own era-1 build + append + rebuild) + driver r12 2.20 — r12 ratchet governs (2.5x 2.20)
     "pipeline_retrieval_stack" -> 25.0, // r14f samples 5.80/6.64 + driver r10 6.90 + driver r11 5.38 (all calibration-normalized) + driver r12 9.98 — r12 ratchet governs (2.5x 9.98)
     "pipeline_skills_for_jobs" -> 13.6, // r14f samples 4.96/4.87 + driver r10 5.43 + driver r11 4.29 (all calibration-normalized); driver r12 4.35 folds below the ratchet
@@ -332,6 +332,7 @@ object Budgets {
     "pq_opq_recall" -> 8.2, // r14f samples 1.45/1.68 + driver r10 1.40 + driver r11 1.39 (all calibration-normalized) + driver r12 3.26 — r12 ratchet governs (2.5x 3.26)
     "pq_refine_topk" -> 4.1, // r14f samples 1.59/1.63 + driver r10 1.53 + driver r11 1.29 (all calibration-normalized); driver r12 1.52 folds below the ratchet
     "pq_train_build" -> 21.3, // r15 closing clean-pair samples 6.83/6.60 + driver r11 5.81 (all calibration-normalized; the producer paying both trained-quantizer Lloyd fits; driver r10 sample 6.30 agrees) + driver r12 8.51 — r12 ratchet governs (2.5x 8.51)
+    "profile_tombstone_debt" -> 3.0, // r18 closing pair samples 0.21/0.58 (calibration-normalized; 1-row debt census — one layout scan + a broadcast semi-join count) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "profile_benford" -> 3.0, // r14f samples 0.39/0.43 + driver r10 0.34 + driver r11 0.32 (all calibration-normalized) [raw 2.5x budget 1.1, raised to the 3 s metrology floor]; driver r12 0.30 folds below the ratchet
     "profile_column_corr" -> 3.0, // r14f samples 0.29/0.31 + driver r10 0.24 + driver r11 0.27 (all calibration-normalized) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]; driver r12 0.24 folds below the ratchet
     "profile_corpus_drift" -> 3.0, // r14f samples 0.37/0.40 + driver r10 0.35 + driver r11 0.44 (all calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]; driver r12 0.34 folds below the ratchet

@@ -65,6 +65,36 @@ class PlanSpec extends SparkSpec {
       s"corpus-side documents scan leaked into the indexed plan:\n$plan")
   }
 
+  test("probe-store presence is delta-bounded: the counts scan feeds a semi join, never a full-store aggregate") {
+    // r12 advice: the net-presence test used to aggregate the ENTIRE count
+    // store per probe batch. Pin the fixed shape on both stores: the
+    // bucketed counts scan's ancestor chain up to its aggregation runs
+    // through a LeftSemi against the delta's hashes, with NO Exchange —
+    // the store side keeps its bucketed HashPartitioning end to end.
+    for ((q, tablePrefix) <- Seq(
+        "dedup_span_incremental" -> "graft_spanidx_",
+        "dedup_cdc_incremental" -> "graft_cdcstore_")) {
+      val plan = planOf(q).split("== Initial Plan ==").head
+      val lines = plan.linesIterator.toVector
+      def indent(l: String): Int = l.indexWhere(c => c.isLetter || c == '*')
+      val scanIdx = lines.indexWhere(l =>
+        l.contains("Scan parquet") && l.contains(tablePrefix))
+      assert(scanIdx >= 0, s"$q: no bucketed counts scan found:\n$plan")
+      // ancestors = lines above the scan with strictly decreasing indent
+      var minIndent = indent(lines(scanIdx))
+      val chain = (scanIdx - 1 to 0 by -1).iterator.map(lines).filter { l =>
+        val i = indent(l)
+        if (i >= 0 && i < minIndent) { minIndent = i; true } else false
+      }.takeWhile(!_.contains("HashAggregate")).toVector
+      assert(chain.exists(_.contains("LeftSemi")),
+        s"$q: counts scan must be delta-restricted by a semi join before " +
+          s"any aggregation; ancestor chain:\n${chain.mkString("\n")}\n$plan")
+      assert(!chain.exists(_.contains("Exchange")),
+        s"$q: the store side must keep its bucketed partitioning (no " +
+          s"Exchange below the presence aggregate):\n${chain.mkString("\n")}\n$plan")
+    }
+  }
+
   test("chunking is one narrow stage; packing shuffles once, keyed on the group") {
     val chunk = planOf("text_chunk_windows")
     assert(!chunk.contains("Exchange") && !chunk.contains("Join"),
