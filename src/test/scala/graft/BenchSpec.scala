@@ -60,6 +60,37 @@ class BenchSpec extends SparkSpec {
     assert(builds == 2, "post-invalidate once must re-run the builder")
   }
 
+  test("cold rerun of a DDL producer re-pays the build and leaves consumers correct") {
+    // The producer path: lsh_index_build's bracket captures the
+    // Layouts.once DDL entry; invalidation + rerun must re-run the
+    // bucketed-table build (DROP-IF-EXISTS/overwrite — safe to repeat),
+    // and the family's delete-aware consumer must still answer over the
+    // rebuilt layout (the tombstone fixture re-stamps itself after the
+    // rebuild's clearForRebuild wiped the side store).
+    Caches.clear()
+    val lshKey = s"lshidx:$dir" // IndexQueries.LshLayout's once-key
+    Layouts.invalidate(Seq((spark, lshKey))) // order-independence vs other suites
+    val lm = Layouts.mark()
+    val cm = Caches.mark()
+    assert(SparkEntry.queries("lsh_index_build")(spark, dir).count() > 0)
+    assert(Layouts.has(spark, lshKey),
+      "the measured run must have created the DDL entry")
+    val created = Layouts.createdSince(lm)
+    assert(created.exists { case (s, k) => (s eq spark) && k == lshKey })
+    Layouts.invalidate(created)
+    Caches.invalidate(Caches.createdSince(cm))
+    assert(!Layouts.has(spark, lshKey), "the rerun must see a cold DDL memo")
+    assert(SparkEntry.queries("lsh_index_build")(spark, dir).count() > 0)
+    assert(Layouts.has(spark, lshKey), "the cold rerun must have rebuilt the layout")
+    // consumers of the rebuilt layout still serve: the delete-aware face
+    // re-stamps its tombstone fixture and excludes every deleted id
+    val served = SparkEntry.queries("knn_deleted_lsh")(spark, dir)
+    assert(served.count() > 0)
+    import org.apache.spark.sql.functions.col
+    assert(served.filter(col("skill_id") % 9 === 4).count() == 0,
+      "deleted ids must stay excluded after the rebuild + re-stamp")
+  }
+
   test("cold rerun rebuilds the lazily-memoized hier walk (r12 verdict #2's concrete case)") {
     // eval_graph_hier_recall builds the hier walk lazily on first touch
     // (Caches.memo "graphwalk_hier:<dir>"); under the old warm rerun its
