@@ -261,6 +261,24 @@ object Bench {
     // (BENCH_r05.json parsed: null). The last line must always be the one
     // the driver parses.
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs}""")
+    // Durable full record (r12 lesson: the round driver captures only the
+    // TAIL of stdout, and r12's ~3.5 KB window truncated the first 53
+    // compact per-query entries — the verdict had to reconstruct them by
+    // suffix alignment). The same three JSON lines land in a repo file the
+    // driver's end-of-round commit picks up, so the full per-query record
+    // survives whatever stdout keeps. Best-effort: a read-only or foreign
+    // cwd must not fail the bench.
+    def writeRecord(totalLine: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL_LAST.json")
+        if (java.nio.file.Files.isDirectory(p.getParent)) {
+          val lines = Seq(
+            s"""{"metric":"per_query","unit":"sec","queries":$qs}""",
+            totalLine)
+          java.nio.file.Files.write(p,
+            lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        }
+      } catch { case _: Throwable => }
     // Compact duplicate of the per-query record (r8 verdict missing #3:
     // the ~3.5 KB tail the driver keeps truncated all but 64 of 287 names
     // from the map above). Entry i is the i-th query in ALPHABETICAL
@@ -275,7 +293,9 @@ object Bench {
     // can VERIFY its pairing instead of trusting `n` alone.
     val namesMd5 = Layouts.md5Hex(results.map(_._1).sorted.mkString(","))
     println(s"""{"metric":"per_query_ms_alpha","keys":"this run's query names, sorted","n":${results.size},"names_md5":"$namesMd5","ms":[${msAlpha.mkString(",")}]}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib_sec":${fmt(calib)},"budget_factor":${fmt(factor)},"drift_median":${fmt(drift)},"effective_factor":${fmt(effFactor)},"isolated_reruns":$isoJson,"budget_breaches":$breaches}""")
+    val totalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib_sec":${fmt(calib)},"budget_factor":${fmt(factor)},"drift_median":${fmt(drift)},"effective_factor":${fmt(effFactor)},"isolated_reruns":$isoJson,"budget_breaches":$breaches}"""
+    writeRecord(totalLine)
+    println(totalLine)
     spark.stop()
   }
 }
