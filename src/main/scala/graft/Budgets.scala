@@ -241,6 +241,7 @@ object Budgets {
     "io_orc_roundtrip" -> 3.0, // r14f samples 0.28/0.29 + driver r10 0.27 + driver r11 0.26 (all calibration-normalized) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]; driver r12 0.24 folds below the ratchet
     "io_partitioned_roundtrip" -> 3.0, // r14f samples 0.35/0.39 + driver r10 0.34 + driver r11 0.33 (all calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]; driver r12 0.33 folds below the ratchet
     "io_schema_evolution" -> 3.0, // r14f samples 0.41/0.43 + driver r10 0.38 + driver r11 0.38 (all calibration-normalized) [raw 2.5x budget 1.1, raised to the 3 s metrology floor]; driver r12 0.40 folds below the ratchet
+    "io_tar_shards" -> 3.0, // r18 landing sample 0.83 raw at sf0.1 (tar-shard write + binaryFile read-back of the documents table; resample from the next closing pair) [raw 2.5x budget 2.1, raised to the 3 s metrology floor]
     "io_time_travel" -> 3.0, // r14f samples 0.58/0.52 + driver r10 0.48 + driver r11 0.48 (all calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]; driver r12 0.53 folds below the ratchet
     "io_vacuum_retention" -> 3.0, // r14f samples 0.34/0.36 + driver r10 0.28 + driver r11 0.30 (all calibration-normalized) [raw 2.5x budget 0.9, raised to the 3 s metrology floor]; driver r12 0.31 folds below the ratchet
     "io_wet_roundtrip" -> 3.0, // r14f samples 0.30/0.28 + driver r10 0.27 + driver r11 0.25 (all calibration-normalized) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]; driver r12 0.24 folds below the ratchet

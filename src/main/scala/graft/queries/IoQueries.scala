@@ -194,6 +194,35 @@ object IoQueries extends graft.QueryModule {
     // record-separator framing exercises the same Spark-side plumbing
     // (custom lineSep, multi-line bodies, header parse) without a vendored
     // parser.
+    // WebDataset-style tar shards — the de-facto interchange layout for
+    // multimodal training corpora (key-stem member grouping inside POSIX
+    // tars). The EXPORT is the scale path (per-partition ustar shards via
+    // TarShards.write, temp+rename committed, nothing through the
+    // driver); this query is its roundtrip CHECK: documents become
+    // (key.txt, key.cls) members across 4 shards, the binaryFile read
+    // pivots members back to samples map-side (contiguity contract — no
+    // shuffle), and the census is pinned against the source table's
+    // replay. A torn shard, checksum corruption, dropped member, or
+    // key/suffix mix-up turns the row red.
+    "io_tar_shards" -> ((s, dir) => {
+      val path = graft.Layouts.once(s, s"tarshards:$dir") {
+        val p = s"/tmp/graft_tarshards/${graft.Layouts.tag(dir)}"
+        graft.io.TarShards.write(
+          Tables.documents(s, dir).select(col("doc_id"),
+            encode(col("text"), "UTF-8").as("txt"),
+            encode(col("lang"), "UTF-8").as("cls")),
+          "doc_id", Seq("txt" -> "txt", "cls" -> "cls"), p, Shards)
+        p
+      }
+      graft.io.TarShards.readSamples(s, path, Seq("txt", "cls"))
+        .select(col("key").as("doc_id"),
+          decode(col("txt"), "UTF-8").as("text"),
+          decode(col("cls"), "UTF-8").as("lang"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
+          count_distinct(col("lang")).as("n_langs"))
+    }),
     "io_wet_roundtrip" -> ((s, dir) => {
       val RS = "\u001e" // ASCII record separator — never in natural text
       val hdr = "^WET-REC (\\d+) (\\S+) (\\S+)\n"
@@ -436,6 +465,12 @@ object IoQueries extends graft.QueryModule {
     // Same lossless-reconstruction pin as the jsonl roundtrip: equality
     // against the source parquet proves the WET serialize + record
     // assembly + header parse lost nothing.
+    "io_tar_shards" ->
+      s"""SELECT count(*) AS n_samples,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM documents""".stripMargin,
     "io_wet_roundtrip" ->
       s"""SELECT count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.TarShards
+
+/** The WebDataset-style tar-shard layout: ustar encode/decode exactness,
+  * loud corruption, the distributed write/read roundtrip, and the
+  * contiguity contract the shuffle-free sample pivot rides on. */
+class TarShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ustar roundtrip is exact; payloads padded; order preserved") {
+    val members = Seq(
+      "000000000001.txt" -> "hello world".getBytes("UTF-8"),
+      "000000000001.cls" -> "en".getBytes("UTF-8"),
+      "000000000002.txt" -> Array.tabulate(1024)(i => (i % 251).toByte),
+      "000000000002.cls" -> Array.empty[Byte])
+    val tar = TarShards.tarBytes(members.iterator)
+    // every (header + padded payload) block-aligned, two-block terminator
+    assert(tar.length % 512 == 0)
+    val back = TarShards.parseTar(tar)
+    assert(back.map(_._1) == members.map(_._1), "member order must survive")
+    back.zip(members).foreach { case ((_, got), (_, want)) =>
+      assert(java.util.Arrays.equals(got, want)) }
+  }
+
+  test("a flipped byte in a header raises instead of silently skipping the member") {
+    val tar = TarShards.tarBytes(Iterator(
+      "000000000001.txt" -> "payload".getBytes("UTF-8")))
+    tar(124) = '7' // corrupt the size field -> checksum mismatch
+    val e = intercept[IllegalArgumentException] { TarShards.parseTar(tar) }
+    assert(e.getMessage.contains("checksum"))
+  }
+
+  test("distributed write/read roundtrip: every sample, every member, nothing through a join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", encode($"text", "UTF-8").as("txt"),
+        encode($"lang", "UTF-8").as("cls"))
+    val dir = s"/tmp/graft_tarspec_${System.nanoTime()}"
+    val manifest = TarShards.write(docs, "doc_id",
+      Seq("txt" -> "txt", "cls" -> "cls"), dir, 4)
+    assert(manifest.map(_._2).sum == docs.count())
+    // range partitioning: shard key ranges are disjoint and ordered
+    manifest.sliding(2).foreach {
+      case Seq((_, _, _, hi), (_, _, lo, _)) => assert(hi < lo)
+      case _ =>
+    }
+    val back = TarShards.readSamples(spark, dir, Seq("txt", "cls"))
+      .select($"key".as("doc_id"), decode($"txt", "UTF-8").as("text"),
+        decode($"cls", "UTF-8").as("lang"))
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang")
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "tar roundtrip must reproduce every (doc_id, text, lang) exactly")
+    // the sample pivot is map-side: no shuffle in the read plan
+    val plan = { back.collect(); back.queryExecution.executedPlan.toString }
+    assert(!plan.contains("Exchange"),
+      s"sample grouping must ride member contiguity, never a shuffle:\n$plan")
+  }
+
+  test("a missing requested member surfaces NULL, not a dropped sample") {
+    val dir = s"/tmp/graft_tarspec_null_${System.nanoTime()}"
+    TarShards.write(Seq((1L, "a".getBytes("UTF-8")), (2L, "b".getBytes("UTF-8")))
+      .toDF("doc_id", "txt"), "doc_id", Seq("txt" -> "txt"), dir, 1)
+    val back = TarShards.readSamples(spark, dir, Seq("txt", "cls"))
+    assert(back.count() == 2)
+    assert(back.filter(col("cls").isNull).count() == 2)
+    assert(back.filter(col("txt").isNull).count() == 0)
+  }
+}
