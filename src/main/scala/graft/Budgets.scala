@@ -412,6 +412,9 @@ object Budgets {
     "text_fingerprint" -> 3.0, // r14f samples 0.10/0.20 + driver r10 0.09 + driver r11 0.14 (all calibration-normalized) [raw 2.5x budget 0.5, raised to the 3 s metrology floor]; driver r12 0.10 folds below the ratchet
     "text_heaps_law" -> 4.1, // r14f samples 0.83/1.63 + driver r10 0.89 + driver r11 0.84 (all calibration-normalized); driver r12 0.66 folds below the ratchet
     "text_keywords_tfidf" -> 7.0, // r14f samples 1.42/2.80 + driver r10 1.23 + driver r11 1.58 (all calibration-normalized); driver r12 1.03 folds below the ratchet
+    "text_lm_deleted" -> 9.2, // r18 landing sample 3.65 raw at sf0.1 (the row pays its own store: build + exact-decrement delete + score; resample from the next closing pair)
+    "text_lm_store_build" -> 4.9, // r18 landing sample 1.94 raw at sf0.1 (the shared LM store's DDL — the family's first row alphabetically; resample from the next closing pair)
+    "text_lm_stored_logprob" -> 3.0, // r18 landing sample 0.72 raw at sf0.1 (delta-bounded probes of the stored counts) [raw 2.5x budget 1.8, raised to the 3 s metrology floor]
     "text_lang_confusion" -> 3.0, // r14f samples 0.54/0.92 + driver r10 0.42 + driver r11 0.49 (all calibration-normalized) [raw 2.5x budget 2.4, raised to the 3 s metrology floor]; driver r12 0.39 folds below the ratchet
     "text_lang_id" -> 3.0, // r14f samples 0.12/0.20 + driver r10 0.09 + driver r11 0.10 (all calibration-normalized) [raw 2.5x budget 0.5, raised to the 3 s metrology floor]; driver r12 0.09 folds below the ratchet
     "text_ngram_novelty" -> 3.0, // r14f samples 0.48/0.95 + driver r10 0.43 + driver r11 0.43 (all calibration-normalized) [raw 2.5x budget 2.4, raised to the 3 s metrology floor]; driver r12 0.42 folds below the ratchet

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+
+/** Persisted interpolated-bigram language model with the full index
+  * lifecycle — the perplexity-filter shape a CCNet-style pipeline runs at
+  * corpus scale (Wenzek et al. 2020 score every crawl document against a
+  * KenLM trained on a reference corpus; the model is TRAINED ONCE and
+  * PROBED per ingest batch). The live `text_bigram_logprob` query re-counts
+  * the corpus on every call — O(corpus) per scoring run, which at 100 TB
+  * dwarfs the per-batch work. This operator splits it the way every other
+  * index here does:
+  *
+  *  1. '''[[buildStore]]''' (once, amortized): unigram and bigram counts
+  *     persisted as BUCKETED tables keyed on the columns scoring probes
+  *     (`t` for unigrams, `(p, t)` for bigrams), so per-batch probes reuse
+  *     the stored HashPartitioning and never reshuffle the model side.
+  *  2. '''[[appendToStore]]''' (per ingest batch): counts are addends, so
+  *     O(delta) ingest is a negated-free bucketed count append — split
+  *     counts sum at read time ([[SpanDedup]]'s count-store mechanic).
+  *  3. '''[[deleteFromStore]]''' (takedowns): the deleted docs' counts
+  *     appended NEGATED — the exact inverse of append (delete ∘ append ≡
+  *     id, spec-pinned); probes read NET counts, so a fully-deleted gram
+  *     stops contributing immediately; [[compactStore]] purges net-zero.
+  *  4. '''[[scoreDocs]]''' (per batch): per-document mean interpolated
+  *     log-probability of the DELTA against the STORED model —
+  *     O(|delta| × probe), the model appears only through bucketed joins
+  *     restricted to the delta's own grams.
+  *
+  * Probability: P(t|p) = 0.7·net(p,t)/net(p) (0 when the bigram or its
+  * context is unseen) + 0.3·(net(t)+1)/(total+V+1) — MLE interpolation
+  * with an add-one unigram floor over vocab+1 so out-of-vocabulary tokens
+  * score finitely (the OOV bucket), deterministic and SQL-replayable. The
+  * (total, V) scalars cost one vocab-bounded store aggregation — model
+  * state, not corpus state.
+  */
+object NgramLm {
+
+  /** Names of the two persisted count tables of one model. */
+  final case class LmTables(uni: String, bi: String)
+
+  // NOTE: must not contain the substring "token" — Spark's default
+  // property-value redaction regex ((?i)token|secret|...) would redact it
+  // in SHOW TBLPROPERTIES and the read-back check could never match.
+  private def fp = "lm|ws-split|bigram"
+
+  private def uniCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("__c"))
+
+  private def biCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(transform(sequence(lit(2), size(col("__ts"))),
+        i => struct(element_at(col("__ts"), i - 1).as("p"),
+          element_at(col("__ts"), i).as("t")))).as("__bg"))
+      .select(col("__bg.p").as("p"), col("__bg.t").as("t"))
+      .groupBy("p", "t").agg(count(lit(1)).as("__c"))
+
+  /** Train + persist the model over `corpus` as two bucketed count tables
+    * under `basePath`, tagged `tag`:
+    *  - `graft_lm_uni_<tag>`(t, __c)    bucketed by t
+    *  - `graft_lm_bi_<tag>`(p, t, __c)  bucketed by (p, t) */
+  def buildStore(corpus: DataFrame, textCol: String, tag: String,
+      basePath: String, numBuckets: Int): LmTables = {
+    val t = LmTables(s"graft_lm_uni_$tag", s"graft_lm_bi_$tag")
+    Bucketed.writeBucketed(uniCounts(corpus, textCol), t.uni,
+      s"$basePath/uni", "t", numBuckets)
+    Bucketed.writeBucketedKeys(biCounts(corpus, textCol), t.bi,
+      s"$basePath/bi", Seq("p", "t"), numBuckets)
+    val s = corpus.sparkSession
+    graft.Layouts.stampFingerprint(s, t.uni, fp)
+    graft.Layouts.stampFingerprint(s, t.bi, fp)
+    t
+  }
+
+  /** O(delta) ingest: append the batch's counts (split counts sum at read
+    * time). The fingerprint gate refuses a tokenizer/model-shape drift. */
+  def appendToStore(tables: LmTables, docs: DataFrame, textCol: String,
+      numBuckets: Int): Unit = {
+    graft.Layouts.checkFingerprint(docs.sparkSession, tables.uni, fp,
+      "NgramLm.appendToStore")
+    Bucketed.appendBucketedKeys(uniCounts(docs, textCol), tables.uni,
+      Seq("t"), numBuckets)
+    Bucketed.appendBucketedKeys(biCounts(docs, textCol), tables.bi,
+      Seq("p", "t"), numBuckets)
+  }
+
+  /** Takedown by EXACT DECREMENT: re-count ONLY the deleted docs and append
+    * their counts negated — the [[SpanDedup.deleteFromIndex]] contract
+    * (decrement exactly once per ingested doc; probes read net counts). */
+  def deleteFromStore(tables: LmTables, docs: DataFrame, textCol: String,
+      numBuckets: Int): Unit = {
+    graft.Layouts.checkFingerprint(docs.sparkSession, tables.uni, fp,
+      "NgramLm.deleteFromStore")
+    Bucketed.appendBucketedKeys(
+      uniCounts(docs, textCol).select(col("t"), (-col("__c")).as("__c")),
+      tables.uni, Seq("t"), numBuckets)
+    Bucketed.appendBucketedKeys(
+      biCounts(docs, textCol).select(col("p"), col("t"), (-col("__c")).as("__c")),
+      tables.bi, Seq("p", "t"), numBuckets)
+  }
+
+  /** Merge split/negated count rows and purge net-zero grams — one
+    * bucketed rewrite per table ([[Bucketed.compactTable]]'s scaffold). */
+  def compactStore(spark: SparkSession, tables: LmTables,
+      numBuckets: Int): Unit = {
+    def merge(df: DataFrame, keys: Seq[String]) =
+      df.groupBy(keys.map(col): _*)
+        .agg(sum(col("__c")).cast("long").as("__c"))
+        .filter(col("__c") > 0L)
+    Bucketed.compactTable(spark, tables.uni, Seq("t"), numBuckets)(
+      merge(_, Seq("t")))
+    Bucketed.compactTable(spark, tables.bi, Seq("p", "t"), numBuckets)(
+      merge(_, Seq("p", "t")))
+  }
+
+  /** Per-document mean interpolated log-probability of `delta` against the
+    * STORED model: (idCol, n_bigrams, avg_logprob) for every delta doc
+    * with ≥ 2 tokens. The store appears only through net-count probes
+    * restricted to the delta's own grams (bucketed semi-joins — the
+    * [[SpanDedup.incrementalSpans]] bounding discipline) plus ONE
+    * vocab-bounded (total, V) aggregation. `avg_logprob` is the
+    * exact-integer micro-pinned mean of round(ln(P), 8) — the
+    * `text_bigram_logprob` convention, so the stored face shares its
+    * oracle shape. */
+  def scoreDocs(spark: SparkSession, tables: LmTables, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    graft.Layouts.checkFingerprint(spark, tables.uni, fp, "NgramLm.scoreDocs")
+    import graft.functions.ExactRound
+    val pos = delta.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(2), size(col("__ts"))),
+          i => struct(element_at(col("__ts"), i - 1).as("p"),
+            element_at(col("__ts"), i).as("t")))).as("__bg"))
+      .select(col(idCol), col("__bg.p").as("p"), col("__bg.t").as("t"))
+      .localCheckpoint() // two probes + the final join read it
+    val deltaToks = pos.select(col("p").as("t"))
+      .unionAll(pos.select(col("t"))).distinct()
+    // net counts, delta-restricted: the semi keeps the bucketed scan's
+    // partitioning, the aggregation is bounded by delta-matched grams
+    val uniNet = spark.table(tables.uni)
+      .join(deltaToks, Seq("t"), "left_semi")
+      .groupBy(col("t")).agg(sum(col("__c")).as("__cu"))
+      .filter(col("__cu") > 0L)
+    val biNet = spark.table(tables.bi)
+      .join(pos.select("p", "t").distinct(), Seq("p", "t"), "left_semi")
+      .groupBy(col("p"), col("t")).agg(sum(col("__c")).as("__c2"))
+      .filter(col("__c2") > 0L)
+    // model scalars: one vocab-bounded pass over the unigram store
+    val vt = spark.table(tables.uni)
+      .groupBy(col("t")).agg(sum(col("__c")).as("__cu"))
+      .filter(col("__cu") > 0L)
+      .agg(sum(col("__cu")).as("__tot"), count(lit(1)).as("__v"))
+    pos.join(biNet, Seq("p", "t"), "left")
+      .join(uniNet.select(col("t").as("p"), col("__cu").as("__cp")),
+        Seq("p"), "left")
+      .join(uniNet.select(col("t"), col("__cu").as("__cn")), Seq("t"), "left")
+      .crossJoin(broadcast(vt))
+      .select(col(idCol), round(log(
+          when(col("__c2").isNotNull && col("__cp").isNotNull,
+            lit(0.7d) * col("__c2").cast("double") / col("__cp"))
+            .otherwise(lit(0.0d)) +
+          lit(0.3d) * (coalesce(col("__cn"), lit(0L)).cast("double") + lit(1.0d)) /
+            (col("__tot").cast("double") + col("__v") + lit(1.0d))), 8).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        ExactRound.ratioRound6Int(
+          sum(ExactRound.eScaled(col("__lp"), 8).cast("decimal(38,0)")), 8,
+          count(lit(1))).as("avg_logprob"))
+  }
+}

@@ -50,6 +50,44 @@ object TextQueries extends graft.QueryModule {
   private val PackGroups = graft.Pipeline.ChunkPack.Groups
   private val PackBudget = graft.Pipeline.ChunkPack.Budget
 
+  /** The stored-LM family's ingest/holdout split (the dedup family's
+    * convention): the DELTA (every tenth doc) is scored, everything else
+    * trains the model. [[lmDeadPred]] marks the takedown fixture INSIDE
+    * the training slice (decrement exactly once per ingested doc — the
+    * count-store contract). SQL twins: [[LmDeltaSql]] / [[LmBaseSql]] /
+    * [[LmBaseLiveSql]] — change them together. */
+  private def lmDeltaPred = col("doc_id") % 10 === 0
+  private def lmDeadPred = !(col("doc_id") % 10 === 0) && col("doc_id") % 4 === 1
+  private val LmDeltaSql = "doc_id % 10 = 0"
+  private val LmBaseSql = "NOT (doc_id % 10 = 0)"
+  private val LmBaseLiveSql = "NOT (doc_id % 10 = 0) AND NOT (doc_id % 4 = 1)"
+
+  /** The stored interpolated-bigram LM, trained once per (session, dir)
+    * over the base slice — `text_lm_store_build` pays the DDL as the
+    * family's first row (alphabetical: build sorts before the scorer). */
+  private def lmStore(s: SparkSession, dir: String): graft.operators.NgramLm.LmTables =
+    graft.Layouts.once(s, s"lm:$dir") {
+      val tag = graft.Layouts.tag(dir)
+      graft.operators.NgramLm.buildStore(
+        Tables.documents(s, dir).filter(lmDeltaPred.unary_!), "text", tag,
+        s"/tmp/graft_lm/$tag", 8)
+    }
+
+  /** The delete fixture's own store (the shared [[lmStore]] must keep its
+    * full counts): base build, then the dead docs' counts decremented —
+    * scoring must equal a model that never saw them. */
+  private def lmDelStore(s: SparkSession, dir: String): graft.operators.NgramLm.LmTables =
+    graft.Layouts.once(s, s"lmdel:$dir") {
+      val tag = graft.Layouts.tag(dir)
+      val docs = Tables.documents(s, dir)
+      val t = graft.operators.NgramLm.buildStore(
+        docs.filter(lmDeltaPred.unary_!), "text", s"${tag}_del",
+        s"/tmp/graft_lmdel/$tag", 8)
+      graft.operators.NgramLm.deleteFromStore(t, docs.filter(lmDeadPred),
+        "text", 8)
+      t
+    }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token/char counts + ratio features (north-star "quality scoring"
     // inputs). Tokenize ONCE into a column — every tokens(text) reference
@@ -303,6 +341,37 @@ object TextQueries extends graft.QueryModule {
       graft.operators.Bpe.encodeCounts(Tables.documents(s, dir), "text",
         "doc_id", s.table(t))
     }),
+    // The perplexity filter as a STORED model (CCNet's KenLM shape: train
+    // once on a reference slice, score every crawl batch) — the lifecycle
+    // face the live text_bigram_logprob lacks. This row is the store's
+    // own census: unigram/bigram vocabulary sizes and total count mass,
+    // recounted from scratch by the oracle over the base slice — a
+    // dropped gram, split-count error, or wrong training slice reddens it
+    // before any scorer reads the model.
+    "text_lm_store_build" -> ((s, dir) => {
+      val t = lmStore(s, dir)
+      s.table(t.uni).agg(count(lit(1)).as("n_unigrams"),
+          sum(col("__c")).cast("long").as("total_tokens"))
+        .crossJoin(s.table(t.bi).agg(count(lit(1)).as("n_bigrams"),
+          sum(col("__c")).cast("long").as("total_bigrams")))
+    }),
+    // Score the DELTA against the stored model: per-doc mean interpolated
+    // bigram log-prob, O(|delta| x probe) — the model appears only through
+    // bucketed net-count probes restricted to the delta's grams. The
+    // oracle retrains the model from the base slice and re-scores, so the
+    // whole store→probe path must equal a from-scratch computation.
+    "text_lm_stored_logprob" -> ((s, dir) =>
+      graft.operators.NgramLm.scoreDocs(s, lmStore(s, dir),
+        Tables.documents(s, dir).filter(lmDeltaPred), "doc_id", "text")),
+    // The LM's delete verb: takedown docs leave the model by EXACT
+    // DECREMENT (negated count append — delete ∘ append ≡ id, the count
+    // stores' third delete mechanic), and scoring immediately equals a
+    // model that never saw them — the oracle trains on base-minus-dead
+    // from scratch. A missed decrement, double decrement, or a probe
+    // reading raw instead of NET counts reddens the row.
+    "text_lm_deleted" -> ((s, dir) =>
+      graft.operators.NgramLm.scoreDocs(s, lmDelStore(s, dir),
+        Tables.documents(s, dir).filter(lmDeltaPred), "doc_id", "text")),
     // Count-min-sketch heavy hitters gated against the exact top-20: the
     // fixed-size mergeable frequency sketch (Cormode & Muthukrishnan 2005)
     // every streaming/one-pass frequency monitor runs at 100 TB, checked
@@ -1138,7 +1207,55 @@ object TextQueries extends graft.QueryModule {
     (head +: rounds).mkString(",\n")
   }
 
+  /** The stored-LM oracle body: retrain the interpolated-bigram model from
+    * scratch over `basePred`'s slice and score the delta — the one CTE set
+    * behind text_lm_stored_logprob (full base) and text_lm_deleted
+    * (base minus the takedown fixture). Mirrors NgramLm.scoreDocs term by
+    * term: same join shape, same CASE, same add-one OOV floor, same
+    * operation order inside the double expression. */
+  private def lmScoreSql(basePred: String): String =
+    s"""WITH ${DocSql.toksCte},
+       |tokb AS (SELECT unnest(toks) AS t FROM tokd WHERE $basePred),
+       |cnt AS (SELECT t, count(*) AS c FROM tokb GROUP BY 1),
+       |vt AS (SELECT CAST(sum(c) AS BIGINT) AS tot, count(*) AS v FROM cnt),
+       |bgb AS (SELECT unnest(list_transform(generate_series(2, len(toks)),
+       |    i -> {'p': toks[i-1], 't': toks[i]})) AS s
+       |  FROM tokd WHERE $basePred AND len(toks) >= 2),
+       |bc AS (SELECT s.p AS p, s.t AS t, count(*) AS c2 FROM bgb GROUP BY 1, 2),
+       |bgd AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(toks)),
+       |    i -> {'p': toks[i-1], 't': toks[i]})) AS s
+       |  FROM tokd WHERE $LmDeltaSql AND len(toks) >= 2),
+       |pos AS (SELECT doc_id, s.p AS p, s.t AS t FROM bgd),
+       |lp AS (SELECT pos.doc_id, round(ln(
+       |    CASE WHEN bc.c2 IS NOT NULL AND cp.c IS NOT NULL
+       |      THEN 0.7 * CAST(bc.c2 AS DOUBLE) / cp.c ELSE 0.0 END
+       |    + 0.3 * (CAST(coalesce(cn.c, 0) AS DOUBLE) + 1.0)
+       |      / (CAST(vt.tot AS DOUBLE) + vt.v + 1.0)), 8) AS lp
+       |  FROM pos
+       |  LEFT JOIN bc ON pos.p = bc.p AND pos.t = bc.t
+       |  LEFT JOIN cnt cp ON pos.p = cp.t
+       |  LEFT JOIN cnt cn ON pos.t = cn.t
+       |  CROSS JOIN vt)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  ${ExactRound.ratioRound6IntSql(
+            s"sum(${ExactRound.eScaledSql("lp", 8)})", 8, "count(*)")} AS avg_logprob
+       |FROM lp GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "text_lm_store_build" ->
+      s"""WITH ${DocSql.toksCte},
+         |tokb AS (SELECT unnest(toks) AS t FROM tokd WHERE $LmBaseSql),
+         |cnt AS (SELECT t, count(*) AS c FROM tokb GROUP BY 1),
+         |bgb AS (SELECT unnest(list_transform(generate_series(2, len(toks)),
+         |    i -> {'p': toks[i-1], 't': toks[i]})) AS s
+         |  FROM tokd WHERE $LmBaseSql AND len(toks) >= 2),
+         |bc AS (SELECT s.p AS p, s.t AS t, count(*) AS c2 FROM bgb GROUP BY 1, 2)
+         |SELECT (SELECT count(*) FROM cnt) AS n_unigrams,
+         |  CAST((SELECT sum(c) FROM cnt) AS BIGINT) AS total_tokens,
+         |  (SELECT count(*) FROM bc) AS n_bigrams,
+         |  CAST((SELECT sum(c2) FROM bc) AS BIGINT) AS total_bigrams""".stripMargin,
+    "text_lm_stored_logprob" -> lmScoreSql(LmBaseSql),
+    "text_lm_deleted" -> lmScoreSql(LmBaseLiveSql),
     "text_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id,
