@@ -241,7 +241,7 @@ object Budgets {
     "io_orc_roundtrip" -> 3.0, // r14f samples 0.28/0.29 + driver r10 0.27 + driver r11 0.26 (all calibration-normalized) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]; driver r12 0.24 folds below the ratchet
     "io_partitioned_roundtrip" -> 3.0, // r14f samples 0.35/0.39 + driver r10 0.34 + driver r11 0.33 (all calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]; driver r12 0.33 folds below the ratchet
     "io_schema_evolution" -> 3.0, // r14f samples 0.41/0.43 + driver r10 0.38 + driver r11 0.38 (all calibration-normalized) [raw 2.5x budget 1.1, raised to the 3 s metrology floor]; driver r12 0.40 folds below the ratchet
-    "io_tar_shards" -> 3.0, // r18 landing sample 0.83 raw at sf0.1 (tar-shard write + binaryFile read-back of the documents table; resample from the next closing pair) [raw 2.5x budget 2.1, raised to the 3 s metrology floor]
+    "io_tar_shards" -> 3.0, // r18 closing-pair samples 0.42/0.39 (calibration-normalized; tar-shard write + binaryFile read-back of the documents table) [raw 2.5x budget 1.1, raised to the 3 s metrology floor]
     "io_time_travel" -> 3.0, // r14f samples 0.58/0.52 + driver r10 0.48 + driver r11 0.48 (all calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]; driver r12 0.53 folds below the ratchet
     "io_vacuum_retention" -> 3.0, // r14f samples 0.34/0.36 + driver r10 0.28 + driver r11 0.30 (all calibration-normalized) [raw 2.5x budget 0.9, raised to the 3 s metrology floor]; driver r12 0.31 folds below the ratchet
     "io_wet_roundtrip" -> 3.0, // r14f samples 0.30/0.28 + driver r10 0.27 + driver r11 0.25 (all calibration-normalized) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]; driver r12 0.24 folds below the ratchet
@@ -333,7 +333,7 @@ object Budgets {
     "pq_opq_recall" -> 8.2, // r14f samples 1.45/1.68 + driver r10 1.40 + driver r11 1.39 (all calibration-normalized) + driver r12 3.26 — r12 ratchet governs (2.5x 3.26)
     "pq_refine_topk" -> 4.1, // r14f samples 1.59/1.63 + driver r10 1.53 + driver r11 1.29 (all calibration-normalized); driver r12 1.52 folds below the ratchet
     "pq_train_build" -> 21.3, // r15 closing clean-pair samples 6.83/6.60 + driver r11 5.81 (all calibration-normalized; the producer paying both trained-quantizer Lloyd fits; driver r10 sample 6.30 agrees) + driver r12 8.51 — r12 ratchet governs (2.5x 8.51)
-    "profile_tombstone_debt" -> 3.0, // r18 closing pair samples 0.21/0.58 (calibration-normalized; 1-row debt census — one layout scan + a broadcast semi-join count) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
+    "profile_tombstone_debt" -> 3.0, // r18 closing pairs 0.21/0.58 + 0.34/0.26 (calibration-normalized; 1-row debt census — one layout scan + a broadcast semi-join count) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]
     "profile_benford" -> 3.0, // r14f samples 0.39/0.43 + driver r10 0.34 + driver r11 0.32 (all calibration-normalized) [raw 2.5x budget 1.1, raised to the 3 s metrology floor]; driver r12 0.30 folds below the ratchet
     "profile_column_corr" -> 3.0, // r14f samples 0.29/0.31 + driver r10 0.24 + driver r11 0.27 (all calibration-normalized) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]; driver r12 0.24 folds below the ratchet
     "profile_corpus_drift" -> 3.0, // r14f samples 0.37/0.40 + driver r10 0.35 + driver r11 0.44 (all calibration-normalized) [raw 2.5x budget 1.0, raised to the 3 s metrology floor]; driver r12 0.34 folds below the ratchet
@@ -412,9 +412,9 @@ object Budgets {
     "text_fingerprint" -> 3.0, // r14f samples 0.10/0.20 + driver r10 0.09 + driver r11 0.14 (all calibration-normalized) [raw 2.5x budget 0.5, raised to the 3 s metrology floor]; driver r12 0.10 folds below the ratchet
     "text_heaps_law" -> 4.1, // r14f samples 0.83/1.63 + driver r10 0.89 + driver r11 0.84 (all calibration-normalized); driver r12 0.66 folds below the ratchet
     "text_keywords_tfidf" -> 7.0, // r14f samples 1.42/2.80 + driver r10 1.23 + driver r11 1.58 (all calibration-normalized); driver r12 1.03 folds below the ratchet
-    "text_lm_deleted" -> 9.2, // r18 landing sample 3.65 raw at sf0.1 (the row pays its own store: build + exact-decrement delete + score; resample from the next closing pair)
-    "text_lm_store_build" -> 4.9, // r18 landing sample 1.94 raw at sf0.1 (the shared LM store's DDL — the family's first row alphabetically; resample from the next closing pair)
-    "text_lm_stored_logprob" -> 3.0, // r18 landing sample 0.72 raw at sf0.1 (delta-bounded probes of the stored counts) [raw 2.5x budget 1.8, raised to the 3 s metrology floor]
+    "text_lm_deleted" -> 5.1, // r18 closing-pair samples 2.01/2.03 (calibration-normalized; the row pays its own store: build + exact-decrement delete + score — the landing raw-sample 9.2 corrected down per its own resample note)
+    "text_lm_store_build" -> 3.0, // r18 closing-pair samples 1.03/0.73 (calibration-normalized; the shared LM store's DDL — the family's first row alphabetically; the landing raw-sample 4.9 corrected down per its own resample note) [raw 2.5x budget 2.6, raised to the 3 s metrology floor]
+    "text_lm_stored_logprob" -> 3.0, // r18 closing-pair samples 0.30/0.25 (calibration-normalized; delta-bounded probes of the stored counts) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]
     "text_lang_confusion" -> 3.0, // r14f samples 0.54/0.92 + driver r10 0.42 + driver r11 0.49 (all calibration-normalized) [raw 2.5x budget 2.4, raised to the 3 s metrology floor]; driver r12 0.39 folds below the ratchet
     "text_lang_id" -> 3.0, // r14f samples 0.12/0.20 + driver r10 0.09 + driver r11 0.10 (all calibration-normalized) [raw 2.5x budget 0.5, raised to the 3 s metrology floor]; driver r12 0.09 folds below the ratchet
     "text_ngram_novelty" -> 3.0, // r14f samples 0.48/0.95 + driver r10 0.43 + driver r11 0.43 (all calibration-normalized) [raw 2.5x budget 2.4, raised to the 3 s metrology floor]; driver r12 0.42 folds below the ratchet

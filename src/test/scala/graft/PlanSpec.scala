@@ -95,6 +95,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stored-LM scoring probes the model tables; only the delta scans raw documents") {
+    val plan = planOf("text_lm_stored_logprob")
+    assert(plan.contains("graft_lm_uni_") && plan.contains("graft_lm_bi_"),
+      s"scoring should probe the persisted count tables:\n$plan")
+    assert(plan.contains("Bucketed: true"),
+      s"model probes should use the bucketed layout:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the net-count probes must be delta-restricted:\n$plan")
+    // O(delta) guarantee: every raw documents scan is the DELTA slice
+    // (doc_id % 10 = 0) — a corpus re-count would scan without the filter.
+    val unfiltered = plan.linesIterator
+      .filter(_.contains("documents.parquet")).filterNot(_.contains("% 10"))
+    assert(unfiltered.isEmpty,
+      s"corpus-side documents scan leaked into the stored-LM plan:\n$plan")
+  }
+
   test("chunking is one narrow stage; packing shuffles once, keyed on the group") {
     val chunk = planOf("text_chunk_windows")
     assert(!chunk.contains("Exchange") && !chunk.contains("Join"),
