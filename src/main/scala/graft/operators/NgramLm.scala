@@ -117,6 +117,27 @@ object NgramLm {
       merge(_, Seq("p", "t")))
   }
 
+  /** Streaming face of the scoring path — perplexity-filter the crawl as
+    * it arrives: each micro-batch of documents scores against the stored
+    * model through the identical batch transform (foreachBatch is the
+    * standard bridge for stream stages needing batch-only operators —
+    * bucketed-table joins here), and `sink` receives that batch's
+    * (idCol, n_bigrams, avg_logprob) rows. The model is READ-ONLY in this
+    * face — CCNet's deployment shape: the reference LM is frozen, crawl
+    * batches are scored by it, not learned into it (growing the model is
+    * [[appendToStore]], a separate maintenance decision). Batches are
+    * therefore independent and per-batch output equals the batch operator
+    * on the same rows (NgramLmSpec parity pin). */
+  def scoreStream(spark: SparkSession, tables: LmTables,
+      deltaStream: DataFrame, idCol: String, textCol: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(scoreDocs(spark, tables, batch.toDF(), idCol, textCol), batchId)
+      }
+      .outputMode("append")
+      .start()
+
   /** Per-document mean interpolated log-probability of `delta` against the
     * STORED model: (idCol, n_bigrams, avg_logprob) for every delta doc
     * with ≥ 2 tokens. The store appears only through net-count probes

@@ -55,6 +55,32 @@ class NgramLmSpec extends SparkSpec {
     assert(scores(t) == full)
   }
 
+  test("streaming scoring equals the batch operator per micro-batch (frozen model)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = NgramLm.buildStore(base, "text", "lmspec_stream",
+      "/tmp/graft_lmspec_stream", 4)
+    val rows = delta.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Seq[String]]
+    val query = NgramLm.scoreStream(spark, t,
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text") { (df, id) =>
+      got(id) = df.orderBy("doc_id").collect().map(_.toString).toSeq
+    }
+    try {
+      input.addData(b1); query.processAllAvailable()
+      input.addData(b2); query.processAllAvailable()
+    } finally query.stop()
+    def batchOf(docs: Seq[(Long, String)]): Seq[String] =
+      NgramLm.scoreDocs(spark, t, docs.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == batchOf(b1), "micro-batch 0 must equal its batch twin")
+    assert(got(1L) == batchOf(b2), "micro-batch 1 must equal its batch twin")
+  }
+
   test("unseen grams score finitely through the add-one OOV floor") {
     val t = NgramLm.buildStore(base.limit(50), "text", "lmspec_oov",
       "/tmp/graft_lmspec_oov", 4)
