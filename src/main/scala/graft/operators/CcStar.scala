@@ -80,6 +80,55 @@ object CcStar {
         coalesce(col("__label"), col("__id")).as("cluster_id"))
   }
 
+  /** O(affected) label MAINTENANCE under ingest — connected components as
+    * a stored artifact with a delta verb, not a per-batch global job
+    * (re-running corpus-wide CC per crawl batch is the scale pain the
+    * star rounds themselves can't fix). Given `storedLabels` (idCol,
+    * cluster_id over the indexed corpus; cluster id = component min id —
+    * [[connectedComponents]]'s contract), the batch's `deltaNodes`, and
+    * `newPairs` = EVERY new edge incident to the delta (delta-vs-corpus +
+    * delta-internal; base-base pairs can't appear on ingest, so the
+    * stored labels already carry all other connectivity), returns the
+    * full merged label table, EQUAL to a from-scratch CC over
+    * corpus ∪ delta:
+    *
+    *  - components untouched by any new edge keep their stored labels
+    *    verbatim (ingest only ADDS edges — components never split, and an
+    *    untouched component's min id can't change);
+    *  - the AFFECTED subgraph — members of every stored component some
+    *    new edge reaches, plus the delta — re-resolves via the star
+    *    rounds over (member → stored-label star edges) ∪ newPairs: the
+    *    star edges reproduce each old component's connectivity exactly
+    *    (depth-1, through its min), so merged components re-label to the
+    *    min of mins, and purely-new components label among themselves.
+    *
+    * Work is bounded by |delta| + |members of affected components| — the
+    * probes into the stored table are semi-joins on its keys, never a
+    * corpus scan. Equality to the one-shot clustering is oracle-gated
+    * (`dedup_clusters_incremental` shares `dedup_clusters`' SQL verbatim)
+    * and spec-pinned. */
+  def incrementalComponents(storedLabels: DataFrame, idCol: String,
+      deltaNodes: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val pairs = newPairs.select(col("a_id"), col("b_id")).localCheckpoint()
+    val endpoints = pairs.select(col("a_id").as("__ep"))
+      .unionAll(pairs.select(col("b_id").as("__ep"))).distinct()
+    val affected = storedLabels
+      .join(endpoints, storedLabels(idCol) === col("__ep"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val members = storedLabels.join(affected, Seq("cluster_id"), "left_semi")
+      .localCheckpoint() // read three times below
+    val starEdges = members.filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).as("a_id"), col("cluster_id").as("b_id"))
+    val subNodes = members.select(col(idCol))
+      .unionAll(deltaNodes.select(col(idCol))).distinct()
+    val relabeled = connectedComponents(
+      starEdges.unionAll(pairs), subNodes, idCol, maxIter)
+    storedLabels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+      .unionAll(relabeled)
+  }
+
   /** Large-star: per node u over the symmetrized neighborhood, m =
     * min(N(u) ∪ {u}); emit (v, m) for every STRICTLY LARGER neighbor
     * v > u. Large neighbors of a hub re-hang onto its minimum in one

@@ -48,6 +48,31 @@ object DedupQueries extends graft.QueryModule {
     * doc is "the new batch", the rest "the existing corpus". */
   private val deltaPred = col("doc_id") % 10 === 0
 
+  /** Stored base-corpus label table (doc_id, cluster_id) — the clustering
+    * as an artifact the incremental ingest maintains. Built once per
+    * (session, dir); `dedup_clusters_incremental` pays it at first touch
+    * as its own store DDL (like the delete rows' dedicated layouts). */
+  private object CcLabelLayout {
+    def ensure(s: SparkSession, dir: String): String =
+      graft.Layouts.once(s, s"cclabels:$dir") {
+        val tag = graft.Layouts.tag(dir)
+        val name = s"graft_cclabels_$tag"
+        val base = Tables.documents(s, dir).filter(!deltaPred)
+        // base pairs = the memoized full-corpus pair set restricted to
+        // base×base endpoints — pair verification is pairwise-exact, so
+        // the restriction IS jaccardJoin(base); reusing the shared memo
+        // (paid by dedup_clusters, alphabetically first) avoids paying
+        // the corpus pair join twice in one session
+        val basePairs = ccPairs(s, dir)
+          .filter(!(col("a_id") % 10 === 0) && !(col("b_id") % 10 === 0))
+        val labels = Dedup.connectedComponents(basePairs,
+          base.select("doc_id"), "doc_id")
+        graft.operators.Bucketed.writeBucketed(labels, name,
+          s"/tmp/graft_cclabels/$tag", "doc_id", 8)
+        name
+      }
+  }
+
   /** One persisted prefix index per (session, scale dir), memoized via
     * [[graft.Layouts]] so the build — the engine's index-DDL cost — runs
     * once per JVM: `dedup_jaccard_index_build` pays it as a Bench producer,
@@ -634,6 +659,30 @@ object DedupQueries extends graft.QueryModule {
         ccPairs(s, dir), docs.select("doc_id"), "doc_id")
       val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       cc.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_rep"))
+    }),
+    // Connected components as a MAINTAINED artifact: stored base labels +
+    // an O(affected) ingest merge (CcStar.incrementalComponents) — the
+    // daily-crawl face of the clustering, where re-running corpus-wide CC
+    // per batch is the 100 TB pain. New edges come from the persisted
+    // prefix index (delta-vs-base probes, O(delta)) plus the delta's
+    // internal pairs; untouched components keep their stored labels
+    // verbatim. Gated by the IDENTICAL oracle as dedup_clusters: the
+    // incrementally-merged table must equal the one-shot clustering of
+    // corpus ∪ delta, row for row.
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val t = JidxLayout.ensure(s, dir)
+      val lbl = CcLabelLayout.ensure(s, dir)
+      val delta = Tables.documents(s, dir).filter(deltaPred)
+      val newPairs = JaccardIndex.incrementalJoin(s, t, delta, "doc_id",
+          "text", N, MinJ).select("a_id", "b_id")
+        .unionAll(Dedup.jaccardJoin(delta, "doc_id", "text", N, MinJ)
+          .select("a_id", "b_id"))
+      val merged = graft.operators.CcStar.incrementalComponents(
+        s.table(lbl), "doc_id", delta.select("doc_id"), newPairs)
+      val sizes = merged.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      merged.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
           (col("doc_id") === col("cluster_id")).as("is_rep"))
     }),
@@ -1228,6 +1277,9 @@ object DedupQueries extends graft.QueryModule {
          |  cp.n_cross_pairs
          |FROM asn CROSS JOIN cp GROUP BY split, cp.n_cross_pairs""".stripMargin,
     "dedup_clusters_star" -> clustersSql,
+    // The incremental merge must equal the one-shot clustering exactly —
+    // same oracle as both batch implementations.
+    "dedup_clusters_incremental" -> clustersSql,
     // Survivor policy over the same ground-truth clusters: keep the LONGEST
     // member (ties → lowest id), not the smallest id — argmax replayed by a
     // per-cluster window over the closure.

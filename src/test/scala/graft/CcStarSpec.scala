@@ -49,6 +49,31 @@ class CcStarSpec extends SparkSpec {
     assert(star == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("incremental ingest equals from-scratch CC; untouched components keep labels verbatim") {
+    // stored base: {0,1,2} (label 0), {10,11} (label 10), {20,21} (label 20),
+    // singleton 30. Delta {100,101,102}: 100 bridges components 0 and 10
+    // (merge -> label 0), 101-102 pair among themselves (new component 101),
+    // component 20 and singleton 30 are untouched.
+    val basePairs = Seq((0L, 1L), (1L, 2L), (10L, 11L), (20L, 21L))
+    val baseIds = Seq(0L, 1L, 2L, 10L, 11L, 20L, 21L, 30L)
+    val stored = CcStar.connectedComponents(
+      basePairs.toDF("a_id", "b_id"), baseIds.toDF("doc_id"), "doc_id")
+    val deltaIds = Seq(100L, 101L, 102L)
+    val newPairs = Seq((100L, 2L), (100L, 11L), (101L, 102L))
+    val merged = CcStar.incrementalComponents(stored, "doc_id",
+      deltaIds.toDF("doc_id"), newPairs.toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().toMap
+    val truth = CcStar.connectedComponents(
+      (basePairs ++ newPairs).toDF("a_id", "b_id"),
+      (baseIds ++ deltaIds).toDF("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(merged == truth)
+    assert(merged(11L) == 0L && merged(100L) == 0L, "bridged components merge to min of mins")
+    assert(merged(101L) == 101L && merged(102L) == 101L, "delta-only pairs form their own component")
+    assert(merged(20L) == 20L && merged(21L) == 20L && merged(30L) == 30L,
+      "untouched components keep stored labels")
+  }
+
   test("dense random-ish graph parity with propagation") {
     // 80 nodes, edges joining i to (i*7) % 80 — a few mid-size components
     // with cycles and cross links.
