@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components by alternating large-star / small-star rewiring
@@ -128,6 +128,41 @@ object CcStar {
       .select(col(idCol), col("cluster_id"))
       .unionAll(relabeled)
   }
+
+  /** Streaming face of [[incrementalComponents]] — the label table as a
+    * CONTINUOUSLY maintained artifact: each micro-batch of arriving
+    * documents merges into the stored labels and the merged table
+    * replaces the store (truncate-then-load through the bucketed writer;
+    * the merge is materialized OFF the table before the rewrite — the
+    * read-while-truncate guard every compaction here uses). `newPairsOf`
+    * maps a batch to its incident (a_id, b_id) pairs, so the pairing
+    * policy (an index probe, a synthetic rule) stays the caller's. After
+    * ANY prefix of batches the stored table equals the one-shot CC over
+    * base ∪ those batches (spec-pinned) — batches see every earlier
+    * batch's merges through the store. SINGLE MAINTENANCE WRITER: the
+    * per-batch rewrite assumes no concurrent mutation of the label
+    * table (the [[Bucketed.compactTable]] contract). */
+  def ingestStream(spark: SparkSession, labelTable: String, idCol: String,
+      numBuckets: Int, deltaStream: DataFrame)(
+      newPairsOf: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF()
+        val loc = spark.sql(s"DESCRIBE FORMATTED $labelTable")
+          .filter(col("col_name") === "Location")
+          .select("data_type").head().getString(0)
+        val merged = incrementalComponents(spark.table(labelTable), idCol,
+          b.select(col(idCol)), newPairsOf(b)).localCheckpoint()
+        Bucketed.writeBucketedKeys(merged, labelTable, loc, Seq(idCol),
+          numBuckets)
+        // the rewrite replaced the files under the same table name —
+        // refresh so the NEXT batch's store read sees this batch's merge
+        // (the appendBucketedKeys lesson: foreachBatch relation caches
+        // don't reliably invalidate on their own)
+        spark.catalog.refreshTable(labelTable)
+      }
+      .outputMode("append")
+      .start()
 
   /** Large-star: per node u over the symmetrized neighborhood, m =
     * min(N(u) ∪ {u}); emit (v, m) for every STRICTLY LARGER neighbor

@@ -74,6 +74,52 @@ class CcStarSpec extends SparkSpec {
       "untouched components keep stored labels")
   }
 
+  test("streaming ingest: after every batch prefix the store equals one-shot CC") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val basePairs = Seq((0L, 1L), (10L, 11L))
+    val baseIds = Seq(0L, 1L, 2L, 10L, 11L)
+    // every delta doc pairs with (its id - 100) when that doc exists —
+    // a deterministic stand-in for an index probe
+    val allPairs = Map(
+      100L -> Seq((100L, 0L)),   // batch 1: 100 joins component 0
+      101L -> Seq.empty,         // batch 1: 101 is a new singleton
+      110L -> Seq((110L, 10L), (110L, 101L))) // batch 2: merges 10-comp with 101
+    def pairsOf(b: DataFrame): DataFrame = {
+      val ids = b.select("doc_id").as[Long].collect().toSeq
+      val ps = ids.flatMap(allPairs.getOrElse(_, Seq.empty))
+      if (ps.isEmpty) Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+      else ps.toDF("a_id", "b_id")
+    }
+    val table = s"ccstream_${System.nanoTime()}"
+    graft.operators.Bucketed.writeBucketed(
+      CcStar.connectedComponents(basePairs.toDF("a_id", "b_id"),
+        baseIds.toDF("doc_id"), "doc_id"),
+      table, s"/tmp/graft_ccstream_${System.nanoTime()}", "doc_id", 2)
+    val input = MemoryStream[Long]
+    val query = CcStar.ingestStream(spark, table, "doc_id", 2,
+      input.toDF().toDF("doc_id"))(pairsOf)
+    def stored: Map[Long, Long] =
+      spark.table(table).as[(Long, Long)].collect().toMap
+    def truth(ids: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      CcStar.connectedComponents(
+        (basePairs ++ pairs).toDF("a_id", "b_id"),
+        (baseIds ++ ids).toDF("doc_id"), "doc_id")
+        .as[(Long, Long)].collect().toMap
+    try {
+      input.addData(Seq(100L, 101L)); query.processAllAvailable()
+      assert(stored == truth(Seq(100L, 101L), allPairs(100L)))
+      input.addData(Seq(110L)); query.processAllAvailable()
+      // batch 2 bridges the 10-component with batch 1's singleton 101
+      val all = Seq(100L, 101L, 110L)
+      val ps = all.flatMap(allPairs.getOrElse(_, Seq.empty))
+      val t2 = truth(all, ps)
+      assert(stored == t2)
+      assert(t2(110L) == 10L && t2(101L) == 10L,
+        "the cross-batch merge must resolve through the stored labels")
+    } finally query.stop()
+  }
+
   test("dense random-ish graph parity with propagation") {
     // 80 nodes, edges joining i to (i*7) % 80 — a few mid-size components
     // with cycles and cross links.
