@@ -135,7 +135,7 @@ object Budgets {
     "dedup_cdc_index_compact" -> 3.0, // r14f samples 0.57/0.51 + driver r10 0.48 + driver r11 0.54 (all calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]; r12 sample lost to the driver record's stdout truncation
     "dedup_cdc_stats" -> 3.0, // r14f samples 0.28/0.34 + driver r10 0.28 + driver r11 0.34 (all calibration-normalized) [raw 2.5x budget 0.9, raised to the 3 s metrology floor]; r12 sample lost to the driver record's stdout truncation
     "dedup_clusters" -> 6.6, // r14f samples 2.21/2.19 + driver r10 2.42 + driver r11 2.64 (all calibration-normalized) — r11 ratchet governs (2.5x 2.64); r12 sample lost to the driver record's stdout truncation
-    "dedup_clusters_incremental" -> 20.3, // r18 landing sample 8.14 raw at sf0.1 with the family producers warm (the row pays its own label-store DDL: base CC + bucketed write, then the O(affected) merge; resample from the next closing pair)
+    "dedup_clusters_incremental" -> 15.7, // r18 closing-pair samples 6.25/4.39 (calibration-normalized; the row pays its own label-store DDL: base CC + bucketed write, then the O(affected) merge — the landing raw-sample 20.3 corrected down per its own resample note)
     "dedup_clusters_star" -> 5.1, // r14f samples 1.76/1.75 + driver r10 1.78 + driver r11 2.03 (all calibration-normalized) — r11 ratchet governs (2.5x 2.03); r12 sample lost to the driver record's stdout truncation
     "dedup_containment_pairs" -> 6.3, // r14f samples 2.33/2.31 + driver r10 2.15 + driver r11 2.51 (all calibration-normalized) — r11 ratchet governs (2.5x 2.51); r12 sample lost to the driver record's stdout truncation
     "dedup_edit_pairs" -> 3.0, // r14f samples 0.59/0.58 + driver r10 0.50 + driver r11 0.47 (all calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]; r12 sample lost to the driver record's stdout truncation
