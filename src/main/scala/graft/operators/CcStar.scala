@@ -110,6 +110,18 @@ object CcStar {
   def incrementalComponents(storedLabels: DataFrame, idCol: String,
       deltaNodes: DataFrame, newPairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    // Disjointness guard (the append contract every layout here shares,
+    // made LOUD like the tombstone lost-insert guard): a delta id already
+    // in the stored table would surface TWICE — once through the
+    // untouched branch, once relabeled — a silently corrupt label table.
+    // One bounded semi-join probe per ingest.
+    val clash = deltaNodes.select(col(idCol).as("__d"))
+      .join(storedLabels.select(col(idCol).as("__d")), Seq("__d"), "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      "CcStar.incrementalComponents: the batch re-ingests ids the stored " +
+        "label table already holds — the merge would emit duplicate " +
+        "labels; dedup the batch against the store (or rebuild) first")
     val pairs = newPairs.select(col("a_id"), col("b_id")).localCheckpoint()
     val endpoints = pairs.select(col("a_id").as("__ep"))
       .unionAll(pairs.select(col("b_id").as("__ep"))).distinct()

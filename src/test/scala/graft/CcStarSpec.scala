@@ -74,6 +74,18 @@ class CcStarSpec extends SparkSpec {
       "untouched components keep stored labels")
   }
 
+  test("re-ingesting an already-labeled id fails loudly, never duplicates rows") {
+    val stored = CcStar.connectedComponents(
+      Seq((0L, 1L)).toDF("a_id", "b_id"), Seq(0L, 1L, 2L).toDF("doc_id"),
+      "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      CcStar.incrementalComponents(stored, "doc_id",
+        Seq(1L, 100L).toDF("doc_id"), // 1 is already labeled
+        Seq((100L, 2L)).toDF("a_id", "b_id"))
+    }
+    assert(e.getMessage.contains("re-ingests"))
+  }
+
   test("streaming ingest: after every batch prefix the store equals one-shot CC") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
