@@ -270,7 +270,13 @@ object Bench {
     // cwd must not fail the bench.
     def writeRecord(totalLine: String): Unit =
       try {
-        val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL_LAST.json")
+        // resolve against THIS checkout (cwd, or an explicit override) —
+        // a hardcoded absolute path would overwrite a foreign repo's
+        // record when the bench runs from another checkout on a machine
+        // where that path exists
+        val dir = sys.props.getOrElse("graft.bench.recordDir",
+          sys.props.getOrElse("user.dir", "."))
+        val p = java.nio.file.Paths.get(dir, "BENCH_FULL_LAST.json")
         if (java.nio.file.Files.isDirectory(p.getParent)) {
           val lines = Seq(
             s"""{"metric":"per_query","unit":"sec","queries":$qs}""",

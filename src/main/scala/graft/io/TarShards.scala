@@ -19,13 +19,17 @@ import org.apache.spark.sql.types._
   * and each task streams ONE shard through the Hadoop FileSystem API with
   * a write-to-temp + rename commit — the corpus never passes through the
   * driver, task retries can't publish torn shards, and a driver-written
-  * `manifest.json` carries the global shape. The READ rides Spark's
-  * `binaryFile` source (one task per shard — the same file-granularity
-  * parallelism the training loaders use) and groups a sample's members
-  * map-side: adjacency within the shard makes the per-sample pivot a
-  * single pass with NO shuffle. Pure-JDK ustar encode/decode, checksums
-  * verified loudly on read — a silently-skipped corrupt member would
-  * surface as a missing training sample.
+  * `manifest.json` carries the global shape. The READ streams each shard
+  * member-by-member off an `FSDataInputStream` (one task per shard — the
+  * same file-granularity parallelism the training loaders use): task
+  * memory is bounded by the LARGEST MEMBER, never the shard, so shard
+  * size stays a tuning knob on the read side exactly as on the write
+  * side (and the former `binaryFile` 2 GB-per-file ceiling is gone). A
+  * sample's members are grouped map-side: adjacency within the shard
+  * makes the per-sample pivot a single pass with NO shuffle. Pure-JDK
+  * ustar encode/decode, checksums verified loudly on read — a
+  * silently-skipped corrupt member would surface as a missing training
+  * sample.
   */
 object TarShards {
 
@@ -43,7 +47,7 @@ object TarShards {
     * Deterministic: mode 0644, uid/gid 0, mtime 0 — same input, same
     * bytes, so shard files are content-addressable and task-retry twins
     * write identical output. */
-  private[io] def headerBlock(name: String, size: Long): Array[Byte] = {
+  private[graft] def headerBlock(name: String, size: Long): Array[Byte] = {
     val nameBytes = name.getBytes("US-ASCII")
     require(nameBytes.length <= 100, s"tar member name too long: $name")
     val h = new Array[Byte](Block)
@@ -81,42 +85,88 @@ object TarShards {
     out.toByteArray
   }
 
-  /** Parse a ustar archive into (name, payload) members, verifying each
-    * header checksum — corruption raises, it never silently drops a
-    * member. */
-  def parseTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
-    var off = 0
-    def zeroBlock(o: Int) = (o until o + Block).forall(bytes(_) == 0)
-    while (off + Block <= bytes.length && !zeroBlock(off)) {
-      val stored = new String(bytes, off + 148, 8, "US-ASCII")
-        .dropWhile(_ == ' ').takeWhile(c => c >= '0' && c <= '7')
-      val expected = java.lang.Long.parseLong(stored, 8)
-      var sum = 0L
-      var i = 0
-      while (i < Block) {
-        val b = if (i >= 148 && i < 156) ' '.toByte else bytes(off + i)
-        sum += (b & 0xff); i += 1
+  /** Lazily decode a ustar archive from `in` as (name, payload) members,
+    * verifying each header checksum — corruption raises (naming `src`),
+    * it never silently drops a member. ONE member is resident at a time:
+    * this is the read-side twin of [[write]]'s streaming discipline, so
+    * shard size bounds nothing but disk. The stream is closed when the
+    * terminator (or EOF at a header boundary) is reached; callers that
+    * may abandon the iterator early must close `in` themselves. */
+  def memberIterator(in: java.io.InputStream,
+      src: String): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private val h = new Array[Byte](Block)
+      private var pending: (String, Array[Byte]) = null
+      private var done = false
+      private var off = 0L
+
+      private def readFully(buf: Array[Byte], len: Int): Boolean = {
+        var n = 0
+        while (n < len) {
+          val r = in.read(buf, n, len - n)
+          if (r < 0) return false
+          n += r
+        }
+        true
       }
-      require(sum == expected,
-        s"tar header checksum mismatch at offset $off ($sum != $expected)")
-      val magic = new String(bytes, off + 257, 5, "US-ASCII")
-      require(magic == "ustar", s"not a ustar header at offset $off: $magic")
-      val nameLen = (0 until 100).indexWhere(i => bytes(off + i) == 0) match {
-        case -1 => 100
-        case n => n
+
+      private def finish(): Unit = { done = true; in.close() }
+
+      private def advance(): Unit = while (pending == null && !done) {
+        if (!readFully(h, Block) || h.forall(_ == 0)) finish()
+        else {
+          val stored = new String(h, 148, 8, "US-ASCII")
+            .dropWhile(_ == ' ').takeWhile(c => c >= '0' && c <= '7')
+          val expected = java.lang.Long.parseLong(stored, 8)
+          var sum = 0L
+          var i = 0
+          while (i < Block) {
+            val b = if (i >= 148 && i < 156) ' '.toByte else h(i)
+            sum += (b & 0xff); i += 1
+          }
+          require(sum == expected,
+            s"tar header checksum mismatch at offset $off in $src ($sum != $expected)")
+          val magic = new String(h, 257, 5, "US-ASCII")
+          require(magic == "ustar", s"not a ustar header at offset $off in $src: $magic")
+          val nameLen = (0 until 100).indexWhere(h(_) == 0) match {
+            case -1 => 100
+            case n => n
+          }
+          val name = new String(h, 0, nameLen, "US-ASCII")
+          // size stays a Long until the one-member buffer forces the cap —
+          // a >=2 GiB member (legal ustar) gets a diagnostic, not a
+          // negative-length copy failure
+          val size = java.lang.Long.parseLong(
+            new String(h, 124, 12, "US-ASCII")
+              .takeWhile(c => c >= '0' && c <= '7'), 8)
+          require(size <= Int.MaxValue.toLong,
+            s"tar member too large for one in-memory payload: $name is $size bytes in $src")
+          val payload = new Array[Byte](size.toInt)
+          require(readFully(payload, size.toInt),
+            s"truncated tar member $name at offset $off in $src")
+          val pad = ((Block - (size % Block)) % Block).toInt
+          if (pad > 0) {
+            val skip = new Array[Byte](pad)
+            require(readFully(skip, pad),
+              s"truncated tar padding after $name at offset $off in $src")
+          }
+          off += Block + size + pad
+          if (h(156) == '0'.toByte) pending = (name, payload)
+        }
       }
-      val name = new String(bytes, off, nameLen, "US-ASCII")
-      val size = java.lang.Long.parseLong(
-        new String(bytes, off + 124, 12, "US-ASCII")
-          .takeWhile(c => c >= '0' && c <= '7'), 8).toInt
-      val payload = java.util.Arrays.copyOfRange(bytes, off + Block,
-        off + Block + size)
-      if (bytes(off + 156) == '0'.toByte) out += ((name, payload))
-      off += Block + ((size + Block - 1) / Block) * Block
+
+      def hasNext: Boolean = { advance(); pending != null }
+      def next(): (String, Array[Byte]) = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("tar exhausted")
+        val m = pending; pending = null; m
+      }
     }
-    out.toSeq
-  }
+
+  /** Parse an in-memory ustar archive into (name, payload) members — the
+    * eager face of [[memberIterator]] for already-resident bytes. */
+  def parseTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    memberIterator(new java.io.ByteArrayInputStream(bytes), "<bytes>").toSeq
 
   private def memberName(key: Long, suffix: String): String =
     f"$key%012d.$suffix"
@@ -125,7 +175,10 @@ object TarShards {
     * `keyCol` (long), one tar member per (binary column, suffix) in
     * `members`. Samples are range-partitioned on the key into `shards`
     * tasks; each task streams ONE `shard_NNNNN.tar` (temp + rename commit,
-    * the torn-shard guard). Size shards via `shards` so one tar lands in
+    * the torn-shard guard). A NULL member column is SKIPPED — the
+    * symmetric inverse of [[readSamples]] surfacing a missing member as
+    * NULL — but a sample whose members are ALL null would vanish on read,
+    * so it raises instead. Size shards via `shards` so one tar lands in
     * the loaders' sweet spot (~100 MB–1 GB at corpus scale). Returns
     * per-shard (shard, samples, minKey, maxKey) and writes
     * `manifest.json`. */
@@ -167,19 +220,38 @@ object TarShards {
               if (n == 0L) lo = k
               hi = k
               n += 1L
+              var wrote = false
               suffixes.zipWithIndex.foreach { case (sfx, i) =>
                 val payload = r.getAs[Array[Byte]](i + 1)
-                out.write(headerBlock(memberName(k, sfx), payload.length.toLong))
-                out.write(payload)
-                val rem = payload.length % Block
-                if (rem != 0) out.write(new Array[Byte](Block - rem))
+                if (payload != null) {
+                  wrote = true
+                  out.write(headerBlock(memberName(k, sfx), payload.length.toLong))
+                  out.write(payload)
+                  val rem = payload.length % Block
+                  if (rem != 0) out.write(new Array[Byte](Block - rem))
+                }
               }
+              require(wrote, s"TarShards.write: sample $k has every member " +
+                "column NULL — it would write no members and silently " +
+                "vanish on read; filter such rows (or supply a payload) first")
             }
             out.write(new Array[Byte](2 * Block))
           } finally out.close()
           if (!fs.rename(tmp, dest)) {
-            if (fs.exists(dest)) fs.delete(tmp, false)
-            else sys.error(s"TarShards.write: rename $tmp -> $dest failed")
+            // A pre-existing dest is only a SAFE commit if it is this
+            // task's deterministic twin (a retry that won the rename).
+            // The writer is byte-deterministic per shard, so equal length
+            // == equal bytes for a twin; anything else (a stale shard
+            // from a previous export into the same dir) must not survive
+            // under a fresh manifest claiming this run's counts.
+            val tmpLen = fs.getFileStatus(tmp).getLen
+            val twin = fs.exists(dest) && fs.getFileStatus(dest).getLen == tmpLen
+            if (twin) fs.delete(tmp, false)
+            else {
+              if (fs.exists(dest)) fs.delete(dest, false)
+              if (!fs.rename(tmp, dest))
+                sys.error(s"TarShards.write: rename $tmp -> $dest failed")
+            }
           }
           Iterator.single((shard, n, lo, hi))
         }
@@ -195,24 +267,45 @@ object TarShards {
   }
 
   /** Read shards back, one row per SAMPLE: (key, <suffix> binary, ...).
-    * One `binaryFile` task per shard; the per-sample pivot is a single
-    * map-side pass over each shard's members (the write contract keeps a
-    * sample's members contiguous) — no shuffle, no join. A member whose
-    * suffix isn't requested is ignored; a sample missing a requested
-    * member surfaces it NULL. */
+    * One task per shard file; each task STREAMS its shard member-by-member
+    * off an `FSDataInputStream` through [[memberIterator]], so task heap
+    * is bounded by the largest member plus one sample — never the shard
+    * (the write side's own rule, applied to the read). The per-sample
+    * pivot is a single map-side pass over each shard's members (the write
+    * contract keeps a sample's members contiguous) — no shuffle, no join.
+    * A member whose suffix isn't requested is ignored; a sample missing a
+    * requested member surfaces it NULL. */
   def readSamples(spark: SparkSession, dir: String,
       suffixes: Seq[String]): DataFrame = {
     val schema = StructType(StructField("key", LongType, nullable = false) +:
       suffixes.map(s => StructField(s, BinaryType, nullable = true)))
-    val shards = spark.read.format("binaryFile").load(s"$dir/shard_*.tar")
-      .select(col("content"))
-    shards.mapPartitions { it =>
-      it.flatMap { fileRow =>
-        val membersByKey = parseTar(fileRow.getAs[Array[Byte]](0)).iterator
-          .map { case (name, payload) =>
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val pat = new org.apache.hadoop.fs.Path(dir, "shard_*.tar")
+    val fs = pat.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = Option(fs.globStatus(pat)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"TarShards.readSamples: no shard_*.tar under $dir")
+    // one partition per shard — the file-granularity parallelism the
+    // format is built around, with no Exchange anywhere in the plan
+    val paths = spark.createDataset(
+      spark.sparkContext.parallelize(files, files.length))(
+      org.apache.spark.sql.Encoders.STRING)
+    paths.mapPartitions { it =>
+      it.flatMap { path =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val in = p.getFileSystem(confBc.value.value).open(p)
+        // memberIterator closes `in` at the terminator; the listener is
+        // the backstop for a task that dies mid-shard
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => } })
+        val membersByKey = memberIterator(in, path).map {
+          case (name, payload) =>
             val dot = name.lastIndexOf('.')
             (name.substring(0, dot).toLong, name.substring(dot + 1), payload)
-          }
+        }
         // contiguity contract: group consecutive members sharing a key
         new Iterator[Row] {
           private val buf = membersByKey.buffered

@@ -59,6 +59,47 @@ class TarShardsSpec extends SparkSpec {
       s"sample grouping must ride member contiguity, never a shuffle:\n$plan")
   }
 
+  test("a >=2 GiB member raises a clear diagnostic, not a negative-length copy") {
+    // craft just the header: the size check fires before any payload read
+    val h = TarShards.headerBlock("000000000001.bin", 3L << 30)
+    val e = intercept[IllegalArgumentException] {
+      TarShards.memberIterator(
+        new java.io.ByteArrayInputStream(h), "<crafted>").hasNext
+    }
+    assert(e.getMessage.contains("too large"), e.getMessage)
+  }
+
+  test("a truncated member raises instead of silently ending the archive") {
+    val tar = TarShards.tarBytes(Iterator(
+      "000000000001.txt" -> Array.fill(2000)('x'.toByte)))
+    val cut = java.util.Arrays.copyOfRange(tar, 0, 512 + 1000) // mid-payload
+    val e = intercept[IllegalArgumentException] { TarShards.parseTar(cut) }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
+  test("NULL member columns are skipped on write (read surfaces them NULL); an all-NULL sample raises") {
+    val dir = s"/tmp/graft_tarspec_skip_${System.nanoTime()}"
+    TarShards.write(
+      Seq((1L, Some("a".getBytes("UTF-8")), None),
+        (2L, None, Some("b".getBytes("UTF-8"))))
+        .toDF("doc_id", "txt", "cls"),
+      "doc_id", Seq("txt" -> "txt", "cls" -> "cls"), dir, 1)
+    val back = TarShards.readSamples(spark, dir, Seq("txt", "cls"))
+      .collect().sortBy(_.getLong(0))
+    assert(back.length == 2)
+    assert(back(0).getAs[Array[Byte]]("txt") != null && back(0).isNullAt(2))
+    assert(back(1).isNullAt(1) && back(1).getAs[Array[Byte]]("cls") != null)
+    val e = intercept[Exception] {
+      TarShards.write(
+        Seq((3L, None: Option[Array[Byte]])).toDF("doc_id", "txt"),
+        "doc_id", Seq("txt" -> "txt"),
+        s"/tmp/graft_tarspec_allnull_${System.nanoTime()}", 1)
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(e).contains("every member"), messages(e))
+  }
+
   test("a missing requested member surfaces NULL, not a dropped sample") {
     val dir = s"/tmp/graft_tarspec_null_${System.nanoTime()}"
     TarShards.write(Seq((1L, "a".getBytes("UTF-8")), (2L, "b".getBytes("UTF-8")))
