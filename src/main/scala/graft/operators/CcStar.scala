@@ -110,6 +110,21 @@ object CcStar {
   def incrementalComponents(storedLabels: DataFrame, idCol: String,
       deltaNodes: DataFrame, newPairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    val (affected, relabeled) =
+      relabelAffected(storedLabels, idCol, deltaNodes, newPairs, maxIter)
+    storedLabels.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+      .unionAll(relabeled)
+  }
+
+  /** The merge's DELTA only: (affected stored cluster ids, new labels for
+    * affected-members ∪ delta). [[incrementalComponents]] composes the
+    * full logical table from it; [[applyBatch]] PERSISTS only the second
+    * half — the O(affected ∪ delta) rows a maintained store actually has
+    * to write per batch. */
+  private def relabelAffected(storedLabels: DataFrame, idCol: String,
+      deltaNodes: DataFrame, newPairs: DataFrame,
+      maxIter: Int): (DataFrame, DataFrame) = {
     // Disjointness guard (the append contract every layout here shares,
     // made LOUD like the tombstone lost-insert guard): a delta id already
     // in the stored table would surface TWICE — once through the
@@ -136,42 +151,153 @@ object CcStar {
       .unionAll(deltaNodes.select(col(idCol))).distinct()
     val relabeled = connectedComponents(
       starEdges.unionAll(pairs), subNodes, idCol, maxIter)
-    storedLabels.join(affected, Seq("cluster_id"), "left_anti")
-      .select(col(idCol), col("cluster_id"))
-      .unionAll(relabeled)
+    (affected, relabeled)
   }
+
+  // ---------------------------------------------------------------------
+  // The maintained label STORE: a bucketed (idCol, cluster_id, __v) table
+  // whose physical verb is an O(affected ∪ delta) versioned APPEND, read
+  // back latest-wins — never a per-batch full rewrite (the r13 verdict's
+  // #1: the merge COMPUTE was O(affected) but its persistence was
+  // truncate-then-load of the whole table, an O(corpus) write per crawl
+  // batch at a billion-row label table). The io_time_travel mechanic
+  // applied to labels: batch k's relabeled rows land one version above
+  // the store watermark, a key's label is its max-version row, and
+  // compaction collapses history. A sibling `__cc_applied` file carries
+  // (last applied batchId, version watermark), making [[applyBatch]]
+  // idempotent under foreachBatch's at-least-once replay — a replayed
+  // batch is a no-op instead of tripping the re-ingest clash guard
+  // forever (the r13 ADVICE availability trap).
+  // ---------------------------------------------------------------------
+
+  /** The store's version column. Base build = 0; batch appends count up. */
+  private val VerCol = "__v"
+
+  private def appliedPath(layoutPath: String) =
+    new org.apache.hadoop.fs.Path(layoutPath.stripSuffix("/") + "__cc_applied")
+
+  private def hfs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableLocation(spark: SparkSession, table: String): String =
+    spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+
+  /** (last applied batchId, version watermark) from the sidecar; absent ⇒
+    * fall back to (-1, max __v in the store) — one column-scan, paid only
+    * when the sidecar was lost, never per healthy batch. */
+  private[graft] def readApplied(spark: SparkSession, table: String,
+      loc: String): (Long, Long) = {
+    val p = appliedPath(loc)
+    val f = hfs(spark, p)
+    if (f.exists(p)) {
+      val in = f.open(p)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.trim.split(" ") match {
+        case Array(b, v) => (b.toLong, v.toLong)
+        case other => throw new IllegalStateException(
+          s"malformed cc-applied marker at $p: '${other.mkString(" ")}'")
+      }
+    } else
+      (-1L, spark.table(table).agg(coalesce(max(col(VerCol)), lit(0L)))
+        .head().getLong(0))
+  }
+
+  private[graft] def writeApplied(spark: SparkSession, loc: String,
+      batchId: Long, ver: Long): Unit = {
+    val p = appliedPath(loc)
+    val out = hfs(spark, p).create(p, true)
+    try out.write(s"$batchId $ver".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Create the maintained store from a full (idCol, cluster_id) labeling:
+    * rows stamped version 0, bucketed on idCol (reads and probes stay
+    * exchange-free), sidecar reset to "nothing applied". */
+  def initLabelStore(labels: DataFrame, table: String, path: String,
+      idCol: String, numBuckets: Int): Unit = {
+    val spark = labels.sparkSession
+    Bucketed.writeBucketedKeys(
+      labels.select(col(idCol), col("cluster_id"), lit(0L).as(VerCol)),
+      table, path, Seq(idCol), numBuckets)
+    writeApplied(spark, path, -1L, 0L)
+  }
+
+  /** The store's logical label table: latest version wins per key. One
+    * exchange-free aggregation over the bucketed layout (max_by ties can
+    * only arise from a crash-replayed duplicate append, whose rows are
+    * byte-identical — any winner is THE answer). */
+  def readLabels(spark: SparkSession, table: String, idCol: String): DataFrame =
+    spark.table(table).groupBy(col(idCol))
+      .agg(max_by(col("cluster_id"), col(VerCol)).as("cluster_id"))
+
+  /** Apply ONE ingest batch to the maintained store: merge against the
+    * as-of-watermark latest-wins view, append ONLY the relabeled rows
+    * (affected members ∪ delta) at watermark+1, then advance the sidecar.
+    * Replay-safe under at-least-once delivery:
+    *  - `batchId` ≤ the sidecar's last applied id ⇒ no-op (the crash
+    *    landed after the marker advanced);
+    *  - a crash between the append and the marker leaves the watermark
+    *    pointing BELOW the torn rows, so the replay recomputes the same
+    *    merge from the same view and re-appends byte-identical rows —
+    *    harmless under latest-wins, collapsed by [[compactLabelStore]].
+    * Returns the number of label rows appended (0 on a no-op). */
+  def applyBatch(spark: SparkSession, labelTable: String, idCol: String,
+      numBuckets: Int, batch: DataFrame, batchId: Long)(
+      newPairsOf: DataFrame => DataFrame): Long = {
+    val loc = tableLocation(spark, labelTable)
+    val (lastBatch, lastVer) = readApplied(spark, labelTable, loc)
+    if (batchId <= lastBatch) 0L
+    else {
+      val newVer = lastVer + 1L
+      val asOf = spark.table(labelTable).filter(col(VerCol) <= lastVer)
+        .groupBy(col(idCol))
+        .agg(max_by(col("cluster_id"), col(VerCol)).as("cluster_id"))
+      val (_, relabeled) = relabelAffected(asOf, idCol,
+        batch.select(col(idCol)), newPairsOf(batch), maxIter = 25)
+      val rows = relabeled
+        .select(col(idCol), col("cluster_id"), lit(newVer).as(VerCol))
+        .localCheckpoint() // materialize OFF the table before touching it
+      val n = rows.count()
+      Bucketed.appendBucketedKeys(rows, labelTable, Seq(idCol), numBuckets)
+      writeApplied(spark, loc, batchId, newVer)
+      n
+    }
+  }
+
+  /** Collapse version history to one latest-wins row per key (keeping each
+    * survivor's own version, so the sidecar watermark stays an upper
+    * bound) — the periodic counterpart that keeps a long-maintained store
+    * from accreting one row per (key, touch). */
+  def compactLabelStore(spark: SparkSession, table: String, idCol: String,
+      numBuckets: Int): Unit =
+    Bucketed.compactTable(spark, table, Seq(idCol), numBuckets) { df =>
+      df.groupBy(col(idCol))
+        .agg(max_by(col("cluster_id"), col(VerCol)).as("cluster_id"),
+          max(col(VerCol)).as(VerCol))
+    }
 
   /** Streaming face of [[incrementalComponents]] — the label table as a
     * CONTINUOUSLY maintained artifact: each micro-batch of arriving
-    * documents merges into the stored labels and the merged table
-    * replaces the store (truncate-then-load through the bucketed writer;
-    * the merge is materialized OFF the table before the rewrite — the
-    * read-while-truncate guard every compaction here uses). `newPairsOf`
-    * maps a batch to its incident (a_id, b_id) pairs, so the pairing
-    * policy (an index probe, a synthetic rule) stays the caller's. After
-    * ANY prefix of batches the stored table equals the one-shot CC over
-    * base ∪ those batches (spec-pinned) — batches see every earlier
-    * batch's merges through the store. SINGLE MAINTENANCE WRITER: the
-    * per-batch rewrite assumes no concurrent mutation of the label
+    * documents merges into the stored labels through [[applyBatch]] —
+    * an O(affected ∪ delta) versioned append, NOT a table rewrite.
+    * `newPairsOf` maps a batch to its incident (a_id, b_id) pairs, so the
+    * pairing policy (an index probe, a synthetic rule) stays the
+    * caller's. After ANY prefix of batches [[readLabels]] equals the
+    * one-shot CC over base ∪ those batches (spec-pinned) — batches see
+    * every earlier batch's merges through the store. Replayed batches
+    * no-op via the sidecar marker. SINGLE MAINTENANCE WRITER: the
+    * per-batch append assumes no concurrent mutation of the label
     * table (the [[Bucketed.compactTable]] contract). */
   def ingestStream(spark: SparkSession, labelTable: String, idCol: String,
       numBuckets: Int, deltaStream: DataFrame)(
       newPairsOf: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     deltaStream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val b = batch.toDF()
-        val loc = spark.sql(s"DESCRIBE FORMATTED $labelTable")
-          .filter(col("col_name") === "Location")
-          .select("data_type").head().getString(0)
-        val merged = incrementalComponents(spark.table(labelTable), idCol,
-          b.select(col(idCol)), newPairsOf(b)).localCheckpoint()
-        Bucketed.writeBucketedKeys(merged, labelTable, loc, Seq(idCol),
-          numBuckets)
-        // the rewrite replaced the files under the same table name —
-        // refresh so the NEXT batch's store read sees this batch's merge
-        // (the appendBucketedKeys lesson: foreachBatch relation caches
-        // don't reliably invalidate on their own)
-        spark.catalog.refreshTable(labelTable)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyBatch(spark, labelTable, idCol, numBuckets, batch.toDF(),
+          batchId)(newPairsOf)
+        ()
       }
       .outputMode("append")
       .start()

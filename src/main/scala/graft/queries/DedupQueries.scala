@@ -67,7 +67,10 @@ object DedupQueries extends graft.QueryModule {
           .filter(!(col("a_id") % 10 === 0) && !(col("b_id") % 10 === 0))
         val labels = Dedup.connectedComponents(basePairs,
           base.select("doc_id"), "doc_id")
-        graft.operators.Bucketed.writeBucketed(labels, name,
+        // the VERSIONED store (base rows at __v=0): ingest appends only
+        // relabeled rows and readers resolve latest-wins — the O(affected)
+        // persistence the streaming face rides
+        graft.operators.CcStar.initLabelStore(labels, name,
           s"/tmp/graft_cclabels/$tag", "doc_id", 8)
         name
       }
@@ -680,7 +683,8 @@ object DedupQueries extends graft.QueryModule {
         .unionAll(Dedup.jaccardJoin(delta, "doc_id", "text", N, MinJ)
           .select("a_id", "b_id"))
       val merged = graft.operators.CcStar.incrementalComponents(
-        s.table(lbl), "doc_id", delta.select("doc_id"), newPairs)
+        graft.operators.CcStar.readLabels(s, lbl, "doc_id"), "doc_id",
+        delta.select("doc_id"), newPairs)
       val sizes = merged.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
       merged.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

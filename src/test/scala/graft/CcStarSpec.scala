@@ -86,50 +86,110 @@ class CcStarSpec extends SparkSpec {
     assert(e.getMessage.contains("re-ingests"))
   }
 
-  test("streaming ingest: after every batch prefix the store equals one-shot CC") {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val basePairs = Seq((0L, 1L), (10L, 11L))
-    val baseIds = Seq(0L, 1L, 2L, 10L, 11L)
-    // every delta doc pairs with (its id - 100) when that doc exists —
-    // a deterministic stand-in for an index probe
-    val allPairs = Map(
-      100L -> Seq((100L, 0L)),   // batch 1: 100 joins component 0
-      101L -> Seq.empty,         // batch 1: 101 is a new singleton
-      110L -> Seq((110L, 10L), (110L, 101L))) // batch 2: merges 10-comp with 101
-    def pairsOf(b: DataFrame): DataFrame = {
-      val ids = b.select("doc_id").as[Long].collect().toSeq
-      val ps = ids.flatMap(allPairs.getOrElse(_, Seq.empty))
-      if (ps.isEmpty) Seq.empty[(Long, Long)].toDF("a_id", "b_id")
-      else ps.toDF("a_id", "b_id")
-    }
+  // The shared streaming-ingest fixture: base {0,1}, {10,11}, singleton 2;
+  // every delta doc pairs per allPairs — a deterministic stand-in for an
+  // index probe.
+  private val basePairs = Seq((0L, 1L), (10L, 11L))
+  private val baseIds = Seq(0L, 1L, 2L, 10L, 11L)
+  private val allPairs = Map(
+    100L -> Seq((100L, 0L)),   // batch 1: 100 joins component 0
+    101L -> Seq.empty[(Long, Long)], // batch 1: 101 is a new singleton
+    110L -> Seq((110L, 10L), (110L, 101L))) // batch 2: merges 10-comp with 101
+  private def pairsOf(b: DataFrame): DataFrame = {
+    val ids = b.select("doc_id").as[Long].collect().toSeq
+    val ps = ids.flatMap(allPairs.getOrElse(_, Seq.empty))
+    if (ps.isEmpty) Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    else ps.toDF("a_id", "b_id")
+  }
+  private def initStore(): String = {
     val table = s"ccstream_${System.nanoTime()}"
-    graft.operators.Bucketed.writeBucketed(
+    CcStar.initLabelStore(
       CcStar.connectedComponents(basePairs.toDF("a_id", "b_id"),
         baseIds.toDF("doc_id"), "doc_id"),
       table, s"/tmp/graft_ccstream_${System.nanoTime()}", "doc_id", 2)
+    table
+  }
+  private def stored(table: String): Map[Long, Long] =
+    CcStar.readLabels(spark, table, "doc_id").as[(Long, Long)].collect().toMap
+  private def truth(ids: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    CcStar.connectedComponents(
+      (basePairs ++ pairs).toDF("a_id", "b_id"),
+      (baseIds ++ ids).toDF("doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toMap
+
+  test("streaming ingest: after every batch prefix the store equals one-shot CC; writes are O(affected ∪ delta), not |table|") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val table = initStore()
     val input = MemoryStream[Long]
     val query = CcStar.ingestStream(spark, table, "doc_id", 2,
       input.toDF().toDF("doc_id"))(pairsOf)
-    def stored: Map[Long, Long] =
-      spark.table(table).as[(Long, Long)].collect().toMap
-    def truth(ids: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
-      CcStar.connectedComponents(
-        (basePairs ++ pairs).toDF("a_id", "b_id"),
-        (baseIds ++ ids).toDF("doc_id"), "doc_id")
-        .as[(Long, Long)].collect().toMap
     try {
       input.addData(Seq(100L, 101L)); query.processAllAvailable()
-      assert(stored == truth(Seq(100L, 101L), allPairs(100L)))
+      assert(stored(table) == truth(Seq(100L, 101L), allPairs(100L)))
+      // the written-rows pin: batch 1 relabels component {0,1} plus the
+      // delta {100,101} — 4 physical rows appended to the 5-row base, not
+      // a 9-row table rewrite
+      assert(spark.table(table).count() == 5 + 4,
+        "a batch must append only affected-members ∪ delta rows")
       input.addData(Seq(110L)); query.processAllAvailable()
       // batch 2 bridges the 10-component with batch 1's singleton 101
       val all = Seq(100L, 101L, 110L)
       val ps = all.flatMap(allPairs.getOrElse(_, Seq.empty))
       val t2 = truth(all, ps)
-      assert(stored == t2)
+      assert(stored(table) == t2)
       assert(t2(110L) == 10L && t2(101L) == 10L,
         "the cross-batch merge must resolve through the stored labels")
+      // batch 2 relabels {10,11} ∪ {101} plus delta {110} — 4 more rows
+      assert(spark.table(table).count() == 5 + 4 + 4,
+        "versioned appends, never a full-table rewrite")
     } finally query.stop()
+  }
+
+  test("a replayed batch no-ops; a crash between append and marker replays to identical labels") {
+    val table = initStore()
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    val b1 = Seq(100L, 101L).toDF("doc_id")
+    val n1 = CcStar.applyBatch(spark, table, "doc_id", 2, b1, 0L)(pairsOf)
+    assert(n1 == 4L)
+    val t1 = truth(Seq(100L, 101L), allPairs(100L))
+    assert(stored(table) == t1)
+    // at-least-once redelivery AFTER the marker advanced: a pure no-op
+    assert(CcStar.applyBatch(spark, table, "doc_id", 2, b1, 0L)(pairsOf) == 0L)
+    assert(spark.table(table).count() == 9L, "replay must not re-append")
+    assert(stored(table) == t1)
+    // crash BETWEEN the append and the marker: rewind the sidecar to the
+    // pre-batch state and replay — the as-of-watermark view hides the torn
+    // rows, so the recompute is identical and the duplicate rows are
+    // invisible under latest-wins
+    CcStar.writeApplied(spark, loc, -1L, 0L)
+    assert(CcStar.applyBatch(spark, table, "doc_id", 2, b1, 0L)(pairsOf) == 4L)
+    assert(spark.table(table).count() == 13L, "the replay re-appends its 4 rows")
+    assert(stored(table) == t1, "duplicate same-version rows must not change labels")
+    // a later batch proceeds normally on top
+    val b2 = Seq(110L).toDF("doc_id")
+    assert(CcStar.applyBatch(spark, table, "doc_id", 2, b2, 1L)(pairsOf) == 4L)
+    val all = Seq(100L, 101L, 110L)
+    assert(stored(table) == truth(all, all.flatMap(allPairs.getOrElse(_, Seq.empty))))
+  }
+
+  test("compaction collapses version history to one row per key; labels and watermark survive") {
+    val table = initStore()
+    CcStar.applyBatch(spark, table, "doc_id", 2,
+      Seq(100L, 101L).toDF("doc_id"), 0L)(pairsOf)
+    CcStar.applyBatch(spark, table, "doc_id", 2,
+      Seq(110L).toDF("doc_id"), 1L)(pairsOf)
+    val before = stored(table)
+    CcStar.compactLabelStore(spark, table, "doc_id", 2)
+    assert(spark.table(table).count() == before.size.toLong,
+      "compaction keeps exactly one row per key")
+    assert(stored(table) == before, "compaction changes layout, never labels")
+    // the store keeps accepting batches after compaction (sidecar intact)
+    assert(CcStar.applyBatch(spark, table, "doc_id", 2,
+      Seq(110L).toDF("doc_id"), 1L)(pairsOf) == 0L,
+      "the applied marker survives compaction — a replay still no-ops")
   }
 
   test("dense random-ish graph parity with propagation") {
