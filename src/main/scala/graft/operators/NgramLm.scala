@@ -32,14 +32,23 @@ import graft.functions.TextFunctions.tokens
   * Probability: P(t|p) = 0.7·net(p,t)/net(p) (0 when the bigram or its
   * context is unseen) + 0.3·(net(t)+1)/(total+V+1) — MLE interpolation
   * with an add-one unigram floor over vocab+1 so out-of-vocabulary tokens
-  * score finitely (the OOV bucket), deterministic and SQL-replayable. The
-  * (total, V) scalars cost one vocab-bounded store aggregation — model
-  * state, not corpus state.
+  * score finitely (the OOV bucket), deterministic and SQL-replayable.
+  *
+  * The (total, V) normalizer scalars are MAINTAINED MODEL STATE, not a
+  * per-batch recount: a tiny addend table (`graft_lm_stats_<tag>`) carries
+  * (Δtotal, ΔV) rows that [[buildStore]] seeds and every
+  * [[appendToStore]]/[[deleteFromStore]] extends with a delta-bounded
+  * probe (ΔV = tokens entering/leaving positive net — a semi-join against
+  * the delta's own tokens, never a vocab scan); scoring reads their sum.
+  * The r13 verdict's #6: the scorer used to pay an O(vocab) store
+  * aggregation per scoring batch for two scalars that only change on
+  * ingest — the count-store mechanic applied to the normalizer.
   */
 object NgramLm {
 
-  /** Names of the two persisted count tables of one model. */
-  final case class LmTables(uni: String, bi: String)
+  /** Names of the three persisted tables of one model: unigram counts,
+    * bigram counts, and the (total, V) normalizer addends. */
+  final case class LmTables(uni: String, bi: String, stats: String)
 
   // NOTE: must not contain the substring "token" — Spark's default
   // property-value redaction regex ((?i)token|secret|...) would redact it
@@ -60,51 +69,95 @@ object NgramLm {
       .groupBy("p", "t").agg(count(lit(1)).as("__c"))
 
   /** Train + persist the model over `corpus` as two bucketed count tables
-    * under `basePath`, tagged `tag`:
-    *  - `graft_lm_uni_<tag>`(t, __c)    bucketed by t
-    *  - `graft_lm_bi_<tag>`(p, t, __c)  bucketed by (p, t) */
+    * plus the normalizer-addend table under `basePath`, tagged `tag`:
+    *  - `graft_lm_uni_<tag>`(t, __c)        bucketed by t
+    *  - `graft_lm_bi_<tag>`(p, t, __c)      bucketed by (p, t)
+    *  - `graft_lm_stats_<tag>`(__tot, __nv) addend rows; Σ = (total, V) */
   def buildStore(corpus: DataFrame, textCol: String, tag: String,
       basePath: String, numBuckets: Int): LmTables = {
-    val t = LmTables(s"graft_lm_uni_$tag", s"graft_lm_bi_$tag")
-    Bucketed.writeBucketed(uniCounts(corpus, textCol), t.uni,
-      s"$basePath/uni", "t", numBuckets)
+    val t = LmTables(s"graft_lm_uni_$tag", s"graft_lm_bi_$tag",
+      s"graft_lm_stats_$tag")
+    val uc = uniCounts(corpus, textCol).localCheckpoint() // counts + seed
+    Bucketed.writeBucketed(uc, t.uni, s"$basePath/uni", "t", numBuckets)
     Bucketed.writeBucketedKeys(biCounts(corpus, textCol), t.bi,
       s"$basePath/bi", Seq("p", "t"), numBuckets)
     val s = corpus.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS ${t.stats}")
+    uc.agg(coalesce(sum(col("__c")), lit(0L)).cast("long").as("__tot"),
+        count(lit(1)).as("__nv"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$basePath/stats").saveAsTable(t.stats)
     graft.Layouts.stampFingerprint(s, t.uni, fp)
     graft.Layouts.stampFingerprint(s, t.bi, fp)
     t
   }
 
+  /** One (Δtotal, ΔV) addend row for a batch about to be APPLIED to the
+    * store: Δtotal = ±the batch's token mass; ΔV = how many of the batch's
+    * DISTINCT tokens cross zero net (enter the vocabulary on append, leave
+    * it on delete). The store appears only through a semi-join restricted
+    * to the batch's own tokens — delta-bounded, never a vocab scan — and
+    * the row is MATERIALIZED before the caller mutates the count table
+    * (the probe must see pre-apply nets). */
+  private def statsDelta(spark: SparkSession, tables: LmTables,
+      batchUni: DataFrame, negate: Boolean): DataFrame = {
+    val net = spark.table(tables.uni)
+      .join(batchUni.select("t"), Seq("t"), "left_semi")
+      .groupBy(col("t")).agg(sum(col("__c")).cast("long").as("__net"))
+    val crossing =
+      if (negate)
+        // tokens whose net hits zero when this batch's counts come out
+        batchUni.join(net, Seq("t")).filter(col("__net") === col("__c"))
+      else
+        // tokens absent (or net-zero after an earlier delete) before this
+        // batch lands
+        batchUni.join(net.filter(col("__net") > 0L), Seq("t"), "left_anti")
+    val sign = if (negate) -1L else 1L
+    batchUni.agg(
+        (lit(sign) * coalesce(sum(col("__c")), lit(0L))).cast("long").as("__tot"))
+      .crossJoin(crossing.agg((lit(sign) * count(lit(1))).as("__nv")))
+      .localCheckpoint()
+  }
+
   /** O(delta) ingest: append the batch's counts (split counts sum at read
-    * time). The fingerprint gate refuses a tokenizer/model-shape drift. */
+    * time) and the batch's normalizer addend. The fingerprint gate refuses
+    * a tokenizer/model-shape drift. */
   def appendToStore(tables: LmTables, docs: DataFrame, textCol: String,
       numBuckets: Int): Unit = {
-    graft.Layouts.checkFingerprint(docs.sparkSession, tables.uni, fp,
-      "NgramLm.appendToStore")
-    Bucketed.appendBucketedKeys(uniCounts(docs, textCol), tables.uni,
-      Seq("t"), numBuckets)
+    val s = docs.sparkSession
+    graft.Layouts.checkFingerprint(s, tables.uni, fp, "NgramLm.appendToStore")
+    val du = uniCounts(docs, textCol).localCheckpoint()
+    val sd = statsDelta(s, tables, du, negate = false) // pre-apply probe
+    Bucketed.appendBucketedKeys(du, tables.uni, Seq("t"), numBuckets)
     Bucketed.appendBucketedKeys(biCounts(docs, textCol), tables.bi,
       Seq("p", "t"), numBuckets)
+    sd.write.mode("append").format("parquet").saveAsTable(tables.stats)
+    s.catalog.refreshTable(tables.stats)
   }
 
   /** Takedown by EXACT DECREMENT: re-count ONLY the deleted docs and append
     * their counts negated — the [[SpanDedup.deleteFromIndex]] contract
-    * (decrement exactly once per ingested doc; probes read net counts). */
+    * (decrement exactly once per ingested doc; probes read net counts).
+    * The normalizer addend records the leaving mass and vocabulary. */
   def deleteFromStore(tables: LmTables, docs: DataFrame, textCol: String,
       numBuckets: Int): Unit = {
-    graft.Layouts.checkFingerprint(docs.sparkSession, tables.uni, fp,
-      "NgramLm.deleteFromStore")
+    val s = docs.sparkSession
+    graft.Layouts.checkFingerprint(s, tables.uni, fp, "NgramLm.deleteFromStore")
+    val du = uniCounts(docs, textCol).localCheckpoint()
+    val sd = statsDelta(s, tables, du, negate = true) // pre-apply probe
     Bucketed.appendBucketedKeys(
-      uniCounts(docs, textCol).select(col("t"), (-col("__c")).as("__c")),
+      du.select(col("t"), (-col("__c")).as("__c")),
       tables.uni, Seq("t"), numBuckets)
     Bucketed.appendBucketedKeys(
       biCounts(docs, textCol).select(col("p"), col("t"), (-col("__c")).as("__c")),
       tables.bi, Seq("p", "t"), numBuckets)
+    sd.write.mode("append").format("parquet").saveAsTable(tables.stats)
+    s.catalog.refreshTable(tables.stats)
   }
 
   /** Merge split/negated count rows and purge net-zero grams — one
-    * bucketed rewrite per table ([[Bucketed.compactTable]]'s scaffold). */
+    * bucketed rewrite per table ([[Bucketed.compactTable]]'s scaffold) —
+    * and collapse the normalizer addends to a single row. */
   def compactStore(spark: SparkSession, tables: LmTables,
       numBuckets: Int): Unit = {
     def merge(df: DataFrame, keys: Seq[String]) =
@@ -115,6 +168,14 @@ object NgramLm {
       merge(_, Seq("t")))
     Bucketed.compactTable(spark, tables.bi, Seq("p", "t"), numBuckets)(
       merge(_, Seq("p", "t")))
+    val one = spark.table(tables.stats)
+      .agg(coalesce(sum(col("__tot")), lit(0L)).cast("long").as("__tot"),
+        coalesce(sum(col("__nv")), lit(0L)).cast("long").as("__nv"))
+      .localCheckpoint() // off the table before the overwrite reads it
+    // insertInto keeps the table's identity (external location included);
+    // overwrite truncates the old addend rows
+    one.write.mode("overwrite").insertInto(tables.stats)
+    spark.catalog.refreshTable(tables.stats)
   }
 
   /** Streaming face of the scoring path — perplexity-filter the crawl as
@@ -142,8 +203,10 @@ object NgramLm {
     * STORED model: (idCol, n_bigrams, avg_logprob) for every delta doc
     * with ≥ 2 tokens. The store appears only through net-count probes
     * restricted to the delta's own grams (bucketed semi-joins — the
-    * [[SpanDedup.incrementalSpans]] bounding discipline) plus ONE
-    * vocab-bounded (total, V) aggregation. `avg_logprob` is the
+    * [[SpanDedup.incrementalSpans]] bounding discipline); the (total, V)
+    * normalizer comes off the maintained stats table — a few addend
+    * rows, no vocab-wide aggregation anywhere in the scoring plan
+    * (PlanSpec-pinned). `avg_logprob` is the
     * exact-integer micro-pinned mean of round(ln(P), 8) — the
     * `text_bigram_logprob` convention, so the stored face shares its
     * oracle shape. */
@@ -171,11 +234,11 @@ object NgramLm {
       .join(pos.select("p", "t").distinct(), Seq("p", "t"), "left_semi")
       .groupBy(col("p"), col("t")).agg(sum(col("__c")).as("__c2"))
       .filter(col("__c2") > 0L)
-    // model scalars: one vocab-bounded pass over the unigram store
-    val vt = spark.table(tables.uni)
-      .groupBy(col("t")).agg(sum(col("__c")).as("__cu"))
-      .filter(col("__cu") > 0L)
-      .agg(sum(col("__cu")).as("__tot"), count(lit(1)).as("__v"))
+    // model scalars: the maintained normalizer addends sum to (total, V) —
+    // O(#maintenance ops) rows, not O(vocab)
+    val vt = spark.table(tables.stats)
+      .agg(coalesce(sum(col("__tot")), lit(0L)).cast("long").as("__tot"),
+        coalesce(sum(col("__nv")), lit(0L)).cast("long").as("__v"))
     pos.join(biNet, Seq("p", "t"), "left")
       .join(uniNet.select(col("t").as("p"), col("__cu").as("__cp")),
         Seq("p"), "left")

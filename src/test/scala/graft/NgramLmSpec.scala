@@ -81,6 +81,38 @@ class NgramLmSpec extends SparkSpec {
     assert(got(1L) == batchOf(b2), "micro-batch 1 must equal its batch twin")
   }
 
+  test("the maintained (total, V) normalizer equals a from-scratch recount at every lifecycle step") {
+    def recount(t: NgramLm.LmTables): (Long, Long) = {
+      val r = spark.table(t.uni).groupBy("t")
+        .agg(sum($"__c").as("n")).filter($"n" > 0L)
+        .agg(coalesce(sum($"n"), lit(0L)).cast("long"), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def stats(t: NgramLm.LmTables): (Long, Long) = {
+      val r = spark.table(t.stats)
+        .agg(coalesce(sum($"__tot"), lit(0L)).cast("long"),
+          coalesce(sum($"__nv"), lit(0L)).cast("long")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val half1 = base.filter($"doc_id" % 2 === 1)
+    val half2 = base.filter($"doc_id" % 2 === 0)
+    val dead = base.filter($"doc_id" % 4 === 1)
+    val t = NgramLm.buildStore(half1, "text", "lmspec_stats",
+      "/tmp/graft_lmspec_stats", 4)
+    assert(stats(t) == recount(t), "build must seed the exact normalizer")
+    NgramLm.appendToStore(t, half2, "text", 4)
+    assert(stats(t) == recount(t), "append must add new-token mass and vocab")
+    NgramLm.deleteFromStore(t, dead, "text", 4)
+    assert(stats(t) == recount(t),
+      "delete must remove leaving mass and zero-net vocabulary")
+    NgramLm.appendToStore(t, dead, "text", 4)
+    assert(stats(t) == recount(t), "reingest must restore the normalizer")
+    NgramLm.compactStore(spark, t, 4)
+    assert(spark.table(t.stats).count() == 1L,
+      "compaction collapses the addends to one row")
+    assert(stats(t) == recount(t), "compaction changes layout, never the sums")
+  }
+
   test("unseen grams score finitely through the add-one OOV floor") {
     val t = NgramLm.buildStore(base.limit(50), "text", "lmspec_oov",
       "/tmp/graft_lmspec_oov", 4)

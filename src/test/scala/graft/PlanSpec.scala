@@ -109,6 +109,32 @@ class PlanSpec extends SparkSpec {
       .filter(_.contains("documents.parquet")).filterNot(_.contains("% 10"))
     assert(unfiltered.isEmpty,
       s"corpus-side documents scan leaked into the stored-LM plan:\n$plan")
+    // the (total, V) normalizer is maintained state: the unigram store
+    // appears ONLY as the two delta-restricted probe legs (the __cp and
+    // __cn joins — the shared probe subtree plans twice, both LeftSemi-
+    // bounded). A third scan, or any scan aggregating WITHOUT the semi,
+    // would be the old per-batch vocab-wide aggregation creeping back;
+    // the scalars come off the tiny stats table instead.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val lines = finalPlan.linesIterator.toVector
+    def indent(l: String): Int = l.indexWhere(c => c.isLetter || c == '*')
+    val uniScans = lines.zipWithIndex.filter { case (l, _) =>
+      l.contains("Scan parquet") && l.contains("graft_lm_uni_") }
+    assert(uniScans.size == 2,
+      s"scoring must touch the unigram store exactly twice (the two probe " +
+        s"legs), found ${uniScans.size}:\n$plan")
+    uniScans.foreach { case (_, scanIdx) =>
+      var minIndent = indent(lines(scanIdx))
+      val chain = (scanIdx - 1 to 0 by -1).iterator.map(lines).filter { l =>
+        val i = indent(l)
+        if (i >= 0 && i < minIndent) { minIndent = i; true } else false
+      }.takeWhile(!_.contains("HashAggregate")).toVector
+      assert(chain.exists(_.contains("LeftSemi")),
+        s"every unigram-store scan must be delta-restricted by a semi join " +
+          s"before any aggregation; ancestor chain:\n${chain.mkString("\n")}\n$plan")
+    }
+    assert(finalPlan.contains("graft_lm_stats_"),
+      s"the normalizer must read the maintained stats table:\n$plan")
   }
 
   test("chunking is one narrow stage; packing shuffles once, keyed on the group") {
