@@ -121,6 +121,8 @@ object Budgets {
     "clean_contamination" -> 3.0, // r14f samples 0.90/1.01 + driver r10 0.84 + driver r11 0.79 (all calibration-normalized) [raw 2.5x budget 2.6, raised to the 3 s metrology floor]; r12 sample lost to the driver record's stdout truncation
     "clean_domain_cap" -> 3.0, // r14f samples 0.54/0.60 + driver r10 0.51 + driver r11 0.48 (all calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]; r12 sample lost to the driver record's stdout truncation
     "clean_gopher_rules" -> 3.0, // r14f samples 0.10/0.12 + driver r10 0.09 + driver r11 0.10 (all calibration-normalized) [raw 2.5x budget 0.3, raised to the 3 s metrology floor]; r12 sample lost to the driver record's stdout truncation
+    "clean_html_extract" -> 3.0, // r19 (builder) landing samples 0.32/0.48 (narrow codegen'd projection, no shuffle) [raw 2.5x budget 1.2, raised to the 3 s metrology floor]
+    "clean_html_main" -> 3.0, // r19 (builder) landing samples 0.18/0.23 (same shape: per-row state-machine walk + block scoring) [raw 2.5x budget 0.6, raised to the 3 s metrology floor]
     "clean_k_anonymity" -> 3.0, // r14f samples 0.38/0.49 + driver r10 0.36 + driver r11 0.33 (all calibration-normalized) [raw 2.5x budget 1.3, raised to the 3 s metrology floor]; r12 sample lost to the driver record's stdout truncation
     "clean_normalize" -> 3.0, // r14f samples 0.10/0.10 + driver r10 0.09 + driver r11 0.08 (all calibration-normalized) [raw 2.5x budget 0.3, raised to the 3 s metrology floor]; r12 sample lost to the driver record's stdout truncation
     "clean_pii_redact" -> 3.0, // r14f samples 0.10/0.11 + driver r10 0.09 + driver r11 0.09 (all calibration-normalized) [raw 2.5x budget 0.3, raised to the 3 s metrology floor]; r12 sample lost to the driver record's stdout truncation

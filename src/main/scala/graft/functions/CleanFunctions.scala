@@ -54,6 +54,21 @@ object CleanFunctions {
           org.apache.spark.sql.GraftExpressionBridge.expression(text))),
       "[\\p{Cntrl}]", " "), "\\s+", " "))
 
+  /** Full-page HTML→text ([[graft.functions.expr.HtmlExtractText]] — the
+    * crawl pipeline's first stage; state-machine strip, entity decode,
+    * whitespace collapse). */
+  def htmlExtract(html: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.expr.HtmlExtractText(
+        org.apache.spark.sql.GraftExpressionBridge.expression(html)))
+
+  /** Main-content HTML→text ([[graft.functions.expr.HtmlMainContent]] —
+    * text-density block selection; nav/footer chrome scores itself out). */
+  def htmlMainContent(html: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.expr.HtmlMainContent(
+        org.apache.spark.sql.GraftExpressionBridge.expression(html)))
+
   def repetitionRatio(total: Column, distinct: Column): Column =
     when(total === 0, lit(0.0d))
       .otherwise(ExactRound.ratioRound6PosLong(total - distinct, total))

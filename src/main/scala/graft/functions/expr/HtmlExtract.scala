@@ -1,0 +1,342 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML→text extraction as native Catalyst expressions — the FIRST stage
+  * of a real crawl pipeline (raw HTML in, trainable text out; the
+  * trafilatura/jusText role, r13 verdict "what's missing" #1). Two faces:
+  *
+  *  - [[HtmlExtractText]]: full-page visible text. A single-pass
+  *    STATE-MACHINE walk (not a regex chain): quote-aware tag scanning
+  *    (an attribute holding `>` cannot truncate a tag), `<script>` /
+  *    `<style>` subtrees dropped whole (their content is code, and may
+  *    legally contain `<`), comments removed, CDATA sections emitted as
+  *    literal text (XML semantics, documented choice), the common named
+  *    entities plus all numeric (decimal/hex) references decoded
+  *    (`&nbsp;` → a PLAIN space deliberately, so downstream ASCII
+  *    whitespace handling sees it), every tag boundary a soft separator,
+  *    whitespace runs collapsed to one space and ends trimmed (the same
+  *    `\s` class both engines' oracles use).
+  *  - [[HtmlMainContent]]: boilerplate-free MAIN-CONTENT selection — the
+  *    text-density heuristic batch form: the body's top-level element
+  *    subtrees (and bare text runs) are candidate blocks; each scores
+  *    emitted-text-length − 2·link-text-length (link-heavy nav/footer
+  *    chrome scores at or below zero, prose dominates); the best block's
+  *    text is returned (ties → earliest). Depth tracking assumes balanced
+  *    TOP-LEVEL containers (the DOM-tidied shape real extractors consume);
+  *    malformed nesting INSIDE a block cannot leak across blocks.
+  *
+  * Both are deterministic pure-JDK string walks — same input, same bytes,
+  * on any engine — so the driver oracle can pin them by replaying the
+  * EXPECTED output (the fixture synthesizes HTML around known text; the
+  * extraction must invert it exactly). Codegen is one static call per row
+  * (the [[NfcNormalize]] shape): the stage stays fused, no UDF anywhere.
+  *
+  * Reference trigger: the reference corpus enters as pre-extracted plain
+  * text (`create_skill_embeddings.py:31,38`, `create_job_embeddings
+  * .py:36`); at 100 TB that text comes out of HTML, and this is the
+  * operator that produces it. */
+object HtmlExtract {
+
+  /** Subtrees whose character data is never document text. */
+  private val SkipContent = Set("script", "style")
+
+  /** HTML void elements — no closing tag, never change nesting depth. */
+  private val Void = Set("area", "base", "br", "col", "embed", "hr", "img",
+    "input", "link", "meta", "param", "source", "track", "wbr")
+
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
+
+  private def indexOfIgnoreCase(s: String, what: String, from: Int,
+      to: Int): Int = {
+    val n = what.length
+    var i = math.max(from, 0)
+    while (i + n <= to) {
+      if (s.regionMatches(true, i, what, 0, n)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Decoded replacement for the entity body `e` (between `&` and `;`),
+    * or null to leave the reference literal. */
+  private def decodeEntity(e: String): String = e match {
+    case "amp" => "&"
+    case "lt" => "<"
+    case "gt" => ">"
+    case "quot" => "\""
+    case "apos" => "'"
+    case "nbsp" => " " // plain space on purpose: U+00A0 would dodge \s
+    case _ if e.length >= 2 && e.charAt(0) == '#' =>
+      try {
+        val cp =
+          if (e.charAt(1) == 'x' || e.charAt(1) == 'X')
+            Integer.parseInt(e.substring(2), 16)
+          else Integer.parseInt(e.substring(1))
+        if (cp > 0 && Character.isValidCodePoint(cp))
+          new String(Character.toChars(cp))
+        else null
+      } catch { case _: NumberFormatException => null }
+    case _ => null
+  }
+
+  /** Quote-aware tag scan starting at `i` where `s(i) == '<'`:
+    * (lowercased element name — empty for `<!...>`/`<?...>`, isClose,
+    * isSelfClosing, index of the terminating '>'; unterminated tags run to
+    * `to - 1`). A `>` inside a quoted attribute value does NOT end the
+    * tag. */
+  private def scanTag(s: String, i: Int, to: Int): (String, Boolean, Boolean, Int) = {
+    var j = i + 1
+    var isClose = false
+    if (j < to && s.charAt(j) == '/') { isClose = true; j += 1 }
+    val ns = j
+    while (j < to && s.charAt(j).isLetterOrDigit) j += 1
+    val name = s.substring(ns, j).toLowerCase(java.util.Locale.ROOT)
+    var q: Char = 0
+    var k = j
+    var gt = -1
+    while (k < to && gt < 0) {
+      val ch = s.charAt(k)
+      if (q != 0) { if (ch == q) q = 0 }
+      else if (ch == '"' || ch == '\'') q = ch
+      else if (ch == '>') gt = k
+      k += 1
+    }
+    val end = if (gt < 0) to - 1 else gt
+    val isSelf = gt > i + 1 && s.charAt(gt - 1) == '/'
+    (name, isClose, isSelf, end)
+  }
+
+  /** Past a `<script>`/`<style>` open tag ending at `tagEnd`: index just
+    * after the matching close tag's '>' (case-insensitive), or `to` when
+    * unclosed. */
+  private def skipPastClose(s: String, name: String, tagEnd: Int,
+      to: Int): Int = {
+    val at = indexOfIgnoreCase(s, "</" + name, tagEnd + 1, to)
+    if (at < 0) to
+    else {
+      val gt = s.indexOf('>', at)
+      if (gt < 0 || gt >= to) to else gt + 1
+    }
+  }
+
+  /** The core walk over s[from, to): appends raw (uncollapsed) visible
+    * text to `sb` — a space per tag/comment boundary — and returns how
+    * many appended chars sat inside `<a>` subtrees (the link mass the
+    * density scorer charges). */
+  private def walk(s: String, from: Int, to: Int,
+      sb: java.lang.StringBuilder): Long = {
+    var i = from
+    var anchor = 0
+    var linkChars = 0L
+    def app(c: Char): Unit = { sb.append(c); if (anchor > 0) linkChars += 1L }
+    def appStr(t: String): Unit = { var k = 0; while (k < t.length) { app(t.charAt(k)); k += 1 } }
+    while (i < to) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4)
+          sb.append(' ')
+          i = if (e < 0 || e + 3 > to) to else e + 3
+        } else if (s.startsWith("<![CDATA[", i)) {
+          val e = s.indexOf("]]>", i + 9)
+          val end = if (e < 0 || e > to) to else e
+          var j = i + 9
+          while (j < end) { app(s.charAt(j)); j += 1 }
+          i = if (e < 0 || e + 3 > to) to else e + 3
+        } else if (i + 1 < to && (s.charAt(i + 1).isLetter ||
+            s.charAt(i + 1) == '/' || s.charAt(i + 1) == '!' ||
+            s.charAt(i + 1) == '?')) {
+          val (name, isClose, isSelf, end) = scanTag(s, i, to)
+          if (name == "a" && !isSelf) {
+            if (isClose) anchor = math.max(0, anchor - 1) else anchor += 1
+          }
+          sb.append(' ')
+          i = if (!isClose && !isSelf && SkipContent(name))
+            skipPastClose(s, name, end, to)
+          else math.min(end + 1, to)
+        } else { app('<'); i += 1 }
+      } else if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi <= i + 10 && semi < to) {
+          val decoded = decodeEntity(s.substring(i + 1, semi))
+          if (decoded != null) { appStr(decoded); i = semi + 1 }
+          else { app('&'); i += 1 }
+        } else { app('&'); i += 1 }
+      } else { app(c); i += 1 }
+    }
+    linkChars
+  }
+
+  /** Collapse ASCII-\s runs to one space, trim ends — char-identical to
+    * `trim(regexp_replace(x, '\s+', ' ', 'g'))` on both engines for the
+    * character set the walk can emit. */
+  private def collapse(raw: java.lang.StringBuilder): String = {
+    val out = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (isAsciiSpace(c)) pendingSpace = true
+      else {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        out.append(c)
+        pendingSpace = false
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Full-page visible text of `html` (see object doc for the exact
+    * semantics). Called from generated code — keep the signature static
+    * and UTF8String-typed. */
+  def extract(html: UTF8String): UTF8String = {
+    val s = html.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    walk(s, 0, s.length, sb)
+    UTF8String.fromString(collapse(sb))
+  }
+
+  /** Main-content text of `html`: the best text-density block among the
+    * body's top-level element subtrees and bare text runs (see object
+    * doc). Falls back to [[extract]] of the whole scope when no block is
+    * found. */
+  def mainContent(html: UTF8String): UTF8String = {
+    val s = html.toString
+    // scope = inside <body>…</body> when present, else the whole document
+    val bodyOpen = indexOfIgnoreCase(s, "<body", 0, s.length)
+    val from =
+      if (bodyOpen < 0) 0
+      else {
+        val (_, _, _, end) = scanTag(s, bodyOpen, s.length)
+        math.min(end + 1, s.length)
+      }
+    val bodyClose =
+      if (bodyOpen < 0) -1 else indexOfIgnoreCase(s, "</body", from, s.length)
+    val to = if (bodyClose < 0) s.length else bodyClose
+    // segment the scope into candidate blocks
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = from
+    var depth = 0
+    var blockStart = -1
+    var textStart = -1
+    def closeTextRun(at: Int): Unit =
+      if (depth == 0 && textStart >= 0) { blocks += ((textStart, at)); textStart = -1 }
+    while (i < to) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.startsWith("<!--", i)) {
+          // comments are invisible: they neither open blocks nor end runs
+          val e = s.indexOf("-->", i + 4)
+          i = if (e < 0 || e + 3 > to) to else e + 3
+        } else if (s.startsWith("<![CDATA[", i)) {
+          if (depth == 0 && textStart < 0) textStart = i // CDATA is text
+          val e = s.indexOf("]]>", i + 9)
+          i = if (e < 0 || e + 3 > to) to else e + 3
+        } else if (i + 1 < to && (s.charAt(i + 1).isLetter ||
+            s.charAt(i + 1) == '/' || s.charAt(i + 1) == '!' ||
+            s.charAt(i + 1) == '?')) {
+          val (name, isClose, isSelf, end) = scanTag(s, i, to)
+          closeTextRun(i)
+          if (!isClose && !isSelf && SkipContent(name)) {
+            val past = skipPastClose(s, name, end, to)
+            // a skipped script/style at depth 0 is chrome, not a block
+            i = past
+          } else {
+            val structural = name.nonEmpty && !Void(name) && !isSelf
+            if (structural && !isClose) {
+              if (depth == 0) blockStart = i
+              depth += 1
+            } else if (structural && isClose) {
+              depth -= 1
+              if (depth == 0 && blockStart >= 0) {
+                blocks += ((blockStart, math.min(end + 1, to)))
+                blockStart = -1
+              }
+              if (depth < 0) depth = 0 // stray close: ignore
+            }
+            i = math.min(end + 1, to)
+          }
+        } else {
+          if (depth == 0 && textStart < 0) textStart = i
+          i += 1
+        }
+      } else {
+        if (depth == 0 && textStart < 0 && !isAsciiSpace(c)) textStart = i
+        i += 1
+      }
+    }
+    closeTextRun(to)
+    if (blockStart >= 0) blocks += ((blockStart, to)) // unclosed top block
+    if (blocks.isEmpty) {
+      val sb = new java.lang.StringBuilder(to - from)
+      walk(s, from, to, sb)
+      return UTF8String.fromString(collapse(sb))
+    }
+    var bestScore = Long.MinValue
+    var best: java.lang.StringBuilder = null
+    blocks.foreach { case (b0, b1) =>
+      val sb = new java.lang.StringBuilder(b1 - b0)
+      val linkChars = walk(s, b0, b1, sb)
+      val score = sb.length.toLong - 2L * linkChars
+      if (score > bestScore) { bestScore = score; best = sb } // ties → first
+    }
+    UTF8String.fromString(collapse(best))
+  }
+}
+
+/** Full-page HTML text extraction (see [[HtmlExtract]]). Generated code is
+  * one static call per row — the stage stays fused. */
+case class HtmlExtractText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_html_extract_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlExtract.extract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.HtmlExtract.extract($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtractText =
+    copy(child = newChild)
+}
+
+/** Main-content (boilerplate-free) HTML text extraction (see
+  * [[HtmlExtract]]). */
+case class HtmlMainContent(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_html_main_content"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlExtract.mainContent(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expr.HtmlExtract.mainContent($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMainContent =
+    copy(child = newChild)
+}

@@ -56,7 +56,74 @@ object CleanQueries extends graft.QueryModule {
       lit("@example.com via https://ex.org/p/"), col(idCol).cast("string"),
       lit(" or 555-123-4567"))
 
+  /** The adversarial HTML fixture the two html queries share: each doc's
+    * text (entity-escaped — the decode must invert it) wrapped in a
+    * variant by doc_id % 4. v0: script/style subtrees whose CODE contains
+    * `<`/`>`; v1: a comment plus planted named/numeric entities; v2:
+    * nested tags plus a CDATA section (literal-text semantics); v3: a
+    * quoted attribute containing `>`, unclosed block tags, void elements.
+    * The EXPECTED extraction is a pure function of the source text, so the
+    * oracle pins that the state machine inverts the synthesis exactly —
+    * the clean_normalize discipline. */
+  private def htmlFixture: org.apache.spark.sql.Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val v = pmod(col("doc_id"), lit(4))
+    when(v === 0, concat(
+      lit("<html><head><script>var x = \"<div>\" + 1; if (a > b) {}</script>" +
+        "<style>p { color: red; }</style></head><body><p>"),
+      esc, lit("</p></body></html>")))
+    .when(v === 1, concat(
+      lit("<html><body><!-- boilerplate --><div><p>"), esc,
+      lit("</p><p>&amp; &lt;tag&gt; &#8212; &quot;q&quot;</p></div></body></html>")))
+    .when(v === 2, concat(
+      lit("<html><body><div><div><span>"), esc,
+      lit("</span></div><![CDATA[raw <b>not-a-tag</b>]]></div></body></html>")))
+    .otherwise(concat(
+      lit("<html><body><div class=\"x\" data-note=\"a > b\"><p>"), esc,
+      lit("<br><img src=\"x.png\">trailer</p></body></html>")))
+  }
+
+  /** Chrome-wrapped twin for main-content selection: link-only nav, the
+    * doc text in a div, a link-heavy footer — the density scorer must keep
+    * exactly the div. */
+  private def htmlMainFixture: org.apache.spark.sql.Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    concat(
+      lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About us</a> " +
+        "<a href=\"/m\">More links here</a></nav><div><p>"),
+      esc,
+      lit("</p></div><footer>Copyright notice <a href=\"/c\">Contact</a>" +
+        "</footer></body></html>"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HTML→text — the crawl pipeline's FIRST stage (raw HTML in, trainable
+    // text out), which the engine lacked entirely (r13 verdict missing #1).
+    // State-machine extraction (functions/expr/HtmlExtract.scala) over the
+    // adversarial fixture; the oracle replays the EXPECTED text (the
+    // fixture is invertible by construction), so a mis-skipped script, a
+    // tag truncated at an attribute '>', an undecoded entity, or a
+    // whitespace drift all redden rows. One narrow codegen'd projection —
+    // no shuffle, no UDF — the 100 TB shape of the stage.
+    "clean_html_extract" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), CleanFunctions.htmlExtract(htmlFixture).as("__t"))
+        .select(col("doc_id"), length(col("__t")).cast("long").as("n_chars"),
+          md5(col("__t")).as("text_hash"))
+    }),
+    // Main-content selection (the trafilatura/jusText role, batch form):
+    // the body's top-level blocks score text-mass − 2·link-mass and the
+    // winner's text survives — link-only nav and a link-heavy footer must
+    // score themselves out on EVERY doc, leaving exactly the article div.
+    "clean_html_main" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          CleanFunctions.htmlMainContent(htmlMainFixture).as("__t"))
+        .select(col("doc_id"), length(col("__t")).cast("long").as("n_chars"),
+          md5(col("__t")).as("text_hash"))
+    }),
     // Canonical normalization over a deterministically-messied corpus (the
     // stand-in for crawl text: decomposed accents, control chars, ragged
     // whitespace): NFC compose via the native codegen expression, control
@@ -250,6 +317,32 @@ object CleanQueries extends graft.QueryModule {
   private val AnonK = 10L // k-anonymity threshold (clean_k_anonymity)
 
   val oracles: Map[String, String] = Map(
+    // The fixture is INVERTIBLE: the expected extraction is the doc text
+    // (whitespace-collapsed) plus each variant's known visible additions —
+    // the oracle replays the answer, pinning the state machine end to end
+    // (escape→decode must round-trip, script/style/comment must vanish,
+    // CDATA must surface literally, the attribute '>' must not truncate).
+    "clean_html_extract" ->
+      """WITH exp AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN ''
+        |      WHEN 1 THEN ' & <tag> ' || chr(8212) || ' "q"'
+        |      WHEN 2 THEN ' raw <b>not-a-tag</b>'
+        |      ELSE ' trailer' END AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |  md5(t) AS text_hash
+        |FROM exp""".stripMargin,
+    // Main-content: the chrome must vanish entirely — expected is the doc
+    // text alone.
+    "clean_html_main" ->
+      """WITH exp AS (SELECT doc_id,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
+        |  md5(t) AS text_hash
+        |FROM exp""".stripMargin,
     // Same messying (chr(9) = tab, chr(769) = U+0301 combining acute), then
     // DuckDB's own utf8proc NFC — byte-equality of the output text pins the
     // two independent UAX#15 implementations against each other.
