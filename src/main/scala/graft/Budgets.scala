@@ -247,6 +247,7 @@ object Budgets {
     "io_tar_shards" -> 3.0, // r18 closing-pair samples 0.42/0.39 (calibration-normalized; tar-shard write + binaryFile read-back of the documents table) [raw 2.5x budget 1.1, raised to the 3 s metrology floor]
     "io_time_travel" -> 3.0, // r14f samples 0.58/0.52 + driver r10 0.48 + driver r11 0.48 (all calibration-normalized) [raw 2.5x budget 1.5, raised to the 3 s metrology floor]; driver r12 0.53 folds below the ratchet
     "io_vacuum_retention" -> 3.0, // r14f samples 0.34/0.36 + driver r10 0.28 + driver r11 0.30 (all calibration-normalized) [raw 2.5x budget 0.9, raised to the 3 s metrology floor]; driver r12 0.31 folds below the ratchet
+    "io_warc_crawl" -> 3.0, // r19 (builder) landing samples 0.68/0.58 (one text-source scan + codegen'd parse/extract + census; pays its own WARC export at first touch) [raw 2.5x budget 1.7, raised to the 3 s metrology floor]
     "io_wet_roundtrip" -> 3.0, // r14f samples 0.30/0.28 + driver r10 0.27 + driver r11 0.25 (all calibration-normalized) [raw 2.5x budget 0.8, raised to the 3 s metrology floor]; driver r12 0.24 folds below the ratchet
     "ivf_ann_topk" -> 3.0, // r14f samples 0.79/0.79 + driver r10 0.59 + driver r11 0.66 (all calibration-normalized) [raw 2.5x budget 2.0, raised to the 3 s metrology floor]; driver r12 0.64 folds below the ratchet
     "ivf_auto_probe" -> 4.9, // r14f samples 1.93/1.88 + driver r10 1.68 + driver r11 1.81 (all calibration-normalized); driver r12 1.80 folds below the ratchet

@@ -223,6 +223,38 @@ object IoQueries extends graft.QueryModule {
           sum(graft.functions.TextFunctions.tokenHash(col("text"))).as("text_hash_sum"),
           count_distinct(col("lang")).as("n_langs"))
     }),
+    // The RAW-crawl entry path end to end (r13 missing #2 + #1 composed):
+    // documents become WARC `response` records holding HTTP responses
+    // wrapping adversarial HTML; the read splits records on the text
+    // source's custom delimiter (byte-range splittable — the 100 TB crawl
+    // dump shape), re-verifies every Content-Length (clen_ok), strips the
+    // HTTP envelope, and runs the state-machine HTML extractor. The census
+    // is pinned against the documents replay — a torn record, a
+    // miscounted Content-Length, a leaked HTTP header, or an extraction
+    // drift turns the row red.
+    "io_warc_crawl" -> ((s, dir) => {
+      val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val html = concat(
+        lit("<html><head><script>if (a<b) { x(); }</script></head><body><p>"),
+        esc, lit("</p></body></html>"))
+      val path = graft.Layouts.once(s, s"warc:$dir") {
+        val p = s"/tmp/graft_warc/${graft.Layouts.tag(dir)}"
+        graft.io.Warc.write(Tables.documents(s, dir), "doc_id",
+          concat(lit("http://ex.org/doc/"), col("doc_id").cast("string")),
+          html, p)
+        p
+      }
+      val rec = graft.io.Warc.read(s, path)
+      rec.select(col("record_id"), col("target_uri"), col("clen_ok"),
+          graft.functions.CleanFunctions.htmlExtract(
+            graft.io.Warc.httpBody(col("payload"))).as("__t"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("record_id")).as("id_sum"),
+          sum(when(col("clen_ok"), 1L).otherwise(0L)).as("n_clen_ok"),
+          sum(graft.functions.TextFunctions.tokenHash(col("__t"))).as("text_hash_sum"),
+          count_distinct(col("target_uri")).as("n_uris"))
+    }),
     "io_wet_roundtrip" -> ((s, dir) => {
       val RS = "\u001e" // ASCII record separator — never in natural text
       val hdr = "^WET-REC (\\d+) (\\S+) (\\S+)\n"
@@ -471,6 +503,19 @@ object IoQueries extends graft.QueryModule {
          |  CAST(sum(${DocSql.tokenHashSql("text")}) AS BIGINT) AS text_hash_sum,
          |  count(DISTINCT lang) AS n_langs
          |FROM documents""".stripMargin,
+    // The fixture is invertible: every record survives with its declared
+    // Content-Length, and extraction recovers exactly the (whitespace-
+    // collapsed) source text — the oracle replays the expected answer.
+    "io_warc_crawl" ->
+      s"""WITH exp AS (SELECT doc_id,
+         |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+         |  FROM documents)
+         |SELECT count(*) AS n_records,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  count(*) AS n_clen_ok,
+         |  CAST(sum(${DocSql.tokenHashSql("t")}) AS BIGINT) AS text_hash_sum,
+         |  count(DISTINCT doc_id) AS n_uris
+         |FROM exp""".stripMargin,
     "io_wet_roundtrip" ->
       s"""SELECT count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
