@@ -211,7 +211,38 @@ object NgramLm {
     * `text_bigram_logprob` convention, so the stored face shares its
     * oracle shape. */
   def scoreDocs(spark: SparkSession, tables: LmTables, delta: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String): DataFrame =
+    scoredAgainstStore(spark, tables, delta, idCol, textCol) {
+      (c2, cp, cn, tot, v) =>
+        when(c2.isNotNull && cp.isNotNull,
+          lit(0.7d) * c2.cast("double") / cp).otherwise(lit(0.0d)) +
+          lit(0.3d) * (coalesce(cn, lit(0L)).cast("double") + lit(1.0d)) /
+            (tot.cast("double") + v + lit(1.0d))
+    }
+
+  /** Stupid-backoff scoring (Brants et al. 2007, "Large Language Models in
+    * Machine Translation" §4) against the SAME stored model — the scheme
+    * the web-scale LMs that paper describes actually ran: no discounting
+    * fit, S(t|p) = net(p,t)/net(p) when the bigram is attested, else
+    * α·S(t) with α = 0.4 and the unigram floored add-one like the
+    * interpolated scorer (so OOV stays finite and the two scorers share
+    * the exact same probe plan — only the per-position expression
+    * differs). Same output contract as [[scoreDocs]]. */
+  def scoreDocsBackoff(spark: SparkSession, tables: LmTables, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    scoredAgainstStore(spark, tables, delta, idCol, textCol) {
+      (c2, cp, cn, tot, v) =>
+        when(c2.isNotNull && cp.isNotNull, c2.cast("double") / cp)
+          .otherwise(lit(0.4d) *
+            (coalesce(cn, lit(0L)).cast("double") + lit(1.0d)) /
+            (tot.cast("double") + v + lit(1.0d)))
+    }
+
+  private def scoredAgainstStore(spark: SparkSession, tables: LmTables,
+      delta: DataFrame, idCol: String, textCol: String)(
+      prob: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
     graft.Layouts.checkFingerprint(spark, tables.uni, fp, "NgramLm.scoreDocs")
     import graft.functions.ExactRound
     val pos = delta.select(col(idCol), tokens(col(textCol)).as("__ts"))
@@ -245,11 +276,8 @@ object NgramLm {
       .join(uniNet.select(col("t"), col("__cu").as("__cn")), Seq("t"), "left")
       .crossJoin(broadcast(vt))
       .select(col(idCol), round(log(
-          when(col("__c2").isNotNull && col("__cp").isNotNull,
-            lit(0.7d) * col("__c2").cast("double") / col("__cp"))
-            .otherwise(lit(0.0d)) +
-          lit(0.3d) * (coalesce(col("__cn"), lit(0L)).cast("double") + lit(1.0d)) /
-            (col("__tot").cast("double") + col("__v") + lit(1.0d))), 8).as("__lp"))
+          prob(col("__c2"), col("__cp"), col("__cn"), col("__tot"),
+            col("__v"))), 8).as("__lp"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         ExactRound.ratioRound6Int(

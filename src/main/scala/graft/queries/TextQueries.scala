@@ -363,6 +363,15 @@ object TextQueries extends graft.QueryModule {
     "text_lm_stored_logprob" -> ((s, dir) =>
       graft.operators.NgramLm.scoreDocs(s, lmStore(s, dir),
         Tables.documents(s, dir).filter(lmDeltaPred), "doc_id", "text")),
+    // The SAME stored model scored under stupid backoff (Brants 2007 §4 —
+    // the scheme web-scale LMs actually ran: attested bigram MLE, else
+    // α=0.4 times the floored unigram). Only the per-position expression
+    // differs from the interpolated scorer — probe plan, store tables,
+    // and output contract are shared — and the oracle retrains + rescores
+    // from scratch under the same backoff arithmetic.
+    "text_lm_backoff_logprob" -> ((s, dir) =>
+      graft.operators.NgramLm.scoreDocsBackoff(s, lmStore(s, dir),
+        Tables.documents(s, dir).filter(lmDeltaPred), "doc_id", "text")),
     // The LM's delete verb: takedown docs leave the model by EXACT
     // DECREMENT (negated count append — delete ∘ append ≡ id, the count
     // stores' third delete mechanic), and scoring immediately equals a
@@ -1213,7 +1222,24 @@ object TextQueries extends graft.QueryModule {
     * (base minus the takedown fixture). Mirrors NgramLm.scoreDocs term by
     * term: same join shape, same CASE, same add-one OOV floor, same
     * operation order inside the double expression. */
-  private def lmScoreSql(basePred: String): String =
+  /** The two per-position probability bodies, mirroring
+    * NgramLm.scoreDocs / .scoreDocsBackoff term by term (same CASE, same
+    * operation order inside the double expression). Neither may contain a
+    * line whose first non-blank char is `|` — they interpolate into a
+    * stripMargin template. */
+  private val LmInterpProbSql: String =
+    """CASE WHEN bc.c2 IS NOT NULL AND cp.c IS NOT NULL
+      |      THEN 0.7 * CAST(bc.c2 AS DOUBLE) / cp.c ELSE 0.0 END
+      |    + 0.3 * (CAST(coalesce(cn.c, 0) AS DOUBLE) + 1.0)
+      |      / (CAST(vt.tot AS DOUBLE) + vt.v + 1.0)""".stripMargin
+  private val LmBackoffProbSql: String =
+    """CASE WHEN bc.c2 IS NOT NULL AND cp.c IS NOT NULL
+      |      THEN CAST(bc.c2 AS DOUBLE) / cp.c
+      |      ELSE 0.4 * (CAST(coalesce(cn.c, 0) AS DOUBLE) + 1.0)
+      |        / (CAST(vt.tot AS DOUBLE) + vt.v + 1.0) END""".stripMargin
+
+  private def lmScoreSql(basePred: String,
+      probSql: String = LmInterpProbSql): String =
     s"""WITH ${DocSql.toksCte},
        |tokb AS (SELECT unnest(toks) AS t FROM tokd WHERE $basePred),
        |cnt AS (SELECT t, count(*) AS c FROM tokb GROUP BY 1),
@@ -1227,10 +1253,7 @@ object TextQueries extends graft.QueryModule {
        |  FROM tokd WHERE $LmDeltaSql AND len(toks) >= 2),
        |pos AS (SELECT doc_id, s.p AS p, s.t AS t FROM bgd),
        |lp AS (SELECT pos.doc_id, round(ln(
-       |    CASE WHEN bc.c2 IS NOT NULL AND cp.c IS NOT NULL
-       |      THEN 0.7 * CAST(bc.c2 AS DOUBLE) / cp.c ELSE 0.0 END
-       |    + 0.3 * (CAST(coalesce(cn.c, 0) AS DOUBLE) + 1.0)
-       |      / (CAST(vt.tot AS DOUBLE) + vt.v + 1.0)), 8) AS lp
+       |    $probSql), 8) AS lp
        |  FROM pos
        |  LEFT JOIN bc ON pos.p = bc.p AND pos.t = bc.t
        |  LEFT JOIN cnt cp ON pos.p = cp.t
@@ -1255,6 +1278,7 @@ object TextQueries extends graft.QueryModule {
          |  (SELECT count(*) FROM bc) AS n_bigrams,
          |  CAST((SELECT sum(c2) FROM bc) AS BIGINT) AS total_bigrams""".stripMargin,
     "text_lm_stored_logprob" -> lmScoreSql(LmBaseSql),
+    "text_lm_backoff_logprob" -> lmScoreSql(LmBaseSql, LmBackoffProbSql),
     "text_lm_deleted" -> lmScoreSql(LmBaseLiveSql),
     "text_stats" ->
       s"""WITH $toksCte

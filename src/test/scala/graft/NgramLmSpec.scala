@@ -113,6 +113,25 @@ class NgramLmSpec extends SparkSpec {
     assert(stats(t) == recount(t), "compaction changes layout, never the sums")
   }
 
+  test("stupid-backoff shares the probe plan but scores differently; attested bigrams take the MLE path") {
+    val t = NgramLm.buildStore(base, "text", "lmspec_backoff",
+      "/tmp/graft_lmspec_backoff", 4)
+    val interp = NgramLm.scoreDocs(spark, t, delta, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val backoff = NgramLm.scoreDocsBackoff(spark, t, delta, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(interp.map(_.getLong(0)).toSeq == backoff.map(_.getLong(0)).toSeq,
+      "same docs, same bigram positions")
+    assert(interp.map(_.getLong(1)).toSeq == backoff.map(_.getLong(1)).toSeq)
+    assert(interp.map(_.get(2)).toSeq != backoff.map(_.get(2)).toSeq,
+      "the two schemes must actually differ on this corpus")
+    // backoff on fully-OOV text stays finite (the floored unigram path)
+    val oov = NgramLm.scoreDocsBackoff(spark, t,
+      Seq((1L, "zzzunseen wordsthatneverappear anywhere else"))
+        .toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(oov.length == 1 && !oov.head.isNullAt(2))
+  }
+
   test("unseen grams score finitely through the add-one OOV floor") {
     val t = NgramLm.buildStore(base.limit(50), "text", "lmspec_oov",
       "/tmp/graft_lmspec_oov", 4)
