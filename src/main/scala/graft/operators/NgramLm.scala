@@ -72,19 +72,23 @@ object NgramLm {
     * plus the normalizer-addend table under `basePath`, tagged `tag`:
     *  - `graft_lm_uni_<tag>`(t, __c)        bucketed by t
     *  - `graft_lm_bi_<tag>`(p, t, __c)      bucketed by (p, t)
-    *  - `graft_lm_stats_<tag>`(__tot, __nv) addend rows; Σ = (total, V) */
+    *  - `graft_lm_stats_<tag>`(__tot, __nv, __nb) addend rows;
+    *    Σ = (total tokens, V = distinct unigrams, N1+ = distinct bigrams —
+    *    the Kneser-Ney continuation normalizer) */
   def buildStore(corpus: DataFrame, textCol: String, tag: String,
       basePath: String, numBuckets: Int): LmTables = {
     val t = LmTables(s"graft_lm_uni_$tag", s"graft_lm_bi_$tag",
       s"graft_lm_stats_$tag")
     val uc = uniCounts(corpus, textCol).localCheckpoint() // counts + seed
+    val bc = biCounts(corpus, textCol).localCheckpoint()
     Bucketed.writeBucketed(uc, t.uni, s"$basePath/uni", "t", numBuckets)
-    Bucketed.writeBucketedKeys(biCounts(corpus, textCol), t.bi,
-      s"$basePath/bi", Seq("p", "t"), numBuckets)
+    Bucketed.writeBucketedKeys(bc, t.bi, s"$basePath/bi", Seq("p", "t"),
+      numBuckets)
     val s = corpus.sparkSession
     s.sql(s"DROP TABLE IF EXISTS ${t.stats}")
     uc.agg(coalesce(sum(col("__c")), lit(0L)).cast("long").as("__tot"),
         count(lit(1)).as("__nv"))
+      .crossJoin(bc.agg(count(lit(1)).as("__nb")))
       .write.mode("overwrite").format("parquet")
       .option("path", s"$basePath/stats").saveAsTable(t.stats)
     graft.Layouts.stampFingerprint(s, t.uni, fp)
@@ -92,30 +96,35 @@ object NgramLm {
     t
   }
 
-  /** One (Δtotal, ΔV) addend row for a batch about to be APPLIED to the
-    * store: Δtotal = ±the batch's token mass; ΔV = how many of the batch's
-    * DISTINCT tokens cross zero net (enter the vocabulary on append, leave
-    * it on delete). The store appears only through a semi-join restricted
-    * to the batch's own tokens — delta-bounded, never a vocab scan — and
-    * the row is MATERIALIZED before the caller mutates the count table
-    * (the probe must see pre-apply nets). */
+  /** One (Δtotal, ΔV, ΔN1+) addend row for a batch about to be APPLIED to
+    * the store: Δtotal = ±the batch's token mass; ΔV / ΔN1+ = how many of
+    * the batch's DISTINCT tokens / bigrams cross zero net (enter the
+    * model on append, leave it on delete). The store appears only through
+    * semi-joins restricted to the batch's own grams — delta-bounded,
+    * never a vocab scan — and the row is MATERIALIZED before the caller
+    * mutates the count tables (the probes must see pre-apply nets). */
   private def statsDelta(spark: SparkSession, tables: LmTables,
-      batchUni: DataFrame, negate: Boolean): DataFrame = {
-    val net = spark.table(tables.uni)
-      .join(batchUni.select("t"), Seq("t"), "left_semi")
-      .groupBy(col("t")).agg(sum(col("__c")).cast("long").as("__net"))
-    val crossing =
-      if (negate)
-        // tokens whose net hits zero when this batch's counts come out
-        batchUni.join(net, Seq("t")).filter(col("__net") === col("__c"))
-      else
-        // tokens absent (or net-zero after an earlier delete) before this
-        // batch lands
-        batchUni.join(net.filter(col("__net") > 0L), Seq("t"), "left_anti")
+      batchUni: DataFrame, batchBi: DataFrame, negate: Boolean): DataFrame = {
     val sign = if (negate) -1L else 1L
+    def crossing(store: String, batch: DataFrame, keys: Seq[String]): DataFrame = {
+      val net = spark.table(store)
+        .join(batch.select(keys.map(col): _*), keys, "left_semi")
+        .groupBy(keys.map(col): _*)
+        .agg(sum(col("__c")).cast("long").as("__net"))
+      if (negate)
+        // grams whose net hits zero when this batch's counts come out
+        batch.join(net, keys).filter(col("__net") === col("__c"))
+      else
+        // grams absent (or net-zero after an earlier delete) before this
+        // batch lands
+        batch.join(net.filter(col("__net") > 0L), keys, "left_anti")
+    }
     batchUni.agg(
         (lit(sign) * coalesce(sum(col("__c")), lit(0L))).cast("long").as("__tot"))
-      .crossJoin(crossing.agg((lit(sign) * count(lit(1))).as("__nv")))
+      .crossJoin(crossing(tables.uni, batchUni, Seq("t"))
+        .agg((lit(sign) * count(lit(1))).as("__nv")))
+      .crossJoin(crossing(tables.bi, batchBi, Seq("p", "t"))
+        .agg((lit(sign) * count(lit(1))).as("__nb")))
       .localCheckpoint()
   }
 
@@ -127,10 +136,10 @@ object NgramLm {
     val s = docs.sparkSession
     graft.Layouts.checkFingerprint(s, tables.uni, fp, "NgramLm.appendToStore")
     val du = uniCounts(docs, textCol).localCheckpoint()
-    val sd = statsDelta(s, tables, du, negate = false) // pre-apply probe
+    val db = biCounts(docs, textCol).localCheckpoint()
+    val sd = statsDelta(s, tables, du, db, negate = false) // pre-apply probe
     Bucketed.appendBucketedKeys(du, tables.uni, Seq("t"), numBuckets)
-    Bucketed.appendBucketedKeys(biCounts(docs, textCol), tables.bi,
-      Seq("p", "t"), numBuckets)
+    Bucketed.appendBucketedKeys(db, tables.bi, Seq("p", "t"), numBuckets)
     sd.write.mode("append").format("parquet").saveAsTable(tables.stats)
     s.catalog.refreshTable(tables.stats)
   }
@@ -144,12 +153,13 @@ object NgramLm {
     val s = docs.sparkSession
     graft.Layouts.checkFingerprint(s, tables.uni, fp, "NgramLm.deleteFromStore")
     val du = uniCounts(docs, textCol).localCheckpoint()
-    val sd = statsDelta(s, tables, du, negate = true) // pre-apply probe
+    val db = biCounts(docs, textCol).localCheckpoint()
+    val sd = statsDelta(s, tables, du, db, negate = true) // pre-apply probe
     Bucketed.appendBucketedKeys(
       du.select(col("t"), (-col("__c")).as("__c")),
       tables.uni, Seq("t"), numBuckets)
     Bucketed.appendBucketedKeys(
-      biCounts(docs, textCol).select(col("p"), col("t"), (-col("__c")).as("__c")),
+      db.select(col("p"), col("t"), (-col("__c")).as("__c")),
       tables.bi, Seq("p", "t"), numBuckets)
     sd.write.mode("append").format("parquet").saveAsTable(tables.stats)
     s.catalog.refreshTable(tables.stats)
@@ -170,7 +180,8 @@ object NgramLm {
       merge(_, Seq("p", "t")))
     val one = spark.table(tables.stats)
       .agg(coalesce(sum(col("__tot")), lit(0L)).cast("long").as("__tot"),
-        coalesce(sum(col("__nv")), lit(0L)).cast("long").as("__nv"))
+        coalesce(sum(col("__nv")), lit(0L)).cast("long").as("__nv"),
+        coalesce(sum(col("__nb")), lit(0L)).cast("long").as("__nb"))
       .localCheckpoint() // off the table before the overwrite reads it
     // insertInto keeps the table's identity (external location included);
     // overwrite truncates the old addend rows
@@ -237,6 +248,78 @@ object NgramLm {
             (coalesce(cn, lit(0L)).cast("double") + lit(1.0d)) /
             (tot.cast("double") + v + lit(1.0d)))
     }
+
+  /** Interpolated Kneser-Ney scoring (Kneser & Ney 1995; Chen & Goodman
+    * 1999 §3 — the discounting CCNet's KenLM actually runs) against the
+    * SAME stored model, batch-fit from the count tables with the fixed
+    * absolute discount D = 0.75:
+    *
+    *   P(t|p) = (max(net(p,t)−D, 0) + D·N1+(p·)·Pcont(t)) / c(p)  — p attested
+    *          = Pcont(t)                                          — otherwise
+    *   Pcont(t) = (N1+(·t) + 1) / (N1+(··) + V + 1)
+    *
+    * c(p) = Σ_t net(p,t) and the continuation counts N1+(p·) / N1+(·t)
+    * are net-count aggregates over the BIGRAM store restricted to the
+    * delta's own contexts / tokens (two delta-bounded bucketed probes —
+    * bounded by the probed contexts' fanout, the inherent KN cost, never
+    * the corpus); the scalars N1+(··) and V come off the maintained stats
+    * table. The continuation unigram carries the same add-one floor as
+    * the other scorers, so OOV stays finite. Same output contract as
+    * [[scoreDocs]]; the oracle refits KN from scratch and must match
+    * hash-for-hash. */
+  def scoreDocsKneserNey(spark: SparkSession, tables: LmTables,
+      delta: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.Layouts.checkFingerprint(spark, tables.uni, fp, "NgramLm.scoreDocsKneserNey")
+    import graft.functions.ExactRound
+    val pos = delta.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(2), size(col("__ts"))),
+          i => struct(element_at(col("__ts"), i - 1).as("p"),
+            element_at(col("__ts"), i).as("t")))).as("__bg"))
+      .select(col(idCol), col("__bg.p").as("p"), col("__bg.t").as("t"))
+      .localCheckpoint()
+    val biStore = spark.table(tables.bi)
+    // one context-restricted net probe feeds BOTH the pair lookup and the
+    // per-context aggregates (c(p), N1+(p·))
+    val ctxNets = biStore
+      .join(pos.select("p").distinct(), Seq("p"), "left_semi")
+      .groupBy(col("p"), col("t"))
+      .agg(sum(col("__c")).cast("long").as("__n"))
+      .filter(col("__n") > 0L)
+      .localCheckpoint()
+    val pairNet = ctxNets
+      .join(pos.select("p", "t").distinct(), Seq("p", "t"), "left_semi")
+      .select(col("p"), col("t"), col("__n").as("__c2"))
+    val ctx = ctxNets.groupBy(col("p"))
+      .agg(sum(col("__n")).cast("long").as("__c1"), count(lit(1)).as("__n1p"))
+    val cont = biStore
+      .join(pos.select("t").distinct(), Seq("t"), "left_semi")
+      .groupBy(col("p"), col("t"))
+      .agg(sum(col("__c")).cast("long").as("__n"))
+      .filter(col("__n") > 0L)
+      .groupBy(col("t")).agg(count(lit(1)).as("__n1t"))
+    val sc = spark.table(tables.stats)
+      .agg(coalesce(sum(col("__nb")), lit(0L)).cast("long").as("__nb"),
+        coalesce(sum(col("__nv")), lit(0L)).cast("long").as("__v"))
+    val d = lit(0.75d)
+    def pcont = (coalesce(col("__n1t"), lit(0L)).cast("double") + lit(1.0d)) /
+      (col("__nb").cast("double") + col("__v") + lit(1.0d))
+    pos.join(pairNet, Seq("p", "t"), "left")
+      .join(ctx, Seq("p"), "left")
+      .join(cont, Seq("t"), "left")
+      .crossJoin(broadcast(sc))
+      .select(col(idCol), round(log(
+        when(col("__c1").isNotNull,
+          (greatest(coalesce(col("__c2"), lit(0L)).cast("double") - d,
+            lit(0.0d)) + d * col("__n1p") * pcont) / col("__c1"))
+          .otherwise(pcont)), 8).as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        ExactRound.ratioRound6Int(
+          sum(ExactRound.eScaled(col("__lp"), 8).cast("decimal(38,0)")), 8,
+          count(lit(1))).as("avg_logprob"))
+  }
 
   private def scoredAgainstStore(spark: SparkSession, tables: LmTables,
       delta: DataFrame, idCol: String, textCol: String)(

@@ -372,6 +372,15 @@ object TextQueries extends graft.QueryModule {
     "text_lm_backoff_logprob" -> ((s, dir) =>
       graft.operators.NgramLm.scoreDocsBackoff(s, lmStore(s, dir),
         Tables.documents(s, dir).filter(lmDeltaPred), "doc_id", "text")),
+    // The SAME stored model under interpolated Kneser-Ney (the discounting
+    // CCNet's KenLM actually runs): absolute discount D=0.75, continuation
+    // probabilities from distinct-bigram counts, context totals from the
+    // bigram store, scalars off the maintained stats table. The oracle
+    // refits KN from scratch over the base slice — discount, continuation
+    // counts, add-one floor and all.
+    "text_lm_kn_logprob" -> ((s, dir) =>
+      graft.operators.NgramLm.scoreDocsKneserNey(s, lmStore(s, dir),
+        Tables.documents(s, dir).filter(lmDeltaPred), "doc_id", "text")),
     // The LM's delete verb: takedown docs leave the model by EXACT
     // DECREMENT (negated count append — delete ∘ append ≡ id, the count
     // stores' third delete mechanic), and scoring immediately equals a
@@ -1238,6 +1247,44 @@ object TextQueries extends graft.QueryModule {
       |      ELSE 0.4 * (CAST(coalesce(cn.c, 0) AS DOUBLE) + 1.0)
       |        / (CAST(vt.tot AS DOUBLE) + vt.v + 1.0) END""".stripMargin
 
+  /** The Kneser-Ney replay: refit continuation counts, context totals, and
+    * scalars from the base slice from scratch and score the delta —
+    * mirrors NgramLm.scoreDocsKneserNey term by term (same CASE, same
+    * greatest/coalesce shape, same operation order, D = 0.75). */
+  private def lmKnSql(basePred: String): String =
+    s"""WITH ${DocSql.toksCte},
+       |tokb AS (SELECT unnest(toks) AS t FROM tokd WHERE $basePred),
+       |cnt AS (SELECT t, count(*) AS c FROM tokb GROUP BY 1),
+       |bgb AS (SELECT unnest(list_transform(generate_series(2, len(toks)),
+       |    i -> {'p': toks[i-1], 't': toks[i]})) AS s
+       |  FROM tokd WHERE $basePred AND len(toks) >= 2),
+       |bc AS (SELECT s.p AS p, s.t AS t, count(*) AS c2 FROM bgb GROUP BY 1, 2),
+       |cx AS (SELECT p, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1p
+       |  FROM bc GROUP BY 1),
+       |ct AS (SELECT t, count(*) AS n1t FROM bc GROUP BY 1),
+       |sc AS (SELECT (SELECT count(*) FROM bc) AS nb,
+       |  (SELECT count(*) FROM cnt) AS v),
+       |bgd AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(toks)),
+       |    i -> {'p': toks[i-1], 't': toks[i]})) AS s
+       |  FROM tokd WHERE $LmDeltaSql AND len(toks) >= 2),
+       |pos AS (SELECT doc_id, s.p AS p, s.t AS t FROM bgd),
+       |lp AS (SELECT pos.doc_id, round(ln(
+       |    CASE WHEN cx.c1 IS NOT NULL THEN
+       |      (greatest(CAST(coalesce(bc.c2, 0) AS DOUBLE) - 0.75, 0.0)
+       |        + 0.75 * cx.n1p * ((CAST(coalesce(ct.n1t, 0) AS DOUBLE) + 1.0)
+       |          / (CAST(sc.nb AS DOUBLE) + sc.v + 1.0))) / cx.c1
+       |    ELSE (CAST(coalesce(ct.n1t, 0) AS DOUBLE) + 1.0)
+       |      / (CAST(sc.nb AS DOUBLE) + sc.v + 1.0) END), 8) AS lp
+       |  FROM pos
+       |  LEFT JOIN bc ON pos.p = bc.p AND pos.t = bc.t
+       |  LEFT JOIN cx ON pos.p = cx.p
+       |  LEFT JOIN ct ON pos.t = ct.t
+       |  CROSS JOIN sc)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  ${ExactRound.ratioRound6IntSql(
+            s"sum(${ExactRound.eScaledSql("lp", 8)})", 8, "count(*)")} AS avg_logprob
+       |FROM lp GROUP BY 1""".stripMargin
+
   private def lmScoreSql(basePred: String,
       probSql: String = LmInterpProbSql): String =
     s"""WITH ${DocSql.toksCte},
@@ -1279,6 +1326,7 @@ object TextQueries extends graft.QueryModule {
          |  CAST((SELECT sum(c2) FROM bc) AS BIGINT) AS total_bigrams""".stripMargin,
     "text_lm_stored_logprob" -> lmScoreSql(LmBaseSql),
     "text_lm_backoff_logprob" -> lmScoreSql(LmBaseSql, LmBackoffProbSql),
+    "text_lm_kn_logprob" -> lmKnSql(LmBaseSql),
     "text_lm_deleted" -> lmScoreSql(LmBaseLiveSql),
     "text_stats" ->
       s"""WITH $toksCte

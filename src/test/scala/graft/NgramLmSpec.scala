@@ -82,17 +82,20 @@ class NgramLmSpec extends SparkSpec {
   }
 
   test("the maintained (total, V) normalizer equals a from-scratch recount at every lifecycle step") {
-    def recount(t: NgramLm.LmTables): (Long, Long) = {
+    def recount(t: NgramLm.LmTables): (Long, Long, Long) = {
       val r = spark.table(t.uni).groupBy("t")
         .agg(sum($"__c").as("n")).filter($"n" > 0L)
         .agg(coalesce(sum($"n"), lit(0L)).cast("long"), count(lit(1))).head()
-      (r.getLong(0), r.getLong(1))
+      val nb = spark.table(t.bi).groupBy("p", "t")
+        .agg(sum($"__c").as("n")).filter($"n" > 0L).count()
+      (r.getLong(0), r.getLong(1), nb)
     }
-    def stats(t: NgramLm.LmTables): (Long, Long) = {
+    def stats(t: NgramLm.LmTables): (Long, Long, Long) = {
       val r = spark.table(t.stats)
         .agg(coalesce(sum($"__tot"), lit(0L)).cast("long"),
-          coalesce(sum($"__nv"), lit(0L)).cast("long")).head()
-      (r.getLong(0), r.getLong(1))
+          coalesce(sum($"__nv"), lit(0L)).cast("long"),
+          coalesce(sum($"__nb"), lit(0L)).cast("long")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val half1 = base.filter($"doc_id" % 2 === 1)
     val half2 = base.filter($"doc_id" % 2 === 0)
@@ -113,23 +116,34 @@ class NgramLmSpec extends SparkSpec {
     assert(stats(t) == recount(t), "compaction changes layout, never the sums")
   }
 
-  test("stupid-backoff shares the probe plan but scores differently; attested bigrams take the MLE path") {
+  test("stupid-backoff and Kneser-Ney share the store but score differently; OOV stays finite in all three") {
     val t = NgramLm.buildStore(base, "text", "lmspec_backoff",
       "/tmp/graft_lmspec_backoff", 4)
     val interp = NgramLm.scoreDocs(spark, t, delta, "doc_id", "text")
       .orderBy("doc_id").collect()
     val backoff = NgramLm.scoreDocsBackoff(spark, t, delta, "doc_id", "text")
       .orderBy("doc_id").collect()
+    val kn = NgramLm.scoreDocsKneserNey(spark, t, delta, "doc_id", "text")
+      .orderBy("doc_id").collect()
     assert(interp.map(_.getLong(0)).toSeq == backoff.map(_.getLong(0)).toSeq,
       "same docs, same bigram positions")
     assert(interp.map(_.getLong(1)).toSeq == backoff.map(_.getLong(1)).toSeq)
+    assert(kn.map(_.getLong(0)).toSeq == interp.map(_.getLong(0)).toSeq)
+    assert(kn.map(_.getLong(1)).toSeq == interp.map(_.getLong(1)).toSeq)
     assert(interp.map(_.get(2)).toSeq != backoff.map(_.get(2)).toSeq,
-      "the two schemes must actually differ on this corpus")
-    // backoff on fully-OOV text stays finite (the floored unigram path)
-    val oov = NgramLm.scoreDocsBackoff(spark, t,
-      Seq((1L, "zzzunseen wordsthatneverappear anywhere else"))
-        .toDF("doc_id", "text"), "doc_id", "text").collect()
-    assert(oov.length == 1 && !oov.head.isNullAt(2))
+      "interpolated vs backoff must actually differ on this corpus")
+    assert(kn.map(_.get(2)).toSeq != interp.map(_.get(2)).toSeq,
+      "KN vs interpolated must actually differ on this corpus")
+    // fully-OOV text stays finite in every scheme (the floored paths)
+    val oovDf = Seq((1L, "zzzunseen wordsthatneverappear anywhere else"))
+      .toDF("doc_id", "text")
+    Seq[(org.apache.spark.sql.SparkSession, NgramLm.LmTables,
+        org.apache.spark.sql.DataFrame, String, String) =>
+        org.apache.spark.sql.DataFrame](
+      NgramLm.scoreDocsBackoff, NgramLm.scoreDocsKneserNey).foreach { f =>
+      val oov = f(spark, t, oovDf, "doc_id", "text").collect()
+      assert(oov.length == 1 && !oov.head.isNullAt(2))
+    }
   }
 
   test("unseen grams score finitely through the add-one OOV floor") {
