@@ -69,6 +69,15 @@ object CleanFunctions {
       graft.functions.expr.HtmlMainContent(
         org.apache.spark.sql.GraftExpressionBridge.expression(html)))
 
+  /** Distinct normalized `<a href>` outlinks resolved against a base URL
+    * ([[graft.functions.expr.HtmlLinks]] — the crawl-graph/frontier
+    * construction stage next to [[htmlExtract]]'s text stage). */
+  def htmlOutlinks(html: Column, base: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.expr.HtmlOutlinks(
+        org.apache.spark.sql.GraftExpressionBridge.expression(html),
+        org.apache.spark.sql.GraftExpressionBridge.expression(base)))
+
   def repetitionRatio(total: Column, distinct: Column): Column =
     when(total === 0, lit(0.0d))
       .otherwise(ExactRound.ratioRound6PosLong(total - distinct, total))

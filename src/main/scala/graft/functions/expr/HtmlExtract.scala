@@ -52,6 +52,15 @@ object HtmlExtract {
   private def isAsciiSpace(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0B
 
+  // shared with HtmlLinks (same tokenizer, same entity table)
+  private[expr] def isAsciiSpaceChar(c: Char): Boolean = isAsciiSpace(c)
+  private[expr] def decodeEntityBody(e: String): String = decodeEntity(e)
+  private[expr] def scanTagAt(s: String, i: Int, to: Int): (String, Boolean, Boolean, Int) =
+    scanTag(s, i, to)
+  private[expr] def skipsContent(name: String): Boolean = SkipContent(name)
+  private[expr] def skipPastCloseAt(s: String, name: String, tagEnd: Int,
+      to: Int): Int = skipPastClose(s, name, tagEnd, to)
+
   private def indexOfIgnoreCase(s: String, what: String, from: Int,
       to: Int): Int = {
     val n = what.length
@@ -289,6 +298,177 @@ object HtmlExtract {
     }
     UTF8String.fromString(collapse(best))
   }
+}
+
+/** Outlink extraction + URL normalization — the crawl-GRAPH construction
+  * stage next to [[HtmlExtract.extract]]'s text stage (the two outputs a
+  * crawler takes from every fetched page: its text and its frontier).
+  * Companion methods live on [[HtmlExtract]]. */
+object HtmlLinks {
+
+  import HtmlExtract.{isAsciiSpaceChar, decodeEntityBody}
+
+  /** The value of `attr` inside the tag s[tagStart..tagEnd] (tagStart at
+    * '<', tagEnd at '>'), quote-aware ('"', '\'' or unquoted), attribute
+    * names case-insensitive; null when absent or valueless. */
+  private[expr] def attrValue(s: String, tagStart: Int, tagEnd: Int,
+      attr: String): String = {
+    var j = tagStart + 1
+    if (j < tagEnd && s.charAt(j) == '/') j += 1
+    while (j < tagEnd && s.charAt(j).isLetterOrDigit) j += 1
+    while (j < tagEnd) {
+      while (j < tagEnd && isAsciiSpaceChar(s.charAt(j))) j += 1
+      val ns = j
+      while (j < tagEnd && (s.charAt(j).isLetterOrDigit ||
+        s.charAt(j) == '-' || s.charAt(j) == '_' || s.charAt(j) == ':')) j += 1
+      if (j == ns) j += 1 // stray char (e.g. '/'), advance past it
+      else {
+        val name = s.substring(ns, j)
+        while (j < tagEnd && isAsciiSpaceChar(s.charAt(j))) j += 1
+        var value: String = null
+        if (j < tagEnd && s.charAt(j) == '=') {
+          j += 1
+          while (j < tagEnd && isAsciiSpaceChar(s.charAt(j))) j += 1
+          if (j < tagEnd && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+            val q = s.charAt(j); j += 1
+            val vs = j
+            while (j < tagEnd && s.charAt(j) != q) j += 1
+            value = s.substring(vs, j)
+            if (j < tagEnd) j += 1
+          } else {
+            val vs = j
+            while (j < tagEnd && !isAsciiSpaceChar(s.charAt(j)) &&
+              s.charAt(j) != '>') j += 1
+            value = s.substring(vs, j)
+          }
+        }
+        if (name.equalsIgnoreCase(attr)) return value
+      }
+    }
+    null
+  }
+
+  /** Entity references decoded inside an attribute value (`&amp;` is the
+    * legal spelling of '&' in an href query string). */
+  private def decodeEntitiesIn(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val sb = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '&') {
+        val semi = v.indexOf(';', i + 1)
+        if (semi > i && semi <= i + 10) {
+          val d = decodeEntityBody(v.substring(i + 1, semi))
+          if (d != null) { sb.append(d); i = semi + 1 }
+          else { sb.append('&'); i += 1 }
+        } else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** RFC 3986 resolution + the canonicalization every frontier applies:
+    * resolve `href` against `base` (java.net.URI — dot segments removed),
+    * lowercase scheme and host, strip default ports (http:80, https:443)
+    * and the fragment, empty path → "/", raw (undecoded) path and query
+    * preserved. Non-http(s) schemes (mailto:, javascript:, ...) and
+    * unparseable references → null (not frontier members). */
+  def normalizeResolved(base: String, href: String): String = {
+    val h = href.trim
+    if (h.isEmpty) return null
+    try {
+      val r = new java.net.URI(base).resolve(h).normalize()
+      val scheme = r.getScheme
+      if (scheme == null) return null
+      val sch = scheme.toLowerCase(java.util.Locale.ROOT)
+      if (sch != "http" && sch != "https") return null
+      val host0 = r.getHost
+      if (host0 == null) return null
+      val host = host0.toLowerCase(java.util.Locale.ROOT)
+      val port = r.getPort
+      val keepPort = port >= 0 &&
+        !(sch == "http" && port == 80) && !(sch == "https" && port == 443)
+      val rawPath = r.getRawPath
+      val path = if (rawPath == null || rawPath.isEmpty) "/" else rawPath
+      val sb = new java.lang.StringBuilder(sch).append("://").append(host)
+      if (keepPort) sb.append(':').append(port)
+      sb.append(path)
+      val q = r.getRawQuery
+      if (q != null) sb.append('?').append(q)
+      sb.toString
+    } catch { case _: IllegalArgumentException | _: java.net.URISyntaxException => null }
+  }
+
+  /** Distinct normalized outlinks of `html` in document order: every
+    * `<a href>` (any quoting, attribute names case-insensitive, entity
+    * references in the value decoded) resolved against `base` and
+    * canonicalized by [[normalizeResolved]]; script/style subtrees are
+    * skipped (an href inside code is not a link). Called from generated
+    * code. */
+  def outlinks(html: UTF8String,
+      base: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = html.toString
+    val b = base.toString
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+        } else if (s.startsWith("<![CDATA[", i)) {
+          val e = s.indexOf("]]>", i + 9); i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (s.charAt(i + 1).isLetter ||
+            s.charAt(i + 1) == '/' || s.charAt(i + 1) == '!' ||
+            s.charAt(i + 1) == '?')) {
+          val (name, isClose, _, end) = HtmlExtract.scanTagAt(s, i, n)
+          if (!isClose && name == "a") {
+            val href = attrValue(s, i, end, "href")
+            if (href != null) {
+              val u = normalizeResolved(b, decodeEntitiesIn(href))
+              if (u != null) out.add(UTF8String.fromString(u))
+            }
+          }
+          i = if (!isClose && HtmlExtract.skipsContent(name))
+            HtmlExtract.skipPastCloseAt(s, name, end, n)
+          else math.min(end + 1, n)
+        } else i += 1
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[UTF8String](out.size)).asInstanceOf[Array[Any]])
+  }
+}
+
+/** Distinct normalized `<a href>` outlinks of an HTML page resolved
+  * against a base URL, document order (see [[HtmlLinks]]). */
+case class HtmlOutlinks(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_html_outlinks"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string html, string base) inputs, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(html: Any, base: Any): Any =
+    HtmlLinks.outlinks(html.asInstanceOf[UTF8String],
+      base.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (h, b) => s"graft.functions.expr.HtmlLinks.outlinks($h, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HtmlOutlinks = copy(left = newLeft, right = newRight)
 }
 
 /** Full-page HTML text extraction (see [[HtmlExtract]]). Generated code is

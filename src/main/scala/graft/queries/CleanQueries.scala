@@ -98,7 +98,70 @@ object CleanQueries extends graft.QueryModule {
         "</footer></body></html>"))
   }
 
+  /** Crawl-graph PageRank iterations (exact e9 fixed point, like the kNN
+    * walk's PrIters). */
+  private val CrawlPrIters = 5
+
+  /** The planted-link fixture the two crawl-graph queries share: three
+    * anchors per doc (quote styles, case, entities, relative resolution,
+    * default port, fragment — every canonicalization rule exercised), a
+    * mailto:, a javascript:, and a duplicate; targets are
+    * (doc_id·{3,7,11}) mod N, so the expected frontier is a pure function
+    * of doc_id and the oracle replays it. Returns (html, base, row with
+    * broadcast N). */
+  private def linksFixture(s: SparkSession, dir: String):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val d = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+    val l1 = pmod(col("doc_id") * 3, col("__n")).cast("string")
+    val l2 = pmod(col("doc_id") * 7, col("__n")).cast("string")
+    val l3 = pmod(col("doc_id") * 11, col("__n")).cast("string")
+    val html = concat(
+      lit("<html><body><p>intro</p><a href=\"/doc/"), l1, lit("\">a</a>"),
+      lit("<a HREF='HTTP://EX.ORG:80/doc/"), l2, lit("?q=a&amp;b#frag'>b</a>"),
+      lit("<a href=../doc/"), l3, lit(" class=z>c</a>"),
+      lit("<a href=\"mailto:x@y.z\">m</a>"),
+      lit("<a href=\"/doc/"), l1, lit("\">dup</a>"),
+      lit("<a href=\"javascript:void(0)\">j</a></body></html>"))
+    val base = concat(lit("http://EX.org/dir/page"),
+      col("doc_id").cast("string"), lit(".html"))
+    (html, base, d)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Outlink extraction + URL canonicalization — the frontier half of
+    // the crawl stage (the text half is clean_html_extract): every <a
+    // href> in any quoting style, attribute names case-insensitive,
+    // entities decoded in the value, resolved RFC-3986 against the page's
+    // base URL, scheme/host lowercased, default ports and fragments
+    // stripped, non-http(s) schemes dropped, first-occurrence dedup. The
+    // oracle replays the expected frontier as a pure function of doc_id
+    // (the planted-target fixture is invertible), so any missed
+    // canonicalization rule or quoting case reddens rows.
+    "clean_html_links" -> ((s, dir) => {
+      val (html, base, d) = linksFixture(s, dir)
+      d.select(col("doc_id"),
+          CleanFunctions.htmlOutlinks(html, base).as("__l"))
+        .select(col("doc_id"), size(col("__l")).cast("long").as("n_links"),
+          md5(array_join(col("__l"), "|")).as("links_hash"))
+    }),
+    // The crawl graph end to end: extracted+normalized outlinks become a
+    // directed edge list (target ids parsed back off the URLs, distinct)
+    // and exact-integer PageRank ranks every page — the authority prior a
+    // selection pipeline mixes in when a REAL hyperlink graph exists
+    // (rank_knn_pagerank's kNN graph is the fallback when it doesn't).
+    // The oracle rebuilds the planted edges relationally and replays all
+    // five power iterations in the same e9 fixed point.
+    "rank_crawl_pagerank" -> ((s, dir) => {
+      val (html, base, d) = linksFixture(s, dir)
+      val edges = d.select(col("doc_id").as("src"),
+          explode(CleanFunctions.htmlOutlinks(html, base)).as("__u"))
+        .select(col("src"),
+          regexp_extract(col("__u"), "doc/([0-9]+)", 1).cast("long").as("dst"))
+        .distinct()
+      graft.operators.PageRank.pagerank(edges, CrawlPrIters)
+        .select(col("id").as("doc_id"), col("pr_e9"))
+    }),
     // HTML→text — the crawl pipeline's FIRST stage (raw HTML in, trainable
     // text out), which the engine lacked entirely (r13 verdict missing #1).
     // State-machine extraction (functions/expr/HtmlExtract.scala) over the
@@ -317,6 +380,29 @@ object CleanQueries extends graft.QueryModule {
   private val AnonK = 10L // k-anonymity threshold (clean_k_anonymity)
 
   val oracles: Map[String, String] = Map(
+    // The expected frontier replayed as a pure function of doc_id: l2
+    // carries a query string so it can never collide with l1/l3; l1 vs l3
+    // collide exactly when 8·doc_id ≡ 0 (mod N) — the dedup CASE handles
+    // it generically.
+    "clean_html_links" ->
+      """WITH nn0 AS (SELECT count(*) AS n FROM documents),
+        |d AS (SELECT doc_id,
+        |    'http://ex.org/doc/' || CAST((doc_id*3)%n AS VARCHAR) AS l1,
+        |    'http://ex.org/doc/' || CAST((doc_id*7)%n AS VARCHAR) || '?q=a&b' AS l2,
+        |    'http://ex.org/doc/' || CAST((doc_id*11)%n AS VARCHAR) AS l3
+        |  FROM documents, nn0)
+        |SELECT doc_id,
+        |  CAST(2 + CASE WHEN l3 <> l1 THEN 1 ELSE 0 END AS BIGINT) AS n_links,
+        |  md5(l1 || '|' || l2 ||
+        |    CASE WHEN l3 <> l1 THEN '|' || l3 ELSE '' END) AS links_hash
+        |FROM d""".stripMargin,
+    "rank_crawl_pagerank" ->
+      s"""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id AS src, (doc_id*3)%n AS dst FROM documents, nn0
+         |    UNION ALL SELECT doc_id, (doc_id*7)%n FROM documents, nn0
+         |    UNION ALL SELECT doc_id, (doc_id*11)%n FROM documents, nn0) u),
+         |${graft.operators.PageRank.pagerankRoundsSql(CrawlPrIters, 85, "doc_id")}""".stripMargin,
     // The fixture is INVERTIBLE: the expected extraction is the doc text
     // (whitespace-collapsed) plus each variant's known visible additions —
     // the oracle replays the answer, pinning the state machine end to end

@@ -76,6 +76,42 @@ class HtmlExtractSpec extends SparkSpec {
       "unclosed article body prose")
   }
 
+  private def links(html: String, base: String): Seq[String] =
+    graft.functions.expr.HtmlLinks.outlinks(
+      UTF8String.fromString(html), UTF8String.fromString(base))
+      .array.map(_.toString).toSeq
+
+  test("outlinks: quoting styles, case-insensitive attr names, entity decode, document order") {
+    val html = """<a href="/x">1</a><a HREF='/y'>2</a><a href=/z>3</a>""" +
+      """<a href="/q?a=1&amp;b=2">4</a>"""
+    assert(links(html, "http://ex.org/") == Seq(
+      "http://ex.org/x", "http://ex.org/y", "http://ex.org/z",
+      "http://ex.org/q?a=1&b=2"))
+  }
+
+  test("outlinks: canonicalization — scheme/host case, default ports, fragments, dot segments, empty path") {
+    assert(links("""<a href="HTTP://EX.ORG:80/p#f">x</a>""", "http://b.org/") ==
+      Seq("http://ex.org/p"))
+    assert(links("""<a href="https://a.org:443/s">x</a>""", "http://b.org/") ==
+      Seq("https://a.org/s"))
+    assert(links("""<a href="http://a.org:8080/s">x</a>""", "http://b.org/") ==
+      Seq("http://a.org:8080/s"), "non-default ports survive")
+    assert(links("""<a href="../doc/3">x</a>""", "http://EX.org/dir/page.html") ==
+      Seq("http://ex.org/doc/3"), "relative resolution + base-host lowering")
+    assert(links("""<a href="http://a.org">x</a>""", "http://b.org/") ==
+      Seq("http://a.org/"), "empty path canonicalizes to /")
+    assert(links("""<a href="//c.org/p">x</a>""", "https://b.org/") ==
+      Seq("https://c.org/p"), "protocol-relative inherits the base scheme")
+  }
+
+  test("outlinks: non-http(s) schemes, valueless/absent href, script content, duplicates") {
+    val html = """<a href="mailto:x@y.z">m</a><a href="javascript:void(0)">j</a>""" +
+      """<a name="anchor">no href</a><a href>empty</a>""" +
+      """<script>var s = '<a href="/fake">not a link</a>';</script>""" +
+      """<a href="/real">r</a><a href="/real">dup</a>"""
+    assert(links(html, "http://ex.org/") == Seq("http://ex.org/real"))
+  }
+
   test("DataFrame projection exercises the codegen path; null in, null out") {
     val df = Seq(
       (1L, Some("<p>a&amp;b</p>")),
