@@ -109,23 +109,44 @@ object CleanQueries extends graft.QueryModule {
     * (doc_id·{3,7,11}) mod N, so the expected frontier is a pure function
     * of doc_id and the oracle replays it. Returns (html, base, row with
     * broadcast N). */
-  private def linksFixture(s: SparkSession, dir: String):
-      (org.apache.spark.sql.Column, org.apache.spark.sql.Column, DataFrame) = {
+  /** The planted anchor block (shared verbatim with the raw-crawl
+    * pipeline card — the oracle replays of BOTH depend on this exact
+    * sequence): visible anchor texts are the single tokens
+    * `a b c m dup j`. */
+  private[queries] def plantedAnchors(l1: org.apache.spark.sql.Column,
+      l2: org.apache.spark.sql.Column,
+      l3: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    lit("<a href=\"/doc/"), l1, lit("\">a</a>"),
+    lit("<a HREF='HTTP://EX.ORG:80/doc/"), l2, lit("?q=a&amp;b#frag'>b</a>"),
+    lit("<a href=../doc/"), l3, lit(" class=z>c</a>"),
+    lit("<a href=\"mailto:x@y.z\">m</a>"),
+    lit("<a href=\"/doc/"), l1, lit("\">dup</a>"),
+    lit("<a href=\"javascript:void(0)\">j</a>"))
+
+  /** Planted link targets (doc_id·{3,7,11} mod N) as string columns; `d`
+    * carries the broadcast corpus count. */
+  private[queries] def plantedTargets(s: SparkSession, dir: String):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column, DataFrame) = {
     val docs = Tables.documents(s, dir)
     val d = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
-    val l1 = pmod(col("doc_id") * 3, col("__n")).cast("string")
-    val l2 = pmod(col("doc_id") * 7, col("__n")).cast("string")
-    val l3 = pmod(col("doc_id") * 11, col("__n")).cast("string")
-    val html = concat(
-      lit("<html><body><p>intro</p><a href=\"/doc/"), l1, lit("\">a</a>"),
-      lit("<a HREF='HTTP://EX.ORG:80/doc/"), l2, lit("?q=a&amp;b#frag'>b</a>"),
-      lit("<a href=../doc/"), l3, lit(" class=z>c</a>"),
-      lit("<a href=\"mailto:x@y.z\">m</a>"),
-      lit("<a href=\"/doc/"), l1, lit("\">dup</a>"),
-      lit("<a href=\"javascript:void(0)\">j</a></body></html>"))
-    val base = concat(lit("http://EX.org/dir/page"),
-      col("doc_id").cast("string"), lit(".html"))
-    (html, base, d)
+    (pmod(col("doc_id") * 3, col("__n")).cast("string"),
+      pmod(col("doc_id") * 7, col("__n")).cast("string"),
+      pmod(col("doc_id") * 11, col("__n")).cast("string"), d)
+  }
+
+  /** The page base URL of the planted fixtures (mixed-case host — the
+    * canonicalizer must lowercase it on base-resolved links). */
+  private[queries] def plantedBase: org.apache.spark.sql.Column =
+    concat(lit("http://EX.org/dir/page"), col("doc_id").cast("string"),
+      lit(".html"))
+
+  private def linksFixture(s: SparkSession, dir: String):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column, DataFrame) = {
+    val (l1, l2, l3, d) = plantedTargets(s, dir)
+    val html = concat(lit("<html><body><p>intro</p>"),
+      plantedAnchors(l1, l2, l3), lit("</body></html>"))
+    (html, plantedBase, d)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

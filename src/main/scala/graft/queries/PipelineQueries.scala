@@ -82,6 +82,50 @@ object PipelineQueries extends graft.QueryModule {
     // ingested → quality score → top-m promotion. One row; red if a gate
     // is bypassed, the probe hits the wrong store, or the promotion reads
     // unfiltered docs.
+    // The RAW-crawl pipeline in one pin — the round-19 capabilities
+    // composed end to end over ONE fetched corpus: WARC records (with the
+    // adversarial HTML wrapping each doc's escaped text PLUS the planted
+    // anchor block) → Content-Length verification → state-machine text
+    // extraction → Gopher word-count gate over the EXTRACTED tokens →
+    // outlink extraction + canonicalization against each record's own
+    // WARC-Target-URI → global frontier dedup. The oracle replays every
+    // number from the documents table (the fixture is invertible): a torn
+    // record, a leaked HTTP header, an extraction drift, a gate applied
+    // to the raw instead of extracted tokens, or a frontier URL that
+    // dodged canonicalization all redden the single row.
+    "pipeline_raw_crawl" -> ((s, dir) => {
+      val g = graft.functions.CleanFunctions.Gopher
+      val path = graft.Layouts.once(s, s"rawcrawl:$dir") {
+        val p = s"/tmp/graft_rawcrawl/${graft.Layouts.tag(dir)}"
+        val (l1, l2, l3, d) = CleanQueries.plantedTargets(s, dir)
+        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        val html = concat(
+          lit("<html><head><script>if (a<b) { x(); }</script></head><body><p>"),
+          esc, lit("</p>"), CleanQueries.plantedAnchors(l1, l2, l3),
+          lit("</body></html>"))
+        graft.io.Warc.write(d, "doc_id", CleanQueries.plantedBase, html, p)
+        p
+      }
+      val rec = graft.io.Warc.read(s, path)
+      val body = graft.io.Warc.httpBody(col("payload"))
+      val pages = rec.select(col("record_id").as("doc_id"), col("clen_ok"),
+        graft.functions.CleanFunctions.htmlExtract(body).as("__t"),
+        graft.functions.CleanFunctions.htmlOutlinks(body,
+          col("target_uri")).as("__l"))
+      val gated = pages
+        .withColumn("__nt",
+          size(graft.functions.TextFunctions.tokens(col("__t"))).cast("long"))
+        .filter(col("__nt") >= g.MinToks && col("__nt") <= g.MaxToks)
+        .localCheckpoint() // two census legs read it
+      pages.agg(count(lit(1)).as("n_fetched"),
+          sum(when(col("clen_ok"), 1L).otherwise(0L)).as("n_clen_ok"))
+        .crossJoin(gated.agg(count(lit(1)).as("n_gated"),
+          sum(graft.functions.TextFunctions.tokenHash(col("__t")))
+            .as("text_checksum")))
+        .crossJoin(gated.select(explode(col("__l")).as("__u")).distinct()
+          .agg(count(lit(1)).as("frontier_size")))
+    }),
     "pipeline_crawl_ingest" -> ((s, dir) => {
       val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
       val r = Pipeline.ingestCrawlBatch(s,
@@ -144,6 +188,36 @@ object PipelineQueries extends graft.QueryModule {
 
   val oracles: Map[String, String] = Map(
     "pipeline_crawl_ingest" -> crawlIngestSql,
+    // Every number replayed from the source table: the expected extracted
+    // text is the whitespace-collapsed doc text plus the six visible
+    // anchor tokens; the gate runs on THOSE tokens; the frontier is the
+    // planted-target image over the gated slice, deduplicated globally.
+    "pipeline_raw_crawl" -> {
+      val g = graft.functions.CleanFunctions.Gopher
+      s"""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         |x AS (SELECT doc_id,
+         |    trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' a b c m dup j' AS xt
+         |  FROM documents),
+         |x2 AS (SELECT doc_id, xt,
+         |    len(list_filter(string_split_regex(lower(xt), '\\s+'),
+         |      t -> t <> '')) AS nt
+         |  FROM x),
+         |g AS (SELECT doc_id, xt FROM x2
+         |  WHERE nt >= ${g.MinToks} AND nt <= ${g.MaxToks}),
+         |d AS (SELECT g.doc_id,
+         |    'http://ex.org/doc/' || CAST((doc_id*3)%n AS VARCHAR) AS l1,
+         |    'http://ex.org/doc/' || CAST((doc_id*7)%n AS VARCHAR) || '?q=a&b' AS l2,
+         |    'http://ex.org/doc/' || CAST((doc_id*11)%n AS VARCHAR) AS l3
+         |  FROM g, nn0),
+         |fr AS (SELECT DISTINCT u FROM (SELECT l1 AS u FROM d
+         |  UNION ALL SELECT l2 FROM d UNION ALL SELECT l3 FROM d) z)
+         |SELECT (SELECT count(*) FROM documents) AS n_fetched,
+         |  (SELECT count(*) FROM documents) AS n_clen_ok,
+         |  (SELECT count(*) FROM g) AS n_gated,
+         |  (SELECT CAST(sum(${DocSql.tokenHashSql("xt")}) AS BIGINT) FROM g)
+         |    AS text_checksum,
+         |  (SELECT count(*) FROM fr) AS frontier_size""".stripMargin
+    },
     // Entry point C replayed whole: hashTF embed → seed centroids → assign →
     // probe 2 of 4 → ANN ranking; exact ranking; recall + best-sim eval;
     // K×10-overfetch first-wins dedup by level; rank-weighted pivot
