@@ -87,7 +87,11 @@ object HtmlExtract {
           if (e.charAt(1) == 'x' || e.charAt(1) == 'X')
             Integer.parseInt(e.substring(2), 16)
           else Integer.parseInt(e.substring(1))
-        if (cp > 0 && Character.isValidCodePoint(cp))
+        // surrogates are "valid code points" to the JDK but unpaired
+        // UTF-16 units in a String — they'd encode as replacement bytes
+        // and break cross-engine byte determinism; leave them literal
+        if (cp > 0 && Character.isValidCodePoint(cp) &&
+            !(cp >= 0xD800 && cp <= 0xDFFF))
           new String(Character.toChars(cp))
         else null
       } catch { case _: NumberFormatException => null }
@@ -216,19 +220,40 @@ object HtmlExtract {
     * body's top-level element subtrees and bare text runs (see object
     * doc). Falls back to [[extract]] of the whole scope when no block is
     * found. */
+  /** (from, to) of the `<body>`…`</body>` scope, found with the SAME
+    * tokenizer the walks use — a raw substring search would be fooled by
+    * '<body'/'</body' literals inside script strings (document.write is
+    * everywhere in real crawl HTML). No body element ⇒ the whole doc. */
+  private def bodyScope(s: String): (Int, Int) = {
+    val n = s.length
+    var i = 0
+    var from = -1
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        if (s.startsWith("<!--", i)) {
+          val e = s.indexOf("-->", i + 4); i = if (e < 0) n else e + 3
+        } else if (s.startsWith("<![CDATA[", i)) {
+          val e = s.indexOf("]]>", i + 9); i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (s.charAt(i + 1).isLetter ||
+            s.charAt(i + 1) == '/' || s.charAt(i + 1) == '!' ||
+            s.charAt(i + 1) == '?')) {
+          val (name, isClose, isSelf, end) = scanTag(s, i, n)
+          if (name == "body" && !isClose && !isSelf && from < 0)
+            from = math.min(end + 1, n)
+          else if (name == "body" && isClose && from >= 0)
+            return (from, i)
+          i = if (!isClose && SkipContent(name)) skipPastClose(s, name, end, n)
+          else math.min(end + 1, n)
+        } else i += 1
+      } else i += 1
+    }
+    if (from < 0) (0, n) else (from, n)
+  }
+
   def mainContent(html: UTF8String): UTF8String = {
     val s = html.toString
     // scope = inside <body>…</body> when present, else the whole document
-    val bodyOpen = indexOfIgnoreCase(s, "<body", 0, s.length)
-    val from =
-      if (bodyOpen < 0) 0
-      else {
-        val (_, _, _, end) = scanTag(s, bodyOpen, s.length)
-        math.min(end + 1, s.length)
-      }
-    val bodyClose =
-      if (bodyOpen < 0) -1 else indexOfIgnoreCase(s, "</body", from, s.length)
-    val to = if (bodyClose < 0) s.length else bodyClose
+    val (from, to) = bodyScope(s)
     // segment the scope into candidate blocks
     val blocks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = from

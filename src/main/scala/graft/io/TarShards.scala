@@ -100,20 +100,30 @@ object TarShards {
       private var done = false
       private var off = 0L
 
-      private def readFully(buf: Array[Byte], len: Int): Boolean = {
+      private def readUpTo(buf: Array[Byte], len: Int): Int = {
         var n = 0
         while (n < len) {
           val r = in.read(buf, n, len - n)
-          if (r < 0) return false
+          if (r < 0) return n
           n += r
         }
-        true
+        n
       }
+
+      private def readFully(buf: Array[Byte], len: Int): Boolean =
+        readUpTo(buf, len) == len
 
       private def finish(): Unit = { done = true; in.close() }
 
       private def advance(): Unit = while (pending == null && !done) {
-        if (!readFully(h, Block) || h.forall(_ == 0)) finish()
+        val got = readUpTo(h, Block)
+        // a clean end is EXACTLY zero bytes at a header boundary (or the
+        // zero terminator block); 1..511 bytes is a shard torn MID-HEADER
+        // — the silently-skipped-member failure the payload guards below
+        // already refuse, so refuse it here too
+        require(got == 0 || got == Block,
+          s"truncated tar header at offset $off in $src ($got of $Block bytes)")
+        if (got == 0 || h.forall(_ == 0)) finish()
         else {
           val stored = new String(h, 148, 8, "US-ASCII")
             .dropWhile(_ == ' ').takeWhile(c => c >= '0' && c <= '7')
@@ -170,6 +180,41 @@ object TarShards {
 
   private def memberName(key: Long, suffix: String): String =
     f"$key%012d.$suffix"
+
+  /** Streaming byte-equality of two same-length files (the rename-failure
+    * twin check — never loads either file whole). */
+  private def sameBytes(fs: org.apache.hadoop.fs.FileSystem,
+      a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Boolean = {
+    val ia = fs.open(a)
+    val ib = fs.open(b)
+    try {
+      val ba = new Array[Byte](65536)
+      val bb = new Array[Byte](65536)
+      def fill(in: java.io.InputStream, buf: Array[Byte]): Int = {
+        var n = 0
+        var r = 0
+        while (n < buf.length && r >= 0) {
+          r = in.read(buf, n, buf.length - n)
+          if (r > 0) n += r
+        }
+        n
+      }
+      var same = true
+      var done = false
+      while (same && !done) {
+        val na = fill(ia, ba)
+        val nb = fill(ib, bb)
+        if (na != nb) same = false
+        else if (na == 0) done = true
+        else {
+          var i = 0
+          while (same && i < na) { if (ba(i) != bb(i)) same = false; i += 1 }
+          if (na < ba.length) done = true
+        }
+      }
+      same
+    } finally { ia.close(); ib.close() }
+  }
 
   /** Export samples as tar shards under `dir`: one row per sample keyed by
     * `keyCol` (long), one tar member per (binary column, suffix) in
@@ -239,13 +284,15 @@ object TarShards {
           } finally out.close()
           if (!fs.rename(tmp, dest)) {
             // A pre-existing dest is only a SAFE commit if it is this
-            // task's deterministic twin (a retry that won the rename).
-            // The writer is byte-deterministic per shard, so equal length
-            // == equal bytes for a twin; anything else (a stale shard
-            // from a previous export into the same dir) must not survive
-            // under a fresh manifest claiming this run's counts.
-            val tmpLen = fs.getFileStatus(tmp).getLen
-            val twin = fs.exists(dest) && fs.getFileStatus(dest).getLen == tmpLen
+            // task's deterministic twin (a retry that won the rename) —
+            // verified by BYTE comparison, not length: a stale shard from
+            // a previous export can coincide in length (same keys,
+            // same-size payload edits) and must not survive under a
+            // fresh manifest claiming this run's counts. The compare only
+            // runs on the rare rename-failure path.
+            val twin = fs.exists(dest) &&
+              fs.getFileStatus(dest).getLen == fs.getFileStatus(tmp).getLen &&
+              sameBytes(fs, tmp, dest)
             if (twin) fs.delete(tmp, false)
             else {
               if (fs.exists(dest)) fs.delete(dest, false)

@@ -52,25 +52,39 @@ object Warc {
       .write.mode("overwrite").option("lineSep", RecordSep).text(dir)
   }
 
+  /** Everything past the first blank line of `c` (the one
+    * header-from-body split both the WARC and the HTTP envelope use). */
+  private def afterFirstBlank(c: Column): Column =
+    c.substr(length(substring_index(c, RecordSep, 1)) + lit(5),
+      octet_length(c))
+
   /** Read WARC records back: (record_id long from the urn, target_uri,
     * content_length, clen_ok, payload). The custom delimiter consumes the
     * next record's `WARC/1.0` line, so only a file's FIRST chunk carries
-    * it — stripped uniformly; the file's trailing separator is trimmed off
-    * the last chunk. */
+    * it — stripped uniformly. Payload framing: the file's TERMINAL
+    * separator rides the last chunk, but a payload may itself end with
+    * CRLFs (a real HTML body usually does), so a blanket trim would eat
+    * payload bytes — instead the declared Content-Length ARBITRATES:
+    * whichever of {raw, raw minus one trailing separator} matches it is
+    * the payload; when neither does, the raw bytes stand and the record
+    * surfaces clen_ok = false (torn/forged). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.option("lineSep", s"$RecordSep$Version$CRLF").text(dir)
       .filter(length(col("value")) > 0)
-      .select(regexp_replace(regexp_replace(col("value"),
-        "^WARC/1\\.0\r\n", ""), "(\r\n)+$", "").as("__r"))
+      .select(regexp_replace(col("value"), "^WARC/1\\.0\r\n", "").as("__r"))
     val headers = substring_index(col("__r"), RecordSep, 1)
-    val payload = expr(s"substring(__r, char_length(substring_index(__r, '\\r\\n\\r\\n', 1)) + 5)")
     raw.select(
         regexp_extract(headers, "WARC-Record-ID: <urn:graft:([0-9]+)>", 1)
           .cast("long").as("record_id"),
         regexp_extract(headers, "WARC-Target-URI: ([^\r\n]+)", 1).as("target_uri"),
         regexp_extract(headers, "Content-Length: ([0-9]+)", 1)
           .cast("long").as("content_length"),
-        payload.as("payload"))
+        afterFirstBlank(col("__r")).as("__p0"))
+      .withColumn("__p1", regexp_replace(col("__p0"), "\r\n\r\n$", ""))
+      .withColumn("payload",
+        when(octet_length(col("__p0")) === col("content_length"), col("__p0"))
+          .when(octet_length(col("__p1")) === col("content_length"), col("__p1"))
+          .otherwise(col("__p0")))
       .withColumn("clen_ok",
         octet_length(col("payload")) === col("content_length"))
       .select("record_id", "target_uri", "content_length", "clen_ok",
@@ -79,8 +93,5 @@ object Warc {
 
   /** The HTTP message body of a record payload (everything past the first
     * blank line — status line and response headers stripped). */
-  def httpBody(payload: Column): Column = {
-    val head = substring_index(payload, RecordSep, 1)
-    payload.substr(length(head) + lit(5), octet_length(payload))
-  }
+  def httpBody(payload: Column): Column = afterFirstBlank(payload)
 }

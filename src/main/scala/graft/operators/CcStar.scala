@@ -184,9 +184,15 @@ object CcStar {
       .filter(col("col_name") === "Location")
       .select("data_type").head().getString(0)
 
-  /** (last applied batchId, version watermark) from the sidecar; absent ⇒
-    * fall back to (-1, max __v in the store) — one column-scan, paid only
-    * when the sidecar was lost, never per healthy batch. */
+  /** (last applied batchId, version watermark) from the sidecar. Absent
+    * sidecar: a FRESH store (max __v == 0 — e.g. built through
+    * [[Bucketed]] directly) safely starts at (-1, 0); a store that has
+    * already absorbed batches RAISES instead — guessing lastBatch = -1
+    * there would let an at-least-once REPLAY of an applied batch past the
+    * no-op check and into the re-ingest clash guard, wedging the stream
+    * permanently (the exact availability trap the sidecar exists to
+    * prevent). The error names the repair: restore the marker via
+    * [[writeApplied]] with the true last batch id, or compact + rebase. */
   private[graft] def readApplied(spark: SparkSession, table: String,
       loc: String): (Long, Long) = {
     val p = appliedPath(loc)
@@ -200,9 +206,16 @@ object CcStar {
         case other => throw new IllegalStateException(
           s"malformed cc-applied marker at $p: '${other.mkString(" ")}'")
       }
-    } else
-      (-1L, spark.table(table).agg(coalesce(max(col(VerCol)), lit(0L)))
-        .head().getLong(0))
+    } else {
+      val maxVer = spark.table(table)
+        .agg(coalesce(max(col(VerCol)), lit(0L))).head().getLong(0)
+      if (maxVer > 0L) throw new IllegalStateException(
+        s"cc-applied marker missing at $p but the label store already " +
+          s"holds versions up to $maxVer — a replayed batch could not be " +
+          "told from a new one; restore the marker (CcStar.writeApplied " +
+          "with the true last applied batchId) or compact and rebase")
+      (-1L, 0L)
+    }
   }
 
   private[graft] def writeApplied(spark: SparkSession, loc: String,

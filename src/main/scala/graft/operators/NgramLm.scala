@@ -130,7 +130,13 @@ object NgramLm {
 
   /** O(delta) ingest: append the batch's counts (split counts sum at read
     * time) and the batch's normalizer addend. The fingerprint gate refuses
-    * a tokenizer/model-shape drift. */
+    * a tokenizer/model-shape drift. CRASH WINDOW (single maintenance
+    * writer, like every append face here): a failure between the count
+    * appends and the stats append leaves the normalizer excluding a batch
+    * the counts include — scoring would silently use stale (total, V,
+    * N1+) until repaired; [[recountStats]] is the explicit repair (and
+    * the recovery step a deployment runs after any crashed maintenance
+    * op, the [[Bucketed.compactTable]]-contract analog). */
   def appendToStore(tables: LmTables, docs: DataFrame, textCol: String,
       numBuckets: Int): Unit = {
     val s = docs.sparkSession
@@ -147,7 +153,9 @@ object NgramLm {
   /** Takedown by EXACT DECREMENT: re-count ONLY the deleted docs and append
     * their counts negated — the [[SpanDedup.deleteFromIndex]] contract
     * (decrement exactly once per ingested doc; probes read net counts).
-    * The normalizer addend records the leaving mass and vocabulary. */
+    * The normalizer addend records the leaving mass and vocabulary; the
+    * [[appendToStore]] crash-window note (and [[recountStats]] repair)
+    * applies here identically. */
   def deleteFromStore(tables: LmTables, docs: DataFrame, textCol: String,
       numBuckets: Int): Unit = {
     val s = docs.sparkSession
@@ -163,6 +171,26 @@ object NgramLm {
       tables.bi, Seq("p", "t"), numBuckets)
     sd.write.mode("append").format("parquet").saveAsTable(tables.stats)
     s.catalog.refreshTable(tables.stats)
+  }
+
+  /** Rebuild the normalizer from the COUNT TABLES — the repair verb for a
+    * crash between a maintenance op's count appends and its stats append
+    * (the addend table would otherwise stay stale forever; the live
+    * scorers have no way to notice two tables disagreeing). One
+    * O(model) job, run on recovery, never per batch. */
+  def recountStats(spark: SparkSession, tables: LmTables): Unit = {
+    val uni = spark.table(tables.uni).groupBy(col("t"))
+      .agg(sum(col("__c")).cast("long").as("__n")).filter(col("__n") > 0L)
+    val nb = spark.table(tables.bi).groupBy(col("p"), col("t"))
+      .agg(sum(col("__c")).cast("long").as("__n")).filter(col("__n") > 0L)
+      .agg(count(lit(1)).as("__nb"))
+    val one = uni
+      .agg(coalesce(sum(col("__n")), lit(0L)).cast("long").as("__tot"),
+        count(lit(1)).as("__nv"))
+      .crossJoin(nb)
+      .localCheckpoint() // off the table before the overwrite reads it
+    one.write.mode("overwrite").insertInto(tables.stats)
+    spark.catalog.refreshTable(tables.stats)
   }
 
   /** Merge split/negated count rows and purge net-zero grams — one

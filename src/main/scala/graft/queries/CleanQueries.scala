@@ -66,8 +66,7 @@ object CleanQueries extends graft.QueryModule {
     * oracle pins that the state machine inverts the synthesis exactly —
     * the clean_normalize discipline. */
   private def htmlFixture: org.apache.spark.sql.Column = {
-    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
-      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val esc = escapeHtml(col("text"))
     val v = pmod(col("doc_id"), lit(4))
     when(v === 0, concat(
       lit("<html><head><script>var x = \"<div>\" + 1; if (a > b) {}</script>" +
@@ -88,8 +87,7 @@ object CleanQueries extends graft.QueryModule {
     * doc text in a div, a link-heavy footer — the density scorer must keep
     * exactly the div. */
   private def htmlMainFixture: org.apache.spark.sql.Column = {
-    val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
-      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val esc = escapeHtml(col("text"))
     concat(
       lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About us</a> " +
         "<a href=\"/m\">More links here</a></nav><div><p>"),
@@ -109,6 +107,13 @@ object CleanQueries extends graft.QueryModule {
     * (doc_id·{3,7,11}) mod N, so the expected frontier is a pure function
     * of doc_id and the oracle replays it. Returns (html, base, row with
     * broadcast N). */
+  /** HTML-escape a text column (&, <, > — & first). FOUR fixtures' oracles
+    * depend on this exact escaping being the inverse of the extractor's
+    * entity decode — one copy, like [[plantedAnchors]]. */
+  private[queries] def escapeHtml(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
   /** The planted anchor block (shared verbatim with the raw-crawl
     * pipeline card — the oracle replays of BOTH depend on this exact
     * sequence): visible anchor texts are the single tokens

@@ -233,8 +233,7 @@ object IoQueries extends graft.QueryModule {
     // miscounted Content-Length, a leaked HTTP header, or an extraction
     // drift turns the row red.
     "io_warc_crawl" -> ((s, dir) => {
-      val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
-        "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val esc = CleanQueries.escapeHtml(col("text"))
       val html = concat(
         lit("<html><head><script>if (a<b) { x(); }</script></head><body><p>"),
         esc, lit("</p></body></html>"))

@@ -98,8 +98,7 @@ object PipelineQueries extends graft.QueryModule {
       val path = graft.Layouts.once(s, s"rawcrawl:$dir") {
         val p = s"/tmp/graft_rawcrawl/${graft.Layouts.tag(dir)}"
         val (l1, l2, l3, d) = CleanQueries.plantedTargets(s, dir)
-        val esc = regexp_replace(regexp_replace(regexp_replace(col("text"),
-          "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        val esc = CleanQueries.escapeHtml(col("text"))
         val html = concat(
           lit("<html><head><script>if (a<b) { x(); }</script></head><body><p>"),
           esc, lit("</p>"), CleanQueries.plantedAnchors(l1, l2, l3),
@@ -113,11 +112,11 @@ object PipelineQueries extends graft.QueryModule {
         graft.functions.CleanFunctions.htmlExtract(body).as("__t"),
         graft.functions.CleanFunctions.htmlOutlinks(body,
           col("target_uri")).as("__l"))
+        .localCheckpoint() // ONE WARC scan + parse feeds all three legs
       val gated = pages
         .withColumn("__nt",
           size(graft.functions.TextFunctions.tokens(col("__t"))).cast("long"))
         .filter(col("__nt") >= g.MinToks && col("__nt") <= g.MaxToks)
-        .localCheckpoint() // two census legs read it
       pages.agg(count(lit(1)).as("n_fetched"),
           sum(when(col("clen_ok"), 1L).otherwise(0L)).as("n_clen_ok"))
         .crossJoin(gated.agg(count(lit(1)).as("n_gated"),

@@ -175,6 +175,35 @@ class CcStarSpec extends SparkSpec {
     assert(stored(table) == truth(all, all.flatMap(allPairs.getOrElse(_, Seq.empty))))
   }
 
+  test("a lost applied-marker is loud once batches exist, silent-safe on a fresh store") {
+    val table = initStore()
+    val loc = spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+    // fresh store, sidecar gone: safe fallback (nothing applied yet)
+    val p = new org.apache.hadoop.fs.Path(loc.stripSuffix("/") + "__cc_applied")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
+    assert(CcStar.applyBatch(spark, table, "doc_id", 2,
+      Seq(100L, 101L).toDF("doc_id"), 0L)(pairsOf) == 4L)
+    // batches applied, sidecar gone: a replay could not be told from a
+    // new batch — refuse loudly with the repair named, never wedge the
+    // stream on the clash guard
+    fs.delete(p, false)
+    val e = intercept[IllegalStateException] {
+      CcStar.applyBatch(spark, table, "doc_id", 2,
+        Seq(110L).toDF("doc_id"), 1L)(pairsOf)
+    }
+    assert(e.getMessage.contains("marker missing"), e.getMessage)
+    assert(e.getMessage.contains("writeApplied"), e.getMessage)
+    // the named repair unwedges it
+    CcStar.writeApplied(spark, loc, 0L, 1L)
+    assert(CcStar.applyBatch(spark, table, "doc_id", 2,
+      Seq(110L).toDF("doc_id"), 1L)(pairsOf) == 4L)
+    val all = Seq(100L, 101L, 110L)
+    assert(stored(table) == truth(all, all.flatMap(allPairs.getOrElse(_, Seq.empty))))
+  }
+
   test("compaction collapses version history to one row per key; labels and watermark survive") {
     val table = initStore()
     CcStar.applyBatch(spark, table, "doc_id", 2,

@@ -67,6 +67,24 @@ class HtmlExtractSpec extends SparkSpec {
       "This is the actual article body with enough prose to win.")
   }
 
+  test("main content: '</body' inside a script string cannot truncate the scope") {
+    // review finding: a raw substring search for the body close tag was
+    // fooled by document.write-style literals — the scope finder now runs
+    // the same tokenizer as the walks
+    val html = "<body><script>document.write(\"</body>\");</script>" +
+      "<div>the article body that must survive the fake close tag</div></body>"
+    assert(main(html) == "the article body that must survive the fake close tag")
+    val headFake = "<html><head><script>var s = '<body>';</script></head>" +
+      "<body><div>real content here wins</div></body></html>"
+    assert(main(headFake) == "real content here wins")
+  }
+
+  test("surrogate numeric entities stay literal (unpaired UTF-16 would break byte determinism)") {
+    assert(ex("a&#xD800;b") == "a&#xD800;b")
+    assert(ex("a&#55296;b") == "a&#55296;b")
+    assert(ex("a&#x1F600;b") == "a😀b", "supplementary planes still decode")
+  }
+
   test("main content: bare text runs at top level are candidate blocks; no-body documents fall back") {
     assert(main("<body><nav><a>x</a><a>y</a></nav>loose prose standing alone here</body>")
       == "loose prose standing alone here")

@@ -114,6 +114,15 @@ class NgramLmSpec extends SparkSpec {
     assert(spark.table(t.stats).count() == 1L,
       "compaction collapses the addends to one row")
     assert(stats(t) == recount(t), "compaction changes layout, never the sums")
+    // simulate the documented crash window — counts appended, stats addend
+    // lost — and verify the explicit repair verb restores consistency
+    import graft.operators.Bucketed
+    Bucketed.appendBucketedKeys(
+      Seq(("zzzcrashtoken", 3L)).toDF("t", "__c"), t.uni, Seq("t"), 4)
+    assert(stats(t) != recount(t), "the simulated crash must actually skew")
+    NgramLm.recountStats(spark, t)
+    assert(stats(t) == recount(t), "recountStats is the crash-window repair")
+    assert(spark.table(t.stats).count() == 1L)
   }
 
   test("stupid-backoff and Kneser-Ney share the store but score differently; OOV stays finite in all three") {

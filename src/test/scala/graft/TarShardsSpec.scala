@@ -75,6 +75,14 @@ class TarShardsSpec extends SparkSpec {
     val cut = java.util.Arrays.copyOfRange(tar, 0, 512 + 1000) // mid-payload
     val e = intercept[IllegalArgumentException] { TarShards.parseTar(cut) }
     assert(e.getMessage.contains("truncated"), e.getMessage)
+    // torn MID-HEADER (1..511 bytes) is equally loud — it must not read
+    // as a clean end-of-archive that silently drops the member
+    val tar2 = TarShards.tarBytes(Iterator(
+      "000000000001.txt" -> "x".getBytes("UTF-8"),
+      "000000000002.txt" -> "y".getBytes("UTF-8")))
+    val cut2 = java.util.Arrays.copyOfRange(tar2, 0, 1024 + 200) // mid-header-2
+    val e2 = intercept[IllegalArgumentException] { TarShards.parseTar(cut2) }
+    assert(e2.getMessage.contains("truncated tar header"), e2.getMessage)
   }
 
   test("NULL member columns are skipped on write (read surfaces them NULL); an all-NULL sample raises") {

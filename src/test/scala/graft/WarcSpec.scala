@@ -36,6 +36,23 @@ class WarcSpec extends SparkSpec {
       "HTTP body must reproduce the payload byte-for-byte")
   }
 
+  test("payloads ending in CRLFs survive intact — Content-Length arbitrates the terminal-separator trim") {
+    // doc 1's body ends with one CRLF, doc 2's with a full blank line —
+    // the file-terminal separator must not eat payload bytes (review
+    // finding: a blanket trailing-CRLF trim corrupted such payloads)
+    val dir = s"/tmp/graft_warcspec_crlf_${System.nanoTime()}"
+    Warc.write(Seq((1L, "body one\r\n"), (2L, "body two\r\n\r\n"), (3L, "plain"))
+      .toDF("doc_id", "text").repartition(1).sortWithinPartitions("doc_id"),
+      "doc_id", concat(lit("u"), $"doc_id"), $"text", dir)
+    val back = Warc.read(spark, dir).orderBy("record_id").collect()
+    assert(back.length == 3)
+    assert(back.forall(_.getBoolean(3)), "every Content-Length must verify")
+    val bodies = back.map(_.getString(4).split("\r\n\r\n", 2)(1))
+    assert(bodies(0) == "body one\r\n", "a single trailing CRLF survives")
+    assert(bodies(1) == "body two\r\n\r\n", "a trailing blank line survives")
+    assert(bodies(2) == "plain")
+  }
+
   test("a payload shorter than its declared Content-Length surfaces clen_ok = false, not a silent pass") {
     val dir = s"/tmp/graft_warcspec_torn_${System.nanoTime()}"
     Warc.write(Seq((1L, "intact body text")).toDF("doc_id", "text"), "doc_id",
