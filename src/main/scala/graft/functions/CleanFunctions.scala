@@ -78,6 +78,22 @@ object CleanFunctions {
         org.apache.spark.sql.GraftExpressionBridge.expression(html),
         org.apache.spark.sql.GraftExpressionBridge.expression(base)))
 
+  /** Detected charset label of a binary payload
+    * ([[graft.functions.expr.CharsetSniff]] — BOM → meta declaration →
+    * UTF-8 validity → windows-1252 fallback). */
+  def sniffCharset(bytes: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.expr.SniffCharset(
+        org.apache.spark.sql.GraftExpressionBridge.expression(bytes)))
+
+  /** Decode a binary payload with a charset label (malformed → U+FFFD,
+    * leading BOM stripped). */
+  def decodeCharset(bytes: Column, charset: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.expr.DecodeCharset(
+        org.apache.spark.sql.GraftExpressionBridge.expression(bytes),
+        org.apache.spark.sql.GraftExpressionBridge.expression(charset)))
+
   def repetitionRatio(total: Column, distinct: Column): Column =
     when(total === 0, lit(0.0d))
       .otherwise(ExactRound.ratioRound6PosLong(total - distinct, total))

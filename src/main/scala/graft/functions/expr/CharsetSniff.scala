@@ -1,0 +1,161 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Charset detection + decode for raw crawl payloads — the BYTE-level
+  * entry stage ahead of [[HtmlExtract]] (a fetched HTTP body is bytes in
+  * an undeclared or mis-declared encoding; every real pipeline sniffs
+  * before it parses — the chardet/ftfy role, done deterministically).
+  *
+  * [[CharsetSniff.sniff]] applies the standard cascade, first hit wins:
+  *  1. BOM: EF BB BF → utf-8, FF FE → utf-16le, FE FF → utf-16be;
+  *  2. an HTML `<meta charset=…>` / `http-equiv` declaration inside the
+  *     first 1024 bytes (read as Latin-1 — the spec's own bootstrap
+  *     trick), when it names a charset this engine knows;
+  *  3. a full UTF-8 validity scan (structure, continuation ranges,
+  *     overlongs, surrogates, > U+10FFFF all rejected) → utf-8;
+  *  4. otherwise windows-1252 — the web's de-facto fallback (a strict
+  *     Latin-1 superset on the bytes that differ).
+  *
+  * [[CharsetSniff.decode]] decodes with the named charset (malformed
+  * sequences become U+FFFD deterministically, never engine-dependent
+  * drops) and strips one leading U+FEFF (the decoded BOM). Both are
+  * single static calls from generated code — no UDF, stage stays fused.
+  */
+object CharsetSniff {
+
+  /** Charsets the sniffer will emit / the decoder accepts — each name is
+    * both the label and the JDK charset id. */
+  private val Known = Map(
+    "utf-8" -> "utf-8", "utf8" -> "utf-8",
+    "utf-16le" -> "utf-16le", "utf-16be" -> "utf-16be",
+    "iso-8859-1" -> "iso-8859-1", "latin1" -> "iso-8859-1",
+    "windows-1252" -> "windows-1252", "cp1252" -> "windows-1252")
+
+  private val MetaRe = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([a-zA-Z0-9_-]+)")
+
+  /** Structural UTF-8 validity: continuation counts AND ranges (overlong
+    * forms, surrogates, and > U+10FFFF rejected — the WHATWG decoder's
+    * accept set). */
+  private[graft] def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation byte or overlong lead
+      else if (c < 0xe0) { // 2-byte
+        if (i + 1 >= n || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) { // 3-byte
+        if (i + 2 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xe0) 0xa0 else 0x80 // overlong guard
+        val hi = if (c == 0xed) 0x9f else 0xbf // surrogate guard
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80) return false
+        i += 3
+      } else if (c < 0xf5) { // 4-byte
+        if (i + 3 >= n) return false
+        val c1 = b(i + 1) & 0xff
+        val lo = if (c == 0xf0) 0x90 else 0x80 // overlong guard
+        val hi = if (c == 0xf4) 0x8f else 0xbf // > U+10FFFF guard
+        if (c1 < lo || c1 > hi || (b(i + 2) & 0xc0) != 0x80 ||
+          (b(i + 3) & 0xc0) != 0x80) return false
+        i += 4
+      } else return false // f5..ff never valid
+    }
+    true
+  }
+
+  /** The detected charset label of `bytes` (see object doc for the
+    * cascade). Called from generated code. */
+  def sniff(bytes: Array[Byte]): UTF8String = UTF8String.fromString {
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
+      (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) "utf-8"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xfe) "utf-16le"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe &&
+      (bytes(1) & 0xff) == 0xff) "utf-16be"
+    else {
+      val head = new String(bytes, 0, math.min(1024, bytes.length),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val m = MetaRe.matcher(head)
+      val declared =
+        if (m.find()) Known.get(m.group(1).toLowerCase(java.util.Locale.ROOT))
+        else None
+      declared.getOrElse(if (isValidUtf8(bytes)) "utf-8" else "windows-1252")
+    }
+  }
+
+  /** Decode `bytes` as `charset` (a [[Known]] label — anything else
+    * raises with the accepted set named): malformed/unmappable sequences
+    * become U+FFFD deterministically, one leading U+FEFF (a decoded BOM)
+    * is stripped. Called from generated code. */
+  def decode(bytes: Array[Byte], charset: UTF8String): UTF8String = {
+    val label = charset.toString.toLowerCase(java.util.Locale.ROOT)
+    val cs = Known.getOrElse(label, throw new IllegalArgumentException(
+      s"unknown charset label '$label' — expected one of ${Known.keys.toSeq.sorted.mkString(", ")}"))
+    val dec = java.nio.charset.Charset.forName(cs).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val s = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    UTF8String.fromString(
+      if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s)
+  }
+}
+
+/** Detected charset label of a binary payload (see [[CharsetSniff]]). */
+case class SniffCharset(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_sniff_charset"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary input, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharsetSniff.sniff(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.CharsetSniff.sniff($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SniffCharset =
+    copy(child = newChild)
+}
+
+/** Decode a binary payload with a charset label (see [[CharsetSniff]]). */
+case class DecodeCharset(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "graft_decode_charset"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, string) inputs, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(bytes: Any, cs: Any): Any =
+    CharsetSniff.decode(bytes.asInstanceOf[Array[Byte]],
+      cs.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, c) => s"graft.functions.expr.CharsetSniff.decode($b, $c)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DecodeCharset = copy(left = newLeft, right = newRight)
+}

@@ -254,6 +254,38 @@ object IoQueries extends graft.QueryModule {
           sum(graft.functions.TextFunctions.tokenHash(col("__t"))).as("text_hash_sum"),
           count_distinct(col("target_uri")).as("n_uris"))
     }),
+    // Charset sniff + decode — the BYTE-level entry stage ahead of HTML
+    // extraction (fetched HTTP bodies are bytes in undeclared or
+    // mis-declared encodings; every real pipeline runs the chardet role
+    // before parsing). The fixture encodes each doc by variant: BOM'd
+    // UTF-8 with a planted non-ASCII char, BOM'd UTF-16LE, bare Latin-1
+    // bytes whose 0xE9 is INVALID UTF-8 (the validity-scan fallback must
+    // fire and label the web default windows-1252), and an HTML meta
+    // declaration naming iso-8859-1 over plain ASCII (the trust-the-label
+    // path — UTF-8-valid bytes, but the declaration wins). The oracle
+    // replays the expected (label, decoded text) per variant — a wrong
+    // cascade order, a missed BOM strip, or a lax UTF-8 validator turns
+    // rows red.
+    "io_charset_sniff" -> ((s, dir) => {
+      val v = pmod(col("doc_id"), lit(4))
+      val utf8bom = lit(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+      val utf16bom = lit(Array[Byte](0xFF.toByte, 0xFE.toByte))
+      val bytes =
+        when(v === 0, concat(utf8bom,
+          encode(concat(col("text"), lit("é")), "UTF-8")))
+        .when(v === 1, concat(utf16bom, encode(col("text"), "UTF-16LE")))
+        .when(v === 2, encode(concat(col("text"), lit("é")), "ISO-8859-1"))
+        .otherwise(encode(concat(lit("<meta charset=\"iso-8859-1\">"),
+          col("text")), "ISO-8859-1"))
+      val cf = graft.functions.CleanFunctions
+      Tables.documents(s, dir)
+        .select(col("doc_id"), bytes.as("__b"))
+        .select(col("doc_id"), cf.sniffCharset(col("__b")).as("charset"),
+          cf.decodeCharset(col("__b"), cf.sniffCharset(col("__b"))).as("__t"))
+        .select(col("doc_id"), col("charset"),
+          length(col("__t")).cast("long").as("n_chars"),
+          md5(col("__t")).as("text_hash"))
+    }),
     "io_wet_roundtrip" -> ((s, dir) => {
       val RS = "\u001e" // ASCII record separator — never in natural text
       val hdr = "^WET-REC (\\d+) (\\S+) (\\S+)\n"
@@ -505,6 +537,22 @@ object IoQueries extends graft.QueryModule {
     // The fixture is invertible: every record survives with its declared
     // Content-Length, and extraction recovers exactly the (whitespace-
     // collapsed) source text — the oracle replays the expected answer.
+    // Expected (label, decoded text) per variant, replayed directly: the
+    // fixture is invertible and the planted é is chr(233).
+    "io_charset_sniff" ->
+      """WITH exp AS (SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+        |      WHEN 2 THEN 'windows-1252' ELSE 'iso-8859-1' END AS charset,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN text || chr(233)
+        |      WHEN 1 THEN text
+        |      WHEN 2 THEN text || chr(233)
+        |      ELSE '<meta charset="iso-8859-1">' || text END AS t
+        |  FROM documents)
+        |SELECT doc_id, charset, CAST(length(t) AS BIGINT) AS n_chars,
+        |  md5(t) AS text_hash
+        |FROM exp""".stripMargin,
     "io_warc_crawl" ->
       s"""WITH exp AS (SELECT doc_id,
          |    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
