@@ -94,6 +94,22 @@ object CleanFunctions {
         org.apache.spark.sql.GraftExpressionBridge.expression(bytes),
         org.apache.spark.sql.GraftExpressionBridge.expression(charset)))
 
+  /** Decoded HTTP message body BYTES of a binary payload
+    * ([[graft.functions.expr.HttpBodyBytes]] — header strip, RFC 9112
+    * de-chunking, Content-Encoding gunzip; the envelope stage between a
+    * binary WARC read and [[sniffCharset]]). */
+  def httpBodyBytes(payload: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.expr.HttpBodyBytes(
+        org.apache.spark.sql.GraftExpressionBridge.expression(payload)))
+
+  /** Deterministic single-member gzip of a binary column
+    * ([[graft.functions.expr.GzipBytes]]). */
+  def gzipBytes(bytes: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.expr.GzipBytes(
+        org.apache.spark.sql.GraftExpressionBridge.expression(bytes)))
+
   def repetitionRatio(total: Column, distinct: Column): Column =
     when(total === 0, lit(0.0d))
       .otherwise(ExactRound.ratioRound6PosLong(total - distinct, total))

@@ -161,7 +161,12 @@ object TarShards {
               s"truncated tar padding after $name at offset $off in $src")
           }
           off += Block + size + pad
-          if (h(156) == '0'.toByte) pending = (name, payload)
+          // regular files only: ASCII '0' (what this writer stamps) OR the
+          // pre-POSIX NUL typeflag older tar writers use for regular files
+          // — an externally-produced shard must not have every member
+          // silently dropped (the "never silently drops a member" contract
+          // above; r14 ADVICE).
+          if (h(156) == '0'.toByte || h(156) == 0) pending = (name, payload)
         }
       }
 

@@ -25,14 +25,23 @@ object Bucketed {
     writeBucketedKeys(df, tableName, path, Seq(key), numBuckets)
 
   /** Multi-column bucketing (e.g. an LSH index laid out on
-    * (tbl, bucket)). */
+    * (tbl, bucket)). `partCols` additionally DIRECTORY-partitions the
+    * layout (partitionBy + bucketBy compose): point probes then prune to
+    * the touched directories — a static `IN` on the partition column
+    * reaches the scan's PartitionFilters, so per-batch maintenance reads
+    * touched buckets instead of the table (the [[graft.operators.CcStar]]
+    * label store's read-side bound), while the bucketed layout inside
+    * each directory keeps full-table aggregations on the keys
+    * exchange-free (Spark coalesces same-bucket files across partition
+    * directories into one read partition). */
   def writeBucketedKeys(df: DataFrame, tableName: String, path: String,
-      keys: Seq[String], numBuckets: Int): Unit = {
+      keys: Seq[String], numBuckets: Int, partCols: Seq[String] = Nil): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     require(keys.nonEmpty, "need at least one bucketing key")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    df.write.mode("overwrite").format("parquet")
+    val w = df.write.mode("overwrite").format("parquet")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
@@ -47,8 +56,9 @@ object Bucketed {
     * one file per bucket; periodic compaction (re-running the overwrite
     * form) bounds file counts in a long-lived deployment. */
   def appendBucketedKeys(df: DataFrame, tableName: String,
-      keys: Seq[String], numBuckets: Int): Unit = {
-    df.write.mode("append").format("parquet")
+      keys: Seq[String], numBuckets: Int, partCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("append").format("parquet")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(tableName)

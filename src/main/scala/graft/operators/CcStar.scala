@@ -218,11 +218,22 @@ object CcStar {
     }
   }
 
+  /** Temp+rename, like every other commit path here (the r14 ADVICE
+    * availability note): an in-place overwrite crashed mid-write leaves a
+    * torn marker that wedges every later batch on "malformed cc-applied
+    * marker" even though the true state was recoverable an instant
+    * earlier — with the rename the marker is always either the previous
+    * or the new (batchId, ver) pair. */
   private[graft] def writeApplied(spark: SparkSession, loc: String,
       batchId: Long, ver: Long): Unit = {
     val p = appliedPath(loc)
-    val out = hfs(spark, p).create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val f = hfs(spark, p)
+    val out = f.create(tmp, true)
     try out.write(s"$batchId $ver".getBytes("UTF-8")) finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    if (!f.rename(tmp, p))
+      sys.error(s"CcStar.writeApplied: rename $tmp -> $p failed")
   }
 
   /** Create the maintained store from a full (idCol, cluster_id) labeling:

@@ -1197,7 +1197,7 @@ object TextQueries extends graft.QueryModule {
     * learnMerges stops early, and an empty CTE would otherwise empty
     * every downstream CROSS JOIN (state, encode, pipeline card); the
     * sentinel's empty-symbol pattern matches nothing and is filtered
-    * from the merge-table output. The wrappers are the same /
+    * from the merge-table output. The wrappers are the same u001F/u001E
     * control chars embedded raw in the SQL text. */
   private def bpeCtes(k: Int): String = {
     val (wl, wr) = (graft.operators.Bpe.L, graft.operators.Bpe.R)

@@ -52,6 +52,48 @@ class CharsetSniffSpec extends SparkSpec {
     assert(dec(latin, "windows-1252") == "café")
   }
 
+  test("a meta-declared UTF-16 label is refuted by its own ASCII readability (WHATWG)") {
+    // the declaration is readable as ASCII, so the payload is NOT UTF-16 —
+    // honoring it would decode pairs of ASCII bytes into garbage codepoints
+    val declared = "<meta charset=utf-16le>plain ascii".getBytes("US-ASCII")
+    assert(sniff(declared) == "utf-8", "falls through to the validity scan")
+    val be = "<meta charset='UTF-16BE'>plain".getBytes("US-ASCII")
+    assert(sniff(be) == "utf-8")
+    // UTF-16 stays reachable via its BOM (the only trustworthy signal)
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ "ab".getBytes("UTF-16LE")
+    assert(sniff(le) == "utf-16le")
+  }
+
+  test("the top web multibyte families sniff by declaration and decode their planted sequences") {
+    // each planted tail is INVALID UTF-8 (a lead-less continuation byte or
+    // out-of-range lead), so only the declared label recovers the expected
+    // codepoint — the heuristically-undetectable case the label exists for
+    val families = Seq(
+      ("shift_jis", Array(0x93, 0xFA), "日"), // 日
+      ("euc-jp", Array(0xC6, 0xFC), "日"),
+      ("gbk", Array(0xD6, 0xD0), "中"), // 中
+      ("gb18030", Array(0xD6, 0xD0), "中"),
+      ("big5", Array(0xA4, 0xA4), "中"),
+      ("euc-kr", Array(0xB0, 0xA1), "가"), // 가
+      ("koi8-r", Array(0xF0), "П"), // П
+      ("windows-1251", Array(0xC0), "А"), // А
+      ("windows-1256", Array(0xC7), "ا"), // ا
+      ("iso-8859-2", Array(0xB1), "ą"), // ą
+      ("iso-8859-15", Array(0xA4), "€")) // €
+    for ((label, tail, expected) <- families) {
+      val page = s"<meta charset=$label>ascii body".getBytes("US-ASCII") ++
+        tail.map(_.toByte)
+      assert(sniff(page) == label, s"declared $label must win")
+      assert(dec(page, label) == s"<meta charset=$label>ascii body$expected",
+        s"decode under $label must recover the planted codepoint")
+    }
+    // label aliases map to the same charset
+    assert(sniff("<meta charset=sjis>x".getBytes("US-ASCII") :+ 0x93.toByte) == "shift_jis")
+    assert(sniff("<meta charset=gb2312>x".getBytes("US-ASCII")) == "gbk")
+    assert(sniff("<meta charset=cp1251>x".getBytes("US-ASCII")) == "windows-1251")
+    assert(sniff("<meta charset=latin2>x".getBytes("US-ASCII")) == "iso-8859-2")
+  }
+
   test("decode is loud on unknown labels and deterministic on malformed bytes") {
     val e = intercept[IllegalArgumentException] {
       dec(utf8("x"), "ebcdic-037")

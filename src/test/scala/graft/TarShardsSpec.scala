@@ -59,6 +59,34 @@ class TarShardsSpec extends SparkSpec {
       s"sample grouping must ride member contiguity, never a shuffle:\n$plan")
   }
 
+  test("a pre-POSIX NUL typeflag reads as a regular file; other typeflags are skipped") {
+    // older tar writers stamp 0x00 (not ASCII '0') for regular files — an
+    // externally-produced shard must not have every member silently
+    // dropped (r14 ADVICE). A directory typeflag ('5') is still skipped.
+    val tar = TarShards.tarBytes(Iterator(
+      "000000000001.txt" -> "old-style".getBytes("UTF-8"),
+      "000000000002.txt" -> "dir".getBytes("UTF-8"),
+      "000000000003.txt" -> "new-style".getBytes("UTF-8")))
+    def restamp(block: Int, flag: Byte): Unit = {
+      val off = block * 512
+      tar(off + 156) = flag
+      // re-sign the header checksum the reader verifies
+      var sum = 0L
+      for (i <- 0 until 512) {
+        val b = if (i >= 148 && i < 156) ' '.toByte else tar(off + i)
+        sum += (b & 0xff)
+      }
+      val oct = "%06o".format(sum).getBytes("US-ASCII") :+ 0.toByte :+ ' '.toByte
+      System.arraycopy(oct, 0, tar, off + 148, 8)
+    }
+    restamp(0, 0) // member 1 header is block 0 (payload < 512 -> 1 block)
+    restamp(2, '5'.toByte) // member 2 header at block 2
+    val back = TarShards.parseTar(tar)
+    assert(back.map(_._1) == Seq("000000000001.txt", "000000000003.txt"),
+      "NUL typeflag kept, directory skipped")
+    assert(new String(back.head._2, "UTF-8") == "old-style")
+  }
+
   test("a >=2 GiB member raises a clear diagnostic, not a negative-length copy") {
     // craft just the header: the size check fires before any payload read
     val h = TarShards.headerBlock("000000000001.bin", 3L << 30)
