@@ -21,6 +21,31 @@ object Bench {
     * producers included. */
   private[graft] def breachStands(scaledBudget: Double, iso: Double): Boolean =
     iso < 0 || iso > scaledBudget
+  /** Drift-outlier rerun policy (r14 verdict "next round" #1): the r14
+    * record carried six rows elevated 2.0–2.7× over their budget samples
+    * on unchanged source that sat UNDER their budgets, so the breach-only
+    * rerun trigger never adjudicated them — the record could not
+    * self-explain its worst sub-budget drift. Beyond the breach
+    * candidates, the top [[DriftRerunK]] rows by measured/(sample ×
+    * factor) ratio above [[DriftRerunMin]] get the same cold solo rerun,
+    * emitted under `drift_reruns` — data where the verdicts previously
+    * had to argue from shape. Purely diagnostic: a drift rerun never
+    * creates or clears a breach. */
+  private[graft] val DriftRerunK = 5
+  private[graft] val DriftRerunMin = 1.5
+  /** The drift-rerun candidate list: unfloored budgeted queries not
+    * already breach-rerun, ratio = measured / (sample × factor), top K
+    * above the floor, worst first. */
+  private[graft] def driftCandidates(results: Seq[(String, Double)],
+      sampleSec: Map[String, Double], effFactor: Double,
+      exclude: Set[String]): Seq[(String, Double, Double)] =
+    results
+      .filterNot { case (n, _) => exclude.contains(n) }
+      .flatMap { case (n, t) =>
+        sampleSec.get(n).map(s => (n, t, t / (s * effFactor))) }
+      .filter(_._3 > DriftRerunMin)
+      .sortBy(-_._3)
+      .take(DriftRerunK)
   /** The producer list (measured first, in declared order — chains like
     * rank_knn_degree_hist → eval_graph_recall depend on it). Since the
     * round-13 cold-rerun fix this list is ORDERING + attribution only —
@@ -227,28 +252,36 @@ object Bench {
     // in the headline so the adjudication is auditable. A rerun that THROWS
     // records the -1 failure sentinel and the breach stands (breachStands —
     // a crash must not clear a breach).
-    val isolated = provisional.map { case (n, t) =>
-      val iso = {
-        created.get(n).foreach { case (ce, le) =>
-          Caches.invalidate(ce)
-          Layouts.invalidate(le)
-          // the dropped frames' localCheckpoint blocks are dead now — free
-          // them so the rerun doesn't pay their storage pressure either
-          Caches.sweepCheckpoints(spark.sparkContext)
-        }
-        val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
+    def coldRerun(n: String): Double = {
+      created.get(n).foreach { case (ce, le) =>
+        Caches.invalidate(ce)
+        Layouts.invalidate(le)
+        // the dropped frames' localCheckpoint blocks are dead now — free
+        // them so the rerun doesn't pay their storage pressure either
         Caches.sweepCheckpoints(spark.sparkContext)
-        if (ok) dt else -1.0
       }
-      (n, t, iso)
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Caches.sweepCheckpoints(spark.sparkContext)
+      if (ok) dt else -1.0
     }
+    val isolated = provisional.map { case (n, t) => (n, t, coldRerun(n)) }
+    // Drift-outlier cold reruns (see [[driftCandidates]]): the worst
+    // sub-budget elevations vs the budget samples get the SAME cold solo
+    // re-measure, so a loaded record adjudicates its drift tail with data
+    // instead of leaving it to shape arguments. Diagnostic only — never
+    // part of the breach list.
+    val driftIso = driftCandidates(results, Budgets.sampleSec, effFactor,
+      provisional.map(_._1).toSet).map { case (n, t, _) => (n, t, coldRerun(n)) }
     // JSON shape: {"name":[measured_sec, adjudicated_sec]} — adjudicated
     // is the COLD solo rerun's time, or -1 for a failed rerun.
-    val isoJson = isolated.map { case (n, m, i) =>
-      "\"" + n + "\":[" + fmt(m) + "," + fmt(i) + "]" }.mkString("{", ",", "}")
+    def rerunJson(rs: Seq[(String, Double, Double)]): String =
+      rs.map { case (n, m, i) =>
+        "\"" + n + "\":[" + fmt(m) + "," + fmt(i) + "]" }.mkString("{", ",", "}")
+    val isoJson = rerunJson(isolated)
+    val driftJson = rerunJson(driftIso)
     val breaches = isolated.collect {
       case (n, _, iso) if Budgets.perQuery.get(n)
         .exists(b => Bench.breachStands(b * effFactor, iso)) => "\"" + n + "\""
@@ -299,7 +332,7 @@ object Bench {
     // can VERIFY its pairing instead of trusting `n` alone.
     val namesMd5 = Layouts.md5Hex(results.map(_._1).sorted.mkString(","))
     println(s"""{"metric":"per_query_ms_alpha","keys":"this run's query names, sorted","n":${results.size},"names_md5":"$namesMd5","ms":[${msAlpha.mkString(",")}]}""")
-    val totalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib_sec":${fmt(calib)},"budget_factor":${fmt(factor)},"drift_median":${fmt(drift)},"effective_factor":${fmt(effFactor)},"isolated_reruns":$isoJson,"budget_breaches":$breaches}"""
+    val totalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"calib_sec":${fmt(calib)},"budget_factor":${fmt(factor)},"drift_median":${fmt(drift)},"effective_factor":${fmt(effFactor)},"isolated_reruns":$isoJson,"drift_reruns":$driftJson,"budget_breaches":$breaches}"""
     writeRecord(totalLine)
     println(totalLine)
     spark.stop()

@@ -94,6 +94,34 @@ object CleanFunctions {
         org.apache.spark.sql.GraftExpressionBridge.expression(bytes),
         org.apache.spark.sql.GraftExpressionBridge.expression(charset)))
 
+  /** Robots-style URL allow/deny over canonical frontier URLs — the
+    * crawler-side twin of the domain cap: `rules` are (LIKE pattern,
+    * allow?) pairs, the MOST SPECIFIC matching rule (longest pattern,
+    * robots.txt's longest-match semantics) decides, ties and no-match
+    * default to ALLOW (the robots default). Pure composition of codegen'd
+    * LIKE/greatest — no UDF, and the DuckDB oracle replays the identical
+    * CASE/greatest shape ([[urlFilterSql]]). */
+  def urlAllowed(url: Column, rules: Seq[(String, Boolean)]): Column = {
+    def longest(ps: Seq[String]): Column =
+      if (ps.isEmpty) lit(-1)
+      else greatest(ps.map(p =>
+        when(url.like(p), lit(p.length)).otherwise(lit(-1))): _*)
+    // greatest() needs >= 2 args; pad with the no-match sentinel
+    def g(ps: Seq[String]) = longest(if (ps.size == 1) ps :+ "" else ps)
+    g(rules.filter(_._2).map(_._1)) >= g(rules.filterNot(_._2).map(_._1))
+  }
+
+  /** The oracle mirror of [[urlAllowed]] as a SQL boolean over `urlExpr`. */
+  def urlFilterSql(urlExpr: String, rules: Seq[(String, Boolean)]): String = {
+    def side(ps: Seq[String]): String =
+      if (ps.isEmpty) "-1"
+      else ps.map(p =>
+        s"CASE WHEN $urlExpr LIKE '$p' THEN ${p.length} ELSE -1 END")
+        .mkString("greatest(", ", ", ", -1)")
+    s"(${side(rules.filter(_._2).map(_._1))} >= " +
+      s"${side(rules.filterNot(_._2).map(_._1))})"
+  }
+
   /** Decoded HTTP message body BYTES of a binary payload
     * ([[graft.functions.expr.HttpBodyBytes]] — header strip, RFC 9112
     * de-chunking, Content-Encoding gunzip; the envelope stage between a

@@ -99,7 +99,8 @@ object Bucketed {
     * brackets this whole body, marker read included): a takedown racing
     * the window raises instead of being silently destroyed. */
   def compactTable(spark: SparkSession, tableName: String, keys: Seq[String],
-      numBuckets: Int, purgeIdCol: Option[String] = None)(
+      numBuckets: Int, purgeIdCol: Option[String] = None,
+      partCols: Seq[String] = Nil)(
       merge: DataFrame => DataFrame): Unit = {
     val fp = graft.Layouts.readFingerprint(spark, tableName)
     val loc = spark.sql(s"DESCRIBE FORMATTED $tableName")
@@ -121,9 +122,10 @@ object Bucketed {
           // rewrite's commit and the restore must not resurrect rows
           // (unfenced form: this body already holds the layout's fence)
           Tombstones.preserveUnfenced(spark, loc)(
-            writeBucketedKeys(merged, tableName, loc, keys, numBuckets))
+            writeBucketedKeys(merged, tableName, loc, keys, numBuckets,
+              partCols))
         case Some(_) =>
-          writeBucketedKeys(merged, tableName, loc, keys, numBuckets)
+          writeBucketedKeys(merged, tableName, loc, keys, numBuckets, partCols)
           // purge: markers die WITH the rewrite; clear also removes any
           // stale sibling backup a crashed earlier cycle left behind
           Tombstones.clear(spark, loc)

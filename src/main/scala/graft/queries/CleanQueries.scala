@@ -97,8 +97,9 @@ object CleanQueries extends graft.QueryModule {
   }
 
   /** Crawl-graph PageRank iterations (exact e9 fixed point, like the kNN
-    * walk's PrIters). */
-  private val CrawlPrIters = 5
+    * walk's PrIters). Shared with the raw-crawl pipeline card's
+    * rank-weighted selection leg. */
+  private[queries] val CrawlPrIters = 5
 
   /** The planted-link fixture the two crawl-graph queries share: three
     * anchors per doc (quote styles, case, entities, relative resolution,
@@ -154,7 +155,36 @@ object CleanQueries extends graft.QueryModule {
     (html, plantedBase, d)
   }
 
+  /** The frontier allow/deny rule set (robots.txt's longest-match
+    * semantics — [[CleanFunctions.urlAllowed]]): base allow, a deny for
+    * the `1…`-prefixed targets, and a longer allow that re-admits exactly
+    * the `1?q=a&b` query form — every doc's links land on both sides of
+    * the fence across scales. Shared verbatim with the oracle emitter. */
+  private val UrlRules = Seq(
+    ("http://ex.org/doc/%", true),
+    ("http://ex.org/doc/1%", false),
+    ("http://ex.org/doc/1?q=a&b", true))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sitemap/robots-style frontier filtering (r14 verdict "next round"
+    // #8): pattern-based allow/deny over the CANONICAL outlink URLs, the
+    // crawler-side twin of clean_domain_cap — longest matching rule
+    // decides, ties/no-match allow. Pure codegen'd LIKE/greatest
+    // composition over the planted-link fixture; the oracle replays the
+    // frontier AND the rule arbitration, so a wrong specificity order or
+    // a rule applied pre-canonicalization reddens rows.
+    "clean_url_filter" -> ((s, dir) => {
+      val (html, base, d) = linksFixture(s, dir)
+      d.select(col("doc_id"),
+          explode(CleanFunctions.htmlOutlinks(html, base)).as("__u"))
+        .select(col("doc_id"), col("__u"),
+          CleanFunctions.urlAllowed(col("__u"), UrlRules).as("__ok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("__ok"), 1L).otherwise(0L)).as("n_allowed"),
+          md5(array_join(sort_array(collect_list(when(col("__ok"),
+            col("__u")))), "|")).as("allowed_hash"))
+    }),
     // Outlink extraction + URL canonicalization — the frontier half of
     // the crawl stage (the text half is clean_html_extract): every <a
     // href> in any quoting style, attribute names case-insensitive,
@@ -422,6 +452,28 @@ object CleanQueries extends graft.QueryModule {
         |  md5(l1 || '|' || l2 ||
         |    CASE WHEN l3 <> l1 THEN '|' || l3 ELSE '' END) AS links_hash
         |FROM d""".stripMargin,
+    // The same planted frontier, then the same longest-match arbitration
+    // replayed as CASE/greatest over the rule literals.
+    "clean_url_filter" ->
+      s"""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         |d AS (SELECT doc_id,
+         |    'http://ex.org/doc/' || CAST((doc_id*3)%n AS VARCHAR) AS l1,
+         |    'http://ex.org/doc/' || CAST((doc_id*7)%n AS VARCHAR) || '?q=a&b' AS l2,
+         |    'http://ex.org/doc/' || CAST((doc_id*11)%n AS VARCHAR) AS l3
+         |  FROM documents, nn0),
+         |li AS (SELECT doc_id, u FROM (
+         |    SELECT doc_id, l1 AS u FROM d
+         |    UNION ALL SELECT doc_id, l2 FROM d
+         |    UNION ALL SELECT doc_id, CASE WHEN l3 <> l1 THEN l3 END FROM d) z
+         |  WHERE u IS NOT NULL),
+         |f AS (SELECT doc_id, u,
+         |    ${graft.functions.CleanFunctions.urlFilterSql("u", UrlRules)} AS ok
+         |  FROM li)
+         |SELECT doc_id, count(*) AS n_links,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+         |  md5(coalesce(string_agg(CASE WHEN ok THEN u END, '|' ORDER BY u), ''))
+         |    AS allowed_hash
+         |FROM f GROUP BY doc_id""".stripMargin,
     "rank_crawl_pagerank" ->
       s"""WITH nn0 AS (SELECT count(*) AS n FROM documents),
          |e AS (SELECT DISTINCT src, dst FROM (

@@ -29,6 +29,10 @@ object PipelineQueries extends graft.QueryModule {
   private val SfjCfg = Pipeline.Config(dim = SfjDim, k = SfjK,
     lists = SfjLists, nProbe = SfjProbes)
 
+  /** Raw-crawl promotion size: the rank-weighted selection keeps the m
+    * highest authority×quality pages. */
+  private val RawCrawlM = 25
+
   /** One index build per (session, dir): entry point B with the seeded
     * quantizer; the memo carries (index path, centroid model). */
   private object SfjLayout {
@@ -88,11 +92,17 @@ object PipelineQueries extends graft.QueryModule {
     // anchor block) → Content-Length verification → state-machine text
     // extraction → Gopher word-count gate over the EXTRACTED tokens →
     // outlink extraction + canonicalization against each record's own
-    // WARC-Target-URI → global frontier dedup. The oracle replays every
-    // number from the documents table (the fixture is invertible): a torn
-    // record, a leaked HTTP header, an extraction drift, a gate applied
-    // to the raw instead of extracted tokens, or a frontier URL that
-    // dodged canonicalization all redden the single row.
+    // WARC-Target-URI → global frontier dedup → and (r14 verdict "next
+    // round" #6: CONSUME the frontier) the CCNet/OpenWebText selection
+    // shape — the parsed outlinks become the crawl graph, exact-e9
+    // PageRank ranks every gated page, and the top-m promotion scores
+    // authority × quality (pr_e9 × token count, all integer): gate →
+    // rank-weighted select, replayed by the oracle through the same
+    // power iterations. A torn record, a leaked HTTP header, an
+    // extraction drift, a gate applied to the raw instead of extracted
+    // tokens, a frontier URL that dodged canonicalization, or a
+    // selection that ignored the authority prior all redden the single
+    // row.
     "pipeline_raw_crawl" -> ((s, dir) => {
       val g = graft.functions.CleanFunctions.Gopher
       val path = graft.Layouts.once(s, s"rawcrawl:$dir") {
@@ -112,11 +122,31 @@ object PipelineQueries extends graft.QueryModule {
         graft.functions.CleanFunctions.htmlExtract(body).as("__t"),
         graft.functions.CleanFunctions.htmlOutlinks(body,
           col("target_uri")).as("__l"))
-        .localCheckpoint() // ONE WARC scan + parse feeds all three legs
+        .localCheckpoint() // ONE WARC scan + parse feeds all four legs
       val gated = pages
         .withColumn("__nt",
           size(graft.functions.TextFunctions.tokens(col("__t"))).cast("long"))
         .filter(col("__nt") >= g.MinToks && col("__nt") <= g.MaxToks)
+        .localCheckpoint() // shared by the census, the graph, and the select
+      // the crawl graph: gated pages → their canonical outlink targets
+      val edges = gated
+        .select(col("doc_id").as("src"), explode(col("__l")).as("__u"))
+        .select(col("src"),
+          regexp_extract(col("__u"), "doc/([0-9]+)", 1).cast("long").as("dst"))
+        .distinct()
+      val pr = graft.operators.PageRank.pagerank(edges,
+        CleanQueries.CrawlPrIters)
+      // rank-weighted selection: authority prior × quality proxy, exact
+      // integers; top-m via TakeOrdered (never a global window), ranks
+      // materialized over the m survivors only
+      val scored = gated.select(col("doc_id"), col("__nt"))
+        .join(pr, col("doc_id") === col("id"))
+        .select(col("doc_id"), (col("__nt") * col("pr_e9")).as("__score"))
+      val topM = scored.orderBy(col("__score").desc, col("doc_id"))
+        .limit(RawCrawlM)
+      val sel = topM.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__score").desc, col("doc_id"))).cast("long"))
       pages.agg(count(lit(1)).as("n_fetched"),
           sum(when(col("clen_ok"), 1L).otherwise(0L)).as("n_clen_ok"))
         .crossJoin(gated.agg(count(lit(1)).as("n_gated"),
@@ -124,6 +154,9 @@ object PipelineQueries extends graft.QueryModule {
             .as("text_checksum")))
         .crossJoin(gated.select(explode(col("__l")).as("__u")).distinct()
           .agg(count(lit(1)).as("frontier_size")))
+        .crossJoin(sel.agg(count(lit(1)).as("n_selected"),
+          coalesce(sum(col("rank") * col("doc_id")), lit(0L)).cast("long")
+            .as("sel_checksum")))
     }),
     "pipeline_crawl_ingest" -> ((s, dir) => {
       val batch = Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
@@ -190,7 +223,9 @@ object PipelineQueries extends graft.QueryModule {
     // Every number replayed from the source table: the expected extracted
     // text is the whitespace-collapsed doc text plus the six visible
     // anchor tokens; the gate runs on THOSE tokens; the frontier is the
-    // planted-target image over the gated slice, deduplicated globally.
+    // planted-target image over the gated slice, deduplicated globally;
+    // the selection leg replays the SAME exact-e9 power iterations over
+    // the gated crawl graph and promotes the top-m by authority×quality.
     "pipeline_raw_crawl" -> {
       val g = graft.functions.CleanFunctions.Gopher
       s"""WITH nn0 AS (SELECT count(*) AS n FROM documents),
@@ -201,7 +236,7 @@ object PipelineQueries extends graft.QueryModule {
          |    len(list_filter(string_split_regex(lower(xt), '\\s+'),
          |      t -> t <> '')) AS nt
          |  FROM x),
-         |g AS (SELECT doc_id, xt FROM x2
+         |g AS (SELECT doc_id, xt, CAST(nt AS BIGINT) AS nt FROM x2
          |  WHERE nt >= ${g.MinToks} AND nt <= ${g.MaxToks}),
          |d AS (SELECT g.doc_id,
          |    'http://ex.org/doc/' || CAST((doc_id*3)%n AS VARCHAR) AS l1,
@@ -209,13 +244,29 @@ object PipelineQueries extends graft.QueryModule {
          |    'http://ex.org/doc/' || CAST((doc_id*11)%n AS VARCHAR) AS l3
          |  FROM g, nn0),
          |fr AS (SELECT DISTINCT u FROM (SELECT l1 AS u FROM d
-         |  UNION ALL SELECT l2 FROM d UNION ALL SELECT l3 FROM d) z)
+         |  UNION ALL SELECT l2 FROM d UNION ALL SELECT l3 FROM d) z),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT g.doc_id AS src, (g.doc_id*3)%n AS dst FROM g, nn0
+         |    UNION ALL SELECT g.doc_id, (g.doc_id*7)%n FROM g, nn0
+         |    UNION ALL SELECT g.doc_id, (g.doc_id*11)%n FROM g, nn0) u),
+         |pr AS (WITH ${graft.operators.PageRank.pagerankRoundsSql(
+                  CleanQueries.CrawlPrIters, 85, "doc_id")}),
+         |sc AS (SELECT g.doc_id, g.nt * pr.pr_e9 AS score
+         |  FROM g JOIN pr USING (doc_id)),
+         |r AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |      AS rank
+         |  FROM sc),
+         |sel AS (SELECT * FROM r WHERE rank <= $RawCrawlM)
          |SELECT (SELECT count(*) FROM documents) AS n_fetched,
          |  (SELECT count(*) FROM documents) AS n_clen_ok,
          |  (SELECT count(*) FROM g) AS n_gated,
          |  (SELECT CAST(sum(${DocSql.tokenHashSql("xt")}) AS BIGINT) FROM g)
          |    AS text_checksum,
-         |  (SELECT count(*) FROM fr) AS frontier_size""".stripMargin
+         |  (SELECT count(*) FROM fr) AS frontier_size,
+         |  (SELECT count(*) FROM sel) AS n_selected,
+         |  (SELECT CAST(coalesce(sum(rank * doc_id), 0) AS BIGINT) FROM sel)
+         |    AS sel_checksum""".stripMargin
     },
     // Entry point C replayed whole: hashTF embed → seed centroids → assign →
     // probe 2 of 4 → ANN ranking; exact ranking; recall + best-sim eval;

@@ -73,6 +73,25 @@ class BudgetsSpec extends AnyFunSuite {
       s"budgets for queries that don't exist: ${(budgeted -- queries).toSeq.sorted}")
   }
 
+  test("drift-outlier candidates: worst sub-budget ratios, breach rows and unbudgeted rows excluded, factor respected") {
+    // r14 verdict "next round" #1: rows elevated 2-2.7x under their
+    // budgets drew no rerun because only breaches triggered one. The
+    // candidate picker must rank by measured/(sample × factor), skip rows
+    // already breach-rerun, skip rows without a sample (floored or new),
+    // cap at DriftRerunK, and floor at DriftRerunMin.
+    val sample = Map("a" -> 2.0, "b" -> 2.0, "c" -> 2.0, "d" -> 2.0,
+      "e" -> 2.0, "f" -> 2.0, "g" -> 2.0)
+    val results = Seq("a" -> 5.6, "b" -> 5.2, "c" -> 4.8, "d" -> 4.4,
+      "e" -> 4.0, "f" -> 3.6, "x" -> 100.0, "g" -> 2.0)
+    val cands = Bench.driftCandidates(results, sample, 1.0, Set("b"))
+    assert(cands.map(_._1) == Seq("a", "c", "d", "e", "f"),
+      s"worst-first, K-capped, b (breach) and x (unbudgeted) excluded: $cands")
+    assert(cands.size == Bench.DriftRerunK)
+    assert(cands.head._3 > 2.7 && cands.head._3 < 2.9, "ratio carried for the record")
+    // a slow box raises the basis: at factor 2.0 nothing clears the floor
+    assert(Bench.driftCandidates(results, sample, 2.0, Set.empty).isEmpty)
+  }
+
   test("drift median: empty -> 1.0, odd -> middle, even -> upper middle") {
     assert(Bench.driftMedian(Nil) == 1.0)
     assert(Bench.driftMedian(Seq(1.3)) == 1.3)

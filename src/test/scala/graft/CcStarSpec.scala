@@ -146,6 +146,65 @@ class CcStarSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("per-batch store reads are partition-pruned point probes, never a table scan") {
+    // 42 base ids across 4 partition buckets; the batch's one pair touches
+    // one stored id — the probes must read ONLY the touched directories
+    // (r14 verdict "next round" #3: the write side was O(affected ∪ delta)
+    // but each batch still re-aggregated the full store).
+    val table = s"ccprune_${System.nanoTime()}"
+    val baseIds = (0L until 42L)
+    CcStar.initLabelStore(
+      CcStar.connectedComponents(Seq((0L, 1L)).toDF("a_id", "b_id"),
+        baseIds.toDF("doc_id"), "doc_id"),
+      table, s"/tmp/graft_ccprune_${System.nanoTime()}", "doc_id", 4)
+    val pairs = Seq((100L, 0L)).toDF("a_id", "b_id")
+    val (ep, mem) = CcStar.storeProbes(spark, table, "doc_id", 4, 0L, pairs)
+    def scannedRows(df: org.apache.spark.sql.DataFrame, tbl: String): Long = {
+      df.collect()
+      // walk THROUGH the AQE stage wrappers (collect() stops at
+      // QueryStageExec leaves) down to the file scans
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
+        (p match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.tableIdentifier.exists(_.table == tbl) =>
+            Seq(s.metrics("numOutputRows").value)
+          case _ => Seq.empty
+        }) ++ (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            walk(r.child)
+          case other => other.children.flatMap(walk)
+        })
+      walk(df.queryExecution.executedPlan).sum
+    }
+    // the probes answer correctly...
+    assert(ep.as[(Long, Long)].collect().toMap == Map(0L -> 0L),
+      "endpoint labels: the stored endpoint only (100 is unstored)")
+    assert(mem.as[(Long, Long)].collect().toMap == Map(0L -> 0L, 1L -> 0L),
+      "members of the affected component only")
+    // ...through pruned scans: the IN on the partition column reaches
+    // PartitionFilters, and the scans output only the touched
+    // directories' rows, never the table
+    val epPlan = ep.queryExecution.executedPlan.toString
+    assert(epPlan.contains("PartitionFilters") && epPlan.contains("__pb"),
+      s"the endpoint probe must prune on __pb:\n$epPlan")
+    val memPlan = mem.queryExecution.executedPlan.toString
+    assert(memPlan.contains("PartitionFilters") && memPlan.contains("__cb"),
+      s"the member probe must prune on __cb:\n$memPlan")
+    val total = spark.table(table).count()
+    val epScanned = scannedRows(ep, table)
+    val memScanned = scannedRows(mem, CcStar.memberTable(table))
+    assert(epScanned > 0L && epScanned < total,
+      s"endpoint probe scanned $epScanned of $total rows — must be the " +
+        "touched buckets only")
+    assert(memScanned > 0L && memScanned < total,
+      s"member probe scanned $memScanned of $total rows — must be the " +
+        "touched buckets only")
+  }
+
   test("a replayed batch no-ops; a crash between append and marker replays to identical labels") {
     val table = initStore()
     val loc = spark.sql(s"DESCRIBE FORMATTED $table")
