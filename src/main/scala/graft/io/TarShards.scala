@@ -187,8 +187,9 @@ object TarShards {
     f"$key%012d.$suffix"
 
   /** Streaming byte-equality of two same-length files (the rename-failure
-    * twin check — never loads either file whole). */
-  private def sameBytes(fs: org.apache.hadoop.fs.FileSystem,
+    * twin check — never loads either file whole; shared with
+    * [[WarcGz.write]]'s commit). */
+  private[io] def sameBytes(fs: org.apache.hadoop.fs.FileSystem,
       a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Boolean = {
     val ia = fs.open(a)
     val ib = fs.open(b)

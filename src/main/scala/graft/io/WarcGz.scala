@@ -267,6 +267,14 @@ object WarcGz {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
+    // Clear any PREVIOUS export at this location before the job: the read
+    // side globs `*.warc.gz`, so a stale part file from an earlier, larger
+    // export would silently pollute the new corpus (the TarShards stale-
+    // dest lesson, applied at directory granularity — mid-job retry twins
+    // are handled per-file below).
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dirFs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
     df.select(col(idCol).cast("long").as("__id"),
         col(uriCol).cast("string").as("__uri"),
         col(payloadCol).cast("binary").as("__p"))
@@ -292,9 +300,20 @@ object WarcGz {
             }
           } finally out.close()
           // deterministic members + deterministic partitioning ⇒ a retry
-          // that lost the rename race wrote a byte-identical twin
-          if (fs.exists(dest)) fs.delete(tmp, false)
-          else if (!fs.rename(tmp, dest))
+          // that lost the rename race wrote a byte-identical twin — but
+          // VERIFY that by streaming byte comparison instead of assuming
+          // it (the TarShards rename-failure rule): anything else at dest
+          // is replaced or fails loudly, never silently kept
+          if (fs.exists(dest)) {
+            val twin = fs.getFileStatus(dest).getLen ==
+              fs.getFileStatus(tmp).getLen && TarShards.sameBytes(fs, tmp, dest)
+            if (twin) fs.delete(tmp, false)
+            else {
+              fs.delete(dest, false)
+              if (!fs.rename(tmp, dest))
+                sys.error(s"WarcGz.write: rename $tmp -> $dest failed")
+            }
+          } else if (!fs.rename(tmp, dest))
             sys.error(s"WarcGz.write: rename $tmp -> $dest failed")
           Iterator.single(n)
         }

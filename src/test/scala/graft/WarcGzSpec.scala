@@ -101,6 +101,20 @@ class WarcGzSpec extends SparkSpec {
     assert(!rowT.getBoolean(3), "torn framing must surface, never silently pass")
   }
 
+  test("a re-export to the same directory replaces the previous corpus — stale part files never pollute the glob read") {
+    val dir = s"/tmp/graft_warcgz_stale_${System.nanoTime()}"
+    def corpus(n: Int) = spark.range(0, n)
+      .select($"id",
+        concat(lit("http://ex.org/"), $"id".cast("string")).as("uri"),
+        encode(concat(lit("gen "), $"id".cast("string")), "UTF-8").as("p"))
+    WarcGz.write(corpus(40), "id", "uri", "p", dir, 4) // 4 part files
+    WarcGz.write(corpus(10), "id", "uri", "p", dir, 2) // re-export, smaller
+    val back = WarcGz.read(spark, dir)
+    assert(back.count() == 10,
+      "the second export must fully replace the first — parts 2..3 gone")
+    assert(back.agg(max($"record_id")).head().getLong(0) == 9L)
+  }
+
   test("distributed write/read roundtrip: every record, binary payloads exact, one task per file") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id",
