@@ -396,6 +396,53 @@ object IoQueries extends graft.QueryModule {
           length(col("__t")).cast("long").as("n_chars"),
           md5(col("__t")).as("text_hash"))
     }),
+    // Sitemap ingest — the crawler's OTHER discovery channel next to
+    // outlink extraction (a real frontier seeds from sitemaps before any
+    // page is fetched): one sitemap-protocol XML document per host
+    // (<urlset><url><loc/><lastmod/><priority/></url>…), written as a
+    // per-host export and parsed back with codegen'd regexp extraction —
+    // no XML library, no UDF, one narrow projection per entry. The
+    // census replays from the documents table (the synthesis is
+    // invertible): a dropped entry, a mis-parsed loc, or a host's
+    // sitemap lost in assembly turns the row red.
+    "io_sitemap_parse" -> ((s, dir) => {
+      val path = graft.Layouts.once(s, s"sitemap:$dir") {
+        val p = s"/tmp/graft_sitemap/${graft.Layouts.tag(dir)}"
+        val entry = concat(
+          lit("<url><loc>http://ex.org/doc/"), col("doc_id").cast("string"),
+          lit("</loc><lastmod>2026-01-"),
+          lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+          lit("</lastmod><priority>0."), (col("doc_id") % 10).cast("string"),
+          lit("</priority></url>"))
+        Tables.documents(s, dir)
+          .select((col("doc_id") % 7).as("__h"), col("doc_id"), entry.as("__e"))
+          .groupBy(col("__h"))
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("__e"))))
+            .as("__es"))
+          .select(concat(
+            lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+              "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+            array_join(transform(col("__es"), x => x.getField("__e")), ""),
+            lit("</urlset>")).as("value"))
+          .write.mode("overwrite").text(p)
+        p
+      }
+      val raw = s.read.text(path).filter(length(col("value")) > 0)
+      val entries = raw.select(explode(regexp_extract_all(col("value"),
+          lit("<url>(.*?)</url>"), lit(1))).as("__u"))
+        .select(
+          regexp_extract(col("__u"), "<loc>http://ex\\.org/doc/([0-9]+)</loc>", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("__u"), "<lastmod>([0-9-]+)</lastmod>", 1)
+            .as("lastmod"),
+          regexp_extract(col("__u"), "<priority>0\\.([0-9])</priority>", 1)
+            .cast("long").as("pri_e1"))
+      raw.agg(count(lit(1)).as("n_sitemaps"))
+        .crossJoin(entries.agg(count(lit(1)).as("n_urls"),
+          sum(col("doc_id")).as("id_sum"),
+          count_distinct(col("lastmod")).as("n_lastmods"),
+          sum(col("pri_e1")).as("pri_sum")))
+    }),
     "io_wet_roundtrip" -> ((s, dir) => {
       val RS = "\u001e" // ASCII record separator — never in natural text
       val hdr = "^WET-REC (\\d+) (\\S+) (\\S+)\n"
@@ -715,6 +762,15 @@ object IoQueries extends graft.QueryModule {
          |  CAST(sum(${DocSql.tokenHashSql("t")}) AS BIGINT) AS text_hash_sum,
          |  count(DISTINCT doc_id) AS n_uris
          |FROM exp""".stripMargin,
+    // Every census number is a pure function of doc_id — the synthesis is
+    // invertible, so parsing must recover exactly the per-host entries.
+    "io_sitemap_parse" ->
+      """SELECT count(DISTINCT doc_id % 7) AS n_sitemaps,
+        |  count(*) AS n_urls,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  count(DISTINCT doc_id % 28) AS n_lastmods,
+        |  CAST(sum(doc_id % 10) AS BIGINT) AS pri_sum
+        |FROM documents""".stripMargin,
     "io_wet_roundtrip" ->
       s"""SELECT count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,

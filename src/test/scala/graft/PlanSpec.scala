@@ -355,6 +355,26 @@ class PlanSpec extends SparkSpec {
       s"stage joins must key on user_id:\n$plan")
   }
 
+  test("crawl schedule windows partition by host — never a global sort or window") {
+    // the politeness schedule's 100 TB shape: one keyed window per host;
+    // a global row_number over the frontier (an empty-partition window or
+    // a global Sort) would single-thread billions of URLs
+    val plan = planOf("rank_crawl_schedule")
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("host")),
+      s"every schedule window must partition by host:\n$plan")
+    assert(!plan.contains("Sort [slot"),
+      s"the (slot, host) pair IS the fetch order — no global sort:\n$plan")
+  }
+
+  test("robots enforcement broadcasts the rule table onto the frontier") {
+    val plan = planOf("clean_robots_filter")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the per-host rule table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the frontier must never sort-merge against the tiny rule side:\n$plan")
+  }
+
   test("CDC windows partition by document — never a global window") {
     val plan = planOf("dedup_cdc_chunks")
     val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
