@@ -45,4 +45,20 @@ object Crawl {
     * URLs from the outlink stage are already lowercase-host). */
   def hostOf(url: Column): Column =
     regexp_extract(url, "^https?://([^/:]+)", 1)
+
+  /** The SURT (Sort-friendly URI Reordering Transform) key of a
+    * canonical http(s) URL — `org,example)/path` — the key every
+    * web-archive CDX index sorts and range-scans by: host labels
+    * reversed and comma-joined so one host's (and one domain's) records
+    * are CONTIGUOUS, which at archive scale turns per-host lookups into
+    * range scans instead of full-index filters. Scheme dropped, path
+    * kept verbatim (canonical URLs are already lowercase-host,
+    * default-port- and fragment-stripped). */
+  def surtKey(url: Column): Column = {
+    val host = hostOf(url)
+    val path = coalesce(
+      nullif(regexp_extract(url, "^https?://[^/]+(/.*)$", 1), lit("")),
+      lit("/"))
+    concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), path)
+  }
 }

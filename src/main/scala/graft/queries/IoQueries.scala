@@ -443,6 +443,55 @@ object IoQueries extends graft.QueryModule {
           count_distinct(col("lastmod")).as("n_lastmods"),
           sum(col("pri_e1")).as("pri_sum")))
     }),
+    // CDX-J index ingest — the web archive's LOOKUP sidecar (every WARC
+    // collection ships a CDX index mapping SURT key + timestamp to the
+    // record's (filename, offset, length), and a crawler dedups
+    // re-fetches against it): one line per capture, `surt ts {json}`,
+    // parsed back with codegen'd regexp + JSON-path extraction. The read
+    // RECOMPUTES each record's SURT key from the captured URL
+    // (Crawl.surtKey — host labels reversed so per-host records are
+    // contiguous, the range-scan property archives sort by) and pins it
+    // against the line's own key column. The census replays from the
+    // documents table (invertible synthesis): a mis-parsed JSON field, a
+    // SURT drift, or a dropped capture turns the row red.
+    "io_cdx_parse" -> ((s, dir) => {
+      val path = graft.Layouts.once(s, s"cdx:$dir") {
+        val p = s"/tmp/graft_cdx/${graft.Layouts.tag(dir)}"
+        val line = concat(
+          lit("org,ex)/doc/"), col("doc_id").cast("string"),
+          lit(" 20260101"), lpad((col("doc_id") % 60).cast("string"), 2, "0"),
+          lit(" {\"url\": \"http://ex.org/doc/"), col("doc_id").cast("string"),
+          lit("\", \"status\": \"200\", \"length\": \""),
+          (col("doc_id") % 1000 + 100).cast("string"),
+          lit("\", \"offset\": \""), (col("doc_id") * 7).cast("string"),
+          lit("\", \"filename\": \"part_"),
+          (col("doc_id") % 4).cast("string"), lit(".warc.gz\"}"))
+        Tables.documents(s, dir).select(line.as("value"))
+          .write.mode("overwrite").text(p)
+        p
+      }
+      val rows = s.read.text(path).filter(length(col("value")) > 0)
+        .select(
+          regexp_extract(col("value"), "^(\\S+) (\\S+) (.*)$", 1).as("surt"),
+          regexp_extract(col("value"), "^(\\S+) (\\S+) (.*)$", 2).as("ts"),
+          regexp_extract(col("value"), "^(\\S+) (\\S+) (.*)$", 3).as("__j"))
+        .select(col("surt"), col("ts"),
+          get_json_object(col("__j"), "$.url").as("url"),
+          get_json_object(col("__j"), "$.length").cast("long").as("len"),
+          get_json_object(col("__j"), "$.offset").cast("long").as("off"),
+          get_json_object(col("__j"), "$.filename").as("file"))
+      rows
+        .withColumn("__id",
+          regexp_extract(col("surt"), "/doc/([0-9]+)$", 1).cast("long"))
+        .agg(count(lit(1)).as("n_captures"),
+          sum(col("__id")).as("id_sum"),
+          count_distinct(col("ts")).as("n_ts"),
+          sum(col("len")).as("len_sum"),
+          sum(col("off")).as("off_sum"),
+          count_distinct(col("file")).as("n_files"),
+          sum(when(graft.operators.Crawl.surtKey(col("url")) === col("surt"),
+            1L).otherwise(0L)).as("n_surt_match"))
+    }),
     "io_wet_roundtrip" -> ((s, dir) => {
       val RS = "\u001e" // ASCII record separator — never in natural text
       val hdr = "^WET-REC (\\d+) (\\S+) (\\S+)\n"
@@ -762,6 +811,18 @@ object IoQueries extends graft.QueryModule {
          |  CAST(sum(${DocSql.tokenHashSql("t")}) AS BIGINT) AS text_hash_sum,
          |  count(DISTINCT doc_id) AS n_uris
          |FROM exp""".stripMargin,
+    // Every census number is a pure function of doc_id; n_surt_match =
+    // count(*) pins that the recomputed SURT keys agree with the index's
+    // own, line for line.
+    "io_cdx_parse" ->
+      """SELECT count(*) AS n_captures,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  count(DISTINCT doc_id % 60) AS n_ts,
+        |  CAST(sum(doc_id % 1000 + 100) AS BIGINT) AS len_sum,
+        |  CAST(sum(doc_id * 7) AS BIGINT) AS off_sum,
+        |  count(DISTINCT doc_id % 4) AS n_files,
+        |  count(*) AS n_surt_match
+        |FROM documents""".stripMargin,
     // Every census number is a pure function of doc_id — the synthesis is
     // invertible, so parsing must recover exactly the per-host entries.
     "io_sitemap_parse" ->
