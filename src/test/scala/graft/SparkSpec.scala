@@ -7,12 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * not stop() it (sbt runs all suites in the single forked JVM). */
 object SparkTestSession {
   lazy val get: SparkSession = {
-    val s = SparkSession.builder()
+    // Tuning(...) keeps the test session's AQE posture identical to
+    // Bench/Verify so plan-shape pins exercise the shipped configuration.
+    val s = Tuning(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
