@@ -106,19 +106,32 @@ object GraphSearch {
       queries.sparkSession.sparkContext.defaultParallelism)
     var frontiers = Vector(f0)
     def visited = frontiers.reduce(_ unionAll _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__qid").orderBy(col("__d"), col("__node"))
     for (_ <- 1 to hops) {
+      // r16 hop shape (guide §2.4 — remove shuffles outright): the old hop
+      // paid THREE exchanges — distinct() on (qid, node), the anti-join's
+      // re-shuffle, and the per-query row_number window. Candidate rows per
+      // (query, hop) are bounded by beam·degree (walk parameters, not
+      // corpus size), so the whole rank-and-trim collapses into ONE keyed
+      // aggregation: collect the (dist, node) structs per query, sort,
+      // array_distinct (duplicate (qid, node) candidates carry bit-equal
+      // dist → equal structs, so dedup-after-sort ≡ the old
+      // distinct-before-score), slice to beam. Ties still break (dist,
+      // node) — identical rows to the window form, pinned by
+      // GraphSearchSpec and the unchanged hop-for-hop DuckDB oracle.
       val cand = frontiers.last.join(e, "__node")
-        .select(col("__qid"), col("__dst").as("__node")).distinct()
+        .select(col("__qid"), col("__dst").as("__node"))
         .join(visited, Seq("__qid", "__node"), "left_anti")
       val scored = cand
         .join(vecs, col("__node") === col("__vid"))
         .join(q, "__qid")
         .select(col("__qid"), col("__node"),
           metric.dist(col("__qv"), col("__cv")).as("__d"))
-      frontiers :+= scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= beam).select("__qid", "__node")
+      frontiers :+= scored
+        .groupBy(col("__qid"))
+        .agg(slice(array_distinct(array_sort(collect_list(
+          struct(col("__d"), col("__node"))))), 1, beam).as("__top"))
+        .select(col("__qid"), explode(col("__top")).as("__m"))
+        .select(col("__qid"), col("__m.__node").as("__node"))
         .coalesce(fParts).localCheckpoint()
     }
     frontiers

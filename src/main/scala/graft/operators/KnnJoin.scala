@@ -104,21 +104,36 @@ object KnnJoin {
           "(supported: integral types, string)")
     }
 
-  /** Rank pre-scored candidates: bounded-heap aggregate per query id →
-    * posexplode to ranked rows (rank 1..k, dist ascending, ties by id).
-    * `cands` must carry (queryIdCol, "__cid" key from [[keyColumn]],
-    * "dist"). Shared tail of [[exact]] and IvfIndex.search. */
+  /** Rank pre-scored candidates to the top `k` per query id (rank 1..k,
+    * dist ascending, ties by id). `cands` must carry (queryIdCol, "__cid"
+    * key from [[keyColumn]], "dist"). Shared tail of [[exact]] and
+    * IvfIndex.search.
+    *
+    * r16 physical form (guide step 4 — no non-codegen operators in the hot
+    * path): `row_number() ≤ k` plans as Spark's WindowGroupLimit
+    * (SPARK-37099, on since 3.5 for k below
+    * `spark.sql.optimizer.windowGroupLimitThreshold` = 1000), which keeps
+    * a bounded PER-GROUP top-k heap on the MAP side of the exchange — the
+    * shuffle stays O(groups·partitions·k), the same bound the old
+    * ScalaUDAF bounded-heap aggregate had, but the rows stay native
+    * UnsafeRows end to end. The UDAF path measured 86 task-seconds on the
+    * sf0.1 edge build (object heaps per (group, partition), encoder
+    * round-trips, and ObjectHashAggregate's 128-key sort fallback); the
+    * window form removes all three, and its plans are `sameResult`-stable
+    * (the per-call UDAF instances never were). Ordering/ties are
+    * IDENTICAL: (dist, id) ascending, numeric or lexical by the id's own
+    * type — `isString` stays in the signature to document that contract
+    * at the call sites. */
   private[graft] def topkOfCandidates(cands: DataFrame, queryIdCol: String,
       idCol: String, k: Int, isString: Boolean): DataFrame = {
-    val topk = if (isString) udaf(new TopKAggS(k)) else udaf(new TopKAggL(k))
+    val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col("__cid"))
     cands
-      .groupBy(col(queryIdCol))
-      .agg(topk(col("dist"), col("__cid")).as("__topk"))
-      .select(col(queryIdCol), posexplode(col("__topk")).as(Seq("__pos", "__m")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
       .select(col(queryIdCol),
-        col("__m.id").as(idCol),
-        (col("__pos") + 1L).as("rank"),
-        col("__m.dist").as("dist"))
+        col("__cid").as(idCol),
+        col("__rn").cast("long").as("rank"),
+        col("dist"))
   }
 
   /** Scale-first exact k-NN: broadcast(queries) ⋈ corpus → map-side distance →

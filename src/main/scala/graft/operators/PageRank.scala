@@ -52,7 +52,17 @@ object PageRank {
     val a = broadcast(srcs.select(col(idCol).as("__src"),
       col(vecCol).as("__avec")))
     val (keyCol, isString) = KnnJoin.keyColumn(corpus, idCol)
+    // r16 (guide §2.5 "input skew"): the map side computes |srcs| distances
+    // PER CORPUS ROW — compute is |srcs|× heavier than the scan bytes
+    // suggest, and a small parquet corpus arrives as ONE split, serializing
+    // the whole O(n·|srcs|) candidate stage onto one core (measured: a
+    // single 6.6 s task building the sf0.1 kNN edge cache). Spreading the
+    // scan across the cluster costs one pass of corpus BYTES — negligible
+    // against the quadratic compute it parallelizes (and this brute form
+    // is the test-scale/oracle twin; stored ANN replaces it at corpus
+    // scale, see ivfCandidateEdges).
     val c = corpus.select(keyCol, col(vecCol).as("__cvec"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     val cands = a.join(c, col("__cid") =!= col("__src"))
       .select(col("__src"), metric.dist(col("__avec"), col("__cvec")).as("dist"),
         col("__cid"))
