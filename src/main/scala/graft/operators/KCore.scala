@@ -33,20 +33,27 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
-  /** H-index of each node's neighbor values: one join + one window + one
-    * keyed agg. `values` is (id, core); returns the same shape. */
-  private def hIndexRound(symEdges: DataFrame, values: DataFrame): DataFrame = {
-    val nb = symEdges.join(values, col("id") === col("dst"))
-      .select(col("src"), col("dst"), col("core"))
-    // dst tiebreak pins the row_number assignment; the aggregate is
-    // tie-insensitive anyway (see scaladoc) — the tiebreak is for replay
-    // hygiene, not correctness.
-    val w = Window.partitionBy("src").orderBy(col("core").desc, col("dst"))
-    nb.withColumn("__r", row_number().over(w).cast("long"))
+  /** H-index of each node's neighbor values: one join + ONE keyed agg.
+    * `values` is (id, core); returns the same shape.
+    *
+    * r16 form (guide §2.4): the old round paid a per-`src` row_number
+    * window AND the aggregate — two sort/agg passes behind one exchange.
+    * The per-node neighbor list is degree-bounded (≤ 2k on the symmetric
+    * kNN graphs every caller passes — the same bound the window form
+    * leaned on), so the H-index folds into the aggregation itself:
+    * collect the neighbor cores, sort descending, H = max_i
+    * min(cᵢ, i+1). Value-identical to the windowed max(least(core, rn))
+    * — the H-index depends only on the sorted multiset (scaladoc above),
+    * and sort_array(desc) IS that multiset; KCoreSpec re-pins every
+    * fixture. */
+  private def hIndexRound(symEdges: DataFrame, values: DataFrame): DataFrame =
+    symEdges.join(values, col("id") === col("dst"))
+      .select(col("src"), col("core"))
       .groupBy("src")
-      .agg(max(least(col("core"), col("__r"))).as("core"))
-      .select(col("src").as("id"), col("core"))
-  }
+      .agg(sort_array(collect_list(col("core")), asc = false).as("__cs"))
+      .select(col("src").as("id"),
+        array_max(transform(col("__cs"),
+          (c, i) => least(c, (i + lit(1)).cast("long")))).as("core"))
 
   /** Up to `maxIters` H-index rounds from the degree initialization, with
     * EARLY EXIT at the fixpoint (the r8 verdict's "wrong" #2: the fixed
