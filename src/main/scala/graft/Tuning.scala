@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Scale-adaptive session defaults shared by every entry point (Bench,
-  * Verify, tools) — r16 optimization round, guide §2.2/§2.5.
+  * Verify, tools) — r16/r17 optimization rounds, guide §2.2/§2.5.
   *
   * The engine leans on two kinds of materialized frames: `.cache()`d
   * operator state ([[Caches]]) and per-hop/per-round `localCheckpoint`s.
@@ -16,17 +16,20 @@ import org.apache.spark.sql.SparkSession
   * 114 tasks and 350 → 13 task-seconds for eval_graph_recall, wall
   * 41 s → 19 s, purely from letting AQE size cached plans.
   *
-  * Both knobs are size-driven (AQE reads the actual shuffle statistics at
-  * runtime), so they are the opposite of a local[32] tune: at 100 TB the
-  * same settings leave large shuffles at `advisoryPartitionSizeInBytes`
-  * chunks and only collapse the genuinely tiny ones.
+  * The knob is size-driven (AQE reads the actual shuffle statistics at
+  * runtime), so it is the opposite of a local[32] tune: at 100 TB large
+  * cached frames keep `advisoryPartitionSizeInBytes` chunks and only the
+  * genuinely tiny ones collapse.
   *
-  *  - `canChangeCachedPlanOutputPartitioning=true`: apply AQE (incl.
-  *    partition coalescing) when materializing cached plans.
-  *  - `coalescePartitions.parallelismFirst=false`: coalesce toward
-  *    `advisoryPartitionSizeInBytes` (64 MB default) instead of refusing
-  *    to go below `defaultParallelism` — the guide's §2.2 recommendation
-  *    ("partitions in the 100 MB–1 GB range, let AQE coalesce").
+  * r17 note: r16 additionally shipped
+  * `coalescePartitions.parallelismFirst=false`, which coalesces post-
+  * shuffle partitions by BYTES alone. That serialized this engine's
+  * compute-dense/tiny-byte stages (PQ ADC scans, OPQ rotation fits, MMR
+  * per-round scoring) onto ONE partition — the r16 driver measured
+  * pq_refine_topk/knn_mmr_lambda1/pq_opq_recall at ~32× their r15 times,
+  * i.e. full serialization. The stock default (`parallelismFirst=true`,
+  * never coalescing below defaultParallelism) is the correct posture for
+  * CPU-dense stages at any scale, so the knob is REMOVED.
   *
   * Overridable per-run via `SPARK_GRAFT_TUNE=off` (diagnostic escape
   * hatch: compare plans with stock defaults).
@@ -36,5 +39,4 @@ object Tuning {
     if (sys.env.get("SPARK_GRAFT_TUNE").contains("off")) b
     else b
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
 }
