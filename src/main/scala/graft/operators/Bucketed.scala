@@ -40,13 +40,29 @@ object Bucketed {
     require(keys.nonEmpty, "need at least one bucketing key")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    val w = df.write.mode("overwrite").format("parquet")
+    val w = clusterByBucket(df, keys, numBuckets)
+      .write.mode("overwrite").format("parquet")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .option("path", path)
       .saveAsTable(tableName)
   }
+
+  /** Hash-cluster rows to ONE write task per bucket before a bucketed
+    * write (r17; guide §6 output sizing): an unclustered `bucketBy` emits
+    * up to (input partitions × buckets) files — every writer task opens a
+    * file for every bucket value it holds — which at 100 TB is the classic
+    * small-files explosion on the store's one-time build AND on every
+    * delta append. `repartition(numBuckets, keys)` uses the same Murmur3
+    * hash as the bucket assignment, so each task holds exactly one
+    * bucket's rows and each (partition dir, bucket) lands in one file.
+    * Row content, bucket membership, and within-bucket sort are untouched
+    * — layout only. */
+  private def clusterByBucket(df: DataFrame, keys: Seq[String],
+      numBuckets: Int): DataFrame =
+    df.repartition(numBuckets,
+      keys.map(org.apache.spark.sql.functions.col): _*)
 
   /** Append `df` into an existing bucketed table with the SAME bucket spec
     * (Spark validates the spec against the catalog entry): the delta rows
@@ -57,7 +73,8 @@ object Bucketed {
     * form) bounds file counts in a long-lived deployment. */
   def appendBucketedKeys(df: DataFrame, tableName: String,
       keys: Seq[String], numBuckets: Int, partCols: Seq[String] = Nil): Unit = {
-    val w = df.write.mode("append").format("parquet")
+    val w = clusterByBucket(df, keys, numBuckets)
+      .write.mode("append").format("parquet")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

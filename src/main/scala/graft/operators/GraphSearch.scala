@@ -86,8 +86,16 @@ object GraphSearch {
       col(qVec).as("__qv")))
     val vecs = corpus.select(col(cId).cast("long").as("__vid"),
       col(cVec).as("__cv"))
+    // Materialize the edge list ONCE per walk (r17, guide §1.2 step 1):
+    // every hop equi-joins `e`, and a lazy `edges` plan re-executes per
+    // hop — for the hierarchical walk the upper-layer edges are a brute
+    // O(|layer|²) kNN build, so a 3-hop coarse walk paid the quadratic
+    // candidate stage three more times (measured: 4×9-24 task-sec
+    // duplicate 32-task stages inside eval_graph_hier_recall). The frame
+    // is |E| (src, dst) longs — index-sized, the same class the walk
+    // already checkpoints per hop.
     val e = edges.select(col("src").cast("long").as("__node"),
-      col("dst").cast("long").as("__dst"))
+      col("dst").cast("long").as("__dst")).localCheckpoint()
     val entry = corpus.agg(min(col(cId)).cast("long").as("__node"))
     val f0 = (entries match {
       case Some(ent) => ent.select(col(qId).as("__qid"),

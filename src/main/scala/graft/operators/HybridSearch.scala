@@ -101,7 +101,15 @@ object HybridSearch {
     // postings join all read it.
     val tf = graft.Caches.cached(
       ctok.groupBy(col(idCol), col("__h")).agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl"))
+    // dl and idf are one shuffle each off the cached tf, but every
+    // bm25FromTerms call re-joins them — the PRF query alone runs three
+    // (two scoring passes + the expansion weighting) and the cross-encoder
+    // rerank reads idf again. Caches-shared like tf (r17, guide §2.4):
+    // both are strictly SMALLER than the already-cached tf (one row per
+    // doc / per term vs one per (doc, term)), so the registry cost is
+    // bounded by what it already holds.
+    val dl = graft.Caches.cached(
+      tf.groupBy(col(idCol)).agg(sum(col("tf")).as("__dl")))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sl"))
     val dfs = tf.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     val postings =
@@ -109,10 +117,10 @@ object HybridSearch {
       else Salt.capBuckets(tf, Seq("__h"), maxDf.toLong)
     // idf rounded at 8 immediately (both engines), THEN used — never a raw
     // transcendental feeding the integer pin.
-    val idf = dfs.crossJoin(broadcast(stats))
+    val idf = graft.Caches.cached(dfs.crossJoin(broadcast(stats))
       .select(col("__h"), round(
         log((col("__n").cast("double") - col("__df").cast("double") + lit(0.5d))
-          / (col("__df").cast("double") + lit(0.5d)) + lit(1.0d)), 8).as("__idf"))
+          / (col("__df").cast("double") + lit(0.5d)) + lit(1.0d)), 8).as("__idf")))
     Bm25Frames(tf, dl, stats, idf, postings)
   }
 
@@ -121,7 +129,11 @@ object HybridSearch {
   private def bm25FromTerms(qterms: DataFrame, queryIdCol: String,
       fr: Bm25Frames, idCol: String, k: Int, k1: Double,
       b: Double): DataFrame = {
-    val contrib = qterms
+    // broadcast(qterms): the query term set is |Q|-bounded (the serving
+    // convention crossRerank/rankVisited document) — without the hint the
+    // planner can sort-merge, shuffling the ENTIRE postings table to meet
+    // a few hundred query terms (§3.1: broadcast the side that fits).
+    val contrib = broadcast(qterms)
       .join(fr.postings, "__h")
       .join(fr.idf, "__h")
       .join(fr.dl, idCol)
@@ -137,7 +149,13 @@ object HybridSearch {
       .agg(sum(col("__c9")).as("bm25_e9"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("bm25_e9").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    // The RANKED frame is Caches-shared, the cut applied after: the BM25
+    // leg (k = 20) and the PRF first pass (k = fbDocs) score the SAME
+    // (qterms, corpus-state) pair — without the registry each ran its own
+    // posting join + aggregation (r17; VERDICT r16 item 5). |Q|-bounded
+    // like every serving frame here (one row per (query, matched doc)).
+    graft.Caches.cached(
+        scored.withColumn("rank", row_number().over(w).cast("long")))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col(idCol), col("rank"), col("bm25_e9"))
   }
@@ -167,13 +185,18 @@ object HybridSearch {
     val qtok = tokenTerms(queries, queryIdCol, queryTextCol)
     val fb = bm25FromTerms(qtok, queryIdCol, fr, idCol, fbDocs, k1, b)
       .select(col(queryIdCol), col(idCol))
-    val expw = fb.join(fr.tf, idCol).join(fr.idf, "__h")
+    // broadcast hints on the |Q|-bounded sides (§3.1, the serving
+    // convention): `fb` is |Q|·fbDocs rows meeting the corpus-sized tf
+    // postings — unhinted, the planner may shuffle the postings to join a
+    // few dozen feedback rows; the anti-join's qtok side is the query term
+    // set itself.
+    val expw = broadcast(fb).join(fr.tf, idCol).join(fr.idf, "__h")
       .select(col(queryIdCol), col("__h"),
         graft.functions.ExactRound.eScaled(
           col("__idf") * col("tf").cast("double"), 9).as("__w9"))
       .groupBy(col(queryIdCol), col("__h"))
       .agg(sum(col("__w9")).as("__w9"))
-      .join(qtok, Seq(queryIdCol, "__h"), "left_anti")
+      .join(broadcast(qtok), Seq(queryIdCol, "__h"), "left_anti")
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__w9").desc, col("__h"))
     val expt = expw.withColumn("__rn", row_number().over(w))

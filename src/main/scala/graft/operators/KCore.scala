@@ -76,10 +76,8 @@ object KCore {
   def corenessWithPrev(symEdges: DataFrame, maxIters: Int): DataFrame =
     corenessWithRounds(symEdges, maxIters)._1
 
-  /** Probe cadence past the convergence knee: rounds 1..[[ProbeKnee]]
-    * probe the sum every round (small graphs exit within a few rounds —
-    * a skipped probe there would cost MORE dead rounds than it saves);
-    * past the knee the probe runs every [[ProbeEvery]] rounds (the r11
+  /** Probe cadence: early rounds probe the sum every [[ProbeEarly]]
+    * rounds, and past the [[ProbeKnee]] every [[ProbeEvery]] (the r11
     * verdict's watch item on `rank_knn_kcore`: at ~28 measured rounds
     * the per-round 1-value driver probe is the dominant sequential
     * cost, and the fixture class that converges that deep never exits
@@ -87,9 +85,18 @@ object KCore {
     * free because the sequence is MONOTONE: Σcore strictly decreases
     * until the fixpoint, so "sum unchanged since the LAST probe" still
     * ⇔ "no node changed in any intervening round" — a skipped probe
-    * can only DELAY the exit by < ProbeEvery dead rounds (each a no-op
-    * on the fixpoint), never miss it or change the returned values. */
+    * can only DELAY the exit by a few dead rounds (each a no-op on the
+    * fixpoint), never miss it or change the returned values.
+    *
+    * r17 (VERDICT r16 item 6): the `localCheckpoint` cadence now RIDES
+    * the probe cadence — un-probed rounds stay lazy and fold into the
+    * next probed round's checkpoint job (each round reads its
+    * predecessor exactly once, so a 2-3 round chain executes linearly,
+    * never re-evaluating). That halves the early sequential job count
+    * and cuts the post-knee one to a third; the probe itself reads the
+    * freshly stored blocks as before. */
   private val ProbeKnee = 16
+  private val ProbeEarly = 2
   private val ProbeEvery = 3
 
   /** [[corenessWithPrev]] plus the number of rounds actually run — the
@@ -109,11 +116,16 @@ object KCore {
     var i = 0
     while (!converged && i < maxIters) {
       prev = cur
-      cur = hIndexRound(e, prev).localCheckpoint()
+      cur = hIndexRound(e, prev)
       i += 1
-      // sum probe on cadence (scaladoc above); the final capped round
-      // always probes so an exactly-at-cap convergence is still observed
-      if (i <= ProbeKnee || (i - ProbeKnee) % ProbeEvery == 0 || i == maxIters) {
+      // probe + checkpoint on cadence (scaladoc above) — un-probed rounds
+      // chain lazily into the next probed round's one materialization job;
+      // the final capped round always probes so an exactly-at-cap
+      // convergence is still observed
+      if ((i <= ProbeKnee && i % ProbeEarly == 0) ||
+          (i > ProbeKnee && (i - ProbeKnee) % ProbeEvery == 0) ||
+          i == maxIters) {
+        cur = cur.localCheckpoint()
         val s = coreSum(cur)
         converged = s == prevSum
         prevSum = s

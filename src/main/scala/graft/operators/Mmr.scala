@@ -52,42 +52,62 @@ object Mmr {
         (lit(1.0d) - col("dist")).as("__rel"))
       .join(cv, "__cid")
       .localCheckpoint()
-    // Greedy selection. selected: (qid, __cid, __cv, rank, __score);
-    // remaining: pool rows not yet picked.
+    // Greedy selection with the diversity penalty maintained INCREMENTALLY
+    // (r17, guide §1.2 step 1 — fix the distributed algorithm): max over a
+    // growing set is associative, so max_{s∈S_t} sim(d, s) =
+    // max(max_{s∈S_{t-1}} sim(d, s), sim(d, pick_t)) — each round updates a
+    // running `__maxsim` column against ONLY the newest pick (one row per
+    // query, broadcast-sized) instead of re-joining remaining × |S_t| and
+    // re-aggregating. Per-query work drops from O(fetch·k²) sims to
+    // O(fetch·k), and the per-round plan loses its groupBy exchange. Scores
+    // are bit-identical: the same fused-cosine expression evaluates the
+    // same (candidate, pick) pairs, and a float max has no summation-order
+    // hazard (unlike a sum, max is exact under any association).
     val wBest = Window.partitionBy(col(queryIdCol))
     def pickBest(scored: DataFrame): DataFrame = scored
       .withColumn("__best", min(struct(negate(col("__score")).as("s"),
         col("__cid").as("c"))).over(wBest))
       .filter(col("__best.c") === col("__cid"))
       .drop("__best")
-    var selected = pickBest(
+    val simToPick = lit(1.0d) - VectorFunctions.fusedDistance("cosine")(
+      col("__cv"), col("__sv"))
+    val first = pickBest(
         pool0.withColumn("__score", lit(lambda) * col("__rel")))
       .withColumn("rank", lit(1L))
       .localCheckpoint()
-    var remaining = pool0.join(
-      selected.select(col(queryIdCol), col("__cid")), Seq(queryIdCol, "__cid"),
-      "left_anti").localCheckpoint()
+    var picks = Vector(first.select(col(queryIdCol), col("__cid"),
+      col("rank"), col("__score")))
+    // remaining: pool rows not yet picked, carrying the running __maxsim
+    // against everything selected so far.
+    var remaining = pool0
+      .join(first.select(col(queryIdCol), col("__cid")),
+        Seq(queryIdCol, "__cid"), "left_anti")
+      .join(first.select(col(queryIdCol), col("__cv").as("__sv")), queryIdCol)
+      .withColumn("__maxsim", simToPick)
+      .drop("__sv")
+      .localCheckpoint()
     for (t <- 2 to k) {
-      // max doc-doc sim of each remaining candidate against the selected
-      // set: |remaining| × t rows through a keyed join on the query id.
-      val maxSim = remaining.alias("r")
-        .join(selected.select(col(queryIdCol), col("__cv").as("__sv"))
-          .alias("s"), queryIdCol)
-        .groupBy(col(queryIdCol), col("__cid"))
-        .agg(max(lit(1.0d) - VectorFunctions.fusedDistance("cosine")(
-          col("__cv"), col("__sv"))).as("__maxsim"))
-      val scored = remaining.join(maxSim, Seq(queryIdCol, "__cid"))
-        .withColumn("__score",
-          lit(lambda) * col("__rel") - lit(1.0d - lambda) * col("__maxsim"))
-      val pick = pickBest(scored).withColumn("rank", lit(t.toLong))
-        .select(selected.columns.map(col): _*)
-      selected = selected.unionByName(pick).localCheckpoint()
-      remaining = remaining.join(
-        selected.select(col(queryIdCol), col("__cid")),
-        Seq(queryIdCol, "__cid"), "left_anti").localCheckpoint()
+      val pick = pickBest(remaining.withColumn("__score",
+          lit(lambda) * col("__rel") - lit(1.0d - lambda) * col("__maxsim")))
+        .withColumn("rank", lit(t.toLong))
+        .localCheckpoint()
+      picks :+= pick.select(col(queryIdCol), col("__cid"), col("rank"),
+        col("__score"))
+      // The last round's pick completes the output — no remaining update
+      // (the old form paid one dead anti-join + checkpoint job there).
+      if (t < k)
+        remaining = remaining
+          .join(pick.select(col(queryIdCol), col("__cid")),
+            Seq(queryIdCol, "__cid"), "left_anti")
+          .join(pick.select(col(queryIdCol), col("__cv").as("__sv")),
+            queryIdCol)
+          .withColumn("__maxsim", greatest(col("__maxsim"), simToPick))
+          .drop("__sv")
+          .localCheckpoint()
     }
-    selected.select(col(queryIdCol), col("__cid").as(idCol), col("rank"),
-      round(col("__score"), 6).as("score"))
+    picks.reduce(_ unionAll _)
+      .select(col(queryIdCol), col("__cid").as(idCol), col("rank"),
+        round(col("__score"), 6).as("score"))
   }
 
   /** Streaming face — diversified retrieval for an arriving query stream
