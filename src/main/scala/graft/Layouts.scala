@@ -18,15 +18,36 @@ object Layouts {
 
   private val reg = ArrayBuffer.empty[(SparkSession, String, Any)]
 
+  /** Per-(session, key) build gates: [[once]] must not hold the registry
+    * lock across `build` (a build is minutes of Spark jobs), or two
+    * INDEPENDENT builds could never overlap — guide §2.6's idle-tail
+    * back-fill, which pq_train_build uses to run its two Lloyd fits
+    * concurrently. Same key still builds exactly once: the gate serializes
+    * per key, and the post-acquire re-check handles the losing racer. An
+    * identity-hash collision between two sessions only over-serializes
+    * (never mis-shares — the registry lookup is still `eq`-exact). */
+  private val gates = scala.collection.mutable.Map.empty[String, Object]
+
   /** Run `build` once for (session, key); later calls return the memoized
-    * result. */
-  def once[T](s: SparkSession, key: String)(build: => T): T = synchronized {
-    reg.find { case (sess, k, _) => (sess eq s) && k == key } match {
-      case Some((_, _, v)) => v.asInstanceOf[T]
+    * result. Concurrent callers of DIFFERENT keys build in parallel;
+    * concurrent callers of the SAME key serialize on its gate. */
+  def once[T](s: SparkSession, key: String)(build: => T): T = {
+    def lookup: Option[Any] = synchronized(
+      reg.find { case (sess, k, _) => (sess eq s) && k == key }.map(_._3))
+    lookup match {
+      case Some(v) => v.asInstanceOf[T]
       case None =>
-        val v = build
-        reg += ((s, key, v))
-        v
+        val gate = synchronized(
+          gates.getOrElseUpdate(s"${System.identityHashCode(s)}:$key", new Object))
+        gate.synchronized {
+          lookup match {
+            case Some(v) => v.asInstanceOf[T]
+            case None =>
+              val v = build
+              synchronized { reg += ((s, key, v)) }
+              v
+          }
+        }
     }
   }
 

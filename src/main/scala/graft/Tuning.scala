@@ -31,6 +31,16 @@ import org.apache.spark.sql.SparkSession
   * never coalescing below defaultParallelism) is the correct posture for
   * CPU-dense stages at any scale, so the knob is REMOVED.
   *
+  * r17 note 2: lowering `coalescePartitions.minPartitionSize` globally
+  * (1m → 64k) was A/B-measured and REJECTED: it spreads the jaccard
+  * family's MB-scale compute stages nicely (pairs 6.0 → 2.7 s) but
+  * un-coalesces the per-hop/per-round KB-scale cached frames the first
+  * knob exists to shrink — the graph family lost every r16 gain
+  * (6-query board 31.9 → 52.2 s). Compute-dense small-byte stages get
+  * explicit `repartition` at the operator instead (the PageRank edge-
+  * build pattern), which states intent where the byte heuristic can't
+  * see it.
+  *
   * Overridable per-run via `SPARK_GRAFT_TUNE=off` (diagnostic escape
   * hatch: compare plans with stock defaults).
   */
@@ -39,4 +49,6 @@ object Tuning {
     if (sys.env.get("SPARK_GRAFT_TUNE").contains("off")) b
     else b
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MINPART", "1m"))
 }

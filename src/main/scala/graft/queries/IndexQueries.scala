@@ -807,8 +807,16 @@ object IndexQueries extends graft.QueryModule {
     // *_kmeans_recall in-plan raise_error floors.
     "pq_train_build" -> ((s, dir) => {
       import s.implicits._
-      val pq = trainedPqModel(s, dir)
+      // Guide §2.6 (overlap independent jobs): each Lloyd fit is a chain of
+      // small SEQUENTIAL driver-blocking jobs that leaves the box mostly
+      // idle; the PQ and IVF fits share no state (distinct Layouts keys,
+      // independent inputs), so running them on two threads halves the
+      // producer's wall without changing either model — Spark's scheduler
+      // interleaves the two job streams (FIFO back-fill).
+      val pqF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        trainedPqModel(s, dir))
       val ivf = trainedIvfModel(s, dir)
+      val pq = pqF.join()
       val nLists = ivf.centroids.count()
       Seq((pq.codebooks.size.toLong, pq.codebooks.map(_.size).min.toLong,
           pq.subDim.toLong, pq.dim.toLong, nLists))

@@ -60,6 +60,43 @@ class BenchSpec extends SparkSpec {
     assert(builds == 2, "post-invalidate once must re-run the builder")
   }
 
+  test("Layouts.once: same-key racers build once; independent keys overlap") {
+    import java.util.concurrent._
+    val key = s"bench-spec-gate-${System.nanoTime()}"
+    val builds = new atomic.AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      // four same-key racers: exactly one build, all see its value
+      val racers = (1 to 4).map { _ =>
+        pool.submit(new Callable[String] {
+          def call(): String = Layouts.once(spark, key) {
+            Thread.sleep(50); builds.incrementAndGet(); "v"
+          }
+        })
+      }
+      assert(racers.map(_.get(30, TimeUnit.SECONDS)).distinct == Seq("v"))
+      assert(builds.get() == 1, "same-key racers must share one build")
+      // a DIFFERENT key's build must complete while this key's build is
+      // still blocked — the r17 per-key gates (one global lock held
+      // across build would deadlock `fast.get` here)
+      val hold = new CountDownLatch(1)
+      val started = new CountDownLatch(1)
+      val slow = pool.submit(new Callable[String] {
+        def call(): String = Layouts.once(spark, s"$key-slow") {
+          started.countDown(); hold.await(); "slow"
+        }
+      })
+      started.await(30, TimeUnit.SECONDS)
+      val fast = pool.submit(new Callable[String] {
+        def call(): String = Layouts.once(spark, s"$key-fast") { "fast" }
+      })
+      assert(fast.get(30, TimeUnit.SECONDS) == "fast",
+        "an independent key must not wait on another key's build")
+      hold.countDown()
+      assert(slow.get(30, TimeUnit.SECONDS) == "slow")
+    } finally pool.shutdownNow()
+  }
+
   test("cold rerun of a DDL producer re-pays the build and leaves consumers correct") {
     // The producer path: lsh_index_build's bracket captures the
     // Layouts.once DDL entry; invalidation + rerun must re-run the
