@@ -18,6 +18,12 @@ object Explain {
       println(s"\n===== $name =====")
       SparkEntry.queries.get(name) match {
         case Some(fn) => fn(spark, sfDir).explain("formatted")
+        // plan-dump diagnostic: the walk's per-hop localCheckpoint hides
+        // the hop interior in every declared query's dump, so this
+        // pseudo-query explains ONE uncheckpointed hop (same loop body)
+        case None if name == "_walk_hop" =>
+          graft.queries.VectorQueries.walkHopExplainFrame(spark, sfDir)
+            .explain("formatted")
         case None => println(s"unknown query '$name'")
       }
     }

@@ -114,35 +114,68 @@ object GraphSearch {
       queries.sparkSession.sparkContext.defaultParallelism)
     var frontiers = Vector(f0)
     def visited = frontiers.reduce(_ unionAll _)
-    for (_ <- 1 to hops) {
-      // r16 hop shape (guide §2.4 — remove shuffles outright): the old hop
-      // paid THREE exchanges — distinct() on (qid, node), the anti-join's
-      // re-shuffle, and the per-query row_number window. Candidate rows per
-      // (query, hop) are bounded by beam·degree (walk parameters, not
-      // corpus size), so the whole rank-and-trim collapses into ONE keyed
-      // aggregation: collect the (dist, node) structs per query, sort,
-      // array_distinct (duplicate (qid, node) candidates carry bit-equal
-      // dist → equal structs, so dedup-after-sort ≡ the old
-      // distinct-before-score), slice to beam. Ties still break (dist,
-      // node) — identical rows to the window form, pinned by
-      // GraphSearchSpec and the unchanged hop-for-hop DuckDB oracle.
-      val cand = frontiers.last.join(e, "__node")
-        .select(col("__qid"), col("__dst").as("__node"))
-        .join(visited, Seq("__qid", "__node"), "left_anti")
-      val scored = cand
-        .join(vecs, col("__node") === col("__vid"))
-        .join(q, "__qid")
-        .select(col("__qid"), col("__node"),
-          metric.dist(col("__qv"), col("__cv")).as("__d"))
-      frontiers :+= scored
-        .groupBy(col("__qid"))
-        .agg(slice(array_distinct(array_sort(collect_list(
-          struct(col("__d"), col("__node"))))), 1, beam).as("__top"))
-        .select(col("__qid"), explode(col("__top")).as("__m"))
-        .select(col("__qid"), col("__m.__node").as("__node"))
-        .coalesce(fParts).localCheckpoint()
-    }
+    for (_ <- 1 to hops)
+      frontiers :+= hopFrame(frontiers.last, visited, e, vecs, q, beam,
+        metric, fParts).localCheckpoint()
     frontiers
+  }
+
+  /** ONE hop's frame — [[walkFrontiers]]' loop body, extracted so the
+    * plan-dump diagnostic below explains EXACTLY the plan the loop runs
+    * (a committed query dump only shows ExistingRDD leaves because every
+    * hop is localCheckpointed).
+    *
+    * r16 hop shape (guide §2.4 — remove shuffles outright): the old hop
+    * paid THREE exchanges — distinct() on (qid, node), the anti-join's
+    * re-shuffle, and the per-query row_number window. Candidate rows per
+    * (query, hop) are bounded by beam·degree (walk parameters, not
+    * corpus size), so the whole rank-and-trim collapses into ONE keyed
+    * aggregation: collect the (dist, node) structs per query, sort,
+    * array_distinct (duplicate (qid, node) candidates carry bit-equal
+    * dist → equal structs, so dedup-after-sort ≡ the old
+    * distinct-before-score), slice to beam. Ties still break (dist,
+    * node) — identical rows to the window form, pinned by
+    * GraphSearchSpec and the unchanged hop-for-hop DuckDB oracle. */
+  private def hopFrame(frontier: DataFrame, visited: DataFrame,
+      e: DataFrame, vecs: DataFrame, q: DataFrame, beam: Int,
+      metric: Metric, fParts: Int): DataFrame = {
+    val cand = frontier.join(e, "__node")
+      .select(col("__qid"), col("__dst").as("__node"))
+      .join(visited, Seq("__qid", "__node"), "left_anti")
+    val scored = cand
+      .join(vecs, col("__node") === col("__vid"))
+      .join(q, "__qid")
+      .select(col("__qid"), col("__node"),
+        metric.dist(col("__qv"), col("__cv")).as("__d"))
+    scored
+      .groupBy(col("__qid"))
+      .agg(slice(array_distinct(array_sort(collect_list(
+        struct(col("__d"), col("__node"))))), 1, beam).as("__top"))
+      .select(col("__qid"), explode(col("__top")).as("__m"))
+      .select(col("__qid"), col("__m.__node").as("__node"))
+      .coalesce(fParts)
+  }
+
+  /** Diagnostic ONLY (r16/r17 verdict evidence discipline: "commit a
+    * single-iteration plan dump that actually shows the exchange/operator
+    * change"): hop 1 of a walk, UNCHECKPOINTED, so `.explain` exposes the
+    * hop interior. Shares [[hopFrame]] with the real loop — the dumped
+    * plan cannot drift from what the walk executes. Never a query path. */
+  private[graft] def oneHopForExplain(queries: DataFrame, qId: String,
+      qVec: String, corpus: DataFrame, cId: String, cVec: String,
+      edges: DataFrame, beam: Int, metric: Metric = Cosine): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("__qid"),
+      col(qVec).as("__qv")))
+    val vecs = corpus.select(col(cId).cast("long").as("__vid"),
+      col(cVec).as("__cv"))
+    val e = edges.select(col("src").cast("long").as("__node"),
+      col("dst").cast("long").as("__dst")).localCheckpoint()
+    val entry = corpus.agg(min(col(cId)).cast("long").as("__node"))
+    val f0 = q.select(col("__qid")).crossJoin(broadcast(entry))
+      .localCheckpoint()
+    val fParts = frontierPartitions(f0.count(), beam,
+      queries.sparkSession.sparkContext.defaultParallelism)
+    hopFrame(f0, f0, e, vecs, q, beam, metric, fParts)
   }
 
   /** The visited set of one stored-graph walk — (`qId`, `__node`) rows —

@@ -742,6 +742,18 @@ object VectorQueries extends graft.QueryModule {
         c.select(col("skill_id"), col("svec")), "skill_id", "svec", PrK))
   }
 
+  /** Diagnostic ONLY — [[graft.Explain]]'s `_walk_hop` pseudo-query
+    * (never in SparkEntry.queries): hop 1 of the census walk,
+    * uncheckpointed, so the committed plan dump shows the hop interior
+    * the per-hop localCheckpoint hides ([[GraphSearch.oneHopForExplain]]
+    * shares the real loop body). */
+  private[graft] def walkHopExplainFrame(s: SparkSession, dir: String): DataFrame = {
+    val (q, c) = split(s, dir)
+    graft.operators.GraphSearch.oneHopForExplain(q, "job_id", "qvec",
+      c.select(col("skill_id"), col("svec")), "skill_id", "svec",
+      graft.operators.PageRank.symmetrize(knnEdgeCache(s, dir)), GsBeam)
+  }
+
   /** ONE staged walk serving every flat-walk consumer (keyed memo: the
     * bounded-heap UDAF in the rankings defeats plan equality): the
     * deterministic max-depth walk ranked at hops 2/4/6 — knn_graph_topk
