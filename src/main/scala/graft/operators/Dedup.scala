@@ -568,8 +568,22 @@ object Dedup {
     // the threshold-filtered output — orders of magnitude smaller than the
     // candidate stream a pre-join distinct would have to shuffle (2.6x
     // end-to-end at sf0.1).
+    //
+    // The spread is PINNED (r17, guide §2.5 — the [[cosinePairs]] lesson,
+    // scale-safe form): left to statistics the self-join broadcasts one
+    // tiny cached side and STREAMS the other at the cache's few
+    // partitions, so candidate generation AND the per-pair cosine verify
+    // collapse onto one task (profiled: 13 single-task stages, 9.2
+    // task-sec serialized). Repartitioning BOTH sides by the bucket key
+    // spreads whichever side the optimizer streams — no broadcast pin
+    // (the bucket frame is corpus-sized at scale, where the keyed
+    // repartition IS the join's distribution, so it costs nothing extra);
+    // per-bucket work is bounded by maxBucket², so the spread is even.
+    val par = vecs.sparkSession.sparkContext.defaultParallelism
     val cands = b.select(col(idCol).as("a_id"), col("tbl"), col("bucket"))
-      .join(b.select(col(idCol).as("b_id"), col("tbl"), col("bucket")),
+      .repartition(par, col("tbl"), col("bucket"))
+      .join(b.select(col(idCol).as("b_id"), col("tbl"), col("bucket"))
+        .repartition(par, col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
