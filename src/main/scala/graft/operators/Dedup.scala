@@ -147,9 +147,9 @@ object Dedup {
       cands: DataFrame, minJaccard: Double): DataFrame =
     cands
       .join(setsA.select(col(setsA.columns.head).as("a_id"), col("__g").as("__ga"),
-        col("__m").as("__ma")), "a_id")
+        col("__m").as("__ma")).hint("shuffle_hash"), "a_id")
       .join(setsB.select(col(setsB.columns.head).as("b_id"), col("__g").as("__gb"),
-        col("__m").as("__mb")), "b_id")
+        col("__m").as("__mb")).hint("shuffle_hash"), "b_id")
       .withColumn("shared", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .withColumn("__union", col("__ma") + col("__mb") - col("shared"))
       // Threshold FIRST, in ExactRound's integer predicate form (a long
