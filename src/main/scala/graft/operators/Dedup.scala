@@ -260,10 +260,14 @@ object Dedup {
       .select(least(col("__p"), col("__q")).as("a_id"),
         greatest(col("__p"), col("__q")).as("b_id"))
     cands
+      // shuffle_hash: same reasoning as [[verifyByIntersect2]] — the
+      // broadcast build of the per-doc gram arrays is near-serial and a
+      // small-SF statistics artifact; the at-scale shape is the shuffled
+      // join on the pair ids.
       .join(docSets.select(col(idCol).as("a_id"), col("__g").as("__ga"),
-        col("__m").as("__ma")), "a_id")
+        col("__m").as("__ma")).hint("shuffle_hash"), "a_id")
       .join(docSets.select(col(idCol).as("b_id"), col("__g").as("__gb"),
-        col("__m").as("__mb")), "b_id")
+        col("__m").as("__mb")).hint("shuffle_hash"), "b_id")
       .withColumn("shared",
         size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
       .filter(graft.functions.ExactRound.round6GeLong(
