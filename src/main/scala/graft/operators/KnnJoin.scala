@@ -126,6 +126,13 @@ object KnnJoin {
     * at the call sites. */
   private[graft] def topkOfCandidates(cands: DataFrame, queryIdCol: String,
       idCol: String, k: Int, isString: Boolean): DataFrame = {
+    // CONTRACT (r16 verdict note): the map-side WindowGroupLimit only
+    // fires for k BELOW spark.sql.optimizer.windowGroupLimitThreshold
+    // (default 1000). A caller passing k >= 1000 still gets correct rows
+    // but silently loses the bounded map-side heap — the full candidate
+    // stream ranks post-shuffle (the rank-everything callers, e.g. a
+    // rank-all-visited walk test, accept exactly that). Raise the
+    // threshold knob alongside any production k >= 1000.
     val w = Window.partitionBy(col(queryIdCol)).orderBy(col("dist"), col("__cid"))
     cands
       .withColumn("__rn", row_number().over(w))
